@@ -1,0 +1,325 @@
+package graft
+
+/** DuckDB oracle SQL, one statement per entry in [[SparkEntry.queries]].
+  * Column names/aliases match the Spark side exactly (the driver's
+  * compare sorts columns by name). Integer aggregates are CAST to
+  * BIGINT (DuckDB sum(int) widens to HUGEINT), row_number to INT
+  * (DuckDB's is BIGINT), and all engine hashing uses the portable
+  * 56-bit md5-prefix form so both engines compute identical values.
+  */
+object OracleSql {
+
+  /** DuckDB rendering of graft.codec.Codecs.portableHash. */
+  private def dh(e: String): String =
+    s"CAST('0x' || substr(md5($e), 1, 14) AS BIGINT)"
+
+  /** Shared context-enrichment CTEs (mirror of ContextOps.enrichEvents
+    * + setBaggage over the events table). */
+  private val REC = """WITH rec0 AS (
+  SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value,
+         CAST(floor(value) AS BIGINT) AS value_int,
+         substr(md5(CAST(event_id AS VARCHAR)), 1, 16) AS trace_id
+  FROM events
+), rec AS (
+  SELECT *,
+         substr(md5(trace_id || '-producer'), 1, 16) AS parent_id,
+         substr(md5(trace_id || '-set'), 1, 16) AS span_id,
+         'messageid_' || CAST(value_int AS VARCHAR) AS messageid
+  FROM rec0
+), evens AS (SELECT * FROM rec WHERE value_int % 2 = 0
+), odds AS (SELECT * FROM rec WHERE value_int % 2 <> 0)"""
+
+  /** Shared tokenization CTE (mirror of Codecs.tokens). */
+  private val TOKS = """WITH toks AS (
+  SELECT doc_id, lang, text,
+         list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), t -> len(t) > 0) AS tk
+  FROM documents
+)"""
+
+  /** 3-gram shingle list over `tk` (mirror of Codecs.shingles n=3). */
+  private val SHINGLES3 =
+    "list_transform(range(1, greatest(len(tk)-2, 0)+1), i -> array_to_string(tk[i:i+2], ' '))"
+
+  /** Shingle-hash CTEs shared by jaccard/minhash. */
+  private val SH = s"""$TOKS, sh AS (
+  SELECT doc_id, unnest(list_distinct($SHINGLES3)) AS s FROM toks
+), h AS (SELECT doc_id, ${dh("s")} AS h FROM sh)"""
+
+  private val MINHASH_P = "2305843009213693951"
+  private def mhTerm(i: Int): String =
+    s"min((h*${2 * i + 1} + ${10007 * i + 1}) % $MINHASH_P) AS mh$i"
+  private val SIG = s"""$SH, sig AS (
+  SELECT doc_id, ${(0 until 16).map(mhTerm).mkString(", ")} FROM h GROUP BY doc_id)"""
+
+  private def bandSelect(j: Int): String = {
+    val cat = (j * 4 until j * 4 + 4).map(i => s"CAST(mh$i AS VARCHAR)").mkString(" || ',' || ")
+    s"SELECT doc_id, $j AS band, ${dh(cat)} AS bkey FROM sig"
+  }
+
+  private val SIMHASH_FPS = {
+    val votes = (0 until 32).map(j => s"sum(((h>>$j)&1)*2-1) AS b$j").mkString(", ")
+    val fp = (0 until 32).map(j => s"(CASE WHEN b$j > 0 THEN (1::BIGINT << $j) ELSE 0 END)").mkString(" + ")
+    s"""$TOKS, t AS (SELECT doc_id, unnest(tk) AS tok FROM toks
+), th AS (SELECT doc_id, ${dh("tok")} AS h FROM t
+), v AS (SELECT doc_id, $votes FROM th GROUP BY doc_id
+), fps AS (SELECT doc_id, $fp AS simhash FROM v)"""
+  }
+
+  /** Vector CTEs: double-precision view + norm + 8-bit sign-LSH bucket
+    * (mirror of graft.ext.Similarity). */
+  private val VECS = {
+    val bucket = (0 until 8).map(i => s"(CASE WHEN v[${i + 1}] > 0 THEN (1::BIGINT << $i) ELSE 0 END)").mkString(" + ")
+    s"""WITH vecs AS (
+  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings
+), nv AS (
+  SELECT vec_id, label, v, sqrt(list_dot_product(v, v)) AS nrm, $bucket AS bucket FROM vecs)"""
+  }
+
+  val all: Map[String, String] = Map(
+    "q_branch_even" -> s"$REC SELECT event_id, user_id, value_int FROM evens",
+
+    "q_branch_odd" -> s"$REC SELECT event_id, user_id, value_int FROM odds",
+
+    "q_derive_context" ->
+      s"$REC SELECT event_id, trace_id, span_id, parent_id, messageid FROM rec",
+
+    "q_b3_roundtrip" -> s"""$REC, b AS (
+  SELECT event_id, trace_id || '-' || span_id || '-1' AS b3 FROM rec)
+SELECT event_id, b3,
+       split_part(b3, '-', 1) AS p_trace_id,
+       split_part(b3, '-', 2) AS p_span_id,
+       split_part(b3, '-', 3) = '1' AS p_sampled
+FROM b""",
+
+    "q_header_lookup" -> s"""$REC, h AS (
+  SELECT event_id, [
+    {'key': 'b3', 'value': trace_id || '-' || parent_id || '-1'},
+    {'key': 'messageid', 'value': messageid},
+    {'key': 'b3', 'value': trace_id || '-' || span_id || '-1'}] AS headers
+  FROM rec)
+SELECT event_id,
+       list_filter(headers, x -> x.key = 'b3')[-1].value AS b3_hdr,
+       list_filter(headers, x -> x.key = 'messageid')[-1].value AS messageid_hdr,
+       list_filter(headers, x -> x.key = 'nope')[-1].value AS missing_hdr
+FROM h""",
+
+    "q_first_match" -> s"""$REC SELECT user_id, event_id, value_int, epoch_us(ts) AS ts_us FROM (
+  SELECT user_id, event_id, value_int, ts,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM evens) WHERE rn = 1""",
+
+    "q_log_correlation" -> s"""$REC, logs AS (
+  SELECT trace_id, 'Got number: ' || CAST(value_int AS VARCHAR) AS line FROM rec
+  UNION ALL SELECT trace_id, 'Even number: ' || CAST(value_int AS VARCHAR) FROM evens
+  UNION ALL SELECT CAST(NULL AS VARCHAR), 'Odd number: ' || CAST(value_int AS VARCHAR) FROM odds)
+SELECT e.event_id, e.trace_id, e.messageid, l.line
+FROM evens e JOIN logs l ON e.trace_id = l.trace_id""",
+
+    "q_span_enrich" -> s"""$REC, spans AS (
+  SELECT trace_id, substr(md5(trace_id || '-set'), 1, 16) AS span_id, 'set' AS name,
+         CAST(NULL AS VARCHAR) AS rsn, CAST(NULL AS VARCHAR) AS topic FROM rec
+  UNION ALL SELECT trace_id, substr(md5(trace_id || '-send-even'), 1, 16), 'send-even', 'kafka', 'even-numbers' FROM evens
+  UNION ALL SELECT trace_id, substr(md5(trace_id || '-send-odd'), 1, 16), 'send-odd', 'kafka', 'odd-numbers' FROM odds)
+SELECT trace_id, span_id, name,
+       CASE WHEN topic IS NOT NULL THEN rsn || '/' || topic ELSE rsn END AS remote_service_name
+FROM spans""",
+
+    "q_dependency_graph" -> s"""$REC
+SELECT 'graft-app' AS local_service, 'kafka/' || t AS remote_service_name, count(*) AS n_calls
+FROM (SELECT CASE WHEN value_int % 2 = 0 THEN 'even-numbers' ELSE 'odd-numbers' END AS t FROM rec)
+GROUP BY 1, 2""",
+
+    "q_trace_assembly" -> """WITH byuser AS (
+  SELECT substr(md5(CAST(user_id AS VARCHAR)), 1, 16) AS trace_id,
+         CASE WHEN CAST(floor(value) AS BIGINT) % 2 = 0 THEN 'send-even' ELSE 'send-odd' END AS name,
+         CAST(ts AS TIMESTAMP) AS ts
+  FROM events)
+SELECT trace_id, count(*) AS n_spans,
+       string_agg(name, ',' ORDER BY name) AS span_names,
+       epoch_us(min(ts)) AS trace_start_us, epoch_us(max(ts)) AS trace_end_us
+FROM byuser GROUP BY trace_id""",
+
+    "q_union_back" -> s"""$REC
+SELECT event_type, count(*) AS n, CAST(sum(value_int) AS BIGINT) AS sum_value
+FROM (SELECT * FROM evens UNION ALL SELECT * FROM odds) GROUP BY event_type""",
+
+    "a_pricing_summary" -> """SELECT l_returnflag, l_linestatus,
+  round(sum(l_quantity), 2) AS sum_qty,
+  round(sum(l_extendedprice), 2) AS sum_base,
+  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc,
+  round(avg(l_quantity), 4) AS avg_qty,
+  round(avg(l_extendedprice), 4) AS avg_price,
+  count(*) AS n
+FROM lineitem WHERE l_shipdate <= TIMESTAMP '2001-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus""",
+
+    "a_segment_revenue" -> """SELECT c_mktsegment,
+  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+  count(DISTINCT o_orderkey) AS n_orders
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment""",
+
+    "a_top_orders" -> """SELECT o_orderkey, epoch_us(o_orderdate) AS o_orderdate_us, revenue FROM (
+  SELECT l_orderkey, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+  FROM lineitem GROUP BY l_orderkey) r
+JOIN orders ON l_orderkey = o_orderkey
+ORDER BY revenue DESC, o_orderkey LIMIT 10""",
+
+    "a_top_parts_per_brand" -> """WITH rev AS (
+  SELECT p_brand, p_partkey, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+  FROM lineitem JOIN part ON l_partkey = p_partkey GROUP BY p_brand, p_partkey)
+SELECT p_brand, p_partkey, revenue, CAST(rnk AS INT) AS rnk FROM (
+  SELECT *, row_number() OVER (PARTITION BY p_brand ORDER BY revenue DESC, p_partkey) AS rnk
+  FROM rev)
+WHERE rnk <= 3""",
+
+    "a_semi_join" -> """SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_quantity >= 48)""",
+
+    "a_anti_join" -> """SELECT c_custkey, c_name FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""",
+
+    "a_rollup" -> """SELECT l_returnflag, l_linestatus, count(*) AS n,
+  round(sum(l_quantity), 2) AS sum_qty
+FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""",
+
+    "a_tumbling_window" -> """SELECT epoch_us(date_trunc('hour', CAST(ts AS TIMESTAMP))) AS hour_start_us,
+  event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+FROM events GROUP BY 1, 2""",
+
+    "a_session_window" -> """WITH e AS (
+  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts FROM events
+), g AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sid AS (
+  SELECT user_id, ts,
+         sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sid
+  FROM g)
+SELECT user_id, epoch_us(min(ts)) AS session_start_us,
+       epoch_us(max(ts) + INTERVAL 30 MINUTE) AS session_end_us, count(*) AS n_events
+FROM sid GROUP BY user_id, sid""",
+
+    "a_range_join" -> """SELECT o_orderkey, count(*) AS n_shipped_30d
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+  AND l_shipdate >= o_orderdate AND l_shipdate < o_orderdate + INTERVAL 30 DAY
+GROUP BY o_orderkey""",
+
+    "t_text_stats" -> s"""$TOKS
+SELECT doc_id,
+  CAST(len(tk) AS BIGINT) AS n_tok,
+  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS n_bpe,
+  CAST(length(text) AS BIGINT) AS n_chars_calc,
+  round(CASE WHEN len(tk) > 0
+             THEN CAST(list_sum(list_transform(tk, t -> len(t))) AS DOUBLE) / len(tk)
+             ELSE 0.0 END, 4) AS avg_tok_len
+FROM toks""",
+
+    "t_lang_id" -> s"""$TOKS
+SELECT doc_id, lang,
+  CASE WHEN zh > 0 THEN 'zh'
+       WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr THEN 'en'
+       WHEN s_es >= s_de AND s_es >= s_fr THEN 'es'
+       WHEN s_de >= s_fr THEN 'de'
+       ELSE 'fr' END AS pred_lang
+FROM (SELECT doc_id, lang,
+        len(regexp_extract_all(text, '[\\x{4e00}-\\x{9fff}]')) AS zh,
+        len(list_filter(tk, t -> t IN ('the','and','of','to','is','in','a'))) AS s_en,
+        len(list_filter(tk, t -> t IN ('el','la','de','que','y','los','es'))) AS s_es,
+        len(list_filter(tk, t -> t IN ('der','die','und','das','ist','nicht'))) AS s_de,
+        len(list_filter(tk, t -> t IN ('le','les','et','des','un','une','est'))) AS s_fr
+      FROM toks)""",
+
+    "t_quality" -> s"""$TOKS
+SELECT doc_id, round(
+  least(len(tk) / 50.0, 1.0) * 0.5 +
+  (CASE WHEN len(tk) > 0
+        THEN CAST(len(list_filter(tk, t -> t IN ('the','and','of','to','is','in','a'))) AS DOUBLE) / len(tk)
+        ELSE 0.0 END) * 0.3 +
+  (1.0 - least(CASE WHEN length(text) > 0
+                    THEN CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS DOUBLE) / length(text)
+                    ELSE 0.0 END, 1.0)) * 0.2, 4) AS quality
+FROM toks""",
+
+    "t_fingerprint" -> s"""$TOKS
+SELECT doc_id,
+  ${dh("regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')")} AS fp,
+  list_min(list_transform($SHINGLES3, s -> ${dh("s")})) AS min_shingle_fp
+FROM toks""",
+
+    "d_exact" -> s"""SELECT ${dh("text")} AS text_hash,
+  count(*) AS n_copies, min(doc_id) AS keeper
+FROM documents GROUP BY 1""",
+
+    "d_ngram_jaccard" -> s"""$SH, sz AS (
+  SELECT doc_id, count(*) AS n_sh FROM h GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+  FROM h a JOIN h b ON a.h = b.h AND a.doc_id < b.doc_id GROUP BY 1, 2)
+SELECT doc_a, doc_b,
+       round(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 4) AS jaccard
+FROM inter JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
+WHERE round(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 4) >= 0.5""",
+
+    "d_minhash_sig" -> s"$SIG SELECT * FROM sig",
+
+    "d_minhash_lsh" -> s"""$SIG, bands AS (
+  ${(0 until 4).map(bandSelect).mkString("\n  UNION ALL ")})
+SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS n_shared_bands
+FROM bands x JOIN bands y
+  ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id
+GROUP BY 1, 2""",
+
+    "d_simhash" -> s"$SIMHASH_FPS SELECT doc_id, simhash FROM fps",
+
+    "d_simhash_pairs" -> s"""$SIMHASH_FPS
+SELECT doc_a, doc_b, hamming FROM (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+  FROM fps a JOIN fps b
+    ON (a.simhash >> 16) = (b.simhash >> 16) AND a.doc_id < b.doc_id)
+WHERE hamming <= 3""",
+
+    "s_ann_brute" -> s"""$VECS, q AS (
+  SELECT vec_id AS q_id, v AS qv, nrm AS qn FROM nv WHERE vec_id < 8
+), s AS (
+  SELECT q_id, vec_id, list_dot_product(qv, v) / (qn * nrm) AS cos
+  FROM q JOIN nv ON vec_id >= 8)
+SELECT q_id, vec_id AS neighbor_id, CAST(rnk AS INT) AS rnk, round(cos, 4) AS cos FROM (
+  SELECT q_id, vec_id, cos,
+         row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rnk FROM s)
+WHERE rnk <= 5""",
+
+    "s_ann_lsh" -> s"""$VECS, q AS (
+  SELECT vec_id AS q_id, v AS qv, nrm AS qn, bucket AS q_bucket FROM nv WHERE vec_id < 8
+), s AS (
+  SELECT q_id, vec_id, list_dot_product(qv, v) / (qn * nrm) AS cos
+  FROM q JOIN nv ON q_bucket = bucket AND vec_id >= 8)
+SELECT q_id, vec_id AS neighbor_id, CAST(rnk AS INT) AS rnk, round(cos, 4) AS cos FROM (
+  SELECT q_id, vec_id, cos,
+         row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rnk FROM s)
+WHERE rnk <= 3""",
+
+    "s_near_dup" -> s"""$VECS, pairs AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS cos
+  FROM nv a JOIN nv b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+SELECT vec_a, vec_b, round(cos, 3) AS cos FROM pairs WHERE cos >= 0.35""",
+
+    "m_asset_meta" -> s"""SELECT doc_id AS asset_id,
+  CAST(strlen(text) AS BIGINT) AS byte_len,
+  substr(text, 1, 8) AS head8,
+  substr(text, CAST(strlen(text) // 2 AS INT) + 1, 8) AS mid8,
+  ${dh("text")} AS content_hash
+FROM documents""",
+
+    "m_frame_sample" -> """SELECT doc_id AS asset_id,
+  CAST(i AS BIGINT) AS frame_idx,
+  CAST((i * CAST(strlen(text) AS BIGINT)) // 4 AS BIGINT) AS frame_off,
+  substr(text, CAST((i * CAST(strlen(text) AS BIGINT)) // 4 AS INT) + 1, 8) AS frame_str
+FROM documents, range(0, 4) t(i)""",
+  )
+}

@@ -1,13 +1,377 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.codec.Codecs
+import graft.ops.{ContextOps => C, TraceAnalytics}
+import graft.ext.{Dedup, Multimodal, Similarity, TextOps}
+
+/** Driver contract (SURVEY.md §7): one entry per implemented operator,
+  * each paired with ANSI SQL the DuckDB oracle runs over the same
+  * parquet tables. Column names are aliased identically on both sides.
+  *
+  * Layout of the inventory:
+  *  - parity queries (`q_*`)      — SURVEY.md §2 operator surface
+  *  - analytic queries (`a_*`)    — joins/aggs/windows/rollup at scale
+  *  - text queries (`t_*`)        — language ID, quality, tokens, fingerprints
+  *  - dedup queries (`d_*`)       — exact, Jaccard, MinHash+LSH, SimHash
+  *  - similarity queries (`s_*`)  — cosine top-k, LSH ANN, near-dup pairs
+  *  - multimodal queries (`m_*`)  — binary payload metadata/frame plumbing
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Fixture loader. events.ts is TIMESTAMP(NANOS) parquet, which Spark
+    * rejects natively — read it as raw nanos and convert (values are
+    * micro-aligned, so the division is lossless). */
+  private def T(s: SparkSession, dir: String, name: String): DataFrame =
+    if (name == "events") {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      s.read.parquet(s"$dir/events.parquet")
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    } else s.read.parquet(s"$dir/$name.parquet")
+
+  /** events → decoded + context-enriched records (batch analog of the
+    * reference's `numbers` topic — FIXTURES.md §B). */
+  private def rec(s: SparkSession, dir: String): DataFrame =
+    C.setBaggage(C.enrichEvents(T(s, dir, "events")))
+
+  /** Flagship: trace-correlated even-branch records joined to their log
+    * rows, at sf0.001. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("q_log_correlation")(spark, "/root/testdata/sf0.001")
+
+  // =====================================================================
+  // Spark-side query implementations
+  // =====================================================================
+
+  private def qBranchEven(s: SparkSession, dir: String): DataFrame = {
+    val (even, _) = C.evenOdd(rec(s, dir))
+    even.select(col("event_id"), col("user_id"), col("value_int"))
+  }
+
+  private def qBranchOdd(s: SparkSession, dir: String): DataFrame = {
+    val (_, odd) = C.evenOdd(rec(s, dir))
+    odd.select(col("event_id"), col("user_id"), col("value_int"))
+  }
+
+  private def qDeriveContext(s: SparkSession, dir: String): DataFrame =
+    rec(s, dir).select(col("event_id"), col("trace_id"), col("span_id"),
+      col("parent_id"), col("messageid"))
+
+  private def qB3Roundtrip(s: SparkSession, dir: String): DataFrame = {
+    val r = rec(s, dir)
+      .withColumn("b3", Codecs.b3Render(col("trace_id"), col("span_id"), col("sampled")))
+    r.select(col("event_id"), col("b3"),
+      Codecs.b3TraceId(col("b3")).as("p_trace_id"),
+      Codecs.b3SpanId(col("b3")).as("p_span_id"),
+      Codecs.b3Sampled(col("b3")).as("p_sampled"))
+  }
+
+  private def qHeaderLookup(s: SparkSession, dir: String): DataFrame = {
+    val r = rec(s, dir)
+    // duplicate 'b3' key on purpose: lookup must be last-wins (P8)
+    val hdrs = array(
+      struct(lit("b3").as("key"), Codecs.b3Render(col("trace_id"), col("parent_id"), col("sampled")).as("value")),
+      struct(lit("messageid").as("key"), col("messageid").as("value")),
+      struct(lit("b3").as("key"), Codecs.b3Render(col("trace_id"), col("span_id"), col("sampled")).as("value")))
+    r.withColumn("headers", hdrs).select(
+      col("event_id"),
+      Codecs.headerLast(col("headers"), "b3").as("b3_hdr"),
+      Codecs.headerLast(col("headers"), "messageid").as("messageid_hdr"),
+      Codecs.headerLast(col("headers"), "nope").as("missing_hdr"))
+  }
+
+  private def qFirstMatch(s: SparkSession, dir: String): DataFrame = {
+    val (even, _) = C.evenOdd(rec(s, dir))
+    C.firstMatchPerKey(even, col("user_id"), Seq(col("ts"), col("event_id")))
+      .select(col("user_id"), col("event_id"), col("value_int"),
+        unix_micros(col("ts")).as("ts_us"))
+  }
+
+  private def logsOf(r: DataFrame, even: DataFrame, odd: DataFrame): DataFrame = {
+    val setLogs = C.logRows(r, "set", concat(lit("Got number: "), col("value_int").cast("string")), traced = true)
+    val evenLogs = C.logRows(even, "even", concat(lit("Even number: "), col("value_int").cast("string")), traced = true)
+    val oddLogs = C.logRows(odd, "odd", concat(lit("Odd number: "), col("value_int").cast("string")), traced = false)
+    setLogs.unionByName(evenLogs).unionByName(oddLogs)
+  }
+
+  private def qLogCorrelation(s: SparkSession, dir: String): DataFrame = {
+    val r = rec(s, dir)
+    val (even, odd) = C.evenOdd(r)
+    val logs = logsOf(r, even, odd).select(col("trace_id"), col("line"))
+    C.correlate(even.select(col("trace_id"), col("event_id"), col("messageid")), logs)
+      .select(col("event_id"), col("trace_id"), col("messageid"), col("line"))
+  }
+
+  private def spansOf(r: DataFrame, even: DataFrame, odd: DataFrame): DataFrame =
+    C.spanRows(r, "set", None)
+      .unionByName(C.spanRows(even, "send-even", Some("even-numbers")))
+      .unionByName(C.spanRows(odd, "send-odd", Some("odd-numbers")))
+
+  private def qSpanEnrich(s: SparkSession, dir: String): DataFrame = {
+    val r = rec(s, dir)
+    val (even, odd) = C.evenOdd(r)
+    C.spanEnrich(spansOf(r, even, odd))
+      .select(col("trace_id"), col("span_id"), col("name"), col("remote_service_name"))
+  }
+
+  private def qDependencyGraph(s: SparkSession, dir: String): DataFrame = {
+    val r = rec(s, dir)
+    val (even, odd) = C.evenOdd(r)
+    TraceAnalytics.dependencyGraph(spansOf(r, even, odd))
+  }
+
+  private def qTraceAssembly(s: SparkSession, dir: String): DataFrame = {
+    val r = rec(s, dir)
+    val byUser = r
+      .withColumn("trace_id", Codecs.traceIdFrom(col("user_id")))
+      .withColumn("name",
+        when(pmod(col("value_int"), lit(2)) === 0, "send-even").otherwise("send-odd"))
+      .select(col("trace_id"), col("name"), col("ts"))
+    TraceAnalytics.assembleTraces(byUser)
+      .select(col("trace_id"), col("n_spans"), col("span_names"),
+        unix_micros(col("trace_start")).as("trace_start_us"),
+        unix_micros(col("trace_end")).as("trace_end_us"))
+  }
+
+  private def qUnionBack(s: SparkSession, dir: String): DataFrame = {
+    val r = rec(s, dir)
+    val (even, odd) = C.evenOdd(r)
+    even.unionByName(odd)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value_int")).as("sum_value"))
+  }
+
+  // ------------------------------------------------------------ analytics
+
+  private def aPricingSummary(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "lineitem")
+      .filter(col("l_shipdate") <= expr("TIMESTAMP '2001-09-02 00:00:00'"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_base"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc"),
+        round(avg(col("l_quantity")), 4).as("avg_qty"),
+        round(avg(col("l_extendedprice")), 4).as("avg_price"),
+        count(lit(1)).as("n"))
+
+  private def aSegmentRevenue(s: SparkSession, dir: String): DataFrame = {
+    val cust = T(s, dir, "customer"); val ord = T(s, dir, "orders"); val li = T(s, dir, "lineitem")
+    li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+        countDistinct(col("o_orderkey")).as("n_orders"))
+  }
+
+  private def aTopOrders(s: SparkSession, dir: String): DataFrame = {
+    val ord = T(s, dir, "orders"); val li = T(s, dir, "lineitem")
+    li.groupBy(col("l_orderkey"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_orderkey"),
+        unix_micros(col("o_orderdate").cast("timestamp")).as("o_orderdate_us"),
+        col("revenue"))
+      .orderBy(col("revenue").desc, col("o_orderkey"))
+      .limit(10)
+  }
+
+  private def aTopPartsPerBrand(s: SparkSession, dir: String): DataFrame = {
+    val part = T(s, dir, "part"); val li = T(s, dir, "lineitem")
+    val rev = li.join(broadcast(part), li("l_partkey") === part("p_partkey"))
+      .groupBy(col("p_brand"), col("p_partkey"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+    rev.withColumn("rnk", row_number().over(
+        Window.partitionBy(col("p_brand")).orderBy(col("revenue").desc, col("p_partkey"))))
+      .filter(col("rnk") <= 3)
+      .select(col("p_brand"), col("p_partkey"), col("revenue"), col("rnk"))
+  }
+
+  private def aSemiJoin(s: SparkSession, dir: String): DataFrame = {
+    val ord = T(s, dir, "orders")
+    val big = T(s, dir, "lineitem").filter(col("l_quantity") >= 48)
+    ord.join(big, ord("o_orderkey") === big("l_orderkey"), "left_semi")
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+  }
+
+  private def aAntiJoin(s: SparkSession, dir: String): DataFrame = {
+    val cust = T(s, dir, "customer"); val ord = T(s, dir, "orders")
+    cust.join(ord, cust("c_custkey") === ord("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+  }
+
+  private def aRollup(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "lineitem")
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"), round(sum(col("l_quantity")), 2).as("sum_qty"))
+
+  private def aTumblingWindow(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "events")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+      .select(unix_micros(col("w.start")).as("hour_start_us"),
+        col("event_type"), col("n"), col("sum_value"))
+
+  private def aSessionWindow(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "events")
+      .groupBy(session_window(col("ts"), "30 minutes").as("sw"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), unix_micros(col("sw.start")).as("session_start_us"),
+        unix_micros(col("sw.end")).as("session_end_us"), col("n_events"))
+
+  private def aRangeJoin(s: SparkSession, dir: String): DataFrame = {
+    val ord = T(s, dir, "orders"); val li = T(s, dir, "lineitem")
+    ord.join(li,
+        ord("o_orderkey") === li("l_orderkey") &&
+          li("l_shipdate") >= ord("o_orderdate") &&
+          li("l_shipdate") < ord("o_orderdate") + expr("INTERVAL 30 DAY"))
+      .groupBy(col("o_orderkey"))
+      .agg(count(lit(1)).as("n_shipped_30d"))
+  }
+
+  // ----------------------------------------------------------------- text
+
+  private def tTextStats(s: SparkSession, dir: String): DataFrame = {
+    val d = T(s, dir, "documents")
+    val toks = Codecs.tokens(col("text"))
+    d.select(col("doc_id"),
+      TextOps.tokenCount(col("text")).cast("long").as("n_tok"),
+      TextOps.bpeTokenCount(col("text")).cast("long").as("n_bpe"),
+      length(col("text")).cast("long").as("n_chars_calc"),
+      round(
+        when(size(toks) > 0,
+          aggregate(transform(toks, t => length(t).cast("long")), lit(0L), (a, x) => a + x)
+            .cast("double") / size(toks))
+          .otherwise(0.0), 4).as("avg_tok_len"))
+  }
+
+  private def tLangId(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "documents").select(col("doc_id"), col("lang"),
+      TextOps.langId(col("text")).as("pred_lang"))
+
+  private def tQuality(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "documents").select(col("doc_id"),
+      round(TextOps.qualityScore(col("text")), 4).as("quality"))
+
+  private def tFingerprint(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "documents").select(col("doc_id"),
+      TextOps.fingerprint(col("text")).as("fp"),
+      TextOps.minShingleFingerprint(col("text"), 3).as("min_shingle_fp"))
+
+  // ---------------------------------------------------------------- dedup
+
+  private def dExact(s: SparkSession, dir: String): DataFrame =
+    Dedup.exactGroups(T(s, dir, "documents"))
+
+  private def dJaccard(s: SparkSession, dir: String): DataFrame =
+    Dedup.ngramJaccardPairs(T(s, dir, "documents"), 3, 0.5)
+
+  private def dMinhashSig(s: SparkSession, dir: String): DataFrame =
+    Dedup.minhashSignatures(T(s, dir, "documents"), 3, 16)
+
+  private def dMinhashLsh(s: SparkSession, dir: String): DataFrame =
+    Dedup.lshCandidatePairs(Dedup.minhashSignatures(T(s, dir, "documents"), 3, 16), 4, 4)
+
+  private def dSimhash(s: SparkSession, dir: String): DataFrame =
+    Dedup.simhash(T(s, dir, "documents"), 32)
+
+  private def dSimhashPairs(s: SparkSession, dir: String): DataFrame = {
+    val fps = Dedup.simhash(T(s, dir, "documents"), 32)
+    // banded on the high 16 bits: bounds the pairwise term at scale
+    fps.as("a").join(fps.as("b"),
+        shiftright(col("a.simhash"), 16) === shiftright(col("b.simhash"), 16) &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        expr("bit_count(a.simhash ^ b.simhash)").cast("int").as("hamming"))
+      .filter(col("hamming") <= 3)
+  }
+
+  // ----------------------------------------------------------- similarity
+
+  private def sAnnBrute(s: SparkSession, dir: String): DataFrame =
+    Similarity.bruteForceTopK(T(s, dir, "embeddings"), col("vec_id") < 8, 5)
+
+  private def sAnnLsh(s: SparkSession, dir: String): DataFrame =
+    Similarity.lshTopK(T(s, dir, "embeddings"), col("vec_id") < 8, 3, 8)
+
+  private def sNearDup(s: SparkSession, dir: String): DataFrame = {
+    // bucketed near-dup: only LSH-bucket-mates are compared (scale path)
+    val vecs = Similarity.withNorm(T(s, dir, "embeddings"))
+      .withColumn("bucket", Similarity.lshBucket(col("v"), 8))
+    vecs.as("a").join(vecs.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
+      .withColumn("cos", Similarity.dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm")))
+      .filter(col("cos") >= 0.35)
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        round(col("cos"), 3).as("cos"))
+  }
+
+  // ----------------------------------------------------------- multimodal
+
+  private def mAssetMeta(s: SparkSession, dir: String): DataFrame = {
+    val assets = Multimodal.toAssets(
+      T(s, dir, "documents").select(col("doc_id").as("asset_id"),
+        col("text").cast("binary").as("payload")), "image")
+    assets.select(col("asset_id"), col("byte_len"),
+      substring(col("payload").cast("string"), 1, 8).as("head8"),
+      expr("substring(cast(payload as string), cast(byte_len div 2 as int) + 1, 8)").as("mid8"),
+      Codecs.portableHash(col("payload").cast("string")).as("content_hash"))
+  }
+
+  private def mFrameSample(s: SparkSession, dir: String): DataFrame = {
+    val assets = Multimodal.toAssets(
+      T(s, dir, "documents").select(col("doc_id").as("asset_id"),
+        col("text").cast("binary").as("payload")), "video")
+    Multimodal.sampleFrames(assets, 4, 8)
+      .select(col("asset_id"), col("frame_idx").cast("long").as("frame_idx"),
+        col("frame_off"), col("frame").cast("string").as("frame_str"))
+  }
+
+  // =====================================================================
+  // Registry
+  // =====================================================================
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_branch_even" -> (qBranchEven _),
+    "q_branch_odd" -> (qBranchOdd _),
+    "q_derive_context" -> (qDeriveContext _),
+    "q_b3_roundtrip" -> (qB3Roundtrip _),
+    "q_header_lookup" -> (qHeaderLookup _),
+    "q_first_match" -> (qFirstMatch _),
+    "q_log_correlation" -> (qLogCorrelation _),
+    "q_span_enrich" -> (qSpanEnrich _),
+    "q_dependency_graph" -> (qDependencyGraph _),
+    "q_trace_assembly" -> (qTraceAssembly _),
+    "q_union_back" -> (qUnionBack _),
+    "a_pricing_summary" -> (aPricingSummary _),
+    "a_segment_revenue" -> (aSegmentRevenue _),
+    "a_top_orders" -> (aTopOrders _),
+    "a_top_parts_per_brand" -> (aTopPartsPerBrand _),
+    "a_semi_join" -> (aSemiJoin _),
+    "a_anti_join" -> (aAntiJoin _),
+    "a_rollup" -> (aRollup _),
+    "a_tumbling_window" -> (aTumblingWindow _),
+    "a_session_window" -> (aSessionWindow _),
+    "a_range_join" -> (aRangeJoin _),
+    "t_text_stats" -> (tTextStats _),
+    "t_lang_id" -> (tLangId _),
+    "t_quality" -> (tQuality _),
+    "t_fingerprint" -> (tFingerprint _),
+    "d_exact" -> (dExact _),
+    "d_ngram_jaccard" -> (dJaccard _),
+    "d_minhash_sig" -> (dMinhashSig _),
+    "d_minhash_lsh" -> (dMinhashLsh _),
+    "d_simhash" -> (dSimhash _),
+    "d_simhash_pairs" -> (dSimhashPairs _),
+    "s_ann_brute" -> (sAnnBrute _),
+    "s_ann_lsh" -> (sAnnLsh _),
+    "s_near_dup" -> (sNearDup _),
+    "m_asset_meta" -> (mAssetMeta _),
+    "m_frame_sample" -> (mFrameSample _),
+  )
+
+  def oracleSql: Map[String, String] = OracleSql.all
 }

@@ -1,0 +1,91 @@
+package graft.codec
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Expression layer: oracle-portable hashing, B3 trace-context codec,
+  * Kafka header algebra. Pure column functions — everything stays inside
+  * whole-stage codegen; no Scala UDFs in any hot path.
+  *
+  * Reference semantics reproduced here:
+  *  - B3 single-header format "{traceId}-{spanId}-{sampled}"
+  *    (reference: src/test/java/com/github/timtebeek/StreamsConfigTest.java:92),
+  *  - last-wins header lookup (StreamsConfigTest.java:64 `lastHeader`),
+  *  - fresh span id per processing hop, same trace id
+  *    (reference: README.adoc:124 "same traceId, but a different spanId"),
+  *  - messageid baggage derivation "messageid_" + value
+  *    (reference: src/main/java/com/github/timtebeek/StreamsConfig.java:35).
+  */
+object Codecs {
+
+  /** 56-bit deterministic hash reproducible in ANSI SQL by the DuckDB
+    * oracle:
+    *   spark : conv(substr(md5(s),1,14),16,10)  cast to bigint
+    *   duckdb: ('0x' || substr(md5(s),1,14))::BIGINT
+    * Used wherever the oracle must reproduce engine-side hashing
+    * (minhash, simhash, LSH bands, fingerprints, exact-dedup keys).
+    *
+    * Scale note: at 100 TB the same call sites can swap in
+    * [[scaleHash]] (xxhash64 — one codegen'd instruction stream, no md5
+    * string round-trip); md5-based form is kept as default so
+    * correctness stays externally checkable. */
+  def portableHash(c: Column): Column =
+    conv(substring(md5(c.cast("string").cast("binary")), 1, 14), 16, 10).cast("long")
+
+  /** Production-scale variant of [[portableHash]]: 64-bit xxhash, far
+    * cheaper per row, NOT reproducible by the SQL oracle. */
+  def scaleHash(c: Column): Column = xxhash64(c)
+
+  /** 16-hex-char trace id minted deterministically from a seed column
+    * (the oracle-friendly analog of the reference's random 16-digit
+    * trace ids, StreamsConfigTest.java:53). */
+  def traceIdFrom(seed: Column): Column =
+    substring(md5(seed.cast("string").cast("binary")), 1, 16)
+
+  /** Deterministic child-span id: a new span per (trace, operator) hop.
+    * The reference mints a fresh random spanId per traced processing
+    * step; hashing (trace, op) keeps the DuckDB oracle able to
+    * reproduce it (SURVEY.md §7.3). */
+  def mintSpanId(traceId: Column, op: Column): Column =
+    substring(md5(concat(traceId, lit("-"), op).cast("binary")), 1, 16)
+
+  /** Render the B3 single header: "{traceId}-{spanId}-{1|0}". */
+  def b3Render(traceId: Column, spanId: Column, sampled: Column): Column =
+    concat_ws("-", traceId, spanId, when(sampled, lit("1")).otherwise(lit("0")))
+
+  /** B3 single-header field extraction (split_part is 1-based and exists
+    * with identical semantics in DuckDB — kept portable on purpose). */
+  def b3TraceId(b3: Column): Column = split_part(b3, lit("-"), lit(1))
+  def b3SpanId(b3: Column): Column = split_part(b3, lit("-"), lit(2))
+  def b3Sampled(b3: Column): Column = split_part(b3, lit("-"), lit(3)) === "1"
+
+  /** Last-wins header lookup over ARRAY<STRUCT<key,value>> — Kafka
+    * allows duplicate header keys and the reference reads
+    * `headers().lastHeader(name)`. try_element_at returns null on a
+    * missing header instead of raising (ANSI mode is on in Spark 4). */
+  def headerLast(headers: Column, name: String): Column =
+    try_element_at(filter(headers, h => h.getField("key") === name), lit(-1))
+      .getField("value")
+
+  /** Replace-or-append a header, preserving all other keys and their
+    * order (SURVEY.md §7.4 "header column round-trip"). */
+  def headerSet(headers: Column, name: String, value: Column): Column =
+    concat(
+      filter(headers, h => h.getField("key") =!= name),
+      array(struct(lit(name).as("key"), value.as("value"))))
+
+  /** Tokenize: trim, lowercase, split on whitespace, drop empties —
+    * mirrored verbatim by the oracle SQL. */
+  def tokens(text: Column): Column =
+    filter(split(lower(trim(text)), "\\s+"), t => length(t) > 0)
+
+  /** Word n-gram shingles as space-joined strings; slice() is 1-based
+    * like DuckDB list slicing. Guarded: sequence(1, m) with m < 1 would
+    * step BACKWARDS in Spark, so short docs yield an empty array. */
+  def shingles(toks: Column, n: Int): Column =
+    when(size(toks) >= n,
+      transform(
+        sequence(lit(1), size(toks) - (n - 1)),
+        i => concat_ws(" ", slice(toks, i, lit(n)))))
+      .otherwise(array().cast("array<string>"))
+}

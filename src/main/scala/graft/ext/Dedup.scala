@@ -1,0 +1,114 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.codec.Codecs._
+
+/** Deduplication operators (north-star LLM-pipeline surface): exact,
+  * n-gram Jaccard, MinHash+LSH, SimHash. Hashing uses the
+  * oracle-portable 56-bit md5 prefix ([[graft.codec.Codecs.portableHash]]);
+  * swap in xxhash64 via [[graft.codec.Codecs.scaleHash]] for production.
+  *
+  * Scale design (100 TB): every operator below is
+  * explode → hash-partition → partial-agg shaped. Candidate generation
+  * is always band/bucket-join (never all-pairs) at scale; the pairwise
+  * variants keep an explicit candidate-limiting predicate so the
+  * quadratic term is bounded per bucket, not per corpus.
+  */
+object Dedup {
+
+  val P: Long = 2305843009213693951L // 2^61 - 1, Mersenne prime
+
+  /** Exact dedup: group by content hash; keeper = min doc_id.
+    * Map-side partial aggregation makes the shuffle proportional to the
+    * number of DISTINCT documents. */
+  def exactGroups(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), portableHash(col("text")).as("text_hash"))
+      .groupBy("text_hash")
+      .agg(count(lit(1)).as("n_copies"), min("doc_id").as("keeper"))
+
+  /** (doc_id, shingle-hash) exploded pairs — the shared substrate for
+    * Jaccard and MinHash. Distinct within doc. */
+  def shingleHashes(docs: DataFrame, n: Int): DataFrame =
+    docs.select(col("doc_id"),
+        explode(array_distinct(shingles(tokens(col("text")), n))).as("sh"))
+      .select(col("doc_id"), portableHash(col("sh")).as("h"))
+
+  /** n-gram Jaccard near-dup pairs: explode shingles, equi-join on the
+    * shingle hash (this IS the candidate generator — only docs sharing
+    * ≥1 shingle ever meet), count intersections, then
+    * J = |∩| / (|A|+|B|-|∩|). */
+  def ngramJaccardPairs(docs: DataFrame, n: Int, minJaccard: Double): DataFrame = {
+    val sh = shingleHashes(docs, n)
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val inter = sh.as("a").join(sh.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "n_a"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "n_b"), "doc_b")
+      .withColumn("jaccard",
+        round(col("n_inter").cast("double") /
+          (col("n_a") + col("n_b") - col("n_inter")).cast("double"), 4))
+      .filter(col("jaccard") >= minJaccard)
+      .select("doc_a", "doc_b", "jaccard")
+  }
+
+  /** MinHash signatures: k permutations h_i(x) = (a_i·x + b_i) mod P
+    * over shingle hashes, folded with min() in ONE partial-aggregating
+    * groupBy — the shuffle carries k longs per doc, not the shingles. */
+  def minhashSignatures(docs: DataFrame, n: Int, k: Int): DataFrame = {
+    val sh = shingleHashes(docs, n)
+    val mins = (0 until k).map { i =>
+      val a = 2L * i + 1; val b = 10007L * i + 1
+      min(pmod(col("h") * a + b, lit(P))).as(s"mh$i")
+    }
+    sh.groupBy("doc_id").agg(mins.head, mins.tail: _*)
+  }
+
+  /** LSH banding: signature → (band, band-key) rows; docs sharing a
+    * band key are candidate pairs. bands·rowsPerBand must equal the
+    * signature width. Returns (doc_a, doc_b, n_shared_bands). */
+  def lshCandidatePairs(sigs: DataFrame, bands: Int, rowsPerBand: Int): DataFrame = {
+    val bandStructs = (0 until bands).map { j =>
+      val cols = (j * rowsPerBand until (j + 1) * rowsPerBand).map(i => col(s"mh$i"))
+      struct(lit(j).as("band"), portableHash(concat_ws(",", cols: _*)).as("bkey"))
+    }
+    val banded = sigs.select(col("doc_id"), explode(array(bandStructs: _*)).as("b"))
+      .select(col("doc_id"), col("b.band").as("band"), col("b.bkey").as("bkey"))
+    banded.as("x").join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared_bands"))
+  }
+
+  /** SimHash (`bits`-wide): per token-occurrence hash, each bit votes
+    * ±1; the sign of each bit-column sum becomes the fingerprint bit.
+    * One groupBy with `bits` sum() aggregates — still a single shuffle
+    * of `bits` longs per doc. */
+  def simhash(docs: DataFrame, bits: Int): DataFrame = {
+    val toks = docs.select(col("doc_id"), explode(tokens(col("text"))).as("t"))
+      .select(col("doc_id"), portableHash(col("t")).as("h"))
+    val votes = (0 until bits).map { j =>
+      sum(shiftright(col("h"), j).bitwiseAND(lit(1L)) * 2 - 1).as(s"b$j")
+    }
+    val agg = toks.groupBy("doc_id").agg(votes.head, votes.tail: _*)
+    val fp = (0 until bits).map { j =>
+      when(col(s"b$j") > 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    agg.select(col("doc_id"), fp.as("simhash"))
+  }
+
+  /** SimHash near-dup pairs by Hamming distance ≤ maxHamming via
+    * bit_count(xor). Scale path: pigeonhole-band the fingerprint into
+    * maxHamming+1 segments and equi-join on each segment (any pair
+    * within the distance budget must agree on at least one segment);
+    * the local-correctness form below is the plain pairwise filter. */
+  def simhashPairs(fps: DataFrame, maxHamming: Int): DataFrame =
+    fps.as("a").join(fps.as("b"), col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        expr("bit_count(a.simhash ^ b.simhash)").cast("int").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+}

@@ -1,0 +1,77 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.model.MediaAsset
+
+/** Multimodal-column plumbing: image/audio/video as opaque `binary`
+  * columns plus typed metadata, with decode / feature-extract /
+  * frame-sample implemented as per-partition batch operators.
+  *
+  * The actual media codecs are NOT available in this environment, so
+  * the byte-level decode is a clearly-marked deterministic STUB
+  * ([[StubDecoder]]); everything Spark-side — schema, partitioning,
+  * batch shape, the mapPartitions contract — is real and tested. A
+  * production deployment swaps [[MediaDecoder]] for a JNI/FFI-backed
+  * implementation without touching any plan shape.
+  */
+object Multimodal {
+
+  /** Decoder contract: one partition-batch of payloads in, features
+    * out. Implementations must be thread-safe per partition. */
+  trait MediaDecoder extends Serializable {
+    def imageDims(payload: Array[Byte]): (Int, Int)
+    def audioDurationMs(payload: Array[Byte], sampleRate: Int): Long
+    def frameOffsets(payload: Array[Byte], nFrames: Int): Seq[Long]
+  }
+
+  /** STUB: deterministic fake decode — derives plausible metadata from
+    * payload bytes only, so tests are reproducible. Replace with a real
+    * codec (libjpeg/ffmpeg) in production. */
+  object StubDecoder extends MediaDecoder {
+    def imageDims(p: Array[Byte]): (Int, Int) = {
+      val h = p.foldLeft(17L)((a, b) => a * 31 + (b & 0xff))
+      (64 + (h % 64).toInt * 16, 64 + ((h >> 8) % 64).toInt * 16)
+    }
+    def audioDurationMs(p: Array[Byte], sampleRate: Int): Long =
+      p.length.toLong * 1000 / math.max(sampleRate, 1)
+    def frameOffsets(p: Array[Byte], nFrames: Int): Seq[Long] =
+      if (p.isEmpty) Nil
+      else (0 until nFrames).map(i => i.toLong * p.length / math.max(nFrames, 1))
+  }
+
+  /** Wrap any DataFrame with a binary `payload` column into the typed
+    * asset shape. Metadata that is derivable without a codec
+    * (byte_len) is computed as columns; codec-dependent fields start 0. */
+  def toAssets(df: DataFrame, mediaType: String): DataFrame =
+    df.select(
+      col("asset_id"), lit(mediaType).as("media_type"), col("payload"),
+      octet_length(col("payload")).cast("long").as("byte_len"),
+      lit(0).as("width"), lit(0).as("height"),
+      lit(16000).as("sample_rate"), lit(0L).as("duration_ms"))
+
+  /** Decode pass: per-partition batch decode (the Scala analog of a
+    * pandas-batch UDF — one decoder instance per partition, amortized
+    * across the batch; payload bytes never cross the driver). */
+  def decodeImages(assets: Dataset[MediaAsset], dec: MediaDecoder = StubDecoder)
+      : Dataset[MediaAsset] = {
+    implicit val enc = assets.encoder
+    assets.mapPartitions { it =>
+      it.map { a =>
+        val (w, h) = dec.imageDims(a.payload)
+        a.copy(width = w, height = h)
+      }
+    }
+  }
+
+  /** Frame sampling: n evenly spaced byte windows per video payload —
+    * exploded to one row per frame, preserving asset metadata. */
+  def sampleFrames(assets: DataFrame, nFrames: Int, frameBytes: Int): DataFrame =
+    assets
+      .withColumn("frame_idx", explode(sequence(lit(0), lit(nFrames - 1))))
+      .withColumn("frame_off",
+        (col("frame_idx").cast("long") * col("byte_len") / nFrames).cast("long"))
+      .withColumn("frame",
+        expr(s"substring(payload, cast(frame_off as int) + 1, $frameBytes)"))
+      .select(col("asset_id"), col("frame_idx"), col("frame_off"), col("frame"))
+}

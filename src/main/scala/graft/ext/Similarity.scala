@@ -1,0 +1,92 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`array<float>`):
+  * brute-force cosine top-k as the exact baseline, and a sign-bit LSH
+  * bucketed variant as the scale path. Vector math is done with
+  * higher-order functions (zip_with/aggregate) in double precision —
+  * sequential left-to-right folds, so results are bit-deterministic and
+  * oracle-reproducible. No UDFs.
+  */
+object Similarity {
+
+  /** Double-precision view of a float vector. */
+  def asDouble(v: Column): Column = transform(v, x => x.cast("double"))
+
+  /** dot(a,b) via zip_with + an ordered fold (deterministic). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, x) => acc + x)
+
+  def norm(v: Column): Column = sqrt(dot(v, v))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Precompute per-vector norms once — at scale this is the cheap side
+    * of the join and avoids recomputing norms per candidate pair. */
+  def withNorm(emb: DataFrame): DataFrame =
+    emb.withColumn("v", asDouble(col("embedding")))
+      .withColumn("nrm", norm(col("v")))
+      .select(col("vec_id"), col("label"), col("v"), col("nrm"))
+
+  /** Exact brute-force top-k cosine neighbors for a (small) query set.
+    * The query side is broadcast; candidates stream by, so the work is
+    * one pass over the corpus per batch of queries — the right baseline
+    * shape even at 100 TB (queries × corpus scan, no shuffle of the
+    * corpus). */
+  def bruteForceTopK(emb: DataFrame, queryPred: Column, k: Int): DataFrame = {
+    val vecs = withNorm(emb)
+    val q = broadcast(vecs.filter(queryPred)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn")))
+    val scored = q.join(vecs.filter(!queryPred), col("q_id") =!= col("vec_id"))
+      .withColumn("cos", dot(col("qv"), col("v")) / (col("qn") * col("nrm")))
+    scored
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("vec_id").as("neighbor_id"), col("rnk"),
+        round(col("cos"), 4).as("cos"))
+  }
+
+  /** Sign-bit LSH bucket id from the first `nBits` dimensions
+    * (axis-aligned random-hyperplane LSH; deterministic and
+    * oracle-reproducible). Bucket join turns the quadratic candidate
+    * term into per-bucket quadratic — the standard ANN scale path. */
+  def lshBucket(v: Column, nBits: Int): Column =
+    (0 until nBits).map { i =>
+      when(element_at(v, i + 1) > 0.0d, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** Bucketed ANN: neighbors are only sought within the query's LSH
+    * bucket. Recall < 1 by design; rank/tie rules identical to
+    * brute-force so the two variants are directly comparable. */
+  def lshTopK(emb: DataFrame, queryPred: Column, k: Int, nBits: Int): DataFrame = {
+    val vecs = withNorm(emb).withColumn("bucket", lshBucket(col("v"), nBits))
+    val q = broadcast(vecs.filter(queryPred)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"),
+        col("bucket").as("q_bucket")))
+    val scored = q.join(vecs.filter(!queryPred),
+        col("q_bucket") === col("bucket") && col("q_id") =!= col("vec_id"))
+      .withColumn("cos", dot(col("qv"), col("v")) / (col("qn") * col("nrm")))
+    scored
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("vec_id").as("neighbor_id"), col("rnk"),
+        round(col("cos"), 4).as("cos"))
+  }
+
+  /** Embedding-cosine near-duplicate pairs (vec_a < vec_b, cos ≥ τ).
+    * Local form is all-pairs; scale path buckets by [[lshBucket]] first
+    * (see lshTopK) so only bucket-mates are compared. */
+  def nearDupPairs(emb: DataFrame, minCos: Double): DataFrame = {
+    val vecs = withNorm(emb)
+    vecs.as("a").join(vecs.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .withColumn("cos", dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm")))
+      .filter(col("cos") >= minCos)
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        round(col("cos"), 3).as("cos"))
+  }
+}

@@ -1,0 +1,69 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.codec.Codecs._
+
+/** Text-analysis operators over the `documents` table (north-star
+  * LLM-pipeline surface): language ID, quality scoring, token counting,
+  * document fingerprinting. All pure column expressions — codegen'd,
+  * shuffle-free, linear in input size. */
+object TextOps {
+
+  /** Language-ID stopword lists. Tiny on purpose: the heuristic is
+    * "count stopword hits per language, argmax with a fixed tie order".
+    * Mirrored verbatim in the oracle SQL. */
+  val stop: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "is", "in", "a"),
+    "es" -> Seq("el", "la", "de", "que", "y", "los", "es"),
+    "de" -> Seq("der", "die", "und", "das", "ist", "nicht"),
+    "fr" -> Seq("le", "les", "et", "des", "un", "une", "est"))
+
+  private def hits(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, t => t.isin(words.map(_.asInstanceOf[Any]): _*)))
+
+  /** n-gram/stopword language ID + CJK codepoint detection. Fixed
+    * precedence (zh > en > es > de > fr) makes ties deterministic. */
+  def langId(text: Column): Column = {
+    val toks = tokens(text)
+    val en = hits(toks, stop("en")); val es = hits(toks, stop("es"))
+    val de = hits(toks, stop("de")); val fr = hits(toks, stop("fr"))
+    val zh = regexp_count(text, lit("[\\u4e00-\\u9fff]"))
+    when(zh > 0, "zh")
+      .when(en >= es && en >= de && en >= fr, "en")
+      .when(es >= de && es >= fr, "es")
+      .when(de >= fr, "de")
+      .otherwise("fr")
+  }
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish subword proxy: count of maximal alpha runs, digit runs and
+    * single non-alnum symbols — the standard pre-tokenizer regex shape. */
+  def bpeTokenCount(text: Column): Column =
+    regexp_count(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"))
+
+  /** Heuristic quality score in [0,1]: length saturation + stopword
+    * density + punctuation sparsity. Deterministic double math,
+    * rounded at the call site for the oracle. */
+  def qualityScore(text: Column): Column = {
+    val toks = tokens(text)
+    val nTok = size(toks).cast("double")
+    val stopHits = hits(toks, stop("en")).cast("double")
+    val punct = regexp_count(text, lit("[.,!?;:]")).cast("double")
+    val chars = length(text).cast("double")
+    least(nTok / 50.0, lit(1.0)) * 0.5 +
+      when(nTok > 0, stopHits / nTok).otherwise(0.0) * 0.3 +
+      (lit(1.0) - least(when(chars > 0, punct / chars).otherwise(0.0), lit(1.0))) * 0.2
+  }
+
+  /** Whole-document fingerprint over whitespace-normalized text. */
+  def fingerprint(text: Column): Column =
+    portableHash(regexp_replace(lower(trim(text)), "\\s+", " "))
+
+  /** Rolling/winnowing-style fingerprint: the minimum shingle hash —
+    * stable under local edits elsewhere in the document. */
+  def minShingleFingerprint(text: Column, n: Int = 3): Column =
+    array_min(transform(shingles(tokens(text), n), s => portableHash(s)))
+}

@@ -1,0 +1,160 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.codec.Codecs._
+import graft.codec.BigEndianInt32.{beInt, beIntEncode}
+
+/** The operator inventory of SURVEY.md §2 as `DataFrame => DataFrame`
+  * combinators. All narrow transformations (filter/project) — no
+  * shuffle anywhere in the parity pipeline, which is what lets it scale
+  * linearly with input partitions on a real cluster.
+  */
+object ContextOps {
+
+  val App = "graft-app"
+
+  // ---------------------------------------------------------------- decode
+
+  /** S1: Kafka-shaped raw records → decoded, context-carrying records.
+    * String key, big-endian-int value (custom expression), B3 header
+    * parsed into explicit context columns, with a fresh root context
+    * minted from (topic, partition, offset) when no b3 header is
+    * present. Narrow; fully codegen'd. */
+  def decode(raw: DataFrame): DataFrame = {
+    val b3 = headerLast(col("headers"), "b3").cast("string")
+    raw
+      .withColumn("key", col("key").cast("string"))
+      .withColumn("value_int", beInt(col("value")))
+      .withColumn("b3_in", b3)
+      .withColumn("trace_id",
+        coalesce(b3TraceId(col("b3_in")),
+          traceIdFrom(concat_ws("/", col("topic"), col("partition"), col("offset")))))
+      .withColumn("parent_id", b3SpanId(col("b3_in")))
+      .withColumn("sampled", coalesce(b3Sampled(col("b3_in")), lit(true)))
+      .withColumnRenamed("timestamp", "ts")
+      .drop("b3_in", "value", "timestampType")
+  }
+
+  /** Batch analog of decode() over the `events` fixture table
+    * (FIXTURES.md: key→user_id, value→value, ts→ts): derives the same
+    * context columns so every downstream operator is shared between the
+    * streaming and batch paths. */
+  def enrichEvents(events: DataFrame): DataFrame =
+    events
+      .withColumn("value_int", floor(col("value")))
+      .withColumn("trace_id", traceIdFrom(col("event_id")))
+      .withColumn("parent_id", mintSpanId(col("trace_id"), lit("producer")))
+      .withColumn("sampled", lit(true))
+
+  // --------------------------------------------------------------- context
+
+  /** P4 ("set" traced peek, reference StreamsConfig.java:34-37): derive
+    * the messageid baggage and open a child span for this hop — a pure
+    * projection; the span itself is emitted by [[spanRows]]. */
+  def setBaggage(df: DataFrame): DataFrame =
+    df.withColumn("messageid", concat(lit("messageid_"), col("value_int").cast("string")))
+      .withColumn("span_id", mintSpanId(col("trace_id"), lit("set")))
+
+  // ---------------------------------------------------------------- branch
+
+  /** P1/P2/P3: disjoint predicate routing. First-match-wins like the
+    * reference's KafkaStreamBrancher (StreamsConfig.java:39-51): branch
+    * i also requires NOT(pred_1..i-1); the default branch is the
+    * complement of all. Returns (name → branch frame). Each branch is a
+    * filter over the same plan — under foreachBatch the source scan is
+    * shared per micro-batch. */
+  def branch(df: DataFrame, preds: Seq[(String, Column)], defaultName: String)
+      : Seq[(String, DataFrame)] = {
+    val guarded = preds.zipWithIndex.map { case ((name, p), i) =>
+      val notEarlier = preds.take(i).map(_._2).foldLeft(lit(true))((a, q) => a && !q)
+      (name, df.filter(notEarlier && p))
+    }
+    val none = preds.map(_._2).foldLeft(lit(true))((a, q) => a && !q)
+    guarded :+ (defaultName -> df.filter(none))
+  }
+
+  def evenOdd(df: DataFrame): (DataFrame, DataFrame) = {
+    val bs = branch(df, Seq("even" -> (pmod(col("value_int"), lit(2)) === 0)), "odd")
+    (bs.head._2, bs.last._2)
+  }
+
+  // ------------------------------------------------------------- log rows
+
+  /** P5/P5b: a traced or untraced peek's observable effect — a log row
+    * correlated (or not) with the record's context. The reference gets
+    * this from MDC thread-locals; here it is an explicit projection:
+    * untraced peeks carry null context columns (README.adoc:95-96,112-113). */
+  def logRows(df: DataFrame, op: String, line: Column, traced: Boolean): DataFrame = {
+    val base = df.select(
+      col("ts"),
+      lit("INFO").as("level"),
+      lit("graft.ops." + op).as("logger"),
+      line.as("line"),
+      (if (traced) col("trace_id") else lit(null).cast("string")).as("trace_id"),
+      (if (traced) mintSpanId(col("trace_id"), lit(op)) else lit(null).cast("string")).as("span_id"),
+      (if (traced) col("messageid") else lit(null).cast("string")).as("messageid"))
+    base
+  }
+
+  // ----------------------------------------------------------------- spans
+
+  /** Span emission for a traced hop: one span row per record, child of
+    * the record's parent span. `kafka_topic`/`remote_service_name` are
+    * set on send spans (cause=FINISHED) and null otherwise. */
+  def spanRows(df: DataFrame, op: String, kafkaTopic: Option[String]): DataFrame =
+    df.select(
+      col("trace_id"),
+      mintSpanId(col("trace_id"), lit(op)).as("span_id"),
+      col("parent_id"),
+      col("sampled"),
+      lit(op).as("name"),
+      lit(App).as("local_service"),
+      kafkaTopic.map(_ => lit("kafka")).getOrElse(lit(null).cast("string"))
+        .as("remote_service_name"),
+      kafkaTopic.map(lit(_)).getOrElse(lit(null).cast("string")).as("kafka_topic"),
+      lit("FINISHED").as("cause"),
+      col("ts"))
+
+  /** P6 span enrichment (reference
+    * KafkaStreamsLogCorrelationApplication.java:22-31): rewrite
+    * remoteServiceName to "kafka/<topic>" on finished spans that carry
+    * the kafka.topic tag. */
+  def spanEnrich(spans: DataFrame): DataFrame =
+    spans.withColumn("remote_service_name",
+      when(col("kafka_topic").isNotNull && col("cause") === "FINISHED",
+        concat_ws("/", col("remote_service_name"), col("kafka_topic")))
+        .otherwise(col("remote_service_name")))
+
+  // ------------------------------------------------------------ correlate
+
+  /** §2.3: the correlation the reference does by grepping the logfile,
+    * as a first-class equi-join on trace_id. Narrow-side broadcast is
+    * left to Catalyst/AQE — at 100 TB both sides are large and this
+    * becomes a shuffle join on trace_id, which is uniformly distributed
+    * by construction (it is a hash). */
+  def correlate(records: DataFrame, logs: DataFrame): DataFrame =
+    records.join(logs.withColumnRenamed("ts", "log_ts"), Seq("trace_id"))
+
+  // ---------------------------------------------------------- first match
+
+  /** W1 first-match-per-key (reference TestListener.java:63 `.next()`):
+    * the earliest record per key in (ts, tiebreak) order. */
+  def firstMatchPerKey(df: DataFrame, key: Column, order: Seq[Column]): DataFrame =
+    df.withColumn("rn", row_number().over(Window.partitionBy(key).orderBy(order: _*)))
+      .filter(col("rn") === 1).drop("rn")
+
+  // --------------------------------------------------------------- encode
+
+  /** Re-encode context as output headers (replace b3, append messageid),
+    * preserving any other headers — the reference's output contract
+    * (StreamsConfigTest.java:64,111). */
+  def encodeHeaders(df: DataFrame): DataFrame = {
+    val withB3 = headerSet(col("headers"),
+      "b3", b3Render(col("trace_id"), col("span_id"), col("sampled")).cast("binary"))
+    df.withColumn("headers",
+      headerSet(withB3, "messageid", col("messageid").cast("binary")))
+      .withColumn("value", beIntEncode(col("value_int")))
+  }
+}
