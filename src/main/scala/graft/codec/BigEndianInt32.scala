@@ -35,12 +35,19 @@ case class BigEndianInt32(child: Expression) extends UnaryExpression {
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    // Keep the emitted Java trivially parseable for Janino: local var +
+    // explicit int promotions (inline `(b[i] & 0xff) << n` chains trip
+    // Janino's cast/expression disambiguation).
     nullSafeCodeGen(ctx, ev, b => s"""
-      if ($b.length != 4) {
+      byte[] graftBe = $b;
+      if (graftBe.length != 4) {
         ${ev.isNull} = true;
       } else {
-        ${ev.value} = (($b[0] & 0xff) << 24) | (($b[1] & 0xff) << 16)
-                    | (($b[2] & 0xff) << 8) | ($b[3] & 0xff);
+        int graftB0 = graftBe[0] & 0xff;
+        int graftB1 = graftBe[1] & 0xff;
+        int graftB2 = graftBe[2] & 0xff;
+        int graftB3 = graftBe[3] & 0xff;
+        ${ev.value} = (graftB0 << 24) | (graftB1 << 16) | (graftB2 << 8) | graftB3;
       }""")
   }
 

@@ -33,9 +33,20 @@ object ContextOps {
           traceIdFrom(concat_ws("/", col("topic"), col("partition"), col("offset")))))
       .withColumn("parent_id", b3SpanId(col("b3_in")))
       .withColumn("sampled", coalesce(b3Sampled(col("b3_in")), lit(true)))
+      // per-record span seed: many records can share one trace, but each
+      // processing hop of each record mints its OWN span (reference
+      // README.adoc:124); (partition, offset) disambiguates the record
+      .withColumn("hop_seed",
+        concat_ws("/", col("trace_id"), col("partition"), col("offset")))
       .withColumnRenamed("timestamp", "ts")
       .drop("b3_in", "value", "timestampType")
   }
+
+  /** Span-mint seed: per-record when the frame carries one (streaming
+    * decode), else the trace id (batch events — one record per trace,
+    * keeps the DuckDB oracle formula exact). */
+  private def hopSeed(df: DataFrame): org.apache.spark.sql.Column =
+    if (df.columns.contains("hop_seed")) col("hop_seed") else col("trace_id")
 
   /** Batch analog of decode() over the `events` fixture table
     * (FIXTURES.md: key→user_id, value→value, ts→ts): derives the same
@@ -55,7 +66,7 @@ object ContextOps {
     * projection; the span itself is emitted by [[spanRows]]. */
   def setBaggage(df: DataFrame): DataFrame =
     df.withColumn("messageid", concat(lit("messageid_"), col("value_int").cast("string")))
-      .withColumn("span_id", mintSpanId(col("trace_id"), lit("set")))
+      .withColumn("span_id", mintSpanId(hopSeed(df), lit("set")))
 
   // ---------------------------------------------------------------- branch
 
@@ -93,7 +104,7 @@ object ContextOps {
       lit("graft.ops." + op).as("logger"),
       line.as("line"),
       (if (traced) col("trace_id") else lit(null).cast("string")).as("trace_id"),
-      (if (traced) mintSpanId(col("trace_id"), lit(op)) else lit(null).cast("string")).as("span_id"),
+      (if (traced) mintSpanId(hopSeed(df), lit(op)) else lit(null).cast("string")).as("span_id"),
       (if (traced) col("messageid") else lit(null).cast("string")).as("messageid"))
     base
   }
@@ -106,7 +117,7 @@ object ContextOps {
   def spanRows(df: DataFrame, op: String, kafkaTopic: Option[String]): DataFrame =
     df.select(
       col("trace_id"),
-      mintSpanId(col("trace_id"), lit(op)).as("span_id"),
+      mintSpanId(hopSeed(df), lit(op)).as("span_id"),
       col("parent_id"),
       col("sampled"),
       lit(op).as("name"),

@@ -1,0 +1,77 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery, Trigger}
+import org.apache.spark.sql.Row
+import graft.ops.ContextOps
+
+/** Structured Streaming wiring of the reference topology
+  * (reference: src/main/java/com/github/timtebeek/StreamsConfig.java:30-52):
+  * one keyed input stream is decoded, context-enriched, branched on
+  * parity, and written to two record sinks plus span and log side
+  * outputs — all in ONE pass per micro-batch via foreachBatch, so the
+  * source is scanned once no matter how many sinks hang off it
+  * (SURVEY.md §7.4: two writeStream queries would re-read the source).
+  *
+  * Delivery: at-least-once per sink. The micro-batch is persisted
+  * before fan-out so a retry re-emits the same rows (idempotent for
+  * deterministic sinks keyed on (topic, offset)).
+  */
+object Pipeline {
+
+  /** Sink abstraction: batchId + the rows of one output. Parquet dirs
+    * in tests; a Kafka producer writer in production. */
+  type Sink = (Long, DataFrame) => Unit
+
+  def parquetSink(path: String): Sink = (_, df) => {
+    df.write.mode("append").parquet(path)
+  }
+
+  /** Decode + enrich + branch one micro-batch; returns the four
+    * outputs (even records, odd records, spans, logs). Shared between
+    * the streaming wiring and batch tests so semantics are identical. */
+  def processBatch(raw: DataFrame): (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    val decoded = ContextOps.setBaggage(ContextOps.decode(raw))
+    val (even, odd) = ContextOps.evenOdd(decoded)
+    val spans = ContextOps.spanRows(decoded, "set", None)
+      .unionByName(ContextOps.spanRows(even, "send-even", Some("even-numbers")))
+      .unionByName(ContextOps.spanRows(odd, "send-odd", Some("odd-numbers")))
+    val logs = ContextOps.logRows(decoded, "set",
+        concat(lit("Got number: "), col("value_int").cast("string")), traced = true)
+      .unionByName(ContextOps.logRows(even, "even",
+        concat(lit("Even number: "), col("value_int").cast("string")), traced = true))
+      .unionByName(ContextOps.logRows(odd, "odd",
+        concat(lit("Odd number: "), col("value_int").cast("string")), traced = false))
+    (withOutputHeaders(even), withOutputHeaders(odd), spans, logs)
+  }
+
+  /** Output records carry re-encoded headers: b3 replaced with the
+    * child span context, messageid appended
+    * (reference contract: StreamsConfigTest.java:64,111). */
+  private def withOutputHeaders(df: DataFrame): DataFrame =
+    ContextOps.encodeHeaders(df)
+
+  /** Start the streaming query: raw Kafka-shaped stream in, four sinks
+    * out, one source scan per micro-batch. */
+  def start(
+      raw: DataFrame,
+      evenSink: Sink, oddSink: Sink, spanSink: Sink, logSink: Sink,
+      checkpointDir: String,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    raw.writeStream
+      .trigger(trigger)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        batch.persist()
+        try {
+          val (even, odd, spans, logs) = processBatch(batch)
+          evenSink(batchId, even)
+          oddSink(batchId, odd)
+          spanSink(batchId, spans)
+          logSink(batchId, logs)
+        } finally batch.unpersist()
+        ()
+      }
+      .start()
+}

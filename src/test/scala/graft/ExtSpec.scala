@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ext.{Dedup, Multimodal, Similarity}
+import graft.model.MediaAsset
+
+/** Semantics checks for the LLM-pipeline extension operators on tiny
+  * hand-built frames (the sf-scale correctness is covered by the
+  * DuckDB oracle; these pin the behavioral contracts). */
+class ExtSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("exact dedup groups identical texts and keeps the min doc_id") {
+    val docs = Seq((1L, "a b c"), (2L, "a b c"), (3L, "x y z")).toDF("doc_id", "text")
+    val g = Dedup.exactGroups(docs).orderBy(col("keeper"))
+      .select(col("n_copies"), col("keeper")).as[(Long, Long)].collect().toSeq
+    assert(g === Seq((2L, 1L), (1L, 3L)))
+  }
+
+  test("jaccard finds the planted near-duplicate pair only") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy cat"),
+      (3L, "completely different words entirely here now")).toDF("doc_id", "text")
+    val pairs = Dedup.ngramJaccardPairs(docs, 3, 0.4)
+      .select(col("doc_a"), col("doc_b")).as[(Long, Long)].collect().toSeq
+    assert(pairs === Seq((1L, 2L)))
+  }
+
+  test("minhash LSH surfaces near-dups as candidate pairs") {
+    val docs = Seq(
+      (1L, "one two three four five six seven eight nine ten"),
+      (2L, "one two three four five six seven eight nine ten eleven"),
+      (3L, "alpha beta gamma delta epsilon zeta eta theta iota kappa")).toDF("doc_id", "text")
+    val cands = Dedup.lshCandidatePairs(Dedup.minhashSignatures(docs, 3, 16), 4, 4)
+      .select(col("doc_a"), col("doc_b")).as[(Long, Long)].collect().toSeq
+    assert(cands.contains((1L, 2L)))
+    assert(!cands.contains((1L, 3L)) && !cands.contains((2L, 3L)))
+  }
+
+  test("simhash of near-identical docs is close in Hamming distance") {
+    val docs = Seq(
+      (1L, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12"),
+      (2L, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w13"),
+      (3L, "q1 q2 q3 q4 q5 q6 q7 q8 q9 q10 q11 q12")).toDF("doc_id", "text")
+    val fp = Dedup.simhash(docs, 32).as[(Long, Long)].collect().toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(fp(1L), fp(2L)) < ham(fp(1L), fp(3L)))
+  }
+
+  test("brute-force top-k ranks an identical vector first") {
+    val emb = Seq(
+      (0L, Array(1f, 0f, 0f), 0), (10L, Array(1f, 0f, 0f), 0),
+      (11L, Array(0.9f, 0.1f, 0f), 0), (12L, Array(0f, 1f, 0f), 0))
+      .toDF("vec_id", "embedding", "label")
+    val top = Similarity.bruteForceTopK(emb, col("vec_id") < 8, 2)
+      .orderBy(col("rnk")).select(col("neighbor_id"), col("cos"))
+      .as[(Long, Double)].collect().toSeq
+    assert(top.map(_._1) === Seq(10L, 11L))
+    assert(top.head._2 === 1.0)
+  }
+
+  test("LSH ANN only searches the query's bucket") {
+    val emb = Seq(
+      (0L, Array(1f, 1f, 1f), 0),   // bucket 0b111
+      (10L, Array(2f, 1f, 1f), 0),  // same bucket
+      (11L, Array(-1f, 1f, 1f), 0)) // different bucket: excluded
+      .toDF("vec_id", "embedding", "label")
+    val got = Similarity.lshTopK(emb, col("vec_id") < 8, 5, 3)
+      .select(col("neighbor_id")).as[Long].collect().toSeq
+    assert(got === Seq(10L))
+  }
+
+  test("stub image decode is deterministic and batch-shaped") {
+    val assets = Multimodal.toAssets(
+      Seq((1L, "payload-one".getBytes), (2L, "payload-two".getBytes))
+        .toDF("asset_id", "payload"), "image").as[MediaAsset]
+    val out = Multimodal.decodeImages(assets).collect().sortBy(_.asset_id)
+    assert(out.forall(a => a.width > 0 && a.height > 0))
+    val out2 = Multimodal.decodeImages(assets).collect().sortBy(_.asset_id)
+    assert(out.map(a => (a.width, a.height)).toSeq === out2.map(a => (a.width, a.height)).toSeq)
+  }
+
+  test("frame sampling yields n evenly spaced frames per asset") {
+    val assets = Multimodal.toAssets(
+      Seq((1L, ("x" * 100).getBytes)).toDF("asset_id", "payload"), "video")
+    val frames = Multimodal.sampleFrames(assets, 4, 10)
+      .select(col("frame_idx"), col("frame_off")).as[(Int, Long)].collect().toSeq.sorted
+    assert(frames === Seq((0, 0L), (1, 25L), (2, 50L), (3, 75L)))
+  }
+}

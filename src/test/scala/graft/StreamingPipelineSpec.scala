@@ -1,0 +1,104 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.model.{Header, RawRecord}
+import graft.streaming.Pipeline
+
+/** The reference's three integration scenarios
+  * (reference: src/test/java/com/github/timtebeek/StreamsConfigTest.java:52-116)
+  * re-expressed over MemoryStream + Trigger.AvailableNow — no Kafka or
+  * Zipkin needed; the span/log tables replace the Zipkin UI and the
+  * actuator logfile. */
+class StreamingPipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def be(i: Int): Array[Byte] =
+    Array(((i >> 24) & 0xff).toByte, ((i >> 16) & 0xff).toByte,
+      ((i >> 8) & 0xff).toByte, (i & 0xff).toByte)
+
+  private def record(key: String, v: Int, traceId: String, spanId: String, off: Long) =
+    RawRecord(key.getBytes("UTF-8"), be(v), "numbers", 0, off,
+      new Timestamp(1700000000000L + off), 0,
+      Seq(Header("b3", s"$traceId-$spanId-1".getBytes("UTF-8"))))
+
+  /** Run the pipeline over the given records; returns the four sink
+    * frames (even, odd, spans, logs). */
+  private def run(records: Seq[RawRecord]): (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[RawRecord]
+    input.addData(records)
+    val base = Files.createTempDirectory("graft-stream-").toString
+    val dirs = Seq("even", "odd", "spans", "logs").map(n => s"$base/$n")
+    val q = Pipeline.start(input.toDF(),
+      Pipeline.parquetSink(dirs(0)), Pipeline.parquetSink(dirs(1)),
+      Pipeline.parquetSink(dirs(2)), Pipeline.parquetSink(dirs(3)),
+      s"$base/ckpt")
+    q.processAllAvailable(); q.stop()
+    (spark.read.parquet(dirs(0)), spark.read.parquet(dirs(1)),
+      spark.read.parquet(dirs(2)), spark.read.parquet(dirs(3)))
+  }
+
+  private val traceId = "1234567890123456"
+  private val parentSpan = "6543210987654321"
+
+  test("scenario 1: trace propagates to the even branch with a fresh span id") {
+    // reference: produce 1,2,3 → first even output has value 2, its b3
+    // starts with the input traceId but carries a NEW spanId
+    val (even, odd, _, _) = run((1 to 3).map(i =>
+      record("trace-propagation", i, traceId, parentSpan, i)))
+    val evens = even.select(col("key").cast("string"), col("value_int"),
+      graft.codec.Codecs.headerLast(col("headers"), "b3").cast("string"))
+      .as[(String, Int, String)].collect().sortBy(_._2)
+    assert(evens.map(_._2).toSeq === Seq(2))
+    val b3 = evens.head._3
+    assert(b3.startsWith(traceId + "-"))
+    assert(!b3.contains(parentSpan), "a new span must be minted per hop")
+    assert(odd.select(col("value_int")).as[Int].collect().sorted.toSeq === Seq(1, 3))
+  }
+
+  test("scenario 2: log rows are correlated with the record's trace id") {
+    // reference: produce 4,5,6 → odd output 5 exists and the log
+    // contains its traceId (MDC correlation as an equi-join)
+    val (_, odd, _, logs) = run((4 to 6).map(i =>
+      record("log-correlation", i, traceId, parentSpan, i)))
+    val first = odd.orderBy(col("offset"))
+      .select(col("value_int")).as[Int].head()
+    assert(first === 5)
+    val correlated = graft.ops.ContextOps.correlate(
+      odd.select(col("trace_id"), col("value_int")),
+      logs.filter(col("trace_id").isNotNull).select(col("trace_id"), col("line")))
+    assert(correlated.count() > 0)
+    // the odd-branch peek is UNTRACED: its log rows carry null context
+    assert(logs.filter(col("line").startsWith("Odd number:"))
+      .filter(col("trace_id").isNotNull).count() === 0)
+  }
+
+  test("scenario 3: baggage propagates to output headers and traced logs") {
+    // reference: produce 8 → output header messageid=messageid_8 and
+    // the log contains messageid_8
+    val (even, _, _, logs) = run(Seq(record("extra-field", 8, traceId, parentSpan, 1)))
+    val mid = even.select(
+      graft.codec.Codecs.headerLast(col("headers"), "messageid").cast("string"))
+      .as[String].head()
+    assert(mid === "messageid_8")
+    assert(logs.filter(col("messageid") === "messageid_8").count() > 0)
+  }
+
+  test("branches are disjoint and span names cover every hop") {
+    val (even, odd, spans, _) = run((1 to 10).map(i =>
+      record("disjoint", i, traceId, parentSpan, i)))
+    assert(even.count() + odd.count() === 10)
+    assert(even.join(odd, Seq("offset")).count() === 0)
+    val names = spans.select(col("name")).distinct().as[String].collect().toSet
+    assert(names === Set("set", "send-even", "send-odd"))
+    // span enrichment rewrites remoteServiceName on send spans only
+    val enriched = graft.ops.ContextOps.spanEnrich(spans)
+    val rsn = enriched.filter(col("name") === "send-even")
+      .select(col("remote_service_name")).distinct().as[String].collect().toSeq
+    assert(rsn === Seq("kafka/even-numbers"))
+  }
+}
