@@ -28,11 +28,21 @@ object Dedup {
       .agg(count(lit(1)).as("n_copies"), min("doc_id").as("keeper"))
 
   /** (doc_id, shingle-hash) exploded pairs — the shared substrate for
-    * Jaccard and MinHash. Distinct within doc. */
-  def shingleHashes(docs: DataFrame, n: Int): DataFrame =
-    docs.select(col("doc_id"),
-        explode(array_distinct(shingles(tokens(col("text")), n))).as("sh"))
-      .select(col("doc_id"), portableHash(col("sh")).as("h"))
+    * Jaccard and MinHash. Distinct within doc. Materialized once via
+    * PlanCache: the Jaccard self-join alone references it 4×, and the
+    * MinHash/LSH queries reuse the same index. */
+  def shingleHashes(docs: DataFrame, n: Int): DataFrame = {
+    // Tokenize in a projection BELOW the explode so the split/filter
+    // runs once per document, not once per reference inside the
+    // shingle generator; spread the build across all cores (a single
+    // small parquet file is one input split otherwise).
+    val par = docs.sparkSession.sparkContext.defaultParallelism
+    val src = if (docs.rdd.getNumPartitions < par) docs.repartition(par) else docs
+    graft.ops.PlanCache.cached(s"shingles-$n",
+      src.select(col("doc_id"), tokens(col("text")).as("tk"))
+        .select(col("doc_id"), explode(array_distinct(shingles(col("tk"), n))).as("sh"))
+        .select(col("doc_id"), portableHash(col("sh")).as("h")))
+  }
 
   /** n-gram Jaccard near-dup pairs: explode shingles, equi-join on the
     * shingle hash (this IS the candidate generator — only docs sharing
@@ -64,7 +74,8 @@ object Dedup {
       val a = 2L * i + 1; val b = 10007L * i + 1
       min(pmod(col("h") * a + b, lit(P))).as(s"mh$i")
     }
-    sh.groupBy("doc_id").agg(mins.head, mins.tail: _*)
+    graft.ops.PlanCache.cached(s"minhash-$n-$k",
+      sh.groupBy("doc_id").agg(mins.head, mins.tail: _*))
   }
 
   /** LSH banding: signature → (band, band-key) rows; docs sharing a
@@ -98,7 +109,8 @@ object Dedup {
     val fp = (0 until bits).map { j =>
       when(col(s"b$j") > 0, lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
-    agg.select(col("doc_id"), fp.as("simhash"))
+    graft.ops.PlanCache.cached(s"simhash-$bits",
+      agg.select(col("doc_id"), fp.as("simhash")))
   }
 
   /** SimHash near-dup pairs by Hamming distance ≤ maxHamming via
