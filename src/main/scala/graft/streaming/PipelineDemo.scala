@@ -55,6 +55,17 @@ object PipelineDemo {
       .groupBy("name", "remote_service_name").count().orderBy("name").show(false)
     println("=== logs (trace-correlated) ===")
     spark.read.parquet(dirs(3)).orderBy("line").show(8, false)
+
+    // S4: the reference's logfile surface — render to text, parse back,
+    // correlate by trace_id instead of grepping
+    val logFile = s"$base/logfile"
+    graft.sources.LogText.render(spark.read.parquet(dirs(3))).write.text(logFile)
+    val structured = graft.sources.LogText.read(spark, logFile)
+    println("=== logfile re-parsed & joined on trace_id ===")
+    graft.ops.ContextOps.correlate(
+        spark.read.parquet(dirs(0)).select(col("trace_id"), col("value_int")),
+        structured.filter(col("trace_id").isNotNull).select(col("trace_id"), col("line")))
+      .orderBy("value_int", "line").show(6, false)
     spark.stop()
   }
 }
