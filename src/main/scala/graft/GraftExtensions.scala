@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import graft.codec.BigEndianInt32
+
+/** SQL-surface registration for graft's expression layer, via the
+  * standard extension point:
+  *
+  * {{{
+  * SparkSession.builder()
+  *   .config("spark.sql.extensions", "graft.GraftExtensions")
+  *   ...
+  * // or, on a live session:
+  * GraftExtensions.registerAll(spark)
+  * spark.sql("SELECT be_int(value) FROM kafka_records")
+  * }}}
+  *
+  * Only `be_int` needs a native Expression (binary big-endian decode,
+  * SURVEY.md §7.3); everything else in the codec layer is composed
+  * from built-ins and needs no registration.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectFunction(GraftExtensions.beIntDescriptor)
+  }
+}
+
+object GraftExtensions {
+  private def beIntBuilder(exprs: Seq[Expression]): Expression = {
+    require(exprs.length == 1, "be_int takes exactly one BINARY argument")
+    BigEndianInt32(exprs.head)
+  }
+
+  private[graft] val beIntDescriptor =
+    (FunctionIdentifier("be_int"),
+      new ExpressionInfo(classOf[BigEndianInt32].getName, "be_int"),
+      (exprs: Seq[Expression]) => beIntBuilder(exprs))
+
+  /** Register on an already-built session (temp-function scope). */
+  def registerAll(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "be_int", beIntBuilder, "built-in")
+}

@@ -97,17 +97,23 @@ object ContextOps {
     * correlated (or not) with the record's context. The reference gets
     * this from MDC thread-locals; here it is an explicit projection:
     * untraced peeks carry null context columns (README.adoc:95-96,112-113). */
-  def logRows(df: DataFrame, op: String, line: Column, traced: Boolean): DataFrame = {
-    val base = df.select(
+  def logRows(df: DataFrame, op: String, line: Column, traced: Boolean): DataFrame =
+    df.select(
       col("ts"),
       lit("INFO").as("level"),
       lit("graft.ops." + op).as("logger"),
       line.as("line"),
       (if (traced) col("trace_id") else lit(null).cast("string")).as("trace_id"),
       (if (traced) mintSpanId(hopSeed(df), lit(op)) else lit(null).cast("string")).as("span_id"),
-      (if (traced) col("messageid") else lit(null).cast("string")).as("messageid"))
-    base
-  }
+      (if (traced) col("messageid") else lit(null).cast("string")).as("messageid"),
+      // F10: the MDC snapshot the reference dumps per traced record
+      // (MDC.getCopyOfContextMap, reference StreamsConfig.java:44;
+      // rendered README.adoc:103-108) — a JSON map column, not a
+      // thread-local
+      (if (traced)
+        to_json(struct(col("trace_id"), mintSpanId(hopSeed(df), lit(op)).as("span_id"),
+          col("parent_id"), col("messageid")))
+      else lit(null).cast("string")).as("mdc"))
 
   // ----------------------------------------------------------------- spans
 

@@ -52,6 +52,23 @@ object Pipeline {
   private def withOutputHeaders(df: DataFrame): DataFrame =
     ContextOps.encodeHeaders(df)
 
+  /** Watermarked tumbling-window branch statistics over the decoded
+    * stream: per (window, branch) record counts and value sums, with
+    * late data bounded by the watermark (SURVEY.md §2.8 — windows and
+    * watermarks are absent in the reference's stateless topology but
+    * part of this engine's streaming surface). Append-mode compatible:
+    * a window's row is final once the watermark passes its end. */
+  def windowedBranchStats(raw: DataFrame, watermarkDelay: String, windowLen: String): DataFrame = {
+    val decoded = ContextOps.setBaggage(ContextOps.decode(raw))
+    decoded
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(
+        window(col("ts"), windowLen).as("w"),
+        when(pmod(col("value_int"), lit(2)) === 0, "even").otherwise("odd").as("branch"))
+      .agg(count(lit(1)).as("n"), sum(col("value_int")).as("sum_value"))
+      .select(col("w.start").as("window_start"), col("branch"), col("n"), col("sum_value"))
+  }
+
   /** Start the streaming query: raw Kafka-shaped stream in, four sinks
     * out, one source scan per micro-batch. */
   def start(

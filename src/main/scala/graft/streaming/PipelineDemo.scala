@@ -66,6 +66,42 @@ object PipelineDemo {
         spark.read.parquet(dirs(0)).select(col("trace_id"), col("value_int")),
         structured.filter(col("trace_id").isNotNull).select(col("trace_id"), col("line")))
       .orderBy("value_int", "line").show(6, false)
+
+    // Streaming windowed stats over a fresh stream of the same records
+    val input2 = MemoryStream[RawRecord]
+    input2.addData((1 to 8).map(i => RawRecord(
+      s"w-$i".getBytes("UTF-8"), be(i), "numbers", 0, i.toLong,
+      new Timestamp(1700000000000L + i * 1000), 0,
+      Seq(Header("b3", s"$traceId-$parentSpan-1".getBytes("UTF-8"))))))
+    val wq = Pipeline.windowedBranchStats(input2.toDF(), "10 seconds", "1 minute")
+      .writeStream.format("memory").queryName("demo_winstats")
+      .outputMode("append").start()
+    wq.processAllAvailable()
+    input2.addData(Seq(RawRecord("late".getBytes, be(10), "numbers", 0, 99L,
+      new Timestamp(1700003600000L), 0, Seq.empty)))
+    wq.processAllAvailable()
+    input2.addData(Seq(RawRecord("late2".getBytes, be(12), "numbers", 0, 100L,
+      new Timestamp(1700007200000L), 0, Seq.empty)))
+    wq.processAllAvailable(); wq.stop()
+    println("=== watermarked windowed branch stats ===")
+    spark.table("demo_winstats").orderBy("window_start", "branch").show(false)
+
+    // Streaming trace assembly: traces close after an event-time gap
+    import StreamingTraceAssembly.SpanEvent
+    val spansIn = MemoryStream[SpanEvent]
+    val aq = StreamingTraceAssembly.assemble(spansIn.toDS(), "10 seconds", gapMs = 5000)
+      .writeStream.format("memory").queryName("demo_traces")
+      .outputMode("append").start()
+    spansIn.addData(
+      SpanEvent("trace-A", "s1", "set", new Timestamp(1700000000000L)),
+      SpanEvent("trace-A", "s2", "send-even", new Timestamp(1700000000400L)))
+    aq.processAllAvailable()
+    spansIn.addData(SpanEvent("trace-B", "s3", "set", new Timestamp(1700003600000L)))
+    aq.processAllAvailable()
+    spansIn.addData(SpanEvent("trace-C", "s4", "set", new Timestamp(1700007200000L)))
+    aq.processAllAvailable(); aq.stop()
+    println("=== streaming trace assembly (closed traces) ===")
+    spark.table("demo_traces").orderBy("trace_id").show(false)
     spark.stop()
   }
 }

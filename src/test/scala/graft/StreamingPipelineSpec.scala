@@ -88,6 +88,29 @@ class StreamingPipelineSpec extends SparkSpec {
     assert(logs.filter(col("messageid") === "messageid_8").count() > 0)
   }
 
+  test("windowed branch stats finalize once the watermark passes") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[RawRecord]
+    val stats = Pipeline.windowedBranchStats(input.toDF(), "10 seconds", "1 minute")
+    val q = stats.writeStream.format("memory").queryName("winstats")
+      .outputMode("append").start()
+    try {
+      input.addData((1 to 4).map(i => record("win", i, traceId, parentSpan, i)))
+      q.processAllAvailable()
+      // append mode: the open window emits nothing until the watermark moves
+      assert(spark.table("winstats").count() === 0)
+      input.addData(Seq(record("win", 9, traceId, parentSpan, 1000000))) // +1000s
+      q.processAllAvailable()
+      input.addData(Seq(record("win", 11, traceId, parentSpan, 2000000)))
+      q.processAllAvailable()
+      val rows = spark.table("winstats")
+        .select(col("branch"), col("n"), col("sum_value"))
+        .as[(String, Long, Long)].collect().sortBy(_._1)
+      assert(rows.contains(("even", 2L, 6L)))  // values 2+4
+      assert(rows.contains(("odd", 2L, 4L)))   // values 1+3
+    } finally q.stop()
+  }
+
   test("branches are disjoint and span names cover every hop") {
     val (even, odd, spans, _) = run((1 to 10).map(i =>
       record("disjoint", i, traceId, parentSpan, i)))

@@ -1,0 +1,66 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import graft.streaming.StreamingTraceAssembly
+import graft.streaming.StreamingTraceAssembly.{AssembledTrace, SpanEvent}
+
+class StreamingTraceAssemblySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val t0 = 1700000000000L
+  private def ev(trace: String, name: String, offMs: Long) =
+    SpanEvent(trace, s"$trace-$name", name, new Timestamp(t0 + offMs))
+
+  test("a trace is emitted once its event-time gap elapses, with bounded state") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[SpanEvent]
+    val out = StreamingTraceAssembly.assemble(input.toDS(), "10 seconds", gapMs = 5000L)
+    val q = out.writeStream.format("memory").queryName("assembled")
+      .outputMode("append").start()
+    try {
+      // batch 1: trace A accumulates spans — nothing emitted yet
+      input.addData(ev("A", "set", 0), ev("A", "send-even", 100))
+      q.processAllAvailable()
+      assert(spark.table("assembled").count() === 0)
+
+      // batch 2: far-future span advances the watermark past A's gap
+      input.addData(ev("B", "set", 3600000))
+      q.processAllAvailable()
+      // batch 3: timeout processing runs against the advanced watermark
+      input.addData(ev("C", "set", 7200000))
+      q.processAllAvailable()
+
+      val rows = spark.table("assembled").as[AssembledTrace].collect()
+      assert(rows.map(_.trace_id).toSet === Set("A", "B"))
+      val a = rows.find(_.trace_id == "A").get
+      assert(a.n_spans === 2L)
+      assert(a.span_names === "send-even,set")
+      assert(a.start_ms === t0 && a.end_ms === t0 + 100)
+      // C is still open: state holds ONLY open traces
+      assert(!rows.exists(_.trace_id == "C"))
+    } finally q.stop()
+  }
+
+  test("late spans within the watermark still join their open trace") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[SpanEvent]
+    val out = StreamingTraceAssembly.assemble(input.toDS(), "1 hour", gapMs = 10000L)
+    val q = out.writeStream.format("memory").queryName("assembled_late")
+      .outputMode("append").start()
+    try {
+      input.addData(ev("T", "set", 5000))
+      q.processAllAvailable()
+      input.addData(ev("T", "send-odd", 0)) // late by 5s, inside watermark
+      q.processAllAvailable()
+      input.addData(ev("Z", "set", 86400000L * 2)) // advance watermark far
+      q.processAllAvailable()
+      input.addData(ev("Z2", "set", 86400000L * 3))
+      q.processAllAvailable()
+      val t = spark.table("assembled_late").as[AssembledTrace].collect()
+        .find(_.trace_id == "T").get
+      assert(t.n_spans === 2L)
+      assert(t.span_names === "send-odd,set")
+    } finally q.stop()
+  }
+}
