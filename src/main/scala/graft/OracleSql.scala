@@ -56,12 +56,25 @@ object OracleSql {
     s"SELECT doc_id, $j AS band, ${dh(cat)} AS bkey FROM sig"
   }
 
+  /** Mirror of Dedup.simhash's lane-packed form: per-bit ones-counts
+    * packed 3-per-long in 20-bit lanes; bit j set iff 2·ones_j > n. */
   private val SIMHASH_FPS = {
-    val votes = (0 until 32).map(j => s"sum(((h>>$j)&1)*2-1) AS b$j").mkString(", ")
-    val fp = (0 until 32).map(j => s"(CASE WHEN b$j > 0 THEN (1::BIGINT << $j) ELSE 0 END)").mkString(" + ")
+    val bits = 32; val laneBits = 20; val lanesPerLong = 3
+    val nPacked = (bits + lanesPerLong - 1) / lanesPerLong
+    val packed = (0 until nPacked).map { k =>
+      val lanes = (0 until lanesPerLong).map(l => (k * lanesPerLong + l, l))
+        .filter(_._1 < bits)
+        .map { case (j, l) => s"(((h>>$j)&1) << ${l * laneBits})" }
+      s"CAST(sum(${lanes.mkString(" + ")}) AS BIGINT) AS p$k"
+    }.mkString(", ")
+    val mask = (1L << laneBits) - 1
+    val fp = (0 until bits).map { j =>
+      val ones = s"((p${j / lanesPerLong} >> ${(j % lanesPerLong) * laneBits}) & $mask)"
+      s"(CASE WHEN $ones * 2 > n_tok THEN (1::BIGINT << $j) ELSE 0 END)"
+    }.mkString(" + ")
     s"""$TOKS, t AS (SELECT doc_id, unnest(tk) AS tok FROM toks
 ), th AS (SELECT doc_id, ${dh("tok")} AS h FROM t
-), v AS (SELECT doc_id, $votes FROM th GROUP BY doc_id
+), v AS (SELECT doc_id, $packed, count(*) AS n_tok FROM th GROUP BY doc_id
 ), fps AS (SELECT doc_id, $fp AS simhash FROM v)"""
   }
 

@@ -97,17 +97,36 @@ object Dedup {
 
   /** SimHash (`bits`-wide): per token-occurrence hash, each bit votes
     * ±1; the sign of each bit-column sum becomes the fingerprint bit.
-    * One groupBy with `bits` sum() aggregates — still a single shuffle
-    * of `bits` longs per doc. */
+    *
+    * Shuffle-width engineering: a naive implementation carries one
+    * sum() per bit (32 longs/doc through the partial-agg shuffle).
+    * Instead the per-bit ONES-counts are packed three to a long in
+    * 20-bit lanes — `ceil(bits/3)+1` aggregates instead of `bits` —
+    * and bit j is set iff 2·ones_j > n_tokens (identical fingerprints,
+    * since the vote sum is 2·ones−n). Lane arithmetic is exact for up
+    * to 2^20 tokens per document. Mirrored verbatim by the oracle SQL. */
+  val LaneBits = 20
+  val LanesPerLong = 3
+
   def simhash(docs: DataFrame, bits: Int): DataFrame = {
     val toks = docs.select(col("doc_id"), explode(tokens(col("text"))).as("t"))
       .select(col("doc_id"), portableHash(col("t")).as("h"))
-    val votes = (0 until bits).map { j =>
-      sum(shiftright(col("h"), j).bitwiseAND(lit(1L)) * 2 - 1).as(s"b$j")
+    val nPacked = (bits + LanesPerLong - 1) / LanesPerLong
+    val packed = (0 until nPacked).map { k =>
+      val lanes = (0 until LanesPerLong)
+        .map(l => (k * LanesPerLong + l, l))
+        .filter(_._1 < bits)
+        .map { case (j, l) =>
+          shiftleft(shiftright(col("h"), j).bitwiseAND(lit(1L)), l * LaneBits)
+        }
+      sum(lanes.reduce(_ + _)).as(s"p$k")
     }
-    val agg = toks.groupBy("doc_id").agg(votes.head, votes.tail: _*)
+    val aggs = packed :+ count(lit(1)).as("n_tok")
+    val agg = toks.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
     val fp = (0 until bits).map { j =>
-      when(col(s"b$j") > 0, lit(1L << j)).otherwise(lit(0L))
+      val ones = shiftright(col(s"p${j / LanesPerLong}"), (j % LanesPerLong) * LaneBits)
+        .bitwiseAND(lit((1L << LaneBits) - 1))
+      when(ones * 2 > col("n_tok"), lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
     graft.ops.PlanCache.cached(s"simhash-$bits",
       agg.select(col("doc_id"), fp.as("simhash")))
