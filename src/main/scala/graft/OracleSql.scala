@@ -197,6 +197,10 @@ WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""",
   round(sum(l_quantity), 2) AS sum_qty
 FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""",
 
+    "a_cube" -> """SELECT l_returnflag, l_linestatus, count(*) AS n,
+  round(sum(l_extendedprice), 2) AS sum_base
+FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)""",
+
     "a_tumbling_window" -> """SELECT epoch_us(date_trunc('hour', CAST(ts AS TIMESTAMP))) AS hour_start_us,
   event_type, count(*) AS n, round(sum(value), 2) AS sum_value
 FROM events GROUP BY 1, 2""",

@@ -32,9 +32,12 @@ object SparkEntry {
     } else s.read.parquet(s"$dir/$name.parquet")
 
   /** events → decoded + context-enriched records (batch analog of the
-    * reference's `numbers` topic — FIXTURES.md §B). */
+    * reference's `numbers` topic — FIXTURES.md §B). Materialized once
+    * per sf dir: eleven parity queries and the self-join inside
+    * q_log_correlation share it. */
   private def rec(s: SparkSession, dir: String): DataFrame =
-    C.setBaggage(C.enrichEvents(T(s, dir, "events")))
+    graft.ops.PlanCache.cached("rec",
+      C.setBaggage(C.enrichEvents(T(s, dir, "events"))))
 
   /** Flagship: trace-correlated even-branch records joined to their log
     * rows, at sf0.001. */
@@ -208,6 +211,11 @@ object SparkEntry {
       .rollup(col("l_returnflag"), col("l_linestatus"))
       .agg(count(lit(1)).as("n"), round(sum(col("l_quantity")), 2).as("sum_qty"))
 
+  private def aCube(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "lineitem")
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"), round(sum(col("l_extendedprice")), 2).as("sum_base"))
+
   private def aTumblingWindow(s: SparkSession, dir: String): DataFrame =
     T(s, dir, "events")
       .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
@@ -353,6 +361,7 @@ object SparkEntry {
     "a_semi_join" -> (aSemiJoin _),
     "a_anti_join" -> (aAntiJoin _),
     "a_rollup" -> (aRollup _),
+    "a_cube" -> (aCube _),
     "a_tumbling_window" -> (aTumblingWindow _),
     "a_session_window" -> (aSessionWindow _),
     "a_range_join" -> (aRangeJoin _),
