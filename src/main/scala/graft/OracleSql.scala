@@ -267,7 +267,16 @@ SELECT doc_id,
   list_min(list_transform($SHINGLES3, s -> ${dh("s")})) AS min_shingle_fp
 FROM toks""",
 
+    "t_vocab_topk" -> s"""$TOKS
+SELECT token, count(*) AS doc_freq FROM (
+  SELECT doc_id, unnest(list_distinct(tk)) AS token FROM toks)
+GROUP BY token ORDER BY doc_freq DESC, token LIMIT 50""",
+
     "d_exact" -> s"""SELECT ${dh("text")} AS text_hash,
+  count(*) AS n_copies, min(doc_id) AS keeper
+FROM documents GROUP BY 1""",
+
+    "d_exact_normalized" -> s"""SELECT ${dh("regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')")} AS text_hash,
   count(*) AS n_copies, min(doc_id) AS keeper
 FROM documents GROUP BY 1""",
 

@@ -269,10 +269,26 @@ object SparkEntry {
       TextOps.fingerprint(col("text")).as("fp"),
       TextOps.minShingleFingerprint(col("text"), 3).as("min_shingle_fp"))
 
+  /** Corpus vocabulary statistics: top-50 tokens by document frequency
+    * (classic training-data diagnostic). Deterministic tiebreak on the
+    * token string keeps the LIMIT oracle-stable. */
+  private def tVocabTopK(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "documents")
+      .select(explode(array_distinct(Codecs.tokens(col("text")))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("doc_freq"))
+      .orderBy(col("doc_freq").desc, col("token"))
+      .limit(50)
+
   // ---------------------------------------------------------------- dedup
 
   private def dExact(s: SparkSession, dir: String): DataFrame =
     Dedup.exactGroups(T(s, dir, "documents"))
+
+  /** Exact dedup after whitespace/case normalization — catches copies
+    * that differ only in formatting. */
+  private def dExactNormalized(s: SparkSession, dir: String): DataFrame =
+    Dedup.exactGroups(T(s, dir, "documents")
+      .withColumn("text", regexp_replace(lower(trim(col("text"))), "\\s+", " ")))
 
   private def dJaccard(s: SparkSession, dir: String): DataFrame =
     Dedup.ngramJaccardPairs(T(s, dir, "documents"), 3, 0.5)
@@ -369,7 +385,9 @@ object SparkEntry {
     "t_lang_id" -> (tLangId _),
     "t_quality" -> (tQuality _),
     "t_fingerprint" -> (tFingerprint _),
+    "t_vocab_topk" -> (tVocabTopK _),
     "d_exact" -> (dExact _),
+    "d_exact_normalized" -> (dExactNormalized _),
     "d_ngram_jaccard" -> (dJaccard _),
     "d_minhash_sig" -> (dMinhashSig _),
     "d_minhash_lsh" -> (dMinhashLsh _),
