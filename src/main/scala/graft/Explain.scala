@@ -21,9 +21,11 @@ object Explain {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    def time(f: => Long): (Long, Double) = {
-      val t0 = System.nanoTime(); val n = f; (n, (System.nanoTime() - t0) / 1e9)
+    def time(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
     }
+    def run(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
     val targets =
       if (names == Seq("all")) SparkEntry.queries.keys.toSeq.sorted else names
     targets.foreach { name =>
@@ -32,9 +34,10 @@ object Explain {
         println(s"========== $name ==========")
         q(spark, sfDir).explain("formatted")
       }
-      val (n1, cold) = time(q(spark, sfDir).count())
-      val (_, warm) = time(q(spark, sfDir).count())
-      println(f"[$name] rows=$n1%d cold=$cold%.2fs warm=$warm%.2fs")
+      val rows = q(spark, sfDir).count()
+      val cold = time(run(q(spark, sfDir)))
+      val warm = time(run(q(spark, sfDir)))
+      println(f"[$name] rows=$rows%d cold=$cold%.2fs warm=$warm%.2fs")
     }
     spark.stop()
   }

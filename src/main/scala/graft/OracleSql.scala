@@ -273,12 +273,16 @@ SELECT token, count(*) AS doc_freq FROM (
 GROUP BY token ORDER BY doc_freq DESC, token LIMIT 50""",
 
     "d_exact" -> s"""SELECT ${dh("text")} AS text_hash,
+  CAST(length(text) AS BIGINT) AS text_len,
   count(*) AS n_copies, min(doc_id) AS keeper
-FROM documents GROUP BY 1""",
+FROM documents GROUP BY 1, 2""",
 
-    "d_exact_normalized" -> s"""SELECT ${dh("regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')")} AS text_hash,
+    "d_exact_normalized" -> s"""WITH norm AS (
+  SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS text FROM documents)
+SELECT ${dh("text")} AS text_hash,
+  CAST(length(text) AS BIGINT) AS text_len,
   count(*) AS n_copies, min(doc_id) AS keeper
-FROM documents GROUP BY 1""",
+FROM norm GROUP BY 1, 2""",
 
     "d_ngram_jaccard" -> s"""$SH, sz AS (
   SELECT doc_id, count(*) AS n_sh FROM h GROUP BY doc_id

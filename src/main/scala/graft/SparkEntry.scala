@@ -92,37 +92,25 @@ object SparkEntry {
         unix_micros(col("ts")).as("ts_us"))
   }
 
-  private def logsOf(r: DataFrame, even: DataFrame, odd: DataFrame): DataFrame = {
-    val setLogs = C.logRows(r, "set", concat(lit("Got number: "), col("value_int").cast("string")), traced = true)
-    val evenLogs = C.logRows(even, "even", concat(lit("Even number: "), col("value_int").cast("string")), traced = true)
-    val oddLogs = C.logRows(odd, "odd", concat(lit("Odd number: "), col("value_int").cast("string")), traced = false)
-    setLogs.unionByName(evenLogs).unionByName(oddLogs)
-  }
-
   private def qLogCorrelation(s: SparkSession, dir: String): DataFrame = {
     val r = rec(s, dir)
     val (even, odd) = C.evenOdd(r)
-    val logs = logsOf(r, even, odd).select(col("trace_id"), col("line"))
+    val logs = C.standardLogs(r, even, odd).select(col("trace_id"), col("line"))
     C.correlate(even.select(col("trace_id"), col("event_id"), col("messageid")), logs)
       .select(col("event_id"), col("trace_id"), col("messageid"), col("line"))
   }
 
-  private def spansOf(r: DataFrame, even: DataFrame, odd: DataFrame): DataFrame =
-    C.spanRows(r, "set", None)
-      .unionByName(C.spanRows(even, "send-even", Some("even-numbers")))
-      .unionByName(C.spanRows(odd, "send-odd", Some("odd-numbers")))
-
   private def qSpanEnrich(s: SparkSession, dir: String): DataFrame = {
     val r = rec(s, dir)
     val (even, odd) = C.evenOdd(r)
-    C.spanEnrich(spansOf(r, even, odd))
+    C.spanEnrich(C.standardSpans(r, even, odd))
       .select(col("trace_id"), col("span_id"), col("name"), col("remote_service_name"))
   }
 
   private def qDependencyGraph(s: SparkSession, dir: String): DataFrame = {
     val r = rec(s, dir)
     val (even, odd) = C.evenOdd(r)
-    TraceAnalytics.dependencyGraph(spansOf(r, even, odd))
+    TraceAnalytics.dependencyGraph(C.standardSpans(r, even, odd))
   }
 
   private def qTraceAssembly(s: SparkSession, dir: String): DataFrame = {
@@ -264,10 +252,17 @@ object SparkEntry {
     T(s, dir, "documents").select(col("doc_id"),
       round(TextOps.qualityScore(col("text")), 4).as("quality"))
 
-  private def tFingerprint(s: SparkSession, dir: String): DataFrame =
-    T(s, dir, "documents").select(col("doc_id"),
-      TextOps.fingerprint(col("text")).as("fp"),
-      TextOps.minShingleFingerprint(col("text"), 3).as("min_shingle_fp"))
+  private def tFingerprint(s: SparkSession, dir: String): DataFrame = {
+    // min-shingle fingerprint = min over the (cached) shingle-hash
+    // index — same value as recomputing shingles per doc, one scan
+    // instead of a second tokenize+md5 pass; docs too short to shingle
+    // left-join to null (oracle: list_min(empty) is null)
+    val docs = T(s, dir, "documents")
+    val minSh = Dedup.shingleHashes(docs, 3)
+      .groupBy("doc_id").agg(min(col("h")).as("min_shingle_fp"))
+    docs.select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))
+      .join(minSh, Seq("doc_id"), "left")
+  }
 
   /** Corpus vocabulary statistics: top-50 tokens by document frequency
     * (classic training-data diagnostic). Deterministic tiebreak on the

@@ -38,17 +38,24 @@ case class BigEndianInt32(child: Expression) extends UnaryExpression {
     // Keep the emitted Java trivially parseable for Janino: local var +
     // explicit int promotions (inline `(b[i] & 0xff) << n` chains trip
     // Janino's cast/expression disambiguation).
-    nullSafeCodeGen(ctx, ev, b => s"""
-      byte[] graftBe = $b;
-      if (graftBe.length != 4) {
+    nullSafeCodeGen(ctx, ev, b => {
+      // fresh names: with a non-nullable child the emitted block is not
+      // brace-scoped, so two instances in one stage would collide
+      val bb = ctx.freshName("beBytes")
+      val (b0, b1, b2, b3) =
+        (ctx.freshName("be0"), ctx.freshName("be1"), ctx.freshName("be2"), ctx.freshName("be3"))
+      s"""
+      byte[] $bb = $b;
+      if ($bb.length != 4) {
         ${ev.isNull} = true;
       } else {
-        int graftB0 = graftBe[0] & 0xff;
-        int graftB1 = graftBe[1] & 0xff;
-        int graftB2 = graftBe[2] & 0xff;
-        int graftB3 = graftBe[3] & 0xff;
-        ${ev.value} = (graftB0 << 24) | (graftB1 << 16) | (graftB2 << 8) | graftB3;
-      }""")
+        int $b0 = $bb[0] & 0xff;
+        int $b1 = $bb[1] & 0xff;
+        int $b2 = $bb[2] & 0xff;
+        int $b3 = $bb[3] & 0xff;
+        ${ev.value} = ($b0 << 24) | ($b1 << 16) | ($b2 << 8) | $b3;
+      }"""
+    })
   }
 
   override protected def withNewChildInternal(newChild: Expression): BigEndianInt32 =

@@ -19,30 +19,38 @@ object Dedup {
 
   val P: Long = 2305843009213693951L // 2^61 - 1, Mersenne prime
 
-  /** Exact dedup: group by content hash; keeper = min doc_id.
+  /** Exact dedup: group by (content hash, length); keeper = min doc_id.
     * Map-side partial aggregation makes the shuffle proportional to the
-    * number of DISTINCT documents. */
+    * number of DISTINCT documents. The length component is a free
+    * collision guard on the 56-bit hash; a corpus at the 100 TB scale
+    * (billions of docs ⇒ birthday collisions at ~2^28) additionally
+    * runs a within-group byte-compare confirm pass before any
+    * destructive dedup — grouping by the full text would be exact but
+    * shuffles the corpus. */
   def exactGroups(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), portableHash(col("text")).as("text_hash"))
-      .groupBy("text_hash")
+    docs.select(col("doc_id"), portableHash(col("text")).as("text_hash"),
+        length(col("text")).cast("long").as("text_len"))
+      .groupBy("text_hash", "text_len")
       .agg(count(lit(1)).as("n_copies"), min("doc_id").as("keeper"))
 
   /** (doc_id, shingle-hash) exploded pairs — the shared substrate for
     * Jaccard and MinHash. Distinct within doc. Materialized once via
     * PlanCache: the Jaccard self-join alone references it 4×, and the
     * MinHash/LSH queries reuse the same index. */
-  def shingleHashes(docs: DataFrame, n: Int): DataFrame = {
+  def shingleHashes(docs: DataFrame, n: Int): DataFrame =
     // Tokenize in a projection BELOW the explode so the split/filter
     // runs once per document, not once per reference inside the
     // shingle generator; spread the build across all cores (a single
-    // small parquet file is one input split otherwise).
-    val par = docs.sparkSession.sparkContext.defaultParallelism
-    val src = if (docs.rdd.getNumPartitions < par) docs.repartition(par) else docs
-    graft.ops.PlanCache.cached(s"shingles-$n",
+    // small parquet file is one input split otherwise). The partition
+    // probe and plan construction run only on a cache miss.
+    graft.ops.PlanCache.cachedBy(s"shingles-$n",
+        docs.queryExecution.logical.semanticHash(), docs.sparkSession) {
+      val par = docs.sparkSession.sparkContext.defaultParallelism
+      val src = if (docs.rdd.getNumPartitions < par) docs.repartition(par) else docs
       src.select(col("doc_id"), tokens(col("text")).as("tk"))
         .select(col("doc_id"), explode(array_distinct(shingles(col("tk"), n))).as("sh"))
-        .select(col("doc_id"), portableHash(col("sh")).as("h")))
-  }
+        .select(col("doc_id"), portableHash(col("sh")).as("h"))
+    }
 
   /** n-gram Jaccard near-dup pairs: explode shingles, equi-join on the
     * shingle hash (this IS the candidate generator — only docs sharing

@@ -78,11 +78,15 @@ object ContextOps {
     * shared per micro-batch. */
   def branch(df: DataFrame, preds: Seq[(String, Column)], defaultName: String)
       : Seq[(String, DataFrame)] = {
-    val guarded = preds.zipWithIndex.map { case ((name, p), i) =>
-      val notEarlier = preds.take(i).map(_._2).foldLeft(lit(true))((a, q) => a && !q)
+    // Null predicate results (e.g. a malformed record whose value_int
+    // decoded to null) must fall through to the DEFAULT branch, not
+    // vanish: coalesce each predicate to false so its negation is true.
+    val safe = preds.map { case (name, p) => (name, coalesce(p, lit(false))) }
+    val guarded = safe.zipWithIndex.map { case ((name, p), i) =>
+      val notEarlier = safe.take(i).map(_._2).foldLeft(lit(true))((a, q) => a && !q)
       (name, df.filter(notEarlier && p))
     }
-    val none = preds.map(_._2).foldLeft(lit(true))((a, q) => a && !q)
+    val none = safe.map(_._2).foldLeft(lit(true))((a, q) => a && !q)
     guarded :+ (defaultName -> df.filter(none))
   }
 
@@ -133,6 +137,24 @@ object ContextOps {
       kafkaTopic.map(lit(_)).getOrElse(lit(null).cast("string")).as("kafka_topic"),
       lit("FINISHED").as("cause"),
       col("ts"))
+
+  /** The reference topology's standard log fan-out: a traced "set" line
+    * per record, a traced line per even record, an UNTRACED line per
+    * odd record (reference README.adoc:93-114). Single source of truth
+    * for both the batch queries and the streaming pipeline. */
+  def standardLogs(all: DataFrame, even: DataFrame, odd: DataFrame): DataFrame =
+    logRows(all, "set", concat(lit("Got number: "), col("value_int").cast("string")), traced = true)
+      .unionByName(logRows(even, "even",
+        concat(lit("Even number: "), col("value_int").cast("string")), traced = true))
+      .unionByName(logRows(odd, "odd",
+        concat(lit("Odd number: "), col("value_int").cast("string")), traced = false))
+
+  /** The reference topology's standard span fan-out: a "set" span per
+    * record plus a send span per branch, tagged with its topic. */
+  def standardSpans(all: DataFrame, even: DataFrame, odd: DataFrame): DataFrame =
+    spanRows(all, "set", None)
+      .unionByName(spanRows(even, "send-even", Some("even-numbers")))
+      .unionByName(spanRows(odd, "send-odd", Some("odd-numbers")))
 
   /** P6 span enrichment (reference
     * KafkaStreamsLogCorrelationApplication.java:22-31): rewrite

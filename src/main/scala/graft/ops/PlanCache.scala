@@ -8,23 +8,33 @@ import org.apache.spark.storage.StorageLevel
   * queries over the same derived frame (e.g. the shingle-hash index
   * shared by Jaccard/MinHash/LSH) would otherwise re-evaluate the
   * whole derivation per subtree occurrence — Catalyst does not do
-  * cross-subtree common-plan elimination. Keyed by the logical plan's
-  * semantic hash, so two structurally-equal derivations share one
-  * persisted copy.
+  * cross-subtree common-plan elimination. Keyed by (session, logical
+  * plan semantic hash, tag): session-scoped so a cached frame can
+  * never outlive its SparkContext, semantic so two structurally-equal
+  * derivations share one persisted copy.
   *
   * Scale note: on a cluster this is the "staging table" step — at
   * 100 TB the same call site writes a bucketed intermediate instead of
   * MEMORY_AND_DISK; the query shape above it is unchanged. */
 object PlanCache {
-  private val cache = TrieMap.empty[(Int, String), DataFrame]
+  private val cache = TrieMap.empty[(String, Int, String), DataFrame]
 
-  def cached(tag: String, df: DataFrame): DataFrame = {
-    val key = (df.queryExecution.logical.semanticHash(), tag)
-    cache.getOrElseUpdate(key, df.persist(StorageLevel.MEMORY_AND_DISK))
-  }
+  def cached(tag: String, df: DataFrame): DataFrame =
+    cachedBy(tag, df.queryExecution.logical.semanticHash(), df.sparkSession)(df)
+
+  /** Variant with an explicit key, for callers whose frame is expensive
+    * even to CONSTRUCT (partition probes, wide generated expressions):
+    * `build` runs only on a cache miss. */
+  def cachedBy(tag: String, key: Int, spark: org.apache.spark.sql.SparkSession)(
+      build: => DataFrame): DataFrame =
+    cache.getOrElseUpdate(
+      (spark.sparkContext.applicationId + "/" + System.identityHashCode(spark), key, tag),
+      build.persist(StorageLevel.MEMORY_AND_DISK))
 
   def clear(): Unit = {
-    cache.values.foreach(_.unpersist())
+    cache.values.foreach { df =>
+      try df.unpersist() catch { case _: Throwable => () }
+    }
     cache.clear()
   }
 }

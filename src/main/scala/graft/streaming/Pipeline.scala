@@ -34,15 +34,8 @@ object Pipeline {
   def processBatch(raw: DataFrame): (DataFrame, DataFrame, DataFrame, DataFrame) = {
     val decoded = ContextOps.setBaggage(ContextOps.decode(raw))
     val (even, odd) = ContextOps.evenOdd(decoded)
-    val spans = ContextOps.spanRows(decoded, "set", None)
-      .unionByName(ContextOps.spanRows(even, "send-even", Some("even-numbers")))
-      .unionByName(ContextOps.spanRows(odd, "send-odd", Some("odd-numbers")))
-    val logs = ContextOps.logRows(decoded, "set",
-        concat(lit("Got number: "), col("value_int").cast("string")), traced = true)
-      .unionByName(ContextOps.logRows(even, "even",
-        concat(lit("Even number: "), col("value_int").cast("string")), traced = true))
-      .unionByName(ContextOps.logRows(odd, "odd",
-        concat(lit("Odd number: "), col("value_int").cast("string")), traced = false))
+    val spans = ContextOps.standardSpans(decoded, even, odd)
+    val logs = ContextOps.standardLogs(decoded, even, odd)
     (withOutputHeaders(even), withOutputHeaders(odd), spans, logs)
   }
 

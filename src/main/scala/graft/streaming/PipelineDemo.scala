@@ -18,6 +18,9 @@ object PipelineDemo {
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
+      // fail loudly if any generated code does not compile — silent
+      // interpreted fallback masks doGenCode bugs
+      .config("spark.sql.codegen.fallback", "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

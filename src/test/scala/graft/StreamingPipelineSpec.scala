@@ -111,6 +111,17 @@ class StreamingPipelineSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("malformed values route to the default branch instead of vanishing") {
+    // a 2-byte payload decodes to null value_int; the null parity
+    // predicate must fall through to the default (odd) branch
+    val bad = RawRecord("bad".getBytes("UTF-8"), Array[Byte](1, 2), "numbers", 0, 99L,
+      new Timestamp(1700000000099L), 0,
+      Seq(Header("b3", s"$traceId-$parentSpan-1".getBytes("UTF-8"))))
+    val (even, odd, _, _) = run(Seq(record("ok", 2, traceId, parentSpan, 1), bad))
+    assert(even.count() + odd.count() === 2)
+    assert(odd.filter(col("key") === "bad").count() === 1)
+  }
+
   test("branches are disjoint and span names cover every hop") {
     val (even, odd, spans, _) = run((1 to 10).map(i =>
       record("disjoint", i, traceId, parentSpan, i)))
