@@ -73,17 +73,17 @@ object Dedup {
       .select("doc_a", "doc_b", "jaccard")
   }
 
-  /** MinHash signatures: k permutations h_i(x) = (a_i·x + b_i) mod P
-    * over shingle hashes, folded with min() in ONE partial-aggregating
-    * groupBy — the shuffle carries k longs per doc, not the shingles. */
+  /** MinHash signatures via the [[graft.functions.MinHashSketch]]
+    * custom aggregate: ONE imperative agg with an Array[Long] buffer
+    * instead of k wide codegen'd min() aggregates (identical values;
+    * the shuffle still carries exactly k longs per doc). */
   def minhashSignatures(docs: DataFrame, n: Int, k: Int): DataFrame = {
     val sh = shingleHashes(docs, n)
-    val mins = (0 until k).map { i =>
-      val a = 2L * i + 1; val b = 10007L * i + 1
-      min(pmod(col("h") * a + b, lit(P))).as(s"mh$i")
-    }
-    graft.ops.PlanCache.cached(s"minhash-$n-$k",
-      sh.groupBy("doc_id").agg(mins.head, mins.tail: _*))
+    val sig = sh.groupBy("doc_id")
+      .agg(graft.functions.MinHashSketch.minhashSketch(col("h"), k).as("mh"))
+    val cols = col("doc_id") +:
+      (0 until k).map(i => element_at(col("mh"), i + 1).as(s"mh$i"))
+    graft.ops.PlanCache.cached(s"minhash-$n-$k", sig.select(cols: _*))
   }
 
   /** LSH banding: signature → (band, band-key) rows; docs sharing a

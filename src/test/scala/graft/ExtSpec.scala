@@ -38,6 +38,24 @@ class ExtSpec extends SparkSpec {
     assert(!cands.contains((1L, 3L)) && !cands.contains((2L, 3L)))
   }
 
+  test("MinHashSketch aggregate equals the composed per-permutation min form") {
+    val docs = Seq(
+      (1L, "one two three four five six seven"),
+      (2L, "alpha beta gamma delta epsilon zeta eta")).toDF("doc_id", "text")
+    val sh = Dedup.shingleHashes(docs, 3)
+    val viaSketch = Dedup.minhashSignatures(docs, 3, 8)
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    val composed = sh.groupBy("doc_id").agg(
+        (0 until 8).map { i =>
+          min(pmod(col("h") * (2L * i + 1) + (10007L * i + 1), lit(Dedup.P))).as(s"mh$i")
+        }.head,
+        (0 until 8).map { i =>
+          min(pmod(col("h") * (2L * i + 1) + (10007L * i + 1), lit(Dedup.P))).as(s"mh$i")
+        }.tail: _*)
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(viaSketch === composed)
+  }
+
   test("simhash of near-identical docs is close in Hamming distance") {
     val docs = Seq(
       (1L, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12"),
