@@ -64,6 +64,33 @@ object Multimodal {
     }
   }
 
+  /** Feature extraction: payload bytes → dense Array[Float] vector,
+    * batched per partition (the Scala analog of a pandas-batch UDF).
+    * The STUB featurizer is a normalized 64-bin byte histogram —
+    * deterministic and shape-compatible with the `embeddings` table,
+    * so extracted features flow straight into graft.ext.Similarity
+    * (media → features → ANN is the end-to-end multimodal path). A
+    * real deployment swaps in a vision/audio encoder behind the same
+    * signature. */
+  def extractFeatures(assets: DataFrame, dims: Int = 64): DataFrame = {
+    val spark = assets.sparkSession
+    import spark.implicits._
+    val rows = assets.select(col("asset_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, payload) =>
+          val hist = new Array[Float](dims)
+          var i = 0
+          while (i < payload.length) { hist((payload(i) & 0xff) % dims) += 1f; i += 1 }
+          val n = math.max(payload.length, 1).toFloat
+          var j = 0
+          while (j < dims) { hist(j) /= n; j += 1 }
+          (id, hist)
+        }
+      }
+    rows.toDF("vec_id", "embedding").withColumn("label", lit(0))
+  }
+
   /** Frame sampling: n evenly spaced byte windows per video payload —
     * exploded to one row per frame, preserving asset metadata. */
   def sampleFrames(assets: DataFrame, nFrames: Int, frameBytes: Int): DataFrame =

@@ -62,6 +62,18 @@ object Pipeline {
       .select(col("w.start").as("window_start"), col("branch"), col("n"), col("sum_value"))
   }
 
+  /** Streaming exact deduplication: drop records whose dedup key was
+    * already seen, with state bounded by the watermark (keys older
+    * than the delay are forgotten — the standard unbounded-stream
+    * dedup shape; without the watermark the key set grows forever).
+    * Key = (key, value_int) by default: a re-delivered record (the
+    * at-least-once duplicate window) is suppressed downstream. */
+  def dedupStream(raw: DataFrame, watermarkDelay: String,
+      keys: Seq[String] = Seq("key", "value_int")): DataFrame =
+    ContextOps.setBaggage(ContextOps.decode(raw))
+      .withWatermark("ts", watermarkDelay)
+      .dropDuplicates(keys :+ "ts")
+
   /** Start the streaming query: raw Kafka-shaped stream in, four sinks
     * out, one source scan per micro-batch. */
   def start(

@@ -105,6 +105,28 @@ object PipelineDemo {
     aq.processAllAvailable(); aq.stop()
     println("=== streaming trace assembly (closed traces) ===")
     spark.table("demo_traces").orderBy("trace_id").show(false)
+
+    // Streaming dedup: a re-delivered record is suppressed downstream
+    val dupIn = MemoryStream[RawRecord]
+    val dup = RawRecord("dup".getBytes, be(7), "numbers", 0, 1L,
+      new Timestamp(1700000000000L), 0, Seq.empty)
+    dupIn.addData(Seq(dup, dup.copy(offset = 2), dup.copy(offset = 3)))
+    val dq = Pipeline.dedupStream(dupIn.toDF(), "1 hour")
+      .writeStream.format("memory").queryName("demo_dedup")
+      .outputMode("append").start()
+    dq.processAllAvailable(); dq.stop()
+    println("=== streaming dedup (3 deliveries in, rows out) ===")
+    spark.table("demo_dedup").select(col("key"), col("value_int")).show(false)
+
+    // Multimodal: payload → feature vector → cosine neighbors
+    val assets = graft.ext.Multimodal.toAssets(
+      spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select(col("doc_id").as("asset_id"), col("text").cast("binary").as("payload")),
+      "image")
+    val feats = graft.ext.Multimodal.extractFeatures(assets)
+    println("=== media features → ANN top-3 for asset 0..2 ===")
+    graft.ext.Similarity.bruteForceTopK(feats, col("vec_id") < 3, 3)
+      .orderBy("q_id", "rnk").show(9, false)
     spark.stop()
   }
 }

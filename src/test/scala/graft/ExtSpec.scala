@@ -89,6 +89,20 @@ class ExtSpec extends SparkSpec {
     assert(got === Seq(10L))
   }
 
+  test("extracted media features flow into the ANN path end-to-end") {
+    val assets = Multimodal.toAssets(
+      Seq((0L, "aaaa bbbb cccc".getBytes),
+          (10L, "aaaa bbbb cccd".getBytes),
+          (11L, "zzzz yyyy xxxx qqqq".getBytes)).toDF("asset_id", "payload"), "image")
+    val feats = Multimodal.extractFeatures(assets)
+    assert(feats.select(org.apache.spark.sql.functions.size(col("embedding")))
+      .as[Int].collect().forall(_ === 64))
+    // media → features → cosine top-k: the near-identical payload wins
+    val top = Similarity.bruteForceTopK(feats, col("vec_id") < 8, 1)
+      .select(col("neighbor_id")).as[Long].head()
+    assert(top === 10L)
+  }
+
   test("stub image decode is deterministic and batch-shaped") {
     val assets = Multimodal.toAssets(
       Seq((1L, "payload-one".getBytes), (2L, "payload-two".getBytes))

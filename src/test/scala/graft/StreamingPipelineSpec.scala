@@ -111,6 +111,22 @@ class StreamingPipelineSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming dedup suppresses re-delivered records, state bounded by watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[RawRecord]
+    val out = Pipeline.dedupStream(input.toDF(), "1 hour")
+    val q = out.writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    try {
+      val r = record("dup-key", 7, traceId, parentSpan, 1)
+      input.addData(Seq(r, r.copy(offset = 2))) // same key/value/ts re-delivery
+      q.processAllAvailable()
+      input.addData(Seq(r.copy(offset = 3)))    // re-delivery in a later batch
+      q.processAllAvailable()
+      assert(spark.table("dedup_out").filter(col("key") === "dup-key").count() === 1)
+    } finally q.stop()
+  }
+
   test("malformed values route to the default branch instead of vanishing") {
     // a 2-byte payload decodes to null value_int; the null parity
     // predicate must fall through to the default (odd) branch
