@@ -303,6 +303,24 @@ FROM bands x JOIN bands y
   ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id
 GROUP BY 1, 2""",
 
+    "d_lsh_jaccard" -> s"""$SIG, bands AS (
+  ${(0 until 4).map(bandSelect).mkString("\n  UNION ALL ")}),
+cands AS (
+  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+  FROM bands x JOIN bands y
+    ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
+sz AS (SELECT doc_id, count(*) AS n_sh FROM h GROUP BY doc_id),
+inter AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+  FROM cands c
+  JOIN h a ON a.doc_id = c.doc_a
+  JOIN h b ON b.doc_id = c.doc_b AND b.h = a.h
+  GROUP BY 1, 2)
+SELECT doc_a, doc_b,
+       round(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 4) AS jaccard
+FROM inter JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
+WHERE round(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 4) >= 0.5""",
+
     "d_simhash" -> s"$SIMHASH_FPS SELECT doc_id, simhash FROM fps",
 
     "d_simhash_pairs" -> s"""$SIMHASH_FPS

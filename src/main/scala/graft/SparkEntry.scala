@@ -294,6 +294,9 @@ object SparkEntry {
   private def dMinhashLsh(s: SparkSession, dir: String): DataFrame =
     Dedup.lshCandidatePairs(Dedup.minhashSignatures(T(s, dir, "documents"), 3, 16), 4, 4)
 
+  private def dLshJaccard(s: SparkSession, dir: String): DataFrame =
+    Dedup.lshVerifiedJaccard(T(s, dir, "documents"), 3, 16, 4, 4, 0.5)
+
   private def dSimhash(s: SparkSession, dir: String): DataFrame =
     Dedup.simhash(T(s, dir, "documents"), 32)
 
@@ -386,6 +389,7 @@ object SparkEntry {
     "d_ngram_jaccard" -> (dJaccard _),
     "d_minhash_sig" -> (dMinhashSig _),
     "d_minhash_lsh" -> (dMinhashLsh _),
+    "d_lsh_jaccard" -> (dLshJaccard _),
     "d_simhash" -> (dSimhash _),
     "d_simhash_pairs" -> (dSimhashPairs _),
     "s_ann_brute" -> (sAnnBrute _),

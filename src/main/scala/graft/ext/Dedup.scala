@@ -103,6 +103,35 @@ object Dedup {
       .agg(count(lit(1)).as("n_shared_bands"))
   }
 
+  /** The two-stage near-dup pipeline that actually scales: MinHash-LSH
+    * generates candidate pairs (sub-quadratic), then exact n-gram
+    * Jaccard is computed ONLY for candidates — the intersection join
+    * is driven by the candidate list, so its cost is
+    * O(candidates × shingles-per-doc), independent of corpus-pair
+    * count. [[ngramJaccardPairs]] is the exact/exhaustive twin; this
+    * is the 100 TB path (recall bounded by the LSH band parameters). */
+  def lshVerifiedJaccard(docs: DataFrame, n: Int, k: Int,
+      bands: Int, rowsPerBand: Int, minJaccard: Double): DataFrame = {
+    val sh = shingleHashes(docs, n)
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val cands = lshCandidatePairs(minhashSignatures(docs, n, k), bands, rowsPerBand)
+      .select("doc_a", "doc_b")
+    val shA = sh.select(col("doc_id").as("doc_a"), col("h").as("ha"))
+    val shB = sh.select(col("doc_id").as("b_id"), col("h").as("hb"))
+    val inter = cands
+      .join(shA, "doc_a")
+      .join(shB, col("doc_b") === col("b_id") && col("ha") === col("hb"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("n_b")), "doc_b")
+      .withColumn("jaccard",
+        round(col("n_inter").cast("double") /
+          (col("n_a") + col("n_b") - col("n_inter")).cast("double"), 4))
+      .filter(col("jaccard") >= minJaccard)
+      .select("doc_a", "doc_b", "jaccard")
+  }
+
   /** SimHash (`bits`-wide): per token-occurrence hash, each bit votes
     * ±1; the sign of each bit-column sum becomes the fingerprint bit.
     *
