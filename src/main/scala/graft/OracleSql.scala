@@ -201,6 +201,11 @@ FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""",
   round(sum(l_extendedprice), 2) AS sum_base
 FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)""",
 
+    "a_percentiles" -> """SELECT l_returnflag,
+  round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+  round(quantile_cont(l_extendedprice, 0.95), 4) AS p95
+FROM lineitem GROUP BY l_returnflag""",
+
     "a_tumbling_window" -> """SELECT epoch_us(date_trunc('hour', CAST(ts AS TIMESTAMP))) AS hour_start_us,
   event_type, count(*) AS n, round(sum(value), 2) AS sum_value
 FROM events GROUP BY 1, 2""",

@@ -199,6 +199,13 @@ object SparkEntry {
       .rollup(col("l_returnflag"), col("l_linestatus"))
       .agg(count(lit(1)).as("n"), round(sum(col("l_quantity")), 2).as("sum_qty"))
 
+  private def aPercentiles(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
+        round(expr("percentile(l_extendedprice, 0.95)"), 4).as("p95"))
+
   private def aCube(s: SparkSession, dir: String): DataFrame =
     T(s, dir, "lineitem")
       .cube(col("l_returnflag"), col("l_linestatus"))
@@ -376,6 +383,7 @@ object SparkEntry {
     "a_anti_join" -> (aAntiJoin _),
     "a_rollup" -> (aRollup _),
     "a_cube" -> (aCube _),
+    "a_percentiles" -> (aPercentiles _),
     "a_tumbling_window" -> (aTumblingWindow _),
     "a_session_window" -> (aSessionWindow _),
     "a_range_join" -> (aRangeJoin _),

@@ -1,0 +1,52 @@
+package graft
+
+/** Plan-shape regression tests: the physical plans the engine is
+  * DESIGNED to produce, asserted so optimizer-hostile refactors fail
+  * loudly. These are the properties that matter at 100 TB: no shuffle
+  * in the narrow parity pipeline, broadcasts where a dimension is
+  * small, filter/column pushdown reaching the parquet scan, and the
+  * custom imperative aggregate actually being planned. */
+class PlanShapeSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  test("parity branching is narrow: no exchange anywhere in the plan") {
+    val p = plan("q_branch_even")
+    assert(!p.contains("Exchange"), s"unexpected shuffle:\n$p")
+  }
+
+  test("segment revenue broadcasts the customer dimension") {
+    assert(plan("a_segment_revenue").contains("BroadcastHashJoin"))
+  }
+
+  test("top parts per brand broadcasts the part dimension") {
+    assert(plan("a_top_parts_per_brand").contains("BroadcastHashJoin"))
+  }
+
+  test("pricing summary pushes the shipdate filter into the parquet scan") {
+    val p = plan("a_pricing_summary")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"),
+      s"filter not pushed:\n${p.linesIterator.filter(_.contains("PushedFilters")).mkString("\n")}")
+  }
+
+  test("pricing summary prunes the scan to the referenced columns only") {
+    val p = plan("a_pricing_summary")
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("l_returnflag") && readSchema.contains("l_quantity"))
+    assert(!readSchema.contains("l_partkey") && !readSchema.contains("l_comment"),
+      s"scan reads unused columns: $readSchema")
+  }
+
+  test("minhash signatures plan the imperative sketch aggregate, not 16 min()s") {
+    val p = plan("d_minhash_sig")
+    assert(p.contains("minhashsketch") || p.contains("MinHashSketch") ||
+      p.contains("ObjectHashAggregate"), s"sketch aggregate not planned:\n$p")
+  }
+
+  test("semi and anti joins plan as join types, not subquery re-scans") {
+    assert(plan("a_semi_join").contains("LeftSemi"))
+    assert(plan("a_anti_join").contains("LeftAnti"))
+  }
+}
