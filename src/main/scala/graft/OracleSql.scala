@@ -225,6 +225,15 @@ SELECT user_id, epoch_us(min(ts)) AS session_start_us,
        epoch_us(max(ts) + INTERVAL 30 MINUTE) AS session_end_us, count(*) AS n_events
 FROM sid GROUP BY user_id, sid""",
 
+    "a_asof_join" -> """WITH p AS (
+  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events WHERE event_type = 'purchase'
+), c AS (
+  SELECT event_id AS click_event_id, user_id, CAST(ts AS TIMESTAMP) AS c_ts
+  FROM events WHERE event_type = 'click')
+SELECT p.event_id, p.user_id, epoch_us(p.ts) AS ts_us,
+       c.click_event_id, epoch_us(c.c_ts) AS click_ts_us
+FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND c.c_ts <= p.ts""",
+
     "a_range_join" -> """SELECT o_orderkey, count(*) AS n_shipped_30d
 FROM orders JOIN lineitem ON o_orderkey = l_orderkey
   AND l_shipdate >= o_orderdate AND l_shipdate < o_orderdate + INTERVAL 30 DAY

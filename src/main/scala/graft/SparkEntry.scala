@@ -225,6 +225,22 @@ object SparkEntry {
       .select(col("user_id"), unix_micros(col("sw.start")).as("session_start_us"),
         unix_micros(col("sw.end")).as("session_end_us"), col("n_events"))
 
+  /** As-of join over the event stream: each purchase paired with the
+    * user's most recent click at or before it (oracle: DuckDB's NATIVE
+    * ASOF JOIN — an independent algorithm cross-checking the
+    * union+running-window composition). */
+  private def aAsofJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = T(s, dir, "events")
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    graft.ops.AsOfJoin.asofJoin(p, c, "user_id", "ts", Seq("event_id", "ts"), "event_id")
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("ts_us"),
+        col("asof_event_id").as("click_event_id"),
+        unix_micros(col("asof_ts")).as("click_ts_us"))
+  }
+
   private def aRangeJoin(s: SparkSession, dir: String): DataFrame = {
     val ord = T(s, dir, "orders"); val li = T(s, dir, "lineitem")
     ord.join(li,
@@ -387,6 +403,7 @@ object SparkEntry {
     "a_tumbling_window" -> (aTumblingWindow _),
     "a_session_window" -> (aSessionWindow _),
     "a_range_join" -> (aRangeJoin _),
+    "a_asof_join" -> (aAsofJoin _),
     "t_text_stats" -> (tTextStats _),
     "t_lang_id" -> (tLangId _),
     "t_quality" -> (tQuality _),
