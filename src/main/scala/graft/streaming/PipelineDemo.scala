@@ -118,6 +118,17 @@ object PipelineDemo {
     println("=== streaming dedup (3 deliveries in, rows out) ===")
     spark.table("demo_dedup").select(col("key"), col("value_int")).show(false)
 
+    // Skewed join: events (heavily skewed per-user) joined to a tiny
+    // per-user dimension through deterministic salting
+    // events.ts is TIMESTAMP(NANOS): schema validation rejects it even
+    // though we only read two columns — read nanos as long
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .selectExpr("event_id", "user_id")
+    val dim = spark.range(0, 16).selectExpr("id AS user_id", "concat('tier-', id % 3) AS tier")
+    val joined = graft.ops.SkewJoin.salted(ev, dim, "user_id", 8, col("event_id"))
+    println(s"=== salted skew join: ${joined.count()} rows (plain: ${ev.join(dim, "user_id").count()}) ===")
+
     // Multimodal: payload → feature vector → cosine neighbors
     val assets = graft.ext.Multimodal.toAssets(
       spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
