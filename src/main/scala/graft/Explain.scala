@@ -34,9 +34,11 @@ object Explain {
         println(s"========== $name ==========")
         q(spark, sfDir).explain("formatted")
       }
-      val rows = q(spark, sfDir).count()
+      // time BEFORE any other action: count() first would materialize
+      // caches/codegen and make "cold" a lie
       val cold = time(run(q(spark, sfDir)))
       val warm = time(run(q(spark, sfDir)))
+      val rows = q(spark, sfDir).count()
       println(f"[$name] rows=$rows%d cold=$cold%.2fs warm=$warm%.2fs")
     }
     spark.stop()

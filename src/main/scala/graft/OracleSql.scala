@@ -27,7 +27,7 @@ object OracleSql {
          'messageid_' || CAST(value_int AS VARCHAR) AS messageid
   FROM rec0
 ), evens AS (SELECT * FROM rec WHERE value_int % 2 = 0
-), odds AS (SELECT * FROM rec WHERE value_int % 2 <> 0)"""
+), odds AS (SELECT * FROM rec WHERE value_int % 2 <> 0 OR value_int IS NULL)"""
 
   /** Shared tokenization CTE (mirror of Codecs.tokens). */
   private val TOKS = """WITH toks AS (

@@ -145,8 +145,12 @@ object Dedup {
   val LaneBits = 20
   val LanesPerLong = 3
 
-  def simhash(docs: DataFrame, bits: Int): DataFrame = {
-    val toks = docs.select(col("doc_id"), explode(tokens(col("text"))).as("t"))
+  def simhash(docs: DataFrame, bits: Int): DataFrame =
+    graft.ops.PlanCache.cachedBy(s"simhash-$bits",
+        docs.queryExecution.logical.semanticHash(), docs.sparkSession) {
+    val par = docs.sparkSession.sparkContext.defaultParallelism
+    val src = if (docs.rdd.getNumPartitions < par) docs.repartition(par) else docs
+    val toks = src.select(col("doc_id"), explode(tokens(col("text"))).as("t"))
       .select(col("doc_id"), portableHash(col("t")).as("h"))
     val nPacked = (bits + LanesPerLong - 1) / LanesPerLong
     val packed = (0 until nPacked).map { k =>
@@ -165,8 +169,7 @@ object Dedup {
         .bitwiseAND(lit((1L << LaneBits) - 1))
       when(ones * 2 > col("n_tok"), lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
-    graft.ops.PlanCache.cached(s"simhash-$bits",
-      agg.select(col("doc_id"), fp.as("simhash")))
+    agg.select(col("doc_id"), fp.as("simhash"))
   }
 
   /** SimHash near-dup pairs by Hamming distance ≤ maxHamming via

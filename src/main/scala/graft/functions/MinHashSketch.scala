@@ -59,7 +59,12 @@ case class MinHashSketch(
     buf
   }
 
-  override def eval(buf: Array[Long]): Any = new GenericArrayData(buf)
+  override def eval(buf: Array[Long]): Any =
+    // all-null / empty group: the Long.MaxValue sentinel is unreachable
+    // as a real minimum (every h_i(x) < P < MaxValue), so it means "no
+    // input seen" — return null like the composed min() form would,
+    // rather than a plausible-looking degenerate signature
+    if (buf(0) == Long.MaxValue) null else new GenericArrayData(buf)
 
   override def serialize(buf: Array[Long]): Array[Byte] = {
     val bb = ByteBuffer.allocate(k * 8)
@@ -74,7 +79,7 @@ case class MinHashSketch(
   }
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
-  override def nullable: Boolean = false
+  override def nullable: Boolean = true
   override def children: Seq[Expression] = Seq(child)
   override def withNewMutableAggBufferOffset(o: Int): MinHashSketch =
     copy(mutableAggBufferOffset = o)

@@ -26,16 +26,22 @@ object AsOfJoin {
   def asofJoin(left: DataFrame, right: DataFrame, key: String, time: String,
       rightCols: Seq[String], tiebreak: String): DataFrame = {
     val l = left.withColumn("_side", lit(1))
+    // carry the right row as ONE struct: last(ignoreNulls) must skip
+    // only missing rows, never a null FIELD of the matching row —
+    // independent per-column carries would stitch fields from
+    // different right rows when a carried column is nullable
     val r = right.select(
-        Seq(col(key), col(time), col(tiebreak)).distinct ++
-          rightCols.map(c => col(c).as(s"asof_$c")): _*)
+        Seq(col(key), col(time), col(tiebreak)).distinct :+
+          struct(rightCols.map(col): _*).as("_asof_row"): _*)
       .withColumn("_side", lit(0))
     val u = l.unionByName(r, allowMissingColumns = true)
     val w = Window.partitionBy(col(key))
       .orderBy(col(time), col("_side"), col(tiebreak))
       .rowsBetween(Window.unboundedPreceding, 0)
-    val carried = rightCols.foldLeft(u)((df, c) =>
-      df.withColumn(s"asof_$c", last(col(s"asof_$c"), ignoreNulls = true).over(w)))
-    carried.filter(col("_side") === 1).drop("_side")
+    val carried = u.withColumn("_asof_row",
+      last(col("_asof_row"), ignoreNulls = true).over(w))
+    rightCols.foldLeft(carried.filter(col("_side") === 1))(
+        (df, c) => df.withColumn(s"asof_$c", col(s"_asof_row.$c")))
+      .drop("_side", "_asof_row")
   }
 }

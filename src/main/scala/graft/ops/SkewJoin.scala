@@ -23,8 +23,10 @@ object SkewJoin {
     *               bucket (use a unique id, NOT the join key) */
   def salted(left: DataFrame, right: DataFrame, key: String,
       factor: Int, saltBy: Column): DataFrame = {
+    // null saltBy must still land in a bucket — a null salt would
+    // silently drop the row from the inner join
     val l = left.withColumn("_salt",
-      pmod(graft.codec.Codecs.portableHash(saltBy), lit(factor.toLong)))
+      pmod(coalesce(graft.codec.Codecs.portableHash(saltBy), lit(0L)), lit(factor.toLong)))
     val r = right.withColumn("_salt",
       explode(sequence(lit(0L), lit(factor.toLong - 1))))
     l.join(r, Seq(key, "_salt")).drop("_salt")

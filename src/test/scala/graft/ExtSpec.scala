@@ -45,13 +45,10 @@ class ExtSpec extends SparkSpec {
     val sh = Dedup.shingleHashes(docs, 3)
     val viaSketch = Dedup.minhashSignatures(docs, 3, 8)
       .orderBy("doc_id").collect().map(_.toSeq).toSeq
-    val composed = sh.groupBy("doc_id").agg(
-        (0 until 8).map { i =>
-          min(pmod(col("h") * (2L * i + 1) + (10007L * i + 1), lit(Dedup.P))).as(s"mh$i")
-        }.head,
-        (0 until 8).map { i =>
-          min(pmod(col("h") * (2L * i + 1) + (10007L * i + 1), lit(Dedup.P))).as(s"mh$i")
-        }.tail: _*)
+    val mins = (0 until 8).map { i =>
+      min(pmod(col("h") * (2L * i + 1) + (10007L * i + 1), lit(Dedup.P))).as(s"mh$i")
+    }
+    val composed = sh.groupBy("doc_id").agg(mins.head, mins.tail: _*)
       .orderBy("doc_id").collect().map(_.toSeq).toSeq
     assert(viaSketch === composed)
   }
