@@ -365,6 +365,24 @@ SELECT q_id, vec_id AS neighbor_id, CAST(rnk AS INT) AS rnk, round(cos, 4) AS co
          row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rnk FROM s)
 WHERE rnk <= 3""",
 
+    "s_ann_ivf" -> s"""$VECS, cents AS (
+  SELECT vec_id AS c_id, v AS cv, nrm AS cn FROM nv WHERE vec_id % 100 = 0
+), asg AS (
+  SELECT vec_id, v, nrm, c_id AS cell FROM (
+    SELECT nv.vec_id, nv.v, nv.nrm, c.c_id,
+           row_number() OVER (PARTITION BY nv.vec_id
+             ORDER BY list_dot_product(nv.v, c.cv) / (nv.nrm * c.cn) DESC, c.c_id) AS crnk
+    FROM nv, cents c) WHERE crnk = 1
+), q AS (
+  SELECT vec_id AS q_id, v AS qv, nrm AS qn, cell AS q_cell FROM asg WHERE vec_id < 8
+), s AS (
+  SELECT q_id, vec_id, list_dot_product(qv, v) / (qn * nrm) AS cos
+  FROM q JOIN asg ON q_cell = cell AND vec_id >= 8)
+SELECT q_id, vec_id AS neighbor_id, CAST(rnk AS INT) AS rnk, round(cos, 4) AS cos FROM (
+  SELECT q_id, vec_id, cos,
+         row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rnk FROM s)
+WHERE rnk <= 3""",
+
     "s_near_dup" -> s"""$VECS, pairs AS (
   SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
          list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS cos

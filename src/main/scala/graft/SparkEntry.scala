@@ -342,6 +342,9 @@ object SparkEntry {
   private def sAnnLsh(s: SparkSession, dir: String): DataFrame =
     Similarity.lshTopK(T(s, dir, "embeddings"), col("vec_id") < 8, 3, 8)
 
+  private def sAnnIvf(s: SparkSession, dir: String): DataFrame =
+    Similarity.ivfTopK(T(s, dir, "embeddings"), col("vec_id") < 8, 3, 100L)
+
   private def sNearDup(s: SparkSession, dir: String): DataFrame = {
     // bucketed near-dup: only LSH-bucket-mates are compared (scale path)
     val vecs = Similarity.withNorm(T(s, dir, "embeddings"))
@@ -419,6 +422,7 @@ object SparkEntry {
     "d_simhash_pairs" -> (dSimhashPairs _),
     "s_ann_brute" -> (sAnnBrute _),
     "s_ann_lsh" -> (sAnnLsh _),
+    "s_ann_ivf" -> (sAnnIvf _),
     "s_near_dup" -> (sNearDup _),
     "m_asset_meta" -> (mAssetMeta _),
     "m_frame_sample" -> (mFrameSample _),

@@ -78,6 +78,43 @@ object Similarity {
         round(col("cos"), 4).as("cos"))
   }
 
+  /** IVF (inverted-file) ANN: every vector is assigned to its nearest
+    * centroid cell; search touches only the query's cell. Centroids
+    * are deterministically seeded (every `centroidEvery`-th vector) so
+    * the oracle can reproduce the index — a k-means refinement would
+    * drop in without changing any query shape. The broadcasted
+    * centroid table makes assignment one scan × n_centroids dot
+    * products: the standard IVF build cost, embarrassingly parallel. */
+  def ivfAssign(emb: DataFrame, centroidEvery: Long): DataFrame = {
+    val vecs = withNorm(emb)
+    val cents = broadcast(vecs.filter(pmod(col("vec_id"), lit(centroidEvery)) === 0)
+      .select(col("vec_id").as("c_id"), col("v").as("cv"), col("nrm").as("cn")))
+    vecs.crossJoin(cents)
+      .withColumn("ccos", dot(col("v"), col("cv")) / (col("nrm") * col("cn")))
+      .withColumn("crnk", row_number().over(
+        Window.partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("c_id"))))
+      .filter(col("crnk") === 1)
+      .select(col("vec_id"), col("label"), col("v"), col("nrm"), col("c_id").as("cell"))
+  }
+
+  /** IVF top-k: neighbors sought within the query's centroid cell only
+    * (nprobe=1; recall < 1 by design, rank rules identical to the
+    * exact baseline for comparability). */
+  def ivfTopK(emb: DataFrame, queryPred: Column, k: Int, centroidEvery: Long): DataFrame = {
+    val assigned = ivfAssign(emb, centroidEvery)
+    val q = broadcast(assigned.filter(queryPred)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"),
+        col("cell").as("q_cell")))
+    q.join(assigned.filter(!queryPred),
+        col("q_cell") === col("cell") && col("q_id") =!= col("vec_id"))
+      .withColumn("cos", dot(col("qv"), col("v")) / (col("qn") * col("nrm")))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("vec_id").as("neighbor_id"), col("rnk"),
+        round(col("cos"), 4).as("cos"))
+  }
+
   /** Embedding-cosine near-duplicate pairs (vec_a < vec_b, cos ≥ τ).
     * Local form is all-pairs; scale path buckets by [[lshBucket]] first
     * (see lshTopK) so only bucket-mates are compared. */
