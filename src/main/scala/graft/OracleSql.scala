@@ -36,6 +36,16 @@ object OracleSql {
   FROM documents
 )"""
 
+  /** Quality-score formula over (text, tk) — mirror of
+    * TextOps.qualityScore, shared by t_quality and t_lang_stats. */
+  private val QUALITY = """least(len(tk) / 50.0, 1.0) * 0.5 +
+  (CASE WHEN len(tk) > 0
+        THEN CAST(len(list_filter(tk, t -> t IN ('the','and','of','to','is','in','a'))) AS DOUBLE) / len(tk)
+        ELSE 0.0 END) * 0.3 +
+  (1.0 - least(CASE WHEN length(text) > 0
+                    THEN CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS DOUBLE) / length(text)
+                    ELSE 0.0 END, 1.0)) * 0.2"""
+
   /** 3-gram shingle list over `tk` (mirror of Codecs.shingles n=3). */
   private val SHINGLES3 =
     "list_transform(range(1, greatest(len(tk)-2, 0)+1), i -> array_to_string(tk[i:i+2], ' '))"
@@ -265,15 +275,25 @@ FROM (SELECT doc_id, lang,
       FROM toks)""",
 
     "t_quality" -> s"""$TOKS
-SELECT doc_id, round(
-  least(len(tk) / 50.0, 1.0) * 0.5 +
-  (CASE WHEN len(tk) > 0
-        THEN CAST(len(list_filter(tk, t -> t IN ('the','and','of','to','is','in','a'))) AS DOUBLE) / len(tk)
-        ELSE 0.0 END) * 0.3 +
-  (1.0 - least(CASE WHEN length(text) > 0
-                    THEN CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS DOUBLE) / length(text)
-                    ELSE 0.0 END, 1.0)) * 0.2, 4) AS quality
+SELECT doc_id, round($QUALITY, 4) AS quality
 FROM toks""",
+
+    "t_lang_stats" -> s"""$TOKS
+SELECT lang, count(*) AS n_docs,
+       CAST(sum(len(tk)) AS BIGINT) AS total_tokens,
+       round(avg($QUALITY), 4) AS avg_quality
+FROM toks GROUP BY lang""",
+
+    "d_dedup_apply" -> s"""WITH norm AS (
+  SELECT doc_id, lang, source, n_chars,
+         regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS ntext
+  FROM documents
+), grp AS (
+  SELECT ${dh("ntext")} AS text_hash, CAST(length(ntext) AS BIGINT) AS text_len,
+         min(doc_id) AS keeper
+  FROM norm GROUP BY 1, 2)
+SELECT n.doc_id, n.lang, n.source, n.n_chars
+FROM norm n JOIN grp g ON n.doc_id = g.keeper""",
 
     "t_fingerprint" -> s"""$TOKS
 SELECT doc_id,

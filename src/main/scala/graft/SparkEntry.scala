@@ -290,6 +290,17 @@ object SparkEntry {
   /** Corpus vocabulary statistics: top-50 tokens by document frequency
     * (classic training-data diagnostic). Deterministic tiebreak on the
     * token string keeps the LIMIT oracle-stable. */
+  /** Per-language corpus statistics: document counts, token mass, and
+    * mean quality — the summary a curation pipeline reports after
+    * filtering. */
+  private def tLangStats(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "documents")
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(TextOps.tokenCount(col("text")).cast("long")).as("total_tokens"),
+        round(avg(TextOps.qualityScore(col("text"))), 4).as("avg_quality"))
+
   private def tVocabTopK(s: SparkSession, dir: String): DataFrame =
     T(s, dir, "documents")
       .select(explode(array_distinct(Codecs.tokens(col("text")))).as("token"))
@@ -319,6 +330,17 @@ object SparkEntry {
 
   private def dLshJaccard(s: SparkSession, dir: String): DataFrame =
     Dedup.lshVerifiedJaccard(T(s, dir, "documents"), 3, 16, 4, 4, 0.5)
+
+  /** The "apply" step of dedup: the surviving corpus — one keeper row
+    * per distinct (normalized) content group. */
+  private def dDedupApply(s: SparkSession, dir: String): DataFrame = {
+    val docs = T(s, dir, "documents")
+      .withColumn("norm_text", regexp_replace(lower(trim(col("text"))), "\\s+", " "))
+    val keepers = Dedup.exactGroups(docs.select(col("doc_id"), col("norm_text").as("text")))
+      .select(col("keeper").as("doc_id"))
+    docs.join(keepers, "doc_id")
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+  }
 
   private def dSimhash(s: SparkSession, dir: String): DataFrame =
     Dedup.simhash(T(s, dir, "documents"), 32)
@@ -412,6 +434,8 @@ object SparkEntry {
     "t_quality" -> (tQuality _),
     "t_fingerprint" -> (tFingerprint _),
     "t_vocab_topk" -> (tVocabTopK _),
+    "t_lang_stats" -> (tLangStats _),
+    "d_dedup_apply" -> (dDedupApply _),
     "d_exact" -> (dExact _),
     "d_exact_normalized" -> (dExactNormalized _),
     "d_ngram_jaccard" -> (dJaccard _),

@@ -20,6 +20,12 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        // a failed query must not leave a STALE dump from a previous
+        // run behind — that would let the compare pass on old results
+        val dir = new java.io.File(s"$outDir/$name")
+        if (dir.exists()) {
+          dir.listFiles().foreach(_.delete()); dir.delete()
+        }
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
