@@ -287,9 +287,6 @@ object SparkEntry {
       .join(minSh, Seq("doc_id"), "left")
   }
 
-  /** Corpus vocabulary statistics: top-50 tokens by document frequency
-    * (classic training-data diagnostic). Deterministic tiebreak on the
-    * token string keeps the LIMIT oracle-stable. */
   /** Per-language corpus statistics: document counts, token mass, and
     * mean quality — the summary a curation pipeline reports after
     * filtering. */
@@ -301,6 +298,9 @@ object SparkEntry {
         sum(TextOps.tokenCount(col("text")).cast("long")).as("total_tokens"),
         round(avg(TextOps.qualityScore(col("text"))), 4).as("avg_quality"))
 
+  /** Corpus vocabulary statistics: top-50 tokens by document frequency
+    * (classic training-data diagnostic). Deterministic tiebreak on the
+    * token string keeps the LIMIT oracle-stable. */
   private def tVocabTopK(s: SparkSession, dir: String): DataFrame =
     T(s, dir, "documents")
       .select(explode(array_distinct(Codecs.tokens(col("text")))).as("token"))

@@ -31,6 +31,30 @@ object Similarity {
       .withColumn("nrm", norm(col("v")))
       .select(col("vec_id"), col("label"), col("v"), col("nrm"))
 
+  /** Shared scoring/ranking tail of every ANN variant: broadcast the
+    * query side, score candidates by cosine, rank with the ONE
+    * tie-break rule (cos desc, vec_id) all variants share so their
+    * outputs stay directly comparable. `cellCols` restricts candidates
+    * to the query's cell (empty = exact search). */
+  private def topK(queries: DataFrame, cands: DataFrame,
+      cellCols: Seq[String], k: Int): DataFrame = {
+    val cond = cellCols
+      .map(c => col(s"q_$c") === col(c))
+      .foldLeft(col("q_id") =!= col("vec_id"))(_ && _)
+    broadcast(queries).join(cands, cond)
+      .withColumn("cos", dot(col("qv"), col("v")) / (col("qn") * col("nrm")))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("vec_id").as("neighbor_id"), col("rnk"),
+        round(col("cos"), 4).as("cos"))
+  }
+
+  private def asQueries(vecs: DataFrame, queryPred: Column, cellCols: Seq[String]): DataFrame =
+    vecs.filter(queryPred).select(
+      Seq(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn")) ++
+        cellCols.map(c => col(c).as(s"q_$c")): _*)
+
   /** Exact brute-force top-k cosine neighbors for a (small) query set.
     * The query side is broadcast; candidates stream by, so the work is
     * one pass over the corpus per batch of queries — the right baseline
@@ -38,16 +62,7 @@ object Similarity {
     * corpus). */
   def bruteForceTopK(emb: DataFrame, queryPred: Column, k: Int): DataFrame = {
     val vecs = withNorm(emb)
-    val q = broadcast(vecs.filter(queryPred)
-      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn")))
-    val scored = q.join(vecs.filter(!queryPred), col("q_id") =!= col("vec_id"))
-      .withColumn("cos", dot(col("qv"), col("v")) / (col("qn") * col("nrm")))
-    scored
-      .withColumn("rnk", row_number().over(
-        Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))))
-      .filter(col("rnk") <= k)
-      .select(col("q_id"), col("vec_id").as("neighbor_id"), col("rnk"),
-        round(col("cos"), 4).as("cos"))
+    topK(asQueries(vecs, queryPred, Nil), vecs.filter(!queryPred), Nil, k)
   }
 
   /** Sign-bit LSH bucket id from the first `nBits` dimensions
@@ -64,55 +79,39 @@ object Similarity {
     * brute-force so the two variants are directly comparable. */
   def lshTopK(emb: DataFrame, queryPred: Column, k: Int, nBits: Int): DataFrame = {
     val vecs = withNorm(emb).withColumn("bucket", lshBucket(col("v"), nBits))
-    val q = broadcast(vecs.filter(queryPred)
-      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"),
-        col("bucket").as("q_bucket")))
-    val scored = q.join(vecs.filter(!queryPred),
-        col("q_bucket") === col("bucket") && col("q_id") =!= col("vec_id"))
-      .withColumn("cos", dot(col("qv"), col("v")) / (col("qn") * col("nrm")))
-    scored
-      .withColumn("rnk", row_number().over(
-        Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))))
-      .filter(col("rnk") <= k)
-      .select(col("q_id"), col("vec_id").as("neighbor_id"), col("rnk"),
-        round(col("cos"), 4).as("cos"))
+    topK(asQueries(vecs, queryPred, Seq("bucket")),
+      vecs.filter(!queryPred), Seq("bucket"), k)
   }
 
   /** IVF (inverted-file) ANN: every vector is assigned to its nearest
     * centroid cell; search touches only the query's cell. Centroids
     * are deterministically seeded (every `centroidEvery`-th vector) so
     * the oracle can reproduce the index — a k-means refinement would
-    * drop in without changing any query shape. The broadcasted
-    * centroid table makes assignment one scan × n_centroids dot
-    * products: the standard IVF build cost, embarrassingly parallel. */
-  def ivfAssign(emb: DataFrame, centroidEvery: Long): DataFrame = {
-    val vecs = withNorm(emb)
-    val cents = broadcast(vecs.filter(pmod(col("vec_id"), lit(centroidEvery)) === 0)
-      .select(col("vec_id").as("c_id"), col("v").as("cv"), col("nrm").as("cn")))
-    vecs.crossJoin(cents)
-      .withColumn("ccos", dot(col("v"), col("cv")) / (col("nrm") * col("cn")))
-      .withColumn("crnk", row_number().over(
-        Window.partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("c_id"))))
-      .filter(col("crnk") === 1)
-      .select(col("vec_id"), col("label"), col("v"), col("nrm"), col("c_id").as("cell"))
-  }
+    * drop in without changing any query shape. Assignment expands each
+    * vector × n_centroids then reduces with a per-vector window; the
+    * result is persisted via PlanCache since both sides of the search
+    * join (queries and candidates) consume it. */
+  def ivfAssign(emb: DataFrame, centroidEvery: Long): DataFrame =
+    graft.ops.PlanCache.cachedBy(s"ivf-$centroidEvery",
+        emb.queryExecution.logical.semanticHash(), emb.sparkSession) {
+      val vecs = withNorm(emb)
+      val cents = broadcast(vecs.filter(pmod(col("vec_id"), lit(centroidEvery)) === 0)
+        .select(col("vec_id").as("c_id"), col("v").as("cv"), col("nrm").as("cn")))
+      vecs.crossJoin(cents)
+        .withColumn("ccos", dot(col("v"), col("cv")) / (col("nrm") * col("cn")))
+        .withColumn("crnk", row_number().over(
+          Window.partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("c_id"))))
+        .filter(col("crnk") === 1)
+        .select(col("vec_id"), col("label"), col("v"), col("nrm"), col("c_id").as("cell"))
+    }
 
   /** IVF top-k: neighbors sought within the query's centroid cell only
     * (nprobe=1; recall < 1 by design, rank rules identical to the
     * exact baseline for comparability). */
   def ivfTopK(emb: DataFrame, queryPred: Column, k: Int, centroidEvery: Long): DataFrame = {
     val assigned = ivfAssign(emb, centroidEvery)
-    val q = broadcast(assigned.filter(queryPred)
-      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"),
-        col("cell").as("q_cell")))
-    q.join(assigned.filter(!queryPred),
-        col("q_cell") === col("cell") && col("q_id") =!= col("vec_id"))
-      .withColumn("cos", dot(col("qv"), col("v")) / (col("qn") * col("nrm")))
-      .withColumn("rnk", row_number().over(
-        Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))))
-      .filter(col("rnk") <= k)
-      .select(col("q_id"), col("vec_id").as("neighbor_id"), col("rnk"),
-        round(col("cos"), 4).as("cos"))
+    topK(asQueries(assigned, queryPred, Seq("cell")),
+      assigned.filter(!queryPred), Seq("cell"), k)
   }
 
   /** Embedding-cosine near-duplicate pairs (vec_a < vec_b, cos ≥ τ).

@@ -17,6 +17,20 @@ class ExtSpec extends SparkSpec {
     assert(g === Seq((2L, 1L), (1L, 3L)))
   }
 
+  test("dedup apply keeps exactly one keeper per duplicate group") {
+    // the gate fixture has no exact duplicates, so the keeper-selection
+    // path must be pinned here with planted ones
+    val docs = Seq(
+      (5L, "Same   Content here"), // normalizes equal to doc 2
+      (2L, "same content HERE"),
+      (9L, "unique one")).toDF("doc_id", "text")
+    val norm = docs.withColumn("text",
+      org.apache.spark.sql.functions.regexp_replace(lower(trim(col("text"))), "\\s+", " "))
+    val keepers = Dedup.exactGroups(norm).select(col("keeper"))
+      .as[Long].collect().sorted.toSeq
+    assert(keepers === Seq(2L, 9L), "min doc_id survives; the other copy is dropped")
+  }
+
   test("jaccard finds the planted near-duplicate pair only") {
     val docs = Seq(
       (1L, "the quick brown fox jumps over the lazy dog"),
