@@ -1,0 +1,38 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+/** Bucketed staging tables: the cluster-scale form of
+  * [[graft.ops.PlanCache]]. At 100 TB a shared intermediate (the
+  * shingle-hash index, the enriched-record table) is written ONCE,
+  * hash-bucketed and sorted by its join/aggregation key; every
+  * downstream join or groupBy on that key then runs with NO shuffle
+  * and NO sort — Catalyst recognizes the bucketing as a satisfied
+  * `HashPartitioning` requirement. PlanShapeSpec asserts the
+  * exchange-free plan so the property cannot silently regress.
+  */
+object StagingTables {
+
+  /** Write `df` as a bucketed+sorted managed table. Drops any existing
+    * table AND its orphaned warehouse directory first — a previous
+    * JVM's in-memory catalog forgets the table but leaves the files,
+    * and saveAsTable refuses to reuse the location. */
+  def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int): Unit = {
+    val spark = df.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+      f.delete(); ()
+    }
+    rm(new java.io.File(wh, table))
+    df.write
+      .mode(SaveMode.Overwrite)
+      .bucketBy(buckets, key)
+      .sortBy(key)
+      .format("parquet")
+      .saveAsTable(table)
+  }
+
+  def read(spark: SparkSession, table: String): DataFrame = spark.table(table)
+}

@@ -129,6 +129,17 @@ object PipelineDemo {
     val joined = graft.ops.SkewJoin.salted(ev, dim, "user_id", 8, col("event_id"))
     println(s"=== salted skew join: ${joined.count()} rows (plain: ${ev.join(dim, "user_id").count()}) ===")
 
+    // Bucketed staging tables: co-bucketed join plans with no shuffle
+    graft.sources.StagingTables.writeBucketed(
+      ev.withColumn("user_id", col("user_id")), "demo_events_bucketed", "user_id", 8)
+    graft.sources.StagingTables.writeBucketed(dim, "demo_dim_bucketed", "user_id", 8)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val bucketJoin = graft.sources.StagingTables.read(spark, "demo_events_bucketed")
+      .join(graft.sources.StagingTables.read(spark, "demo_dim_bucketed"), "user_id")
+    val bplan = bucketJoin.queryExecution.executedPlan.toString
+    println(s"=== bucketed join: rows=${bucketJoin.count()} shuffle-free=${!bplan.contains("Exchange hashpartitioning")} ===")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+
     // Multimodal: payload → feature vector → cosine neighbors
     val assets = graft.ext.Multimodal.toAssets(
       spark.read.parquet("/root/testdata/sf0.001/documents.parquet")

@@ -1,0 +1,40 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.sources.StagingTables
+
+/** The bucketing contract at the plan level: two tables bucketed on
+  * the same key join WITHOUT any exchange — the property that turns a
+  * repeated 100 TB shuffle into a one-time staging write. */
+class StagingTablesSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("a sort-merge join of co-bucketed tables plans with zero shuffles") {
+    val events = (1L to 1000L).map(i => (i, i % 50, s"e$i")).toDF("event_id", "user_id", "payload")
+    val profile = (0L until 50L).map(i => (i, s"tier-${i % 3}")).toDF("user_id", "tier")
+    StagingTables.writeBucketed(events, "stg_events", "user_id", 8)
+    StagingTables.writeBucketed(profile, "stg_profile", "user_id", 8)
+    // disable auto-broadcast so the plan must rely on bucketing (a
+    // broadcast would hide whether bucketing removed the shuffle)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = StagingTables.read(spark, "stg_events")
+        .join(StagingTables.read(spark, "stg_profile"), "user_id")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), s"expected a sort-merge join:\n$plan")
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucketed join must not shuffle:\n$plan")
+      assert(joined.count() === 1000L)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("aggregation on the bucket key also avoids the shuffle") {
+    val counts = StagingTables.read(spark, "stg_events")
+      .groupBy("user_id").agg(count(lit(1)).as("n"))
+    val plan = counts.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"bucketed agg must not shuffle:\n$plan")
+    assert(counts.count() === 50L)
+  }
+}
