@@ -64,6 +64,17 @@ object Multimodal {
     }
   }
 
+  /** Audio decode pass: per-partition batch, filling duration from the
+    * payload and configured sample rate (same contract as
+    * [[decodeImages]]; swap the decoder for a real codec). */
+  def decodeAudio(assets: Dataset[MediaAsset], dec: MediaDecoder = StubDecoder)
+      : Dataset[MediaAsset] = {
+    implicit val enc = assets.encoder
+    assets.mapPartitions { it =>
+      it.map(a => a.copy(duration_ms = dec.audioDurationMs(a.payload, a.sample_rate)))
+    }
+  }
+
   /** Feature extraction: payload bytes → dense Array[Float] vector,
     * batched per partition (the Scala analog of a pandas-batch UDF).
     * The STUB featurizer is a normalized 64-bin byte histogram —

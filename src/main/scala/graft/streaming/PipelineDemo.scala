@@ -145,6 +145,10 @@ object PipelineDemo {
       spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
         .select(col("doc_id").as("asset_id"), col("text").cast("binary").as("payload")),
       "image")
+    val decodedAudio = graft.ext.Multimodal.decodeAudio(
+      assets.as[graft.model.MediaAsset])
+    println(s"=== audio decode: avg duration_ms = ${
+      decodedAudio.agg(avg(col("duration_ms"))).head().getDouble(0).round} ===")
     val feats = graft.ext.Multimodal.extractFeatures(assets)
     println("=== media features → ANN top-3 for asset 0..2 ===")
     graft.ext.Similarity.bruteForceTopK(feats, col("vec_id") < 3, 3)

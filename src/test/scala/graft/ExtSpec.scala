@@ -124,6 +124,14 @@ class ExtSpec extends SparkSpec {
     assert(out.map(a => (a.width, a.height)).toSeq === out2.map(a => (a.width, a.height)).toSeq)
   }
 
+  test("audio decode fills duration from payload length and sample rate") {
+    val assets = Multimodal.toAssets(
+      Seq((1L, new Array[Byte](32000))).toDF("asset_id", "payload"), "audio")
+      .as[MediaAsset]
+    val out = Multimodal.decodeAudio(assets).head()
+    assert(out.duration_ms === 2000L) // 32000 bytes at 16 kHz
+  }
+
   test("frame sampling yields n evenly spaced frames per asset") {
     val assets = Multimodal.toAssets(
       Seq((1L, ("x" * 100).getBytes)).toDF("asset_id", "payload"), "video")
