@@ -278,6 +278,13 @@ FROM (SELECT doc_id, lang,
 SELECT doc_id, round($QUALITY, 4) AS quality
 FROM toks""",
 
+    "t_quality_filter" -> s"""$TOKS
+SELECT doc_id, lang, quality, n_tok FROM (
+  SELECT doc_id, lang, round($QUALITY, 4) AS quality,
+         CAST(len(tk) AS BIGINT) AS n_tok
+  FROM toks)
+WHERE quality >= 0.5 AND n_tok BETWEEN 10 AND 200""",
+
     "t_lang_stats" -> s"""$TOKS
 SELECT lang, count(*) AS n_docs,
        CAST(sum(len(tk)) AS BIGINT) AS total_tokens,

@@ -287,6 +287,17 @@ object SparkEntry {
       .join(minSh, Seq("doc_id"), "left")
   }
 
+  /** The curation filter itself: documents passing quality and length
+    * gates — the "apply" step that pairs with t_quality/t_text_stats
+    * the way d_dedup_apply pairs with d_exact. */
+  private def tQualityFilter(s: SparkSession, dir: String): DataFrame = {
+    val d = T(s, dir, "documents")
+    d.withColumn("quality", round(TextOps.qualityScore(col("text")), 4))
+      .withColumn("n_tok", TextOps.tokenCount(col("text")).cast("long"))
+      .filter(col("quality") >= 0.5 && col("n_tok").between(10, 200))
+      .select(col("doc_id"), col("lang"), col("quality"), col("n_tok"))
+  }
+
   /** Per-language corpus statistics: document counts, token mass, and
     * mean quality — the summary a curation pipeline reports after
     * filtering. */
@@ -435,6 +446,7 @@ object SparkEntry {
     "t_fingerprint" -> (tFingerprint _),
     "t_vocab_topk" -> (tVocabTopK _),
     "t_lang_stats" -> (tLangStats _),
+    "t_quality_filter" -> (tQualityFilter _),
     "d_dedup_apply" -> (dDedupApply _),
     "d_exact" -> (dExact _),
     "d_exact_normalized" -> (dExactNormalized _),

@@ -49,4 +49,16 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan("a_semi_join").contains("LeftSemi"))
     assert(plan("a_anti_join").contains("LeftAnti"))
   }
+
+  test("log correlation reads the cached enrichment, not parquet twice") {
+    val p = plan("q_log_correlation")
+    assert(p.contains("InMemoryTableScan"), s"rec cache not used:\n$p")
+  }
+
+  test("the as-of join is a single keyed window, not a range join") {
+    val p = plan("a_asof_join")
+    assert(p.contains("Window"), "expected the running-window carry")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"as-of must not degrade to a product join:\n$p")
+  }
 }
