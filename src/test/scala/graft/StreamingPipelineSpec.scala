@@ -111,6 +111,24 @@ class StreamingPipelineSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("brancher is first-match-wins with overlapping predicates") {
+    // reference KafkaStreamBrancher semantics: a record matching several
+    // predicates goes to the FIRST matching branch only
+    import org.apache.spark.sql.functions.{col, pmod, lit}
+    val df = spark.range(1, 11).toDF("value_int")
+    val branches = graft.ops.ContextOps.branch(df,
+      Seq("big" -> (col("value_int") > 5),
+        "even" -> (pmod(col("value_int"), lit(2)) === 0)),
+      "rest")
+    val got = branches.map { case (n, b) =>
+      n -> b.select("value_int").as[Long].collect().sorted.toSeq
+    }.toMap
+    assert(got("big") === Seq(6L, 7L, 8L, 9L, 10L))  // 6,8,10 NOT in "even"
+    assert(got("even") === Seq(2L, 4L))
+    assert(got("rest") === Seq(1L, 3L, 5L))
+    assert(got.values.map(_.size).sum === 10)
+  }
+
   test("streaming dedup suppresses re-delivered records, state bounded by watermark") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[RawRecord]
