@@ -20,12 +20,21 @@ object StagingTables {
   def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int): Unit = {
     val spark = df.sparkSession
     spark.sql(s"DROP TABLE IF EXISTS $table")
-    val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
-      f.delete(); ()
+    // Managed locations lowercase the identifier and nest qualified
+    // names under <db>.db/; only a local-file warehouse can be swept.
+    val whConf = spark.conf.get("spark.sql.warehouse.dir")
+    if (whConf.startsWith("file:") || !whConf.contains(":")) {
+      val wh = whConf.stripPrefix("file:")
+      val rel = table.toLowerCase(java.util.Locale.ROOT).split('.') match {
+        case Array(db, t) => s"$db.db/$t"
+        case _            => table.toLowerCase(java.util.Locale.ROOT)
+      }
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+        f.delete(); ()
+      }
+      rm(new java.io.File(wh, rel))
     }
-    rm(new java.io.File(wh, table))
     df.write
       .mode(SaveMode.Overwrite)
       .bucketBy(buckets, key)

@@ -130,23 +130,28 @@ object PipelineDemo {
     println(s"=== salted skew join: ${joined.count()} rows (plain: ${ev.join(dim, "user_id").count()}) ===")
 
     // Bucketed staging tables: co-bucketed join plans with no shuffle
-    graft.sources.StagingTables.writeBucketed(
-      ev.withColumn("user_id", col("user_id")), "demo_events_bucketed", "user_id", 8)
+    graft.sources.StagingTables.writeBucketed(ev, "demo_events_bucketed", "user_id", 8)
     graft.sources.StagingTables.writeBucketed(dim, "demo_dim_bucketed", "user_id", 8)
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-    val bucketJoin = graft.sources.StagingTables.read(spark, "demo_events_bucketed")
-      .join(graft.sources.StagingTables.read(spark, "demo_dim_bucketed"), "user_id")
-    val bplan = bucketJoin.queryExecution.executedPlan.toString
-    println(s"=== bucketed join: rows=${bucketJoin.count()} shuffle-free=${!bplan.contains("Exchange hashpartitioning")} ===")
-    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    try {
+      val bucketJoin = graft.sources.StagingTables.read(spark, "demo_events_bucketed")
+        .join(graft.sources.StagingTables.read(spark, "demo_dim_bucketed"), "user_id")
+      val bplan = bucketJoin.queryExecution.executedPlan.toString
+      println(s"=== bucketed join: rows=${bucketJoin.count()} shuffle-free=${!bplan.contains("Exchange hashpartitioning")} ===")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
 
     // Multimodal: payload → feature vector → cosine neighbors
     val assets = graft.ext.Multimodal.toAssets(
       spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
         .select(col("doc_id").as("asset_id"), col("text").cast("binary").as("payload")),
       "image")
+    val audioAssets = graft.ext.Multimodal.toAssets(
+      spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select(col("doc_id").as("asset_id"), col("text").cast("binary").as("payload")),
+      "audio")
     val decodedAudio = graft.ext.Multimodal.decodeAudio(
-      assets.as[graft.model.MediaAsset])
+      audioAssets.as[graft.model.MediaAsset])
     println(s"=== audio decode: avg duration_ms = ${
       decodedAudio.agg(avg(col("duration_ms"))).head().getDouble(0).round} ===")
     val feats = graft.ext.Multimodal.extractFeatures(assets)

@@ -30,7 +30,10 @@ class StagingTablesSpec extends SparkSpec {
   }
 
   test("aggregation on the bucket key also avoids the shuffle") {
-    val counts = StagingTables.read(spark, "stg_events")
+    // self-contained: writes its own table so the test runs alone
+    val events = (1L to 500L).map(i => (i, i % 50)).toDF("event_id", "user_id")
+    StagingTables.writeBucketed(events, "stg_agg", "user_id", 8)
+    val counts = StagingTables.read(spark, "stg_agg")
       .groupBy("user_id").agg(count(lit(1)).as("n"))
     val plan = counts.queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange hashpartitioning"),
