@@ -308,6 +308,14 @@ SELECT doc_id,
   list_min(list_transform($SHINGLES3, s -> ${dh("s")})) AS min_shingle_fp
 FROM toks""",
 
+    "t_bigram_topk" -> s"""$TOKS
+SELECT bigram, count(*) AS doc_freq FROM (
+  SELECT doc_id, unnest(list_distinct(
+    list_transform(range(1, greatest(len(tk)-1, 0)+1),
+                   i -> array_to_string(tk[i:i+1], ' ')))) AS bigram
+  FROM toks)
+GROUP BY bigram ORDER BY doc_freq DESC, bigram LIMIT 30""",
+
     "t_vocab_topk" -> s"""$TOKS
 SELECT token, count(*) AS doc_freq FROM (
   SELECT doc_id, unnest(list_distinct(tk)) AS token FROM toks)

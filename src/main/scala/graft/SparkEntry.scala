@@ -319,6 +319,16 @@ object SparkEntry {
       .orderBy(col("doc_freq").desc, col("token"))
       .limit(50)
 
+  /** Bigram statistics: top-30 word bigrams by document frequency —
+    * the n-gram companion to t_vocab_topk. */
+  private def tBigramTopK(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "documents")
+      .select(col("doc_id"), Codecs.tokens(col("text")).as("tk"))
+      .select(explode(array_distinct(Codecs.shingles(col("tk"), 2))).as("bigram"))
+      .groupBy("bigram").agg(count(lit(1)).as("doc_freq"))
+      .orderBy(col("doc_freq").desc, col("bigram"))
+      .limit(30)
+
   // ---------------------------------------------------------------- dedup
 
   private def dExact(s: SparkSession, dir: String): DataFrame =
@@ -445,6 +455,7 @@ object SparkEntry {
     "t_quality" -> (tQuality _),
     "t_fingerprint" -> (tFingerprint _),
     "t_vocab_topk" -> (tVocabTopK _),
+    "t_bigram_topk" -> (tBigramTopK _),
     "t_lang_stats" -> (tLangStats _),
     "t_quality_filter" -> (tQualityFilter _),
     "d_dedup_apply" -> (dDedupApply _),
