@@ -1,5 +1,24 @@
 package graft
-import org.apache.spark.sql.SparkSession
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Benchmark main. Protocol:
+  *  1. warmup      — JVM/JIT + parquet footers (untimed).
+  *  2. prepare     — materialize the shared PlanCache intermediates
+  *                   (shingle index, minhash sigs, simhash, IVF,
+  *                   enriched events); timed, reported as "prepare".
+  *                   Without this phase the whole family cold build
+  *                   lands on whichever query runs first — round 1's
+  *                   91 s d_lsh_jaccard was exactly that.
+  *  3. per-query   — every registry query, noop-materialized,
+  *                   alphabetical; "queries" map + summed into total.
+  *  4. extras      — bench-only variants outside the oracle registry
+  *                   (e.g. the xxhash64 dedup twin); reported under
+  *                   "extras", NOT summed into total so the total
+  *                   stays comparable against BASELINE.md.
+  * total = prepare + sum(queries): everything the engine does is
+  * attributed somewhere and nothing is hidden from the headline.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -15,6 +34,15 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+
+    def timed(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    // noop sink: materializes EVERY output column (count() would let
+    // Catalyst prune the projections and time little but the scan)
+    def runNoop(df: DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+
     // Warm the JVM/JIT and parquet footers once so the first timed query
     // isn't charged for session startup.
     spark.range(1000000L).selectExpr("sum(id)").collect()
@@ -22,22 +50,42 @@ object Bench {
       try spark.read.parquet(s"$sfDir/$t.parquet").count()
       catch { case _: Throwable => () }
     }
+
+    val prepareSec = timed(SparkEntry.prepare(spark, sfDir))
+
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      // noop sink: materializes EVERY output column (count() would let
-      // Catalyst prune the projections and time little but the scan)
-      val ok =
-        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+      var ok = true
+      val sec = timed {
+        try runNoop(fn(spark, sfDir))
         catch { case e: Throwable =>
-          System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); false
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); ok = false
         }
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      }
+      name -> (if (ok) sec else -1.0)
     }.toMap
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = results.values.filter(_ >= 0).sum
-    val nFailed = results.values.count(_ < 0)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$nFailed,"sf":"$sfDir"}""")
+
+    // Bench-only twins, outside the oracle registry: the production
+    // xxhash64 dedup path (same plans as d_lsh_jaccard, no md5 string
+    // round-trip — demonstrates the scaleHash speedup).
+    val extras: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+      "d_lsh_jaccard_xx" -> ((s, dir) => graft.ext.Dedup.lshVerifiedJaccard(
+        s.read.parquet(s"$dir/documents.parquet"), 3, 16, 4, 4, 0.5, hashName = "xx")))
+    val extraResults = extras.map { case (name, fn) =>
+      var ok = true
+      val sec = timed {
+        try runNoop(fn(spark, sfDir))
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] extra $name FAILED: ${e.getMessage}"); ok = false
+        }
+      }
+      name -> (if (ok) sec else -1.0)
+    }.toMap
+
+    def jmap(m: Map[String, Double]): String =
+      m.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val total = prepareSec + results.values.filter(_ >= 0).sum
+    val nFailed = results.values.count(_ < 0) + extraResults.values.count(_ < 0)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","prepare":$prepareSec,"queries":${jmap(results)},"extras":${jmap(extraResults)},"failed":$nFailed,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

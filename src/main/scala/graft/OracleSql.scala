@@ -98,6 +98,22 @@ object OracleSql {
   SELECT vec_id, label, v, sqrt(list_dot_product(v, v)) AS nrm, $bucket AS bucket FROM vecs)"""
   }
 
+  /** IVF codebook + assignment CTEs (mirror of Similarity.ivfAssign):
+    * codebook = the 8 vectors with the smallest portable hash of
+    * vec_id (ties by vec_id) — fixed k, independent of corpus size;
+    * every vector assigned to its argmax-cosine cell (ties by smaller
+    * c_id, same rule as the engine's ordered fold). */
+  private val IVF_ASG = s"""$VECS, cents AS (
+  SELECT vec_id AS c_id, v AS cv, nrm AS cn FROM nv
+  ORDER BY ${dh("CAST(vec_id AS VARCHAR)")}, vec_id LIMIT 8
+), asg AS (
+  SELECT vec_id, v, nrm, c_id AS cell FROM (
+    SELECT nv.vec_id, nv.v, nv.nrm, c.c_id,
+           row_number() OVER (PARTITION BY nv.vec_id
+             ORDER BY list_dot_product(nv.v, c.cv) / (nv.nrm * c.cn) DESC, c.c_id) AS crnk
+    FROM nv, cents c) WHERE crnk = 1
+)"""
+
   val all: Map[String, String] = Map(
     "q_branch_even" -> s"$REC SELECT event_id, user_id, value_int FROM evens",
 
@@ -343,6 +359,20 @@ SELECT doc_a, doc_b,
 FROM inter JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
 WHERE round(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 4) >= 0.5""",
 
+    "d_ngram_jaccard_capped" -> s"""$SH, hc AS (
+  SELECT h FROM h GROUP BY h HAVING count(*) <= 5
+), hf AS (
+  SELECT h.doc_id, h.h FROM h JOIN hc USING (h)
+), sz AS (
+  SELECT doc_id, count(*) AS n_sh FROM hf GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+  FROM hf a JOIN hf b ON a.h = b.h AND a.doc_id < b.doc_id GROUP BY 1, 2)
+SELECT doc_a, doc_b,
+       round(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 4) AS jaccard
+FROM inter JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
+WHERE round(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 4) >= 0.5""",
+
     "d_minhash_sig" -> s"$SIG SELECT * FROM sig",
 
     "d_minhash_lsh" -> s"""$SIG, bands AS (
@@ -372,12 +402,14 @@ WHERE round(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 4) >= 0.5""
 
     "d_simhash" -> s"$SIMHASH_FPS SELECT doc_id, simhash FROM fps",
 
+    // oracle = the EXHAUSTIVE all-pairs form: the engine's pigeonhole
+    // banding must reproduce it exactly (guaranteed recall), so the
+    // two sides are genuinely independent algorithms.
     "d_simhash_pairs" -> s"""$SIMHASH_FPS
 SELECT doc_a, doc_b, hamming FROM (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
          CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
-  FROM fps a JOIN fps b
-    ON (a.simhash >> 16) = (b.simhash >> 16) AND a.doc_id < b.doc_id)
+  FROM fps a JOIN fps b ON a.doc_id < b.doc_id)
 WHERE hamming <= 3""",
 
     "s_ann_brute" -> s"""$VECS, q AS (
@@ -400,19 +432,39 @@ SELECT q_id, vec_id AS neighbor_id, CAST(rnk AS INT) AS rnk, round(cos, 4) AS co
          row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rnk FROM s)
 WHERE rnk <= 3""",
 
-    "s_ann_ivf" -> s"""$VECS, cents AS (
-  SELECT vec_id AS c_id, v AS cv, nrm AS cn FROM nv WHERE vec_id % 100 = 0
-), asg AS (
-  SELECT vec_id, v, nrm, c_id AS cell FROM (
-    SELECT nv.vec_id, nv.v, nv.nrm, c.c_id,
-           row_number() OVER (PARTITION BY nv.vec_id
-             ORDER BY list_dot_product(nv.v, c.cv) / (nv.nrm * c.cn) DESC, c.c_id) AS crnk
-    FROM nv, cents c) WHERE crnk = 1
-), q AS (
+    "s_ann_ivf" -> s"""$IVF_ASG, q AS (
   SELECT vec_id AS q_id, v AS qv, nrm AS qn, cell AS q_cell FROM asg WHERE vec_id < 8
 ), s AS (
   SELECT q_id, vec_id, list_dot_product(qv, v) / (qn * nrm) AS cos
   FROM q JOIN asg ON q_cell = cell AND vec_id >= 8)
+SELECT q_id, vec_id AS neighbor_id, CAST(rnk AS INT) AS rnk, round(cos, 4) AS cos FROM (
+  SELECT q_id, vec_id, cos,
+         row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rnk FROM s)
+WHERE rnk <= 3""",
+
+    "s_ann_ivf_mp" -> s"""$IVF_ASG, q AS (
+  SELECT vec_id AS q_id, v AS qv, nrm AS qn, c_id AS q_cell FROM (
+    SELECT nv.vec_id, nv.v, nv.nrm, c.c_id,
+           row_number() OVER (PARTITION BY nv.vec_id
+             ORDER BY list_dot_product(nv.v, c.cv) / (nv.nrm * c.cn) DESC, c.c_id) AS crnk
+    FROM nv, cents c WHERE nv.vec_id < 8) WHERE crnk <= 2
+), s AS (
+  SELECT q_id, vec_id, list_dot_product(qv, v) / (qn * nrm) AS cos
+  FROM q JOIN asg ON q_cell = cell AND vec_id >= 8)
+SELECT q_id, vec_id AS neighbor_id, CAST(rnk AS INT) AS rnk, round(cos, 4) AS cos FROM (
+  SELECT q_id, vec_id, cos,
+         row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rnk FROM s)
+WHERE rnk <= 3""",
+
+    "s_ann_lsh_mp" -> s"""$VECS, q0 AS (
+  SELECT vec_id AS q_id, v AS qv, nrm AS qn, bucket FROM nv WHERE vec_id < 8
+), probes AS (
+  SELECT q_id, qv, qn, bucket AS q_bucket FROM q0
+  UNION ALL
+  SELECT q_id, qv, qn, xor(bucket, CAST(1 AS BIGINT) << i) FROM q0, range(0, 8) t(i)
+), s AS (
+  SELECT q_id, vec_id, list_dot_product(qv, v) / (qn * nrm) AS cos
+  FROM probes JOIN nv ON q_bucket = bucket AND vec_id >= 8)
 SELECT q_id, vec_id AS neighbor_id, CAST(rnk AS INT) AS rnk, round(cos, 4) AS cos FROM (
   SELECT q_id, vec_id, cos,
          row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rnk FROM s)

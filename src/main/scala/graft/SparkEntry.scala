@@ -44,6 +44,24 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     queries("q_log_correlation")(spark, "/root/testdata/sf0.001")
 
+  /** Materialize every PlanCache intermediate the registry shares (the
+    * shingle index, minhash signatures, simhash fingerprints, IVF
+    * codebook+assignment, enriched events) so per-query timing charges
+    * each query for ITS work, not for whichever query alphabetically
+    * first touches a shared index. On a cluster this is the staging-
+    * table build step; in the bench it is timed separately as
+    * "prepare". (Round 1's official bench charged a 91 s shared cold
+    * build to d_lsh_jaccard — this is the fix.) */
+  def prepare(s: SparkSession, dir: String): Unit = {
+    val docs = T(s, dir, "documents")
+    Dedup.shingleHashes(docs, 3).count()
+    Dedup.minhashSignatures(docs, 3, 16).count()
+    Dedup.simhash(docs, 32).count()
+    Similarity.ivfAssign(T(s, dir, "embeddings"), IvfK).count()
+    rec(s, dir).count()
+    ()
+  }
+
   // =====================================================================
   // Spark-side query implementations
   // =====================================================================
@@ -343,6 +361,12 @@ object SparkEntry {
   private def dJaccard(s: SparkSession, dir: String): DataFrame =
     Dedup.ngramJaccardPairs(T(s, dir, "documents"), 3, 0.5)
 
+  /** df-capped Jaccard: shingles in more than 5 documents are dropped
+    * before the self-join — the scale-safe form of d_ngram_jaccard
+    * (bounded fan-out per shingle key). */
+  private def dJaccardCapped(s: SparkSession, dir: String): DataFrame =
+    Dedup.ngramJaccardPairsCapped(T(s, dir, "documents"), 3, 0.5, 5L)
+
   private def dMinhashSig(s: SparkSession, dir: String): DataFrame =
     Dedup.minhashSignatures(T(s, dir, "documents"), 3, 16)
 
@@ -366,16 +390,11 @@ object SparkEntry {
   private def dSimhash(s: SparkSession, dir: String): DataFrame =
     Dedup.simhash(T(s, dir, "documents"), 32)
 
-  private def dSimhashPairs(s: SparkSession, dir: String): DataFrame = {
-    val fps = Dedup.simhash(T(s, dir, "documents"), 32)
-    // banded on the high 16 bits: bounds the pairwise term at scale
-    fps.as("a").join(fps.as("b"),
-        shiftright(col("a.simhash"), 16) === shiftright(col("b.simhash"), 16) &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        expr("bit_count(a.simhash ^ b.simhash)").cast("int").as("hamming"))
-      .filter(col("hamming") <= 3)
-  }
+  /** Pigeonhole-banded simhash pairs: guaranteed full recall at
+    * hamming ≤ 3 (oracle = the independent exhaustive all-pairs form,
+    * which the banding provably equals). */
+  private def dSimhashPairs(s: SparkSession, dir: String): DataFrame =
+    Dedup.simhashPairs(Dedup.simhash(T(s, dir, "documents"), 32), 3, 32)
 
   // ----------------------------------------------------------- similarity
 
@@ -385,20 +404,27 @@ object SparkEntry {
   private def sAnnLsh(s: SparkSession, dir: String): DataFrame =
     Similarity.lshTopK(T(s, dir, "embeddings"), col("vec_id") < 8, 3, 8)
 
-  private def sAnnIvf(s: SparkSession, dir: String): DataFrame =
-    Similarity.ivfTopK(T(s, dir, "embeddings"), col("vec_id") < 8, 3, 100L)
+  /** Multi-probe LSH: probes the query's bucket plus all hamming-1
+    * buckets — the recall lever over s_ann_lsh at identical rank
+    * rules. */
+  private def sAnnLshMp(s: SparkSession, dir: String): DataFrame =
+    Similarity.lshTopKMulti(T(s, dir, "embeddings"), col("vec_id") < 8, 3, 8)
 
-  private def sNearDup(s: SparkSession, dir: String): DataFrame = {
+  private def sAnnIvf(s: SparkSession, dir: String): DataFrame =
+    Similarity.ivfTopK(T(s, dir, "embeddings"), col("vec_id") < 8, 3, IvfK)
+
+  /** Multi-probe IVF (nprobe=2): each query searches its two nearest
+    * cells — recall rises toward brute-force as nprobe → k. */
+  private def sAnnIvfMp(s: SparkSession, dir: String): DataFrame =
+    Similarity.ivfTopKMulti(T(s, dir, "embeddings"), col("vec_id") < 8, 3, IvfK, 2)
+
+  /** Fixed IVF codebook size — independent of corpus size by design
+    * (assignment is O(N·k); see Similarity.ivfAssign). */
+  private val IvfK = 8
+
+  private def sNearDup(s: SparkSession, dir: String): DataFrame =
     // bucketed near-dup: only LSH-bucket-mates are compared (scale path)
-    val vecs = Similarity.withNorm(T(s, dir, "embeddings"))
-      .withColumn("bucket", Similarity.lshBucket(col("v"), 8))
-    vecs.as("a").join(vecs.as("b"),
-        col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
-      .withColumn("cos", Similarity.dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm")))
-      .filter(col("cos") >= 0.35)
-      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-        round(col("cos"), 3).as("cos"))
-  }
+    Similarity.nearDupPairs(T(s, dir, "embeddings"), 0.35, 8)
 
   // ----------------------------------------------------------- multimodal
 
@@ -462,6 +488,7 @@ object SparkEntry {
     "d_exact" -> (dExact _),
     "d_exact_normalized" -> (dExactNormalized _),
     "d_ngram_jaccard" -> (dJaccard _),
+    "d_ngram_jaccard_capped" -> (dJaccardCapped _),
     "d_minhash_sig" -> (dMinhashSig _),
     "d_minhash_lsh" -> (dMinhashLsh _),
     "d_lsh_jaccard" -> (dLshJaccard _),
@@ -469,7 +496,9 @@ object SparkEntry {
     "d_simhash_pairs" -> (dSimhashPairs _),
     "s_ann_brute" -> (sAnnBrute _),
     "s_ann_lsh" -> (sAnnLsh _),
+    "s_ann_lsh_mp" -> (sAnnLshMp _),
     "s_ann_ivf" -> (sAnnIvf _),
+    "s_ann_ivf_mp" -> (sAnnIvfMp _),
     "s_near_dup" -> (sNearDup _),
     "m_asset_meta" -> (mAssetMeta _),
     "m_frame_sample" -> (mFrameSample _),

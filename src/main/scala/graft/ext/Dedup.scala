@@ -1,13 +1,15 @@
 package graft.ext
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.codec.Codecs._
 
 /** Deduplication operators (north-star LLM-pipeline surface): exact,
-  * n-gram Jaccard, MinHash+LSH, SimHash. Hashing uses the
+  * n-gram Jaccard, MinHash+LSH, SimHash. Hashing defaults to the
   * oracle-portable 56-bit md5 prefix ([[graft.codec.Codecs.portableHash]]);
-  * swap in xxhash64 via [[graft.codec.Codecs.scaleHash]] for production.
+  * every entry point also accepts `hashName = "xx"` to swap in
+  * xxhash64 ([[graft.codec.Codecs.scaleHash]]) for production — same
+  * plan shapes, no md5 string round-trip, NOT oracle-reproducible.
   *
   * Scale design (100 TB): every operator below is
   * explode → hash-partition → partial-agg shaped. Candidate generation
@@ -18,6 +20,15 @@ import graft.codec.Codecs._
 object Dedup {
 
   val P: Long = 2305843009213693951L // 2^61 - 1, Mersenne prime
+
+  /** Resolve a hash-variant name to its column function. The name (not
+    * a function value) is threaded through the API so PlanCache tags
+    * stay distinct per variant. */
+  private def hashFn(hashName: String): Column => Column = hashName match {
+    case "md5" => portableHash
+    case "xx"  => scaleHash
+    case other => throw new IllegalArgumentException(s"unknown hash variant: $other")
+  }
 
   /** Exact dedup: group by (content hash, length); keeper = min doc_id.
     * Map-side partial aggregation makes the shuffle proportional to the
@@ -37,27 +48,28 @@ object Dedup {
     * Jaccard and MinHash. Distinct within doc. Materialized once via
     * PlanCache: the Jaccard self-join alone references it 4×, and the
     * MinHash/LSH queries reuse the same index. */
-  def shingleHashes(docs: DataFrame, n: Int): DataFrame =
+  def shingleHashes(docs: DataFrame, n: Int, hashName: String = "md5"): DataFrame =
     // Tokenize in a projection BELOW the explode so the split/filter
     // runs once per document, not once per reference inside the
     // shingle generator; spread the build across all cores (a single
     // small parquet file is one input split otherwise). The partition
     // probe and plan construction run only on a cache miss.
-    graft.ops.PlanCache.cachedBy(s"shingles-$n",
+    graft.ops.PlanCache.cachedBy(s"shingles-$n-$hashName",
         docs.queryExecution.logical.semanticHash(), docs.sparkSession) {
       val par = docs.sparkSession.sparkContext.defaultParallelism
       val src = if (docs.rdd.getNumPartitions < par) docs.repartition(par) else docs
       src.select(col("doc_id"), tokens(col("text")).as("tk"))
         .select(col("doc_id"), explode(array_distinct(shingles(col("tk"), n))).as("sh"))
-        .select(col("doc_id"), portableHash(col("sh")).as("h"))
+        .select(col("doc_id"), hashFn(hashName)(col("sh")).as("h"))
     }
 
-  /** n-gram Jaccard near-dup pairs: explode shingles, equi-join on the
-    * shingle hash (this IS the candidate generator — only docs sharing
-    * ≥1 shingle ever meet), count intersections, then
-    * J = |∩| / (|A|+|B|-|∩|). */
-  def ngramJaccardPairs(docs: DataFrame, n: Int, minJaccard: Double): DataFrame = {
-    val sh = shingleHashes(docs, n)
+  /** Shared Jaccard tail over a (doc_id, h) shingle frame: equi-join on
+    * the shingle hash (this IS the candidate generator — only docs
+    * sharing ≥1 shingle ever meet), count intersections, then
+    * J = |∩| / (|A|+|B|-|∩|). Sizes are computed over the SAME frame,
+    * so a df-capped caller gets Jaccard over the capped universe —
+    * consistent numerator and denominator. */
+  private def jaccardPairs(sh: DataFrame, minJaccard: Double): DataFrame = {
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val inter = sh.as("a").join(sh.as("b"),
         col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
@@ -73,26 +85,54 @@ object Dedup {
       .select("doc_a", "doc_b", "jaccard")
   }
 
+  /** n-gram Jaccard near-dup pairs, exhaustive over all shingles.
+    * CAUTION at scale: one shingle shared by d documents contributes
+    * d²/2 join rows — a single stop-shingle in a billion docs is fatal.
+    * Use [[ngramJaccardPairsCapped]] (df cap) or [[lshVerifiedJaccard]]
+    * (candidate-driven) as the scale path; this form is the
+    * local-correctness twin they are verified against. */
+  def ngramJaccardPairs(docs: DataFrame, n: Int, minJaccard: Double): DataFrame =
+    jaccardPairs(shingleHashes(docs, n), minJaccard)
+
+  /** [[ngramJaccardPairs]] with a shingle document-frequency cap:
+    * shingles occurring in more than `maxDf` documents are dropped
+    * BEFORE the self-join (classic stop-shingle removal), so the join
+    * fan-out per shingle key is bounded by maxDf² instead of corpus².
+    * Jaccard is computed over the capped shingle universe — both |∩|
+    * and the set sizes exclude hot shingles, which also makes near-dup
+    * scores sharper (ubiquitous shingles carry no signal). The df
+    * aggregation shuffles on the same key `h` as the join, so the cap
+    * adds one co-partitioned pass, not a new shuffle shape. */
+  def ngramJaccardPairsCapped(docs: DataFrame, n: Int, minJaccard: Double,
+      maxDf: Long): DataFrame = {
+    val sh = shingleHashes(docs, n)
+    val rare = sh.groupBy("h").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf).select("h")
+    jaccardPairs(sh.join(rare, Seq("h"), "left_semi"), minJaccard)
+  }
+
   /** MinHash signatures via the [[graft.functions.MinHashSketch]]
     * custom aggregate: ONE imperative agg with an Array[Long] buffer
     * instead of k wide codegen'd min() aggregates (identical values;
     * the shuffle still carries exactly k longs per doc). */
-  def minhashSignatures(docs: DataFrame, n: Int, k: Int): DataFrame = {
-    val sh = shingleHashes(docs, n)
+  def minhashSignatures(docs: DataFrame, n: Int, k: Int,
+      hashName: String = "md5"): DataFrame = {
+    val sh = shingleHashes(docs, n, hashName)
     val sig = sh.groupBy("doc_id")
       .agg(graft.functions.MinHashSketch.minhashSketch(col("h"), k).as("mh"))
     val cols = col("doc_id") +:
       (0 until k).map(i => element_at(col("mh"), i + 1).as(s"mh$i"))
-    graft.ops.PlanCache.cached(s"minhash-$n-$k", sig.select(cols: _*))
+    graft.ops.PlanCache.cached(s"minhash-$n-$k-$hashName", sig.select(cols: _*))
   }
 
   /** LSH banding: signature → (band, band-key) rows; docs sharing a
     * band key are candidate pairs. bands·rowsPerBand must equal the
     * signature width. Returns (doc_a, doc_b, n_shared_bands). */
-  def lshCandidatePairs(sigs: DataFrame, bands: Int, rowsPerBand: Int): DataFrame = {
+  def lshCandidatePairs(sigs: DataFrame, bands: Int, rowsPerBand: Int,
+      hashName: String = "md5"): DataFrame = {
     val bandStructs = (0 until bands).map { j =>
       val cols = (j * rowsPerBand until (j + 1) * rowsPerBand).map(i => col(s"mh$i"))
-      struct(lit(j).as("band"), portableHash(concat_ws(",", cols: _*)).as("bkey"))
+      struct(lit(j).as("band"), hashFn(hashName)(concat_ws(",", cols: _*)).as("bkey"))
     }
     val banded = sigs.select(col("doc_id"), explode(array(bandStructs: _*)).as("b"))
       .select(col("doc_id"), col("b.band").as("band"), col("b.bkey").as("bkey"))
@@ -111,10 +151,12 @@ object Dedup {
     * count. [[ngramJaccardPairs]] is the exact/exhaustive twin; this
     * is the 100 TB path (recall bounded by the LSH band parameters). */
   def lshVerifiedJaccard(docs: DataFrame, n: Int, k: Int,
-      bands: Int, rowsPerBand: Int, minJaccard: Double): DataFrame = {
-    val sh = shingleHashes(docs, n)
+      bands: Int, rowsPerBand: Int, minJaccard: Double,
+      hashName: String = "md5"): DataFrame = {
+    val sh = shingleHashes(docs, n, hashName)
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-    val cands = lshCandidatePairs(minhashSignatures(docs, n, k), bands, rowsPerBand)
+    val cands = lshCandidatePairs(minhashSignatures(docs, n, k, hashName),
+        bands, rowsPerBand, hashName)
       .select("doc_a", "doc_b")
     val shA = sh.select(col("doc_id").as("doc_a"), col("h").as("ha"))
     val shB = sh.select(col("doc_id").as("b_id"), col("h").as("hb"))
@@ -172,12 +214,38 @@ object Dedup {
     agg.select(col("doc_id"), fp.as("simhash"))
   }
 
-  /** SimHash near-dup pairs by Hamming distance ≤ maxHamming via
-    * bit_count(xor). Scale path: pigeonhole-band the fingerprint into
-    * maxHamming+1 segments and equi-join on each segment (any pair
-    * within the distance budget must agree on at least one segment);
-    * the local-correctness form below is the plain pairwise filter. */
-  def simhashPairs(fps: DataFrame, maxHamming: Int): DataFrame =
+  /** SimHash near-dup pairs by Hamming distance ≤ maxHamming, with
+    * GUARANTEED recall via pigeonhole banding: the `bits`-wide
+    * fingerprint is split into maxHamming+1 contiguous segments; a
+    * pair within the distance budget differs in at most maxHamming
+    * bits, so at least one segment must match EXACTLY — an equi-join
+    * per segment therefore finds every qualifying pair, and the exact
+    * bit_count filter removes the false candidates. Join fan-out is
+    * per (segment, value) bucket, never corpus-quadratic. */
+  def simhashPairs(fps: DataFrame, maxHamming: Int, bits: Int = 32): DataFrame = {
+    val nSeg = maxHamming + 1
+    require(nSeg <= bits, s"need at least one bit per segment ($nSeg segments, $bits bits)")
+    val bounds = (0 to nSeg).map(i => i * bits / nSeg)
+    val segs = (0 until nSeg).map { s =>
+      val lo = bounds(s); val w = bounds(s + 1) - lo
+      val mask = if (w >= 64) -1L else (1L << w) - 1
+      struct(lit(s).as("seg"),
+        shiftright(col("simhash"), lo).bitwiseAND(lit(mask)).as("segval"))
+    }
+    val banded = fps.select(col("doc_id"), col("simhash"), explode(array(segs: _*)).as("b"))
+      .select(col("doc_id"), col("simhash"), col("b.seg").as("seg"), col("b.segval").as("segval"))
+    banded.as("a").join(banded.as("b"),
+        col("a.seg") === col("b.seg") && col("a.segval") === col("b.segval") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        expr("bit_count(a.simhash ^ b.simhash)").cast("int").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct() // a close pair may agree on several segments
+  }
+
+  /** All-pairs twin of [[simhashPairs]] — O(N²), for verifying the
+    * banded form's guaranteed-recall claim on fixtures only. */
+  def simhashPairsExhaustive(fps: DataFrame, maxHamming: Int): DataFrame =
     fps.as("a").join(fps.as("b"), col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         expr("bit_count(a.simhash ^ b.simhash)").cast("int").as("hamming"))

@@ -3,13 +3,14 @@ package graft.ext
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.codec.Codecs
 
 /** Similarity search over an embedding column (`array<float>`):
-  * brute-force cosine top-k as the exact baseline, and a sign-bit LSH
-  * bucketed variant as the scale path. Vector math is done with
-  * higher-order functions (zip_with/aggregate) in double precision —
-  * sequential left-to-right folds, so results are bit-deterministic and
-  * oracle-reproducible. No UDFs.
+  * brute-force cosine top-k as the exact baseline, and sign-bit LSH /
+  * IVF bucketed variants (single- and multi-probe) as the scale path.
+  * Vector math is done with higher-order functions (zip_with/aggregate)
+  * in double precision — sequential left-to-right folds, so results are
+  * bit-deterministic and oracle-reproducible. No UDFs.
   */
 object Similarity {
 
@@ -31,23 +32,28 @@ object Similarity {
       .withColumn("nrm", norm(col("v")))
       .select(col("vec_id"), col("label"), col("v"), col("nrm"))
 
-  /** Shared scoring/ranking tail of every ANN variant: broadcast the
-    * query side, score candidates by cosine, rank with the ONE
-    * tie-break rule (cos desc, vec_id) all variants share so their
-    * outputs stay directly comparable. `cellCols` restricts candidates
-    * to the query's cell (empty = exact search). */
-  private def topK(queries: DataFrame, cands: DataFrame,
-      cellCols: Seq[String], k: Int): DataFrame = {
-    val cond = cellCols
-      .map(c => col(s"q_$c") === col(c))
-      .foldLeft(col("q_id") =!= col("vec_id"))(_ && _)
-    broadcast(queries).join(cands, cond)
+  /** Shared ranking tail of every ANN variant: score joined
+    * (query, candidate) rows by cosine and rank with the ONE tie-break
+    * rule (cos desc, vec_id) all variants share, so their outputs stay
+    * directly comparable. Expects columns q_id/qv/qn on the query side
+    * and vec_id/v/nrm on the candidate side. */
+  private def rankTopK(pairs: DataFrame, k: Int): DataFrame =
+    pairs
       .withColumn("cos", dot(col("qv"), col("v")) / (col("qn") * col("nrm")))
       .withColumn("rnk", row_number().over(
         Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))))
       .filter(col("rnk") <= k)
       .select(col("q_id"), col("vec_id").as("neighbor_id"), col("rnk"),
         round(col("cos"), 4).as("cos"))
+
+  /** Single-cell variant: broadcast the query side, restrict candidates
+    * to the query's cell (`cellCols` empty = exact search). */
+  private def topK(queries: DataFrame, cands: DataFrame,
+      cellCols: Seq[String], k: Int): DataFrame = {
+    val cond = cellCols
+      .map(c => col(s"q_$c") === col(c))
+      .foldLeft(col("q_id") =!= col("vec_id"))(_ && _)
+    rankTopK(broadcast(queries).join(cands, cond), k)
   }
 
   private def asQueries(vecs: DataFrame, queryPred: Column, cellCols: Seq[String]): DataFrame =
@@ -83,43 +89,113 @@ object Similarity {
       vecs.filter(!queryPred), Seq("bucket"), k)
   }
 
-  /** IVF (inverted-file) ANN: every vector is assigned to its nearest
-    * centroid cell; search touches only the query's cell. Centroids
-    * are deterministically seeded (every `centroidEvery`-th vector) so
-    * the oracle can reproduce the index — a k-means refinement would
-    * drop in without changing any query shape. Assignment expands each
-    * vector × n_centroids then reduces with a per-vector window; the
-    * result is persisted via PlanCache since both sides of the search
-    * join (queries and candidates) consume it. */
-  def ivfAssign(emb: DataFrame, centroidEvery: Long): DataFrame =
-    graft.ops.PlanCache.cachedBy(s"ivf-$centroidEvery",
+  /** Multi-probe LSH: each query probes its own bucket PLUS every
+    * bucket at Hamming distance 1 (one sign bit flipped) — nBits+1
+    * probes total, the standard recall lever for sign-bit LSH. Only
+    * the (tiny, broadcast) query side fans out; every candidate still
+    * lives in exactly one bucket, so no pair is scored twice and no
+    * distinct step is needed. */
+  def lshTopKMulti(emb: DataFrame, queryPred: Column, k: Int, nBits: Int): DataFrame = {
+    val vecs = withNorm(emb).withColumn("bucket", lshBucket(col("v"), nBits))
+    val probes = array((col("bucket") +: (0 until nBits).map(i =>
+      col("bucket").bitwiseXOR(lit(1L << i)))): _*)
+    val q = vecs.filter(queryPred)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"),
+        explode(probes).as("q_bucket"))
+    rankTopK(broadcast(q).join(vecs.filter(!queryPred),
+      col("q_bucket") === col("bucket") && col("q_id") =!= col("vec_id")), k)
+  }
+
+  /** The IVF codebook as ONE broadcastable row: the k vectors with the
+    * smallest portableHash(vec_id) (ties by vec_id) — a deterministic,
+    * oracle-reproducible sample whose size is INDEPENDENT of corpus
+    * size, collected into a c_id-sorted struct array. k-means would
+    * refine the same shape without changing any consumer. Cached: both
+    * the assignment and the multi-probe query side consume it. */
+  private def centroidArray(emb: DataFrame, k: Int): DataFrame =
+    graft.ops.PlanCache.cachedBy(s"ivf-cents-$k",
         emb.queryExecution.logical.semanticHash(), emb.sparkSession) {
-      val vecs = withNorm(emb)
-      val cents = broadcast(vecs.filter(pmod(col("vec_id"), lit(centroidEvery)) === 0)
-        .select(col("vec_id").as("c_id"), col("v").as("cv"), col("nrm").as("cn")))
-      vecs.crossJoin(cents)
-        .withColumn("ccos", dot(col("v"), col("cv")) / (col("nrm") * col("cn")))
-        .withColumn("crnk", row_number().over(
-          Window.partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("c_id"))))
-        .filter(col("crnk") === 1)
-        .select(col("vec_id"), col("label"), col("v"), col("nrm"), col("c_id").as("cell"))
+      withNorm(emb)
+        .orderBy(Codecs.portableHash(col("vec_id")), col("vec_id"))
+        .limit(k)
+        .select(col("vec_id").as("c_id"), col("v").as("cv"), col("nrm").as("cn"))
+        .agg(sort_array(collect_list(struct(col("c_id"), col("cv"), col("cn")))).as("cents"))
+    }
+
+  /** argmax-cosine cell over the centroid array: an ordered fold in
+    * increasing c_id, replacing only on STRICTLY greater cosine — i.e.
+    * max cosine with smallest c_id on ties, identical to the oracle's
+    * `row_number() ORDER BY ccos DESC, c_id` rule. */
+  private def bestCell(cents: Column, v: Column, nrm: Column): Column =
+    aggregate(cents,
+      struct(lit(-1L).as("c_id"), lit(-2.0d).as("cos")),
+      (acc, c) => {
+        val ccos = dot(v, c.getField("cv")) / (nrm * c.getField("cn"))
+        when(ccos > acc.getField("cos"),
+          struct(c.getField("c_id").as("c_id"), ccos.as("cos")))
+          .otherwise(acc)
+      },
+      acc => acc.getField("c_id"))
+
+  /** The query's `np` nearest cells (cos desc, c_id asc), for
+    * multi-probe: score every centroid, sort by (-cos, c_id), slice. */
+  private def probeCells(cents: Column, v: Column, nrm: Column, np: Int): Column =
+    transform(
+      slice(sort_array(transform(cents, c => struct(
+        (-(dot(v, c.getField("cv")) / (nrm * c.getField("cn")))).as("neg_cos"),
+        c.getField("c_id").as("c_id")))), 1, np),
+      s => s.getField("c_id"))
+
+  /** IVF (inverted-file) assignment: every vector is mapped to its
+    * nearest of k fixed centroids. The centroid array is ONE broadcast
+    * row and the argmax is a per-row fold, so assignment is a NARROW
+    * map over the corpus — O(N·k) work, no shuffle, no window. (The
+    * round-1 form sampled every `centroidEvery`-th vector, making
+    * #centroids ∝ N and assignment O(N²) — fatal at 100× data.)
+    * Persisted via PlanCache: both sides of every IVF search join
+    * consume it. */
+  def ivfAssign(emb: DataFrame, k: Int): DataFrame =
+    graft.ops.PlanCache.cachedBy(s"ivf-k$k",
+        emb.queryExecution.logical.semanticHash(), emb.sparkSession) {
+      withNorm(emb)
+        .crossJoin(broadcast(centroidArray(emb, k)))
+        .withColumn("cell", bestCell(col("cents"), col("v"), col("nrm")))
+        .select(col("vec_id"), col("label"), col("v"), col("nrm"), col("cell"))
     }
 
   /** IVF top-k: neighbors sought within the query's centroid cell only
     * (nprobe=1; recall < 1 by design, rank rules identical to the
     * exact baseline for comparability). */
-  def ivfTopK(emb: DataFrame, queryPred: Column, k: Int, centroidEvery: Long): DataFrame = {
-    val assigned = ivfAssign(emb, centroidEvery)
+  def ivfTopK(emb: DataFrame, queryPred: Column, k: Int, kCentroids: Int): DataFrame = {
+    val assigned = ivfAssign(emb, kCentroids)
     topK(asQueries(assigned, queryPred, Seq("cell")),
       assigned.filter(!queryPred), Seq("cell"), k)
   }
 
-  /** Embedding-cosine near-duplicate pairs (vec_a < vec_b, cos ≥ τ).
-    * Local form is all-pairs; scale path buckets by [[lshBucket]] first
-    * (see lshTopK) so only bucket-mates are compared. */
-  def nearDupPairs(emb: DataFrame, minCos: Double): DataFrame = {
-    val vecs = withNorm(emb)
-    vecs.as("a").join(vecs.as("b"), col("a.vec_id") < col("b.vec_id"))
+  /** Multi-probe IVF: each query searches its `nprobe` nearest cells
+    * instead of one. Probe fan-out is on the broadcast query side
+    * only; every candidate belongs to exactly one cell, so no pair is
+    * scored twice. Recall rises toward brute-force as nprobe → k. */
+  def ivfTopKMulti(emb: DataFrame, queryPred: Column, k: Int,
+      kCentroids: Int, nprobe: Int): DataFrame = {
+    val assigned = ivfAssign(emb, kCentroids)
+    val q = assigned.filter(queryPred)
+      .crossJoin(broadcast(centroidArray(emb, kCentroids)))
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"),
+        explode(probeCells(col("cents"), col("v"), col("nrm"), nprobe)).as("q_cell"))
+    rankTopK(broadcast(q).join(assigned.filter(!queryPred),
+      col("q_cell") === col("cell") && col("q_id") =!= col("vec_id")), k)
+  }
+
+  /** Embedding-cosine near-duplicate pairs (vec_a < vec_b, cos ≥ τ),
+    * bucketed by [[lshBucket]] so only bucket-mates are ever compared —
+    * the per-bucket quadratic term replaces the corpus-quadratic one
+    * (recall bounded by the bucket split; lower nBits trades speed for
+    * recall). */
+  def nearDupPairs(emb: DataFrame, minCos: Double, nBits: Int = 8): DataFrame = {
+    val vecs = withNorm(emb).withColumn("bucket", lshBucket(col("v"), nBits))
+    vecs.as("a").join(vecs.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
       .withColumn("cos", dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm")))
       .filter(col("cos") >= minCos)
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),

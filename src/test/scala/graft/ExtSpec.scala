@@ -67,6 +67,35 @@ class ExtSpec extends SparkSpec {
     assert(viaSketch === composed)
   }
 
+  test("df cap drops hot-shingle pairs and keeps true duplicates") {
+    // 6 docs share ONE ubiquitous shingle (df=6 > cap 5) and nothing
+    // else; 2 docs are true duplicates whose shingles are rare.
+    val hot = (1L to 6L).map(i => (i, s"hot shin gle u${i}a u${i}b u${i}c"))
+    val dups = Seq((100L, "dup one two three"), (101L, "dup one two three"))
+    val docs = (hot ++ dups).toDF("doc_id", "text")
+    val uncapped = Dedup.ngramJaccardPairs(docs, 3, 0.0)
+      .select(col("doc_a"), col("doc_b")).as[(Long, Long)].collect().toSet
+    val capped = Dedup.ngramJaccardPairsCapped(docs, 3, 0.0, 5L)
+      .select(col("doc_a"), col("doc_b")).as[(Long, Long)].collect().toSet
+    // uncapped: the hot shingle alone manufactures all 15 cross-pairs
+    assert(uncapped.contains((1L, 2L)) && uncapped.size === 16)
+    // capped: hot-shingle-only pairs are gone, the real duplicate stays
+    assert(capped === Set((100L, 101L)))
+  }
+
+  test("pigeonhole-banded simhash pairs exactly equal the exhaustive form") {
+    // real corpus: 500 docs → 124 750 exhaustive pairs checked against
+    // the banded join (the guaranteed-recall claim, not a sample)
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val fps = Dedup.simhash(docs, 32)
+    val banded = Dedup.simhashPairs(fps, 3, 32)
+      .as[(Long, Long, Int)].collect().toSet
+    val exhaustive = Dedup.simhashPairsExhaustive(fps, 3)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(banded === exhaustive)
+    assert(exhaustive.nonEmpty, "fixture must actually contain close pairs")
+  }
+
   test("simhash of near-identical docs is close in Hamming distance") {
     val docs = Seq(
       (1L, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12"),
@@ -98,6 +127,32 @@ class ExtSpec extends SparkSpec {
     val got = Similarity.lshTopK(emb, col("vec_id") < 8, 5, 3)
       .select(col("neighbor_id")).as[Long].collect().toSeq
     assert(got === Seq(10L))
+  }
+
+  test("multi-probe ANN recall is at least single-probe and measurably improves") {
+    // recall measured against the exact brute-force top-3 on the real
+    // sf0.001 embeddings (8 queries × 492 candidates)
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val pred = col("vec_id") < 8
+    def hits(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select(col("q_id"), col("neighbor_id")).as[(Long, Long)].collect().toSet
+    val brute = hits(Similarity.bruteForceTopK(emb, pred, 3))
+    def recall(s: Set[(Long, Long)]): Double =
+      (s intersect brute).size.toDouble / brute.size
+    val lsh1 = recall(hits(Similarity.lshTopK(emb, pred, 3, 8)))
+    val lshM = recall(hits(Similarity.lshTopKMulti(emb, pred, 3, 8)))
+    val ivf1 = recall(hits(Similarity.ivfTopK(emb, pred, 3, 8)))
+    val ivfM = recall(hits(Similarity.ivfTopKMulti(emb, pred, 3, 8, 2)))
+    assert(lshM >= lsh1 && ivfM >= ivf1, s"multi-probe must not lose recall (lsh $lsh1->$lshM, ivf $ivf1->$ivfM)")
+    assert(lshM + ivfM > lsh1 + ivf1, s"multi-probe must measurably improve on the fixture (lsh $lsh1->$lshM, ivf $ivf1->$ivfM)")
+  }
+
+  test("IVF assignment uses exactly the fixed-k codebook") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val assigned = Similarity.ivfAssign(emb, 8)
+    assert(assigned.count() === emb.count(), "every vector gets a cell")
+    val cells = assigned.select(countDistinct(col("cell"))).as[Long].head()
+    assert(cells <= 8 && cells > 1, s"cells must come from the k=8 codebook, got $cells")
   }
 
   test("extracted media features flow into the ANN path end-to-end") {

@@ -55,6 +55,16 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("InMemoryTableScan"), s"rec cache not used:\n$p")
   }
 
+  test("IVF assignment is a narrow broadcast map: no window, constant-width codebook") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val p = graft.ext.Similarity.ivfAssign(emb, 8)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Window"),
+      s"assignment must be an argmax fold per row, not an N×k window:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("InMemoryTableScan"),
+      s"codebook must arrive as a broadcast single row:\n$p")
+  }
+
   test("the as-of join is a single keyed window, not a range join") {
     val p = plan("a_asof_join")
     assert(p.contains("Window"), "expected the running-window carry")
