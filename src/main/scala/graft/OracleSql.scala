@@ -483,10 +483,12 @@ SELECT vec_a, vec_b, round(cos, 3) AS cos FROM pairs WHERE cos >= 0.35""",
   ${dh("text")} AS content_hash
 FROM documents""",
 
+    // character-based on BOTH sides (engine: sliceChars mode; DuckDB
+    // length/substr are character-based) — consistent beyond ASCII
     "m_frame_sample" -> """SELECT doc_id AS asset_id,
   CAST(i AS BIGINT) AS frame_idx,
-  CAST((i * CAST(strlen(text) AS BIGINT)) // 4 AS BIGINT) AS frame_off,
-  substr(text, CAST((i * CAST(strlen(text) AS BIGINT)) // 4 AS INT) + 1, 8) AS frame_str
+  CAST((i * CAST(length(text) AS BIGINT)) // 4 AS BIGINT) AS frame_off,
+  substr(text, CAST((i * CAST(length(text) AS BIGINT)) // 4 AS INT) + 1, 8) AS frame_str
 FROM documents, range(0, 4) t(i)""",
   )
 }

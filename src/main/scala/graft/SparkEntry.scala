@@ -442,7 +442,9 @@ object SparkEntry {
     val assets = Multimodal.toAssets(
       T(s, dir, "documents").select(col("doc_id").as("asset_id"),
         col("text").cast("binary").as("payload")), "video")
-    Multimodal.sampleFrames(assets, 4, 8)
+    // character mode: offsets and windows in the SAME unit as the
+    // character-based oracle substr — well-defined beyond ASCII
+    Multimodal.sampleFrames(assets, 4, 8, sliceChars = true)
       .select(col("asset_id"), col("frame_idx").cast("long").as("frame_idx"),
         col("frame_off"), col("frame").cast("string").as("frame_str"))
   }

@@ -49,6 +49,17 @@ object Codecs {
   def mintSpanId(traceId: Column, op: Column): Column =
     substring(md5(concat(traceId, lit("-"), op).cast("binary")), 1, 16)
 
+  /** Production id minting: a fresh RANDOM 16-hex id per row, per
+    * expression instance (uuid-derived) — the reference's actual
+    * behavior, which mints a random span id for every traced hop
+    * (reference: StreamsConfigTest.java:53-55). NOT reproducible by
+    * the SQL oracle, so the Verify registry uses the deterministic
+    * [[mintSpanId]] twin; this variant is for production pipelines
+    * (and PipelineDemo), where id uniqueness matters and replay
+    * determinism does not. */
+  def mintSpanIdRandom(): Column =
+    substring(regexp_replace(uuid(), "-", ""), 1, 16)
+
   /** Render the B3 single header: "{traceId}-{spanId}-{1|0}". */
   def b3Render(traceId: Column, spanId: Column, sampled: Column): Column =
     concat_ws("-", traceId, spanId, when(sampled, lit("1")).otherwise(lit("0")))

@@ -102,14 +102,30 @@ object Multimodal {
     rows.toDF("vec_id", "embedding").withColumn("label", lit(0))
   }
 
-  /** Frame sampling: n evenly spaced byte windows per video payload —
-    * exploded to one row per frame, preserving asset metadata. */
-  def sampleFrames(assets: DataFrame, nFrames: Int, frameBytes: Int): DataFrame =
-    assets
+  /** Frame sampling: n evenly spaced windows per video payload —
+    * exploded to one row per frame, preserving asset metadata.
+    *
+    * Byte mode (default) slices the raw BINARY payload at byte offsets
+    * — the shape a real codec consumes. `sliceChars = true` decodes the
+    * payload as UTF-8 and samples CHARACTER windows at character
+    * offsets instead: offsets and slice lengths are then defined in ONE
+    * unit on both the engine and the (character-based DuckDB substr)
+    * oracle, so results stay well-defined for multi-byte text payloads
+    * — the registry's m_frame_sample uses this mode. */
+  def sampleFrames(assets: DataFrame, nFrames: Int, frameLen: Int,
+      sliceChars: Boolean = false): DataFrame = {
+    val measured =
+      if (sliceChars) assets.withColumn("frame_unit_len", length(col("payload").cast("string")).cast("long"))
+      else assets.withColumn("frame_unit_len", col("byte_len"))
+    val sliced = measured
       .withColumn("frame_idx", explode(sequence(lit(0), lit(nFrames - 1))))
       .withColumn("frame_off",
-        (col("frame_idx").cast("long") * col("byte_len") / nFrames).cast("long"))
+        (col("frame_idx").cast("long") * col("frame_unit_len") / nFrames).cast("long"))
       .withColumn("frame",
-        expr(s"substring(payload, cast(frame_off as int) + 1, $frameBytes)"))
-      .select(col("asset_id"), col("frame_idx"), col("frame_off"), col("frame"))
+        if (sliceChars)
+          expr(s"substring(cast(payload as string), cast(frame_off as int) + 1, $frameLen)")
+        else
+          expr(s"substring(payload, cast(frame_off as int) + 1, $frameLen)"))
+    sliced.select(col("asset_id"), col("frame_idx"), col("frame_off"), col("frame"))
+  }
 }

@@ -64,9 +64,12 @@ object ContextOps {
   /** P4 ("set" traced peek, reference StreamsConfig.java:34-37): derive
     * the messageid baggage and open a child span for this hop — a pure
     * projection; the span itself is emitted by [[spanRows]]. */
-  def setBaggage(df: DataFrame): DataFrame =
+  def setBaggage(df: DataFrame, prodIds: Boolean = false): DataFrame =
     df.withColumn("messageid", concat(lit("messageid_"), col("value_int").cast("string")))
-      .withColumn("span_id", mintSpanId(hopSeed(df), lit("set")))
+      .withColumn("span_id",
+        // prodIds: RANDOM span ids (the reference's actual behavior);
+        // the deterministic form is what the Verify registry needs
+        if (prodIds) mintSpanIdRandom() else mintSpanId(hopSeed(df), lit("set")))
 
   // ---------------------------------------------------------------- branch
 

@@ -24,12 +24,21 @@ object PlanCache {
 
   /** Variant with an explicit key, for callers whose frame is expensive
     * even to CONSTRUCT (partition probes, wide generated expressions):
-    * `build` runs only on a cache miss. */
+    * `build` runs only on a cache miss.
+    *
+    * Staleness contract: the key is PLAN-based, not data-based — if the
+    * files under a path change while a session lives, the persisted
+    * frame keeps serving the old data (exactly like a Spark
+    * `.cache()`); call [[clear]] after mutating inputs. Entries of
+    * stopped sessions are swept on every access so persisted frames
+    * cannot accumulate past their SparkContext's lifetime. */
   def cachedBy(tag: String, key: Int, spark: org.apache.spark.sql.SparkSession)(
-      build: => DataFrame): DataFrame =
+      build: => DataFrame): DataFrame = {
+    cache.filterInPlace((_, df) => !df.sparkSession.sparkContext.isStopped)
     cache.getOrElseUpdate(
       (spark.sparkContext.applicationId + "/" + System.identityHashCode(spark), key, tag),
       build.persist(StorageLevel.MEMORY_AND_DISK))
+  }
 
   def clear(): Unit = {
     cache.values.foreach { df =>

@@ -50,6 +50,15 @@ object PipelineDemo {
         Codecs.headerLast(col("headers"), "b3").cast("string").as("b3"),
         Codecs.headerLast(col("headers"), "messageid").cast("string").as("messageid"))
       .orderBy("value_int").show(false)
+    // Production id minting: same pipeline step, RANDOM span ids per
+    // hop (the reference's live behavior); the deterministic form above
+    // is what the oracle-checked registry uses
+    val prodSpans = graft.ops.ContextOps.setBaggage(
+      spark.read.parquet(dirs(0)).drop("messageid", "span_id"), prodIds = true)
+    println(s"=== production id minting: ${
+      prodSpans.select(countDistinct(col("span_id"))).head().getLong(0)
+    } distinct random span ids over ${prodSpans.count()} records ===")
+
     println("=== odd-numbers sink ===")
     spark.read.parquet(dirs(1)).select(col("key").cast("string"), col("value_int"))
       .orderBy("value_int").show(false)

@@ -194,4 +194,21 @@ class ExtSpec extends SparkSpec {
       .select(col("frame_idx"), col("frame_off")).as[(Int, Long)].collect().toSeq.sorted
     assert(frames === Seq((0, 0L), (1, 25L), (2, 50L), (3, 75L)))
   }
+
+  test("char-mode frame sampling is well-defined for non-ASCII payloads") {
+    // multi-byte UTF-8: byte offsets and char offsets diverge; char
+    // mode must slice exactly the i*len/4 CHARACTER window
+    val txt = "héllo wörld ünïcode 中文 ¡text! " * 4
+    val assets = Multimodal.toAssets(
+      Seq((1L, txt.getBytes("UTF-8"))).toDF("asset_id", "payload"), "video")
+    val frames = Multimodal.sampleFrames(assets, 4, 8, sliceChars = true)
+      .select(col("frame_idx"), col("frame").cast("string"))
+      .as[(Int, String)].collect().sortBy(_._1)
+    val n = txt.length
+    frames.foreach { case (i, f) =>
+      val off = (i.toLong * n / 4).toInt
+      assert(f === txt.substring(off, math.min(off + 8, n)),
+        s"frame $i must be the 8-char window at char offset $off")
+    }
+  }
 }

@@ -145,6 +145,38 @@ class StreamingPipelineSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming dedup output equals the batch dedup of the same records") {
+    // the last place batch/streaming semantics could drift: the exact-
+    // dedup family run through dropDuplicates on a stream must keep the
+    // same key set as the batch form over the identical records
+    implicit val sqlCtx = spark.sqlContext
+    val recs = Seq(
+      record("a", 1, traceId, parentSpan, 1),
+      record("a", 1, traceId, parentSpan, 1).copy(offset = 2), // dup (same ts)
+      record("a", 2, traceId, parentSpan, 3),
+      record("b", 1, traceId, parentSpan, 4),
+      record("b", 1, traceId, parentSpan, 4).copy(offset = 5), // dup (same ts)
+      record("b", 1, traceId, parentSpan, 6))                  // later ts: kept
+    val input = MemoryStream[RawRecord]
+    val q = Pipeline.dedupStream(input.toDF(), "1 hour")
+      .writeStream.format("memory").queryName("dedup_twin")
+      .outputMode("append").start()
+    try {
+      input.addData(recs.take(3)); q.processAllAvailable()
+      input.addData(recs.drop(3)); q.processAllAvailable()
+      val streaming = spark.table("dedup_twin")
+        .select(col("key"), col("value_int"), col("ts"))
+        .as[(String, Int, Timestamp)].collect().toSet
+      val batch = graft.ops.ContextOps.setBaggage(
+          graft.ops.ContextOps.decode(recs.toDF()))
+        .dropDuplicates(Seq("key", "value_int", "ts"))
+        .select(col("key"), col("value_int"), col("ts"))
+        .as[(String, Int, Timestamp)].collect().toSet
+      assert(streaming === batch)
+      assert(streaming.size === 4, "two planted duplicates must be suppressed")
+    } finally q.stop()
+  }
+
   test("malformed values route to the default branch instead of vanishing") {
     // a 2-byte payload decodes to null value_int; the null parity
     // predicate must fall through to the default (odd) branch
