@@ -51,7 +51,10 @@ object Bench {
       catch { case _: Throwable => () }
     }
 
-    val prepareSec = timed(SparkEntry.prepare(spark, sfDir))
+    val prepareSteps = SparkEntry.prepareSteps.map { case (name, step) =>
+      name -> timed(step(spark, sfDir))
+    }
+    val prepareSec = prepareSteps.map(_._2).sum
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       var ok = true
@@ -85,7 +88,7 @@ object Bench {
       m.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = prepareSec + results.values.filter(_ >= 0).sum
     val nFailed = results.values.count(_ < 0) + extraResults.values.count(_ < 0)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","prepare":$prepareSec,"queries":${jmap(results)},"extras":${jmap(extraResults)},"failed":$nFailed,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","prepare":$prepareSec,"prepare_steps":${jmap(prepareSteps.toMap)},"queries":${jmap(results)},"extras":${jmap(extraResults)},"failed":$nFailed,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
