@@ -98,6 +98,27 @@ object OracleSql {
   SELECT vec_id, label, v, sqrt(list_dot_product(v, v)) AS nrm, $bucket AS bucket FROM vecs)"""
   }
 
+  /** LSH-verified Jaccard pair CTEs (mirror of Dedup.lshVerifiedJaccard):
+    * ends with `pairs(doc_a, doc_b, jaccard)` at threshold 0.5. */
+  private val LSH_PAIRS = s"""$SIG, bands AS (
+  ${(0 until 4).map(bandSelect).mkString("\n  UNION ALL ")}),
+cands AS (
+  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+  FROM bands x JOIN bands y
+    ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
+sz AS (SELECT doc_id, count(*) AS n_sh FROM h GROUP BY doc_id),
+inter AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+  FROM cands c
+  JOIN h a ON a.doc_id = c.doc_a
+  JOIN h b ON b.doc_id = c.doc_b AND b.h = a.h
+  GROUP BY 1, 2),
+pairs AS (
+  SELECT doc_a, doc_b,
+         round(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 4) AS jaccard
+  FROM inter JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
+  WHERE round(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 4) >= 0.5)"""
+
   /** IVF codebook + assignment CTEs (mirror of Similarity.ivfAssign):
     * codebook = the 8 vectors with the smallest portable hash of
     * vec_id (ties by vec_id) — fixed k, independent of corpus size;
@@ -337,6 +358,34 @@ SELECT token, count(*) AS doc_freq FROM (
   SELECT doc_id, unnest(list_distinct(tk)) AS token FROM toks)
 GROUP BY token ORDER BY doc_freq DESC, token LIMIT 50""",
 
+    // corpus side of PII redaction: the fixture is clean, so the gate
+    // checks redaction is the identity with zero hits (no false
+    // positives); planted-PII behavior is pinned in ExtSpec
+    "t_redact" -> s"""SELECT doc_id,
+  regexp_replace(regexp_replace(text, '${graft.ext.TextOps.EmailPat}', '<EMAIL>', 'g'),
+                 '${graft.ext.TextOps.UrlPat}', '<URL>', 'g') AS clean_text,
+  CAST(len(regexp_extract_all(text, '${graft.ext.TextOps.EmailPat}'))
+     + len(regexp_extract_all(text, '${graft.ext.TextOps.UrlPat}')) AS BIGINT) AS n_redacted
+FROM documents""",
+
+    // idf is the RATIO N/df (not ln): bit-identical across engines
+    "t_tfidf_topk" -> s"""$TOKS, t AS (
+  SELECT doc_id, unnest(tk) AS token FROM toks
+), tf AS (SELECT doc_id, token, count(*) AS tf FROM t GROUP BY 1, 2
+), dfreq AS (SELECT token, count(DISTINCT doc_id) AS df FROM t GROUP BY 1
+), n AS (SELECT count(*) AS n_docs FROM documents
+), scored AS (
+  SELECT doc_id, token, tf, df, tf * (CAST(n_docs AS DOUBLE) / df) AS score
+  FROM tf JOIN dfreq USING (token) CROSS JOIN n)
+SELECT doc_id, token, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+       round(score, 4) AS score, CAST(rnk AS INT) AS rnk FROM (
+  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, token) AS rnk
+  FROM scored)
+WHERE rnk <= 3""",
+
+    "d_stratified_sample" -> s"""SELECT doc_id, lang, source FROM documents
+WHERE ${dh("lang || '|' || CAST(doc_id AS VARCHAR)")} % 100 < 20""",
+
     "d_exact" -> s"""SELECT ${dh("text")} AS text_hash,
   CAST(length(text) AS BIGINT) AS text_len,
   count(*) AS n_copies, min(doc_id) AS keeper
@@ -382,23 +431,19 @@ FROM bands x JOIN bands y
   ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id
 GROUP BY 1, 2""",
 
-    "d_lsh_jaccard" -> s"""$SIG, bands AS (
-  ${(0 until 4).map(bandSelect).mkString("\n  UNION ALL ")}),
-cands AS (
-  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-  FROM bands x JOIN bands y
-    ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
-sz AS (SELECT doc_id, count(*) AS n_sh FROM h GROUP BY doc_id),
-inter AS (
-  SELECT c.doc_a, c.doc_b, count(*) AS n_inter
-  FROM cands c
-  JOIN h a ON a.doc_id = c.doc_a
-  JOIN h b ON b.doc_id = c.doc_b AND b.h = a.h
-  GROUP BY 1, 2)
-SELECT doc_a, doc_b,
-       round(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 4) AS jaccard
-FROM inter JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
-WHERE round(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 4) >= 0.5""",
+    "d_lsh_jaccard" -> s"$LSH_PAIRS SELECT doc_a, doc_b, jaccard FROM pairs",
+
+    // engine: iterative min-label propagation; oracle: recursive-CTE
+    // transitive closure — independent algorithms, identical fixpoint
+    "d_neardup_groups" -> s"""${LSH_PAIRS.replaceFirst("WITH ", "WITH RECURSIVE ")}, e AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION ALL SELECT doc_b AS a, doc_a AS b FROM pairs
+), reach AS (
+  SELECT doc_id AS doc, doc_id AS lbl FROM documents
+  UNION
+  SELECT e.b AS doc, r.lbl AS lbl FROM reach r JOIN e ON e.a = r.doc
+)
+SELECT doc AS doc_id, min(lbl) AS group_id FROM reach GROUP BY doc""",
 
     "d_simhash" -> s"$SIMHASH_FPS SELECT doc_id, simhash FROM fps",
 

@@ -355,6 +355,53 @@ object SparkEntry {
       .orderBy(col("doc_freq").desc, col("bigram"))
       .limit(30)
 
+  /** PII scrubbing: emails and URLs replaced with typed placeholders.
+    * The corpus oracle checks the no-false-positive property (clean
+    * text passes through unchanged); planted-PII behavior is pinned by
+    * unit spec. */
+  private def tRedact(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "documents").select(col("doc_id"),
+      TextOps.redact(col("text")).as("clean_text"),
+      TextOps.redactionCount(col("text")).cast("long").as("n_redacted"))
+
+  /** Per-document top-3 terms by tf-idf. idf is the plain ratio
+    * N/df rather than ln(N/df): long→double and one IEEE division are
+    * bit-identical across engines, while ln() implementations may
+    * differ in the last ulp and flip rank ties — the price of a
+    * hash-compared oracle. */
+  private def tTfidfTopK(s: SparkSession, dir: String): DataFrame = {
+    val docs = T(s, dir, "documents")
+    val toks = docs.select(col("doc_id"), explode(Codecs.tokens(col("text"))).as("token"))
+    val tf = toks.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val dfreq = toks.distinct().groupBy("token").agg(count(lit(1)).as("df"))
+    val n = broadcast(docs.agg(count(lit(1)).as("n_docs")))
+    tf.join(dfreq, "token").crossJoin(n)
+      .withColumn("score", col("tf") * (col("n_docs").cast("double") / col("df")))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("token"))))
+      .filter(col("rnk") <= 3)
+      .select(col("doc_id"), col("token"), col("tf"), col("df"),
+        round(col("score"), 4).as("score"), col("rnk"))
+  }
+
+  /** Deterministic stratified sample (~20% per language): hash-split
+    * on (lang, doc_id) — same rows on every run and every engine,
+    * independent of partitioning. The train/eval-split primitive. */
+  private def dStratifiedSample(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "documents")
+      .filter(TextOps.hashSample(col("lang"), col("doc_id"), 20))
+      .select(col("doc_id"), col("lang"), col("source"))
+
+  /** Near-dup dedup APPLY: connected components over the LSH-verified
+    * Jaccard pairs, group id = min doc_id per component (oracle: a
+    * recursive-CTE transitive closure — an independent algorithm). */
+  private def dNearDupGroups(s: SparkSession, dir: String): DataFrame = {
+    val docs = T(s, dir, "documents")
+    val pairs = Dedup.lshVerifiedJaccard(docs, 3, 16, 4, 4, 0.5)
+      .select("doc_a", "doc_b")
+    Dedup.nearDupComponents(docs.select("doc_id"), pairs)
+  }
+
   // ---------------------------------------------------------------- dedup
 
   private def dExact(s: SparkSession, dir: String): DataFrame =
@@ -494,6 +541,10 @@ object SparkEntry {
     "t_bigram_topk" -> (tBigramTopK _),
     "t_lang_stats" -> (tLangStats _),
     "t_quality_filter" -> (tQualityFilter _),
+    "t_redact" -> (tRedact _),
+    "t_tfidf_topk" -> (tTfidfTopK _),
+    "d_stratified_sample" -> (dStratifiedSample _),
+    "d_neardup_groups" -> (dNearDupGroups _),
     "d_dedup_apply" -> (dDedupApply _),
     "d_exact" -> (dExact _),
     "d_exact_normalized" -> (dExactNormalized _),

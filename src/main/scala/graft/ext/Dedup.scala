@@ -250,4 +250,48 @@ object Dedup {
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         expr("bit_count(a.simhash ^ b.simhash)").cast("int").as("hamming"))
       .filter(col("hamming") <= maxHamming)
+
+  /** The dedup APPLY step for NEAR duplicates: near-duplication is
+    * transitive in practice (A≈B≈C must collapse to one keeper even if
+    * A,C were never paired), so the canonical group id is the minimum
+    * doc_id of each CONNECTED COMPONENT of the pair graph.
+    *
+    * Implementation is iterative min-label propagation on plain
+    * DataFrames (the Pregel pattern): each sweep joins labels across
+    * edges and takes the per-vertex min — one co-partitioned join plus
+    * a partial-agg min per sweep, both shuffling on doc_id only. Sweep
+    * count is bounded by the component diameter, which for dedup
+    * graphs is tiny (duplicate clusters, not social networks); the
+    * fixpoint (min reachable id) is unique, so the result is
+    * deterministic regardless of sweep count, partitioning, or
+    * scheduling — which is what lets a recursive-CTE oracle check it.
+    * Intermediate labels are persisted and the previous iteration
+    * dropped, so lineage stays one sweep deep. */
+  def nearDupComponents(docs: DataFrame, pairs: DataFrame,
+      maxSweeps: Int = 20): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = docs.select(col("doc_id"), col("doc_id").as("group_id"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var sweep = 0
+    var changed = 1L
+    while (changed > 0 && sweep < maxSweeps) {
+      val viaNeighbor = edges
+        .join(labels.select(col("doc_id").as("dst"), col("group_id")), "dst")
+        .select(col("src").as("doc_id"), col("group_id"))
+      val next = labels.union(viaNeighbor)
+        .groupBy("doc_id").agg(min("group_id").as("group_id"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      changed = next
+        .join(labels.withColumnRenamed("group_id", "prev"), "doc_id")
+        .filter(col("group_id") < col("prev")).count()
+      labels.unpersist()
+      labels = next
+      sweep += 1
+    }
+    edges.unpersist()
+    labels
+  }
 }

@@ -58,6 +58,32 @@ object TextOps {
       (lit(1.0) - least(when(chars > 0, punct / chars).otherwise(0.0), lit(1.0))) * 0.2
   }
 
+  /** PII scrubbing patterns — RE2-compatible so the same pattern text
+    * runs in Spark (Java regex) and the DuckDB oracle unchanged. */
+  val EmailPat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val UrlPat = "https?://[^\\s]+"
+
+  /** PII redaction: replace emails and URLs with typed placeholders —
+    * the standard text-cleaning step before training-data use. Pure
+    * column expression (two codegen'd regex passes, no shuffle). On
+    * clean text this is the identity, which is exactly the
+    * no-false-positive property the corpus-level oracle checks; the
+    * positive cases are pinned by unit spec with planted PII. */
+  def redact(text: Column): Column =
+    regexp_replace(regexp_replace(text, EmailPat, "<EMAIL>"), UrlPat, "<URL>")
+
+  /** Count of redaction hits, for curation reporting. */
+  def redactionCount(text: Column): Column =
+    regexp_count(text, lit(EmailPat)) + regexp_count(text, lit(UrlPat))
+
+  /** Deterministic hash-split sampling decision: keep a row iff the
+    * portable hash of (stratum, id) lands under `pct` of the modulus —
+    * the reproducible form of stratified/Bernoulli sampling (same rows
+    * on every run, every engine, any partitioning; rate converges to
+    * pct% per stratum). The standard train/eval-split primitive. */
+  def hashSample(stratum: Column, id: Column, pct: Int): Column =
+    pmod(portableHash(concat_ws("|", stratum, id)), lit(100)) < pct
+
   /** Whole-document fingerprint over whitespace-normalized text. */
   def fingerprint(text: Column): Column =
     portableHash(regexp_replace(lower(trim(text)), "\\s+", " "))

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.ext.{Dedup, Multimodal, Similarity}
+import graft.ext.{Dedup, Multimodal, Similarity, TextOps}
 import graft.model.MediaAsset
 
 /** Semantics checks for the LLM-pipeline extension operators on tiny
@@ -94,6 +94,41 @@ class ExtSpec extends SparkSpec {
       .as[(Long, Long, Int)].collect().toSet
     assert(banded === exhaustive)
     assert(exhaustive.nonEmpty, "fixture must actually contain close pairs")
+  }
+
+  test("redaction scrubs planted emails and urls, counts hits, leaves clean text alone") {
+    val docs = Seq(
+      (1L, "contact alice.smith+x@example.org or https://example.com/a?b=1 thanks"),
+      (2L, "no pii here at all")).toDF("doc_id", "text")
+    val out = docs.select(col("doc_id"), TextOps.redact(col("text")),
+        TextOps.redactionCount(col("text")))
+      .as[(Long, String, Int)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(out(1L) === ("contact <EMAIL> or <URL> thanks", 2))
+    assert(out(2L) === ("no pii here at all", 0))
+  }
+
+  test("hash-split sampling is deterministic, nested, and approximately stratified") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    def sample(pct: Int): Set[Long] =
+      docs.filter(TextOps.hashSample(col("lang"), col("doc_id"), pct))
+        .select(col("doc_id")).as[Long].collect().toSet
+    val s20a = sample(20); val s20b = sample(20)
+    assert(s20a === s20b, "same rows on every run")
+    assert(sample(10).subsetOf(s20a), "smaller rates are nested inside larger ones")
+    val rate = s20a.size.toDouble / docs.count()
+    assert(rate > 0.1 && rate < 0.3, s"overall rate ~20%, got $rate")
+  }
+
+  test("near-dup components collapse transitive chains to the min-id keeper") {
+    // chain 1-2-3 (1,3 never paired directly), pair 4-5, singleton 6,
+    // and a diameter-4 chain 10..14 to force several propagation sweeps
+    val docs = (Seq(1L, 2L, 3L, 4L, 5L, 6L) ++ (10L to 14L)).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (4L, 5L),
+      (10L, 11L), (11L, 12L), (12L, 13L), (13L, 14L)).toDF("doc_a", "doc_b")
+    val got = Dedup.nearDupComponents(docs, pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L, 6L -> 6L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 13L -> 10L, 14L -> 10L))
   }
 
   test("simhash of near-identical docs is close in Hamming distance") {
