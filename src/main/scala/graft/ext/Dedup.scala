@@ -273,7 +273,12 @@ object Dedup {
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    var labels = docs.select(col("doc_id"), col("doc_id").as("group_id"))
+    // Iterate ONLY over vertices that appear in some pair: near-dup
+    // graphs are overwhelmingly singletons, which must not pay any
+    // sweep cost — at corpus scale the loop runs on the (tiny) pair
+    // graph and the corpus is touched exactly once, by the final join.
+    var labels = edges.select(col("src").as("doc_id")).distinct()
+      .withColumn("group_id", col("doc_id"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     var sweep = 0
     var changed = 1L
@@ -292,6 +297,9 @@ object Dedup {
       sweep += 1
     }
     edges.unpersist()
-    labels
+    // singletons map to themselves; paired docs take their component min
+    docs.select(col("doc_id"))
+      .join(labels.withColumnRenamed("group_id", "cc"), Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("cc"), col("doc_id")).as("group_id"))
   }
 }
