@@ -122,11 +122,11 @@ object Similarity {
         .agg(sort_array(collect_list(struct(col("c_id"), col("cv"), col("cn")))).as("cents"))
     }
 
-  /** argmax-cosine cell over the centroid array: an ordered fold in
-    * increasing c_id, replacing only on STRICTLY greater cosine — i.e.
-    * max cosine with smallest c_id on ties, identical to the oracle's
-    * `row_number() ORDER BY ccos DESC, c_id` rule. */
-  private def bestCell(cents: Column, v: Column, nrm: Column): Column =
+  /** argmax-cosine (cell, cosine) over the centroid array: an ordered
+    * fold in increasing c_id, replacing only on STRICTLY greater
+    * cosine — i.e. max cosine with smallest c_id on ties, identical to
+    * the oracle's `row_number() ORDER BY ccos DESC, c_id` rule. */
+  private def bestCellStruct(cents: Column, v: Column, nrm: Column): Column =
     aggregate(cents,
       struct(lit(-1L).as("c_id"), lit(-2.0d).as("cos")),
       (acc, c) => {
@@ -134,8 +134,10 @@ object Similarity {
         when(ccos > acc.getField("cos"),
           struct(c.getField("c_id").as("c_id"), ccos.as("cos")))
           .otherwise(acc)
-      },
-      acc => acc.getField("c_id"))
+      })
+
+  private def bestCell(cents: Column, v: Column, nrm: Column): Column =
+    bestCellStruct(cents, v, nrm).getField("c_id")
 
   /** The query's `np` nearest cells (cos desc, c_id asc), for
     * multi-probe: score every centroid, sort by (-cos, c_id), slice. */
@@ -157,11 +159,56 @@ object Similarity {
   def ivfAssign(emb: DataFrame, k: Int): DataFrame =
     graft.ops.PlanCache.cachedBy(s"ivf-k$k",
         emb.queryExecution.logical.semanticHash(), emb.sparkSession) {
-      withNorm(emb)
-        .crossJoin(broadcast(centroidArray(emb, k)))
-        .withColumn("cell", bestCell(col("cents"), col("v"), col("nrm")))
-        .select(col("vec_id"), col("label"), col("v"), col("nrm"), col("cell"))
+      ivfAssignCodebook(emb, centroidArray(emb, k))
     }
+
+  /** Assignment against an explicit one-row codebook (`cents` array
+    * column) — the narrow argmax map shared by the hash-sample and
+    * k-means codebooks. Also emits `cell_cos`, the cosine to the
+    * chosen centroid (the spherical k-means objective term). */
+  def ivfAssignCodebook(emb: DataFrame, centsRow: DataFrame): DataFrame =
+    withNorm(emb)
+      .crossJoin(broadcast(centsRow))
+      .withColumn("best", bestCellStruct(col("cents"), col("v"), col("nrm")))
+      .select(col("vec_id"), col("label"), col("v"), col("nrm"),
+        col("best").getField("c_id").as("cell"),
+        col("best").getField("cos").as("cell_cos"))
+
+  /** Lloyd-refined (spherical k-means) codebook: `iters` rounds of
+    * assign → per-cell element-wise mean. Each round is one narrow
+    * assignment pass plus a k-row aggregate, so refinement cost is
+    * iters × O(N·k) — the codebook stays ONE broadcast row and every
+    * consumer (assignment, search, multi-probe) is unchanged.
+    * Note: per-dimension means are floating-point partial sums, so the
+    * codebook is deterministic only up to summation order — which is
+    * why the k-means variants are bench/library surface, NOT oracle
+    * registry queries (the hash-sample codebook is the cross-engine-
+    * reproducible form). Cells that lose every member drop out, so the
+    * codebook can only shrink, never contain dead centroids. */
+  def kmeansCodebook(emb: DataFrame, k: Int, dims: Int, iters: Int): DataFrame = {
+    var cents = centroidArray(emb, k)
+    for (_ <- 0 until iters) {
+      val means = ivfAssignCodebook(emb, cents)
+        .groupBy("cell")
+        .agg(array((1 to dims).map(i => avg(element_at(col("v"), i))): _*).as("cv"))
+      cents = means
+        .select(col("cell").as("c_id"), col("cv"), norm(col("cv")).as("cn"))
+        .agg(sort_array(collect_list(struct(col("c_id"), col("cv"), col("cn")))).as("cents"))
+    }
+    cents
+  }
+
+  /** IVF top-k over the k-means-refined codebook (bench/library
+    * surface; see [[kmeansCodebook]] for why it is not oracle-checked). */
+  def ivfTopKKmeans(emb: DataFrame, queryPred: Column, k: Int,
+      kCentroids: Int, dims: Int, iters: Int): DataFrame = {
+    val assigned = graft.ops.PlanCache.cachedBy(s"ivf-km-$kCentroids-$iters",
+        emb.queryExecution.logical.semanticHash(), emb.sparkSession) {
+      ivfAssignCodebook(emb, kmeansCodebook(emb, kCentroids, dims, iters))
+    }
+    topK(asQueries(assigned, queryPred, Seq("cell")),
+      assigned.filter(!queryPred), Seq("cell"), k)
+  }
 
   /** IVF top-k: neighbors sought within the query's centroid cell only
     * (nprobe=1; recall < 1 by design, rank rules identical to the

@@ -182,6 +182,17 @@ class ExtSpec extends SparkSpec {
     assert(lshM + ivfM > lsh1 + ivf1, s"multi-probe must measurably improve on the fixture (lsh $lsh1->$lshM, ivf $ivf1->$ivfM)")
   }
 
+  test("k-means refinement does not degrade the within-cell cosine objective") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    def objective(iters: Int): Double =
+      Similarity.ivfAssignCodebook(emb, Similarity.kmeansCodebook(emb, 8, 64, iters))
+        .agg(avg(col("cell_cos"))).head().getDouble(0)
+    val before = objective(0) // iters=0 == the hash-sample codebook
+    val after = objective(2)
+    assert(after >= before - 1e-9,
+      s"Lloyd iterations must not degrade the spherical objective: $before -> $after")
+  }
+
   test("IVF assignment uses exactly the fixed-k codebook") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val assigned = Similarity.ivfAssign(emb, 8)
