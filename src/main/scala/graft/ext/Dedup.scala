@@ -269,34 +269,52 @@ object Dedup {
     * dropped, so lineage stays one sweep deep. */
   def nearDupComponents(docs: DataFrame, pairs: DataFrame,
       maxSweeps: Int = 20): DataFrame = {
-    import org.apache.spark.storage.StorageLevel
-    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    // Lineage discipline: every loop frame is localCheckpoint()ed
+    // (eager, executor-local), NOT persist()ed. Two reasons, both
+    // measured: (a) a mid-loop unpersist() makes the CacheManager
+    // recompile every DEPENDENT cached frame, so each sweep silently
+    // re-derives its whole lineage — work grew ~10× per sweep; (b)
+    // checkpointing truncates the plan, so sweep N's DAG is flat
+    // instead of N levels deep. On a multi-node cluster substitute a
+    // reliable checkpoint dir for executor-local storage.
+    //
+    // Edges are built in ONE pass via explode (a union of two selects
+    // would execute the upstream pair pipeline twice).
+    val edges = pairs.select(explode(array(
+        struct(col("doc_a").as("src"), col("doc_b").as("dst")),
+        struct(col("doc_b").as("src"), col("doc_a").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      .localCheckpoint()
     // Iterate ONLY over vertices that appear in some pair: near-dup
     // graphs are overwhelmingly singletons, which must not pay any
     // sweep cost — at corpus scale the loop runs on the (tiny) pair
     // graph and the corpus is touched exactly once, by the final join.
     var labels = edges.select(col("src").as("doc_id")).distinct()
       .withColumn("group_id", col("doc_id"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint()
     var sweep = 0
     var changed = 1L
     while (changed > 0 && sweep < maxSweeps) {
       val viaNeighbor = edges
         .join(labels.select(col("doc_id").as("dst"), col("group_id")), "dst")
         .select(col("src").as("doc_id"), col("group_id"))
-      val next = labels.union(viaNeighbor)
+      // path doubling: also adopt the label of one's current label —
+      // long chains then collapse in O(log diameter) sweeps instead of
+      // O(diameter), which is what bounds sweep count (each sweep is a
+      // fixed number of jobs, so job-launch overhead × sweeps is the
+      // real cost on small graphs)
+      val viaParent = labels.select(col("doc_id"), col("group_id").as("mid"))
+        .join(labels.select(col("doc_id").as("mid"), col("group_id").as("gg")), "mid")
+        .select(col("doc_id"), col("gg").as("group_id"))
+      val next = labels.union(viaNeighbor).union(viaParent)
         .groupBy("doc_id").agg(min("group_id").as("group_id"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint()
       changed = next
         .join(labels.withColumnRenamed("group_id", "prev"), "doc_id")
         .filter(col("group_id") < col("prev")).count()
-      labels.unpersist()
-      labels = next
+      labels = next // old sweeps' blocks are reclaimed by the ContextCleaner
       sweep += 1
     }
-    edges.unpersist()
     // singletons map to themselves; paired docs take their component min
     docs.select(col("doc_id"))
       .join(labels.withColumnRenamed("group_id", "cc"), Seq("doc_id"), "left")
