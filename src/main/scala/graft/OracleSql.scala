@@ -386,6 +386,24 @@ WHERE rnk <= 3""",
     "d_stratified_sample" -> s"""SELECT doc_id, lang, source FROM documents
 WHERE ${dh("lang || '|' || CAST(doc_id AS VARCHAR)")} % 100 < 20""",
 
+    // naive global-window cumsum — the independent check of the
+    // engine's two-phase distributed form
+    "t_pack_sequences" -> s"""$TOKS
+SELECT doc_id, n_tok, tok_start, tok_start // 2048 AS chunk_id FROM (
+  SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tok,
+         CAST(sum(len(tk)) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - len(tk) AS BIGINT) AS tok_start
+  FROM toks)""",
+
+    "d_contamination" -> s"""$LSH_PAIRS, marks AS (
+  SELECT doc_id, ${dh("lang || '|' || CAST(doc_id AS VARCHAR)")} % 100 < 20 AS is_eval
+  FROM documents)
+SELECT doc_a, doc_b, jaccard,
+       CASE WHEN ma.is_eval THEN doc_a ELSE doc_b END AS eval_doc
+FROM pairs
+JOIN marks ma ON ma.doc_id = doc_a
+JOIN marks mb ON mb.doc_id = doc_b
+WHERE ma.is_eval <> mb.is_eval""",
+
     "d_exact" -> s"""SELECT ${dh("text")} AS text_hash,
   CAST(length(text) AS BIGINT) AS text_len,
   count(*) AS n_copies, min(doc_id) AS keeper

@@ -402,6 +402,27 @@ object SparkEntry {
     Dedup.nearDupComponents(docs.select("doc_id"), pairs)
   }
 
+  /** Concat-and-chunk packing into 2048-token training sequences;
+    * engine = two-phase distributed cumsum, oracle = naive global
+    * window (independent algorithms, identical offsets). */
+  private def tPackSequences(s: SparkSession, dir: String): DataFrame =
+    TextOps.packSequences(T(s, dir, "documents"), 2048L, 100L)
+
+  /** Train/eval contamination: near-dup pairs that CROSS the
+    * deterministic 20% eval split — the decontamination check a
+    * training pipeline runs before holding out an eval set. */
+  private def dContamination(s: SparkSession, dir: String): DataFrame = {
+    val docs = T(s, dir, "documents")
+    val marks = docs.select(col("doc_id"),
+      TextOps.hashSample(col("lang"), col("doc_id"), 20).as("is_eval"))
+    Dedup.lshVerifiedJaccard(docs, 3, 16, 4, 4, 0.5)
+      .join(marks.select(col("doc_id").as("doc_a"), col("is_eval").as("eval_a")), "doc_a")
+      .join(marks.select(col("doc_id").as("doc_b"), col("is_eval").as("eval_b")), "doc_b")
+      .filter(col("eval_a") =!= col("eval_b"))
+      .select(col("doc_a"), col("doc_b"), col("jaccard"),
+        when(col("eval_a"), col("doc_a")).otherwise(col("doc_b")).as("eval_doc"))
+  }
+
   // ---------------------------------------------------------------- dedup
 
   private def dExact(s: SparkSession, dir: String): DataFrame =
@@ -545,6 +566,8 @@ object SparkEntry {
     "t_tfidf_topk" -> (tTfidfTopK _),
     "d_stratified_sample" -> (dStratifiedSample _),
     "d_neardup_groups" -> (dNearDupGroups _),
+    "t_pack_sequences" -> (tPackSequences _),
+    "d_contamination" -> (dContamination _),
     "d_dedup_apply" -> (dDedupApply _),
     "d_exact" -> (dExact _),
     "d_exact_normalized" -> (dExactNormalized _),

@@ -84,6 +84,37 @@ object TextOps {
   def hashSample(stratum: Column, id: Column, pct: Int): Column =
     pmod(portableHash(concat_ws("|", stratum, id)), lit(100)) < pct
 
+  /** Concat-and-chunk sequence packing (the standard LLM training
+    * layout): documents are laid end-to-end in doc_id order and cut
+    * into fixed-size token windows; each document reports its global
+    * token offset and the chunk its first token lands in.
+    *
+    * The global running sum is computed in TWO PHASES so no window
+    * ever sees more than a bounded partition: (1) a per-bucket
+    * cumulative sum, partitioned by `doc_id div bucketWidth`;
+    * (2) bucket base offsets from a window over the (tiny, one row
+    * per bucket) bucket-sum table, broadcast back. A single global
+    * `Window.orderBy` would funnel the whole corpus through one task —
+    * the canonical cumsum scale trap. The oracle computes the same
+    * offsets with the naive global window, making the two sides
+    * independent algorithms. */
+  def packSequences(docs: DataFrame, chunkTokens: Long, bucketWidth: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.{broadcast, coalesce, sum}
+    val sized = docs.select(col("doc_id"), tokenCount(col("text")).cast("long").as("n_tok"))
+      .withColumn("bucket", (col("doc_id") / bucketWidth).cast("long"))
+    val local = sized.withColumn("local_end",
+      sum(col("n_tok")).over(Window.partitionBy(col("bucket")).orderBy(col("doc_id"))))
+    val offsets = sized.groupBy("bucket").agg(sum(col("n_tok")).as("bsum"))
+      .withColumn("base",
+        coalesce(sum(col("bsum")).over(Window.orderBy(col("bucket"))) - col("bsum"), lit(0L)))
+      .select(col("bucket"), col("base"))
+    local.join(broadcast(offsets), "bucket")
+      .withColumn("tok_start", col("base") + col("local_end") - col("n_tok"))
+      .withColumn("chunk_id", (col("tok_start") / chunkTokens).cast("long"))
+      .select(col("doc_id"), col("n_tok"), col("tok_start"), col("chunk_id"))
+  }
+
   /** Whole-document fingerprint over whitespace-normalized text. */
   def fingerprint(text: Column): Column =
     portableHash(regexp_replace(lower(trim(text)), "\\s+", " "))

@@ -131,6 +131,36 @@ class ExtSpec extends SparkSpec {
       10L -> 10L, 11L -> 10L, 12L -> 10L, 13L -> 10L, 14L -> 10L))
   }
 
+  test("two-phase sequence packing equals the naive global cumsum") {
+    import org.apache.spark.sql.expressions.Window
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val packed = TextOps.packSequences(docs, 2048L, 100L)
+      .select(col("doc_id"), col("tok_start"), col("chunk_id"))
+      .as[(Long, Long, Long)].collect().toSet
+    val naive = docs
+      .select(col("doc_id"), TextOps.tokenCount(col("text")).cast("long").as("n_tok"))
+      .withColumn("tok_start", sum(col("n_tok")).over(Window.orderBy(col("doc_id"))) - col("n_tok"))
+      .select(col("doc_id"), col("tok_start"),
+        (col("tok_start") / 2048L).cast("long").as("chunk_id"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(packed === naive)
+    assert(packed.map(_._3).size > 1, "fixture must span several chunks")
+  }
+
+  test("contamination pairs cross the split boundary by construction") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val marks = docs.select(col("doc_id"),
+      TextOps.hashSample(col("lang"), col("doc_id"), 20).as("is_eval"))
+      .as[(Long, Boolean)].collect().toMap
+    val rows = SparkEntry.queries("d_contamination")(spark, "/root/testdata/sf0.001")
+      .select(col("doc_a"), col("doc_b"), col("eval_doc"))
+      .as[(Long, Long, Long)].collect()
+    rows.foreach { case (a, b, e) =>
+      assert(marks(a) ^ marks(b), s"pair ($a,$b) must cross the split")
+      assert(e === (if (marks(a)) a else b), "eval_doc must be the eval-side id")
+    }
+  }
+
   test("simhash of near-identical docs is close in Hamming distance") {
     val docs = Seq(
       (1L, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12"),
