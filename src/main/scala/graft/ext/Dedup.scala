@@ -268,7 +268,38 @@ object Dedup {
     * Intermediate labels are persisted and the previous iteration
     * dropped, so lineage stays one sweep deep. */
   def nearDupComponents(docs: DataFrame, pairs: DataFrame,
-      maxSweeps: Int = 20): DataFrame = {
+      maxSweeps: Int = 20, driverEdgeLimit: Long = 1000000L): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val p = pairs.select(col("doc_a"), col("doc_b")).localCheckpoint()
+    val nPairs = p.count()
+    // Fast path: a pair list under the limit (1M pairs ≈ 16 MB — less
+    // than a routine broadcast) is union-found on the driver in one
+    // collect + one broadcast join. The iterative path below is a
+    // serial chain of small jobs, which is exactly the shape that
+    // amplifies scheduler contention — so it is reserved for pair
+    // graphs that genuinely cannot sit on the driver. Same fixpoint
+    // either way: component id = min doc_id of the component.
+    if (nPairs <= driverEdgeLimit) {
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+        var c = x
+        while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      p.collect().foreach { row =>
+        val (a, b) = (row.getLong(0), row.getLong(1))
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb) // min-id root
+      }
+      val verts = parent.keySet ++ parent.values
+      val labels = verts.toSeq.map(v => (v, find(v))).toDF("doc_id", "cc")
+      return docs.select(col("doc_id"))
+        .join(broadcast(labels), Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("cc"), col("doc_id")).as("group_id"))
+    }
     // Lineage discipline: every loop frame is localCheckpoint()ed
     // (eager, executor-local), NOT persist()ed. Two reasons, both
     // measured: (a) a mid-loop unpersist() makes the CacheManager
@@ -279,8 +310,9 @@ object Dedup {
     // reliable checkpoint dir for executor-local storage.
     //
     // Edges are built in ONE pass via explode (a union of two selects
-    // would execute the upstream pair pipeline twice).
-    val edges = pairs.select(explode(array(
+    // would execute the upstream pair pipeline twice), from the
+    // already-checkpointed pair list.
+    val edges = p.select(explode(array(
         struct(col("doc_a").as("src"), col("doc_b").as("dst")),
         struct(col("doc_b").as("src"), col("doc_a").as("dst")))).as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"))

@@ -125,10 +125,16 @@ class ExtSpec extends SparkSpec {
     val docs = (Seq(1L, 2L, 3L, 4L, 5L, 6L) ++ (10L to 14L)).toDF("doc_id")
     val pairs = Seq((1L, 2L), (2L, 3L), (4L, 5L),
       (10L, 11L), (11L, 12L), (12L, 13L), (13L, 14L)).toDF("doc_a", "doc_b")
-    val got = Dedup.nearDupComponents(docs, pairs)
+    val expected = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L, 6L -> 6L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 13L -> 10L, 14L -> 10L)
+    // driver union-find fast path (default threshold)
+    val viaDriver = Dedup.nearDupComponents(docs, pairs)
       .as[(Long, Long)].collect().toMap
-    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L, 6L -> 6L,
-      10L -> 10L, 11L -> 10L, 12L -> 10L, 13L -> 10L, 14L -> 10L))
+    assert(viaDriver === expected)
+    // distributed label-propagation path (threshold forced to 0)
+    val viaLoop = Dedup.nearDupComponents(docs, pairs, driverEdgeLimit = 0L)
+      .as[(Long, Long)].collect().toMap
+    assert(viaLoop === expected)
   }
 
   test("two-phase sequence packing equals the naive global cumsum") {
