@@ -72,12 +72,7 @@ object Bench {
     // round-trip — demonstrates the scaleHash speedup).
     val extras: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
       "d_lsh_jaccard_xx" -> ((s, dir) => graft.ext.Dedup.lshVerifiedJaccard(
-        s.read.parquet(s"$dir/documents.parquet"), 3, 16, 4, 4, 0.5, hashName = "xx")),
-      // k-means-refined IVF (float-mean codebook: library surface, not
-      // oracle-reproducible — see Similarity.kmeansCodebook)
-      "s_ann_ivf_km" -> ((s, dir) => graft.ext.Similarity.ivfTopKKmeans(
-        s.read.parquet(s"$dir/embeddings.parquet"),
-        org.apache.spark.sql.functions.col("vec_id") < 8, 3, 8, 64, 2)))
+        s.read.parquet(s"$dir/documents.parquet"), 3, 16, 4, 4, 0.5, hashName = "xx")))
     val extraResults = extras.map { case (name, fn) =>
       var ok = true
       val sec = timed {

@@ -135,6 +135,26 @@ pairs AS (
     FROM nv, cents c) WHERE crnk = 1
 )"""
 
+  /** One spherical-k-means mean step over an assignment CTE (mirror of
+    * Similarity.kmeansCodebook): per-dimension means in 1e6 fixed
+    * point — exact BIGINT sums, then the same double division
+    * sequence as the engine, so the codebook is bit-identical. */
+  private def kmMeans(asg: String): String = {
+    val exprs = (1 to 64).map(i =>
+      s"(CAST(sum(CAST(round(v[$i]*1000000.0) AS BIGINT)) AS DOUBLE)/1000000.0)/count(*)")
+      .mkString(",\n    ")
+    s"SELECT cell AS c_id, [$exprs] AS cv FROM $asg GROUP BY cell"
+  }
+
+  /** argmax-cosine assignment against a codebook CTE (same tie rule as
+    * the engine's ordered fold: cos desc, c_id asc). */
+  private def kmAssign(cents: String): String =
+    s"""SELECT vec_id, v, nrm, c_id AS cell FROM (
+    SELECT nv.vec_id, nv.v, nv.nrm, c.c_id,
+           row_number() OVER (PARTITION BY nv.vec_id
+             ORDER BY list_dot_product(nv.v, c.cv) / (nv.nrm * c.cn) DESC, c.c_id) AS crnk
+    FROM nv, $cents c) WHERE crnk = 1"""
+
   val all: Map[String, String] = Map(
     "q_branch_even" -> s"$REC SELECT event_id, user_id, value_int FROM evens",
 
@@ -514,6 +534,28 @@ WHERE rnk <= 3""",
 ), s AS (
   SELECT q_id, vec_id, list_dot_product(qv, v) / (qn * nrm) AS cos
   FROM q JOIN asg ON q_cell = cell AND vec_id >= 8)
+SELECT q_id, vec_id AS neighbor_id, CAST(rnk AS INT) AS rnk, round(cos, 4) AS cos FROM (
+  SELECT q_id, vec_id, cos,
+         row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rnk FROM s)
+WHERE rnk <= 3""",
+
+    // two Lloyd rounds: asg (hash codebook, from IVF_ASG) -> means ->
+    // asg2 -> means -> asg3; search within the final cells
+    "s_ann_ivf_km" -> s"""$IVF_ASG, kc1 AS (
+  ${kmMeans("asg")}
+), kc1n AS (SELECT c_id, cv, sqrt(list_dot_product(cv, cv)) AS cn FROM kc1
+), asg2 AS (
+  ${kmAssign("kc1n")}
+), kc2 AS (
+  ${kmMeans("asg2")}
+), kc2n AS (SELECT c_id, cv, sqrt(list_dot_product(cv, cv)) AS cn FROM kc2
+), asg3 AS (
+  ${kmAssign("kc2n")}
+), q AS (
+  SELECT vec_id AS q_id, v AS qv, nrm AS qn, cell AS q_cell FROM asg3 WHERE vec_id < 8
+), s AS (
+  SELECT q_id, vec_id, list_dot_product(qv, v) / (qn * nrm) AS cos
+  FROM q JOIN asg3 ON q_cell = cell AND vec_id >= 8)
 SELECT q_id, vec_id AS neighbor_id, CAST(rnk AS INT) AS rnk, round(cos, 4) AS cos FROM (
   SELECT q_id, vec_id, cos,
          row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rnk FROM s)

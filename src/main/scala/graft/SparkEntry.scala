@@ -494,6 +494,13 @@ object SparkEntry {
   private def sAnnIvfMp(s: SparkSession, dir: String): DataFrame =
     Similarity.ivfTopKMulti(T(s, dir, "embeddings"), col("vec_id") < 8, 3, IvfK, 2)
 
+  /** IVF over the spherical-k-means-refined codebook (2 Lloyd rounds,
+    * deterministic fixed-point means — oracle-checkable because the
+    * per-dimension sums are exact longs, not order-dependent double
+    * partial sums). */
+  private def sAnnIvfKm(s: SparkSession, dir: String): DataFrame =
+    Similarity.ivfTopKKmeans(T(s, dir, "embeddings"), col("vec_id") < 8, 3, IvfK, 64, 2)
+
   /** Fixed IVF codebook size — independent of corpus size by design
     * (assignment is O(N·k); see Similarity.ivfAssign). */
   private val IvfK = 8
@@ -583,6 +590,7 @@ object SparkEntry {
     "s_ann_lsh_mp" -> (sAnnLshMp _),
     "s_ann_ivf" -> (sAnnIvf _),
     "s_ann_ivf_mp" -> (sAnnIvfMp _),
+    "s_ann_ivf_km" -> (sAnnIvfKm _),
     "s_near_dup" -> (sNearDup _),
     "m_asset_meta" -> (mAssetMeta _),
     "m_frame_sample" -> (mFrameSample _),

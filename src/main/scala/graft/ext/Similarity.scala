@@ -174,23 +174,33 @@ object Similarity {
         col("best").getField("c_id").as("cell"),
         col("best").getField("cos").as("cell_cos"))
 
+  /** Fixed-point scale for k-means means: dimension values are rounded
+    * to micro-units and summed as LONGS, which is exact and therefore
+    * independent of partitioning and summation order — the property
+    * that makes the refined codebook bit-identical across engines
+    * (a plain avg() of doubles is order-dependent partial sums). */
+  val KmeansScale = 1000000.0d
+
   /** Lloyd-refined (spherical k-means) codebook: `iters` rounds of
     * assign → per-cell element-wise mean. Each round is one narrow
     * assignment pass plus a k-row aggregate, so refinement cost is
     * iters × O(N·k) — the codebook stays ONE broadcast row and every
     * consumer (assignment, search, multi-probe) is unchanged.
-    * Note: per-dimension means are floating-point partial sums, so the
-    * codebook is deterministic only up to summation order — which is
-    * why the k-means variants are bench/library surface, NOT oracle
-    * registry queries (the hash-sample codebook is the cross-engine-
-    * reproducible form). Cells that lose every member drop out, so the
-    * codebook can only shrink, never contain dead centroids. */
+    * Means are computed in [[KmeansScale]] fixed point (exact long
+    * sums → one double division sequence), so the codebook is fully
+    * deterministic and the refined search is oracle-checkable. Cells
+    * that lose every member drop out, so the codebook can only
+    * shrink, never contain dead centroids. */
   def kmeansCodebook(emb: DataFrame, k: Int, dims: Int, iters: Int): DataFrame = {
     var cents = centroidArray(emb, k)
     for (_ <- 0 until iters) {
+      val meanExprs = (1 to dims).map { i =>
+        sum(round(element_at(col("v"), i) * KmeansScale).cast("long"))
+          .cast("double") / KmeansScale / count(lit(1))
+      }
       val means = ivfAssignCodebook(emb, cents)
         .groupBy("cell")
-        .agg(array((1 to dims).map(i => avg(element_at(col("v"), i))): _*).as("cv"))
+        .agg(array(meanExprs: _*).as("cv"))
       cents = means
         .select(col("cell").as("c_id"), col("cv"), norm(col("cv")).as("cn"))
         .agg(sort_array(collect_list(struct(col("c_id"), col("cv"), col("cn")))).as("cents"))
@@ -198,8 +208,8 @@ object Similarity {
     cents
   }
 
-  /** IVF top-k over the k-means-refined codebook (bench/library
-    * surface; see [[kmeansCodebook]] for why it is not oracle-checked). */
+  /** IVF top-k over the k-means-refined codebook (deterministic
+    * fixed-point means — see [[kmeansCodebook]]). */
   def ivfTopKKmeans(emb: DataFrame, queryPred: Column, k: Int,
       kCentroids: Int, dims: Int, iters: Int): DataFrame = {
     val assigned = graft.ops.PlanCache.cachedBy(s"ivf-km-$kCentroids-$iters",
