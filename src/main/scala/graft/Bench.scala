@@ -72,7 +72,17 @@ object Bench {
     // round-trip — demonstrates the scaleHash speedup).
     val extras: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
       "d_lsh_jaccard_xx" -> ((s, dir) => graft.ext.Dedup.lshVerifiedJaccard(
-        s.read.parquet(s"$dir/documents.parquet"), 3, 16, 4, 4, 0.5, hashName = "xx")))
+        s.read.parquet(s"$dir/documents.parquet"), 3, 16, 4, 4, 0.5, hashName = "xx")),
+      // the 100 TB swap-in for a_percentiles: t-digest sketch instead
+      // of exact per-group buffers (not oracle-matchable — approximate)
+      "a_percentiles_approx" -> ((s, dir) => {
+        import org.apache.spark.sql.functions.{col, expr, round}
+        s.read.parquet(s"$dir/lineitem.parquet")
+          .groupBy(col("l_returnflag"))
+          .agg(
+            round(expr("approx_percentile(l_extendedprice, 0.5, 1000)"), 4).as("p50"),
+            round(expr("approx_percentile(l_extendedprice, 0.95, 1000)"), 4).as("p95"))
+      }))
     val extraResults = extras.map { case (name, fn) =>
       var ok = true
       val sec = timed {

@@ -424,6 +424,31 @@ JOIN marks ma ON ma.doc_id = doc_a
 JOIN marks mb ON mb.doc_id = doc_b
 WHERE ma.is_eval <> mb.is_eval""",
 
+    // the composed curation DAG: normalize -> exact-dedup keepers ->
+    // quality/length gate -> train split -> pack into 2048-tok chunks
+    "e_curation_pipeline" -> s"""WITH norm AS (
+  SELECT doc_id, lang, text,
+         regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS ntext
+  FROM documents
+), grp AS (
+  SELECT ${dh("ntext")} AS th, CAST(length(ntext) AS BIGINT) AS tl, min(doc_id) AS keeper
+  FROM norm GROUP BY 1, 2
+), kept AS (
+  SELECT n.doc_id, n.lang, n.text FROM norm n JOIN grp g ON n.doc_id = g.keeper
+), toks AS (
+  SELECT doc_id, lang, text,
+         list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), t -> len(t) > 0) AS tk
+  FROM kept
+), gated AS (
+  SELECT doc_id, lang, round($QUALITY, 4) AS quality, CAST(len(tk) AS BIGINT) AS n_tok
+  FROM toks
+  WHERE round($QUALITY, 4) >= 0.5 AND len(tk) BETWEEN 10 AND 200
+    AND NOT (${dh("lang || '|' || CAST(doc_id AS VARCHAR)")} % 100 < 20)
+)
+SELECT doc_id, lang, quality, n_tok, tok_start, tok_start // 2048 AS chunk_id FROM (
+  SELECT *, CAST(sum(n_tok) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n_tok AS BIGINT) AS tok_start
+  FROM gated)""",
+
     "d_exact" -> s"""SELECT ${dh("text")} AS text_hash,
   CAST(length(text) AS BIGINT) AS text_len,
   count(*) AS n_copies, min(doc_id) AS keeper

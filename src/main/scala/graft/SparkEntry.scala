@@ -423,6 +423,29 @@ object SparkEntry {
         when(col("eval_a"), col("doc_a")).otherwise(col("doc_b")).as("eval_doc"))
   }
 
+  /** The end-to-end curation pipeline as ONE composed DAG — what a
+    * training-data run actually executes: whitespace/case normalize →
+    * exact-dedup keepers → quality+length gate → hold out the 20%
+    * eval split → pack the surviving train docs into 2048-token
+    * sequences. Every stage is the same operator the individual
+    * registry queries check; this query pins their composition. */
+  private def eCurationPipeline(s: SparkSession, dir: String): DataFrame = {
+    val docs = T(s, dir, "documents")
+      .withColumn("norm_text", regexp_replace(lower(trim(col("text"))), "\\s+", " "))
+    val keepers = Dedup.exactGroups(docs.select(col("doc_id"), col("norm_text").as("text")))
+      .select(col("keeper").as("doc_id"))
+    val gated = docs.join(keepers, "doc_id")
+      .withColumn("quality", round(TextOps.qualityScore(col("text")), 4))
+      .withColumn("n_tok", TextOps.tokenCount(col("text")).cast("long"))
+      .filter(col("quality") >= 0.5 && col("n_tok").between(10, 200))
+      .filter(!TextOps.hashSample(col("lang"), col("doc_id"), 20)) // train side only
+    gated.select(col("doc_id"), col("lang"), col("quality"))
+      .join(TextOps.packSequences(gated.select(col("doc_id"), col("text")), 2048L, 100L),
+        "doc_id")
+      .select(col("doc_id"), col("lang"), col("quality"), col("n_tok"),
+        col("tok_start"), col("chunk_id"))
+  }
+
   // ---------------------------------------------------------------- dedup
 
   private def dExact(s: SparkSession, dir: String): DataFrame =
@@ -575,6 +598,7 @@ object SparkEntry {
     "d_neardup_groups" -> (dNearDupGroups _),
     "t_pack_sequences" -> (tPackSequences _),
     "d_contamination" -> (dContamination _),
+    "e_curation_pipeline" -> (eCurationPipeline _),
     "d_dedup_apply" -> (dDedupApply _),
     "d_exact" -> (dExact _),
     "d_exact_normalized" -> (dExactNormalized _),
