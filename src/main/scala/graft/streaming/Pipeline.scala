@@ -74,6 +74,25 @@ object Pipeline {
       .withWatermark("ts", watermarkDelay)
       .dropDuplicates(keys :+ "ts")
 
+  /** Ingest-time dedup against an existing corpus: decoded records are
+    * dropped when (a) their content hash already exists in the STATIC
+    * corpus index — a stream-static left_anti join, so the corpus is
+    * never shuffled per micro-batch and at scale arrives as a
+    * broadcast or bucketed hash set — or (b) the same content already
+    * appeared earlier in the stream (watermark-bounded state, as in
+    * [[dedupStream]]). This is the streaming half of the exact-dedup
+    * apply step: the batch side dedups the corpus, this keeps it
+    * clean as new data lands. */
+  def ingestDedup(raw: DataFrame, corpusHashes: DataFrame,
+      watermarkDelay: String): DataFrame =
+    ContextOps.setBaggage(ContextOps.decode(raw))
+      .withColumn("content_hash",
+        graft.codec.Codecs.portableHash(
+          concat_ws("|", col("key"), col("value_int"))))
+      .withWatermark("ts", watermarkDelay)
+      .dropDuplicates(Seq("content_hash", "ts"))
+      .join(corpusHashes.select(col("content_hash")), Seq("content_hash"), "left_anti")
+
   /** Start the streaming query: raw Kafka-shaped stream in, four sinks
     * out, one source scan per micro-batch. */
   def start(

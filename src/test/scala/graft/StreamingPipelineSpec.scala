@@ -177,6 +177,29 @@ class StreamingPipelineSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("ingest dedup drops corpus matches and in-stream duplicates, passes fresh records") {
+    implicit val sqlCtx = spark.sqlContext
+    // static corpus already contains the content ("seen", 1)
+    val corpus = Seq(("seen", 1)).toDF("k", "v")
+      .select(graft.codec.Codecs.portableHash(
+        concat_ws("|", col("k"), col("v"))).as("content_hash"))
+    val input = MemoryStream[RawRecord]
+    val out = Pipeline.ingestDedup(input.toDF(), corpus, "1 hour")
+    val q = out.writeStream.format("memory").queryName("ingest_dedup")
+      .outputMode("append").start()
+    try {
+      val dup = record("fresh", 7, traceId, parentSpan, 1)
+      input.addData(Seq(
+        record("seen", 1, traceId, parentSpan, 2),  // in corpus: dropped
+        dup, dup.copy(offset = 3),                  // in-stream dup: one survives
+        record("fresh", 9, traceId, parentSpan, 4))) // fresh: survives
+      q.processAllAvailable()
+      val got = spark.table("ingest_dedup")
+        .select(col("key"), col("value_int")).as[(String, Int)].collect().toSet
+      assert(got === Set(("fresh", 7), ("fresh", 9)))
+    } finally q.stop()
+  }
+
   test("malformed values route to the default branch instead of vanishing") {
     // a 2-byte payload decodes to null value_int; the null parity
     // predicate must fall through to the default (odd) branch
