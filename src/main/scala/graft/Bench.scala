@@ -51,10 +51,19 @@ object Bench {
       catch { case _: Throwable => () }
     }
 
+    // a failing staging build must surface as its own -1, not crash
+    // the run before the JSON line is emitted
     val prepareSteps = SparkEntry.prepareSteps.map { case (name, step) =>
-      name -> timed(step(spark, sfDir))
+      var ok = true
+      val sec = timed {
+        try step(spark, sfDir)
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] prepare $name FAILED: ${e.getMessage}"); ok = false
+        }
+      }
+      name -> (if (ok) sec else -1.0)
     }
-    val prepareSec = prepareSteps.map(_._2).sum
+    val prepareSec = prepareSteps.map(_._2).filter(_ >= 0).sum
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       var ok = true
@@ -67,12 +76,19 @@ object Bench {
       name -> (if (ok) sec else -1.0)
     }.toMap
 
-    // Bench-only twins, outside the oracle registry: the production
-    // xxhash64 dedup path (same plans as d_lsh_jaccard, no md5 string
-    // round-trip — demonstrates the scaleHash speedup).
+    // Bench-only twins, outside the oracle registry. The xxhash64
+    // dedup twin runs TWICE: the first (cold) timing includes building
+    // its own xx shingle/minhash indices — compare against the md5
+    // path's shingle_index+minhash_sigs prepare steps; the second
+    // (warm) timing is query-only — compare against d_lsh_jaccard,
+    // whose indices were likewise prebuilt. Without the warm twin the
+    // extras number would repeat round 1's cold-build misattribution.
+    def lshXx(s: SparkSession, dir: String): DataFrame =
+      graft.ext.Dedup.lshVerifiedJaccard(
+        s.read.parquet(s"$dir/documents.parquet"), 3, 16, 4, 4, 0.5, hashName = "xx")
     val extras: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
-      "d_lsh_jaccard_xx" -> ((s, dir) => graft.ext.Dedup.lshVerifiedJaccard(
-        s.read.parquet(s"$dir/documents.parquet"), 3, 16, 4, 4, 0.5, hashName = "xx")),
+      "d_lsh_jaccard_xx_cold" -> (lshXx _),
+      "d_lsh_jaccard_xx_warm" -> (lshXx _),
       // the 100 TB swap-in for a_percentiles: t-digest sketch instead
       // of exact per-group buffers (not oracle-matchable — approximate)
       "a_percentiles_approx" -> ((s, dir) => {
@@ -97,8 +113,11 @@ object Bench {
     def jmap(m: Map[String, Double]): String =
       m.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = prepareSec + results.values.filter(_ >= 0).sum
-    val nFailed = results.values.count(_ < 0) + extraResults.values.count(_ < 0)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","prepare":$prepareSec,"prepare_steps":${jmap(prepareSteps.toMap)},"queries":${jmap(results)},"extras":${jmap(extraResults)},"failed":$nFailed,"sf":"$sfDir"}""")
+    // "failed" gates the oracle registry (queries + their prepare);
+    // extras are advisory twins and fail separately
+    val nFailed = results.values.count(_ < 0) + prepareSteps.count(_._2 < 0)
+    val nExtrasFailed = extraResults.values.count(_ < 0)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","prepare":$prepareSec,"prepare_steps":${jmap(prepareSteps.toMap)},"queries":${jmap(results)},"extras":${jmap(extraResults)},"failed":$nFailed,"extras_failed":$nExtrasFailed,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -23,7 +23,17 @@ object Similarity {
 
   def norm(v: Column): Column = sqrt(dot(v, v))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  /** Division guarded for ANSI mode (Spark 4 default), where x/0
+    * RAISES instead of returning NaN — one zero-norm vector would
+    * otherwise kill a corpus-wide scan. The only reachable zero-
+    * denominator case is a zero vector, whose dot product is also 0,
+    * so NaN is exactly what the oracle's (IEEE) 0/0 produces; NaN then
+    * sorts greatest in both engines, keeping ranks aligned. */
+  private def safeDiv(num: Column, den: Column): Column =
+    when(den =!= 0.0d, num / den).otherwise(lit(Double.NaN))
+
+  def cosine(a: Column, b: Column): Column =
+    safeDiv(dot(a, b), norm(a) * norm(b))
 
   /** Precompute per-vector norms once — at scale this is the cheap side
     * of the join and avoids recomputing norms per candidate pair. */
@@ -39,7 +49,7 @@ object Similarity {
     * and vec_id/v/nrm on the candidate side. */
   private def rankTopK(pairs: DataFrame, k: Int): DataFrame =
     pairs
-      .withColumn("cos", dot(col("qv"), col("v")) / (col("qn") * col("nrm")))
+      .withColumn("cos", safeDiv(dot(col("qv"), col("v")), col("qn") * col("nrm")))
       .withColumn("rnk", row_number().over(
         Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))))
       .filter(col("rnk") <= k)
@@ -130,7 +140,7 @@ object Similarity {
     aggregate(cents,
       struct(lit(-1L).as("c_id"), lit(-2.0d).as("cos")),
       (acc, c) => {
-        val ccos = dot(v, c.getField("cv")) / (nrm * c.getField("cn"))
+        val ccos = safeDiv(dot(v, c.getField("cv")), nrm * c.getField("cn"))
         when(ccos > acc.getField("cos"),
           struct(c.getField("c_id").as("c_id"), ccos.as("cos")))
           .otherwise(acc)
@@ -144,7 +154,7 @@ object Similarity {
   private def probeCells(cents: Column, v: Column, nrm: Column, np: Int): Column =
     transform(
       slice(sort_array(transform(cents, c => struct(
-        (-(dot(v, c.getField("cv")) / (nrm * c.getField("cn")))).as("neg_cos"),
+        (-safeDiv(dot(v, c.getField("cv")), nrm * c.getField("cn"))).as("neg_cos"),
         c.getField("c_id").as("c_id")))), 1, np),
       s => s.getField("c_id"))
 
@@ -253,7 +263,7 @@ object Similarity {
     val vecs = withNorm(emb).withColumn("bucket", lshBucket(col("v"), nBits))
     vecs.as("a").join(vecs.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
-      .withColumn("cos", dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm")))
+      .withColumn("cos", safeDiv(dot(col("a.v"), col("b.v")), col("a.nrm") * col("b.nrm")))
       .filter(col("cos") >= minCos)
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
         round(col("cos"), 3).as("cos"))

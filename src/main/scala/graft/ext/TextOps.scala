@@ -80,9 +80,13 @@ object TextOps {
     * portable hash of (stratum, id) lands under `pct` of the modulus —
     * the reproducible form of stratified/Bernoulli sampling (same rows
     * on every run, every engine, any partitioning; rate converges to
-    * pct% per stratum). The standard train/eval-split primitive. */
+    * pct% per stratum). The standard train/eval-split primitive.
+    * Built on concat (NOT concat_ws): a NULL stratum propagates to a
+    * NULL predicate and the row is excluded — the same semantics as
+    * the oracle's SQL `||`, which concat_ws would silently diverge
+    * from by skipping the null. */
   def hashSample(stratum: Column, id: Column, pct: Int): Column =
-    pmod(portableHash(concat_ws("|", stratum, id)), lit(100)) < pct
+    pmod(portableHash(concat(stratum, lit("|"), id.cast("string"))), lit(100)) < pct
 
   /** Concat-and-chunk sequence packing (the standard LLM training
     * layout): documents are laid end-to-end in doc_id order and cut
@@ -101,8 +105,12 @@ object TextOps {
   def packSequences(docs: DataFrame, chunkTokens: Long, bucketWidth: Long): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.functions.{broadcast, coalesce, sum}
-    val sized = docs.select(col("doc_id"), tokenCount(col("text")).cast("long").as("n_tok"))
-      .withColumn("bucket", (col("doc_id") / bucketWidth).cast("long"))
+    // sized feeds BOTH the per-bucket cumsum and the bucket-offset agg;
+    // Catalyst does no cross-subtree common-plan elimination, so
+    // without this cache the corpus would be tokenized twice
+    val sized = graft.ops.PlanCache.cached(s"packseq-$chunkTokens-$bucketWidth",
+      docs.select(col("doc_id"), tokenCount(col("text")).cast("long").as("n_tok"))
+        .withColumn("bucket", (col("doc_id") / bucketWidth).cast("long")))
     val local = sized.withColumn("local_end",
       sum(col("n_tok")).over(Window.partitionBy(col("bucket")).orderBy(col("doc_id"))))
     val offsets = sized.groupBy("bucket").agg(sum(col("n_tok")).as("bsum"))

@@ -90,7 +90,10 @@ object Pipeline {
         graft.codec.Codecs.portableHash(
           concat_ws("|", col("key"), col("value_int"))))
       .withWatermark("ts", watermarkDelay)
-      .dropDuplicates(Seq("content_hash", "ts"))
+      // keyed on CONTENT alone: the same document re-ingested later
+      // with a fresh event time is still a duplicate (state bounded by
+      // the watermark window, hence WithinWatermark)
+      .dropDuplicatesWithinWatermark(Seq("content_hash"))
       .join(corpusHashes.select(col("content_hash")), Seq("content_hash"), "left_anti")
 
   /** Start the streaming query: raw Kafka-shaped stream in, four sinks

@@ -229,6 +229,21 @@ class ExtSpec extends SparkSpec {
       s"Lloyd iterations must not degrade the spherical objective: $before -> $after")
   }
 
+  test("zero-norm vectors assign to the smallest-c_id cell, matching the oracle's NaN rule") {
+    // a zero embedding yields NaN cosine to every centroid; both the
+    // oracle window (NaN sorts greatest, tiebreak c_id) and the
+    // engine's fold (Spark comparisons treat NaN as largest) must land
+    // it in the smallest-c_id cell — never a sentinel cell
+    val emb = ((0L to 9L).map(i => (i, Array.fill(4)(i.toFloat + 1f), 0)) :+
+      ((99L, Array.fill(4)(0f), 0))).toDF("vec_id", "embedding", "label")
+    val assigned = Similarity.ivfAssign(emb, 2)
+    assert(assigned.filter(col("cell") === -1L).count() === 0, "sentinel cell must never appear")
+    val zeroCell = assigned.filter(col("vec_id") === 99L).select(col("cell")).as[Long].head()
+    val cids = Similarity.kmeansCodebook(emb, 2, 4, 0)
+      .select(explode(col("cents")).as("c")).select(col("c.c_id")).as[Long].collect()
+    assert(zeroCell === cids.min)
+  }
+
   test("IVF assignment uses exactly the fixed-k codebook") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val assigned = Similarity.ivfAssign(emb, 8)

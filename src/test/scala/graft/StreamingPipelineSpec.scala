@@ -191,7 +191,9 @@ class StreamingPipelineSpec extends SparkSpec {
       val dup = record("fresh", 7, traceId, parentSpan, 1)
       input.addData(Seq(
         record("seen", 1, traceId, parentSpan, 2),  // in corpus: dropped
-        dup, dup.copy(offset = 3),                  // in-stream dup: one survives
+        dup,
+        // in-stream dup at a LATER event time (same content): dropped
+        dup.copy(offset = 3, timestamp = new Timestamp(1700000000500L)),
         record("fresh", 9, traceId, parentSpan, 4))) // fresh: survives
       q.processAllAvailable()
       val got = spark.table("ingest_dedup")
