@@ -65,6 +65,19 @@ class PlanShapeSpec extends SparkSpec {
       s"codebook must arrive as a broadcast single row:\n$p")
   }
 
+  test("stratified sampling and redaction are shuffle-free scans") {
+    assert(!plan("d_stratified_sample").contains("Exchange"),
+      "the hash-split predicate must stay a pure filter over the scan")
+    assert(!plan("t_redact").contains("Exchange"),
+      "redaction must stay a codegen projection over the scan")
+  }
+
+  test("sequence packing has no corpus-wide unpartitioned window") {
+    val p = plan("t_pack_sequences")
+    assert(p.contains("windowspecdefinition(bucket"),
+      s"the corpus-side cumsum must be partitioned by bucket:\n$p")
+  }
+
   test("the as-of join is a single keyed window, not a range join") {
     val p = plan("a_asof_join")
     assert(p.contains("Window"), "expected the running-window carry")
