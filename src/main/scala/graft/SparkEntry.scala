@@ -522,6 +522,13 @@ object SparkEntry {
   private def sAnnIvfKm(s: SparkSession, dir: String): DataFrame =
     Similarity.ivfTopKKmeans(T(s, dir, "embeddings"), col("vec_id") < 8, 3, IvfK, 64, 2)
 
+  /** PQ ANN: candidates compressed to 8 subspace codes (4 codewords
+    * each) and scored against their reconstruction — the 100 TB
+    * memory-footprint answer for embedding stores, oracle-checked end
+    * to end (encode, reconstruct, rank). */
+  private def sAnnPq(s: SparkSession, dir: String): DataFrame =
+    Similarity.pqTopK(T(s, dir, "embeddings"), col("vec_id") < 8, 3, 4, 8, 64)
+
   /** Fixed IVF codebook size — independent of corpus size by design
     * (assignment is O(N·k); see Similarity.ivfAssign). */
   private val IvfK = 8
@@ -613,6 +620,7 @@ object SparkEntry {
     "s_ann_ivf" -> (sAnnIvf _),
     "s_ann_ivf_mp" -> (sAnnIvfMp _),
     "s_ann_ivf_km" -> (sAnnIvfKm _),
+    "s_ann_pq" -> (sAnnPq _),
     "s_near_dup" -> (sNearDup _),
     "m_asset_meta" -> (mAssetMeta _),
     "m_frame_sample" -> (mFrameSample _),

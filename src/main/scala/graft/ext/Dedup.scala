@@ -106,9 +106,16 @@ object Dedup {
   def ngramJaccardPairsCapped(docs: DataFrame, n: Int, minJaccard: Double,
       maxDf: Long): DataFrame = {
     val sh = shingleHashes(docs, n)
-    val rare = sh.groupBy("h").agg(count(lit(1)).as("df"))
-      .filter(col("df") <= maxDf).select("h")
-    jaccardPairs(sh.join(rare, Seq("h"), "left_semi"), minJaccard)
+    // the downstream Jaccard tail references its input 3x (self-join
+    // twice + sizes) — cache the capped index or the df-cap pass runs
+    // three times per query
+    val capped = graft.ops.PlanCache.cachedBy(s"shingles-capped-$n-$maxDf",
+        docs.queryExecution.logical.semanticHash(), docs.sparkSession) {
+      val rare = sh.groupBy("h").agg(count(lit(1)).as("df"))
+        .filter(col("df") <= maxDf).select("h")
+      sh.join(rare, Seq("h"), "left_semi")
+    }
+    jaccardPairs(capped, minJaccard)
   }
 
   /** MinHash signatures via the [[graft.functions.MinHashSketch]]

@@ -254,6 +254,80 @@ object Similarity {
       col("q_cell") === col("cell") && col("q_id") =!= col("vec_id")), k)
   }
 
+  /** Product-quantization seed row: the k hash-sample vectors (same
+    * deterministic sample rule as the IVF codebook), c_id-sorted, as
+    * ONE broadcast array — codeword c of subspace s is seed c's
+    * dims [s·sub+1, (s+1)·sub]. */
+  private def pqSeeds(emb: DataFrame, k: Int): DataFrame =
+    graft.ops.PlanCache.cachedBy(s"pq-seeds-$k",
+        emb.queryExecution.logical.semanticHash(), emb.sparkSession) {
+      withNorm(emb)
+        .orderBy(Codecs.portableHash(col("vec_id")), col("vec_id"))
+        .limit(k)
+        .select(col("vec_id").as("c_id"), col("v"))
+        .agg(sort_array(collect_list(struct(col("c_id"), col("v")))).as("ss"))
+        .select(transform(col("ss"), s => s.getField("v")).as("seeds"))
+    }
+
+  /** PQ encode: each vector becomes `m` codes — per subspace, the
+    * argmin-L2 codeword (ordered fold, strict-less, so ties keep the
+    * smallest code — the oracle's `ORDER BY d, code` rule). At 100 TB
+    * this is the embedding-store compression layer: m bytes per vector
+    * instead of dims floats; scoring below reconstructs from codes, so
+    * swapping in a real ADC lookup table changes no semantics. */
+  private def pqCodes(m: Int, sub: Int, kCodes: Int): Column =
+    transform(sequence(lit(0), lit(m - 1)), s => {
+      val subV = slice(col("v"), s * sub + 1, lit(sub))
+      aggregate(sequence(lit(0), lit(kCodes - 1)),
+        struct(lit(-1).as("c"), lit(Double.MaxValue).as("d")),
+        (acc, c) => {
+          val cw = slice(element_at(col("seeds"), c + 1), s * sub + 1, lit(sub))
+          val d = aggregate(zip_with(subV, cw, (x, y) => (x - y) * (x - y)),
+            lit(0.0d), (a, x) => a + x)
+          when(d < acc.getField("d"), struct(c.cast("int").as("c"), d.as("d")))
+            .otherwise(acc)
+        },
+        acc => acc.getField("c"))
+    })
+
+  /** Reconstruction from PQ codes: concatenate the chosen codewords. */
+  private def pqRecon(m: Int, sub: Int): Column =
+    flatten(transform(sequence(lit(0), lit(m - 1)), s =>
+      slice(element_at(col("seeds"), element_at(col("codes"), s + 1) + 1),
+        s * sub + 1, lit(sub))))
+
+  /** (vec_id, recon) for every vector — the decoded form of the PQ
+    * store; exposed for specs (a seed vector must reconstruct to
+    * itself exactly: all its subspace distances are 0). */
+  def pqReconstruct(emb: DataFrame, kCodes: Int, m: Int, dims: Int): DataFrame = {
+    val sub = dims / m
+    withNorm(emb)
+      .crossJoin(broadcast(pqSeeds(emb, kCodes)))
+      .withColumn("codes", pqCodes(m, sub, kCodes))
+      .withColumn("recon", pqRecon(m, sub))
+      .select(col("vec_id"), col("v"), col("nrm"), col("codes"), col("recon"))
+  }
+
+  /** PQ ANN: queries stay exact, candidates are scored against their
+    * PQ reconstruction (asymmetric scoring) — the memory-bounded
+    * corpus side of a 100 TB ANN store. Rank rules identical to every
+    * other variant. */
+  def pqTopK(emb: DataFrame, queryPred: Column, k: Int,
+      kCodes: Int, m: Int, dims: Int): DataFrame = {
+    val enc = pqReconstruct(emb, kCodes, m, dims)
+    val cands = enc.filter(!queryPred)
+      .select(col("vec_id"), col("recon"), norm(col("recon")).as("rnorm"))
+    val q = enc.filter(queryPred)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
+    broadcast(q).join(cands, col("q_id") =!= col("vec_id"))
+      .withColumn("cos", safeDiv(dot(col("qv"), col("recon")), col("qn") * col("rnorm")))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("vec_id").as("neighbor_id"), col("rnk"),
+        round(col("cos"), 4).as("cos"))
+  }
+
   /** Embedding-cosine near-duplicate pairs (vec_a < vec_b, cos ≥ τ),
     * bucketed by [[lshBucket]] so only bucket-mates are ever compared —
     * the per-bucket quadratic term replaces the corpus-quadratic one

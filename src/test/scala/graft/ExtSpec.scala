@@ -244,6 +244,20 @@ class ExtSpec extends SparkSpec {
     assert(zeroCell === cids.min)
   }
 
+  test("PQ reconstruction is exact for seed vectors and lossy-but-finite for the rest") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val enc = Similarity.pqReconstruct(emb, 4, 8, 64)
+      .withColumn("err", Similarity.dot(
+        org.apache.spark.sql.functions.zip_with(col("v"), col("recon"), (x, y) => x - y),
+        org.apache.spark.sql.functions.zip_with(col("v"), col("recon"), (x, y) => x - y)))
+    // the 4 codebook seeds reconstruct to themselves: error exactly 0
+    assert(enc.filter(col("err") === 0.0d).count() === 4)
+    // everything else has finite, positive quantization error
+    val bad = enc.filter(col("err").isNull || col("err") < 0.0d ||
+      org.apache.spark.sql.functions.isnan(col("err"))).count()
+    assert(bad === 0)
+  }
+
   test("IVF assignment uses exactly the fixed-k codebook") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val assigned = Similarity.ivfAssign(emb, 8)
