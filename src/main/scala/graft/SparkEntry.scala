@@ -61,6 +61,8 @@ object SparkEntry {
       ((s, dir) => { Dedup.simhash(T(s, dir, "documents"), 32).count(); () }),
     "ivf_assign" ->
       ((s, dir) => { Similarity.ivfAssign(T(s, dir, "embeddings"), IvfK).count(); () }),
+    "lsh_pairs" ->
+      ((s, dir) => { Dedup.lshVerifiedJaccard(T(s, dir, "documents"), 3, 16, 4, 4, 0.5).count(); () }),
     "enriched_events" ->
       ((s, dir) => { rec(s, dir).count(); () }))
 

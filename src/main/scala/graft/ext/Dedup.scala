@@ -159,7 +159,18 @@ object Dedup {
     * is the 100 TB path (recall bounded by the LSH band parameters). */
   def lshVerifiedJaccard(docs: DataFrame, n: Int, k: Int,
       bands: Int, rowsPerBand: Int, minJaccard: Double,
-      hashName: String = "md5"): DataFrame = {
+      hashName: String = "md5"): DataFrame =
+    // three registry queries (pairs themselves, connected components,
+    // contamination) consume this frame — materialize once
+    graft.ops.PlanCache.cachedBy(
+        s"lsh-pairs-$n-$k-$bands-$rowsPerBand-$minJaccard-$hashName",
+        docs.queryExecution.logical.semanticHash(), docs.sparkSession) {
+      lshVerifiedJaccardPlan(docs, n, k, bands, rowsPerBand, minJaccard, hashName)
+    }
+
+  private def lshVerifiedJaccardPlan(docs: DataFrame, n: Int, k: Int,
+      bands: Int, rowsPerBand: Int, minJaccard: Double,
+      hashName: String): DataFrame = {
     val sh = shingleHashes(docs, n, hashName)
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val cands = lshCandidatePairs(minhashSignatures(docs, n, k, hashName),
