@@ -96,6 +96,25 @@ object Pipeline {
       .dropDuplicatesWithinWatermark(Seq("content_hash"))
       .join(corpusHashes.select(col("content_hash")), Seq("content_hash"), "left_anti")
 
+  /** Streaming twin of [[ContextOps.correlate]]: records and log rows
+    * arrive as TWO live streams and are joined on trace_id as a
+    * stream-stream inner join. Both sides are watermarked and the join
+    * carries a time-range bound, so per-key join state is dropped once
+    * the watermark passes the range — the condition Structured
+    * Streaming requires to avoid unbounded state. Expects
+    * records(trace_id, ts, …) and logs(trace_id, log_ts, line). */
+  def correlateStreams(records: DataFrame, logs: DataFrame,
+      watermarkDelay: String): DataFrame = {
+    val r = records.withWatermark("ts", watermarkDelay)
+    val l = logs.select(col("trace_id").as("l_trace_id"), col("log_ts"), col("line"))
+      .withWatermark("log_ts", watermarkDelay)
+    r.join(l,
+        col("trace_id") === col("l_trace_id") &&
+          col("log_ts") >= col("ts") - expr("INTERVAL 1 HOUR") &&
+          col("log_ts") <= col("ts") + expr("INTERVAL 1 HOUR"))
+      .drop("l_trace_id")
+  }
+
   /** Start the streaming query: raw Kafka-shaped stream in, four sinks
     * out, one source scan per micro-batch. */
   def start(

@@ -202,6 +202,32 @@ class StreamingPipelineSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream correlation joins records to their log rows across two live streams") {
+    implicit val sqlCtx = spark.sqlContext
+    val recIn = MemoryStream[RawRecord]
+    val logIn = MemoryStream[RawRecord]
+    val recs = graft.ops.ContextOps.setBaggage(graft.ops.ContextOps.decode(recIn.toDF()))
+      .select(col("trace_id"), col("value_int"), col("ts"))
+    val logSide = graft.ops.ContextOps.setBaggage(graft.ops.ContextOps.decode(logIn.toDF()))
+    val logs = graft.ops.ContextOps.logRows(logSide, "set",
+        concat(lit("Got number: "), col("value_int").cast("string")), traced = true)
+      .select(col("trace_id"), col("ts").as("log_ts"), col("line"))
+    val q = Pipeline.correlateStreams(recs, logs, "10 minutes")
+      .writeStream.format("memory").queryName("sscorr")
+      .outputMode("append").start()
+    try {
+      val otherTrace = "ffffffffffffffff"
+      recIn.addData(Seq(record("rec", 2, traceId, parentSpan, 1)))
+      logIn.addData(Seq(
+        record("log", 2, traceId, parentSpan, 1),       // same trace: joins
+        record("log", 4, otherTrace, parentSpan, 2)))   // other trace: no match
+      q.processAllAvailable()
+      val got = spark.table("sscorr")
+        .select(col("trace_id"), col("line")).as[(String, String)].collect().toSeq
+      assert(got === Seq((traceId, "Got number: 2")))
+    } finally q.stop()
+  }
+
   test("malformed values route to the default branch instead of vanishing") {
     // a 2-byte payload decodes to null value_int; the null parity
     // predicate must fall through to the default (odd) branch
