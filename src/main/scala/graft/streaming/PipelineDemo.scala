@@ -127,6 +127,44 @@ object PipelineDemo {
     println("=== streaming dedup (3 deliveries in, rows out) ===")
     spark.table("demo_dedup").select(col("key"), col("value_int")).show(false)
 
+    // Stream-stream correlation: records and log rows as two live
+    // streams joined on trace_id with watermark-bounded state
+    val ssRec = MemoryStream[RawRecord]
+    val ssLog = MemoryStream[RawRecord]
+    val ssRecs = graft.ops.ContextOps.setBaggage(graft.ops.ContextOps.decode(ssRec.toDF()))
+      .select(col("trace_id"), col("value_int"), col("ts"))
+    val ssLogs = graft.ops.ContextOps.logRows(
+        graft.ops.ContextOps.setBaggage(graft.ops.ContextOps.decode(ssLog.toDF())),
+        "set", concat(lit("Got number: "), col("value_int").cast("string")), traced = true)
+      .select(col("trace_id"), col("ts").as("log_ts"), col("line"))
+    val ssq = Pipeline.correlateStreams(ssRecs, ssLogs, "10 minutes")
+      .writeStream.format("memory").queryName("demo_sscorr")
+      .outputMode("append").start()
+    ssRec.addData(Seq(RawRecord("ss".getBytes, be(6), "numbers", 0, 1L,
+      new Timestamp(1700000000000L), 0,
+      Seq(Header("b3", s"$traceId-$parentSpan-1".getBytes)))))
+    ssLog.addData(Seq(RawRecord("ss".getBytes, be(6), "numbers", 0, 1L,
+      new Timestamp(1700000000200L), 0,
+      Seq(Header("b3", s"$traceId-$parentSpan-1".getBytes)))))
+    ssq.processAllAvailable(); ssq.stop()
+    println("=== stream-stream correlation (records x live logs) ===")
+    spark.table("demo_sscorr").select(col("trace_id"), col("value_int"), col("line")).show(false)
+
+    // Ingest dedup: stream records already present in a static corpus
+    // index are dropped on arrival
+    val ingestIn = MemoryStream[RawRecord]
+    val corpusIdx = Seq(("known", 3)).toDF("k", "v")
+      .select(Codecs.portableHash(concat_ws("|", col("k"), col("v"))).as("content_hash"))
+    val iq = Pipeline.ingestDedup(ingestIn.toDF(), corpusIdx, "1 hour")
+      .writeStream.format("memory").queryName("demo_ingest")
+      .outputMode("append").start()
+    ingestIn.addData(Seq(
+      RawRecord("known".getBytes, be(3), "numbers", 0, 1L, new Timestamp(1700000000000L), 0, Seq.empty),
+      RawRecord("new".getBytes, be(5), "numbers", 0, 2L, new Timestamp(1700000000100L), 0, Seq.empty)))
+    iq.processAllAvailable(); iq.stop()
+    println("=== ingest dedup (1 corpus duplicate dropped, 1 fresh kept) ===")
+    spark.table("demo_ingest").select(col("key"), col("value_int")).show(false)
+
     // Skewed join: events (heavily skewed per-user) joined to a tiny
     // per-user dimension through deterministic salting
     // events.ts is TIMESTAMP(NANOS): schema validation rejects it even
