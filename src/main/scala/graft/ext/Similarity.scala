@@ -278,8 +278,12 @@ object Similarity {
   private def pqCodes(m: Int, sub: Int, kCodes: Int): Column =
     transform(sequence(lit(0), lit(m - 1)), s => {
       val subV = slice(col("v"), s * sub + 1, lit(sub))
+      // init = code 0 (not a sentinel): a degenerate vector whose
+      // distances are all NaN/inf keeps the FIRST codeword — exactly
+      // what the oracle's NaN/inf-last `ORDER BY d, code` picks — and
+      // reconstruction can never index out of the codebook
       aggregate(sequence(lit(0), lit(kCodes - 1)),
-        struct(lit(-1).as("c"), lit(Double.MaxValue).as("d")),
+        struct(lit(0).as("c"), lit(Double.MaxValue).as("d")),
         (acc, c) => {
           val cw = slice(element_at(col("seeds"), c + 1), s * sub + 1, lit(sub))
           val d = aggregate(zip_with(subV, cw, (x, y) => (x - y) * (x - y)),
@@ -300,6 +304,7 @@ object Similarity {
     * store; exposed for specs (a seed vector must reconstruct to
     * itself exactly: all its subspace distances are 0). */
   def pqReconstruct(emb: DataFrame, kCodes: Int, m: Int, dims: Int): DataFrame = {
+    require(dims % m == 0, s"dims ($dims) must divide evenly into $m subspaces")
     val sub = dims / m
     withNorm(emb)
       .crossJoin(broadcast(pqSeeds(emb, kCodes)))
@@ -314,18 +319,14 @@ object Similarity {
     * other variant. */
   def pqTopK(emb: DataFrame, queryPred: Column, k: Int,
       kCodes: Int, m: Int, dims: Int): DataFrame = {
-    val enc = pqReconstruct(emb, kCodes, m, dims)
-    val cands = enc.filter(!queryPred)
-      .select(col("vec_id"), col("recon"), norm(col("recon")).as("rnorm"))
-    val q = enc.filter(queryPred)
+    // candidates expose their reconstruction under the standard
+    // (v, nrm) names so the ONE shared ranking tail applies; the query
+    // side stays exact and never touches the codebook
+    val cands = pqReconstruct(emb, kCodes, m, dims).filter(!queryPred)
+      .select(col("vec_id"), col("recon").as("v"), norm(col("recon")).as("nrm"))
+    val q = withNorm(emb).filter(queryPred)
       .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
-    broadcast(q).join(cands, col("q_id") =!= col("vec_id"))
-      .withColumn("cos", safeDiv(dot(col("qv"), col("recon")), col("qn") * col("rnorm")))
-      .withColumn("rnk", row_number().over(
-        Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))))
-      .filter(col("rnk") <= k)
-      .select(col("q_id"), col("vec_id").as("neighbor_id"), col("rnk"),
-        round(col("cos"), 4).as("cos"))
+    rankTopK(broadcast(q).join(cands, col("q_id") =!= col("vec_id")), k)
   }
 
   /** Embedding-cosine near-duplicate pairs (vec_a < vec_b, cos ≥ τ),

@@ -76,6 +76,10 @@ class PlanShapeSpec extends SparkSpec {
     val p = plan("t_pack_sequences")
     assert(p.contains("windowspecdefinition(bucket"),
       s"the corpus-side cumsum must be partitioned by bucket:\n$p")
+    // the naive global form would order the whole corpus by doc_id in
+    // ONE unpartitioned window — its spec must not appear
+    assert(!p.contains("windowspecdefinition(doc_id"),
+      s"found an unpartitioned corpus-wide window:\n$p")
   }
 
   test("the as-of join is a single keyed window, not a range join") {
