@@ -258,6 +258,19 @@ class ExtSpec extends SparkSpec {
     assert(bad === 0)
   }
 
+  test("PQ tolerates degenerate vectors: NaN dims take the first codeword, never crash") {
+    val emb = ((1L to 6L).map(i => (i, Array.fill(8)(i.toFloat), 0)) :+
+      ((99L, Array(Float.NaN, 1f, 1f, 1f, 1f, 1f, 1f, 1f), 0)))
+      .toDF("vec_id", "embedding", "label")
+    val enc = Similarity.pqReconstruct(emb, 2, 2, 8)
+    // the NaN vector's first subspace distance is NaN for every
+    // codeword: the fold keeps code 0 and reconstruction stays valid
+    val codes = enc.filter(col("vec_id") === 99L)
+      .select(col("codes")).as[Seq[Int]].head()
+    assert(codes.head === 0)
+    assert(enc.count() === 7, "every vector, degenerate or not, must encode")
+  }
+
   test("IVF assignment uses exactly the fixed-k codebook") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val assigned = Similarity.ivfAssign(emb, 8)
