@@ -30,6 +30,19 @@ object Dedup {
     case other => throw new IllegalArgumentException(s"unknown hash variant: $other")
   }
 
+  /** Small-fixture spread, gated by `spark.graft.spreadSmallInputs`
+    * (default OFF). The local harness reads each table from ONE parquet
+    * file whose single row group cannot be split by
+    * `files.maxPartitionBytes`, so a CPU-bound build (shingle md5) would
+    * run on one core; the harness sessions opt in and take one explicit
+    * round-robin shuffle. At cluster scale the flag stays off and the
+    * operators are shuffle-neutral — no physical-plan probe, no hidden
+    * repartition. */
+  private def spread(df: DataFrame): DataFrame =
+    if (df.sparkSession.conf.get("spark.graft.spreadSmallInputs", "false").toBoolean)
+      df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    else df
+
   /** Exact dedup: group by (content hash, length); keeper = min doc_id.
     * Map-side partial aggregation makes the shuffle proportional to the
     * number of DISTINCT documents. The length component is a free
@@ -51,14 +64,10 @@ object Dedup {
   def shingleHashes(docs: DataFrame, n: Int, hashName: String = "md5"): DataFrame =
     // Tokenize in a projection BELOW the explode so the split/filter
     // runs once per document, not once per reference inside the
-    // shingle generator; spread the build across all cores (a single
-    // small parquet file is one input split otherwise). The partition
-    // probe and plan construction run only on a cache miss.
+    // shingle generator. Plan construction runs only on a cache miss.
     graft.ops.PlanCache.cachedBy(s"shingles-$n-$hashName",
         docs.queryExecution.logical.semanticHash(), docs.sparkSession) {
-      val par = docs.sparkSession.sparkContext.defaultParallelism
-      val src = if (docs.rdd.getNumPartitions < par) docs.repartition(par) else docs
-      src.select(col("doc_id"), tokens(col("text")).as("tk"))
+      spread(docs).select(col("doc_id"), tokens(col("text")).as("tk"))
         .select(col("doc_id"), explode(array_distinct(shingles(col("tk"), n))).as("sh"))
         .select(col("doc_id"), hashFn(hashName)(col("sh")).as("h"))
     }
@@ -208,9 +217,7 @@ object Dedup {
   def simhash(docs: DataFrame, bits: Int): DataFrame =
     graft.ops.PlanCache.cachedBy(s"simhash-$bits",
         docs.queryExecution.logical.semanticHash(), docs.sparkSession) {
-    val par = docs.sparkSession.sparkContext.defaultParallelism
-    val src = if (docs.rdd.getNumPartitions < par) docs.repartition(par) else docs
-    val toks = src.select(col("doc_id"), explode(tokens(col("text"))).as("t"))
+    val toks = spread(docs).select(col("doc_id"), explode(tokens(col("text"))).as("t"))
       .select(col("doc_id"), portableHash(col("t")).as("h"))
     val nPacked = (bits + LanesPerLong - 1) / LanesPerLong
     val packed = (0 until nPacked).map { k =>

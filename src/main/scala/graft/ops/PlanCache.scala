@@ -18,6 +18,9 @@ import org.apache.spark.storage.StorageLevel
   * MEMORY_AND_DISK; the query shape above it is unchanged. */
 object PlanCache {
   private val cache = TrieMap.empty[(String, Int, String), DataFrame]
+  // one eviction listener per SparkContext, so entries are dropped the
+  // moment the context ends — not merely on the next access
+  private val hooked = TrieMap.empty[String, Boolean]
 
   def cached(tag: String, df: DataFrame): DataFrame =
     cachedBy(tag, df.queryExecution.logical.semanticHash(), df.sparkSession)(df)
@@ -29,14 +32,29 @@ object PlanCache {
     * Staleness contract: the key is PLAN-based, not data-based — if the
     * files under a path change while a session lives, the persisted
     * frame keeps serving the old data (exactly like a Spark
-    * `.cache()`); call [[clear]] after mutating inputs. Entries of
-    * stopped sessions are swept on every access so persisted frames
-    * cannot accumulate past their SparkContext's lifetime. */
+    * `.cache()`); call [[clear]] after mutating inputs. Eviction is
+    * two-layered: a SparkListener drops a context's entries as soon as
+    * its application ends (persisted blocks die with the context, so
+    * only the map references need dropping), and a sweep on every
+    * access catches sessions whose context stopped without the listener
+    * firing — either way persisted frames cannot accumulate past their
+    * SparkContext's lifetime. */
   def cachedBy(tag: String, key: Int, spark: org.apache.spark.sql.SparkSession)(
       build: => DataFrame): DataFrame = {
     cache.filterInPlace((_, df) => !df.sparkSession.sparkContext.isStopped)
+    val appId = spark.sparkContext.applicationId
+    hooked.getOrElseUpdate(appId, {
+      spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onApplicationEnd(
+            e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit = {
+          cache.filterInPlace { case ((sk, _, _), _) => !sk.startsWith(appId + "/") }
+          hooked.remove(appId); ()
+        }
+      })
+      true
+    })
     cache.getOrElseUpdate(
-      (spark.sparkContext.applicationId + "/" + System.identityHashCode(spark), key, tag),
+      (appId + "/" + System.identityHashCode(spark), key, tag),
       build.persist(StorageLevel.MEMORY_AND_DISK))
   }
 

@@ -18,6 +18,10 @@ object StagingTables {
     * JVM's in-memory catalog forgets the table but leaves the files,
     * and saveAsTable refuses to reuse the location. */
   def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int): Unit = {
+    // the identifier feeds both a SQL statement and a recursive warehouse
+    // delete — restrict it to plain [db.]name so neither can escape
+    require(table.matches("[A-Za-z0-9_]+(\\.[A-Za-z0-9_]+)?"),
+      s"table identifier must be [A-Za-z0-9_]+ with at most one dot: '$table'")
     val spark = df.sparkSession
     spark.sql(s"DROP TABLE IF EXISTS $table")
     // Managed locations lowercase the identifier and nest qualified

@@ -15,6 +15,7 @@ object SparkSpec {
       .appName("graft-test")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.graft.spreadSmallInputs", "true")
       // surface doGenCode bugs instead of silently interpreting
       .config("spark.sql.codegen.fallback", "false")
       .config("spark.ui.enabled", "false")
