@@ -101,6 +101,18 @@ object Bench {
           .agg(
             round(expr("approx_percentile(l_extendedprice, 0.5, 1000)"), 4).as("p50"),
             round(expr("approx_percentile(l_extendedprice, 0.95, 1000)"), 4).as("p95"))
+      }),
+      // the 100 TB swap-in for a_distinct_counts: HLL sketches merge in
+      // one pass with no Expand — approximate, hence bench-only
+      "a_distinct_hll" -> ((s, dir) => {
+        import org.apache.spark.sql.functions.{approx_count_distinct, col, count, lit}
+        s.read.parquet(s"$dir/lineitem.parquet")
+          .groupBy(col("l_returnflag"))
+          .agg(
+            approx_count_distinct(col("l_partkey")).as("n_parts"),
+            approx_count_distinct(col("l_suppkey")).as("n_supps"),
+            approx_count_distinct(col("l_orderkey")).as("n_orders"),
+            count(lit(1)).as("n_rows"))
       }))
     val extraResults = extras.map { case (name, fn) =>
       var ok = true

@@ -301,6 +301,21 @@ SELECT p.event_id, p.user_id, epoch_us(p.ts) AS ts_us,
        c.click_event_id, epoch_us(c.c_ts) AS click_ts_us
 FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND c.c_ts <= p.ts""",
 
+    // the engine runs this as a two-phase SALTED aggregation; exact
+    // integer-cent sums make the result independent of the salt split,
+    // so the plain GROUP BY here is a true oracle for the salted plan
+    "a_skew_salted" -> """SELECT l_returnflag,
+  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+  count(*) AS n
+FROM lineitem GROUP BY l_returnflag""",
+
+    "a_distinct_counts" -> """SELECT l_returnflag,
+  count(DISTINCT l_partkey) AS n_parts,
+  count(DISTINCT l_suppkey) AS n_supps,
+  count(DISTINCT l_orderkey) AS n_orders,
+  count(*) AS n_rows
+FROM lineitem GROUP BY l_returnflag""",
+
     "a_range_join" -> """SELECT o_orderkey, count(*) AS n_shipped_30d
 FROM orders JOIN lineitem ON o_orderkey = l_orderkey
   AND l_shipdate >= o_orderdate AND l_shipdate < o_orderdate + INTERVAL 30 DAY
@@ -641,6 +656,37 @@ WHERE rnk <= 3""",
          list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS cos
   FROM nv a JOIN nv b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
 SELECT vec_a, vec_b, round(cos, 3) AS cos FROM pairs WHERE cos >= 0.35""",
+
+    // filtered ANN: candidates semi-joined to English documents before
+    // scoring (embeddings.vec_id = documents.doc_id)
+    "s_ann_filtered" -> s"""$VECS, keep AS (
+  SELECT doc_id AS vec_id FROM documents WHERE lang = 'en'
+), q AS (
+  SELECT vec_id AS q_id, v AS qv, nrm AS qn FROM nv WHERE vec_id < 8
+), s AS (
+  SELECT q_id, nv.vec_id, list_dot_product(qv, v) / (qn * nrm) AS cos
+  FROM q JOIN nv ON nv.vec_id >= 8 JOIN keep ON keep.vec_id = nv.vec_id)
+SELECT q_id, vec_id AS neighbor_id, CAST(rnk AS INT) AS rnk, round(cos, 4) AS cos FROM (
+  SELECT q_id, vec_id, cos,
+         row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rnk FROM s)
+WHERE rnk <= 5""",
+
+    // engine: cached IVF assignment + min-label propagation; oracle:
+    // SQL-recomputed cluster pairs + recursive-CTE transitive closure
+    // — independent algorithms, identical fixpoint
+    "d_semantic_dedup" -> s"""${IVF_ASG.replaceFirst("WITH ", "WITH RECURSIVE ")}, pairs AS (
+  SELECT a.vec_id AS pa, b.vec_id AS pb
+  FROM asg a JOIN asg b ON a.cell = b.cell AND a.vec_id < b.vec_id
+  WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.35
+), e AS (
+  SELECT pa AS a, pb AS b FROM pairs
+  UNION ALL SELECT pb AS a, pa AS b FROM pairs
+), reach AS (
+  SELECT vec_id AS doc, vec_id AS lbl FROM embeddings
+  UNION
+  SELECT e.b AS doc, r.lbl AS lbl FROM reach r JOIN e ON e.a = r.doc
+)
+SELECT doc AS vec_id, min(lbl) AS group_id FROM reach GROUP BY doc""",
 
     "m_asset_meta" -> s"""SELECT doc_id AS asset_id,
   CAST(strlen(text) AS BIGINT) AS byte_len,

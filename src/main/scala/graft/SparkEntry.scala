@@ -263,6 +263,37 @@ object SparkEntry {
         unix_micros(col("asof_ts")).as("click_ts_us"))
   }
 
+  /** Two-phase salted aggregation — the skew-mitigation shape: partial
+    * sums over (key, salt) spread a hot key across `Salt` reducers,
+    * then a tiny final pass over `keys × Salt` rows merges them.
+    * Sums are exact integer cents, so the result is independent of how
+    * the salt split the partials — which is what lets a plain GROUP BY
+    * oracle check the salted plan. (AQE's skew handling covers joins;
+    * this is the aggregation-side lever you apply by hand.) */
+  private def aSkewSalted(s: SparkSession, dir: String): DataFrame = {
+    val Salt = 16
+    T(s, dir, "lineitem")
+      .withColumn("cents", round(col("l_extendedprice") * 100).cast("long"))
+      .withColumn("salt", pmod(col("l_orderkey"), lit(Salt)))
+      .groupBy(col("l_returnflag"), col("salt"))
+      .agg(sum(col("cents")).as("pc"), count(lit(1)).as("pn"))
+      .groupBy(col("l_returnflag"))
+      .agg(sum(col("pc")).as("sum_cents"), sum(col("pn")).as("n"))
+  }
+
+  /** Several exact distinct counts in one aggregation (Catalyst plans
+    * the Expand-based multi-distinct). At 100 TB the drop-in sketch is
+    * approx_count_distinct (HLL) — benched as the a_distinct_hll extra,
+    * not oracle-matchable because it is approximate. */
+  private def aDistinctCounts(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_supps"),
+        countDistinct(col("l_orderkey")).as("n_orders"),
+        count(lit(1)).as("n_rows"))
+
   private def aRangeJoin(s: SparkSession, dir: String): DataFrame = {
     val ord = T(s, dir, "orders"); val li = T(s, dir, "lineitem")
     ord.join(li,
@@ -539,6 +570,30 @@ object SparkEntry {
     // bucketed near-dup: only LSH-bucket-mates are compared (scale path)
     Similarity.nearDupPairs(T(s, dir, "embeddings"), 0.35, 8)
 
+  /** Metadata-filtered ANN: the candidate corpus is restricted to
+    * English documents (embeddings ⋈ documents on vec_id = doc_id)
+    * before scoring — the filtered-vector-search shape every retrieval
+    * stack needs (filter first, then rank). */
+  private def sAnnFiltered(s: SparkSession, dir: String): DataFrame = {
+    val keep = T(s, dir, "documents").filter(col("lang") === "en")
+      .select(col("doc_id").as("vec_id"))
+    Similarity.filteredTopK(T(s, dir, "embeddings"), col("vec_id") < 8, keep, 5)
+  }
+
+  /** Semantic dedup (the SemDeDup shape): cluster by the fixed-k IVF
+    * assignment, compare only cluster-mates, collapse cos ≥ 0.35
+    * pairs into connected components — group_id = min vec_id per
+    * component (oracle: recursive-CTE closure over SQL-recomputed
+    * cluster pairs; the engine reuses the cached IVF assignment and
+    * the min-label-propagation components operator). */
+  private def dSemanticDedup(s: SparkSession, dir: String): DataFrame = {
+    val emb = T(s, dir, "embeddings")
+    val pairs = Similarity.semanticPairs(emb, IvfK, 0.35)
+      .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
+    Dedup.nearDupComponents(emb.select(col("vec_id").as("doc_id")), pairs)
+      .select(col("doc_id").as("vec_id"), col("group_id"))
+  }
+
   // ----------------------------------------------------------- multimodal
 
   private def mAssetMeta(s: SparkSession, dir: String): DataFrame = {
@@ -591,6 +646,8 @@ object SparkEntry {
     "a_session_window" -> (aSessionWindow _),
     "a_range_join" -> (aRangeJoin _),
     "a_asof_join" -> (aAsofJoin _),
+    "a_skew_salted" -> (aSkewSalted _),
+    "a_distinct_counts" -> (aDistinctCounts _),
     "t_text_stats" -> (tTextStats _),
     "t_lang_id" -> (tLangId _),
     "t_quality" -> (tQuality _),
@@ -624,6 +681,8 @@ object SparkEntry {
     "s_ann_ivf_km" -> (sAnnIvfKm _),
     "s_ann_pq" -> (sAnnPq _),
     "s_near_dup" -> (sNearDup _),
+    "s_ann_filtered" -> (sAnnFiltered _),
+    "d_semantic_dedup" -> (dSemanticDedup _),
     "m_asset_meta" -> (mAssetMeta _),
     "m_frame_sample" -> (mFrameSample _),
   )

@@ -81,6 +81,19 @@ object Similarity {
     topK(asQueries(vecs, queryPred, Nil), vecs.filter(!queryPred), Nil, k)
   }
 
+  /** Metadata-filtered exact ANN: candidates are restricted to a
+    * keep-list of vec_ids (e.g. "only English documents") via a
+    * left-semi join BEFORE scoring, so the filter prunes the corpus
+    * scan side — the practical "filtered vector search" shape: at
+    * 100 TB the keep-list is a pushed-down predicate or a broadcast
+    * semi-join, and the scored candidate set shrinks accordingly.
+    * Queries are NOT filtered; rank rules identical to brute-force. */
+  def filteredTopK(emb: DataFrame, queryPred: Column, keep: DataFrame, k: Int): DataFrame = {
+    val vecs = withNorm(emb)
+    val cands = vecs.filter(!queryPred).join(keep, Seq("vec_id"), "left_semi")
+    topK(asQueries(vecs, queryPred, Nil), cands, Nil, k)
+  }
+
   /** Sign-bit LSH bucket id from the first `nBits` dimensions
     * (axis-aligned random-hyperplane LSH; deterministic and
     * oracle-reproducible). Bucket join turns the quadratic candidate
@@ -327,6 +340,24 @@ object Similarity {
     val q = withNorm(emb).filter(queryPred)
       .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
     rankTopK(broadcast(q).join(cands, col("q_id") =!= col("vec_id")), k)
+  }
+
+  /** Semantic near-dup candidate pairs (the SemDeDup shape): the corpus
+    * is clustered by the fixed-k IVF assignment, and ONLY cluster-mates
+    * are compared — per-cell quadratic instead of corpus-quadratic,
+    * with the cell count a constant. Reuses the cached [[ivfAssign]]
+    * frame, so a pipeline that already does IVF search pays nothing
+    * extra for clustering. Pairs with cosine ≥ minCos are emitted;
+    * feeding them to [[graft.ext.Dedup.nearDupComponents]] yields one
+    * keeper per semantic-duplicate group. */
+  def semanticPairs(emb: DataFrame, kCentroids: Int, minCos: Double): DataFrame = {
+    val a = ivfAssign(emb, kCentroids)
+    a.as("a").join(a.as("b"),
+        col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
+      .withColumn("cos", safeDiv(dot(col("a.v"), col("b.v")), col("a.nrm") * col("b.nrm")))
+      .filter(col("cos") >= minCos)
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        round(col("cos"), 3).as("cos"))
   }
 
   /** Embedding-cosine near-duplicate pairs (vec_a < vec_b, cos ≥ τ),

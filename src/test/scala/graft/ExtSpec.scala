@@ -335,4 +335,36 @@ class ExtSpec extends SparkSpec {
         s"frame $i must be the 8-char window at char offset $off")
     }
   }
+
+  test("filtered ANN scores only keep-list candidates") {
+    val emb = Seq(
+      (0L, Array(1f, 0f, 0f), 0),
+      (10L, Array(0.9f, 0.1f, 0f), 0),  // kept, lower cosine
+      (11L, Array(1f, 0f, 0f), 0))      // identical but NOT kept
+      .toDF("vec_id", "embedding", "label")
+    val keep = Seq(10L).toDF("vec_id")
+    val got = Similarity.filteredTopK(emb, col("vec_id") < 8, keep, 5)
+      .select(col("neighbor_id")).as[Long].collect().toSeq
+    assert(got === Seq(10L),
+      "the perfect-match candidate outside the keep-list must be excluded")
+  }
+
+  test("semantic dedup pairs stay within their IVF cell and above the cosine floor") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val cells = Similarity.ivfAssign(emb, 8).select(col("vec_id"), col("cell"))
+    val pairs = Similarity.semanticPairs(emb, 8, 0.35)
+    val crossCell = pairs
+      .join(cells.select(col("vec_id").as("vec_a"), col("cell").as("cell_a")), "vec_a")
+      .join(cells.select(col("vec_id").as("vec_b"), col("cell").as("cell_b")), "vec_b")
+      .filter(col("cell_a") =!= col("cell_b")).count()
+    assert(crossCell === 0L, "every semantic pair must join cluster-mates")
+    assert(pairs.filter(col("cos") < 0.35).count() === 0L)
+    // the apply step: one group label per vector, labels are component minima
+    val groups = graft.ext.Dedup.nearDupComponents(
+      emb.select(col("vec_id").as("doc_id")),
+      pairs.select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b")))
+    assert(groups.count() === emb.count())
+    assert(groups.filter(col("group_id") > col("doc_id")).count() === 0L,
+      "a component label can never exceed the member id (min-id rule)")
+  }
 }

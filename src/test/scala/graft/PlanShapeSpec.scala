@@ -82,6 +82,21 @@ class PlanShapeSpec extends SparkSpec {
       s"found an unpartitioned corpus-wide window:\n$p")
   }
 
+  test("salted aggregation shuffles on (key, salt) first, then merges per key") {
+    val p = plan("a_skew_salted")
+    assert(p.linesIterator.exists(l => l.contains("hashpartitioning") && l.contains("salt")),
+      s"the partial aggregate must shuffle on the salted key:\n$p")
+    assert(p.linesIterator.exists(l =>
+        l.contains("hashpartitioning") && l.contains("l_returnflag") && !l.contains("salt")),
+      s"the final merge must shuffle on the bare key:\n$p")
+  }
+
+  test("filtered ANN applies the keep-list as a broadcast semi-join") {
+    val p = plan("s_ann_filtered")
+    assert(p.contains("LeftSemi"), s"keep-list must prune candidates via semi-join:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"the keep-list side must broadcast:\n$p")
+  }
+
   test("the as-of join is a single keyed window, not a range join") {
     val p = plan("a_asof_join")
     assert(p.contains("Window"), "expected the running-window carry")
