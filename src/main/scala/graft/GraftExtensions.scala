@@ -24,6 +24,7 @@ import graft.codec.BigEndianInt32
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectFunction(GraftExtensions.beIntDescriptor)
+    e.injectFunction(GraftExtensions.vecDotDescriptor)
   }
 }
 
@@ -33,13 +34,26 @@ object GraftExtensions {
     BigEndianInt32(exprs.head)
   }
 
+  private def vecDotBuilder(exprs: Seq[Expression]): Expression = {
+    require(exprs.length == 2, "vec_dot takes exactly two ARRAY<DOUBLE> arguments")
+    graft.functions.VectorDot(exprs.head, exprs(1))
+  }
+
   private[graft] val beIntDescriptor =
     (FunctionIdentifier("be_int"),
       new ExpressionInfo(classOf[BigEndianInt32].getName, "be_int"),
       (exprs: Seq[Expression]) => beIntBuilder(exprs))
 
+  private[graft] val vecDotDescriptor =
+    (FunctionIdentifier("vec_dot"),
+      new ExpressionInfo(classOf[graft.functions.VectorDot].getName, "vec_dot"),
+      (exprs: Seq[Expression]) => vecDotBuilder(exprs))
+
   /** Register on an already-built session (temp-function scope). */
-  def registerAll(spark: SparkSession): Unit =
+  def registerAll(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "be_int", beIntBuilder, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "vec_dot", vecDotBuilder, "built-in")
+  }
 }

@@ -17,8 +17,16 @@ object Similarity {
   /** Double-precision view of a float vector. */
   def asDouble(v: Column): Column = transform(v, x => x.cast("double"))
 
-  /** dot(a,b) via zip_with + an ordered fold (deterministic). */
-  def dot(a: Column, b: Column): Column =
+  /** dot(a,b): the native codegen'd [[graft.functions.VectorDot]] —
+    * the same left-to-right fold (bit-identical, oracle-unchanged) as
+    * the composed `aggregate(zip_with(...))` form, fused into one loop
+    * inside whole-stage codegen instead of interpreted per-element
+    * lambda dispatch. [[dotComposed]] keeps the HOF twin for the
+    * equivalence spec. */
+  def dot(a: Column, b: Column): Column = graft.functions.VectorDot.vecDot(a, b)
+
+  /** The built-ins-only twin of [[dot]] (interpreted HOFs). */
+  def dotComposed(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, x) => acc + x)
 
   def norm(v: Column): Column = sqrt(dot(v, v))
