@@ -25,6 +25,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectFunction(GraftExtensions.beIntDescriptor)
     e.injectFunction(GraftExtensions.vecDotDescriptor)
+    e.injectFunction(GraftExtensions.vecL2SqDescriptor)
   }
 }
 
@@ -39,6 +40,11 @@ object GraftExtensions {
     graft.functions.VectorDot(exprs.head, exprs(1))
   }
 
+  private def vecL2SqBuilder(exprs: Seq[Expression]): Expression = {
+    require(exprs.length == 2, "vec_l2sq takes exactly two ARRAY<DOUBLE> arguments")
+    graft.functions.VectorL2Sq(exprs.head, exprs(1))
+  }
+
   private[graft] val beIntDescriptor =
     (FunctionIdentifier("be_int"),
       new ExpressionInfo(classOf[BigEndianInt32].getName, "be_int"),
@@ -49,11 +55,18 @@ object GraftExtensions {
       new ExpressionInfo(classOf[graft.functions.VectorDot].getName, "vec_dot"),
       (exprs: Seq[Expression]) => vecDotBuilder(exprs))
 
+  private[graft] val vecL2SqDescriptor =
+    (FunctionIdentifier("vec_l2sq"),
+      new ExpressionInfo(classOf[graft.functions.VectorL2Sq].getName, "vec_l2sq"),
+      (exprs: Seq[Expression]) => vecL2SqBuilder(exprs))
+
   /** Register on an already-built session (temp-function scope). */
   def registerAll(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "be_int", beIntBuilder, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "vec_dot", vecDotBuilder, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "vec_l2sq", vecL2SqBuilder, "built-in")
   }
 }

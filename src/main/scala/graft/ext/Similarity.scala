@@ -307,8 +307,8 @@ object Similarity {
         struct(lit(0).as("c"), lit(Double.MaxValue).as("d")),
         (acc, c) => {
           val cw = slice(element_at(col("seeds"), c + 1), s * sub + 1, lit(sub))
-          val d = aggregate(zip_with(subV, cw, (x, y) => (x - y) * (x - y)),
-            lit(0.0d), (a, x) => a + x)
+          // fused L2 kernel (same fold order as the zip_with form)
+          val d = graft.functions.VectorL2Sq.vecL2Sq(subV, cw)
           when(d < acc.getField("d"), struct(c.cast("int").as("c"), d.as("d")))
             .otherwise(acc)
         },

@@ -48,10 +48,30 @@ class VectorDotSpec extends SparkSpec {
       "a null element must poison the sum, like the HOF composition")
   }
 
-  test("vec_dot is available as a SQL function") {
+  test("vec_dot and vec_l2sq are available as SQL functions") {
     GraftExtensions.registerAll(spark)
     val r = spark.sql("SELECT vec_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d")
       .as[Double].head()
     assert(r === 11.0)
+    val l2 = spark.sql("SELECT vec_l2sq(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d")
+      .as[Double].head()
+    assert(l2 === 8.0)
+  }
+
+  test("native L2 matches the composed fold bit-for-bit on the fixture corpus") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .withColumn("v", Similarity.asDouble(col("embedding")))
+    val pairs = emb.filter(col("vec_id") < 30).as("a")
+      .crossJoin(emb.filter(col("vec_id") < 30).as("b"))
+    val composed = aggregate(
+      zip_with(col("a.v"), col("b.v"), (x, y) => (x - y) * (x - y)),
+      lit(0.0d), (acc, x) => acc + x)
+    val diff = pairs.select(
+        graft.functions.VectorL2Sq.vecL2Sq(col("a.v"), col("b.v")).as("fast"),
+        composed.as("slow"))
+      .filter(!(col("fast") === col("slow")) &&
+        !(isnan(col("fast")) && isnan(col("slow"))))
+      .count()
+    assert(diff === 0L)
   }
 }
