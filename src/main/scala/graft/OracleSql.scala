@@ -273,6 +273,14 @@ FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)""",
   round(quantile_cont(l_extendedprice, 0.95), 4) AS p95
 FROM lineitem GROUP BY l_returnflag""",
 
+    // the engine computes this WITHOUT per-group buffers (histogram +
+    // cumulative window + lerp); the oracle is the very same
+    // quantile_cont statement as a_percentiles — exactness is the claim
+    "a_percentiles_dist" -> """SELECT l_returnflag,
+  round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+  round(quantile_cont(l_extendedprice, 0.95), 4) AS p95
+FROM lineitem GROUP BY l_returnflag""",
+
     "a_tumbling_window" -> """SELECT epoch_us(date_trunc('hour', CAST(ts AS TIMESTAMP))) AS hour_start_us,
   event_type, count(*) AS n, round(sum(value), 2) AS sum_value
 FROM events GROUP BY 1, 2""",

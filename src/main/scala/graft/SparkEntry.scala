@@ -228,6 +228,44 @@ object SparkEntry {
         round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
         round(expr("percentile(l_extendedprice, 0.95)"), 4).as("p95"))
 
+  /** Exact percentiles WITHOUT per-group value buffers — the 100 TB
+    * form of a_percentiles. `percentile()` collects every group value
+    * into one ObjectHashAggregate buffer (a group's values must fit one
+    * reducer); here the corpus is first collapsed to a per-(group,
+    * value) histogram (shuffle ∝ DISTINCT values, partial-aggregated
+    * map-side), a cumulative window over that tiny histogram locates
+    * the two order statistics around pos = q·(n−1), and the same
+    * lerp as Spark's percentile interpolates. Identical results —
+    * the oracle is the same quantile_cont statement. */
+  private def aPercentilesDist(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val li = T(s, dir, "lineitem")
+      .select(col("l_returnflag").as("k"), col("l_extendedprice").as("x"))
+    val hist = li.groupBy("k", "x").agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy("k").orderBy("x")
+    // cum_start/cum_end delimit each value's 0-indexed rank interval
+    val cum = hist.withColumn("cum_end", sum("cnt").over(w))
+      .withColumn("cum_start", col("cum_end") - col("cnt"))
+    val qdf = Seq(("p50", 0.5), ("p95", 0.95)).toDF("qname", "q")
+    val pos = hist.groupBy("k").agg(sum("cnt").as("n"))
+      .crossJoin(broadcast(qdf))
+      .withColumn("pos", col("q") * (col("n") - 1).cast("double"))
+      .withColumn("lo", floor(col("pos")).cast("long"))
+      .withColumn("hi", ceil(col("pos")).cast("long"))
+    val hitLo = col("lo") >= col("cum_start") && col("lo") < col("cum_end")
+    val hitHi = col("hi") >= col("cum_start") && col("hi") < col("cum_end")
+    val sel = cum.join(broadcast(pos), Seq("k"))
+      .filter(hitLo || hitHi)
+      .groupBy(col("k"), col("qname"), col("pos"), col("lo"))
+      .agg(min(when(hitLo, col("x"))).as("v_lo"), min(when(hitHi, col("x"))).as("v_hi"))
+      // Spark percentile's lerp: lower + (pos - lowerIndex) * (higher - lower)
+      .withColumn("v",
+        col("v_lo") + (col("pos") - col("lo").cast("double")) * (col("v_hi") - col("v_lo")))
+    sel.groupBy(col("k").as("l_returnflag"))
+      .agg(round(min(when(col("qname") === "p50", col("v"))), 4).as("p50"),
+        round(min(when(col("qname") === "p95", col("v"))), 4).as("p95"))
+  }
+
   private def aCube(s: SparkSession, dir: String): DataFrame =
     T(s, dir, "lineitem")
       .cube(col("l_returnflag"), col("l_linestatus"))
@@ -642,6 +680,7 @@ object SparkEntry {
     "a_rollup" -> (aRollup _),
     "a_cube" -> (aCube _),
     "a_percentiles" -> (aPercentiles _),
+    "a_percentiles_dist" -> (aPercentilesDist _),
     "a_tumbling_window" -> (aTumblingWindow _),
     "a_session_window" -> (aSessionWindow _),
     "a_range_join" -> (aRangeJoin _),
