@@ -46,9 +46,10 @@ object OracleSql {
                     THEN CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS DOUBLE) / length(text)
                     ELSE 0.0 END, 1.0)) * 0.2"""
 
-  /** 3-gram shingle list over `tk` (mirror of Codecs.shingles n=3). */
-  private val SHINGLES3 =
-    "list_transform(range(1, greatest(len(tk)-2, 0)+1), i -> array_to_string(tk[i:i+2], ' '))"
+  /** n-gram shingle list over `tk` (mirror of Codecs.shingles). */
+  private def shinglesN(n: Int): String =
+    s"list_transform(range(1, greatest(len(tk)-${n - 1}, 0)+1), i -> array_to_string(tk[i:i+${n - 1}], ' '))"
+  private val SHINGLES3 = shinglesN(3)
 
   /** Shingle-hash CTEs shared by jaccard/minhash. */
   private val SH = s"""$TOKS, sh AS (
@@ -446,6 +447,20 @@ FROM pairs
 JOIN marks ma ON ma.doc_id = doc_a
 JOIN marks mb ON mb.doc_id = doc_b
 WHERE ma.is_eval <> mb.is_eval""",
+
+    // exact phrase-overlap decontamination: train x eval pairs sharing
+    // at least one 5-gram, counted per pair
+    "d_contamination_ngram" -> s"""$TOKS, sh5 AS (
+  SELECT doc_id, unnest(list_distinct(${shinglesN(5)})) AS s FROM toks
+), h5 AS (SELECT doc_id, ${dh("s")} AS h FROM sh5
+), marks AS (
+  SELECT doc_id, ${dh("lang || '|' || CAST(doc_id AS VARCHAR)")} % 100 < 20 AS is_eval
+  FROM documents)
+SELECT t.doc_id AS train_doc, e.doc_id AS eval_doc, count(*) AS n_shared
+FROM h5 t JOIN marks mt ON mt.doc_id = t.doc_id AND NOT mt.is_eval
+JOIN h5 e ON e.h = t.h
+JOIN marks me ON me.doc_id = e.doc_id AND me.is_eval
+GROUP BY 1, 2""",
 
     // the composed curation DAG: normalize -> exact-dedup keepers ->
     // quality/length gate -> train split -> pack into 2048-tok chunks

@@ -488,6 +488,25 @@ object SparkEntry {
         when(col("eval_a"), col("doc_a")).otherwise(col("doc_b")).as("eval_doc"))
   }
 
+  /** Exact n-gram decontamination (the "13-gram overlap" check, sized
+    * to the fixture at n=5): train docs sharing at least one 5-gram
+    * with any eval doc, with the shared-gram count — a DIFFERENT
+    * algorithm from d_contamination's near-dup pairs (exact phrase
+    * overlap vs Jaccard similarity; both belong in a decontamination
+    * suite). Reuses the cached shingle index at n=5; the equi-join on
+    * the gram hash is the candidate generator. At 100 TB the same df
+    * cap as ngramJaccardPairsCapped bounds hot-gram fan-out. */
+  private def dContaminationNgram(s: SparkSession, dir: String): DataFrame = {
+    val docs = T(s, dir, "documents")
+    val marks = docs.select(col("doc_id"),
+      TextOps.hashSample(col("lang"), col("doc_id"), 20).as("is_eval"))
+    val sh = Dedup.shingleHashes(docs, 5).join(marks, "doc_id")
+    sh.filter(!col("is_eval")).select(col("doc_id").as("train_doc"), col("h"))
+      .join(sh.filter(col("is_eval")).select(col("doc_id").as("eval_doc"), col("h")), "h")
+      .groupBy("train_doc", "eval_doc")
+      .agg(count(lit(1)).as("n_shared"))
+  }
+
   /** The end-to-end curation pipeline as ONE composed DAG — what a
     * training-data run actually executes: whitespace/case normalize →
     * exact-dedup keepers → quality+length gate → hold out the 20%
@@ -701,6 +720,7 @@ object SparkEntry {
     "d_neardup_groups" -> (dNearDupGroups _),
     "t_pack_sequences" -> (tPackSequences _),
     "d_contamination" -> (dContamination _),
+    "d_contamination_ngram" -> (dContaminationNgram _),
     "e_curation_pipeline" -> (eCurationPipeline _),
     "d_dedup_apply" -> (dDedupApply _),
     "d_exact" -> (dExact _),
