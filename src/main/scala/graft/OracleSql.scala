@@ -330,6 +330,47 @@ FROM orders JOIN lineitem ON o_orderkey = l_orderkey
   AND l_shipdate >= o_orderdate AND l_shipdate < o_orderdate + INTERVAL 30 DAY
 GROUP BY o_orderkey""",
 
+    // daily sums are exact integer cents => the 7-row frame sum is
+    // order-independent; DuckDB's sum() OVER widens BIGINT to HUGEINT,
+    // hence the casts around the window expressions
+    "a_moving_avg" -> """WITH daily AS (
+  SELECT date_trunc('day', l_shipdate) AS d,
+         CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM lineitem GROUP BY 1)
+SELECT epoch_us(CAST(d AS TIMESTAMP)) AS day_us, cents,
+       round(CAST(sum(cents) OVER w AS DOUBLE) / (100.0 * count(*) OVER w), 4) AS ma7
+FROM daily WINDOW w AS (ORDER BY d ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)""",
+
+    "t_repetition" -> s"""$TOKS, dup AS (
+  SELECT doc_id,
+         round(CASE WHEN len(${shinglesN(3)}) > 0
+                    THEN 1.0 - CAST(len(list_distinct(${shinglesN(3)})) AS DOUBLE)
+                         / len(${shinglesN(3)})
+                    ELSE 0.0 END, 4) AS dup_3gram_frac
+  FROM toks
+), tc AS (
+  SELECT doc_id, tok, count(*) AS c
+  FROM (SELECT doc_id, unnest(tk) AS tok FROM toks) GROUP BY 1, 2
+), top AS (
+  SELECT doc_id, round(CAST(max(c) AS DOUBLE) / sum(c), 4) AS top_tok_frac
+  FROM tc GROUP BY doc_id)
+SELECT dup.doc_id, dup.dup_3gram_frac,
+       coalesce(top.top_tok_frac, 0.0) AS top_tok_frac
+FROM dup LEFT JOIN top ON dup.doc_id = top.doc_id""",
+
+    "t_mix_weights" -> s"""WITH d AS (
+  SELECT source, lang,
+         CAST(len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                              t -> len(t) > 0)) AS BIGINT) AS nt
+  FROM documents
+), strata AS (
+  SELECT source, lang, count(*) AS n_docs, CAST(sum(nt) AS BIGINT) AS total_tokens
+  FROM d GROUP BY 1, 2
+), corpus AS (SELECT CAST(sum(nt) AS BIGINT) AS corpus_tokens FROM d)
+SELECT source, lang, n_docs, total_tokens,
+       round(CAST(total_tokens AS DOUBLE) / corpus_tokens, 6) AS tok_share
+FROM strata CROSS JOIN corpus""",
+
     "t_text_stats" -> s"""$TOKS
 SELECT doc_id,
   CAST(len(tk) AS BIGINT) AS n_tok,

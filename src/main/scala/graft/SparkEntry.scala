@@ -228,6 +228,24 @@ object SparkEntry {
         round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
         round(expr("percentile(l_extendedprice, 0.95)"), 4).as("p95"))
 
+  /** 7-day moving average of daily revenue: a ROWS-frame running
+    * window over the DAILY aggregate (a few thousand rows after the
+    * map-side-combined groupBy — the window input is the aggregate,
+    * never the corpus). Daily sums are exact integer cents, so the
+    * frame sum is order-independent and the oracle's window matches
+    * bit-for-bit after one shared double division. */
+  private def aMovingAvg(s: SparkSession, dir: String): DataFrame = {
+    val daily = T(s, dir, "lineitem")
+      .groupBy(date_trunc("day", col("l_shipdate")).as("d"))
+      .agg(sum(round(col("l_extendedprice") * 100).cast("long")).as("cents"))
+    val w = Window.orderBy(col("d")).rowsBetween(-6, 0)
+    daily.select(
+      unix_micros(col("d").cast("timestamp")).as("day_us"),
+      col("cents"),
+      round(sum(col("cents")).over(w).cast("double") /
+        (lit(100.0) * count(lit(1)).over(w)), 4).as("ma7"))
+  }
+
   /** Exact percentiles WITHOUT per-group value buffers — the 100 TB
     * form of a_percentiles. `percentile()` collects every group value
     * into one ObjectHashAggregate buffer (a group's values must fit one
@@ -447,6 +465,42 @@ object SparkEntry {
       .filter(col("rnk") <= 3)
       .select(col("doc_id"), col("token"), col("tf"), col("df"),
         round(col("score"), 4).as("score"), col("rnk"))
+  }
+
+  /** Gopher-style repetition signals: duplicate-3-gram fraction (array
+    * ops, no shuffle) and top-token frequency share (explode + two
+    * narrow aggs on doc_id — partial-agg'd, shuffle ∝ distinct
+    * (doc, token)). The classic "document is boilerplate/spam" quality
+    * rules that complement t_quality's length/stopword score. */
+  private def tRepetition(s: SparkSession, dir: String): DataFrame = {
+    val docs = T(s, dir, "documents")
+    val sh = Codecs.shingles(Codecs.tokens(col("text")), 3)
+    val dup = docs.select(col("doc_id"),
+      round(when(size(sh) > 0,
+          lit(1.0) - size(array_distinct(sh)).cast("double") / size(sh))
+        .otherwise(0.0), 4).as("dup_3gram_frac"))
+    val top = docs.select(col("doc_id"), explode(Codecs.tokens(col("text"))).as("t"))
+      .groupBy("doc_id", "t").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(round(max(col("c")).cast("double") / sum(col("c")), 4).as("top_tok_frac"))
+    dup.join(top, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("dup_3gram_frac"),
+        coalesce(col("top_tok_frac"), lit(0.0)).as("top_tok_frac"))
+  }
+
+  /** Training-mixture weights: per (source, lang) document and token
+    * mass plus each stratum's share of corpus tokens — the sampling-
+    * weight table a mixture-balanced training run consumes. The corpus
+    * total arrives as ONE broadcast row, not a global window. */
+  private def tMixWeights(s: SparkSession, dir: String): DataFrame = {
+    val docs = T(s, dir, "documents")
+      .select(col("source"), col("lang"), TextOps.tokenCount(col("text")).cast("long").as("nt"))
+    val strata = docs.groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("total_tokens"))
+    val corpus = docs.agg(sum(col("nt")).as("corpus_tokens"))
+    strata.crossJoin(broadcast(corpus))
+      .select(col("source"), col("lang"), col("n_docs"), col("total_tokens"),
+        round(col("total_tokens").cast("double") / col("corpus_tokens"), 6).as("tok_share"))
   }
 
   /** Deterministic stratified sample (~20% per language): hash-split
@@ -706,6 +760,9 @@ object SparkEntry {
     "a_asof_join" -> (aAsofJoin _),
     "a_skew_salted" -> (aSkewSalted _),
     "a_distinct_counts" -> (aDistinctCounts _),
+    "a_moving_avg" -> (aMovingAvg _),
+    "t_repetition" -> (tRepetition _),
+    "t_mix_weights" -> (tMixWeights _),
     "t_text_stats" -> (tTextStats _),
     "t_lang_id" -> (tLangId _),
     "t_quality" -> (tQuality _),
