@@ -341,6 +341,19 @@ SELECT epoch_us(CAST(d AS TIMESTAMP)) AS day_us, cents,
        round(CAST(sum(cents) OVER w AS DOUBLE) / (100.0 * count(*) OVER w), 4) AS ma7
 FROM daily WINDOW w AS (ORDER BY d ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)""",
 
+    // overlapping token windows, size 64 stride 48; DuckDB list slicing
+    // is inclusive and clamps, matching Spark's slice()
+    "t_chunk" -> s"""$TOKS, d AS (
+  SELECT doc_id, tk, CAST(len(tk) AS BIGINT) AS n_tok FROM toks WHERE len(tk) > 0
+), ex AS (
+  SELECT doc_id, tk, unnest(range(0, CAST((n_tok + 47) // 48 AS BIGINT))) AS i FROM d)
+SELECT doc_id,
+       CAST(i AS BIGINT) AS chunk_id,
+       CAST(i * 48 AS BIGINT) AS tok_off,
+       CAST(len(tk[i*48+1 : i*48+64]) AS BIGINT) AS n_chunk_tok,
+       array_to_string(tk[i*48+1 : i*48+64], ' ') AS chunk_text
+FROM ex""",
+
     "t_repetition" -> s"""$TOKS, dup AS (
   SELECT doc_id,
          round(CASE WHEN len(${shinglesN(3)}) > 0

@@ -454,7 +454,10 @@ object SparkEntry {
     * hash-compared oracle. */
   private def tTfidfTopK(s: SparkSession, dir: String): DataFrame = {
     val docs = T(s, dir, "documents")
-    val toks = docs.select(col("doc_id"), explode(Codecs.tokens(col("text"))).as("token"))
+    // the exploded token frame feeds BOTH the tf and the df legs —
+    // materialize once or the corpus is tokenized twice per run
+    val toks = graft.ops.PlanCache.cached("tfidf-toks",
+      docs.select(col("doc_id"), explode(Codecs.tokens(col("text"))).as("token")))
     val tf = toks.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
     val dfreq = toks.distinct().groupBy("token").agg(count(lit(1)).as("df"))
     val n = broadcast(docs.agg(count(lit(1)).as("n_docs")))
@@ -465,6 +468,28 @@ object SparkEntry {
       .filter(col("rnk") <= 3)
       .select(col("doc_id"), col("token"), col("tf"), col("df"),
         round(col("score"), 4).as("score"), col("rnk"))
+  }
+
+  /** RAG-style chunking: overlapping token windows (size 64, stride
+    * 48) per document — the retrieval/embedding-pipeline layout step.
+    * Pure per-row array ops below one explode; chunk count and slices
+    * derive from the token array, so no shuffle anywhere. The short
+    * final chunk is kept (slice clamps), matching the oracle's
+    * inclusive list slicing. */
+  private def tChunk(s: SparkSession, dir: String): DataFrame = {
+    val C = 64; val S = 48
+    val docs = T(s, dir, "documents")
+      .select(col("doc_id"), Codecs.tokens(col("text")).as("tk"))
+      .withColumn("n_tok", size(col("tk")).cast("long"))
+      .filter(col("n_tok") > 0)
+    val nChunks = floor((col("n_tok") + lit(S - 1)) / lit(S)).cast("long")
+    docs
+      .withColumn("chunk_id", explode(sequence(lit(0L), nChunks - 1)))
+      .withColumn("off", col("chunk_id") * S)
+      .select(col("doc_id"), col("chunk_id"),
+        col("off").as("tok_off"),
+        size(slice(col("tk"), (col("off") + 1).cast("int"), lit(C))).cast("long").as("n_chunk_tok"),
+        concat_ws(" ", slice(col("tk"), (col("off") + 1).cast("int"), lit(C))).as("chunk_text"))
   }
 
   /** Gopher-style repetition signals: duplicate-3-gram fraction (array
@@ -763,6 +788,7 @@ object SparkEntry {
     "a_moving_avg" -> (aMovingAvg _),
     "t_repetition" -> (tRepetition _),
     "t_mix_weights" -> (tMixWeights _),
+    "t_chunk" -> (tChunk _),
     "t_text_stats" -> (tTextStats _),
     "t_lang_id" -> (tLangId _),
     "t_quality" -> (tQuality _),
