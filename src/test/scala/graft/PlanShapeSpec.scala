@@ -97,6 +97,20 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), s"the keep-list side must broadcast:\n$p")
   }
 
+  test("moving average windows over the daily aggregate, never the corpus") {
+    val p = plan("a_moving_avg")
+    val winIdx = p.indexOf("Window")
+    assert(winIdx >= 0, s"expected a window operator:\n$p")
+    assert(p.indexOf("HashAggregate") >= 0 &&
+      p.substring(winIdx).contains("HashAggregate"),
+      s"the window input must be the daily aggregate, not raw lineitem:\n$p")
+  }
+
+  test("token chunking is a shuffle-free explode over the scan") {
+    assert(!plan("t_chunk").contains("Exchange"),
+      "chunk windows derive from per-row arrays; no shuffle is justified")
+  }
+
   test("the as-of join is a single keyed window, not a range join") {
     val p = plan("a_asof_join")
     assert(p.contains("Window"), "expected the running-window carry")
