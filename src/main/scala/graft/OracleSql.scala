@@ -516,6 +516,46 @@ JOIN h5 e ON e.h = t.h
 JOIN marks me ON me.doc_id = e.doc_id AND me.is_eval
 GROUP BY 1, 2""",
 
+    // the composed decontamination report: exact-normalized, 5-gram,
+    // and near-dup train contamination counted per eval doc
+    "e_decontam_report" -> s"""$LSH_PAIRS, marks AS (
+  SELECT doc_id, ${dh("lang || '|' || CAST(doc_id AS VARCHAR)")} % 100 < 20 AS is_eval
+  FROM documents
+), nk AS (
+  SELECT doc_id, ${dh("regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')")} AS k
+  FROM documents
+), ex AS (
+  SELECT e.doc_id AS eval_doc, count(*) AS n_exact
+  FROM nk e JOIN marks me ON me.doc_id = e.doc_id AND me.is_eval
+  JOIN nk t ON t.k = e.k
+  JOIN marks mt ON mt.doc_id = t.doc_id AND NOT mt.is_eval
+  GROUP BY 1
+), sh5 AS (
+  SELECT doc_id, unnest(list_distinct(${shinglesN(5)})) AS s FROM toks
+), h5 AS (SELECT doc_id, ${dh("s")} AS h FROM sh5
+), ng AS (
+  SELECT e.doc_id AS eval_doc, count(DISTINCT t.doc_id) AS n_ngram
+  FROM h5 t JOIN marks mt ON mt.doc_id = t.doc_id AND NOT mt.is_eval
+  JOIN h5 e ON e.h = t.h
+  JOIN marks me ON me.doc_id = e.doc_id AND me.is_eval
+  GROUP BY 1
+), nd AS (
+  SELECT CASE WHEN ma.is_eval THEN doc_a ELSE doc_b END AS eval_doc,
+         count(*) AS n_neardup
+  FROM pairs
+  JOIN marks ma ON ma.doc_id = doc_a
+  JOIN marks mb ON mb.doc_id = doc_b
+  WHERE ma.is_eval <> mb.is_eval GROUP BY 1)
+SELECT m.doc_id AS eval_doc,
+       CAST(coalesce(ex.n_exact, 0) AS BIGINT) AS n_exact,
+       CAST(coalesce(ng.n_ngram, 0) AS BIGINT) AS n_ngram,
+       CAST(coalesce(nd.n_neardup, 0) AS BIGINT) AS n_neardup
+FROM marks m
+LEFT JOIN ex ON ex.eval_doc = m.doc_id
+LEFT JOIN ng ON ng.eval_doc = m.doc_id
+LEFT JOIN nd ON nd.eval_doc = m.doc_id
+WHERE m.is_eval""",
+
     // the composed curation DAG: normalize -> exact-dedup keepers ->
     // quality/length gate -> train split -> pack into 2048-tok chunks
     "e_curation_pipeline" -> s"""WITH norm AS (

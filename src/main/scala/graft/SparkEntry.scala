@@ -586,6 +586,40 @@ object SparkEntry {
       .agg(count(lit(1)).as("n_shared"))
   }
 
+  /** The composed decontamination report: for every eval-split
+    * document, how many TRAIN documents (a) are exact duplicates after
+    * normalization, (b) share at least one 5-gram, (c) are LSH-verified
+    * near-duplicates. One DAG touching three operator families — the
+    * report a training run reviews before trusting its eval numbers.
+    * All three legs reuse cached indices (shingle n=5, LSH pairs). */
+  private def eDecontamReport(s: SparkSession, dir: String): DataFrame = {
+    val docs = T(s, dir, "documents")
+    val marks = docs.select(col("doc_id"),
+      TextOps.hashSample(col("lang"), col("doc_id"), 20).as("is_eval"))
+    // (a) exact after normalization: eval/train docs sharing a content key
+    val keyed = docs
+      .withColumn("k", Codecs.portableHash(
+        regexp_replace(lower(trim(col("text"))), "\\s+", " ")))
+      .select(col("doc_id"), col("k")).join(marks, "doc_id")
+    val exact = keyed.filter(col("is_eval")).select(col("doc_id").as("eval_doc"), col("k"))
+      .join(keyed.filter(!col("is_eval")).select(col("k")), "k")
+      .groupBy("eval_doc").agg(count(lit(1)).as("n_exact"))
+    // (b) 5-gram overlap counts per eval doc
+    val ngram = dContaminationNgram(s, dir)
+      .groupBy("eval_doc").agg(countDistinct(col("train_doc")).as("n_ngram"))
+    // (c) near-dup pairs crossing the split, per eval doc
+    val near = dContamination(s, dir)
+      .groupBy("eval_doc").agg(count(lit(1)).as("n_neardup"))
+    marks.filter(col("is_eval")).select(col("doc_id").as("eval_doc"))
+      .join(exact, Seq("eval_doc"), "left")
+      .join(ngram, Seq("eval_doc"), "left")
+      .join(near, Seq("eval_doc"), "left")
+      .select(col("eval_doc"),
+        coalesce(col("n_exact"), lit(0L)).as("n_exact"),
+        coalesce(col("n_ngram"), lit(0L)).as("n_ngram"),
+        coalesce(col("n_neardup"), lit(0L)).as("n_neardup"))
+  }
+
   /** The end-to-end curation pipeline as ONE composed DAG — what a
     * training-data run actually executes: whitespace/case normalize →
     * exact-dedup keepers → quality+length gate → hold out the 20%
@@ -805,6 +839,7 @@ object SparkEntry {
     "d_contamination" -> (dContamination _),
     "d_contamination_ngram" -> (dContaminationNgram _),
     "e_curation_pipeline" -> (eCurationPipeline _),
+    "e_decontam_report" -> (eDecontamReport _),
     "d_dedup_apply" -> (dDedupApply _),
     "d_exact" -> (dExact _),
     "d_exact_normalized" -> (dExactNormalized _),
