@@ -261,11 +261,16 @@ object SparkEntry {
       .select(col("l_returnflag").as("k"), col("l_extendedprice").as("x"))
     val hist = li.groupBy("k", "x").agg(count(lit(1)).as("cnt"))
     val w = Window.partitionBy("k").orderBy("x")
-    // cum_start/cum_end delimit each value's 0-indexed rank interval
-    val cum = hist.withColumn("cum_end", sum("cnt").over(w))
-      .withColumn("cum_start", col("cum_end") - col("cnt"))
+    // cum_start/cum_end delimit each value's 0-indexed rank interval;
+    // cached — it feeds both the order-statistic join and the group
+    // sizes below, and uncached the histogram shuffle would run twice
+    val cum = graft.ops.PlanCache.cached("pctl-cum",
+      hist.withColumn("cum_end", sum("cnt").over(w))
+        .withColumn("cum_start", col("cum_end") - col("cnt")))
     val qdf = Seq(("p50", 0.5), ("p95", 0.95)).toDF("qname", "q")
-    val pos = hist.groupBy("k").agg(sum("cnt").as("n"))
+    // group sizes fold over the cum frame (max cum_end), not a second
+    // corpus aggregation
+    val pos = cum.groupBy("k").agg(max("cum_end").as("n"))
       .crossJoin(broadcast(qdf))
       .withColumn("pos", col("q") * (col("n") - 1).cast("double"))
       .withColumn("lo", floor(col("pos")).cast("long"))
@@ -530,9 +535,12 @@ object SparkEntry {
   private def tMixWeights(s: SparkSession, dir: String): DataFrame = {
     val docs = T(s, dir, "documents")
       .select(col("source"), col("lang"), TextOps.tokenCount(col("text")).cast("long").as("nt"))
-    val strata = docs.groupBy(col("source"), col("lang"))
-      .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("total_tokens"))
-    val corpus = docs.agg(sum(col("nt")).as("corpus_tokens"))
+    // corpus total folds over the (tiny) strata aggregate, so the
+    // corpus is scanned and tokenized exactly once
+    val strata = graft.ops.PlanCache.cached("mix-strata",
+      docs.groupBy(col("source"), col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("total_tokens")))
+    val corpus = strata.agg(sum(col("total_tokens")).as("corpus_tokens"))
     strata.crossJoin(broadcast(corpus))
       .select(col("source"), col("lang"), col("n_docs"), col("total_tokens"),
         round(col("total_tokens").cast("double") / col("corpus_tokens"), 6).as("tok_share"))
