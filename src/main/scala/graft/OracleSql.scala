@@ -101,12 +101,14 @@ object OracleSql {
 
   /** LSH-verified Jaccard pair CTEs (mirror of Dedup.lshVerifiedJaccard):
     * ends with `pairs(doc_a, doc_b, jaccard)` at threshold 0.5. */
-  private val LSH_PAIRS = s"""$SIG, bands AS (
+  private val LSH_CANDS = s"""$SIG, bands AS (
   ${(0 until 4).map(bandSelect).mkString("\n  UNION ALL ")}),
 cands AS (
   SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
   FROM bands x JOIN bands y
-    ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
+    ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id)"""
+
+  private val LSH_PAIRS = s"""$LSH_CANDS,
 sz AS (SELECT doc_id, count(*) AS n_sh FROM h GROUP BY doc_id),
 inter AS (
   SELECT c.doc_a, c.doc_b, count(*) AS n_inter
@@ -515,6 +517,62 @@ FROM h5 t JOIN marks mt ON mt.doc_id = t.doc_id AND NOT mt.is_eval
 JOIN h5 e ON e.h = t.h
 JOIN marks me ON me.doc_id = e.doc_id AND me.is_eval
 GROUP BY 1, 2""",
+
+    // bloom-prefiltered decontamination: the oracle is the EXACT
+    // train x eval gram join with no bloom anywhere — the engine's
+    // bloom prefilter must be invisible in the result
+    "d_contamination_bloom" -> s"""$TOKS, sh5 AS (
+  SELECT doc_id, unnest(list_distinct(${shinglesN(5)})) AS s FROM toks
+), h5 AS (SELECT doc_id, ${dh("s")} AS h FROM sh5
+), marks AS (
+  SELECT doc_id, ${dh("lang || '|' || CAST(doc_id AS VARCHAR)")} % 100 < 20 AS is_eval
+  FROM documents)
+SELECT t.doc_id AS train_doc, count(DISTINCT e.doc_id) AS n_eval_docs,
+       count(*) AS n_shared
+FROM h5 t JOIN marks mt ON mt.doc_id = t.doc_id AND NOT mt.is_eval
+JOIN h5 e ON e.h = t.h
+JOIN marks me ON me.doc_id = e.doc_id AND me.is_eval
+GROUP BY 1""",
+
+    // maximal duplicated 5-gram spans: positional grams (NOT distinct),
+    // duplicated = >= 2 occurrences corpus-wide, islands merge
+    // positions <= 5 apart (adjacent-or-overlapping duplicated grams)
+    "d_span_dedup" -> s"""$TOKS, posn AS (
+  SELECT doc_id, unnest(range(1, greatest(len(tk)-4, 0)+1)) AS i, tk FROM toks
+), g AS (
+  SELECT doc_id, CAST(i-1 AS BIGINT) AS pos,
+         ${dh("array_to_string(tk[i:i+4], ' ')")} AS h
+  FROM posn
+), dup AS (SELECT h FROM g GROUP BY h HAVING count(*) >= 2
+), dp AS (
+  SELECT doc_id, pos, lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+  FROM g WHERE h IN (SELECT h FROM dup)
+), isl AS (
+  SELECT doc_id, pos,
+         sum(CASE WHEN prev IS NOT NULL AND pos - prev <= 5 THEN 0 ELSE 1 END)
+           OVER (PARTITION BY doc_id ORDER BY pos) AS island
+  FROM dp)
+SELECT doc_id, min(pos) AS span_start, CAST(max(pos)+4 AS BIGINT) AS span_end,
+       count(*) AS n_grams
+FROM isl GROUP BY doc_id, island""",
+
+    // minhash-estimated jaccard over LSH candidate pairs: fraction of
+    // agreeing signature components
+    "d_minhash_jaccard_est" -> s"""$LSH_CANDS
+SELECT c.doc_a, c.doc_b,
+       round((${(0 until 16).map(i => s"CASE WHEN a.mh$i = b.mh$i THEN 1 ELSE 0 END").mkString(" + ")}) / 16.0, 4) AS est_jaccard
+FROM cands c JOIN sig a ON a.doc_id = c.doc_a JOIN sig b ON b.doc_id = c.doc_b""",
+
+    // corpus-bigram LM commonness: avg document-frequency over bigram
+    // occurrences, exact integer counts until one final division
+    "t_bigram_lm" -> s"""$TOKS, bi AS (
+  SELECT doc_id, unnest(${shinglesN(2)}) AS s FROM toks
+), hb AS (SELECT doc_id, ${dh("s")} AS h FROM bi
+), dfreq AS (SELECT h, count(DISTINCT doc_id) AS df FROM hb GROUP BY h)
+SELECT doc_id, count(*) AS n_bigrams,
+       round(CAST(sum(df) AS DOUBLE) / count(*), 4) AS avg_df
+FROM hb JOIN dfreq USING (h)
+GROUP BY doc_id""",
 
     // the composed decontamination report: exact-normalized, 5-gram,
     // and near-dup train contamination counted per eval doc

@@ -604,6 +604,53 @@ object SparkEntry {
       .agg(count(lit(1)).as("n_shared"))
   }
 
+  /** Maximal duplicated ≥5-gram spans across the corpus — the
+    * exact-substring dedup result (suffix-array method of Lee et al.
+    * 2022, re-expressed as gram-hash counting + gaps-and-islands;
+    * see [[graft.ext.Dedup.duplicatedSpans]]). */
+  private def dSpanDedup(s: SparkSession, dir: String): DataFrame =
+    Dedup.duplicatedSpans(T(s, dir, "documents"), 5)
+
+  /** Bloom-prefiltered exact decontamination: same exact semantics as
+    * a train×eval gram join, but train grams cross the shuffle only if
+    * they pass a broadcast Bloom filter of the eval grams — the 100 TB
+    * form (eval sets are small; train is the 100 TB side). The oracle
+    * is plain exact SQL with no bloom: false positives must die in the
+    * confirm join for this to pass. */
+  private def dContaminationBloom(s: SparkSession, dir: String): DataFrame = {
+    val docs = T(s, dir, "documents")
+    Dedup.bloomContamination(docs,
+      TextOps.hashSample(col("lang"), col("doc_id"), 20), 5)
+  }
+
+  /** Corpus-bigram LM commonness score per document (the CCNet KenLM
+    * quality-filter shape in exact integer counts — see
+    * [[graft.ext.TextOps.bigramCommonness]]). */
+  private def tBigramLm(s: SparkSession, dir: String): DataFrame =
+    TextOps.bigramCommonness(T(s, dir, "documents"))
+
+  /** Sketch-estimated Jaccard for LSH candidate pairs: the fraction of
+    * agreeing MinHash components is an unbiased estimate of the true
+    * Jaccard — the cheap score a 100 TB pass uses to rank candidates
+    * before (or instead of) the exact intersection join. Reuses the
+    * cached signatures; cost is one join per side of the (tiny)
+    * candidate list, never a shingle-level join. */
+  private def dMinhashJaccardEst(s: SparkSession, dir: String): DataFrame = {
+    val docs = T(s, dir, "documents")
+    val sigs = Dedup.minhashSignatures(docs, 3, 16)
+    val cands = Dedup.lshCandidatePairs(sigs, 4, 4).select("doc_a", "doc_b")
+    val a = sigs.select(col("doc_id").as("doc_a") +:
+      (0 until 16).map(i => col(s"mh$i").as(s"a$i")): _*)
+    val b = sigs.select(col("doc_id").as("doc_b") +:
+      (0 until 16).map(i => col(s"mh$i").as(s"b$i")): _*)
+    val matches = (0 until 16)
+      .map(i => when(col(s"a$i") === col(s"b$i"), 1L).otherwise(0L))
+      .reduce(_ + _)
+    cands.join(a, "doc_a").join(b, "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        round(matches / lit(16.0), 4).as("est_jaccard"))
+  }
+
   /** The composed decontamination report: for every eval-split
     * document, how many TRAIN documents (a) are exact duplicates after
     * normalization, (b) share at least one 5-gram, (c) are LSH-verified
@@ -856,6 +903,10 @@ object SparkEntry {
     "t_pack_sequences" -> (tPackSequences _),
     "d_contamination" -> (dContamination _),
     "d_contamination_ngram" -> (dContaminationNgram _),
+    "d_contamination_bloom" -> (dContaminationBloom _),
+    "d_span_dedup" -> (dSpanDedup _),
+    "d_minhash_jaccard_est" -> (dMinhashJaccardEst _),
+    "t_bigram_lm" -> (tBigramLm _),
     "e_curation_pipeline" -> (eCurationPipeline _),
     "e_decontam_report" -> (eDecontamReport _),
     "d_dedup_apply" -> (dDedupApply _),

@@ -276,6 +276,94 @@ object Dedup {
         expr("bit_count(a.simhash ^ b.simhash)").cast("int").as("hamming"))
       .filter(col("hamming") <= maxHamming)
 
+  /** Maximal duplicated token spans — exact-substring deduplication in
+    * the sense of Lee et al. 2022 ("Deduplicating Training Data Makes
+    * Language Models Better"), re-expressed Spark-shaped. The paper
+    * builds a corpus suffix array (inherently sequential); the
+    * distributed equivalent: a token position is "duplicated" iff the
+    * n-gram starting there occurs ≥2 times corpus-wide (any document,
+    * including its own), and runs of duplicated positions ≤n apart
+    * merge into maximal spans — exactly the regions a span-level dedup
+    * pass would cut before training.
+    *
+    * Scale shape: positional grams = one row per corpus token
+    * (explode, no shuffle) → occurrence count by gram hash (partial
+    * agg, shuffle ∝ distinct grams) → left-semi back on the same key
+    * (co-partitioned) → gaps-and-islands window partitioned by doc_id
+    * (shuffle on doc_id, bounded by tokens-per-doc — never a global
+    * window). The positional gram frame feeds both the count and the
+    * semi-join probe, so it is PlanCache-materialized once.
+    *
+    * Returns (doc_id, span_start, span_end, n_grams): 0-based token
+    * indices, span covers [span_start, span_end] inclusive. */
+  def duplicatedSpans(docs: DataFrame, n: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val grams = graft.ops.PlanCache.cachedBy(s"gram-pos-$n",
+        docs.queryExecution.logical.semanticHash(), docs.sparkSession) {
+      spread(docs).select(col("doc_id"), tokens(col("text")).as("tk"))
+        .select(col("doc_id"), posexplode(shingles(col("tk"), n)).as(Seq("pos", "sh")))
+        .select(col("doc_id"), col("pos").cast("long").as("pos"),
+          portableHash(col("sh")).as("h"))
+    }
+    val dup = grams.groupBy("h").agg(count(lit(1)).as("occ"))
+      .filter(col("occ") >= 2).select("h")
+    val dupPos = grams.join(dup, Seq("h"), "left_semi").select("doc_id", "pos")
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    dupPos
+      .withColumn("brk",
+        when(col("pos") - lag(col("pos"), 1).over(w) <= n, 0L).otherwise(1L))
+      .withColumn("island", sum(col("brk")).over(w))
+      .groupBy(col("doc_id"), col("island"))
+      .agg(min(col("pos")).as("span_start"),
+        (max(col("pos")) + lit(n.toLong - 1)).as("span_end"),
+        count(lit(1)).as("n_grams"))
+      .select(col("doc_id"), col("span_start"), col("span_end"), col("n_grams"))
+  }
+
+  /** Bloom-prefiltered exact n-gram decontamination. The exact
+    * train×eval gram join ([[graft.SparkEntry]] d_contamination_ngram)
+    * shuffles EVERY train gram on the gram hash even though almost none
+    * of them hit an eval gram. Here the eval side (the small side: held
+    * -out benchmarks) is folded into a Bloom filter by a distributed
+    * aggregate — Spark's own `BloomFilterAggregate`, the expression
+    * behind AQE runtime filters — whose final bytes (a few MB for 10^8
+    * grams at 1% fpp, vs TBs of train grams) come back to the driver
+    * and redistribute as a broadcast-style binary literal. Train grams
+    * then pass `BloomFilterMightContain` BEFORE the shuffle, so the
+    * exact confirm join moves only the ~fpp false-positive fraction
+    * plus true hits. False positives are killed by the confirm join —
+    * results are EXACT, which is what lets a plain SQL oracle with no
+    * bloom at all check this query.
+    *
+    * Returns per-train-doc contamination: (train_doc, n_eval_docs,
+    * n_shared) over grams of width n. */
+  def bloomContamination(docs: DataFrame, isEval: Column, n: Int,
+      expectedEvalGrams: Long = 1L << 17): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.graftbridge.Bridge
+    val marks = docs.select(col("doc_id"), isEval.as("is_eval"))
+    val sh = shingleHashes(docs, n).join(marks, "doc_id")
+    val evalGrams = sh.filter(col("is_eval"))
+      .select(col("doc_id").as("eval_doc"), col("h"))
+    val bloomCol = Bridge.column(
+      new BloomFilterAggregate(Bridge.expression(col("h")), expectedEvalGrams)
+        .toAggregateExpression())
+    // one binary blob per aggregate — the driver round-trip is the
+    // sketch, not the data (same movement pattern as a broadcast dim)
+    val bloomBytes = evalGrams.agg(bloomCol.as("bf")).head.getAs[Array[Byte]](0)
+    val trainGrams = sh.filter(!col("is_eval"))
+      .select(col("doc_id").as("train_doc"), col("h"))
+    val prefiltered =
+      if (bloomBytes == null) trainGrams.filter(lit(false)) // no eval grams at all
+      else trainGrams.filter(Bridge.column(new BloomFilterMightContain(
+        Bridge.expression(lit(bloomBytes)), Bridge.expression(col("h")))))
+    prefiltered.join(evalGrams, "h")
+      .groupBy("train_doc")
+      .agg(countDistinct(col("eval_doc")).as("n_eval_docs"),
+        count(lit(1)).as("n_shared"))
+  }
+
   /** The dedup APPLY step for NEAR duplicates: near-duplication is
     * transitive in practice (A≈B≈C must collapse to one keeper even if
     * A,C were never paired), so the canonical group id is the minimum

@@ -123,6 +123,32 @@ object TextOps {
       .select(col("doc_id"), col("n_tok"), col("tok_start"), col("chunk_id"))
   }
 
+  /** Corpus-LM commonness score — the shape of CCNet's KenLM quality
+    * filter with the corpus itself as the language model. Each document
+    * scores avg document-frequency of its bigram OCCURRENCES: text made
+    * of bigrams many other documents also contain scores high
+    * (common, in-distribution), text of corpus-rare bigrams scores low
+    * (outlier/noise — or novel). Kept in exact integer counts until one
+    * final division, so the doubles are bit-identical cross-engine (the
+    * log-space perplexity form would not be).
+    *
+    * Scale shape: bigram occurrences explode (one row per token) →
+    * df by gram hash (partial agg; countDistinct doc_id shuffles on
+    * (h, doc_id) then h — both bounded by distinct grams) → join back
+    * on h (co-partitioned with the df agg) → per-doc sum. No window,
+    * no all-pairs. The occurrence frame feeds the df agg and the
+    * join probe, hence PlanCache. */
+  def bigramCommonness(docs: DataFrame): DataFrame = {
+    val bi = graft.ops.PlanCache.cached("bigram-occ",
+      docs.select(col("doc_id"), explode(shingles(tokens(col("text")), 2)).as("s"))
+        .select(col("doc_id"), portableHash(col("s")).as("h")))
+    val df = bi.groupBy("h").agg(countDistinct(col("doc_id")).as("df"))
+    bi.join(df, "h")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(sum(col("df")).cast("double") / count(lit(1)), 4).as("avg_df"))
+  }
+
   /** Whole-document fingerprint over whitespace-normalized text. */
   def fingerprint(text: Column): Column =
     portableHash(regexp_replace(lower(trim(text)), "\\s+", " "))

@@ -367,4 +367,87 @@ class ExtSpec extends SparkSpec {
     assert(groups.filter(col("group_id") > col("doc_id")).count() === 0L,
       "a component label can never exceed the member id (min-id rule)")
   }
+
+  test("duplicated spans merge overlapping grams into one maximal span") {
+    // a 7-token phrase shared by docs 1 and 2 yields three overlapping
+    // 5-grams (positions 0,1,2) that must merge into ONE span [0,6];
+    // doc 2 carries the phrase after a 2-token prefix, so its span
+    // shifts to [2,8]; doc 3 shares nothing and must not appear
+    val docs = Seq(
+      (1L, "one two three four five six seven unique1 tail1"),
+      (2L, "lead pad one two three four five six seven"),
+      (3L, "alpha beta gamma delta epsilon zeta eta theta iota"))
+      .toDF("doc_id", "text")
+    val got = Dedup.duplicatedSpans(docs, 5)
+      .select(col("doc_id"), col("span_start"), col("span_end"), col("n_grams"))
+      .as[(Long, Long, Long, Long)].collect().toSeq.sorted
+    assert(got === Seq((1L, 0L, 6L, 3L), (2L, 2L, 8L, 3L)))
+  }
+
+  test("duplicated spans count intra-document repeats too") {
+    // the same 5-gram occurs twice INSIDE one doc (positions 0 and 6)
+    // — two occurrences anywhere count as duplicated, islands stay
+    // separate because the positions are 6 > n apart
+    val docs = Seq(
+      (1L, "a b c d e filler a b c d e"),
+      (2L, "totally unrelated words over here now still going"))
+      .toDF("doc_id", "text")
+    val got = Dedup.duplicatedSpans(docs, 5)
+      .select(col("doc_id"), col("span_start"), col("span_end"), col("n_grams"))
+      .as[(Long, Long, Long, Long)].collect().toSeq.sorted
+    assert(got === Seq((1L, 0L, 4L, 1L), (1L, 6L, 10L, 1L)))
+  }
+
+  test("bloom-prefiltered contamination equals the exact join") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps high today"),
+      (2L, "completely different text entirely here"),
+      (10L, "the quick brown fox jumps")).toDF("doc_id", "text")
+    val got = Dedup.bloomContamination(docs, col("doc_id") >= 10L, 3)
+      .select(col("train_doc"), col("n_eval_docs"), col("n_shared"))
+      .as[(Long, Long, Long)].collect().toSeq
+    // eval doc 10 shares exactly its three 3-grams with train doc 1;
+    // train doc 2 must be absent (and the bloom must not let a false
+    // positive through the confirm join)
+    assert(got === Seq((1L, 1L, 3L)))
+  }
+
+  test("bloom contamination survives an empty eval side") {
+    val docs = Seq((1L, "some training words here")).toDF("doc_id", "text")
+    val got = Dedup.bloomContamination(docs, lit(false), 3)
+    assert(got.count() === 0L)
+  }
+
+  test("bigram commonness averages occurrence-level document frequency") {
+    // bigrams: doc1 = {a b, b c}, doc2 = {a b, b d}; df(a b)=2, others 1
+    // → both docs average (2+1)/2 = 1.5
+    val docs = Seq((1L, "a b c"), (2L, "a b d")).toDF("doc_id", "text")
+    val got = TextOps.bigramCommonness(docs)
+      .select(col("doc_id"), col("n_bigrams"), col("avg_df"))
+      .as[(Long, Long, Double)].collect().toSeq.sorted
+    assert(got === Seq((1L, 2L, 1.5), (2L, 2L, 1.5)))
+  }
+
+  test("minhash jaccard estimate is 1.0 for identical documents") {
+    val docs = Seq(
+      (1L, "one two three four five six seven eight"),
+      (2L, "one two three four five six seven eight"),
+      (3L, "alpha beta gamma delta epsilon zeta eta theta"))
+      .toDF("doc_id", "text")
+    val sigs = Dedup.minhashSignatures(docs, 3, 16)
+    val cands = Dedup.lshCandidatePairs(sigs, 4, 4)
+      .select(col("doc_a"), col("doc_b"))
+    val a = sigs.select(col("doc_id").as("doc_a") +:
+      (0 until 16).map(i => col(s"mh$i").as(s"a$i")): _*)
+    val b = sigs.select(col("doc_id").as("doc_b") +:
+      (0 until 16).map(i => col(s"mh$i").as(s"b$i")): _*)
+    val matches = (0 until 16)
+      .map(i => when(col(s"a$i") === col(s"b$i"), 1L).otherwise(0L))
+      .reduce(_ + _)
+    val est = cands.join(a, "doc_a").join(b, "doc_b")
+      .select(col("doc_a"), col("doc_b"), (matches / lit(16.0)).as("est"))
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(est === Seq((1L, 2L, 1.0)),
+      "identical docs share every signature component; disjoint docs are not candidates")
+  }
 }
