@@ -225,6 +225,29 @@ object Similarity {
   def kmeansCodebook(emb: DataFrame, k: Int, dims: Int, iters: Int): DataFrame = {
     var cents = centroidArray(emb, k)
     for (_ <- 0 until iters) {
+      // ONE imperative fixed-point sum instead of `dims` declarative
+      // sum() columns: identical longs (VectorSumFixedSpec pins it),
+      // but the HashAggregate stays narrow — at dims=64 the wide form's
+      // Janino compile was ~90% of this query's cold wall time
+      val means = ivfAssignCodebook(emb, cents)
+        .groupBy("cell")
+        .agg(graft.functions.VectorSumFixed.vecSumFixed(col("v"), dims, KmeansScale).as("sums"),
+          count(lit(1)).as("cnt"))
+        .select(col("cell"),
+          transform(col("sums"), s => s.cast("double") / KmeansScale / col("cnt")).as("cv"))
+      cents = means
+        .select(col("cell").as("c_id"), col("cv"), norm(col("cv")).as("cn"))
+        .agg(sort_array(collect_list(struct(col("c_id"), col("cv"), col("cn")))).as("cents"))
+    }
+    cents
+  }
+
+  /** The composed (wide declarative) twin of the fixed-point mean in
+    * [[kmeansCodebook]] — kept for the bit-equivalence spec only. */
+  private[graft] def kmeansCodebookComposed(emb: DataFrame, k: Int, dims: Int,
+      iters: Int): DataFrame = {
+    var cents = centroidArray(emb, k)
+    for (_ <- 0 until iters) {
       val meanExprs = (1 to dims).map { i =>
         sum(round(element_at(col("v"), i) * KmeansScale).cast("long"))
           .cast("double") / KmeansScale / count(lit(1))
