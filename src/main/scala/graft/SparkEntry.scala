@@ -55,6 +55,10 @@ object SparkEntry {
   def prepareSteps: Seq[(String, (SparkSession, String) => Unit)] = Seq(
     "shingle_index" ->
       ((s, dir) => { Dedup.shingleHashes(T(s, dir, "documents"), 3).count(); () }),
+    // n=5 gram index: shared by d_contamination_ngram,
+    // d_contamination_bloom and e_decontam_report
+    "shingle_index_5" ->
+      ((s, dir) => { Dedup.shingleHashes(T(s, dir, "documents"), 5).count(); () }),
     "minhash_sigs" ->
       ((s, dir) => { Dedup.minhashSignatures(T(s, dir, "documents"), 3, 16).count(); () }),
     "simhash_fps" ->

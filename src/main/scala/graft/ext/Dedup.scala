@@ -337,27 +337,43 @@ object Dedup {
     *
     * Returns per-train-doc contamination: (train_doc, n_eval_docs,
     * n_shared) over grams of width n. */
-  def bloomContamination(docs: DataFrame, isEval: Column, n: Int,
-      expectedEvalGrams: Long = 1L << 17): DataFrame = {
-    import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
+  /** Fold a long-hash column into Bloom-filter bytes via Spark's own
+    * `BloomFilterAggregate` (the expression behind AQE runtime
+    * filters) — distributed build, one binary blob to the driver (the
+    * sketch moves, not the data — the same movement pattern as a
+    * broadcast dimension). Returns null when the frame is empty. */
+  def buildBloom(grams: DataFrame, h: Column, expectedItems: Long): Array[Byte] = {
     import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
     import org.apache.spark.sql.graftbridge.Bridge
+    grams.agg(Bridge.column(
+        new BloomFilterAggregate(Bridge.expression(h), expectedItems)
+          .toAggregateExpression()).as("bf"))
+      .head.getAs[Array[Byte]](0)
+  }
+
+  /** `might_contain` predicate over [[buildBloom]] bytes. The bloom
+    * side must be a CONSTANT (Spark's check), which is exactly the
+    * design: the filter rides into every task as a literal, so the
+    * probe is a narrow map with no join in the plan. */
+  def mightContain(bloomBytes: Array[Byte], h: Column): Column = {
+    import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
+    import org.apache.spark.sql.graftbridge.Bridge
+    Bridge.column(new BloomFilterMightContain(
+      Bridge.expression(lit(bloomBytes)), Bridge.expression(h)))
+  }
+
+  def bloomContamination(docs: DataFrame, isEval: Column, n: Int,
+      expectedEvalGrams: Long = 1L << 17): DataFrame = {
     val marks = docs.select(col("doc_id"), isEval.as("is_eval"))
     val sh = shingleHashes(docs, n).join(marks, "doc_id")
     val evalGrams = sh.filter(col("is_eval"))
       .select(col("doc_id").as("eval_doc"), col("h"))
-    val bloomCol = Bridge.column(
-      new BloomFilterAggregate(Bridge.expression(col("h")), expectedEvalGrams)
-        .toAggregateExpression())
-    // one binary blob per aggregate — the driver round-trip is the
-    // sketch, not the data (same movement pattern as a broadcast dim)
-    val bloomBytes = evalGrams.agg(bloomCol.as("bf")).head.getAs[Array[Byte]](0)
+    val bloomBytes = buildBloom(evalGrams, col("h"), expectedEvalGrams)
     val trainGrams = sh.filter(!col("is_eval"))
       .select(col("doc_id").as("train_doc"), col("h"))
     val prefiltered =
       if (bloomBytes == null) trainGrams.filter(lit(false)) // no eval grams at all
-      else trainGrams.filter(Bridge.column(new BloomFilterMightContain(
-        Bridge.expression(lit(bloomBytes)), Bridge.expression(col("h")))))
+      else trainGrams.filter(mightContain(bloomBytes, col("h")))
     prefiltered.join(evalGrams, "h")
       .groupBy("train_doc")
       .agg(countDistinct(col("eval_doc")).as("n_eval_docs"),

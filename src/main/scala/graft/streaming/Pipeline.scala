@@ -96,6 +96,36 @@ object Pipeline {
       .dropDuplicatesWithinWatermark(Seq("content_hash"))
       .join(corpusHashes.select(col("content_hash")), Seq("content_hash"), "left_anti")
 
+  /** Streaming ingest decontamination: grams of each arriving document
+    * pass a broadcast Bloom filter of the STATIC eval-gram index (built
+    * once at wiring time via [[graft.ext.Dedup.buildBloom]]) and only
+    * the survivors — true hits plus the ~fpp false-positive sliver —
+    * reach the exact stream-static confirm semi-join. The streaming
+    * side therefore never shuffles the full gram stream: the bloom
+    * probe is a narrow per-row map riding in every task as a literal.
+    *
+    * Emits append-safe (doc_id, h) contaminated-gram hits with NO
+    * streaming state (no watermark, no aggregation): per-doc policy
+    * (drop, flag, quarantine) is a stateless per-micro-batch rollup in
+    * the sink's foreachBatch, where exactly-one-row-per-doc semantics
+    * are free. Results are exact — the confirm join kills every bloom
+    * false positive, same contract as the batch twin. */
+  def decontamGate(docs: DataFrame, evalDocs: DataFrame, n: Int,
+      expectedEvalGrams: Long = 1L << 17): DataFrame = {
+    import graft.codec.Codecs
+    val evalGrams = graft.ext.Dedup.shingleHashes(evalDocs, n)
+      .select(col("doc_id").as("eval_doc"), col("h"))
+    val bloom = graft.ext.Dedup.buildBloom(evalGrams, col("h"), expectedEvalGrams)
+    val streamGrams = docs
+      .select(col("doc_id"),
+        explode(array_distinct(Codecs.shingles(Codecs.tokens(col("text")), n))).as("sh"))
+      .select(col("doc_id"), Codecs.portableHash(col("sh")).as("h"))
+    val pre =
+      if (bloom == null) streamGrams.filter(lit(false)) // empty eval index
+      else streamGrams.filter(graft.ext.Dedup.mightContain(bloom, col("h")))
+    pre.join(evalGrams.select(col("h")), Seq("h"), "left_semi")
+  }
+
   /** Streaming twin of [[ContextOps.correlate]]: records and log rows
     * arrive as TWO live streams and are joined on trace_id as a
     * stream-stream inner join. Both sides are watermarked and the join

@@ -117,4 +117,38 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
       s"as-of must not degrade to a product join:\n$p")
   }
+
+  test("bloom decontamination filters train grams BEFORE the confirm join") {
+    val p = plan("d_contamination_bloom")
+    val bloomIdx = p.indexOf("might_contain")
+    val joinIdx = p.indexOf("SortMergeJoin") max p.indexOf("ShuffledHashJoin") max
+      p.indexOf("BroadcastHashJoin")
+    assert(bloomIdx >= 0, s"bloom prefilter not planned:\n$p")
+    assert(joinIdx >= 0, "expected the exact confirm join")
+    // executed plans print top-down: the filter must sit BELOW the
+    // join, i.e. appear AFTER it in the string
+    assert(bloomIdx > joinIdx,
+      s"might_contain must be on the join's input side, not above it:\n$p")
+  }
+
+  test("span dedup windows per document, never corpus-wide") {
+    val p = plan("d_span_dedup")
+    val winLines = p.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(winLines.nonEmpty, s"expected the gaps-and-islands window:\n$p")
+    assert(winLines.forall(_.contains("doc_id#")),
+      s"every window must partition by doc_id:\n${winLines.mkString("\n")}")
+  }
+
+  test("sketch-estimated jaccard reads cached signatures, not a shingle join") {
+    val p = plan("d_minhash_jaccard_est")
+    // the estimate consumes the PlanCache'd signature frame (banding's
+    // 4-structs-per-row explode is signature-granular and fine); a
+    // shingle-granular intersection join would hash-join on the gram
+    // hash column `h` — which must not appear above the cache boundary
+    assert(p.contains("InMemoryTableScan"),
+      s"estimator must read the cached signature frame:\n$p")
+    val aboveCache = p.substring(0, p.indexOf("InMemoryTableScan"))
+    assert(!aboveCache.contains("hashjoin(h#") && !aboveCache.contains("[h#"),
+      s"no shingle-hash join may sit above the cached signatures:\n$aboveCache")
+  }
 }

@@ -202,6 +202,33 @@ class StreamingPipelineSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming decontam gate flags only true eval-gram hits, statelessly") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val evalDocs = Seq((100L, "the quick brown fox jumps")).toDF("doc_id", "text")
+    val input = MemoryStream[(Long, String)]
+    val out = Pipeline.decontamGate(
+      input.toDF().toDF("doc_id", "text"), evalDocs, 3)
+    val q = out.writeStream.format("memory").queryName("decontam_gate")
+      .outputMode("append").start()
+    try {
+      input.addData(Seq(
+        (1L, "the quick brown fox jumps high today"), // 3 shared 3-grams
+        (2L, "completely different text entirely here"))) // clean
+      q.processAllAvailable()
+      val got = spark.table("decontam_gate")
+        .groupBy(col("doc_id")).count()
+        .as[(Long, Long)].collect().toMap
+      assert(got === Map(1L -> 3L),
+        "contaminated doc surfaces its three shared grams; the clean doc is silent")
+      // the gate holds NO streaming state: re-sending the clean doc
+      // must still emit nothing (pure per-row decision, no dedup state)
+      input.addData(Seq((3L, "completely different text entirely here")))
+      q.processAllAvailable()
+      assert(spark.table("decontam_gate").filter(col("doc_id") === 3L).count() === 0L)
+    } finally q.stop()
+  }
+
   test("stream-stream correlation joins records to their log rows across two live streams") {
     implicit val sqlCtx = spark.sqlContext
     val recIn = MemoryStream[RawRecord]
