@@ -567,11 +567,10 @@ FROM cands c JOIN sig a ON a.doc_id = c.doc_a JOIN sig b ON b.doc_id = c.doc_b""
     // occurrences, exact integer counts until one final division
     "t_bigram_lm" -> s"""$TOKS, bi AS (
   SELECT doc_id, unnest(${shinglesN(2)}) AS s FROM toks
-), hb AS (SELECT doc_id, ${dh("s")} AS h FROM bi
-), dfreq AS (SELECT h, count(DISTINCT doc_id) AS df FROM hb GROUP BY h)
+), dfreq AS (SELECT s, count(DISTINCT doc_id) AS df FROM bi GROUP BY s)
 SELECT doc_id, count(*) AS n_bigrams,
        round(CAST(sum(df) AS DOUBLE) / count(*), 4) AS avg_df
-FROM hb JOIN dfreq USING (h)
+FROM bi JOIN dfreq USING (s)
 GROUP BY doc_id""",
 
     // the composed decontamination report: exact-normalized, 5-gram,

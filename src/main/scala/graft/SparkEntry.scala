@@ -59,6 +59,10 @@ object SparkEntry {
     // d_contamination_bloom and e_decontam_report
     "shingle_index_5" ->
       ((s, dir) => { Dedup.shingleHashes(T(s, dir, "documents"), 5).count(); () }),
+    // bigram occurrence + df frames: shared by t_bigram_lm and
+    // t_bigram_topk
+    "bigram_index" ->
+      ((s, dir) => { TextOps.bigramDf(T(s, dir, "documents")).count(); () }),
     "minhash_sigs" ->
       ((s, dir) => { Dedup.minhashSignatures(T(s, dir, "documents"), 3, 16).count(); () }),
     "simhash_fps" ->
@@ -440,10 +444,11 @@ object SparkEntry {
   /** Bigram statistics: top-30 word bigrams by document frequency —
     * the n-gram companion to t_vocab_topk. */
   private def tBigramTopK(s: SparkSession, dir: String): DataFrame =
-    T(s, dir, "documents")
-      .select(col("doc_id"), Codecs.tokens(col("text")).as("tk"))
-      .select(explode(array_distinct(Codecs.shingles(col("tk"), 2))).as("bigram"))
-      .groupBy("bigram").agg(count(lit(1)).as("doc_freq"))
+    // doc_freq ≡ count(DISTINCT doc_id) per bigram: reads the shared
+    // cached df frame (same substrate as t_bigram_lm) instead of its
+    // own array_distinct explode
+    TextOps.bigramDf(T(s, dir, "documents"))
+      .select(col("s").as("bigram"), col("df").as("doc_freq"))
       .orderBy(col("doc_freq").desc, col("bigram"))
       .limit(30)
 

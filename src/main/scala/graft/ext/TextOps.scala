@@ -138,16 +138,33 @@ object TextOps {
     * on h (co-partitioned with the df agg) → per-doc sum. No window,
     * no all-pairs. The occurrence frame feeds the df agg and the
     * join probe, hence PlanCache. */
-  def bigramCommonness(docs: DataFrame): DataFrame = {
-    val bi = graft.ops.PlanCache.cached("bigram-occ",
+  /** Bigram OCCURRENCES (one row per in-doc bigram position) — the
+    * shared substrate of [[bigramDf]] and [[bigramCommonness]]. Kept
+    * as strings, not hashes: both consumers re-aggregate with partial
+    * aggregation, so the shuffle is bounded by distinct bigrams either
+    * way and the md5 pass would cost more than the wider key saves at
+    * this fan-in (swap in [[graft.codec.Codecs.portableHash]] keys if
+    * a production corpus makes the string shuffle the bottleneck). */
+  def bigramOccurrences(docs: DataFrame): DataFrame =
+    graft.ops.PlanCache.cachedBy("bigram-occ",
+        docs.queryExecution.logical.semanticHash(), docs.sparkSession) {
       docs.select(col("doc_id"), explode(shingles(tokens(col("text")), 2)).as("s"))
-        .select(col("doc_id"), portableHash(col("s")).as("h")))
-    val df = bi.groupBy("h").agg(countDistinct(col("doc_id")).as("df"))
-    bi.join(df, "h")
+    }
+
+  /** Per-bigram document frequency over [[bigramOccurrences]] — shared
+    * by the top-k vocabulary view and the commonness score. */
+  def bigramDf(docs: DataFrame): DataFrame =
+    graft.ops.PlanCache.cachedBy("bigram-df",
+        docs.queryExecution.logical.semanticHash(), docs.sparkSession) {
+      bigramOccurrences(docs).groupBy("s")
+        .agg(countDistinct(col("doc_id")).as("df"))
+    }
+
+  def bigramCommonness(docs: DataFrame): DataFrame =
+    bigramOccurrences(docs).join(bigramDf(docs), "s")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_bigrams"),
         round(sum(col("df")).cast("double") / count(lit(1)), 4).as("avg_df"))
-  }
 
   /** Whole-document fingerprint over whitespace-normalized text. */
   def fingerprint(text: Column): Column =
