@@ -122,6 +122,38 @@ pairs AS (
   FROM inter JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
   WHERE round(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 4) >= 0.5)"""
 
+  /** PQ encode/reconstruct/score CTEs (mirror of Similarity.pqTopK at
+    * kCodes=4, m=8, sub=8, queries vec_id < 8): `s` holds the
+    * approximate (reconstruction-domain) cosine per (q_id, vec_id). */
+  private val PQ_SCORES = s"""$VECS, seeds0 AS (
+  SELECT vec_id AS c_id, v FROM nv
+  ORDER BY ${dh("CAST(vec_id AS VARCHAR)")}, vec_id LIMIT 4
+), seeds AS (
+  SELECT c_id, v, row_number() OVER (ORDER BY c_id) AS code FROM seeds0
+), subcw AS (
+  SELECT t.i AS sub, code, v[t.i*8+1 : t.i*8+8] AS cw FROM seeds, range(0, 8) t(i)
+), enc AS (
+  SELECT nv.vec_id, sc.sub, sc.code,
+         list_sum(list_transform(range(1, 9),
+           j -> (nv.v[sc.sub*8 + j] - sc.cw[j]) * (nv.v[sc.sub*8 + j] - sc.cw[j]))) AS d
+  FROM nv, subcw sc
+), best AS (
+  SELECT vec_id, sub, code FROM (
+    SELECT vec_id, sub, code,
+           row_number() OVER (PARTITION BY vec_id, sub ORDER BY d ASC, code ASC) AS rn
+    FROM enc) WHERE rn = 1
+), recon AS (
+  SELECT b.vec_id, flatten(list(sc.cw ORDER BY b.sub)) AS recon
+  FROM best b JOIN subcw sc ON sc.sub = b.sub AND sc.code = b.code
+  GROUP BY b.vec_id
+), r AS (
+  SELECT recon.vec_id, recon.recon, sqrt(list_dot_product(recon.recon, recon.recon)) AS rnorm
+  FROM recon WHERE vec_id >= 8
+), q AS (
+  SELECT vec_id AS q_id, v AS qv, nrm AS qn FROM nv WHERE vec_id < 8
+), s AS (
+  SELECT q_id, vec_id, list_dot_product(qv, recon) / (qn * rnorm) AS cos FROM q, r)"""
+
   /** IVF codebook + assignment CTEs (mirror of Similarity.ivfAssign):
     * codebook = the 8 vectors with the smallest portable hash of
     * vec_id (ties by vec_id) — fixed k, independent of corpus size;
@@ -778,37 +810,25 @@ WHERE rnk <= 3""",
     // PQ: 8 subspaces x 4 codewords (the hash-sample seeds' slices);
     // encode candidates by argmin L2 (ties -> smaller code), score
     // queries exactly against the reconstruction
-    "s_ann_pq" -> s"""$VECS, seeds0 AS (
-  SELECT vec_id AS c_id, v FROM nv
-  ORDER BY ${dh("CAST(vec_id AS VARCHAR)")}, vec_id LIMIT 4
-), seeds AS (
-  SELECT c_id, v, row_number() OVER (ORDER BY c_id) AS code FROM seeds0
-), subcw AS (
-  SELECT t.i AS sub, code, v[t.i*8+1 : t.i*8+8] AS cw FROM seeds, range(0, 8) t(i)
-), enc AS (
-  SELECT nv.vec_id, sc.sub, sc.code,
-         list_sum(list_transform(range(1, 9),
-           j -> (nv.v[sc.sub*8 + j] - sc.cw[j]) * (nv.v[sc.sub*8 + j] - sc.cw[j]))) AS d
-  FROM nv, subcw sc
-), best AS (
-  SELECT vec_id, sub, code FROM (
-    SELECT vec_id, sub, code,
-           row_number() OVER (PARTITION BY vec_id, sub ORDER BY d ASC, code ASC) AS rn
-    FROM enc) WHERE rn = 1
-), recon AS (
-  SELECT b.vec_id, flatten(list(sc.cw ORDER BY b.sub)) AS recon
-  FROM best b JOIN subcw sc ON sc.sub = b.sub AND sc.code = b.code
-  GROUP BY b.vec_id
-), r AS (
-  SELECT recon.vec_id, recon.recon, sqrt(list_dot_product(recon.recon, recon.recon)) AS rnorm
-  FROM recon WHERE vec_id >= 8
-), q AS (
-  SELECT vec_id AS q_id, v AS qv, nrm AS qn FROM nv WHERE vec_id < 8
-), s AS (
-  SELECT q_id, vec_id, list_dot_product(qv, recon) / (qn * rnorm) AS cos FROM q, r)
+    "s_ann_pq" -> s"""$PQ_SCORES
 SELECT q_id, vec_id AS neighbor_id, CAST(rnk AS INT) AS rnk, round(cos, 4) AS cos FROM (
   SELECT q_id, vec_id, cos,
          row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rnk FROM s)
+WHERE rnk <= 3""",
+
+    // two-stage PQ: 10-wide approximate shortlist, exact re-rank to 3
+    "s_ann_pq_rerank" -> s"""$PQ_SCORES, short AS (
+  SELECT q_id, vec_id FROM (
+    SELECT q_id, vec_id,
+           row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rn
+    FROM s) WHERE rn <= 10
+), ex AS (
+  SELECT sh.q_id, sh.vec_id,
+         list_dot_product(q.qv, nv.v) / (q.qn * nv.nrm) AS cos
+  FROM short sh JOIN q ON q.q_id = sh.q_id JOIN nv ON nv.vec_id = sh.vec_id)
+SELECT q_id, vec_id AS neighbor_id, CAST(rnk AS INT) AS rnk, round(cos, 4) AS cos FROM (
+  SELECT q_id, vec_id, cos,
+         row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rnk FROM ex)
 WHERE rnk <= 3""",
 
     "s_ann_lsh_mp" -> s"""$VECS, q0 AS (

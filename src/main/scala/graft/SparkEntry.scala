@@ -806,6 +806,11 @@ object SparkEntry {
   private def sAnnPq(s: SparkSession, dir: String): DataFrame =
     Similarity.pqTopK(T(s, dir, "embeddings"), col("vec_id") < 8, 3, 4, 8, 64)
 
+  /** Two-stage PQ: 10-candidate compressed-domain shortlist, exact
+    * re-rank to top-3 (see Similarity.pqRerankTopK). */
+  private def sAnnPqRerank(s: SparkSession, dir: String): DataFrame =
+    Similarity.pqRerankTopK(T(s, dir, "embeddings"), col("vec_id") < 8, 3, 10, 4, 8, 64)
+
   /** Fixed IVF codebook size — independent of corpus size by design
     * (assignment is O(N·k); see Similarity.ivfAssign). */
   private val IvfK = 8
@@ -935,6 +940,7 @@ object SparkEntry {
     "s_ann_ivf_mp" -> (sAnnIvfMp _),
     "s_ann_ivf_km" -> (sAnnIvfKm _),
     "s_ann_pq" -> (sAnnPq _),
+    "s_ann_pq_rerank" -> (sAnnPqRerank _),
     "s_near_dup" -> (sNearDup _),
     "s_ann_filtered" -> (sAnnFiltered _),
     "d_semantic_dedup" -> (dSemanticDedup _),

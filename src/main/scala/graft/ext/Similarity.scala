@@ -373,6 +373,29 @@ object Similarity {
     rankTopK(broadcast(q).join(cands, col("q_id") =!= col("vec_id")), k)
   }
 
+  /** Two-stage PQ search — the standard production ANN layout: the PQ
+    * scan (compressed codes, approximate distances) produces a
+    * per-query SHORTLIST of `shortlist` candidates, then ONLY those
+    * rows are re-scored against their exact vectors and re-ranked to
+    * the final k. At 100 TB the corpus is touched once through its
+    * m-byte codes; exact vectors are fetched for shortlist×queries
+    * rows — the recall/IO knob is `shortlist`, not corpus size. Rank
+    * rules identical to every other variant. */
+  def pqRerankTopK(emb: DataFrame, queryPred: Column, k: Int, shortlist: Int,
+      kCodes: Int, m: Int, dims: Int): DataFrame = {
+    require(shortlist >= k, s"shortlist ($shortlist) must cover the final k ($k)")
+    val short = pqTopK(emb, queryPred, shortlist, kCodes, m, dims)
+      .select(col("q_id"), col("neighbor_id"))
+    val q = withNorm(emb).filter(queryPred)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val exact = withNorm(emb).select(col("vec_id"), col("v"), col("nrm"))
+    rankTopK(
+      short.join(broadcast(q), "q_id")
+        .join(exact, col("neighbor_id") === col("vec_id"))
+        .drop("neighbor_id"),
+      k)
+  }
+
   /** Semantic near-dup candidate pairs (the SemDeDup shape): the corpus
     * is clustered by the fixed-k IVF assignment, and ONLY cluster-mates
     * are compared — per-cell quadratic instead of corpus-quadratic,

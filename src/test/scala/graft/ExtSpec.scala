@@ -368,6 +368,22 @@ class ExtSpec extends SparkSpec {
       "a component label can never exceed the member id (min-id rule)")
   }
 
+  test("PQ rerank stays inside the shortlist and orders by exact cosine") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val short = Similarity.pqTopK(emb, col("vec_id") < 8, 10, 4, 8, 64)
+      .select(col("q_id"), col("neighbor_id")).as[(Long, Long)].collect().toSet
+    val rer = Similarity.pqRerankTopK(emb, col("vec_id") < 8, 3, 10, 4, 8, 64)
+      .select(col("q_id"), col("neighbor_id"), col("rnk"), col("cos"))
+      .as[(Long, Long, Int, Double)].collect().toSeq
+    assert(rer.nonEmpty)
+    assert(rer.forall { case (q, n, _, _) => short.contains((q, n)) },
+      "stage 2 may only re-order stage 1's shortlist, never add candidates")
+    rer.groupBy(_._1).values.foreach { rows =>
+      val byRank = rows.sortBy(_._3).map(_._4)
+      assert(byRank === byRank.sorted.reverse, "rnk must follow exact cosine desc")
+    }
+  }
+
   test("duplicated spans merge overlapping grams into one maximal span") {
     // a 7-token phrase shared by docs 1 and 2 yields three overlapping
     // 5-grams (positions 0,1,2) that must merge into ONE span [0,6];
