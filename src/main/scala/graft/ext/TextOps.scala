@@ -123,21 +123,6 @@ object TextOps {
       .select(col("doc_id"), col("n_tok"), col("tok_start"), col("chunk_id"))
   }
 
-  /** Corpus-LM commonness score — the shape of CCNet's KenLM quality
-    * filter with the corpus itself as the language model. Each document
-    * scores avg document-frequency of its bigram OCCURRENCES: text made
-    * of bigrams many other documents also contain scores high
-    * (common, in-distribution), text of corpus-rare bigrams scores low
-    * (outlier/noise — or novel). Kept in exact integer counts until one
-    * final division, so the doubles are bit-identical cross-engine (the
-    * log-space perplexity form would not be).
-    *
-    * Scale shape: bigram occurrences explode (one row per token) →
-    * df by gram hash (partial agg; countDistinct doc_id shuffles on
-    * (h, doc_id) then h — both bounded by distinct grams) → join back
-    * on h (co-partitioned with the df agg) → per-doc sum. No window,
-    * no all-pairs. The occurrence frame feeds the df agg and the
-    * join probe, hence PlanCache. */
   /** Bigram OCCURRENCES (one row per in-doc bigram position) — the
     * shared substrate of [[bigramDf]] and [[bigramCommonness]]. Kept
     * as strings, not hashes: both consumers re-aggregate with partial
@@ -160,6 +145,18 @@ object TextOps {
         .agg(countDistinct(col("doc_id")).as("df"))
     }
 
+  /** Corpus-LM commonness score — the shape of CCNet's KenLM quality
+    * filter with the corpus itself as the language model. Each document
+    * scores avg document-frequency of its bigram OCCURRENCES: text made
+    * of bigrams many other documents also contain scores high
+    * (common, in-distribution), text of corpus-rare bigrams scores low
+    * (outlier/noise — or novel). Kept in exact integer counts until one
+    * final division, so the doubles are bit-identical cross-engine (the
+    * log-space perplexity form would not be).
+    *
+    * Scale shape: occurrences explode (one row per token) → df by
+    * bigram (partial agg, bounded by distinct grams) → join back on
+    * the same key → per-doc sum. No window, no all-pairs. */
   def bigramCommonness(docs: DataFrame): DataFrame =
     bigramOccurrences(docs).join(bigramDf(docs), "s")
       .groupBy("doc_id")
