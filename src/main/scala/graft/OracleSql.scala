@@ -352,6 +352,17 @@ FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND c.c_ts <= p.ts""",
   count(*) AS n
 FROM lineitem GROUP BY l_returnflag""",
 
+    // pivot with explicit values == CASE-routed sums; a (priority,
+    // flag) combination with no rows is NULL in both engines
+    "a_pivot" -> """SELECT o_orderpriority,
+  CAST(sum(CASE WHEN l_returnflag = 'A' THEN c END) AS BIGINT) AS A,
+  CAST(sum(CASE WHEN l_returnflag = 'N' THEN c END) AS BIGINT) AS N,
+  CAST(sum(CASE WHEN l_returnflag = 'R' THEN c END) AS BIGINT) AS R
+FROM (SELECT o_orderpriority, l_returnflag,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS c
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+GROUP BY o_orderpriority""",
+
     "a_distinct_counts" -> """SELECT l_returnflag,
   count(DISTINCT l_partkey) AS n_parts,
   count(DISTINCT l_suppkey) AS n_supps,

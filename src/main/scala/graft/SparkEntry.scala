@@ -350,6 +350,20 @@ object SparkEntry {
       .agg(sum(col("pc")).as("sum_cents"), sum(col("pn")).as("n"))
   }
 
+  /** Pivoted aggregation — revenue cents by order priority × return
+    * flag. Pivot values are EXPLICIT: the implicit form runs a
+    * distinct-values collect over the corpus before it can even build
+    * the plan, which is the pivot scale trap; with declared values
+    * this is one partial-agg shuffle, exactly a groupBy in disguise.
+    * Exact integer cents, so the pivoted sums are order-independent. */
+  private def aPivot(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "lineitem")
+      .join(T(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .withColumn("cents", round(col("l_extendedprice") * 100).cast("long"))
+      .groupBy(col("o_orderpriority"))
+      .pivot("l_returnflag", Seq("A", "N", "R"))
+      .agg(sum(col("cents")))
+
   /** Several exact distinct counts in one aggregation (Catalyst plans
     * the Expand-based multi-distinct). At 100 TB the drop-in sketch is
     * approx_count_distinct (HLL) — benched as the a_distinct_hll extra,
@@ -898,6 +912,7 @@ object SparkEntry {
     "a_asof_join" -> (aAsofJoin _),
     "a_skew_salted" -> (aSkewSalted _),
     "a_distinct_counts" -> (aDistinctCounts _),
+    "a_pivot" -> (aPivot _),
     "a_moving_avg" -> (aMovingAvg _),
     "t_repetition" -> (tRepetition _),
     "t_mix_weights" -> (tMixWeights _),

@@ -1,0 +1,102 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import graft.codec.Codecs
+import graft.ext.Dedup
+
+/** Property-based checks (ScalaCheck driven, evaluated vectorized —
+  * each sampled case is a whole DataFrame, so one Spark job checks
+  * hundreds of generated rows at once). These pin the ALGEBRAIC
+  * contracts the oracle can't see: round-trips, preservation laws,
+  * monotonicity, and the pigeonhole recall guarantee on random inputs
+  * rather than picked fixtures. */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val params = SCTest.Parameters.default.withMinSuccessfulTests(8)
+  private def check(p: Prop, name: String): Unit = {
+    val r = SCTest.check(params, p)
+    assert(r.passed, s"$name: ${r.status}")
+  }
+
+  private val hex16: Gen[String] = Gen.listOfN(16, Gen.hexChar).map(_.mkString.toLowerCase)
+
+  test("b3 render/parse round-trips arbitrary trace contexts") {
+    val rows = Gen.nonEmptyListOf(for {
+      t <- hex16; s <- hex16; f <- Gen.oneOf(true, false)
+    } yield (t, s, f))
+    check(Prop.forAll(rows) { cases =>
+      val df = cases.toDF("t", "s", "f")
+        .withColumn("b3", Codecs.b3Render(col("t"), col("s"), col("f")))
+      df.filter(
+        Codecs.b3TraceId(col("b3")) =!= col("t") ||
+        Codecs.b3SpanId(col("b3")) =!= col("s") ||
+        Codecs.b3Sampled(col("b3")) =!= col("f")).count() == 0L
+    }, "b3 roundtrip")
+  }
+
+  test("headerSet then headerLast returns the set value; other keys survive in order") {
+    val keyGen = Gen.oneOf("b3", "messageid", "x-custom", "retry")
+    val hdrGen = Gen.listOf(for { k <- keyGen; v <- Gen.alphaNumStr } yield (k, v))
+    val caseGen = for { hs <- hdrGen; k <- keyGen; v <- Gen.alphaNumStr } yield (hs, k, v)
+    check(Prop.forAll(caseGen) { case (hs, k, v) =>
+      // Kafka headers are ARRAY<STRUCT<key,value>>; tuples toDF yield
+      // _1/_2, so rebuild the structs under the codec's field names
+      val df = Seq((hs, v)).toDF("h0", "v")
+        .select(transform(col("h0"), h =>
+          struct(h.getField("_1").as("key"), h.getField("_2").as("value"))).as("headers"),
+          col("v"))
+        .select(Codecs.headerSet(col("headers"), k, col("v")).as("out"))
+      val out = df.select(explode(col("out")).as("h"))
+        .select(col("h.key"), col("h.value")).as[(String, String)].collect().toSeq
+      val last = df.select(Codecs.headerLast(col("out"), k).as("lv")).as[String].head()
+      // last-wins lookup finds the set value...
+      last == v &&
+      // ...every other key keeps its values and relative order...
+      out.filter(_._1 != k) == hs.filter(_._1 != k) &&
+      // ...and the set key lands exactly once, at the tail
+      out.count(_._1 == k) == 1 && out.lastOption.contains((k, v))
+    }, "header algebra")
+  }
+
+  test("shingle count law: max(0, n_tokens - n + 1), every shingle n tokens wide") {
+    val rows = Gen.nonEmptyListOf(Gen.listOf(Gen.identifier.map(_.take(6))))
+    val nGen = Gen.choose(2, 5)
+    check(Prop.forAll(rows, nGen) { (tokLists, n) =>
+      val df = tokLists.map(_.mkString(" ")).toDF("text")
+        .withColumn("tk", Codecs.tokens(col("text")))
+        .withColumn("sh", Codecs.shingles(col("tk"), n))
+      df.filter(
+        size(col("sh")) =!= greatest(lit(0), size(col("tk")) - (n - 1)) ||
+        exists(col("sh"), s => size(split(s, " ")) =!= n)).count() == 0L
+    }, "shingle law")
+  }
+
+  test("hash-split sampling is monotone in pct (pct1 <= pct2 => subset)") {
+    val rows = Gen.nonEmptyListOf(for {
+      lang <- Gen.oneOf("en", "es", "de", "zh"); id <- Gen.choose(0L, 100000L)
+    } yield (lang, id))
+    val pcts = for { a <- Gen.choose(0, 100); b <- Gen.choose(0, 100) } yield
+      (math.min(a, b), math.max(a, b))
+    check(Prop.forAll(rows, pcts) { case (cases, (lo, hi)) =>
+      val df = cases.toDF("lang", "doc_id")
+        .withColumn("in_lo", graft.ext.TextOps.hashSample(col("lang"), col("doc_id"), lo))
+        .withColumn("in_hi", graft.ext.TextOps.hashSample(col("lang"), col("doc_id"), hi))
+      df.filter(col("in_lo") && !col("in_hi")).count() == 0L
+    }, "sampling monotone")
+  }
+
+  test("pigeonhole banding finds every pair the exhaustive form finds, on random fingerprints") {
+    val rows = Gen.nonEmptyListOf(Gen.choose(0L, (1L << 32) - 1))
+      .map(_.zipWithIndex.map { case (fp, i) => (i.toLong, fp) })
+    check(Prop.forAll(rows) { cases =>
+      val fps = cases.toDF("doc_id", "simhash")
+      val banded = Dedup.simhashPairs(fps, 3)
+        .select(col("doc_a"), col("doc_b")).as[(Long, Long)].collect().toSet
+      val exact = Dedup.simhashPairsExhaustive(fps, 3)
+        .select(col("doc_a"), col("doc_b")).as[(Long, Long)].collect().toSet
+      banded == exact
+    }, "pigeonhole recall")
+  }
+}
