@@ -104,4 +104,40 @@ class StreamingTraceAssemblySpec extends SparkSpec {
       }
     }
   }
+
+  test("hot-key tracker emits once at the threshold crossing, counts across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StreamingHotKeys
+    import graft.streaming.StreamingHotKeys.{HotKey, KeyedItem}
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val input = MemoryStream[KeyedItem]
+    val out = StreamingHotKeys.hotKeys(input.toDS(), threshold = 3L)
+    val q = out.writeStream.format("memory").queryName("hot_keys")
+      .outputMode("append").start()
+    try {
+      // batch 1: key 7 twice (below), key 9 three times (crosses NOW)
+      input.addData(KeyedItem(7L), KeyedItem(7L),
+        KeyedItem(9L), KeyedItem(9L), KeyedItem(9L))
+      q.processAllAvailable()
+      val b1 = spark.table("hot_keys").as[HotKey].collect().toSet
+      assert(b1 === Set(HotKey(9L, 3L)), "only the crossing key emits")
+
+      // batch 2: key 7 crosses via state carried across batches;
+      // key 9 keeps counting but must NOT re-emit
+      input.addData(KeyedItem(7L), KeyedItem(9L))
+      q.processAllAvailable()
+      val b2 = spark.table("hot_keys").as[HotKey].collect().toSet
+      assert(b2 === Set(HotKey(9L, 3L), HotKey(7L, 3L)),
+        "7 crosses on its carried count; 9 stays emitted-once")
+    } finally {
+      q.stop()
+      prev match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None    => spark.conf.unset(providerKey)
+      }
+    }
+  }
 }
