@@ -348,7 +348,7 @@ object Dedup {
     grams.agg(Bridge.column(
         new BloomFilterAggregate(Bridge.expression(h), expectedItems)
           .toAggregateExpression()).as("bf"))
-      .head.getAs[Array[Byte]](0)
+      .head().getAs[Array[Byte]](0)
   }
 
   /** `might_contain` predicate over [[buildBloom]] bytes. The bloom

@@ -75,6 +75,29 @@ object Multimodal {
     }
   }
 
+  /** Resize planning: fit each image into a `maxSide`-bounded box
+    * preserving aspect ratio — the geometry half of a batch resize.
+    * The pixel work belongs to the swapped-in codec; this computes
+    * (and records on the asset) exactly the target dims a codec would
+    * apply, per partition like every other media pass. Images already
+    * inside the box pass through unchanged — the no-upscale rule
+    * training pipelines use. */
+  def resizeImages(assets: Dataset[MediaAsset], maxSide: Int): Dataset[MediaAsset] = {
+    implicit val enc = assets.encoder
+    assets.mapPartitions { it =>
+      it.map { a =>
+        val side = math.max(a.width, a.height)
+        if (side <= maxSide || side == 0) a
+        else {
+          val s = maxSide.toDouble / side
+          a.copy(
+            width = math.max(1, math.round(a.width * s).toInt),
+            height = math.max(1, math.round(a.height * s).toInt))
+        }
+      }
+    }
+  }
+
   /** Feature extraction: payload bytes → dense Array[Float] vector,
     * batched per partition (the Scala analog of a pandas-batch UDF).
     * The STUB featurizer is a normalized 64-bin byte histogram —

@@ -90,7 +90,7 @@ object StreamingTraceAssembly {
       if (!buf.exists()) Iterator.empty
       else {
         val b = buf.get()
-        if (info.getExpiryTimeInMs < b.lastMs + gapMs) Iterator.empty // stale timer
+        if (info.getExpiryTimeInMs() < b.lastMs + gapMs) Iterator.empty // stale timer
         else {
           buf.clear()
           Iterator.single(AssembledTrace(

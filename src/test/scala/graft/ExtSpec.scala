@@ -303,6 +303,30 @@ class ExtSpec extends SparkSpec {
     assert(out.map(a => (a.width, a.height)).toSeq === out2.map(a => (a.width, a.height)).toSeq)
   }
 
+  test("resize fits the max-side box, preserves aspect, never upscales") {
+    val assets = Multimodal.toAssets(
+      Seq((1L, "payload-one".getBytes), (2L, "payload-two".getBytes))
+        .toDF("asset_id", "payload"), "image").as[MediaAsset]
+    val decoded = Multimodal.decodeImages(assets)
+    val resized = Multimodal.resizeImages(decoded, 256).collect().sortBy(_.asset_id)
+    val original = decoded.collect().sortBy(_.asset_id)
+    resized.zip(original).foreach { case (r, o) =>
+      assert(math.max(r.width, r.height) <= 256 ||
+        (r.width == o.width && r.height == o.height),
+        "either fits the box or was small enough to pass through")
+      if ((r.width, r.height) != ((o.width, o.height))) {
+        assert(math.max(r.width, r.height) === 256, "downscale lands ON the box edge")
+        val ar = o.width.toDouble / o.height
+        assert(math.abs(r.width.toDouble / r.height - ar) / ar < 0.02,
+          "aspect ratio survives within integer rounding")
+      }
+    }
+    // no-upscale rule: a small image is untouched
+    val tiny = Multimodal.resizeImages(decoded, 10000).collect().sortBy(_.asset_id)
+    assert(tiny.map(a => (a.width, a.height)).toSeq ===
+      original.map(a => (a.width, a.height)).toSeq)
+  }
+
   test("audio decode fills duration from payload length and sample rate") {
     val assets = Multimodal.toAssets(
       Seq((1L, new Array[Byte](32000))).toDF("asset_id", "payload"), "audio")
