@@ -92,6 +92,12 @@ object Bench {
     val extras: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
       "d_lsh_jaccard_xx_cold" -> (lshXx _),
       "d_lsh_jaccard_xx_warm" -> (lshXx _),
+      // span dedup on the production hash: includes its own positional
+      // gram index build (compare against d_span_dedup, whose md5
+      // index is likewise built inside its timing)
+      "d_span_dedup_xx" -> ((s, dir) =>
+        graft.ext.Dedup.duplicatedSpans(
+          s.read.parquet(s"$dir/documents.parquet"), 5, hashName = "xx")),
       // the 100 TB swap-in for a_percentiles: t-digest sketch instead
       // of exact per-group buffers (not oracle-matchable — approximate)
       "a_percentiles_approx" -> ((s, dir) => {

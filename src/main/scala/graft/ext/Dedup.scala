@@ -296,14 +296,15 @@ object Dedup {
     *
     * Returns (doc_id, span_start, span_end, n_grams): 0-based token
     * indices, span covers [span_start, span_end] inclusive. */
-  def duplicatedSpans(docs: DataFrame, n: Int): DataFrame = {
+  def duplicatedSpans(docs: DataFrame, n: Int,
+      hashName: String = "md5"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val grams = graft.ops.PlanCache.cachedBy(s"gram-pos-$n",
+    val grams = graft.ops.PlanCache.cachedBy(s"gram-pos-$n-$hashName",
         docs.queryExecution.logical.semanticHash(), docs.sparkSession) {
       spread(docs).select(col("doc_id"), tokens(col("text")).as("tk"))
         .select(col("doc_id"), posexplode(shingles(col("tk"), n)).as(Seq("pos", "sh")))
         .select(col("doc_id"), col("pos").cast("long").as("pos"),
-          portableHash(col("sh")).as("h"))
+          hashFn(hashName)(col("sh")).as("h"))
     }
     val dup = grams.groupBy("h").agg(count(lit(1)).as("occ"))
       .filter(col("occ") >= 2).select("h")
