@@ -599,6 +599,35 @@ SELECT doc_id, min(pos) AS span_start, CAST(max(pos)+4 AS BIGINT) AS span_end,
        count(*) AS n_grams
 FROM isl GROUP BY doc_id, island""",
 
+    // per-doc duplicated-token fraction over the maximal spans above;
+    // spans never overlap within a doc, so summing widths is exact
+    "d_span_fraction" -> s"""$TOKS, posn AS (
+  SELECT doc_id, unnest(range(1, greatest(len(tk)-4, 0)+1)) AS i, tk FROM toks
+), g AS (
+  SELECT doc_id, CAST(i-1 AS BIGINT) AS pos,
+         ${dh("array_to_string(tk[i:i+4], ' ')")} AS h
+  FROM posn
+), dup AS (SELECT h FROM g GROUP BY h HAVING count(*) >= 2
+), dp AS (
+  SELECT doc_id, pos, lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+  FROM g WHERE h IN (SELECT h FROM dup)
+), isl AS (
+  SELECT doc_id, pos,
+         sum(CASE WHEN prev IS NOT NULL AND pos - prev <= 5 THEN 0 ELSE 1 END)
+           OVER (PARTITION BY doc_id ORDER BY pos) AS island
+  FROM dp
+), spans AS (
+  SELECT doc_id, min(pos) AS span_start, CAST(max(pos)+4 AS BIGINT) AS span_end
+  FROM isl GROUP BY doc_id, island
+), per_doc AS (
+  SELECT doc_id, sum(span_end - span_start + 1) AS dup_tokens FROM spans GROUP BY doc_id)
+SELECT t.doc_id, CAST(len(t.tk) AS BIGINT) AS n_tok,
+       CAST(coalesce(p.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+       round(CASE WHEN len(t.tk) > 0
+             THEN CAST(coalesce(p.dup_tokens, 0) AS DOUBLE) / len(t.tk)
+             ELSE 0.0 END, 4) AS dup_frac
+FROM toks t LEFT JOIN per_doc p ON p.doc_id = t.doc_id""",
+
     // minhash-estimated jaccard over LSH candidate pairs: fraction of
     // agreeing signature components
     "d_minhash_jaccard_est" -> s"""$LSH_CANDS

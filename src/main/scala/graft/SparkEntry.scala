@@ -634,6 +634,11 @@ object SparkEntry {
   private def dSpanDedup(s: SparkSession, dir: String): DataFrame =
     Dedup.duplicatedSpans(T(s, dir, "documents"), 5)
 
+  /** Per-doc duplicated-token fraction over the same spans — the
+    * metric a span-dedup pass reports (and thresholds on). */
+  private def dSpanFraction(s: SparkSession, dir: String): DataFrame =
+    Dedup.duplicatedTokenFraction(T(s, dir, "documents"), 5)
+
   /** Bloom-prefiltered exact decontamination: same exact semantics as
     * a train×eval gram join, but train grams cross the shuffle only if
     * they pass a broadcast Bloom filter of the eval grams — the 100 TB
@@ -934,6 +939,7 @@ object SparkEntry {
     "d_contamination_ngram" -> (dContaminationNgram _),
     "d_contamination_bloom" -> (dContaminationBloom _),
     "d_span_dedup" -> (dSpanDedup _),
+    "d_span_fraction" -> (dSpanFraction _),
     "d_minhash_jaccard_est" -> (dMinhashJaccardEst _),
     "t_bigram_lm" -> (tBigramLm _),
     "e_curation_pipeline" -> (eCurationPipeline _),

@@ -321,6 +321,27 @@ object Dedup {
       .select(col("doc_id"), col("span_start"), col("span_end"), col("n_grams"))
   }
 
+  /** Per-document duplicated-token fraction — the headline metric of
+    * exact-substring dedup (what fraction of each document's tokens
+    * sit inside a corpus-duplicated span). Maximal spans never overlap
+    * within a doc (they merge by construction), so the per-doc sum of
+    * span widths is exact; docs with no duplicated span report 0.
+    * One extra doc_id-keyed aggregate + left join over
+    * [[duplicatedSpans]] — no new shuffle shape. */
+  def duplicatedTokenFraction(docs: DataFrame, n: Int,
+      hashName: String = "md5"): DataFrame = {
+    val spans = duplicatedSpans(docs, n, hashName)
+      .groupBy("doc_id")
+      .agg(sum(col("span_end") - col("span_start") + 1).as("dup_tokens"))
+    docs.select(col("doc_id"), size(tokens(col("text"))).cast("long").as("n_tok"))
+      .join(spans, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tok"),
+        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
+        round(when(col("n_tok") > 0,
+            coalesce(col("dup_tokens"), lit(0L)).cast("double") / col("n_tok"))
+          .otherwise(0.0), 4).as("dup_frac"))
+  }
+
   /** Bloom-prefiltered exact n-gram decontamination. The exact
     * train×eval gram join ([[graft.SparkEntry]] d_contamination_ngram)
     * shuffles EVERY train gram on the gram hash even though almost none

@@ -438,6 +438,22 @@ class ExtSpec extends SparkSpec {
     assert(got === Seq((1L, 0L, 4L, 1L), (1L, 6L, 10L, 1L)))
   }
 
+  test("duplicated-token fraction covers span docs and zeros the rest") {
+    // doc 1: tokens 0..6 of 9 sit in the duplicated span → 7/9; doc 2:
+    // tokens 2..8 of 9 → 7/9; doc 3 shares nothing → 0 with n_tok still
+    // reported (left join keeps every document)
+    val docs = Seq(
+      (1L, "one two three four five six seven unique1 tail1"),
+      (2L, "lead pad one two three four five six seven"),
+      (3L, "alpha beta gamma delta epsilon zeta eta theta iota"))
+      .toDF("doc_id", "text")
+    val got = Dedup.duplicatedTokenFraction(docs, 5)
+      .select(col("doc_id"), col("n_tok"), col("dup_tokens"), col("dup_frac"))
+      .as[(Long, Long, Long, Double)].collect().toSeq.sorted
+    assert(got === Seq(
+      (1L, 9L, 7L, 0.7778), (2L, 9L, 7L, 0.7778), (3L, 9L, 0L, 0.0)))
+  }
+
   test("bloom-prefiltered contamination equals the exact join") {
     val docs = Seq(
       (1L, "the quick brown fox jumps high today"),
