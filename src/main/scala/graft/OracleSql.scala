@@ -769,6 +769,31 @@ GROUP BY 1, 2""",
 )
 SELECT doc AS doc_id, min(lbl) AS group_id FROM reach GROUP BY doc""",
 
+    // near-dup apply: keep each component's min-doc_id representative
+    // (singletons keep themselves) — same closure as d_neardup_groups
+    "d_neardup_apply" -> s"""${LSH_PAIRS.replaceFirst("WITH ", "WITH RECURSIVE ")}, e AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION ALL SELECT doc_b AS a, doc_a AS b FROM pairs
+), reach AS (
+  SELECT doc_id AS doc, doc_id AS lbl FROM documents
+  UNION
+  SELECT e.b AS doc, r.lbl AS lbl FROM reach r JOIN e ON e.a = r.doc
+), keep AS (
+  SELECT doc AS doc_id FROM reach GROUP BY doc HAVING min(lbl) = doc)
+SELECT d.doc_id, d.lang, d.source, d.n_chars
+FROM documents d JOIN keep USING (doc_id)""",
+
+    // Efraimidis–Spirakis weighted sample: top 200 by u^(1/n_chars),
+    // u minted from the portable hash — selection is engine-stable
+    // because adjacent key gaps dwarf pow() ulp error
+    "d_weighted_sample" -> s"""WITH keyed AS (
+  SELECT doc_id, lang, n_chars,
+         pow((CAST(${dh("CAST(doc_id AS VARCHAR)")} % 1000000 AS DOUBLE) + 0.5) / 1000000.0,
+             1.0 / n_chars) AS k0
+  FROM documents)
+SELECT doc_id, lang, n_chars, round(k0, 4) AS samp_key
+FROM keyed ORDER BY k0 DESC, doc_id LIMIT 200""",
+
     "d_simhash" -> s"$SIMHASH_FPS SELECT doc_id, simhash FROM fps",
 
     // oracle = the EXHAUSTIVE all-pairs form: the engine's pigeonhole

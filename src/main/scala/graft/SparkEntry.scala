@@ -587,6 +587,37 @@ object SparkEntry {
     Dedup.nearDupComponents(docs.select("doc_id"), pairs)
   }
 
+  /** The near-dup APPLY step: the surviving corpus — each component's
+    * min-doc_id representative plus every singleton (group_id == own
+    * id). Completes the family symmetry with [[dDedupApply]] (exact):
+    * groups answer "what clusters exist", apply answers "what do I
+    * train on". One extra equi-join over the components output. */
+  private def dNearDupApply(s: SparkSession, dir: String): DataFrame = {
+    val docs = T(s, dir, "documents")
+    val pairs = Dedup.lshVerifiedJaccard(docs, 3, 16, 4, 4, 0.5)
+      .select("doc_a", "doc_b")
+    val comps = Dedup.nearDupComponents(docs.select("doc_id"), pairs)
+      .filter(col("doc_id") === col("group_id"))
+      .select("doc_id")
+    docs.join(comps, "doc_id")
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+  }
+
+  /** Weighted sample without replacement (Efraimidis–Spirakis): top
+    * 200 docs by `u^(1/n_chars)` — longer docs proportionally more
+    * likely, selection deterministic across engines. Plans as
+    * TakeOrderedAndProject: per-partition top-k heaps, one driver
+    * merge, no global sort shuffle at any scale. */
+  private def dWeightedSample(s: SparkSession, dir: String): DataFrame = {
+    val key = TextOps.weightedSampleKey(col("doc_id"), col("n_chars"))
+    T(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        round(key, 4).as("samp_key"), key.as("k0"))
+      .orderBy(col("k0").desc, col("doc_id"))
+      .limit(200)
+      .drop("k0")
+  }
+
   /** Concat-and-chunk packing into 2048-token training sequences;
     * engine = two-phase distributed cumsum, oracle = naive global
     * window (independent algorithms, identical offsets). */
@@ -934,6 +965,8 @@ object SparkEntry {
     "t_tfidf_topk" -> (tTfidfTopK _),
     "d_stratified_sample" -> (dStratifiedSample _),
     "d_neardup_groups" -> (dNearDupGroups _),
+    "d_neardup_apply" -> (dNearDupApply _),
+    "d_weighted_sample" -> (dWeightedSample _),
     "t_pack_sequences" -> (tPackSequences _),
     "d_contamination" -> (dContamination _),
     "d_contamination_ngram" -> (dContaminationNgram _),

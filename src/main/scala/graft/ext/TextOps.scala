@@ -88,6 +88,23 @@ object TextOps {
   def hashSample(stratum: Column, id: Column, pct: Int): Column =
     pmod(portableHash(concat(stratum, lit("|"), id.cast("string"))), lit(100)) < pct
 
+  /** Efraimidis–Spirakis weighted-sampling key: `u^(1/w)` where `u` is
+    * a deterministic per-row uniform minted from the portable hash of
+    * `id`. Taking the global (or per-stratum) top-k rows by this key
+    * IS a weighted sample without replacement with inclusion odds ∝ w
+    * — the standard way to up/down-weight sources in a training mix
+    * while keeping the draw reproducible across runs AND engines.
+    * Scale shape: the key is a pure column expression; top-k by it
+    * plans as TakeOrderedAndProject (per-partition heap + single
+    * driver merge), never a full sort. Key gaps at corpus scale
+    * (~range/N) sit many orders of magnitude above cross-engine
+    * `pow` ulp error, so the selected set is engine-stable. */
+  def weightedSampleKey(id: Column, weight: Column): Column = {
+    val u = (pmod(portableHash(id.cast("string")), lit(1000000)).cast("double") + lit(0.5)) /
+      lit(1000000.0)
+    pow(u, lit(1.0) / weight.cast("double"))
+  }
+
   /** Concat-and-chunk sequence packing (the standard LLM training
     * layout): documents are laid end-to-end in doc_id order and cut
     * into fixed-size token windows; each document reports its global

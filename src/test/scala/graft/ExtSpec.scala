@@ -137,6 +137,32 @@ class ExtSpec extends SparkSpec {
     assert(viaLoop === expected)
   }
 
+  test("weighted-sample key is deterministic and weight-monotone") {
+    // same id + larger weight ⇒ strictly larger key (u^(1/w) rises in
+    // w for u<1), so inclusion odds grow with weight; and the key is a
+    // pure function of (id, weight) — stable across runs
+    val rows = (1L to 50L).map(i => (i, 10L + i, 1000L + i))
+      .toDF("doc_id", "w_small", "w_big")
+    val keyed = rows.select(
+      TextOps.weightedSampleKey(col("doc_id"), col("w_small")).as("ks"),
+      TextOps.weightedSampleKey(col("doc_id"), col("w_big")).as("kb"))
+      .as[(Double, Double)].collect()
+    assert(keyed.forall { case (ks, kb) => ks > 0.0 && kb < 1.0 && ks < kb })
+    val again = rows.select(
+      TextOps.weightedSampleKey(col("doc_id"), col("w_small")).as("ks"))
+      .as[Double].collect()
+    assert(again.toSeq === keyed.map(_._1).toSeq)
+  }
+
+  test("near-dup apply keeps one representative per component plus singletons") {
+    val docs = Seq(1L, 2L, 3L, 4L, 5L).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("doc_a", "doc_b")
+    val keep = Dedup.nearDupComponents(docs, pairs)
+      .filter(col("doc_id") === col("group_id"))
+      .select("doc_id").as[Long].collect().toSet
+    assert(keep === Set(1L, 4L, 5L))
+  }
+
   test("two-phase sequence packing equals the naive global cumsum") {
     import org.apache.spark.sql.expressions.Window
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
