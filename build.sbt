@@ -11,6 +11,16 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench/verify drivers parse the LAST stdout line as JSON. Two sbt
+// behaviors have broken that in past rounds: (a) forked `run` output is
+// routed through sbt's logger, which prefixes every line with "[info] ";
+// (b) sbt prints "[success] Total time ..." AFTER the program's output.
+// StdoutOutput passes the forked JVM's stdout through verbatim, and
+// showSuccess drops the trailer, so the program's own last line is the
+// process's last line.
+outputStrategy := Some(StdoutOutput)
+Global / showSuccess := false
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

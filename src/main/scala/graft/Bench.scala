@@ -159,10 +159,23 @@ object Bench {
       java.nio.file.Paths.get("bench_details.json"),
       (detail + "\n").getBytes("UTF-8"))
     catch { case e: Throwable => System.err.println(s"[bench] detail write failed: ${e.getMessage}") }
-    val line = s"""{"metric":"total","value":${r2s(total)},"unit":"sec","prepare":${r2s(prepareSec)},"queries":${jmap(results.toSeq.sortBy(_._1), r2s)},"failed":$nFailed,"extras_failed":$nExtrasFailed,"sf":$sfShort}"""
-    if (line.length > 1850)
+    def contractLine(r: Double => String): String =
+      s"""{"metric":"total","value":${r2s(total)},"unit":"sec","prepare":${r2s(prepareSec)},"queries":${jmap(results.toSeq.sortBy(_._1), r)},"failed":$nFailed,"extras_failed":$nExtrasFailed,"sf":$sfShort}"""
+    // 1-dp fallback keeps the line inside the tail capture if the
+    // registry outgrows the 2-dp budget (~22 chars/query at 80 queries)
+    def r1s(v: Double): String = {
+      val s = f"${math.rint(v * 10) / 10}%.1f"
+      if (s.endsWith(".0")) s.dropRight(2) else s
+    }
+    val line2 = contractLine(r2s)
+    val line = if (line2.length <= 1800) line2 else contractLine(r1s)
+    if (line.length > 1900)
       System.err.println(s"[bench] WARNING: stdout line ${line.length} chars — nearing the driver's ~2000-char tail capture")
-    println(line)
+    // stop Spark BEFORE printing the contract line so no shutdown
+    // message (executor/log4j/jansi) can land on stdout after it —
+    // the driver parses the process's LAST line as JSON
     spark.stop()
+    println(line)
+    System.out.flush()
   }
 }
