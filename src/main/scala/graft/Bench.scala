@@ -153,7 +153,10 @@ object Bench {
     // extras are advisory twins and fail separately
     val nFailed = results.values.count(_ < 0) + prepareSteps.count(_._2 < 0)
     val nExtrasFailed = extraResults.values.count(_ < 0)
-    val sfShort = "sf([0-9.]+)".r.findFirstMatchIn(sfDir).map(_.group(1)).getOrElse(sfDir)
+    // matched sf emits as a bare JSON number; a non-matching sfDir must
+    // be quoted or the whole contract line becomes invalid JSON
+    val sfShort = "sf([0-9.]+)".r.findFirstMatchIn(sfDir).map(_.group(1))
+      .getOrElse("\"" + sfDir.replace("\\", "\\\\").replace("\"", "\\\"") + "\"")
     val detail = s"""{"metric":"total","value":${r3s(total)},"unit":"sec","prepare":${r3s(prepareSec)},"prepare_steps":${jmap(prepareSteps, r3s)},"queries":${jmap(results.toSeq.sortBy(_._1), r3s)},"extras":${jmap(extraResults, r3s)},"failed":$nFailed,"extras_failed":$nExtrasFailed,"sf":"$sfDir"}"""
     try java.nio.file.Files.write(
       java.nio.file.Paths.get("bench_details.json"),
@@ -173,8 +176,11 @@ object Bench {
       System.err.println(s"[bench] WARNING: stdout line ${line.length} chars — nearing the driver's ~2000-char tail capture")
     // stop Spark BEFORE printing the contract line so no shutdown
     // message (executor/log4j/jansi) can land on stdout after it —
-    // the driver parses the process's LAST line as JSON
-    spark.stop()
+    // the driver parses the process's LAST line as JSON. A stop()
+    // failure (executor-shutdown race) must not eat the line: every
+    // query already ran, so report the error and print anyway.
+    try spark.stop()
+    catch { case e: Throwable => System.err.println(s"[bench] spark.stop failed: ${e.getMessage}") }
     println(line)
     System.out.flush()
   }

@@ -67,8 +67,19 @@ object SparkEntry {
       ((s, dir) => { Dedup.minhashSignatures(T(s, dir, "documents"), 3, 16).count(); () }),
     "simhash_fps" ->
       ((s, dir) => { Dedup.simhash(T(s, dir, "documents"), 32).count(); () }),
+    // positional n=5 gram index: the corpus-wide posexplode+hash build
+    // shared by d_span_dedup and d_span_fraction (without this entry
+    // the whole build lands on d_span_dedup, alphabetically first —
+    // ~14 s of BENCH_r05 under load was exactly that)
+    "gram_pos_5" ->
+      ((s, dir) => { Dedup.positionalGrams(T(s, dir, "documents"), 5).count(); () }),
     "ivf_assign" ->
       ((s, dir) => { Similarity.ivfAssign(T(s, dir, "embeddings"), IvfK).count(); () }),
+    // PQ code/reconstruction frame: the corpus encode shared by
+    // s_ann_pq and s_ann_pq_rerank (k=4 codewords, m=8 subspaces,
+    // dims=64 — the registry queries' parameters)
+    "pq_codes" ->
+      ((s, dir) => { Similarity.pqReconstruct(T(s, dir, "embeddings"), 4, 8, 64).count(); () }),
     "lsh_pairs" ->
       ((s, dir) => { Dedup.lshVerifiedJaccard(T(s, dir, "documents"), 3, 16, 4, 4, 0.5).count(); () }),
     "enriched_events" ->

@@ -320,6 +320,12 @@ object Similarity {
     * instead of dims floats; scoring below reconstructs from codes, so
     * swapping in a real ADC lookup table changes no semantics. */
   private def pqCodes(m: Int, sub: Int, kCodes: Int): Column =
+    graft.functions.PqEncode.pqEncode(col("v"), col("seeds"), m, sub, kCodes)
+
+  /** The built-ins-only twin of [[pqCodes]] (nested HOFs, interpreted
+    * per row × codeword × element — CodegenFallback). Kept for the
+    * equivalence spec, exactly like [[dotComposed]] twins [[dot]]. */
+  private[graft] def pqCodesComposed(m: Int, sub: Int, kCodes: Int): Column =
     transform(sequence(lit(0), lit(m - 1)), s => {
       val subV = slice(col("v"), s * sub + 1, lit(sub))
       // init = code 0 (not a sentinel): a degenerate vector whose
@@ -350,11 +356,18 @@ object Similarity {
   def pqReconstruct(emb: DataFrame, kCodes: Int, m: Int, dims: Int): DataFrame = {
     require(dims % m == 0, s"dims ($dims) must divide evenly into $m subspaces")
     val sub = dims / m
-    withNorm(emb)
-      .crossJoin(broadcast(pqSeeds(emb, kCodes)))
-      .withColumn("codes", pqCodes(m, sub, kCodes))
-      .withColumn("recon", pqRecon(m, sub))
-      .select(col("vec_id"), col("v"), col("nrm"), col("codes"), col("recon"))
+    // PlanCached: the corpus encode is the expensive half of every PQ
+    // query, and s_ann_pq + s_ann_pq_rerank (which encodes once for the
+    // shortlist scan) would otherwise each rebuild it. At 100 TB this
+    // frame IS the PQ store — codes are written once, queries only read.
+    graft.ops.PlanCache.cachedBy(s"pq-recon-$kCodes-$m-$dims",
+        emb.queryExecution.logical.semanticHash(), emb.sparkSession) {
+      withNorm(emb)
+        .crossJoin(broadcast(pqSeeds(emb, kCodes)))
+        .withColumn("codes", pqCodes(m, sub, kCodes))
+        .withColumn("recon", pqRecon(m, sub))
+        .select(col("vec_id"), col("v"), col("nrm"), col("codes"), col("recon"))
+    }
   }
 
   /** PQ ANN: queries stay exact, candidates are scored against their
