@@ -131,6 +131,35 @@ object Bench {
       name -> (if (ok) sec else -1.0)
     }.toMap
 
+    // Recall@3 of every approximate ANN variant against the exact
+    // brute-force top-3 — a pure Spark semi-join over results that
+    // already ran above (PlanCache warm, so this costs two small scans
+    // per variant). Reported in bench_details.json only: it is a
+    // quality number, not a timing, and it turns the recall-dial claims
+    // in docs/SCALE.md into measured values. -1 = variant failed.
+    val annRecall: Seq[(String, Double)] = {
+      import org.apache.spark.sql.functions.col
+      try {
+        val truth = SparkEntry.queries("s_ann_brute")(spark, sfDir)
+          .filter(col("rnk") <= 3).select(col("q_id"), col("neighbor_id")).cache()
+        val denom = truth.count().toDouble
+        Seq("s_ann_lsh", "s_ann_lsh_mp", "s_ann_ivf", "s_ann_ivf_mp",
+          "s_ann_ivf_km", "s_ann_pq", "s_ann_pq_rerank").map { name =>
+          val r = try {
+            val got = SparkEntry.queries(name)(spark, sfDir)
+              .filter(col("rnk") <= 3).select(col("q_id"), col("neighbor_id"))
+            math.rint(got.join(truth, Seq("q_id", "neighbor_id"), "left_semi")
+              .count() / denom * 1000) / 1000
+          } catch { case e: Throwable =>
+            System.err.println(s"[bench] recall $name FAILED: ${e.getMessage}"); -1.0
+          }
+          name -> r
+        }
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] recall baseline FAILED: ${e.getMessage}"); Nil
+      }
+    }
+
     // The driver captures only the LAST ~2000 chars of stdout (and
     // sbt's own "[success] ..." line lands after ours), so the one
     // JSON line must stay well under ~1900 bytes or its HEAD gets
@@ -157,7 +186,7 @@ object Bench {
     // be quoted or the whole contract line becomes invalid JSON
     val sfShort = "sf([0-9.]+)".r.findFirstMatchIn(sfDir).map(_.group(1))
       .getOrElse("\"" + sfDir.replace("\\", "\\\\").replace("\"", "\\\"") + "\"")
-    val detail = s"""{"metric":"total","value":${r3s(total)},"unit":"sec","prepare":${r3s(prepareSec)},"prepare_steps":${jmap(prepareSteps, r3s)},"queries":${jmap(results.toSeq.sortBy(_._1), r3s)},"extras":${jmap(extraResults, r3s)},"failed":$nFailed,"extras_failed":$nExtrasFailed,"sf":"$sfDir"}"""
+    val detail = s"""{"metric":"total","value":${r3s(total)},"unit":"sec","prepare":${r3s(prepareSec)},"prepare_steps":${jmap(prepareSteps, r3s)},"queries":${jmap(results.toSeq.sortBy(_._1), r3s)},"extras":${jmap(extraResults, r3s)},"recall_at_3":${jmap(annRecall, r3s)},"failed":$nFailed,"extras_failed":$nExtrasFailed,"sf":"$sfDir"}"""
     try java.nio.file.Files.write(
       java.nio.file.Paths.get("bench_details.json"),
       (detail + "\n").getBytes("UTF-8"))

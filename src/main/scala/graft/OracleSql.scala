@@ -685,6 +685,37 @@ LEFT JOIN ng ON ng.eval_doc = m.doc_id
 LEFT JOIN nd ON nd.eval_doc = m.doc_id
 WHERE m.is_eval""",
 
+    // media → embedding → ANN: the stub featurizer recomputed from hex
+    // bytes — counts and the final divide in FLOAT (binary32 division
+    // is exactly rounded, so it matches the JVM's float math bit for
+    // bit), widened to DOUBLE only for the cosine, like the engine
+    "e_media_ann" -> """WITH hx AS (
+  SELECT doc_id, hex(encode(text)) AS h, octet_length(encode(text)) AS n
+  FROM documents
+), bl AS (
+  SELECT doc_id, n,
+    list_transform(range(0, n), i ->
+      ((strpos('0123456789ABCDEF', h[2*i+1]) - 1) * 16 +
+       (strpos('0123456789ABCDEF', h[2*i+2]) - 1)) % 64) AS bins
+  FROM hx
+), fv AS (
+  SELECT doc_id AS vec_id,
+    list_transform(list_transform(range(0, 64), b ->
+      CAST(len(list_filter(bins, x -> x = b)) AS FLOAT) / CAST(greatest(n, 1) AS FLOAT)),
+      x -> CAST(x AS DOUBLE)) AS v
+  FROM bl
+), nv AS (
+  SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM fv
+), q AS (
+  SELECT vec_id AS q_id, v AS qv, nrm AS qn FROM nv WHERE vec_id < 8
+), s AS (
+  SELECT q_id, vec_id, list_dot_product(qv, v) / (qn * nrm) AS cos
+  FROM q JOIN nv ON vec_id >= 8)
+SELECT q_id, vec_id AS neighbor_id, CAST(rnk AS INT) AS rnk, round(cos, 4) AS cos FROM (
+  SELECT q_id, vec_id, cos,
+         row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rnk FROM s)
+WHERE rnk <= 3""",
+
     // the composed curation DAG: normalize -> exact-dedup keepers ->
     // quality/length gate -> train split -> pack into 2048-tok chunks
     "e_curation_pipeline" -> s"""WITH norm AS (

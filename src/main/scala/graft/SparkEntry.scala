@@ -916,6 +916,21 @@ object SparkEntry {
       Codecs.portableHash(col("payload").cast("string")).as("content_hash"))
   }
 
+  /** The end-to-end multimodal path: payload bytes → per-partition
+    * stub featurizer (normalized 64-bin byte histogram,
+    * [[graft.ext.Multimodal.extractFeatures]]) → exact cosine top-k
+    * ([[graft.ext.Similarity.bruteForceTopK]]). One oracle-checked
+    * query covers the media→embedding→ANN seam: the DuckDB side
+    * recomputes the histogram from hex bytes in FLOAT precision and
+    * ranks by the same cosine rule, so a featurizer or plumbing drift
+    * on either column fails the compare. */
+  private def eMediaAnn(s: SparkSession, dir: String): DataFrame = {
+    val assets = T(s, dir, "documents").select(col("doc_id").as("asset_id"),
+      col("text").cast("binary").as("payload"))
+    val feats = Multimodal.extractFeatures(assets, 64)
+    Similarity.bruteForceTopK(feats, col("vec_id") < 8, 3)
+  }
+
   private def mFrameSample(s: SparkSession, dir: String): DataFrame = {
     val assets = Multimodal.toAssets(
       T(s, dir, "documents").select(col("doc_id").as("asset_id"),
@@ -988,6 +1003,7 @@ object SparkEntry {
     "t_bigram_lm" -> (tBigramLm _),
     "e_curation_pipeline" -> (eCurationPipeline _),
     "e_decontam_report" -> (eDecontamReport _),
+    "e_media_ann" -> (eMediaAnn _),
     "d_dedup_apply" -> (dDedupApply _),
     "d_exact" -> (dExact _),
     "d_exact_normalized" -> (dExactNormalized _),

@@ -384,6 +384,17 @@ object Dedup {
       .head().getAs[Array[Byte]](0)
   }
 
+  /** Bloom sizing pre-pass: approx-distinct count of the keys about to
+    * be inserted, padded 20 % (the HLL estimate's error band) with a
+    * small floor. One partial aggregate over the (already cached)
+    * gram frame — a single row moves — so deriving the size costs
+    * almost nothing, while a fixed constant silently saturates the
+    * filter (fpp → 1) the day the eval set outgrows it. */
+  def bloomExpectedItems(grams: DataFrame, h: Column): Long = {
+    val n = grams.agg(approx_count_distinct(h).as("n")).head().getLong(0)
+    math.max((n * 1.2).toLong, 1024L)
+  }
+
   /** `might_contain` predicate over [[buildBloom]] bytes. The bloom
     * side must be a CONSTANT (Spark's check), which is exactly the
     * design: the filter rides into every task as a literal, so the
@@ -395,13 +406,19 @@ object Dedup {
       Bridge.expression(lit(bloomBytes)), Bridge.expression(h)))
   }
 
+  /** `expectedEvalGrams` ≤ 0 (the default) derives the bloom size from
+    * the data via [[bloomExpectedItems]]; pass an explicit positive
+    * count only when the eval cardinality is already known. */
   def bloomContamination(docs: DataFrame, isEval: Column, n: Int,
-      expectedEvalGrams: Long = 1L << 17): DataFrame = {
+      expectedEvalGrams: Long = -1L): DataFrame = {
     val marks = docs.select(col("doc_id"), isEval.as("is_eval"))
     val sh = shingleHashes(docs, n).join(marks, "doc_id")
     val evalGrams = sh.filter(col("is_eval"))
       .select(col("doc_id").as("eval_doc"), col("h"))
-    val bloomBytes = buildBloom(evalGrams, col("h"), expectedEvalGrams)
+    val expected =
+      if (expectedEvalGrams > 0) expectedEvalGrams
+      else bloomExpectedItems(evalGrams, col("h"))
+    val bloomBytes = buildBloom(evalGrams, col("h"), expected)
     val trainGrams = sh.filter(!col("is_eval"))
       .select(col("doc_id").as("train_doc"), col("h"))
     val prefiltered =

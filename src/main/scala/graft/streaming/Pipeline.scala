@@ -111,11 +111,16 @@ object Pipeline {
     * are free. Results are exact — the confirm join kills every bloom
     * false positive, same contract as the batch twin. */
   def decontamGate(docs: DataFrame, evalDocs: DataFrame, n: Int,
-      expectedEvalGrams: Long = 1L << 17): DataFrame = {
+      expectedEvalGrams: Long = -1L): DataFrame = {
     import graft.codec.Codecs
     val evalGrams = graft.ext.Dedup.shingleHashes(evalDocs, n)
       .select(col("doc_id").as("eval_doc"), col("h"))
-    val bloom = graft.ext.Dedup.buildBloom(evalGrams, col("h"), expectedEvalGrams)
+    // eval side is STATIC, so sizing the bloom from its actual gram
+    // count happens once at wiring time, not per micro-batch
+    val expected =
+      if (expectedEvalGrams > 0) expectedEvalGrams
+      else graft.ext.Dedup.bloomExpectedItems(evalGrams, col("h"))
+    val bloom = graft.ext.Dedup.buildBloom(evalGrams, col("h"), expected)
     val streamGrams = docs
       .select(col("doc_id"),
         explode(array_distinct(Codecs.shingles(Codecs.tokens(col("text")), n))).as("sh"))
@@ -124,6 +129,63 @@ object Pipeline {
       if (bloom == null) streamGrams.filter(lit(false)) // empty eval index
       else streamGrams.filter(graft.ext.Dedup.mightContain(bloom, col("h")))
     pre.join(evalGrams.select(col("h")), Seq("h"), "left_semi")
+  }
+
+  /** Streaming span-level decontamination — [[decontamGate]]'s answer
+    * to "WHERE is the document contaminated", the streaming twin of
+    * [[graft.ext.Dedup.duplicatedSpans]] pointed at a STATIC eval set:
+    * for each arriving document, the maximal token spans built from
+    * eval-hit n-gram positions, runs ≤ n apart merged, span covering
+    * [span_start, span_end] = [first pos, last pos + n - 1] — the
+    * exact islands rule of the batch operator, so a span a batch
+    * d_span_dedup-style pass would cut is the span this gate reports
+    * on arrival.
+    *
+    * State story: NONE. The eval gram-hash set is collected once at
+    * wiring time and rides to executors as a broadcast sorted long
+    * array (8 bytes/gram — executor-resident exactly like a broadcast
+    * semi-join's small side; benchmark-sized eval sets are MBs). Each
+    * document's spans are then a pure row-local computation —
+    * tokenize/shingle via the SAME column kernels as the batch path,
+    * then binary-search + merge per partition — so output is
+    * append-safe, needs no watermark, and re-sending a document
+    * re-emits identical spans (no dedup state). An eval set too big
+    * for executor memory belongs on the batch twin's exact shuffle
+    * join instead. */
+  def decontamSpans(docs: DataFrame, evalDocs: DataFrame, n: Int): DataFrame = {
+    import graft.codec.Codecs
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val evalHashes: Array[Long] = graft.ext.Dedup.shingleHashes(evalDocs, n)
+      .select(col("h")).distinct().as[Long].collect().sorted
+    val bc = spark.sparkContext.broadcast(evalHashes)
+    val grams = docs.select(col("doc_id"),
+      transform(Codecs.shingles(Codecs.tokens(col("text")), n),
+        sh => Codecs.portableHash(sh)).as("hs"))
+    grams.as[(Long, Seq[Long])].mapPartitions { it =>
+      val set = bc.value
+      it.flatMap { case (docId, hsOrNull) =>
+        val hs = if (hsOrNull == null) Seq.empty[Long] else hsOrNull
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
+        var start = -1L
+        var last = -1L
+        var cnt = 0L
+        var i = 0
+        while (i < hs.length) {
+          if (java.util.Arrays.binarySearch(set, hs(i)) >= 0) {
+            if (start < 0) { start = i; last = i; cnt = 1 }
+            else if (i - last <= n) { last = i; cnt += 1 }
+            else {
+              out += ((docId, start, last + n - 1, cnt))
+              start = i; last = i; cnt = 1
+            }
+          }
+          i += 1
+        }
+        if (start >= 0) out += ((docId, start, last + n - 1, cnt))
+        out
+      }
+    }.toDF("doc_id", "span_start", "span_end", "n_grams")
   }
 
   /** Streaming twin of [[ContextOps.correlate]]: records and log rows

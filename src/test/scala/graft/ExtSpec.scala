@@ -494,6 +494,42 @@ class ExtSpec extends SparkSpec {
     assert(got === Seq((1L, 1L, 3L)))
   }
 
+  test("bloom sizing derives from the eval-gram count, so fpp holds at any eval size") {
+    // Eval side deliberately larger than the old fixed 2^17 budget:
+    // 1500 docs × 118 distinct 3-grams ≈ 177k eval grams. Every gram is
+    // unique to its doc, so there are no true train×eval hits — any
+    // train gram passing the bloom is a false positive.
+    val toks = 120
+    def mkText(prefix: String, i: Int): String =
+      (0 until toks).map(j => s"$prefix${i}x$j").mkString(" ")
+    val docs = ((0 until 1500).map(i => (i.toLong, mkText("e", i))) ++
+      (0 until 400).map(i => ((10000 + i).toLong, mkText("t", i))))
+      .toDF("doc_id", "text")
+    val isEval = col("doc_id") < 1500L
+
+    // exactness is size-independent: the confirm join kills every fp
+    assert(Dedup.bloomContamination(docs, isEval, 3).count() === 0L)
+
+    // the derived size keeps the prefilter's pass-through at the
+    // design fpp (3 % default + estimate slack)...
+    val sh = Dedup.shingleHashes(docs, 3)
+      .join(docs.select(col("doc_id"), isEval.as("is_eval")), "doc_id")
+    val evalGrams = sh.filter(col("is_eval")).select(col("h"))
+    val trainGrams = sh.filter(!col("is_eval")).select(col("h"))
+    val sized = Dedup.bloomExpectedItems(evalGrams, col("h"))
+    assert(sized > (1L << 17), s"derived size $sized must track the 177k eval grams")
+    val bloom = Dedup.buildBloom(evalGrams, col("h"), sized)
+    val nTrain = trainGrams.count().toDouble
+    val fpSized = trainGrams.filter(Dedup.mightContain(bloom, col("h"))).count() / nTrain
+    assert(fpSized < 0.08, s"sized bloom fp rate $fpSized must stay near design fpp")
+
+    // ...whereas an undersized filter saturates — the failure mode the
+    // pre-pass exists to prevent
+    val tiny = Dedup.buildBloom(evalGrams, col("h"), 1024L)
+    val fpTiny = trainGrams.filter(Dedup.mightContain(tiny, col("h"))).count() / nTrain
+    assert(fpTiny > 0.5, s"a 1024-item bloom over 177k grams should saturate, got $fpTiny")
+  }
+
   test("bloom contamination survives an empty eval side") {
     val docs = Seq((1L, "some training words here")).toDF("doc_id", "text")
     val got = Dedup.bloomContamination(docs, lit(false), 3)

@@ -139,6 +139,30 @@ class PlanShapeSpec extends SparkSpec {
       s"every window must partition by doc_id:\n${winLines.mkString("\n")}")
   }
 
+  test("span dedup's duplicated-gram semi-join degrades to a shuffled join without broadcast") {
+    // At 100 TB the duplicated-gram set can exceed any broadcast
+    // budget; the plan must then fall back to a shuffled semi-join on
+    // the gram hash — same key both sides, so co-partitioned — with
+    // byte-identical output. Pin both halves of that claim.
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val orig = spark.conf.get(key)
+    val expect = graft.ext.Dedup.duplicatedSpans(docs, 5)
+      .collect().map(_.toSeq).sortBy(_.toString)
+    try {
+      spark.conf.set(key, "-1")
+      val nb = graft.ext.Dedup.duplicatedSpans(docs, 5)
+      val p = nb.queryExecution.executedPlan.toString
+      assert(!p.contains("BroadcastHashJoin"),
+        s"threshold=-1 must disable the broadcast semi-join:\n$p")
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+        s"expected a shuffled fallback join:\n$p")
+      assert(p.contains("LeftSemi"), s"fallback must stay a semi-join:\n$p")
+      val got = nb.collect().map(_.toSeq).sortBy(_.toString)
+      assert(got === expect, "fallback plan must produce identical spans")
+    } finally spark.conf.set(key, orig)
+  }
+
   test("sketch-estimated jaccard reads cached signatures, not a shingle join") {
     val p = plan("d_minhash_jaccard_est")
     // the estimate consumes the PlanCache'd signature frame (banding's

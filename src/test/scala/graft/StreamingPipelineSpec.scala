@@ -229,6 +229,39 @@ class StreamingPipelineSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming span decontam emits maximal contaminated spans, statelessly") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val evalDocs = Seq((100L, "the quick brown fox jumps")).toDF("doc_id", "text")
+    val input = MemoryStream[(Long, String)]
+    val out = Pipeline.decontamSpans(
+      input.toDF().toDF("doc_id", "text"), evalDocs, 3)
+    val q = out.writeStream.format("memory").queryName("decontam_spans")
+      .outputMode("append").start()
+    try {
+      // tokens: xx the quick brown fox jumps yy the quick brown fox
+      // eval-hit 3-gram positions: 1,2,3 (run) and 7,8 (run); the gap
+      // 7-3=4 > n=3 keeps them separate spans — the duplicatedSpans rule
+      input.addData(Seq(
+        (1L, "xx the quick brown fox jumps yy the quick brown fox"),
+        (2L, "completely different text entirely here")))
+      q.processAllAvailable()
+      def spans(): Set[(Long, Long, Long, Long)] = spark.table("decontam_spans")
+        .as[(Long, Long, Long, Long)].collect().toSet
+      assert(spans() === Set((1L, 1L, 5L, 3L), (1L, 7L, 10L, 2L)),
+        "two maximal spans for the contaminated doc, silence for the clean one")
+      // statelessness: re-sending the same document re-emits the SAME
+      // spans (pure per-row computation — no dedup state, no watermark)
+      input.addData(Seq((1L, "xx the quick brown fox jumps yy the quick brown fox")))
+      q.processAllAvailable()
+      val again = spark.table("decontam_spans")
+        .groupBy(col("doc_id"), col("span_start")).count()
+        .as[(Long, Long, Long)].collect().toSet
+      assert(again === Set((1L, 1L, 2L), (1L, 7L, 2L)),
+        "re-send must re-emit identical spans, doubled counts, nothing else")
+    } finally q.stop()
+  }
+
   test("stream-stream correlation joins records to their log rows across two live streams") {
     implicit val sqlCtx = spark.sqlContext
     val recIn = MemoryStream[RawRecord]
