@@ -143,11 +143,9 @@ object Bench {
         val truth = SparkEntry.queries("s_ann_brute")(spark, sfDir)
           .filter(col("rnk") <= 3).select(col("q_id"), col("neighbor_id")).cache()
         val denom = truth.count().toDouble
-        Seq("s_ann_lsh", "s_ann_lsh_mp", "s_ann_ivf", "s_ann_ivf_mp",
-          "s_ann_ivf_km", "s_ann_pq", "s_ann_pq_rerank").map { name =>
+        def recallOf(name: String, df: => org.apache.spark.sql.DataFrame): (String, Double) = {
           val r = try {
-            val got = SparkEntry.queries(name)(spark, sfDir)
-              .filter(col("rnk") <= 3).select(col("q_id"), col("neighbor_id"))
+            val got = df.filter(col("rnk") <= 3).select(col("q_id"), col("neighbor_id"))
             math.rint(got.join(truth, Seq("q_id", "neighbor_id"), "left_semi")
               .count() / denom * 1000) / 1000
           } catch { case e: Throwable =>
@@ -155,6 +153,22 @@ object Bench {
           }
           name -> r
         }
+        val registry = Seq("s_ann_lsh", "s_ann_lsh_mp", "s_ann_ivf", "s_ann_ivf_mp",
+          "s_ann_ivf_km", "s_ann_pq", "s_ann_pq_rerank")
+          .map(n => recallOf(n, SparkEntry.queries(n)(spark, sfDir)))
+        // the registry dials are ORACLE-scale (tiny codebooks/buckets so
+        // DuckDB can recheck them); these rows show where the recall
+        // dial actually lands when each variant is sized for search
+        // quality — the docs/SCALE.md knobs, measured
+        import graft.ext.Similarity
+        val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+        val qp = col("vec_id") < 8
+        val dialed = Seq(
+          recallOf("s_ann_lsh_mp@nbits4", Similarity.lshTopKMulti(emb, qp, 3, 4)),
+          recallOf("s_ann_ivf_mp@nprobe4", Similarity.ivfTopKMulti(emb, qp, 3, 8, 4)),
+          recallOf("s_ann_pq@k64", Similarity.pqTopK(emb, qp, 3, 64, 8, 64)),
+          recallOf("s_ann_pq_rerank@k64s50", Similarity.pqRerankTopK(emb, qp, 3, 50, 64, 8, 64)))
+        registry ++ dialed
       } catch { case e: Throwable =>
         System.err.println(s"[bench] recall baseline FAILED: ${e.getMessage}"); Nil
       }
