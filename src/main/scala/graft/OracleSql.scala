@@ -601,6 +601,41 @@ FROM isl GROUP BY doc_id, island""",
 
     // per-doc duplicated-token fraction over the maximal spans above;
     // spans never overlap within a doc, so summing widths is exact
+    // the APPLY step: same span derivation as d_span_dedup, then every
+    // token inside a span is dropped and the remainder re-joined
+    "d_span_apply" -> s"""$TOKS, posn AS (
+  SELECT doc_id, unnest(range(1, greatest(len(tk)-4, 0)+1)) AS i, tk FROM toks
+), g AS (
+  SELECT doc_id, CAST(i-1 AS BIGINT) AS pos,
+         ${dh("array_to_string(tk[i:i+4], ' ')")} AS h
+  FROM posn
+), dup AS (SELECT h FROM g GROUP BY h HAVING count(*) >= 2
+), dp AS (
+  SELECT doc_id, pos, lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+  FROM g WHERE h IN (SELECT h FROM dup)
+), isl AS (
+  SELECT doc_id, pos,
+         sum(CASE WHEN prev IS NOT NULL AND pos - prev <= 5 THEN 0 ELSE 1 END)
+           OVER (PARTITION BY doc_id ORDER BY pos) AS island
+  FROM dp
+), spans AS (
+  SELECT doc_id, min(pos) AS s, max(pos)+4 AS e FROM isl GROUP BY doc_id, island
+), tok AS (
+  SELECT doc_id, CAST(j-1 AS BIGINT) AS p, tk[j] AS t
+  FROM (SELECT doc_id, tk, unnest(range(1, len(tk)+1)) AS j FROM toks)
+), keep AS (
+  SELECT k.doc_id, k.p, k.t FROM tok k
+  WHERE NOT EXISTS (SELECT 1 FROM spans sp
+                    WHERE sp.doc_id = k.doc_id AND k.p BETWEEN sp.s AND sp.e)
+), agg AS (
+  SELECT doc_id, array_to_string(list(t ORDER BY p), ' ') AS clean_text,
+         count(*) AS n_kept
+  FROM keep GROUP BY doc_id)
+SELECT t.doc_id,
+       coalesce(a.clean_text, '') AS clean_text,
+       CAST(len(t.tk) - coalesce(a.n_kept, 0) AS BIGINT) AS n_removed
+FROM toks t LEFT JOIN agg a USING (doc_id)""",
+
     "d_span_fraction" -> s"""$TOKS, posn AS (
   SELECT doc_id, unnest(range(1, greatest(len(tk)-4, 0)+1)) AS i, tk FROM toks
 ), g AS (
@@ -847,6 +882,29 @@ SELECT q_id, vec_id AS neighbor_id, CAST(rnk AS INT) AS rnk, round(cos, 4) AS co
          row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rnk FROM s)
 WHERE rnk <= 5""",
 
+    // per-label centroid through the SAME micro-unit fixed-point sum
+    // as the engine's VectorSumFixed: exact longs -> exact doubles, so
+    // the ARRAY column compares bit-for-bit with no rounding
+    "s_label_centroids" -> s"""WITH vecs AS (
+  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings
+)
+SELECT label,
+  [${(1 to 64).map(i =>
+    s"(CAST(sum(CAST(round(v[$i]*1000000.0) AS BIGINT)) AS DOUBLE)/1000000.0)/count(*)")
+    .mkString(",\n   ")}] AS centroid,
+  CAST(count(*) AS BIGINT) AS n_vecs
+FROM vecs GROUP BY label""",
+
+    // radius search: threshold on the RAW cosine (both engines), emit
+    // rounded — no rank window on either side
+    "s_ann_range" -> s"""$VECS, q AS (
+  SELECT vec_id AS q_id, v AS qv, nrm AS qn FROM nv WHERE vec_id < 8
+)
+SELECT q_id, vec_id AS neighbor_id, round(cos, 4) AS cos FROM (
+  SELECT q_id, vec_id, list_dot_product(qv, v) / (qn * nrm) AS cos
+  FROM q JOIN nv ON vec_id >= 8)
+WHERE cos >= 0.35""",
+
     "s_ann_lsh" -> s"""$VECS, q AS (
   SELECT vec_id AS q_id, v AS qv, nrm AS qn, bucket AS q_bucket FROM nv WHERE vec_id < 8
 ), s AS (
@@ -977,6 +1035,29 @@ WHERE rnk <= 5""",
   SELECT e.b AS doc, r.lbl AS lbl FROM reach r JOIN e ON e.a = r.doc
 )
 SELECT doc AS vec_id, min(lbl) AS group_id FROM reach GROUP BY doc""",
+
+    // directional containment over the same LSH candidates as
+    // d_lsh_jaccard; filter on the ROUNDED values, like the engine
+    "d_lsh_containment" -> s"""$LSH_CANDS,
+sz AS (SELECT doc_id, count(*) AS n_sh FROM h GROUP BY doc_id),
+inter AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+  FROM cands c
+  JOIN h a ON a.doc_id = c.doc_a
+  JOIN h b ON b.doc_id = c.doc_b AND b.h = a.h
+  GROUP BY 1, 2),
+cont AS (
+  SELECT doc_a, doc_b,
+         round(CAST(n_inter AS DOUBLE) / sa.n_sh, 4) AS c_a_in_b,
+         round(CAST(n_inter AS DOUBLE) / sb.n_sh, 4) AS c_b_in_a
+  FROM inter JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b)
+SELECT doc_a, doc_b, c_a_in_b, c_b_in_a FROM cont
+WHERE c_a_in_b >= 0.5 OR c_b_in_a >= 0.5""",
+
+    "a_grouping_sets" -> """SELECT l_returnflag, l_linestatus, count(*) AS n,
+  round(sum(l_quantity), 2) AS sum_qty
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())""",
 
     "m_asset_meta" -> s"""SELECT doc_id AS asset_id,
   CAST(strlen(text) AS BIGINT) AS byte_len,

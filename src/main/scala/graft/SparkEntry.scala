@@ -313,6 +313,16 @@ object SparkEntry {
       .cube(col("l_returnflag"), col("l_linestatus"))
       .agg(count(lit(1)).as("n"), round(sum(col("l_extendedprice")), 2).as("sum_base"))
 
+  /** Explicit GROUPING SETS — the general form cube/rollup specialize;
+    * mixed granularities in one pass (one Expand, one shuffle), the
+    * way a 100 TB reporting rollup avoids N scans. */
+  private def aGroupingSets(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "lineitem")
+      .groupingSets(
+        Seq(Seq(col("l_returnflag"), col("l_linestatus")), Seq(col("l_returnflag")), Seq.empty),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"), round(sum(col("l_quantity")), 2).as("sum_qty"))
+
   private def aTumblingWindow(s: SparkSession, dir: String): DataFrame =
     T(s, dir, "events")
       .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
@@ -681,6 +691,12 @@ object SparkEntry {
   private def dSpanFraction(s: SparkSession, dir: String): DataFrame =
     Dedup.duplicatedTokenFraction(T(s, dir, "documents"), 5)
 
+  /** The span-dedup APPLY step: cut every corpus-duplicated span from
+    * the token stream (Lee et al. 2022's actual training-data edit;
+    * see [[graft.ext.Dedup.removeDuplicatedSpans]]). */
+  private def dSpanApply(s: SparkSession, dir: String): DataFrame =
+    Dedup.removeDuplicatedSpans(T(s, dir, "documents"), 5)
+
   /** Bloom-prefiltered exact decontamination: same exact semantics as
     * a train×eval gram join, but train grams cross the shuffle only if
     * they pass a broadcast Bloom filter of the eval grams — the 100 TB
@@ -811,6 +827,11 @@ object SparkEntry {
   private def dLshJaccard(s: SparkSession, dir: String): DataFrame =
     Dedup.lshVerifiedJaccard(T(s, dir, "documents"), 3, 16, 4, 4, 0.5)
 
+  /** Directional containment over the same LSH candidates — the
+    * decontamination metric proper (see [[graft.ext.Dedup.lshContainment]]). */
+  private def dLshContainment(s: SparkSession, dir: String): DataFrame =
+    Dedup.lshContainment(T(s, dir, "documents"), 3, 16, 4, 4, 0.5)
+
   /** The "apply" step of dedup: the surviving corpus — one keeper row
     * per distinct (normalized) content group. */
   private def dDedupApply(s: SparkSession, dir: String): DataFrame = {
@@ -879,6 +900,18 @@ object SparkEntry {
   private def sNearDup(s: SparkSession, dir: String): DataFrame =
     // bucketed near-dup: only LSH-bucket-mates are compared (scale path)
     Similarity.nearDupPairs(T(s, dir, "embeddings"), 0.35, 8)
+
+  /** Radius search: all neighbors with cosine ≥ 0.35 of each query —
+    * the thresholded-retrieval twin of top-k (no rank window at all;
+    * see [[graft.ext.Similarity.rangeSearch]]). */
+  private def sAnnRange(s: SparkSession, dir: String): DataFrame =
+    Similarity.rangeSearch(T(s, dir, "embeddings"), col("vec_id") < 8, 0.35)
+
+  /** Per-label centroid over the embedding corpus (exact fixed-point
+    * means — see [[graft.ext.Similarity.labelCentroids]]); the ARRAY
+    * column is oracle-compared element-for-element. */
+  private def sLabelCentroids(s: SparkSession, dir: String): DataFrame =
+    Similarity.labelCentroids(T(s, dir, "embeddings"), 64)
 
   /** Metadata-filtered ANN: the candidate corpus is restricted to
     * English documents (embeddings ⋈ documents on vec_id = doc_id)
@@ -966,6 +999,7 @@ object SparkEntry {
     "a_anti_join" -> (aAntiJoin _),
     "a_rollup" -> (aRollup _),
     "a_cube" -> (aCube _),
+    "a_grouping_sets" -> (aGroupingSets _),
     "a_percentiles" -> (aPercentiles _),
     "a_percentiles_dist" -> (aPercentilesDist _),
     "a_tumbling_window" -> (aTumblingWindow _),
@@ -997,6 +1031,7 @@ object SparkEntry {
     "d_contamination" -> (dContamination _),
     "d_contamination_ngram" -> (dContaminationNgram _),
     "d_contamination_bloom" -> (dContaminationBloom _),
+    "d_span_apply" -> (dSpanApply _),
     "d_span_dedup" -> (dSpanDedup _),
     "d_span_fraction" -> (dSpanFraction _),
     "d_minhash_jaccard_est" -> (dMinhashJaccardEst _),
@@ -1011,6 +1046,7 @@ object SparkEntry {
     "d_ngram_jaccard_capped" -> (dJaccardCapped _),
     "d_minhash_sig" -> (dMinhashSig _),
     "d_minhash_lsh" -> (dMinhashLsh _),
+    "d_lsh_containment" -> (dLshContainment _),
     "d_lsh_jaccard" -> (dLshJaccard _),
     "d_simhash" -> (dSimhash _),
     "d_simhash_pairs" -> (dSimhashPairs _),
@@ -1022,6 +1058,8 @@ object SparkEntry {
     "s_ann_ivf_km" -> (sAnnIvfKm _),
     "s_ann_pq" -> (sAnnPq _),
     "s_ann_pq_rerank" -> (sAnnPqRerank _),
+    "s_ann_range" -> (sAnnRange _),
+    "s_label_centroids" -> (sLabelCentroids _),
     "s_near_dup" -> (sNearDup _),
     "s_ann_filtered" -> (sAnnFiltered _),
     "d_semantic_dedup" -> (dSemanticDedup _),

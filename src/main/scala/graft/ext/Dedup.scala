@@ -177,6 +177,37 @@ object Dedup {
       lshVerifiedJaccardPlan(docs, n, k, bands, rowsPerBand, minJaccard, hashName)
     }
 
+  /** Directional n-gram containment over the SAME LSH candidate pairs
+    * as [[lshVerifiedJaccard]]: C(A⊆B) = |grams(A)∩grams(B)| /
+    * |grams(A)|, both directions. Containment is the decontamination
+    * metric proper — a short eval doc quoted whole inside a long train
+    * doc has LOW Jaccard (the union is big) but containment ≈ 1, which
+    * is exactly the case document-level Jaccard dedup misses. Pairs
+    * kept when either direction ≥ minC. Candidate-driven like the
+    * Jaccard verify, so the shuffle bounds are identical; the shingle
+    * and signature frames are the shared cached substrates. */
+  def lshContainment(docs: DataFrame, n: Int, k: Int, bands: Int,
+      rowsPerBand: Int, minC: Double, hashName: String = "md5"): DataFrame = {
+    val sh = shingleHashes(docs, n, hashName)
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val cands = lshCandidatePairs(minhashSignatures(docs, n, k, hashName),
+        bands, rowsPerBand, hashName)
+      .select("doc_a", "doc_b")
+    val shA = sh.select(col("doc_id").as("doc_a"), col("h").as("ha"))
+    val shB = sh.select(col("doc_id").as("b_id"), col("h").as("hb"))
+    val inter = cands
+      .join(shA, "doc_a")
+      .join(shB, col("doc_b") === col("b_id") && col("ha") === col("hb"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("n_b")), "doc_b")
+      .withColumn("c_a_in_b", round(col("n_inter").cast("double") / col("n_a"), 4))
+      .withColumn("c_b_in_a", round(col("n_inter").cast("double") / col("n_b"), 4))
+      .filter(col("c_a_in_b") >= minC || col("c_b_in_a") >= minC)
+      .select("doc_a", "doc_b", "c_a_in_b", "c_b_in_a")
+  }
+
   private def lshVerifiedJaccardPlan(docs: DataFrame, n: Int, k: Int,
       bands: Int, rowsPerBand: Int, minJaccard: Double,
       hashName: String): DataFrame = {
@@ -351,6 +382,34 @@ object Dedup {
         round(when(col("n_tok") > 0,
             coalesce(col("dup_tokens"), lit(0L)).cast("double") / col("n_tok"))
           .otherwise(0.0), 4).as("dup_frac"))
+  }
+
+  /** The APPLY step of exact-substring span dedup (Lee et al. 2022
+    * actually CUTS the duplicated spans before training; [[duplicatedSpans]]
+    * only reports them): rebuild each document's token stream with
+    * every token inside a corpus-duplicated span removed. Output text
+    * is token-normalized (lowercased, single-spaced) — the same
+    * normalization the span positions are defined over.
+    *
+    * Scale shape: one extra doc_id-keyed aggregate over the span frame
+    * (spans per doc are few and non-overlapping by construction) and
+    * one doc_id equi-join back to the corpus; the token filtering is
+    * row-local array work. No new shuffle key anywhere. */
+  def removeDuplicatedSpans(docs: DataFrame, n: Int,
+      hashName: String = "md5"): DataFrame = {
+    val spans = duplicatedSpans(docs, n, hashName)
+      .groupBy("doc_id")
+      .agg(collect_list(struct(col("span_start").as("s"), col("span_end").as("e"))).as("spans"))
+    docs.select(col("doc_id"), tokens(col("text")).as("tk"))
+      .join(spans, Seq("doc_id"), "left")
+      .withColumn("kept",
+        when(col("spans").isNull, col("tk"))
+          .otherwise(filter(col("tk"), (_, i) =>
+            !exists(col("spans"), sp =>
+              i.cast("long") >= sp.getField("s") && i.cast("long") <= sp.getField("e")))))
+      .select(col("doc_id"),
+        array_join(col("kept"), " ").as("clean_text"),
+        (size(col("tk")) - size(col("kept"))).cast("long").as("n_removed"))
   }
 
   /** Bloom-prefiltered exact n-gram decontamination. The exact

@@ -262,6 +262,41 @@ object Similarity {
     cents
   }
 
+  /** Radius (range) search: every candidate within cosine ≥ minCos of
+    * each query — the set-retrieval twin of top-k (dedup thresholds,
+    * "everything this similar" audits). Same broadcast-queries × one
+    * corpus scan shape as [[bruteForceTopK]], but with NO per-query
+    * window: the threshold is a row-local filter, so the plan is a
+    * pure codegen'd map over the scan — at 100 TB there is no rank
+    * shuffle at all, and the output is the only thing that moves. */
+  def rangeSearch(emb: DataFrame, queryPred: Column, minCos: Double): DataFrame = {
+    val vecs = withNorm(emb)
+    broadcast(asQueries(vecs, queryPred, Nil))
+      .join(vecs.filter(!queryPred), col("q_id") =!= col("vec_id"))
+      .withColumn("cos", safeDiv(dot(col("qv"), col("v")), col("qn") * col("nrm")))
+      .filter(col("cos") >= minCos)
+      .select(col("q_id"), col("vec_id").as("neighbor_id"),
+        round(col("cos"), 4).as("cos"))
+  }
+
+  /** Per-label embedding centroid — the class-prototype aggregate a
+    * labeled corpus feeds into nearest-centroid classification or
+    * per-class drift monitoring. Means are computed through the same
+    * exact fixed-point sum as the k-means codebook
+    * ([[graft.functions.VectorSumFixed]]): micro-unit longs are order-
+    * and partition-independent, so the resulting doubles are
+    * bit-deterministic and a DuckDB oracle can reproduce the ARRAY
+    * column exactly — a plain double sum would vary with partial-agg
+    * order. One partial-agg shuffle of dims longs per label. */
+  def labelCentroids(emb: DataFrame, dims: Int): DataFrame =
+    withNorm(emb)
+      .groupBy("label")
+      .agg(graft.functions.VectorSumFixed.vecSumFixed(col("v"), dims, KmeansScale).as("sums"),
+        count(lit(1)).as("n_vecs"))
+      .select(col("label"),
+        transform(col("sums"), s => s.cast("double") / KmeansScale / col("n_vecs")).as("centroid"),
+        col("n_vecs"))
+
   /** IVF top-k over the k-means-refined codebook (deterministic
     * fixed-point means — see [[kmeansCodebook]]). */
   def ivfTopKKmeans(emb: DataFrame, queryPred: Column, k: Int,

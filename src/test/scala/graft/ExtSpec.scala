@@ -480,6 +480,53 @@ class ExtSpec extends SparkSpec {
       (1L, 9L, 7L, 0.7778), (2L, 9L, 7L, 0.7778), (3L, 9L, 0L, 0.0)))
   }
 
+  test("containment is directional: a subset doc scores 1.0 into its superset") {
+    // doc 2 = doc 1 plus a tail: every doc-1 shingle is in doc 2, so
+    // c_1_in_2 = 1.0 while c_2_in_1 and jaccard are diluted by the tail
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val docs = Seq(
+      (1L, base),                        // 8 3-gram shingles
+      (2L, base + " lambda mu"),         // those 8 + 2 boundary shingles
+      (3L, base)                         // identical to doc 1
+    ).toDF("doc_id", "text")
+    val got = Dedup.lshContainment(docs, 3, 16, 4, 4, 0.5)
+      .as[(Long, Long, Double, Double)].collect().toSeq.sorted
+    assert(got === Seq(
+      (1L, 2L, 1.0, 0.8),   // 8/8 into the superset, 8/10 back
+      (1L, 3L, 1.0, 1.0),
+      (2L, 3L, 0.8, 1.0)))
+  }
+
+  test("span apply cuts exactly the duplicated spans and keeps the rest") {
+    // docs 1 and 2 share the 7-token run "one two three four five six
+    // seven": dup 5-gram positions are 0-2 (doc 1) and 2-4 (doc 2),
+    // each merging to ONE span covering the whole run; doc 3 is clean
+    val docs = Seq(
+      (1L, "one two three four five six seven unique1 tail1"),
+      (2L, "lead pad one two three four five six seven"),
+      (3L, "alpha beta gamma delta epsilon zeta eta theta iota"))
+      .toDF("doc_id", "text")
+    val got = Dedup.removeDuplicatedSpans(docs, 5)
+      .as[(Long, String, Long)].collect().toSeq.sorted
+    assert(got === Seq(
+      (1L, "unique1 tail1", 7L),
+      (2L, "lead pad", 7L),
+      (3L, "alpha beta gamma delta epsilon zeta eta theta iota", 0L)))
+  }
+
+  test("label centroids are exact fixed-point means per label") {
+    val emb = Seq(
+      (1L, 0, Array(1.0f, 2.0f)),
+      (2L, 0, Array(3.0f, 4.0f)),
+      (3L, 1, Array(0.5f, -0.5f)))
+      .toDF("vec_id", "label", "embedding")
+    val got = Similarity.labelCentroids(emb, 2)
+      .as[(Int, Seq[Double], Long)].collect().toSeq.sortBy(_._1)
+    assert(got === Seq(
+      (0, Seq(2.0, 3.0), 2L),
+      (1, Seq(0.5, -0.5), 1L)))
+  }
+
   test("bloom-prefiltered contamination equals the exact join") {
     val docs = Seq(
       (1L, "the quick brown fox jumps high today"),
