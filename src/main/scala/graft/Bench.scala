@@ -154,7 +154,7 @@ object Bench {
           name -> r
         }
         val registry = Seq("s_ann_lsh", "s_ann_lsh_mp", "s_ann_ivf", "s_ann_ivf_mp",
-          "s_ann_ivf_km", "s_ann_pq", "s_ann_pq_rerank")
+          "s_ann_ivf_km", "s_ann_ivfpq", "s_ann_pq", "s_ann_pq_rerank")
           .map(n => recallOf(n, SparkEntry.queries(n)(spark, sfDir)))
         // the registry dials are ORACLE-scale (tiny codebooks/buckets so
         // DuckDB can recheck them); these rows show where the recall
@@ -167,7 +167,8 @@ object Bench {
           recallOf("s_ann_lsh_mp@nbits4", Similarity.lshTopKMulti(emb, qp, 3, 4)),
           recallOf("s_ann_ivf_mp@nprobe4", Similarity.ivfTopKMulti(emb, qp, 3, 8, 4)),
           recallOf("s_ann_pq@k64", Similarity.pqTopK(emb, qp, 3, 64, 8, 64)),
-          recallOf("s_ann_pq_rerank@k64s50", Similarity.pqRerankTopK(emb, qp, 3, 50, 64, 8, 64)))
+          recallOf("s_ann_pq_rerank@k64s50", Similarity.pqRerankTopK(emb, qp, 3, 50, 64, 8, 64)),
+          recallOf("s_ann_ivfpq@k64", Similarity.ivfPqTopK(emb, qp, 3, 8, 64, 8, 64)))
         registry ++ dialed
       } catch { case e: Throwable =>
         System.err.println(s"[bench] recall baseline FAILED: ${e.getMessage}"); Nil

@@ -26,6 +26,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction(GraftExtensions.beIntDescriptor)
     e.injectFunction(GraftExtensions.vecDotDescriptor)
     e.injectFunction(GraftExtensions.vecL2SqDescriptor)
+    e.injectFunction(GraftExtensions.pqEncodeDescriptor)
   }
 }
 
@@ -45,6 +46,19 @@ object GraftExtensions {
     graft.functions.VectorL2Sq(exprs.head, exprs(1))
   }
 
+  private def pqEncodeBuilder(exprs: Seq[Expression]): Expression = {
+    require(exprs.length == 5,
+      "pq_encode takes (vec ARRAY<DOUBLE>, seeds ARRAY<ARRAY<DOUBLE>>, m INT, sub INT, kCodes INT)")
+    def intLit(e: Expression, name: String): Int = e match {
+      case org.apache.spark.sql.catalyst.expressions.Literal(v: Int,
+          org.apache.spark.sql.types.IntegerType) => v
+      case _ => throw new IllegalArgumentException(
+        s"pq_encode: $name must be an INT literal (codebook geometry is plan-time)")
+    }
+    graft.functions.PqEncode(exprs(0), exprs(1),
+      intLit(exprs(2), "m"), intLit(exprs(3), "sub"), intLit(exprs(4), "kCodes"))
+  }
+
   private[graft] val beIntDescriptor =
     (FunctionIdentifier("be_int"),
       new ExpressionInfo(classOf[BigEndianInt32].getName, "be_int"),
@@ -60,6 +74,11 @@ object GraftExtensions {
       new ExpressionInfo(classOf[graft.functions.VectorL2Sq].getName, "vec_l2sq"),
       (exprs: Seq[Expression]) => vecL2SqBuilder(exprs))
 
+  private[graft] val pqEncodeDescriptor =
+    (FunctionIdentifier("pq_encode"),
+      new ExpressionInfo(classOf[graft.functions.PqEncode].getName, "pq_encode"),
+      (exprs: Seq[Expression]) => pqEncodeBuilder(exprs))
+
   /** Register on an already-built session (temp-function scope). */
   def registerAll(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
@@ -68,5 +87,7 @@ object GraftExtensions {
       "vec_dot", vecDotBuilder, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "vec_l2sq", vecL2SqBuilder, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "pq_encode", pqEncodeBuilder, "built-in")
   }
 }

@@ -964,6 +964,45 @@ WHERE rnk <= 3""",
     // PQ: 8 subspaces x 4 codewords (the hash-sample seeds' slices);
     // encode candidates by argmin L2 (ties -> smaller code), score
     // queries exactly against the reconstruction
+    // IVFPQ: IVF cell restriction + PQ-reconstruction-domain scoring —
+    // the IVF_ASG chain extended with the PQ encode/recon chain (both
+    // independently mirrored elsewhere; here they compose)
+    "s_ann_ivfpq" -> s"""$IVF_ASG, seeds0 AS (
+  SELECT vec_id AS c_id, v FROM nv
+  ORDER BY ${dh("CAST(vec_id AS VARCHAR)")}, vec_id LIMIT 4
+), seeds AS (
+  SELECT c_id, v, row_number() OVER (ORDER BY c_id) AS code FROM seeds0
+), subcw AS (
+  SELECT t.i AS sub, code, v[t.i*8+1 : t.i*8+8] AS cw FROM seeds, range(0, 8) t(i)
+), enc AS (
+  SELECT nv.vec_id, sc.sub, sc.code,
+         list_sum(list_transform(range(1, 9),
+           j -> (nv.v[sc.sub*8 + j] - sc.cw[j]) * (nv.v[sc.sub*8 + j] - sc.cw[j]))) AS d
+  FROM nv, subcw sc
+), best AS (
+  SELECT vec_id, sub, code FROM (
+    SELECT vec_id, sub, code,
+           row_number() OVER (PARTITION BY vec_id, sub ORDER BY d ASC, code ASC) AS rn
+    FROM enc) WHERE rn = 1
+), recon AS (
+  SELECT b.vec_id, flatten(list(sc.cw ORDER BY b.sub)) AS recon
+  FROM best b JOIN subcw sc ON sc.sub = b.sub AND sc.code = b.code
+  GROUP BY b.vec_id
+), r AS (
+  SELECT a.vec_id, a.cell, rc.recon,
+         sqrt(list_dot_product(rc.recon, rc.recon)) AS rnorm
+  FROM recon rc JOIN asg a ON a.vec_id = rc.vec_id
+  WHERE a.vec_id >= 8
+), q AS (
+  SELECT vec_id AS q_id, v AS qv, nrm AS qn, cell AS q_cell FROM asg WHERE vec_id < 8
+), s AS (
+  SELECT q_id, vec_id, list_dot_product(qv, recon) / (qn * rnorm) AS cos
+  FROM q JOIN r ON q_cell = cell)
+SELECT q_id, vec_id AS neighbor_id, CAST(rnk AS INT) AS rnk, round(cos, 4) AS cos FROM (
+  SELECT q_id, vec_id, cos,
+         row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rnk FROM s)
+WHERE rnk <= 3""",
+
     "s_ann_pq" -> s"""$PQ_SCORES
 SELECT q_id, vec_id AS neighbor_id, CAST(rnk AS INT) AS rnk, round(cos, 4) AS cos FROM (
   SELECT q_id, vec_id, cos,
@@ -1064,6 +1103,13 @@ GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())""",
   substr(text, 1, 8) AS head8,
   substr(text, CAST(strlen(text) // 2 AS INT) + 1, 8) AS mid8,
   ${dh("text")} AS content_hash
+FROM documents""",
+
+    // stub audio decode: duration = bytes*1000/rate in integer math
+    "m_audio_meta" -> """SELECT doc_id AS asset_id,
+  CAST(strlen(text) AS BIGINT) AS byte_len,
+  16000 AS sample_rate,
+  CAST(CAST(strlen(text) AS BIGINT) * 1000 // 16000 AS BIGINT) AS duration_ms
 FROM documents""",
 
     // character-based on BOTH sides (engine: sliceChars mode; DuckDB

@@ -893,6 +893,12 @@ object SparkEntry {
   private def sAnnPqRerank(s: SparkSession, dir: String): DataFrame =
     Similarity.pqRerankTopK(T(s, dir, "embeddings"), col("vec_id") < 8, 3, 10, 4, 8, 64)
 
+  /** IVFPQ: cell-restricted candidates scored in the compressed domain
+    * — the composed production index (see Similarity.ivfPqTopK),
+    * reusing the cached IVF assignment and PQ code frames. */
+  private def sAnnIvfPq(s: SparkSession, dir: String): DataFrame =
+    Similarity.ivfPqTopK(T(s, dir, "embeddings"), col("vec_id") < 8, 3, IvfK, 4, 8, 64)
+
   /** Fixed IVF codebook size — independent of corpus size by design
     * (assignment is O(N·k); see Similarity.ivfAssign). */
   private val IvfK = 8
@@ -947,6 +953,21 @@ object SparkEntry {
       substring(col("payload").cast("string"), 1, 8).as("head8"),
       expr("substring(cast(payload as string), cast(byte_len div 2 as int) + 1, 8)").as("mid8"),
       Codecs.portableHash(col("payload").cast("string")).as("content_hash"))
+  }
+
+  /** Audio decode through the typed Dataset[MediaAsset] per-partition
+    * batch contract ([[graft.ext.Multimodal.decodeAudio]]) — the stub
+    * duration is integer math (bytes·1000/rate), so DuckDB reproduces
+    * the decode exactly and the mapPartitions plumbing (encoder round
+    * trip, partition batching) sits under an oracle. */
+  private def mAudioMeta(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val assets = Multimodal.toAssets(
+      T(s, dir, "documents").select(col("doc_id").as("asset_id"),
+        col("text").cast("binary").as("payload")), "audio")
+      .as[graft.model.MediaAsset]
+    Multimodal.decodeAudio(assets).toDF()
+      .select(col("asset_id"), col("byte_len"), col("sample_rate"), col("duration_ms"))
   }
 
   /** The end-to-end multimodal path: payload bytes → per-partition
@@ -1056,6 +1077,7 @@ object SparkEntry {
     "s_ann_ivf" -> (sAnnIvf _),
     "s_ann_ivf_mp" -> (sAnnIvfMp _),
     "s_ann_ivf_km" -> (sAnnIvfKm _),
+    "s_ann_ivfpq" -> (sAnnIvfPq _),
     "s_ann_pq" -> (sAnnPq _),
     "s_ann_pq_rerank" -> (sAnnPqRerank _),
     "s_ann_range" -> (sAnnRange _),
@@ -1064,6 +1086,7 @@ object SparkEntry {
     "s_ann_filtered" -> (sAnnFiltered _),
     "d_semantic_dedup" -> (dSemanticDedup _),
     "m_asset_meta" -> (mAssetMeta _),
+    "m_audio_meta" -> (mAudioMeta _),
     "m_frame_sample" -> (mFrameSample _),
   )
 

@@ -421,6 +421,30 @@ object Similarity {
     rankTopK(broadcast(q).join(cands, col("q_id") =!= col("vec_id")), k)
   }
 
+  /** IVFPQ — the composed production ANN layout (FAISS's default): the
+    * IVF assignment restricts candidates to the query's cell, and the
+    * survivors are scored in the compressed (PQ-reconstruction)
+    * domain. At 100 TB this is the memory-bounded index proper: the
+    * corpus is touched through cell-pruned m-byte codes — IO ∝
+    * cell size, bytes ∝ m per vector. Built entirely from the two
+    * PlanCached frames ([[ivfAssign]], [[pqReconstruct]]) a pipeline
+    * running IVF and PQ already owns, so composing them adds one
+    * doc-keyed join and nothing else. Rank rules identical to every
+    * other variant. */
+  def ivfPqTopK(emb: DataFrame, queryPred: Column, k: Int,
+      kCentroids: Int, kCodes: Int, m: Int, dims: Int): DataFrame = {
+    val assigned = ivfAssign(emb, kCentroids)
+    val cands = pqReconstruct(emb, kCodes, m, dims)
+      .join(assigned.select(col("vec_id"), col("cell")), "vec_id")
+      .filter(!queryPred)
+      .select(col("vec_id"), col("recon").as("v"), norm(col("recon")).as("nrm"), col("cell"))
+    val q = assigned.filter(queryPred)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"),
+        col("nrm").as("qn"), col("cell").as("q_cell"))
+    rankTopK(broadcast(q).join(cands,
+      col("q_cell") === col("cell") && col("q_id") =!= col("vec_id")), k)
+  }
+
   /** Two-stage PQ search — the standard production ANN layout: the PQ
     * scan (compressed codes, approximate distances) produces a
     * per-query SHORTLIST of `shortlist` candidates, then ONLY those

@@ -3,6 +3,20 @@ package graft
 class GraftExtensionsSpec extends SparkSpec {
   import spark.implicits._
 
+  test("pq_encode is callable from SQL with literal geometry") {
+    GraftExtensions.registerAll(spark)
+    val got = spark.sql(
+      """SELECT pq_encode(array(0.0d, 0.0d, 5.0d, 5.0d),
+        |array(array(0.0d, 0.0d, 9.0d, 9.0d), array(7.0d, 7.0d, 5.0d, 5.0d)),
+        |2, 2, 2) AS codes""".stripMargin)
+      .as[Seq[Int]].head()
+    assert(got === Seq(0, 1), "subspace 1 nearest seed 0, subspace 2 nearest seed 1")
+    val err = intercept[Exception] {
+      spark.sql("SELECT pq_encode(array(0.0d), array(array(0.0d)), 1, 1, cast(1 as bigint))").collect()
+    }
+    assert(err.getMessage.contains("INT literal"))
+  }
+
   test("be_int is callable from SQL after registration") {
     GraftExtensions.registerAll(spark)
     val got = spark.sql(
