@@ -122,6 +122,29 @@ pairs AS (
   FROM inter JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
   WHERE round(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 4) >= 0.5)"""
 
+  /** Incremental batch-vs-corpus near-dup CTEs (mirror of
+    * Dedup.incrementalNearDups with batch = doc_id%10==0): ends with
+    * `ipairs(batch_doc, corpus_doc, jaccard)` at threshold 0.5. */
+  private val INCR_PAIRS = s"""$SIG, bands AS (
+  ${(0 until 4).map(bandSelect).mkString("\n  UNION ALL ")}),
+cands AS (
+  SELECT DISTINCT x.doc_id AS batch_doc, y.doc_id AS corpus_doc
+  FROM bands x JOIN bands y
+    ON x.band = y.band AND x.bkey = y.bkey
+   AND x.doc_id % 10 = 0 AND y.doc_id % 10 <> 0),
+sz AS (SELECT doc_id, count(*) AS n_sh FROM h GROUP BY doc_id),
+inter AS (
+  SELECT c.batch_doc, c.corpus_doc, count(*) AS n_inter
+  FROM cands c
+  JOIN h a ON a.doc_id = c.batch_doc
+  JOIN h b ON b.doc_id = c.corpus_doc AND b.h = a.h
+  GROUP BY 1, 2),
+ipairs AS (
+  SELECT batch_doc, corpus_doc,
+         round(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 4) AS jaccard
+  FROM inter JOIN sz sa ON sa.doc_id = batch_doc JOIN sz sb ON sb.doc_id = corpus_doc
+  WHERE round(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 4) >= 0.5)"""
+
   /** PQ encode/reconstruct/score CTEs (mirror of Similarity.pqTopK at
     * kCodes=4, m=8, sub=8, queries vec_id < 8): `s` holds the
     * approximate (reconstruction-domain) cosine per (q_id, vec_id). */
@@ -319,6 +342,15 @@ FROM lineitem GROUP BY l_returnflag""",
     "a_tumbling_window" -> """SELECT epoch_us(date_trunc('hour', CAST(ts AS TIMESTAMP))) AS hour_start_us,
   event_type, count(*) AS n, round(sum(value), 2) AS sum_value
 FROM events GROUP BY 1, 2""",
+
+    // hopping window, size 30 min / slide 15 min: every event belongs
+    // to exactly 2 epoch-aligned windows; window starts derived by
+    // integer microsecond arithmetic over an unnested slide index
+    "a_hopping_window" -> """SELECT
+  (epoch_us(CAST(ts AS TIMESTAMP)) // 900000000) * 900000000 - i * 900000000 AS hop_start_us,
+  event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+FROM events CROSS JOIN unnest([0, 1]) AS t(i)
+GROUP BY 1, 2""",
 
     "a_session_window" -> """WITH e AS (
   SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts FROM events
@@ -679,6 +711,54 @@ SELECT doc_id, count(*) AS n_bigrams,
        round(CAST(sum(df) AS DOUBLE) / count(*), 4) AS avg_df
 FROM bi JOIN dfreq USING (s)
 GROUP BY doc_id""",
+
+    // CCNet-style head/middle/tail buckets over the commonness score,
+    // cutoffs at mean ± stddev/2 of the per-doc score
+    "t_quality_buckets" -> s"""$TOKS, bi AS (
+  SELECT doc_id, unnest(${shinglesN(2)}) AS s FROM toks
+), dfreq AS (SELECT s, count(DISTINCT doc_id) AS df FROM bi GROUP BY s
+), lm AS (
+  SELECT doc_id, round(CAST(sum(df) AS DOUBLE) / count(*), 4) AS avg_df
+  FROM bi JOIN dfreq USING (s) GROUP BY doc_id
+), st AS (SELECT avg(avg_df) AS mu, stddev(avg_df) AS sigma FROM lm)
+SELECT CASE WHEN avg_df >= mu + sigma / 2 THEN 'head'
+            WHEN avg_df < mu - sigma / 2 THEN 'tail'
+            ELSE 'middle' END AS bucket,
+       count(*) AS n_docs,
+       round(avg(avg_df), 4) AS mean_score,
+       min(avg_df) AS min_score,
+       max(avg_df) AS max_score
+FROM lm CROSS JOIN st
+GROUP BY 1""",
+
+    // incremental batch-vs-corpus near-dup pairs (batch = doc_id%10==0)
+    "d_incremental_dedup" -> s"""$INCR_PAIRS
+SELECT batch_doc, corpus_doc, jaccard FROM ipairs""",
+
+    // admission decision: batch docs with no corpus near-dup
+    "d_incremental_apply" -> s"""$INCR_PAIRS
+SELECT d.doc_id, d.lang, d.source, d.n_chars
+FROM documents d
+WHERE d.doc_id % 10 = 0
+  AND d.doc_id NOT IN (SELECT batch_doc FROM ipairs)""",
+
+    // per-source curation report over the same gate as t_quality_filter
+    "e_source_report" -> s"""WITH tok2 AS (
+  SELECT doc_id, source, lang, n_chars, text,
+         list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), t -> len(t) > 0) AS tk
+  FROM documents
+)
+SELECT source, count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       CAST(sum(len(tk)) AS BIGINT) AS total_tokens,
+       round(avg(round($QUALITY, 4)), 4) AS avg_quality,
+       CAST(sum(len(regexp_extract_all(text, '${graft.ext.TextOps.EmailPat}'))
+              + len(regexp_extract_all(text, '${graft.ext.TextOps.UrlPat}'))) AS BIGINT) AS n_redactions,
+       CAST(sum(CASE WHEN round($QUALITY, 4) >= 0.5 AND len(tk) BETWEEN 10 AND 200
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       count(DISTINCT lang) AS n_langs
+FROM tok2
+GROUP BY 1""",
 
     // the composed decontamination report: exact-normalized, 5-gram,
     // and near-dup train contamination counted per eval doc

@@ -330,6 +330,21 @@ object SparkEntry {
       .select(unix_micros(col("w.start")).as("hour_start_us"),
         col("event_type"), col("n"), col("sum_value"))
 
+  /** Hopping (sliding) window: 30-minute windows every 15 minutes —
+    * each event lands in exactly size/slide = 2 windows. Spark's
+    * `window()` generator emits the per-event window structs inline
+    * (no self-join), so the plan is explode → partial agg, identical
+    * shuffle shape to the tumbling form at 2× the rows. The oracle
+    * derives the same epoch-aligned window starts by integer
+    * arithmetic over an unnested slide index — an independent
+    * construction of the window-assignment rule. */
+  private def aHoppingWindow(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "events")
+      .groupBy(window(col("ts"), "30 minutes", "15 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+      .select(unix_micros(col("w.start")).as("hop_start_us"),
+        col("event_type"), col("n"), col("sum_value"))
+
   private def aSessionWindow(s: SparkSession, dir: String): DataFrame =
     T(s, dir, "events")
       .groupBy(session_window(col("ts"), "30 minutes").as("sw"), col("user_id"))
@@ -715,6 +730,30 @@ object SparkEntry {
   private def tBigramLm(s: SparkSession, dir: String): DataFrame =
     TextOps.bigramCommonness(T(s, dir, "documents"))
 
+  /** CCNet-style head/middle/tail corpus split by LM commonness, as a
+    * per-bucket report (see [[graft.ext.TextOps.commonnessBuckets]]). */
+  private def tQualityBuckets(s: SparkSession, dir: String): DataFrame =
+    TextOps.commonnessBuckets(T(s, dir, "documents"))
+
+  /** Incremental ingestion dedup: the doc_id%10==0 docs play the
+    * newly-arrived batch, probed against the rest of the corpus's band
+    * index ([[graft.ext.Dedup.incrementalNearDups]]). PlanCached —
+    * the apply form consumes the same pair frame. */
+  private def dIncrementalDedup(s: SparkSession, dir: String): DataFrame =
+    graft.ops.PlanCache.cached("incr-neardups",
+      Dedup.incrementalNearDups(T(s, dir, "documents"),
+        col("doc_id") % 10 === 0, 3, 16, 4, 4, 0.5))
+
+  /** Admission decision for the incoming batch — the apply form of the
+    * incremental check: batch docs with NO corpus near-dup are
+    * admitted. Anti-join against the (tiny) matched-pair frame. */
+  private def dIncrementalApply(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "documents")
+      .filter(col("doc_id") % 10 === 0)
+      .join(dIncrementalDedup(s, dir).select(col("batch_doc").as("doc_id")),
+        Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+
   /** Sketch-estimated Jaccard for LSH candidate pairs: the fraction of
     * agreeing MinHash components is an unbiased estimate of the true
     * Jaccard — the cheap score a 100 TB pass uses to rank candidates
@@ -797,6 +836,28 @@ object SparkEntry {
       .select(col("doc_id"), col("lang"), col("quality"), col("n_tok"),
         col("tok_start"), col("chunk_id"))
   }
+
+  /** Per-source curation report — the dataset-card table a training
+    * run publishes per provenance source: volume, token mass, mean
+    * quality, PII density, and how much of the source survives the
+    * standard quality gate (same gate as t_quality_filter /
+    * e_curation_pipeline, so the report predicts those queries'
+    * yields). ONE partial-agg shuffle on `source`; every metric is a
+    * column expression, so the scan stays in whole-stage codegen. */
+  private def eSourceReport(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "documents")
+      .withColumn("n_tok", TextOps.tokenCount(col("text")).cast("long"))
+      .withColumn("quality", round(TextOps.qualityScore(col("text")), 4))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        sum(col("n_tok")).as("total_tokens"),
+        round(avg(col("quality")), 4).as("avg_quality"),
+        sum(TextOps.redactionCount(col("text")).cast("long")).as("n_redactions"),
+        sum(when(col("quality") >= 0.5 && col("n_tok").between(10, 200), 1L)
+          .otherwise(0L)).as("n_kept"),
+        countDistinct(col("lang")).as("n_langs"))
 
   // ---------------------------------------------------------------- dedup
 
@@ -1024,6 +1085,7 @@ object SparkEntry {
     "a_percentiles" -> (aPercentiles _),
     "a_percentiles_dist" -> (aPercentilesDist _),
     "a_tumbling_window" -> (aTumblingWindow _),
+    "a_hopping_window" -> (aHoppingWindow _),
     "a_session_window" -> (aSessionWindow _),
     "a_range_join" -> (aRangeJoin _),
     "a_asof_join" -> (aAsofJoin _),
@@ -1056,8 +1118,12 @@ object SparkEntry {
     "d_span_dedup" -> (dSpanDedup _),
     "d_span_fraction" -> (dSpanFraction _),
     "d_minhash_jaccard_est" -> (dMinhashJaccardEst _),
+    "d_incremental_dedup" -> (dIncrementalDedup _),
+    "d_incremental_apply" -> (dIncrementalApply _),
     "t_bigram_lm" -> (tBigramLm _),
+    "t_quality_buckets" -> (tQualityBuckets _),
     "e_curation_pipeline" -> (eCurationPipeline _),
+    "e_source_report" -> (eSourceReport _),
     "e_decontam_report" -> (eDecontamReport _),
     "e_media_ann" -> (eMediaAnn _),
     "d_dedup_apply" -> (dDedupApply _),

@@ -141,17 +141,27 @@ object Dedup {
     graft.ops.PlanCache.cached(s"minhash-$n-$k-$hashName", sig.select(cols: _*))
   }
 
-  /** LSH banding: signature → (band, band-key) rows; docs sharing a
-    * band key are candidate pairs. bands·rowsPerBand must equal the
-    * signature width. Returns (doc_a, doc_b, n_shared_bands). */
-  def lshCandidatePairs(sigs: DataFrame, bands: Int, rowsPerBand: Int,
+  /** Signature → (doc_id, band, bkey) rows — the LSH band index
+    * itself. One row per (doc, band); docs sharing a (band, bkey) cell
+    * are candidate near-dups. At production scale this frame is the
+    * persisted corpus-side staging table keyed (band, bkey) that an
+    * incoming batch probes ([[incrementalNearDups]]). */
+  def lshBandRows(sigs: DataFrame, bands: Int, rowsPerBand: Int,
       hashName: String = "md5"): DataFrame = {
     val bandStructs = (0 until bands).map { j =>
       val cols = (j * rowsPerBand until (j + 1) * rowsPerBand).map(i => col(s"mh$i"))
       struct(lit(j).as("band"), hashFn(hashName)(concat_ws(",", cols: _*)).as("bkey"))
     }
-    val banded = sigs.select(col("doc_id"), explode(array(bandStructs: _*)).as("b"))
+    sigs.select(col("doc_id"), explode(array(bandStructs: _*)).as("b"))
       .select(col("doc_id"), col("b.band").as("band"), col("b.bkey").as("bkey"))
+  }
+
+  /** LSH banding: signature → (band, band-key) rows; docs sharing a
+    * band key are candidate pairs. bands·rowsPerBand must equal the
+    * signature width. Returns (doc_a, doc_b, n_shared_bands). */
+  def lshCandidatePairs(sigs: DataFrame, bands: Int, rowsPerBand: Int,
+      hashName: String = "md5"): DataFrame = {
+    val banded = lshBandRows(sigs, bands, rowsPerBand, hashName)
     banded.as("x").join(banded.as("y"),
         col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
           col("x.doc_id") < col("y.doc_id"))
@@ -206,6 +216,50 @@ object Dedup {
       .withColumn("c_b_in_a", round(col("n_inter").cast("double") / col("n_b"), 4))
       .filter(col("c_a_in_b") >= minC || col("c_b_in_a") >= minC)
       .select("doc_a", "doc_b", "c_a_in_b", "c_b_in_a")
+  }
+
+  /** Incremental (batch-vs-corpus) near-dup check — the ingestion-time
+    * shape: a newly-arrived batch is probed against the EXISTING corpus
+    * band index instead of re-pairing the corpus against itself.
+    * `isBatch` splits `docs`; both sides derive from the SAME cached
+    * signature/shingle substrates the corpus-wide queries use (at
+    * production scale the corpus side is a persisted staging table —
+    * [[lshBandRows]] plus [[shingleHashes]] — and only the batch side
+    * is computed fresh, so per-ingest cost is independent of corpus
+    * re-indexing). Candidate generation is the asymmetric band-cell
+    * join batch×corpus (shuffle ∝ batch band rows + matched cells,
+    * never corpus²); the exact Jaccard verify then runs only on
+    * surviving candidates, with the same bounds as
+    * [[lshVerifiedJaccard]]. Returns (batch_doc, corpus_doc, jaccard)
+    * at jaccard ≥ minJaccard. */
+  def incrementalNearDups(docs: DataFrame, isBatch: Column, n: Int, k: Int,
+      bands: Int, rowsPerBand: Int, minJaccard: Double,
+      hashName: String = "md5"): DataFrame = {
+    val marks = docs.select(col("doc_id"), isBatch.as("is_batch"))
+    val banded = lshBandRows(minhashSignatures(docs, n, k, hashName),
+        bands, rowsPerBand, hashName)
+      .join(marks, "doc_id")
+    val cands = banded.filter(col("is_batch"))
+      .select(col("doc_id").as("batch_doc"), col("band"), col("bkey"))
+      .join(banded.filter(!col("is_batch"))
+          .select(col("doc_id").as("corpus_doc"), col("band"), col("bkey")),
+        Seq("band", "bkey"))
+      .select("batch_doc", "corpus_doc").distinct()
+    val sh = shingleHashes(docs, n, hashName)
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val inter = cands
+      .join(sh.select(col("doc_id").as("batch_doc"), col("h").as("ha")), "batch_doc")
+      .join(sh.select(col("doc_id").as("c_id"), col("h").as("hb")),
+        col("corpus_doc") === col("c_id") && col("ha") === col("hb"))
+      .groupBy("batch_doc", "corpus_doc").agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(sizes.select(col("doc_id").as("batch_doc"), col("n_sh").as("n_a")), "batch_doc")
+      .join(sizes.select(col("doc_id").as("corpus_doc"), col("n_sh").as("n_b")), "corpus_doc")
+      .withColumn("jaccard",
+        round(col("n_inter").cast("double") /
+          (col("n_a") + col("n_b") - col("n_inter")).cast("double"), 4))
+      .filter(col("jaccard") >= minJaccard)
+      .select("batch_doc", "corpus_doc", "jaccard")
   }
 
   private def lshVerifiedJaccardPlan(docs: DataFrame, n: Int, k: Int,

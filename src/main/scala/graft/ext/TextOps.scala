@@ -180,6 +180,41 @@ object TextOps {
       .agg(count(lit(1)).as("n_bigrams"),
         round(sum(col("df")).cast("double") / count(lit(1)), 4).as("avg_df"))
 
+  /** CCNet-style head/middle/tail bucketing over the corpus-LM
+    * commonness score: CCNet splits a corpus into thirds by perplexity
+    * against a reference LM and keeps the head/middle for training.
+    * Here the corpus itself is the LM ([[bigramCommonness]]) and the
+    * cutoffs are mean ± σ/2 of the per-doc score — distribution-
+    * relative like CCNet's terciles (so the buckets stay meaningful at
+    * any corpus size, where absolute df thresholds would not), but
+    * computable as ONE scalar aggregate instead of a corpus-wide sort
+    * or percentile buffer. Returns one row per bucket with doc counts
+    * and score ranges — the go/no-go report a curation run reads.
+    *
+    * Scale shape: per-doc scores (partial-agg bounded by distinct
+    * bigrams) → 1-row global agg → broadcast back → per-bucket agg.
+    * The only shuffles are the score derivation's; the stats join is a
+    * broadcast of literally one row. */
+  def commonnessBuckets(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.broadcast
+    val lm = graft.ops.PlanCache.cachedBy("bigram-lm",
+        docs.queryExecution.logical.semanticHash(), docs.sparkSession) {
+      bigramCommonness(docs)
+    }
+    val stats = lm.agg(avg(col("avg_df")).as("mu"),
+      stddev_samp(col("avg_df")).as("sigma"))
+    lm.crossJoin(broadcast(stats))
+      .withColumn("bucket",
+        when(col("avg_df") >= col("mu") + col("sigma") / 2, "head")
+          .when(col("avg_df") < col("mu") - col("sigma") / 2, "tail")
+          .otherwise("middle"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_docs"),
+        round(avg(col("avg_df")), 4).as("mean_score"),
+        min(col("avg_df")).as("min_score"),
+        max(col("avg_df")).as("max_score"))
+  }
+
   /** Whole-document fingerprint over whitespace-normalized text. */
   def fingerprint(text: Column): Column =
     portableHash(regexp_replace(lower(trim(text)), "\\s+", " "))

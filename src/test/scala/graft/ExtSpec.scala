@@ -615,4 +615,70 @@ class ExtSpec extends SparkSpec {
     assert(est === Seq((1L, 2L, 1.0)),
       "identical docs share every signature component; disjoint docs are not candidates")
   }
+
+  test("incremental dedup pairs batch docs with corpus docs only") {
+    // batch = doc_id % 10 == 0. Planted: batch 10 duplicates corpus 1;
+    // batch 20 and 30 duplicate EACH OTHER but no corpus doc; corpus
+    // 1 and 2 duplicate each other. Only the batch→corpus pair may
+    // surface — corpus×corpus and batch×batch are the corpus-wide
+    // queries' business, not the ingest check's.
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today"),
+      (2L, "the quick brown fox jumps over the lazy dog today"),
+      (3L, "alpha beta gamma delta epsilon zeta eta theta iota"),
+      (10L, "the quick brown fox jumps over the lazy dog today"),
+      (20L, "nine eight seven six five four three two one zero"),
+      (30L, "nine eight seven six five four three two one zero"))
+      .toDF("doc_id", "text")
+    val got = Dedup.incrementalNearDups(docs, col("doc_id") % 10 === 0,
+        3, 16, 4, 4, 0.5)
+      .select(col("batch_doc"), col("corpus_doc"), col("jaccard"))
+      .as[(Long, Long, Double)].collect().toSeq.sorted
+    assert(got === Seq((10L, 1L, 1.0), (10L, 2L, 1.0)))
+  }
+
+  test("incremental apply admits exactly the unmatched batch docs") {
+    val admitted = SparkEntry.queries("d_incremental_apply")(
+        spark, "/root/testdata/sf0.001")
+      .select(col("doc_id")).as[Long].collect().toSet
+    val matched = SparkEntry.queries("d_incremental_dedup")(
+        spark, "/root/testdata/sf0.001")
+      .select(col("batch_doc")).as[Long].collect().toSet
+    val batch = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .filter(col("doc_id") % 10 === 0).select(col("doc_id")).as[Long].collect().toSet
+    assert(admitted === (batch -- matched))
+    assert(matched.subsetOf(batch))
+  }
+
+  test("commonness buckets split common docs from the rare-bigram outlier") {
+    // 8 docs share every bigram (avg_df = 8); one doc's bigrams are
+    // unique to it (avg_df = 1). With mean±σ/2 cutoffs the outlier is
+    // 'tail', the common mass 'middle', and nothing clears 'head'.
+    val docs = ((1L to 8L).map(i => (i, "a b c d")) :+ (9L, "x y z w"))
+      .toDF("doc_id", "text")
+    val got = TextOps.commonnessBuckets(docs)
+      .select(col("bucket"), col("n_docs")).as[(String, Long)].collect().toMap
+    assert(got === Map("middle" -> 8L, "tail" -> 1L))
+  }
+
+  test("hopping window assigns every event to exactly size/slide windows") {
+    val hops = SparkEntry.queries("a_hopping_window")(
+        spark, "/root/testdata/sf0.001")
+    val nEvents = spark.read.parquet("/root/testdata/sf0.001/events.parquet").count()
+    val totalAssignments = hops.agg(sum(col("n"))).as[Long].head()
+    assert(totalAssignments === 2L * nEvents,
+      "30-min windows every 15 min: each event lands in exactly 2 hops")
+    val misaligned = hops.filter(col("hop_start_us") % (15L * 60 * 1000000) =!= 0).count()
+    assert(misaligned === 0L, "hop starts are epoch-aligned to the slide")
+  }
+
+  test("source report's keep-count matches the quality-filter gate") {
+    val perSource = SparkEntry.queries("e_source_report")(
+        spark, "/root/testdata/sf0.001")
+      .agg(sum(col("n_kept"))).as[Long].head()
+    val gate = SparkEntry.queries("t_quality_filter")(
+        spark, "/root/testdata/sf0.001").count()
+    assert(perSource === gate,
+      "the report's per-source yields must predict the corpus-wide gate")
+  }
 }
