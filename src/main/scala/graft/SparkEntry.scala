@@ -82,6 +82,11 @@ object SparkEntry {
       ((s, dir) => { Similarity.pqReconstruct(T(s, dir, "embeddings"), 4, 8, 64).count(); () }),
     "lsh_pairs" ->
       ((s, dir) => { Dedup.lshVerifiedJaccard(T(s, dir, "documents"), 3, 16, 4, 4, 0.5).count(); () }),
+    // incremental batch-vs-corpus pair frame: shared by
+    // d_incremental_dedup and d_incremental_apply (alphabetically the
+    // APPLY query would otherwise be charged the whole build)
+    "incr_pairs" ->
+      ((s, dir) => { dIncrementalDedup(s, dir).count(); () }),
     "enriched_events" ->
       ((s, dir) => { rec(s, dir).count(); () }))
 

@@ -175,10 +175,16 @@ object TextOps {
     * bigram (partial agg, bounded by distinct grams) → join back on
     * the same key → per-doc sum. No window, no all-pairs. */
   def bigramCommonness(docs: DataFrame): DataFrame =
-    bigramOccurrences(docs).join(bigramDf(docs), "s")
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_bigrams"),
-        round(sum(col("df")).cast("double") / count(lit(1)), 4).as("avg_df"))
+    // two registry queries (the per-doc scores and the bucket report,
+    // which also references the frame twice for its stats row) consume
+    // this — materialize once like the other shared derived frames
+    graft.ops.PlanCache.cachedBy("bigram-lm",
+        docs.queryExecution.logical.semanticHash(), docs.sparkSession) {
+      bigramOccurrences(docs).join(bigramDf(docs), "s")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"),
+          round(sum(col("df")).cast("double") / count(lit(1)), 4).as("avg_df"))
+    }
 
   /** CCNet-style head/middle/tail bucketing over the corpus-LM
     * commonness score: CCNet splits a corpus into thirds by perplexity
@@ -197,10 +203,7 @@ object TextOps {
     * broadcast of literally one row. */
   def commonnessBuckets(docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions.broadcast
-    val lm = graft.ops.PlanCache.cachedBy("bigram-lm",
-        docs.queryExecution.logical.semanticHash(), docs.sparkSession) {
-      bigramCommonness(docs)
-    }
+    val lm = bigramCommonness(docs)
     val stats = lm.agg(avg(col("avg_df")).as("mu"),
       stddev_samp(col("avg_df")).as("sigma"))
     lm.crossJoin(broadcast(stats))
