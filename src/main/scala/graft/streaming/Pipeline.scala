@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery, Trigger}
 import org.apache.spark.sql.Row
@@ -186,6 +186,92 @@ object Pipeline {
         out
       }
     }.toDF("doc_id", "span_start", "span_end", "n_grams")
+  }
+
+  /** Streaming incremental near-dup ingest gate — the streaming twin
+    * of [[graft.ext.Dedup.incrementalNearDups]]: each arriving
+    * document is probed against the STATIC corpus LSH band index and
+    * emits one row per (doc_id, corpus_doc) near-dup hit with its
+    * exact verified Jaccard. The values match the batch operator
+    * bit-for-bit (same shingle hashing, same MinHash permutations,
+    * same band keys), pinned by spec.
+    *
+    * State story: NONE — everything is per-row column work plus
+    * stream-static equi-joins, so output is append-safe with no
+    * watermark and a re-sent document re-emits identical rows.
+    *  - The MinHash signature is computed per row as k array folds
+    *    over the row's own shingle hashes (a streaming groupBy like
+    *    the batch [[graft.functions.MinHashSketch]] would need
+    *    aggregation state; the fold needs none).
+    *  - Candidates come from ONE stream-static equi-join on
+    *    (band, bkey) — ≤ `bands` probe rows per document against the
+    *    corpus band index, which at production scale is the persisted
+    *    staging table of [[graft.ext.Dedup.lshBandRows]], bucketed on
+    *    the join key so micro-batches never reshuffle the corpus.
+    *  - A pair matching in several bands would emit duplicates under
+    *    a plain join, and deduping would need state: instead each
+    *    candidate keeps only its FIRST matching band — both sides
+    *    carry their full band-key arrays, so "no earlier band also
+    *    matched" is a row-local predicate (first-match-wins, the same
+    *    trick as the P3 brancher).
+    *  - The exact verify is array_intersect against the corpus doc's
+    *    shingle-hash array (static side of the second join) — no
+    *    gram-level shuffle ever touches the stream.
+    * Admission policy (drop/flag/quarantine on any hit) is a stateless
+    * per-micro-batch rollup in the sink's foreachBatch, as with
+    * [[decontamGate]]. */
+  def incrementalGate(docs: DataFrame, corpusDocs: DataFrame, n: Int,
+      k: Int, bands: Int, rowsPerBand: Int, minJaccard: Double): DataFrame = {
+    import graft.codec.Codecs
+    val P = graft.ext.Dedup.P
+    require(bands * rowsPerBand == k, "bands * rowsPerBand must equal k")
+    def hashesOf(text: Column): Column =
+      transform(array_distinct(Codecs.shingles(Codecs.tokens(text), n)),
+        sh => Codecs.portableHash(sh))
+    // k-component MinHash signature as row-local folds; permutation
+    // formula identical to MinHashSketch.update (h is 56-bit so
+    // h*(2i+1)+c stays below 2^62 — no overflow, % == pmod)
+    def sigOf(hs: Column): Column = array((0 until k).map { i =>
+      array_min(transform(hs, h => (h * (2L * i + 1) + (10007L * i + 1)) % P))
+    }: _*)
+    // band keys exactly as lshBandRows: hash of the comma-joined rows
+    def bkeysOf(sig: Column): Column = array((0 until bands).map { j =>
+      Codecs.portableHash(concat_ws(",",
+        (j * rowsPerBand until (j + 1) * rowsPerBand)
+          .map(i => element_at(sig, i + 1)): _*))
+    }: _*)
+
+    // static corpus side: band cells carrying the doc's full band-key
+    // array (for first-match-wins) and its shingle hashes (for verify)
+    val corpus = corpusDocs
+      .select(col("doc_id").as("corpus_doc"), hashesOf(col("text")).as("c_hashes"))
+      .filter(size(col("c_hashes")) > 0)
+      .withColumn("c_bkeys", bkeysOf(sigOf(col("c_hashes"))))
+    val corpusCells = corpus
+      .select(col("corpus_doc"), col("c_hashes"), col("c_bkeys"),
+        posexplode(col("c_bkeys")).as(Seq("band", "bkey")))
+
+    val probes = docs
+      .select(col("doc_id"), hashesOf(col("text")).as("hashes"))
+      .filter(size(col("hashes")) > 0) // shingle-less docs have no signature
+      .withColumn("bkeys", bkeysOf(sigOf(col("hashes"))))
+      .select(col("doc_id"), col("hashes"), col("bkeys"),
+        posexplode(col("bkeys")).as(Seq("band", "bkey")))
+
+    // "no band before this one also matched": compare the first `band`
+    // keys of both sides pairwise (slice of length 0 at band=0 — no
+    // sequence() whose empty case would step backwards)
+    val firstMatch = size(filter(
+      zip_with(slice(col("bkeys"), lit(1), col("band")),
+        slice(col("c_bkeys"), lit(1), col("band")), (a, b) => a === b),
+      x => x)) === 0
+    val inter = size(array_intersect(col("hashes"), col("c_hashes"))).cast("double")
+    val uni = (size(col("hashes")) + size(col("c_hashes"))).cast("double") - inter
+    probes.join(corpusCells, Seq("band", "bkey"))
+      .filter(firstMatch)
+      .withColumn("jaccard", round(inter / uni, 4))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("doc_id"), col("corpus_doc"), col("jaccard"))
   }
 
   /** Streaming twin of [[ContextOps.correlate]]: records and log rows

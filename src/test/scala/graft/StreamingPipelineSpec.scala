@@ -288,6 +288,47 @@ class StreamingPipelineSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming incremental gate equals the batch incremental dedup, statelessly") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val all = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    // same split as d_incremental_dedup: batch = doc_id%10==0 arrives
+    // as a stream, the rest is the static corpus
+    val batchDocs = all.filter(col("doc_id") % 10 === 0)
+      .as[(Long, String)].collect().toSeq
+    val corpus = all.filter(col("doc_id") % 10 =!= 0)
+    val expected = graft.ext.Dedup.incrementalNearDups(all,
+        col("doc_id") % 10 === 0, 3, 16, 4, 4, 0.5)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(expected.nonEmpty, "fixture must contain crossing near-dups")
+    val input = MemoryStream[(Long, String)]
+    val out = Pipeline.incrementalGate(
+      input.toDF().toDF("doc_id", "text"), corpus, 3, 16, 4, 4, 0.5)
+    val q = out.writeStream.format("memory").queryName("incr_gate")
+      .outputMode("append").start()
+    try {
+      val (half1, half2) = batchDocs.splitAt(batchDocs.size / 2)
+      input.addData(half1); q.processAllAvailable()
+      input.addData(half2); q.processAllAvailable()
+      val got = spark.table("incr_gate")
+        .as[(Long, Long, Double)].collect().toSet
+      assert(got === expected,
+        "per-row fold signature + band probe must reproduce the batch pairs exactly")
+      // statelessness: re-sending a matched doc re-emits identical
+      // rows (no dedup state — first-match-wins is row-local)
+      val matchedDoc = expected.head._1
+      input.addData(batchDocs.filter(_._1 == matchedDoc))
+      q.processAllAvailable()
+      val counts = spark.table("incr_gate")
+        .filter(col("doc_id") === matchedDoc)
+        .groupBy(col("doc_id"), col("corpus_doc")).count()
+        .select(col("count")).as[Long].collect().toSeq
+      assert(counts.nonEmpty && counts.forall(_ === 2L),
+        "re-send must exactly double each of the doc's pair rows")
+    } finally q.stop()
+  }
+
   test("malformed values route to the default branch instead of vanishing") {
     // a 2-byte payload decodes to null value_int; the null parity
     // predicate must fall through to the default (odd) branch
