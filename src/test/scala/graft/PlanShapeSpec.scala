@@ -175,4 +175,38 @@ class PlanShapeSpec extends SparkSpec {
     assert(!aboveCache.contains("hashjoin(h#") && !aboveCache.contains("[h#"),
       s"no shingle-hash join may sit above the cached signatures:\n$aboveCache")
   }
+
+  test("source report is one partial-agg shuffle, no join, no window") {
+    val p = plan("e_source_report")
+    assert(!p.contains("Join") && !p.contains("Window"),
+      s"report must be pure aggregation:\n$p")
+    // countDistinct expands to a second (source, lang) agg — two
+    // exchanges total, both partial-agg'd, nothing more
+    assert(p.split("Exchange").length - 1 <= 2, s"too many shuffles:\n$p")
+  }
+
+  test("commonness buckets broadcast the one-row stats frame") {
+    val p = plan("t_quality_buckets")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"mean/sigma cutoffs must ride as a broadcast, not a shuffle:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"a 1-row stats frame must never sort-merge:\n$p")
+  }
+
+  test("hopping window is explode + partial agg, no self-join") {
+    val p = plan("a_hopping_window")
+    assert(!p.contains("Join"), s"window assignment must be generated inline:\n$p")
+    assert(p.contains("Expand") || p.contains("Generate"),
+      s"expected the window-struct generator:\n$p")
+  }
+
+  test("incremental dedup joins band rows asymmetrically, never corpus pairs") {
+    // the candidate join must key on (band, bkey) — doc-granular band
+    // rows — and the only doc_id<doc_id-style predicate of the
+    // corpus-wide pair queries must be absent
+    val p = plan("d_incremental_dedup")
+    assert(p.contains("bkey"), s"band-cell join missing:\n$p")
+    assert(!"doc_id#\\d+L? < doc_id#".r.findFirstIn(p).isDefined,
+      s"corpus-pair self-join predicate leaked into the incremental path:\n$p")
+  }
 }
