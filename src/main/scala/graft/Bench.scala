@@ -154,7 +154,7 @@ object Bench {
           name -> r
         }
         val registry = Seq("s_ann_lsh", "s_ann_lsh_mp", "s_ann_ivf", "s_ann_ivf_mp",
-          "s_ann_ivf_km", "s_ann_ivfpq", "s_ann_pq", "s_ann_pq_rerank")
+          "s_ann_ivf_km", "s_ann_ivfpq", "s_ann_sq8", "s_ann_pq", "s_ann_pq_rerank")
           .map(n => recallOf(n, SparkEntry.queries(n)(spark, sfDir)))
         // the registry dials are ORACLE-scale (tiny codebooks/buckets so
         // DuckDB can recheck them); these rows show where the recall

@@ -952,6 +952,27 @@ SELECT doc_a, doc_b, hamming FROM (
   FROM fps a JOIN fps b ON a.doc_id < b.doc_id)
 WHERE hamming <= 3""",
 
+    // SQ8 ANN: candidates dequantized from int8 codes (one per-vector
+    // scale mx/127); queries exact — mirror of Similarity.sq8TopK
+    "s_ann_sq8" -> s"""$VECS, sq AS (
+  SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS mx FROM vecs
+), dq AS (
+  SELECT vec_id,
+         CASE WHEN mx <> 0
+              THEN list_transform(v, x -> round(x * 127.0 / mx) * mx / 127.0)
+              ELSE list_transform(v, x -> 0.0) END AS v
+  FROM sq
+), q AS (
+  SELECT vec_id AS q_id, v AS qv, nrm AS qn FROM nv WHERE vec_id < 8
+), s AS (
+  SELECT q_id, d.vec_id,
+         list_dot_product(qv, d.v) / (qn * sqrt(list_dot_product(d.v, d.v))) AS cos
+  FROM q JOIN dq d ON d.vec_id >= 8)
+SELECT q_id, vec_id AS neighbor_id, CAST(rnk AS INT) AS rnk, round(cos, 4) AS cos FROM (
+  SELECT q_id, vec_id, cos,
+         row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rnk FROM s)
+WHERE rnk <= 3""",
+
     "s_ann_brute" -> s"""$VECS, q AS (
   SELECT vec_id AS q_id, v AS qv, nrm AS qn FROM nv WHERE vec_id < 8
 ), s AS (

@@ -965,6 +965,11 @@ object SparkEntry {
   private def sAnnIvfPq(s: SparkSession, dir: String): DataFrame =
     Similarity.ivfPqTopK(T(s, dir, "embeddings"), col("vec_id") < 8, 3, IvfK, 4, 8, 64)
 
+  /** SQ8: candidates scored against their int8 scalar-quantized form
+    * (see Similarity.sq8TopK) — the codebook-free compression dial. */
+  private def sAnnSq8(s: SparkSession, dir: String): DataFrame =
+    Similarity.sq8TopK(T(s, dir, "embeddings"), col("vec_id") < 8, 3)
+
   /** Fixed IVF codebook size — independent of corpus size by design
     * (assignment is O(N·k); see Similarity.ivfAssign). */
   private val IvfK = 8
@@ -1149,6 +1154,7 @@ object SparkEntry {
     "s_ann_ivf_mp" -> (sAnnIvfMp _),
     "s_ann_ivf_km" -> (sAnnIvfKm _),
     "s_ann_ivfpq" -> (sAnnIvfPq _),
+    "s_ann_sq8" -> (sAnnSq8 _),
     "s_ann_pq" -> (sAnnPq _),
     "s_ann_pq_rerank" -> (sAnnPqRerank _),
     "s_ann_range" -> (sAnnRange _),

@@ -468,6 +468,43 @@ object Similarity {
       k)
   }
 
+  /** Scalar (int8) quantization of the embedding store — the other
+    * classic compression dial beside PQ: each vector becomes dims
+    * int8 codes plus ONE per-vector scale (mx/127, mx = max |xᵢ|), a
+    * 4× cut vs float32 with no codebook to train. Cosine is
+    * scale-invariant, so the per-vector scale cancels and the only
+    * fidelity loss is the 8-bit rounding — much finer-grained than a
+    * k-codeword PQ cell, at 8× the bytes of m=8 PQ codes. The
+    * dequantized view is kept alongside the codes so the shared
+    * ranking tail (and the oracle) score the EXACT same doubles the
+    * int codes represent. PlanCached: this frame is the quantized
+    * store — written once, queries only read. */
+  def sq8Quantize(emb: DataFrame): DataFrame =
+    graft.ops.PlanCache.cachedBy("sq8",
+        emb.queryExecution.logical.semanticHash(), emb.sparkSession) {
+      withNorm(emb)
+        .withColumn("mx", array_max(transform(col("v"), x => abs(x))))
+        .withColumn("q8", transform(col("v"),
+          x => when(col("mx") =!= 0.0d, round(x * 127.0d / col("mx")))
+            .otherwise(0.0d).cast("int")))
+        .withColumn("dq", transform(col("q8"),
+          c => c.cast("double") * col("mx") / lit(127.0d)))
+        .select(col("vec_id"), col("v"), col("nrm"),
+          col("mx"), col("q8"), col("dq"))
+    }
+
+  /** SQ8 ANN: queries stay exact, candidates are scored against their
+    * dequantized int8 form (asymmetric scoring, like [[pqTopK]]). At
+    * 100 TB the corpus side streams dims bytes + 8 per vector; rank
+    * rules identical to every other variant. */
+  def sq8TopK(emb: DataFrame, queryPred: Column, k: Int): DataFrame = {
+    val cands = sq8Quantize(emb).filter(!queryPred)
+      .select(col("vec_id"), col("dq").as("v"), norm(col("dq")).as("nrm"))
+    val q = withNorm(emb).filter(queryPred)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
+    rankTopK(broadcast(q).join(cands, col("q_id") =!= col("vec_id")), k)
+  }
+
   /** Semantic near-dup candidate pairs (the SemDeDup shape): the corpus
     * is clustered by the fixed-k IVF assignment, and ONLY cluster-mates
     * are compared — per-cell quadratic instead of corpus-quadratic,

@@ -616,6 +616,33 @@ class ExtSpec extends SparkSpec {
       "identical docs share every signature component; disjoint docs are not candidates")
   }
 
+  test("SQ8 reconstruction error is within half a quantization step per component") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = graft.ext.Similarity.sq8Quantize(emb)
+    // |v - dq| ≤ mx/254 (+1 ulp headroom): round() moves at most half
+    // a step, step = mx/127
+    val violations = q.filter(size(filter(
+      zip_with(col("v"), col("dq"), (a, b) => abs(a - b)),
+      e => e > col("mx") / lit(253.99))) > 0).count()
+    assert(violations === 0L)
+    // codes actually live in int8 range
+    val outOfRange = q.filter(size(filter(col("q8"),
+      c => abs(c) > 127)) > 0).count()
+    assert(outOfRange === 0L)
+  }
+
+  test("SQ8 ANN recall on the fixture stays near the exact baseline") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val truth = graft.ext.Similarity.bruteForceTopK(emb, col("vec_id") < 8, 3)
+      .select(col("q_id"), col("neighbor_id"))
+    val got = graft.ext.Similarity.sq8TopK(emb, col("vec_id") < 8, 3)
+      .select(col("q_id"), col("neighbor_id"))
+    val n = truth.count().toDouble
+    val hit = got.join(truth, Seq("q_id", "neighbor_id"), "left_semi").count()
+    assert(hit / n >= 0.8,
+      s"int8 rounding should barely perturb top-3 ranks (recall ${hit / n})")
+  }
+
   test("incremental dedup pairs batch docs with corpus docs only") {
     // batch = doc_id % 10 == 0. Planted: batch 10 duplicates corpus 1;
     // batch 20 and 30 duplicate EACH OTHER but no corpus doc; corpus
