@@ -742,6 +742,54 @@ FROM documents d
 WHERE d.doc_id % 10 = 0
   AND d.doc_id NOT IN (SELECT batch_doc FROM ipairs)""",
 
+    // mixture rebalance toward half the equal token share: floor-pct
+    // rates in exact integer arithmetic, hash-split apply
+    "e_mix_apply" -> s"""WITH d AS (
+  SELECT doc_id, source,
+         CAST(len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                              t -> len(t) > 0)) AS BIGINT) AS nt
+  FROM documents
+), bysrc AS (
+  SELECT source, CAST(sum(nt) AS BIGINT) AS src_tokens FROM d GROUP BY 1
+), corpus AS (
+  SELECT CAST(sum(src_tokens) AS BIGINT) AS corpus_tokens,
+         count(*) AS n_sources FROM bysrc
+), rates AS (
+  SELECT source, src_tokens,
+         least(100, (corpus_tokens * 50) // (n_sources * src_tokens)) AS rate_pct
+  FROM bysrc CROSS JOIN corpus
+), sampled AS (
+  SELECT d.source, count(*) AS n_sampled, CAST(sum(d.nt) AS BIGINT) AS sampled_tokens
+  FROM d JOIN rates r ON r.source = d.source
+  WHERE ${dh("d.source || '|' || CAST(d.doc_id AS VARCHAR)")} % 100 < r.rate_pct
+  GROUP BY 1
+)
+SELECT r.source, r.src_tokens, r.rate_pct,
+       coalesce(s.n_sampled, 0) AS n_sampled,
+       coalesce(s.sampled_tokens, 0) AS sampled_tokens
+FROM rates r LEFT JOIN sampled s ON s.source = r.source""",
+
+    // declared-vs-detected language agreement per declared tag
+    "t_lang_agreement" -> s"""$TOKS, pred AS (
+  SELECT doc_id, lang,
+    CASE WHEN zh > 0 THEN 'zh'
+         WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr THEN 'en'
+         WHEN s_es >= s_de AND s_es >= s_fr THEN 'es'
+         WHEN s_de >= s_fr THEN 'de'
+         ELSE 'fr' END AS pred_lang
+  FROM (SELECT doc_id, lang,
+          len(regexp_extract_all(text, '[\\x{4e00}-\\x{9fff}]')) AS zh,
+          len(list_filter(tk, t -> t IN ('the','and','of','to','is','in','a'))) AS s_en,
+          len(list_filter(tk, t -> t IN ('el','la','de','que','y','los','es'))) AS s_es,
+          len(list_filter(tk, t -> t IN ('der','die','und','das','ist','nicht'))) AS s_de,
+          len(list_filter(tk, t -> t IN ('le','les','et','des','un','une','est'))) AS s_fr
+        FROM toks))
+SELECT lang, count(*) AS n_docs,
+       CAST(sum(CASE WHEN pred_lang = lang THEN 1 ELSE 0 END) AS BIGINT) AS n_agree,
+       round(CAST(sum(CASE WHEN pred_lang = lang THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*), 4) AS agree_rate
+FROM pred GROUP BY 1""",
+
     // per-source curation report over the same gate as t_quality_filter
     "e_source_report" -> s"""WITH tok2 AS (
   SELECT doc_id, source, lang, n_chars, text,

@@ -610,6 +610,52 @@ object SparkEntry {
         round(col("total_tokens").cast("double") / col("corpus_tokens"), 6).as("tok_share"))
   }
 
+  /** Mixture-rebalance plan + apply: a per-source sampling rate that
+    * downsamples every source toward HALF the equal token share (the
+    * "flatten the mix" demo target), applied with the deterministic
+    * hash-split, reported as planned vs achieved mass per source.
+    * Rates are floor-percent integer arithmetic over exact token
+    * counts (all values < 2^53, so the floor(double) form here equals
+    * the oracle's BIGINT `//`), making the whole plan
+    * engine-reproducible. Scale shape: one partial-agg shuffle per
+    * stage, the rate table rides as ONE broadcast, and the apply is
+    * the same pushdown-friendly hash predicate the split queries use. */
+  private def eMixApply(s: SparkSession, dir: String): DataFrame = {
+    val docs = T(s, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        TextOps.tokenCount(col("text")).cast("long").as("nt"))
+    val bySource = graft.ops.PlanCache.cached("mix-bysource",
+      docs.groupBy("source").agg(sum(col("nt")).as("src_tokens")))
+    val corpus = bySource.agg(sum(col("src_tokens")).as("corpus_tokens"),
+      count(lit(1)).as("n_sources"))
+    val rates = bySource.crossJoin(broadcast(corpus))
+      .withColumn("rate_pct", least(lit(100L),
+        floor((col("corpus_tokens") * 50L).cast("double") /
+          (col("n_sources") * col("src_tokens"))).cast("long")))
+      .select(col("source"), col("src_tokens"), col("rate_pct"))
+    val sampled = docs.join(broadcast(rates), "source")
+      .filter(TextOps.hashSample(col("source"), col("doc_id"), col("rate_pct")))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_sampled"), sum(col("nt")).as("sampled_tokens"))
+    rates.join(sampled, Seq("source"), "left")
+      .select(col("source"), col("src_tokens"), col("rate_pct"),
+        coalesce(col("n_sampled"), lit(0L)).as("n_sampled"),
+        coalesce(col("sampled_tokens"), lit(0L)).as("sampled_tokens"))
+  }
+
+  /** Declared-vs-detected language agreement per declared tag — the
+    * metadata-trust diagnostic of a curation run: how often the
+    * n-gram detector concurs with the upstream `lang` column. Pure
+    * column work + one partial-agg shuffle on the 5-value key. */
+  private def tLangAgreement(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "documents")
+      .withColumn("pred", TextOps.langId(col("text")))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("pred") === col("lang"), 1L).otherwise(0L)).as("n_agree"))
+      .withColumn("agree_rate",
+        round(col("n_agree").cast("double") / col("n_docs"), 4))
+
   /** Deterministic stratified sample (~20% per language): hash-split
     * on (lang, doc_id) — same rows on every run and every engine,
     * independent of partitioning. The train/eval-split primitive. */
@@ -1134,6 +1180,8 @@ object SparkEntry {
     "t_quality_buckets" -> (tQualityBuckets _),
     "e_curation_pipeline" -> (eCurationPipeline _),
     "e_source_report" -> (eSourceReport _),
+    "e_mix_apply" -> (eMixApply _),
+    "t_lang_agreement" -> (tLangAgreement _),
     "e_decontam_report" -> (eDecontamReport _),
     "e_media_ann" -> (eMediaAnn _),
     "d_dedup_apply" -> (dDedupApply _),

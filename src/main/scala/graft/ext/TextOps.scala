@@ -86,6 +86,12 @@ object TextOps {
     * the oracle's SQL `||`, which concat_ws would silently diverge
     * from by skipping the null. */
   def hashSample(stratum: Column, id: Column, pct: Int): Column =
+    hashSample(stratum, id, lit(pct))
+
+  /** [[hashSample]] with a per-row rate column — the form a mixture
+    * rebalance needs, where each stratum carries its own planned
+    * sampling percentage. */
+  def hashSample(stratum: Column, id: Column, pct: Column): Column =
     pmod(portableHash(concat(stratum, lit("|"), id.cast("string"))), lit(100)) < pct
 
   /** Efraimidis–Spirakis weighted-sampling key: `u^(1/w)` where `u` is

@@ -616,6 +616,31 @@ class ExtSpec extends SparkSpec {
       "identical docs share every signature component; disjoint docs are not candidates")
   }
 
+  test("mix apply downsamples toward half the equal share with exact integer rates") {
+    val rows = SparkEntry.queries("e_mix_apply")(spark, "/root/testdata/sf0.001")
+      .select(col("source"), col("src_tokens"), col("rate_pct"),
+        col("n_sampled"), col("sampled_tokens"))
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    assert(rows.nonEmpty)
+    rows.foreach { case (src, srcTok, rate, n, sampTok) =>
+      assert(rate >= 0 && rate <= 100, s"$src rate $rate")
+      assert(sampTok <= srcTok, s"$src sampled more than it has")
+      if (rate == 0) assert(n === 0L)
+    }
+    // the whole point: achieved mass lands well under the source mass
+    val (total, sampled) = (rows.map(_._2).sum.toDouble, rows.map(_._5).sum.toDouble)
+    assert(sampled / total < 0.75, s"downsampling must bite (kept ${sampled / total})")
+  }
+
+  test("hashSample column-rate overload agrees with the literal form") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val viaInt = docs.filter(TextOps.hashSample(col("lang"), col("doc_id"), 20))
+      .select(col("doc_id")).as[Long].collect().toSet
+    val viaCol = docs.filter(TextOps.hashSample(col("lang"), col("doc_id"), lit(20)))
+      .select(col("doc_id")).as[Long].collect().toSet
+    assert(viaInt === viaCol)
+  }
+
   test("SQ8 reconstruction error is within half a quantization step per component") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val q = graft.ext.Similarity.sq8Quantize(emb)
