@@ -769,6 +769,25 @@ SELECT r.source, r.src_tokens, r.rate_pct,
        coalesce(s.sampled_tokens, 0) AS sampled_tokens
 FROM rates r LEFT JOIN sampled s ON s.source = r.source""",
 
+    // content-defined chunking: token i ends a chunk when its hash is
+    // 0 mod 16; tail tokens after the last boundary form a final chunk
+    "t_cdc_chunks" -> s"""$TOKS, b AS (
+  SELECT doc_id, len(tk) AS n,
+         list_filter(range(1, len(tk) + 1), i -> ${dh("tk[i]")} % 16 = 0) AS bpos
+  FROM toks
+), e AS (
+  SELECT doc_id, n,
+         CASE WHEN n = 0 THEN bpos
+              WHEN len(bpos) > 0 AND bpos[-1] = n THEN bpos
+              ELSE list_append(bpos, n) END AS ends
+  FROM b
+)
+SELECT doc_id, CAST(len(ends) AS BIGINT) AS n_chunks,
+       CAST(coalesce(list_max(list_transform(range(1, len(ends) + 1),
+         i -> ends[i] - CASE WHEN i = 1 THEN 0 ELSE ends[i-1] END)), 0) AS BIGINT)
+         AS max_chunk_tokens
+FROM e""",
+
     // declared-vs-detected language agreement per declared tag
     "t_lang_agreement" -> s"""$TOKS, pred AS (
   SELECT doc_id, lang,

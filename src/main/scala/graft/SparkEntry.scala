@@ -643,6 +643,36 @@ object SparkEntry {
         coalesce(col("sampled_tokens"), lit(0L)).as("sampled_tokens"))
   }
 
+  /** Content-defined chunking (the rolling-hash boundary rule of
+    * CDC/rsync-style dedup, at token granularity): a token ENDS a
+    * chunk when its hash ≡ 0 (mod 16), so chunk boundaries move with
+    * content, not position — an insertion reshapes only its local
+    * chunk while fixed-size chunking ([[tChunk]]'s shape) shifts every
+    * downstream window. Per-doc chunk census (count, max width) as
+    * pure array expressions — no explode, no shuffle beyond the scan. */
+  private def tCdcChunks(s: SparkSession, dir: String): DataFrame = {
+    val toks = Codecs.tokens(col("text"))
+    val n = size(toks)
+    // 1-based positions whose token closes a chunk
+    val bpos = when(n > 0,
+      filter(sequence(lit(1), n),
+        i => Codecs.portableHash(element_at(toks, i)) % 16 === 0))
+      .otherwise(array().cast("array<int>"))
+    // every chunk end: the boundary list, plus the tail chunk when the
+    // last token is not itself a boundary
+    // last-boundary lookup guarded: ANSI element_at throws on an empty
+    // array instead of returning null
+    val lastB = when(size(bpos) > 0, element_at(bpos, -1)).otherwise(lit(0))
+    val ends = when(n === 0, array().cast("array<int>"))
+      .otherwise(when(lastB === n, bpos).otherwise(concat(bpos, array(n))))
+    val starts = concat(array(lit(0)), slice(ends, lit(1), greatest(size(ends) - 1, lit(0))))
+    val lens = zip_with(ends, starts, (e, st) => e - st)
+    T(s, dir, "documents").select(
+      col("doc_id"),
+      size(ends).cast("long").as("n_chunks"),
+      coalesce(array_max(lens), lit(0)).cast("long").as("max_chunk_tokens"))
+  }
+
   /** Declared-vs-detected language agreement per declared tag — the
     * metadata-trust diagnostic of a curation run: how often the
     * n-gram detector concurs with the upstream `lang` column. Pure
@@ -1182,6 +1212,7 @@ object SparkEntry {
     "e_source_report" -> (eSourceReport _),
     "e_mix_apply" -> (eMixApply _),
     "t_lang_agreement" -> (tLangAgreement _),
+    "t_cdc_chunks" -> (tCdcChunks _),
     "e_decontam_report" -> (eDecontamReport _),
     "e_media_ann" -> (eMediaAnn _),
     "d_dedup_apply" -> (dDedupApply _),

@@ -702,6 +702,45 @@ class ExtSpec extends SparkSpec {
     assert(matched.subsetOf(batch))
   }
 
+  test("incremental pairs are exactly the crossing subset of the corpus-wide LSH pairs") {
+    // band cells are symmetric, so probing batch→corpus must find
+    // precisely the corpus-wide verified pairs whose endpoints straddle
+    // the split (re-oriented batch-first) — the algebraic contract
+    // linking the ingest-time and corpus-wide operators
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val isBatch = (id: Long) => id % 10 == 0
+    val full = Dedup.lshVerifiedJaccard(docs, 3, 16, 4, 4, 0.5)
+      .as[(Long, Long, Double)].collect()
+      .filter { case (a, b, _) => isBatch(a) != isBatch(b) }
+      .map { case (a, b, j) => if (isBatch(a)) (a, b, j) else (b, a, j) }
+      .toSet
+    val incr = Dedup.incrementalNearDups(docs, col("doc_id") % 10 === 0,
+        3, 16, 4, 4, 0.5)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(incr === full)
+  }
+
+  test("CDC chunk census is consistent: widths bound token counts") {
+    val chunks = SparkEntry.queries("t_cdc_chunks")(spark, "/root/testdata/sf0.001")
+    val toks = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"),
+        size(graft.codec.Codecs.tokens(col("text"))).cast("long").as("n_tok"))
+    val joined = chunks.join(toks, "doc_id")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(joined.nonEmpty)
+    joined.foreach { case (id, nChunks, maxW, nTok) =>
+      if (nTok == 0) assert(nChunks === 0L && maxW === 0L)
+      else {
+        assert(nChunks >= 1L && nChunks <= nTok, s"doc $id")
+        assert(maxW >= 1L && maxW <= nTok, s"doc $id")
+        assert(maxW * nChunks >= nTok, s"doc $id: max width must cover the mean")
+      }
+    }
+    // boundaries must actually fire somewhere on the fixture (hash%16
+    // ⇒ ~1/16 of tokens), otherwise the rule is vacuous
+    assert(joined.exists(_._2 > 1), "no doc chunked — boundary rule never fired")
+  }
+
   test("commonness buckets split common docs from the rare-bigram outlier") {
     // 8 docs share every bigram (avg_df = 8); one doc's bigrams are
     // unique to it (avg_df = 1). With mean±σ/2 cutoffs the outlier is
