@@ -769,6 +769,20 @@ SELECT r.source, r.src_tokens, r.rate_pct,
        coalesce(s.sampled_tokens, 0) AS sampled_tokens
 FROM rates r LEFT JOIN sampled s ON s.source = r.source""",
 
+    // one BPE training round: corpus-wide adjacent-char-pair counts
+    // inside tokens, top-20 (ties on the pair string)
+    "t_bpe_merges" -> s"""$TOKS, t AS (
+  SELECT unnest(tk) AS tok FROM toks
+), p AS (
+  -- length(), not strlen(): positions are CHAR-based like the engine's
+  -- length()/substr pair, so multi-byte tokens pair identically
+  SELECT unnest(list_transform(range(1, length(tok)),
+                i -> substr(tok, CAST(i AS INT), 2))) AS pair
+  FROM t
+)
+SELECT pair, count(*) AS n FROM p
+GROUP BY 1 ORDER BY n DESC, pair LIMIT 20""",
+
     // content-defined chunking: token i ends a chunk when its hash is
     // 0 mod 16; tail tokens after the last boundary form a final chunk
     "t_cdc_chunks" -> s"""$TOKS, b AS (

@@ -643,6 +643,27 @@ object SparkEntry {
         coalesce(col("sampled_tokens"), lit(0L)).as("sampled_tokens"))
   }
 
+  /** BPE merge candidates — ONE round of byte-pair-encoding training:
+    * the corpus-wide frequency of every adjacent character pair inside
+    * tokens, top-20 by count (the pair a BPE trainer would merge
+    * next, then re-count). The full trainer is this query iterated
+    * with a growing merge table; each round is explode → partial-agg
+    * bounded by distinct pairs — the same shuffle shape as the vocab
+    * queries, trivially distributed at any corpus size. Ties break on
+    * the pair string so the LIMIT is engine-stable. */
+  private def tBpeMerges(s: SparkSession, dir: String): DataFrame = {
+    val tok = col("tok")
+    val pairs = when(length(tok) >= 2,
+      transform(sequence(lit(1), length(tok) - 1), i => tok.substr(i, lit(2))))
+      .otherwise(array().cast("array<string>"))
+    T(s, dir, "documents")
+      .select(explode(Codecs.tokens(col("text"))).as("tok"))
+      .select(explode(pairs).as("pair"))
+      .groupBy("pair").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("pair"))
+      .limit(20)
+  }
+
   /** Content-defined chunking (the rolling-hash boundary rule of
     * CDC/rsync-style dedup, at token granularity): a token ENDS a
     * chunk when its hash ≡ 0 (mod 16), so chunk boundaries move with
@@ -1213,6 +1234,7 @@ object SparkEntry {
     "e_mix_apply" -> (eMixApply _),
     "t_lang_agreement" -> (tLangAgreement _),
     "t_cdc_chunks" -> (tCdcChunks _),
+    "t_bpe_merges" -> (tBpeMerges _),
     "e_decontam_report" -> (eDecontamReport _),
     "e_media_ann" -> (eMediaAnn _),
     "d_dedup_apply" -> (dDedupApply _),

@@ -720,6 +720,14 @@ class ExtSpec extends SparkSpec {
     assert(incr === full)
   }
 
+  test("BPE merge candidates are true 2-char pairs in descending frequency") {
+    val rows = SparkEntry.queries("t_bpe_merges")(spark, "/root/testdata/sf0.001")
+      .as[(String, Long)].collect().toSeq
+    assert(rows.size === 20)
+    assert(rows.forall(_._1.length == 2), "every candidate is an adjacent char pair")
+    assert(rows.map(_._2) === rows.map(_._2).sorted.reverse, "ordered by count desc")
+  }
+
   test("CDC chunk census is consistent: widths bound token counts") {
     val chunks = SparkEntry.queries("t_cdc_chunks")(spark, "/root/testdata/sf0.001")
     val toks = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
