@@ -242,14 +242,22 @@ object Pipeline {
     }: _*)
 
     // static corpus side: band cells carrying the doc's full band-key
-    // array (for first-match-wins) and its shingle hashes (for verify)
-    val corpus = corpusDocs
-      .select(col("doc_id").as("corpus_doc"), hashesOf(col("text")).as("c_hashes"))
-      .filter(size(col("c_hashes")) > 0)
-      .withColumn("c_bkeys", bkeysOf(sigOf(col("c_hashes"))))
-    val corpusCells = corpus
-      .select(col("corpus_doc"), col("c_hashes"), col("c_bkeys"),
-        posexplode(col("c_bkeys")).as(Seq("band", "bkey")))
+    // array (for first-match-wins) and its shingle hashes (for verify).
+    // PlanCached at wiring time — a stream-static join re-executes the
+    // static plan EVERY micro-batch, and re-hashing the corpus per
+    // batch is exactly the cost the incremental design exists to avoid
+    // (in production this frame is the persisted band staging table)
+    val corpusCells = graft.ops.PlanCache.cachedBy(
+        s"incr-gate-cells-$n-$k-$bands-$rowsPerBand",
+        corpusDocs.queryExecution.logical.semanticHash(),
+        corpusDocs.sparkSession) {
+      corpusDocs
+        .select(col("doc_id").as("corpus_doc"), hashesOf(col("text")).as("c_hashes"))
+        .filter(size(col("c_hashes")) > 0)
+        .withColumn("c_bkeys", bkeysOf(sigOf(col("c_hashes"))))
+        .select(col("corpus_doc"), col("c_hashes"), col("c_bkeys"),
+          posexplode(col("c_bkeys")).as(Seq("band", "bkey")))
+    }
 
     val probes = docs
       .select(col("doc_id"), hashesOf(col("text")).as("hashes"))
