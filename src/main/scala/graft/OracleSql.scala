@@ -912,6 +912,97 @@ SELECT q_id, vec_id AS neighbor_id, CAST(rnk AS INT) AS rnk, round(cos, 4) AS co
          row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rnk FROM s)
 WHERE rnk <= 3""",
 
+    // chunk → token-hash-histogram featurize → ANN: the t_chunk window
+    // slices re-derived, 64-bin hashing-trick vector per chunk, exact
+    // double division (counts are exact in both engines)
+    "e_chunk_ann" -> s"""$TOKS, d AS (
+  SELECT doc_id, tk, CAST(len(tk) AS BIGINT) AS n_tok FROM toks WHERE len(tk) > 0
+), ex AS (
+  SELECT doc_id, tk, unnest(range(0, CAST((n_tok + 47) // 48 AS BIGINT))) AS i FROM d
+), ctk AS (
+  SELECT doc_id * 1000 + i AS vec_id, tk[i*48+1 : i*48+64] AS ct FROM ex
+), bl AS (
+  SELECT vec_id, len(ct) AS n, list_transform(ct, t -> ${dh("t")} % 64) AS bins FROM ctk
+), fv AS (
+  SELECT vec_id, list_transform(range(0, 64), b ->
+    CAST(len(list_filter(bins, x -> x = b)) AS DOUBLE) / CAST(greatest(n, 1) AS DOUBLE)) AS v
+  FROM bl
+), nv AS (
+  SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM fv
+), q AS (
+  SELECT vec_id AS q_id, v AS qv, nrm AS qn FROM nv WHERE vec_id < 8000
+), s AS (
+  SELECT q_id, vec_id, list_dot_product(qv, v) / (qn * nrm) AS cos
+  FROM q JOIN nv ON vec_id >= 8000)
+SELECT q_id, vec_id AS neighbor_id, CAST(rnk AS INT) AS rnk, round(cos, 4) AS cos FROM (
+  SELECT q_id, vec_id, cos,
+         row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rnk FROM s)
+WHERE rnk <= 3""",
+
+    // edit-distance verify over the SAME LSH candidate cells as
+    // d_lsh_jaccard; levenshtein is char-based in both engines
+    "d_edit_verify" -> s"""$LSH_CANDS
+SELECT c.doc_a, c.doc_b,
+       CAST(levenshtein(a.text, b.text) AS BIGINT) AS lev,
+       round(1.0 - CAST(levenshtein(a.text, b.text) AS DOUBLE) /
+             greatest(length(a.text), length(b.text)), 4) AS edit_sim
+FROM cands c
+JOIN documents a ON a.doc_id = c.doc_a
+JOIN documents b ON b.doc_id = c.doc_b
+WHERE round(1.0 - CAST(levenshtein(a.text, b.text) AS DOUBLE) /
+      greatest(length(a.text), length(b.text)), 4) >= 0.2""",
+
+    // per-source 3-gram type/token ratio; too-short docs contribute no
+    // gram rows on either side (empty-list unnest / null-array explode)
+    "t_ngram_diversity" -> s"""WITH toks AS (
+  SELECT source,
+         list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), t -> len(t) > 0) AS tk
+  FROM documents
+), g AS (
+  SELECT source, unnest(${shinglesN(3)}) AS g FROM toks)
+SELECT source, CAST(count(*) AS BIGINT) AS n_grams,
+       CAST(count(DISTINCT g) AS BIGINT) AS n_distinct,
+       round(CAST(count(DISTINCT g) AS DOUBLE) / count(*), 4) AS diversity
+FROM g GROUP BY source""",
+
+    // per-source unigram KL vs the corpus marginal; counts stay exact
+    // integers, doubles only in the final log terms (ln == Spark log)
+    "t_source_kl" -> s"""WITH occ AS (
+  SELECT source,
+         unnest(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), t -> len(t) > 0)) AS t
+  FROM documents
+), st AS (SELECT source, t, count(*) AS c_st FROM occ GROUP BY 1, 2),
+ns AS (SELECT source, sum(c_st) AS n_s FROM st GROUP BY 1),
+ct AS (SELECT t, sum(c_st) AS c_t FROM st GROUP BY 1),
+tot AS (SELECT sum(n_s) AS n_tot FROM ns)
+SELECT source, CAST(n_s AS BIGINT) AS n_tok,
+       round(sum((CAST(c_st AS DOUBLE) / n_s) *
+                 ln((CAST(c_st AS DOUBLE) / n_s) / (CAST(c_t AS DOUBLE) / n_tot))), 4) AS kl
+FROM st JOIN ct USING (t) JOIN ns USING (source) CROSS JOIN tot
+GROUP BY source, n_s""",
+
+    // embedding outliers: cosine to own-label centroid (the exact
+    // fixed-point centroid of s_label_centroids), standardized within
+    // the label over ROUNDED cosines, flagged at z <= -2
+    "s_embed_outliers" -> s"""WITH vecs AS (
+  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings
+), cent AS (
+  SELECT label,
+    [${(1 to 64).map(i =>
+      s"(CAST(sum(CAST(round(v[$i]*1000000.0) AS BIGINT)) AS DOUBLE)/1000000.0)/count(*)")
+      .mkString(",\n     ")}] AS c
+  FROM vecs GROUP BY label
+), scored AS (
+  SELECT vec_id, vecs.label AS label,
+         round(list_dot_product(v, c) /
+               (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(c, c))), 4) AS cos
+  FROM vecs JOIN cent USING (label)
+), stats AS (
+  SELECT label, avg(cos) AS mu, stddev_pop(cos) AS sigma FROM scored GROUP BY label)
+SELECT vec_id, label, cos, round((cos - mu) / sigma, 4) AS z
+FROM scored JOIN stats USING (label)
+WHERE (cos - mu) / sigma <= -2.0""",
+
     // the composed curation DAG: normalize -> exact-dedup keepers ->
     // quality/length gate -> train split -> pack into 2048-tok chunks
     "e_curation_pipeline" -> s"""WITH norm AS (

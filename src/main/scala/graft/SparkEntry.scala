@@ -1153,6 +1153,42 @@ object SparkEntry {
     Similarity.bruteForceTopK(feats, col("vec_id") < 8, 3)
   }
 
+  /** Edit-distance verification of the LSH candidates — char-level
+    * near-dup confirmation bounded by the candidate list (the
+    * order-sensitive complement of d_lsh_jaccard's token-set verify). */
+  private def dEditVerify(s: SparkSession, dir: String): DataFrame =
+    Dedup.editVerifiedPairs(T(s, dir, "documents"), 3, 16, 4, 4, 0.2)
+
+  private def tNgramDiversity(s: SparkSession, dir: String): DataFrame =
+    TextOps.ngramDiversity(T(s, dir, "documents"), 3)
+
+  private def tSourceKl(s: SparkSession, dir: String): DataFrame =
+    TextOps.sourceUnigramKl(T(s, dir, "documents"))
+
+  private def sEmbedOutliers(s: SparkSession, dir: String): DataFrame =
+    Similarity.labelOutliers(T(s, dir, "embeddings"), 64, 2.0)
+
+  /** Composed chunk → featurize → ANN path (the RAG indexing shape):
+    * fixed-window chunks are embedded with a deterministic 64-bin
+    * token-hash histogram (the hashing trick; a real encoder slots in
+    * at the same column) and the first 8 documents' chunks probe the
+    * rest of the corpus brute-force. Closes the chunking↔similarity
+    * seam the way e_media_ann closes media↔similarity. Chunk vec_ids
+    * are doc_id·1000 + chunk_id (tChunk windows never exceed 1000
+    * chunks below ~48k tokens/doc). */
+  private def eChunkAnn(s: SparkSession, dir: String): DataFrame = {
+    val chunks = tChunk(s, dir)
+      .select((col("doc_id") * 1000 + col("chunk_id")).as("vec_id"), col("chunk_text"))
+    val tk = Codecs.tokens(col("chunk_text"))
+    val bins = transform(tk, t => pmod(Codecs.portableHash(t), lit(64L)))
+    val fv = chunks.select(col("vec_id"),
+      transform(sequence(lit(0L), lit(63L)), b =>
+        size(filter(bins, x => x === b)).cast("double") /
+          greatest(size(tk), lit(1)).cast("double")).as("embedding"),
+      lit(0).as("label"))
+    Similarity.bruteForceTopK(fv, col("vec_id") < 8000L, 3)
+  }
+
   private def mFrameSample(s: SparkSession, dir: String): DataFrame = {
     val assets = Multimodal.toAssets(
       T(s, dir, "documents").select(col("doc_id").as("asset_id"),
@@ -1237,6 +1273,11 @@ object SparkEntry {
     "t_bpe_merges" -> (tBpeMerges _),
     "e_decontam_report" -> (eDecontamReport _),
     "e_media_ann" -> (eMediaAnn _),
+    "e_chunk_ann" -> (eChunkAnn _),
+    "d_edit_verify" -> (dEditVerify _),
+    "t_ngram_diversity" -> (tNgramDiversity _),
+    "t_source_kl" -> (tSourceKl _),
+    "s_embed_outliers" -> (sEmbedOutliers _),
     "d_dedup_apply" -> (dDedupApply _),
     "d_exact" -> (dExact _),
     "d_exact_normalized" -> (dExactNormalized _),

@@ -218,6 +218,35 @@ object Dedup {
       .select("doc_a", "doc_b", "c_a_in_b", "c_b_in_a")
   }
 
+  /** Character-level (edit-distance) verification over the SAME LSH
+    * candidate pairs as [[lshVerifiedJaccard]]: normalized edit
+    * similarity 1 − lev(a,b) / max(|a|,|b|). Edit distance is the
+    * order-sensitive complement of token-set Jaccard — two documents
+    * that are word-permutations of each other score high Jaccard but
+    * low edit similarity, which is exactly the templated-boilerplate
+    * case set-based dedup over-merges. Running the O(|a|·|b|) DP only
+    * on LSH candidates keeps it candidate-bounded, never
+    * corpus-quadratic; the text join is two equi-joins driven by the
+    * (small) candidate list. At production scale swap in Spark's
+    * thresholded `levenshtein(l, r, maxDist)` (bails out past the
+    * bound) — the unbounded form is kept here so the oracle's
+    * levenshtein() computes the identical value. */
+  def editVerifiedPairs(docs: DataFrame, n: Int, k: Int, bands: Int,
+      rowsPerBand: Int, minSim: Double, hashName: String = "md5"): DataFrame = {
+    val cands = lshCandidatePairs(minhashSignatures(docs, n, k, hashName),
+        bands, rowsPerBand, hashName)
+      .select("doc_a", "doc_b")
+    val txt = docs.select(col("doc_id"), col("text"))
+    cands
+      .join(txt.select(col("doc_id").as("doc_a"), col("text").as("text_a")), "doc_a")
+      .join(txt.select(col("doc_id").as("doc_b"), col("text").as("text_b")), "doc_b")
+      .withColumn("lev", levenshtein(col("text_a"), col("text_b")).cast("long"))
+      .withColumn("edit_sim", round(lit(1.0) - col("lev").cast("double") /
+        greatest(length(col("text_a")), length(col("text_b"))).cast("double"), 4))
+      .filter(col("edit_sim") >= minSim)
+      .select(col("doc_a"), col("doc_b"), col("lev"), col("edit_sim"))
+  }
+
   /** Incremental (batch-vs-corpus) near-dup check — the ingestion-time
     * shape: a newly-arrived batch is probed against the EXISTING corpus
     * band index instead of re-pairing the corpus against itself.

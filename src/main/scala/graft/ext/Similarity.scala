@@ -297,6 +297,42 @@ object Similarity {
         transform(col("sums"), s => s.cast("double") / KmeansScale / col("n_vecs")).as("centroid"),
         col("n_vecs"))
 
+  /** Embedding-space outlier detection: each vector's cosine to its
+    * own label centroid, standardized within the label; rows at
+    * z ≤ −zThresh are flagged. This is the embedding-side data-cleaning
+    * step (mislabeled / off-distribution examples sit far from their
+    * class prototype) that complements the text-side quality filters.
+    *
+    * Determinism: the centroid comes from [[labelCentroids]]'s exact
+    * fixed-point sums, each per-row cosine is a sequential fold
+    * (bit-identical cross-engine), and the per-label mean/stddev are
+    * computed over cosines ROUNDED to 4 decimals so the only
+    * cross-engine drift left is partial-agg summation order at ~1e-15
+    * — far inside the final rounding.
+    *
+    * Scale shape: one corpus scan to score (centroids ride as a
+    * broadcast of one row per label), one narrow partial-agg shuffle
+    * of 3 doubles per label for the stats, stats broadcast back. No
+    * window, no pairwise term. */
+  def labelOutliers(emb: DataFrame, dims: Int, zThresh: Double): DataFrame = {
+    val cents = labelCentroids(emb, dims)
+      .select(col("label"), col("centroid"))
+      .withColumn("cn", norm(col("centroid")))
+    val scored = graft.ops.PlanCache.cachedBy(s"label-outlier-cos-$dims",
+        emb.queryExecution.logical.semanticHash(), emb.sparkSession) {
+      withNorm(emb).join(broadcast(cents), "label")
+        .withColumn("cos",
+          round(safeDiv(dot(col("v"), col("centroid")), col("nrm") * col("cn")), 4))
+        .select(col("vec_id"), col("label"), col("cos"))
+    }
+    val stats = scored.groupBy("label")
+      .agg(avg(col("cos")).as("mu"), stddev_pop(col("cos")).as("sigma"))
+    scored.join(broadcast(stats), "label")
+      .withColumn("z", (col("cos") - col("mu")) / col("sigma"))
+      .filter(col("z") <= -zThresh)
+      .select(col("vec_id"), col("label"), col("cos"), round(col("z"), 4).as("z"))
+  }
+
   /** IVF top-k over the k-means-refined codebook (deterministic
     * fixed-point means — see [[kmeansCodebook]]). */
   def ivfTopKKmeans(emb: DataFrame, queryPred: Column, k: Int,

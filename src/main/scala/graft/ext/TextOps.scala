@@ -224,6 +224,58 @@ object TextOps {
         max(col("avg_df")).as("max_score"))
   }
 
+  /** Per-source n-gram diversity: distinct-gram / total-gram ratio
+    * (the n-gram type-token ratio). A low ratio means a source is
+    * internally repetitive or templated — the corpus-level complement
+    * of the per-document duplicate-gram fraction in
+    * [[graft.SparkEntry]]'s t_repetition, and the usual first look at
+    * whether a source earns its token budget in a training mix.
+    *
+    * Scale shape: one explode → one multi-distinct aggregation
+    * (Catalyst's Expand-based plan); the shuffle is bounded by
+    * distinct (source, gram), never by corpus token count. No window,
+    * no join. */
+  def ngramDiversity(docs: DataFrame, n: Int): DataFrame =
+    docs.select(col("source"), explode(shingles(tokens(col("text")), n)).as("g"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_grams"),
+        countDistinct(col("g")).as("n_distinct"))
+      .select(col("source"), col("n_grams"), col("n_distinct"),
+        round(col("n_distinct").cast("double") / col("n_grams"), 4).as("diversity"))
+
+  /** Per-source unigram KL divergence against the corpus distribution:
+    * KL(p_s ‖ p_c) = Σ_t p_s(t)·ln(p_s(t)/p_c(t)) — the standard
+    * mixture-drift diagnostic (which sources are token-distribution
+    * outliers, how far a rebalance moved each slice). The sum is total
+    * because the corpus marginal contains every source's tokens
+    * (p_c(t) > 0 wherever p_s(t) > 0), so no smoothing term is needed.
+    *
+    * Scale shape: occurrences explode → ONE partial-agg shuffle to
+    * (source, token) counts (the cached substrate); the token marginal
+    * re-aggregates that frame (bounded by distinct tokens) and joins
+    * back on token, the per-source totals and the corpus total ride as
+    * broadcasts. Counts stay exact integers; doubles appear only in
+    * the final log terms, rounded at the call site. */
+  def sourceUnigramKl(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.broadcast
+    val st = graft.ops.PlanCache.cachedBy("src-tok-counts",
+        docs.queryExecution.logical.semanticHash(), docs.sparkSession) {
+      docs.select(col("source"), explode(tokens(col("text"))).as("t"))
+        .groupBy("source", "t").agg(count(lit(1)).as("c_st"))
+    }
+    val nS = st.groupBy("source").agg(sum(col("c_st")).as("n_s"))
+    val cT = st.groupBy("t").agg(sum(col("c_st")).as("c_t"))
+    val nTot = nS.agg(sum(col("n_s")).as("n_tot"))
+    val term = (col("c_st").cast("double") / col("n_s")) *
+      log((col("c_st").cast("double") / col("n_s")) /
+        (col("c_t").cast("double") / col("n_tot")))
+    st.join(cT, "t")
+      .join(broadcast(nS), "source")
+      .crossJoin(broadcast(nTot))
+      .groupBy("source")
+      .agg(first(col("n_s")).as("n_tok"), round(sum(term), 4).as("kl"))
+  }
+
   /** Whole-document fingerprint over whitespace-normalized text. */
   def fingerprint(text: Column): Column =
     portableHash(regexp_replace(lower(trim(text)), "\\s+", " "))

@@ -780,4 +780,55 @@ class ExtSpec extends SparkSpec {
     assert(perSource === gate,
       "the report's per-source yields must predict the corpus-wide gate")
   }
+
+  test("edit verify scores an exact copy 1.0 and is candidate-bounded") {
+    // docs 1/2 are byte-identical (every minhash equal → guaranteed
+    // LSH candidate, lev 0); doc 3 shares no shingles, so it can
+    // never become a candidate and no DP runs against it
+    val txt = "the quick brown fox jumps over the lazy dog again and again today"
+    val docs = Seq((1L, txt), (2L, txt),
+      (3L, "completely different words entirely compose this other document here now"))
+      .toDF("doc_id", "text")
+    val got = Dedup.editVerifiedPairs(docs, 3, 16, 4, 4, 0.2)
+      .select(col("doc_a"), col("doc_b"), col("lev"), col("edit_sim"))
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(got === Seq((1L, 2L, 0L, 1.0)))
+  }
+
+  test("ngram diversity is the per-source distinct/total gram ratio") {
+    val docs = Seq(
+      (1L, "a b c d", "A"), (2L, "a b c d", "A"), // 4 grams, 2 distinct
+      (3L, "x y z w", "B"), // 2 grams, 2 distinct
+      (4L, "xs", "B")) // too short to shingle: contributes nothing
+      .toDF("doc_id", "text", "source")
+    val got = TextOps.ngramDiversity(docs, 3)
+      .select(col("source"), col("n_grams"), col("n_distinct"), col("diversity"))
+      .as[(String, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got === Map("A" -> ((4L, 2L, 0.5)), "B" -> ((2L, 2L, 1.0))))
+  }
+
+  test("source KL is zero for a single source and ln(N/n_s) for disjoint vocabularies") {
+    val one = Seq((1L, "a a b", "A"), (2L, "b a", "A")).toDF("doc_id", "text", "source")
+    val kl0 = TextOps.sourceUnigramKl(one).select(col("kl")).as[Double].head()
+    assert(kl0 === 0.0, "p_s == p_c when there is one source")
+    // disjoint halves of equal size: every token ratio is N/n_s = 2,
+    // so KL = ln 2 for both sources
+    val two = Seq((1L, "a a b b", "A"), (2L, "c c d d", "B"))
+      .toDF("doc_id", "text", "source")
+    val got = TextOps.sourceUnigramKl(two)
+      .select(col("source"), col("kl")).as[(String, Double)].collect().toMap
+    assert(got === Map("A" -> 0.6931, "B" -> 0.6931))
+  }
+
+  test("label outliers flag the vector pointing away from its centroid") {
+    val emb = ((1L to 5L).map(i => (i, Array(1f, 0f), 0)) :+ ((6L, Array(-1f, 0f), 0)))
+      .toDF("vec_id", "embedding", "label")
+    // centroid (2/3, 0); cos: five at 1.0, one at -1.0 → mu = 2/3,
+    // σ_pop = 0.7454, z_outlier = -2.236 ≤ -2; inliers z = +0.447
+    val got = Similarity.labelOutliers(emb, 2, 2.0)
+      .select(col("vec_id"), col("z")).as[(Long, Double)].collect().toSeq
+    assert(got.map(_._1) === Seq(6L))
+    assert(math.abs(got.head._2 - -2.2361) < 1e-4)
+  }
 }

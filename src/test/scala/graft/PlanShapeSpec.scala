@@ -209,4 +209,36 @@ class PlanShapeSpec extends SparkSpec {
     assert(!"doc_id#\\d+L? < doc_id#".r.findFirstIn(p).isDefined,
       s"corpus-pair self-join predicate leaked into the incremental path:\n$p")
   }
+
+  test("edit verify joins candidates to text by key: no cartesian, no corpus window") {
+    val p = plan("d_edit_verify")
+    assert(!p.contains("CartesianProduct"),
+      s"the DP must run on LSH candidates only:\n$p")
+    assert(!p.contains("Window"), s"no window belongs in this plan:\n$p")
+  }
+
+  test("source KL broadcasts every marginal: no cartesian, no window") {
+    val p = plan("t_source_kl")
+    // the (source, token) counts shuffle once; n_s and n_tot ride as
+    // broadcasts (the 1-row total as a broadcast nested-loop)
+    assert(p.contains("BroadcastExchange"),
+      s"marginals must broadcast, not shuffle:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("Window"),
+      s"KL is partial-agg + broadcast joins only:\n$p")
+  }
+
+  test("embed outliers broadcast centroids and stats; no window, no pair join") {
+    val p = plan("s_embed_outliers")
+    assert(p.contains("BroadcastExchange"),
+      s"per-label frames must broadcast:\n$p")
+    assert(!p.contains("Window") && !p.contains("SortMergeJoin"),
+      s"outlier scoring is two corpus scans with broadcast joins:\n$p")
+  }
+
+  test("chunk ANN broadcasts the query chunks over one candidate scan") {
+    val p = plan("e_chunk_ann")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"query side must broadcast (queries × corpus-scan shape):\n$p")
+    assert(!p.contains("CartesianProduct"), s"no unbroadcast product:\n$p")
+  }
 }
