@@ -981,6 +981,40 @@ SELECT source, CAST(n_s AS BIGINT) AS n_tok,
 FROM st JOIN ct USING (t) JOIN ns USING (source) CROSS JOIN tot
 GROUP BY source, n_s""",
 
+    // DSIR hashed-bigram importance weights toward src0: per-doc
+    // bucket counts -> two <=1024-row bucket models, add-one smoothed
+    // over the bucket space -> per-doc sum of count-weighted
+    // log-ratios. Counts exact until the log.
+    "t_dsir_weights" -> s"""WITH toks AS (
+  SELECT doc_id, source,
+         list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), t -> len(t) > 0) AS tk
+  FROM documents
+), occ AS (
+  SELECT doc_id, source = 'src0' AS is_t, unnest(${shinglesN(2)}) AS g FROM toks
+), pd AS (
+  SELECT doc_id, is_t, ${dh("g")} % 1024 AS b, count(*) AS c_db
+  FROM occ GROUP BY 1, 2, 3
+), tgt AS (SELECT b, sum(c_db) AS c_t FROM pd WHERE is_t GROUP BY b),
+cor AS (SELECT b, sum(c_db) AS c_c FROM pd GROUP BY b),
+nt AS (SELECT sum(c_t) AS n_t FROM tgt),
+nc AS (SELECT sum(c_c) AS n_c FROM cor),
+model AS (
+  SELECT b, ln((CAST(coalesce(c_t, 0) + 1 AS DOUBLE) / (n_t + 1024)) /
+               (CAST(c_c + 1 AS DOUBLE) / (n_c + 1024))) AS log_ratio
+  FROM cor LEFT JOIN tgt USING (b) CROSS JOIN nt CROSS JOIN nc)
+SELECT doc_id, CAST(sum(c_db) AS BIGINT) AS n_grams,
+       round(sum(c_db * log_ratio), 4) AS log_w
+FROM pd JOIN model USING (b) GROUP BY doc_id""",
+
+    // binary-payload dedup ledger: md5 of the asset bytes (DuckDB's
+    // md5(VARCHAR) digests the same UTF-8 bytes the engine's
+    // md5(text-as-binary) does; this build has no md5(BLOB) overload)
+    "m_payload_dedup" -> """SELECT md5(text) AS payload_md5,
+       CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+       CAST(count(*) AS BIGINT) AS n_copies,
+       CAST(min(doc_id) AS BIGINT) AS keeper
+FROM documents GROUP BY 1, 2""",
+
     // embedding outliers: cosine to own-label centroid (the exact
     // fixed-point centroid of s_label_centroids), standardized within
     // the label over ROUNDED cosines, flagged at z <= -2

@@ -672,12 +672,19 @@ object SparkEntry {
     * downstream window. Per-doc chunk census (count, max width) as
     * pure array expressions — no explode, no shuffle beyond the scan. */
   private def tCdcChunks(s: SparkSession, dir: String): DataFrame = {
-    val toks = Codecs.tokens(col("text"))
-    val n = size(toks)
+    // layered projections (cf. tRepetition / shingleHashes): tokens
+    // and their hashes materialize BELOW the boundary filter — a
+    // lambda referencing the raw tokens() expression re-tokenizes and
+    // re-hashes the document once per POSITION, O(n²) interpreted
+    // (measured 52 s at sf0.1; layered: sub-second)
+    val base = T(s, dir, "documents")
+      .select(col("doc_id"), Codecs.tokens(col("text")).as("tk"))
+      .select(col("doc_id"), size(col("tk")).as("n"),
+        transform(col("tk"), t => Codecs.portableHash(t)).as("hs"))
+    val n = col("n")
     // 1-based positions whose token closes a chunk
     val bpos = when(n > 0,
-      filter(sequence(lit(1), n),
-        i => Codecs.portableHash(element_at(toks, i)) % 16 === 0))
+      filter(sequence(lit(1), n), i => element_at(col("hs"), i) % 16 === 0))
       .otherwise(array().cast("array<int>"))
     // every chunk end: the boundary list, plus the tail chunk when the
     // last token is not itself a boundary
@@ -688,7 +695,7 @@ object SparkEntry {
       .otherwise(when(lastB === n, bpos).otherwise(concat(bpos, array(n))))
     val starts = concat(array(lit(0)), slice(ends, lit(1), greatest(size(ends) - 1, lit(0))))
     val lens = zip_with(ends, starts, (e, st) => e - st)
-    T(s, dir, "documents").select(
+    base.select(
       col("doc_id"),
       size(ends).cast("long").as("n_chunks"),
       coalesce(array_max(lens), lit(0)).cast("long").as("max_chunk_tokens"))
@@ -1168,6 +1175,22 @@ object SparkEntry {
   private def sEmbedOutliers(s: SparkSession, dir: String): DataFrame =
     Similarity.labelOutliers(T(s, dir, "embeddings"), 64, 2.0)
 
+  /** DSIR importance weights toward the src0 slice — the "make the mix
+    * look more like the target domain" scorer; pair with
+    * d_weighted_sample (Efraimidis–Spirakis over exp(log_w)) for the
+    * resample step. */
+  private def tDsirWeights(s: SparkSession, dir: String): DataFrame =
+    TextOps.dsirWeights(T(s, dir, "documents"), col("source") === "src0", 1024)
+
+  /** Asset-store exact dedup: payload-hash ledger (n_copies, keeper)
+    * over the binary column — the cheap pass that runs BEFORE any
+    * decode so duplicate media is fetched and featurized once. Shuffle
+    * ∝ distinct payload hashes, like d_exact. */
+  private def mPayloadDedup(s: SparkSession, dir: String): DataFrame =
+    Multimodal.payloadDedup(
+      T(s, dir, "documents").select(col("doc_id").as("asset_id"),
+        col("text").cast("binary").as("payload")))
+
   /** Composed chunk → featurize → ANN path (the RAG indexing shape):
     * fixed-window chunks are embedded with a deterministic 64-bin
     * token-hash histogram (the hashing trick; a real encoder slots in
@@ -1177,15 +1200,32 @@ object SparkEntry {
     * are doc_id·1000 + chunk_id (tChunk windows never exceed 1000
     * chunks below ~48k tokens/doc). */
   private def eChunkAnn(s: SparkSession, dir: String): DataFrame = {
-    val chunks = tChunk(s, dir)
-      .select((col("doc_id") * 1000 + col("chunk_id")).as("vec_id"), col("chunk_text"))
-    val tk = Codecs.tokens(col("chunk_text"))
-    val bins = transform(tk, t => pmod(Codecs.portableHash(t), lit(64L)))
-    val fv = chunks.select(col("vec_id"),
-      transform(sequence(lit(0L), lit(63L)), b =>
-        size(filter(bins, x => x === b)).cast("double") /
-          greatest(size(tk), lit(1)).cast("double")).as("embedding"),
-      lit(0).as("label"))
+    import s.implicits._
+    // layered: bins materialize below the histogram (a lambda over the
+    // raw tokens() expression would re-tokenize per bin); the
+    // histogram itself is ONE imperative pass per chunk (O(n+64), the
+    // extractFeatures batch shape) instead of 64 interpreted filter
+    // scans (measured 29.5 s → ~1 s at sf0.1). Cached because the
+    // brute-force query and candidate branches both read it.
+    val binRows = tChunk(s, dir)
+      .select((col("doc_id") * 1000 + col("chunk_id")).as("vec_id"),
+        Codecs.tokens(col("chunk_text")).as("tk"))
+      .select(col("vec_id"),
+        transform(col("tk"), t => pmod(Codecs.portableHash(t), lit(64L))).as("bins"))
+    val fv = graft.ops.PlanCache.cachedBy("chunk-fv-64",
+        binRows.queryExecution.logical.semanticHash(), s) {
+      binRows.as[(Long, Array[Long])].mapPartitions { it =>
+        it.map { case (id, bs) =>
+          val hist = new Array[Double](64)
+          var i = 0
+          while (i < bs.length) { hist(bs(i).toInt) += 1.0; i += 1 }
+          val nn = math.max(bs.length, 1)
+          var j = 0
+          while (j < 64) { hist(j) /= nn; j += 1 }
+          (id, hist)
+        }
+      }.toDF("vec_id", "embedding").withColumn("label", lit(0))
+    }
     Similarity.bruteForceTopK(fv, col("vec_id") < 8000L, 3)
   }
 
@@ -1278,6 +1318,8 @@ object SparkEntry {
     "t_ngram_diversity" -> (tNgramDiversity _),
     "t_source_kl" -> (tSourceKl _),
     "s_embed_outliers" -> (sEmbedOutliers _),
+    "t_dsir_weights" -> (tDsirWeights _),
+    "m_payload_dedup" -> (mPayloadDedup _),
     "d_dedup_apply" -> (dDedupApply _),
     "d_exact" -> (dExact _),
     "d_exact_normalized" -> (dExactNormalized _),

@@ -43,6 +43,18 @@ object Multimodal {
   /** Wrap any DataFrame with a binary `payload` column into the typed
     * asset shape. Metadata that is derivable without a codec
     * (byte_len) is computed as columns; codec-dependent fields start 0. */
+  /** Asset-store exact dedup ledger: group by payload digest (+ byte
+    * length, which rules out the remaining digest-collision window),
+    * count copies, keep the min asset_id. Runs BEFORE any decode so a
+    * duplicated media object is fetched/featurized once; shuffle ∝
+    * distinct payloads, the same shape as text exact dedup. Expects
+    * (asset_id, payload). */
+  def payloadDedup(assets: DataFrame): DataFrame =
+    assets
+      .groupBy(md5(col("payload")).as("payload_md5"),
+        length(col("payload")).cast("long").as("byte_len"))
+      .agg(count(lit(1)).as("n_copies"), min(col("asset_id")).as("keeper"))
+
   def toAssets(df: DataFrame, mediaType: String): DataFrame =
     df.select(
       col("asset_id"), lit(mediaType).as("media_type"), col("payload"),

@@ -236,7 +236,11 @@ object TextOps {
     * distinct (source, gram), never by corpus token count. No window,
     * no join. */
   def ngramDiversity(docs: DataFrame, n: Int): DataFrame =
-    docs.select(col("source"), explode(shingles(tokens(col("text")), n)).as("g"))
+    // tokens materialize in a projection BELOW the shingle generator
+    // (cf. shingleHashes): a lambda referencing the raw tokens()
+    // expression re-tokenizes once per shingle POSITION
+    docs.select(col("source"), tokens(col("text")).as("tk"))
+      .select(col("source"), explode(shingles(col("tk"), n)).as("g"))
       .groupBy("source")
       .agg(count(lit(1)).as("n_grams"),
         countDistinct(col("g")).as("n_distinct"))
@@ -274,6 +278,59 @@ object TextOps {
       .crossJoin(broadcast(nTot))
       .groupBy("source")
       .agg(first(col("n_s")).as("n_tok"), round(sum(term), 4).as("kl"))
+  }
+
+  /** DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    * via Importance Resampling"): per-document log importance ratio
+    * log p_target(doc)/p_corpus(doc) under hashed-bigram bag models —
+    * the standard way to skew a pretraining mix toward a target domain
+    * without training a classifier. Bigrams hash into `vBuckets`
+    * buckets (the hashing trick, so the model size is FIXED regardless
+    * of corpus vocabulary) and both distributions are add-one
+    * smoothed over the bucket space, so unseen buckets contribute a
+    * finite prior term instead of −∞.
+    *
+    * Scale shape: occurrences explode once (cached substrate shared
+    * with a same-session resample step) → per-doc bucket counts (ONE
+    * doc-keyed partial-agg shuffle, bounded by distinct (doc, bucket)
+    * ≤ doc tokens) → the two bucket models are ≤ vBuckets rows each,
+    * joined and BROADCAST back — per-doc scoring is then one narrow
+    * agg. Counts stay exact integers; doubles appear only in the
+    * per-bucket log-ratio. The target slice is any boolean column
+    * predicate (here: a source), so "target" costs one filter, not a
+    * second corpus. */
+  def dsirWeights(docs: DataFrame, isTarget: Column, vBuckets: Int): DataFrame = {
+    import org.apache.spark.sql.functions.broadcast
+    val occ = docs
+      .select(col("doc_id"), isTarget.as("is_t"), tokens(col("text")).as("tk"))
+      .select(col("doc_id"), col("is_t"), explode(shingles(col("tk"), 2)).as("g"))
+      .withColumn("b", pmod(portableHash(col("g")), lit(vBuckets.toLong)))
+    // the cache key must carry the target predicate too — the frame
+    // embeds is_t, so two targets over the same corpus are different
+    // frames
+    val perDoc = graft.ops.PlanCache.cachedBy(
+        s"dsir-docbuckets-$vBuckets-${isTarget.toString.hashCode}",
+        docs.queryExecution.logical.semanticHash(), docs.sparkSession) {
+      occ.groupBy(col("doc_id"), col("b"))
+        .agg(count(lit(1)).as("c_db"), first(col("is_t")).as("is_t"))
+    }
+    val tgt = perDoc.filter(col("is_t")).groupBy("b").agg(sum(col("c_db")).as("c_t"))
+    val cor = perDoc.groupBy("b").agg(sum(col("c_db")).as("c_c"))
+    val nT = tgt.agg(sum(col("c_t")).as("n_t"))
+    val nC = cor.agg(sum(col("c_c")).as("n_c"))
+    // bucket model: add-one smoothing over the fixed bucket space;
+    // corpus buckets left-join target buckets (absent target bucket
+    // counts are 0 — the prior term)
+    val model = cor.join(tgt, Seq("b"), "left")
+      .na.fill(0L, Seq("c_t"))
+      .crossJoin(broadcast(nT)).crossJoin(broadcast(nC))
+      .select(col("b"),
+        log(((col("c_t") + 1).cast("double") / (col("n_t") + vBuckets)) /
+          ((col("c_c") + 1).cast("double") / (col("n_c") + vBuckets))).as("log_ratio"))
+    perDoc.join(broadcast(model), "b")
+      .groupBy("doc_id")
+      .agg(sum(col("c_db")).as("n_grams"),
+        round(sum(col("c_db") * col("log_ratio")), 4).as("log_w"))
   }
 
   /** Whole-document fingerprint over whitespace-normalized text. */

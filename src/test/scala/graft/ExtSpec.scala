@@ -821,6 +821,32 @@ class ExtSpec extends SparkSpec {
     assert(got === Map("A" -> 0.6931, "B" -> 0.6931))
   }
 
+  test("DSIR weights are zero when the target is the whole corpus and signed toward the slice") {
+    // target == corpus → the two bucket models coincide → every
+    // log-ratio is exactly 0
+    val docs = Seq((1L, "a b a b", "A"), (2L, "x y x y", "B"))
+      .toDF("doc_id", "text", "source")
+    val allTgt = TextOps.dsirWeights(docs, lit(true), 1024)
+      .select(col("log_w")).as[Double].collect().toSeq
+    assert(allTgt === Seq(0.0, 0.0))
+    // target = source A with disjoint bigrams: A-docs score positive,
+    // B-docs negative
+    val got = TextOps.dsirWeights(docs, col("source") === "A", 1024)
+      .select(col("doc_id"), col("log_w")).as[(Long, Double)].collect().toMap
+    assert(got(1L) > 0.0 && got(2L) < 0.0,
+      s"importance must point toward the target slice: $got")
+  }
+
+  test("payload dedup ledger counts identical binary payloads once per keeper") {
+    val assets = Seq((5L, "same bytes"), (2L, "same bytes"), (9L, "other"))
+      .toDF("asset_id", "text")
+      .select(col("asset_id"), col("text").cast("binary").as("payload"))
+    val rows = Multimodal.payloadDedup(assets)
+      .select(col("n_copies"), col("keeper"))
+      .as[(Long, Long)].collect().toSet
+    assert(rows === Set((2L, 2L), (1L, 9L)))
+  }
+
   test("label outliers flag the vector pointing away from its centroid") {
     val emb = ((1L to 5L).map(i => (i, Array(1f, 0f), 0)) :+ ((6L, Array(-1f, 0f), 0)))
       .toDF("vec_id", "embedding", "label")
