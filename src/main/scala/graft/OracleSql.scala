@@ -213,6 +213,15 @@ ipairs AS (
              ORDER BY list_dot_product(nv.v, c.cv) / (nv.nrm * c.cn) DESC, c.c_id) AS crnk
     FROM nv, $cents c) WHERE crnk = 1"""
 
+  /** Exact fixed-point per-label centroid as a 64-element list — the
+    * SQL mirror of Similarity.labelCentroids' VectorSumFixed means
+    * (micro-unit longs, order-independent), shared by the centroid
+    * consumers. Expects a `v` DOUBLE-list column in scope. */
+  private val CENT_ARR: String =
+    s"""[${(1 to 64).map(i =>
+      s"(CAST(sum(CAST(round(v[$i]*1000000.0) AS BIGINT)) AS DOUBLE)/1000000.0)/count(*)")
+      .mkString(",\n   ")}]"""
+
   val all: Map[String, String] = Map(
     "q_branch_even" -> s"$REC SELECT event_id, user_id, value_int FROM evens",
 
@@ -1014,6 +1023,48 @@ FROM pd JOIN model USING (b) GROUP BY doc_id""",
        CAST(count(*) AS BIGINT) AS n_copies,
        CAST(min(doc_id) AS BIGINT) AS keeper
 FROM documents GROUP BY 1, 2""",
+
+    // nearest-centroid classification: per-vector argmax over the
+    // k-row centroid frame (tie -> smaller label), rolled up to a
+    // per-label accuracy report
+    "s_centroid_classify" -> s"""WITH vecs AS (
+  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings
+), cent AS (
+  SELECT label AS c_label, $CENT_ARR AS c FROM vecs GROUP BY label
+), scored AS (
+  SELECT vec_id, label, c_label,
+         list_dot_product(v, c) /
+           (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(c, c))) AS cos
+  FROM vecs CROSS JOIN cent
+), p AS (
+  SELECT vec_id, label, c_label AS pred FROM (
+    SELECT vec_id, label, c_label,
+           row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, c_label) AS rnk
+    FROM scored)
+  WHERE rnk = 1)
+SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+       CAST(sum(CASE WHEN pred = label THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+       round(CAST(sum(CASE WHEN pred = label THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 4) AS accuracy
+FROM p GROUP BY label""",
+
+    // pairwise centroid cosine — the k x k inter-class affinity matrix
+    "s_label_affinity" -> s"""WITH vecs AS (
+  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings
+), cent AS (
+  SELECT label, $CENT_ARR AS c FROM vecs GROUP BY label)
+SELECT a.label AS label_a, b.label AS label_b,
+       round(list_dot_product(a.c, b.c) /
+             (sqrt(list_dot_product(a.c, a.c)) * sqrt(list_dot_product(b.c, b.c))), 4) AS cos
+FROM cent a JOIN cent b ON a.label < b.label""",
+
+    // per-modality census over the synthetic doc_id%3 typing
+    "m_modality_report" -> """SELECT
+  ['image', 'audio', 'video'][CAST(doc_id % 3 AS INT) + 1] AS media_type,
+  CAST(count(*) AS BIGINT) AS n_assets,
+  CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+  round(avg(octet_length(encode(text))), 4) AS avg_bytes,
+  CAST(max(octet_length(encode(text))) AS BIGINT) AS max_bytes
+FROM documents GROUP BY 1""",
 
     // embedding outliers: cosine to own-label centroid (the exact
     // fixed-point centroid of s_label_centroids), standardized within

@@ -1175,6 +1175,29 @@ object SparkEntry {
   private def sEmbedOutliers(s: SparkSession, dir: String): DataFrame =
     Similarity.labelOutliers(T(s, dir, "embeddings"), 64, 2.0)
 
+  private def sCentroidClassify(s: SparkSession, dir: String): DataFrame =
+    Similarity.centroidClassify(T(s, dir, "embeddings"), 64)
+
+  private def sLabelAffinity(s: SparkSession, dir: String): DataFrame =
+    Similarity.labelAffinity(T(s, dir, "embeddings"), 64)
+
+  /** Per-modality asset census: deterministic synthetic typing
+    * (doc_id mod 3 → image/audio/video, the fixture's analog of a real
+    * media_type column) and exact byte totals — the capacity-planning
+    * rollup an ingest run reads first. One partial-agg shuffle on a
+    * 3-value key. */
+  private def mModalityReport(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "documents")
+      .select(
+        element_at(array(lit("image"), lit("audio"), lit("video")),
+          (pmod(col("doc_id"), lit(3)) + 1).cast("int")).as("media_type"),
+        length(col("text").cast("binary")).cast("long").as("nb"))
+      .groupBy("media_type")
+      .agg(count(lit(1)).as("n_assets"),
+        sum(col("nb")).as("total_bytes"),
+        round(avg(col("nb")), 4).as("avg_bytes"),
+        max(col("nb")).as("max_bytes"))
+
   /** DSIR importance weights toward the src0 slice — the "make the mix
     * look more like the target domain" scorer; pair with
     * d_weighted_sample (Efraimidis–Spirakis over exp(log_w)) for the
@@ -1320,6 +1343,9 @@ object SparkEntry {
     "s_embed_outliers" -> (sEmbedOutliers _),
     "t_dsir_weights" -> (tDsirWeights _),
     "m_payload_dedup" -> (mPayloadDedup _),
+    "s_centroid_classify" -> (sCentroidClassify _),
+    "s_label_affinity" -> (sLabelAffinity _),
+    "m_modality_report" -> (mModalityReport _),
     "d_dedup_apply" -> (dDedupApply _),
     "d_exact" -> (dExact _),
     "d_exact_normalized" -> (dExactNormalized _),

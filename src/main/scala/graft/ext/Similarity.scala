@@ -333,6 +333,47 @@ object Similarity {
       .select(col("vec_id"), col("label"), col("cos"), round(col("z"), 4).as("z"))
   }
 
+  /** Nearest-centroid classification report: every vector is assigned
+    * the label of its most-cosine-similar centroid (tie → smaller
+    * label) and scored against its true label — the standard
+    * embedding-quality / cluster-coherence diagnostic over a labeled
+    * corpus. NO rank window: the per-vector argmax is a partial-agg
+    * `max(struct(cos, -label))` (lexicographic struct order gives the
+    * tie rule), so the plan is one scored scan against a k-row
+    * centroid broadcast plus two narrow aggregations — the same shape
+    * at any corpus size. */
+  def centroidClassify(emb: DataFrame, dims: Int): DataFrame = {
+    val cents = labelCentroids(emb, dims)
+      .select(col("label").as("c_label"), col("centroid"))
+      .withColumn("cn", norm(col("centroid")))
+    val best = withNorm(emb).crossJoin(broadcast(cents))
+      .withColumn("cos", safeDiv(dot(col("v"), col("centroid")), col("nrm") * col("cn")))
+      .groupBy(col("vec_id"), col("label"))
+      .agg(max(struct(col("cos"), (-col("c_label")).as("neg"))).as("b"))
+      .select(col("vec_id"), col("label"), (-col("b.neg")).as("pred"))
+    best.groupBy("label")
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(when(col("pred") === col("label"), 1L).otherwise(0L)).as("n_correct"))
+      .withColumn("accuracy", round(col("n_correct").cast("double") / col("n_vecs"), 4))
+  }
+
+  /** Pairwise label-centroid cosine (k·(k−1)/2 rows) — the inter-class
+    * confusion/affinity matrix: which classes sit close in embedding
+    * space. Both sides are the k-row centroid frame, so the join is a
+    * broadcast over constant-size inputs regardless of corpus size. */
+  def labelAffinity(emb: DataFrame, dims: Int): DataFrame = {
+    val cents = labelCentroids(emb, dims)
+      .select(col("label"), col("centroid"))
+      .withColumn("cn", norm(col("centroid")))
+    val a = cents.select(col("label").as("label_a"), col("centroid").as("ca"),
+      col("cn").as("na"))
+    val b = cents.select(col("label").as("label_b"), col("centroid").as("cb"),
+      col("cn").as("nb"))
+    a.join(broadcast(b), col("label_a") < col("label_b"))
+      .select(col("label_a"), col("label_b"),
+        round(safeDiv(dot(col("ca"), col("cb")), col("na") * col("nb")), 4).as("cos"))
+  }
+
   /** IVF top-k over the k-means-refined codebook (deterministic
     * fixed-point means — see [[kmeansCodebook]]). */
   def ivfTopKKmeans(emb: DataFrame, queryPred: Column, k: Int,

@@ -847,6 +847,31 @@ class ExtSpec extends SparkSpec {
     assert(rows === Set((2L, 2L), (1L, 9L)))
   }
 
+  test("centroid classify breaks exact-tie assignments toward the smaller label") {
+    // both labels have the SAME centroid (0.5, 0.5), so every vector
+    // ties on cosine and the argmax struct's -label term must decide:
+    // everything predicts label 0 → label 0 scores 1.0, label 1 zero
+    val emb = Seq(
+      (1L, Array(1f, 0f), 0), (2L, Array(0f, 1f), 0),
+      (3L, Array(1f, 0f), 1), (4L, Array(0f, 1f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val got = Similarity.centroidClassify(emb, 2)
+      .select(col("label"), col("accuracy")).as[(Int, Double)].collect().toMap
+    assert(got === Map(0 -> 1.0, 1 -> 0.0))
+  }
+
+  test("label affinity is the upper-triangle centroid cosine") {
+    val emb = Seq(
+      (1L, Array(1f, 0f), 0), (2L, Array(0f, 1f), 1), (3L, Array(1f, 1f), 2))
+      .toDF("vec_id", "embedding", "label")
+    val got = Similarity.labelAffinity(emb, 2)
+      .select(col("label_a"), col("label_b"), col("cos"))
+      .as[(Int, Int, Double)].collect().toSet
+    val h = math.sqrt(0.5) // cos between an axis and the diagonal
+    assert(got === Set((0, 1, 0.0),
+      (0, 2, math.rint(h * 10000) / 10000), (1, 2, math.rint(h * 10000) / 10000)))
+  }
+
   test("label outliers flag the vector pointing away from its centroid") {
     val emb = ((1L to 5L).map(i => (i, Array(1f, 0f), 0)) :+ ((6L, Array(-1f, 0f), 0)))
       .toDF("vec_id", "embedding", "label")

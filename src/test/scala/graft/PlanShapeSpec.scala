@@ -235,6 +235,14 @@ class PlanShapeSpec extends SparkSpec {
       s"outlier scoring is two corpus scans with broadcast joins:\n$p")
   }
 
+  test("centroid classify is argmax-by-aggregation: no rank window") {
+    val p = plan("s_centroid_classify")
+    assert(!p.contains("Window"),
+      s"per-vector argmax must be the struct-max aggregate, not a window:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"the k-row centroid frame must broadcast:\n$p")
+  }
+
   test("chunk ANN broadcasts the query chunks over one candidate scan") {
     val p = plan("e_chunk_ann")
     assert(p.contains("BroadcastNestedLoopJoin"),
