@@ -222,6 +222,31 @@ ipairs AS (
       s"(CAST(sum(CAST(round(v[$i]*1000000.0) AS BIGINT)) AS DOUBLE)/1000000.0)/count(*)")
       .mkString(",\n   ")}]"""
 
+  /** DSIR weight CTE chain (mirror of TextOps.dsirWeights toward
+    * src0, 1024 buckets) ending in `w(doc_id, n_grams, log_w)` —
+    * shared by the weights query and the resample apply. */
+  private val DSIR_W = s"""WITH toks AS (
+  SELECT doc_id, source,
+         list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), t -> len(t) > 0) AS tk
+  FROM documents
+), occ AS (
+  SELECT doc_id, source = 'src0' AS is_t, unnest(${shinglesN(2)}) AS g FROM toks
+), pd AS (
+  SELECT doc_id, is_t, ${dh("g")} % 1024 AS b, count(*) AS c_db
+  FROM occ GROUP BY 1, 2, 3
+), tgt AS (SELECT b, sum(c_db) AS c_t FROM pd WHERE is_t GROUP BY b),
+cor AS (SELECT b, sum(c_db) AS c_c FROM pd GROUP BY b),
+nt AS (SELECT sum(c_t) AS n_t FROM tgt),
+nc AS (SELECT sum(c_c) AS n_c FROM cor),
+model AS (
+  SELECT b, ln((CAST(coalesce(c_t, 0) + 1 AS DOUBLE) / (n_t + 1024)) /
+               (CAST(c_c + 1 AS DOUBLE) / (n_c + 1024))) AS log_ratio
+  FROM cor LEFT JOIN tgt USING (b) CROSS JOIN nt CROSS JOIN nc),
+w AS (
+  SELECT doc_id, CAST(sum(c_db) AS BIGINT) AS n_grams,
+         round(sum(c_db * log_ratio), 4) AS log_w
+  FROM pd JOIN model USING (b) GROUP BY doc_id)"""
+
   val all: Map[String, String] = Map(
     "q_branch_even" -> s"$REC SELECT event_id, user_id, value_int FROM evens",
 
@@ -994,26 +1019,19 @@ GROUP BY source, n_s""",
     // bucket counts -> two <=1024-row bucket models, add-one smoothed
     // over the bucket space -> per-doc sum of count-weighted
     // log-ratios. Counts exact until the log.
-    "t_dsir_weights" -> s"""WITH toks AS (
-  SELECT doc_id, source,
-         list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), t -> len(t) > 0) AS tk
-  FROM documents
-), occ AS (
-  SELECT doc_id, source = 'src0' AS is_t, unnest(${shinglesN(2)}) AS g FROM toks
-), pd AS (
-  SELECT doc_id, is_t, ${dh("g")} % 1024 AS b, count(*) AS c_db
-  FROM occ GROUP BY 1, 2, 3
-), tgt AS (SELECT b, sum(c_db) AS c_t FROM pd WHERE is_t GROUP BY b),
-cor AS (SELECT b, sum(c_db) AS c_c FROM pd GROUP BY b),
-nt AS (SELECT sum(c_t) AS n_t FROM tgt),
-nc AS (SELECT sum(c_c) AS n_c FROM cor),
-model AS (
-  SELECT b, ln((CAST(coalesce(c_t, 0) + 1 AS DOUBLE) / (n_t + 1024)) /
-               (CAST(c_c + 1 AS DOUBLE) / (n_c + 1024))) AS log_ratio
-  FROM cor LEFT JOIN tgt USING (b) CROSS JOIN nt CROSS JOIN nc)
-SELECT doc_id, CAST(sum(c_db) AS BIGINT) AS n_grams,
-       round(sum(c_db * log_ratio), 4) AS log_w
-FROM pd JOIN model USING (b) GROUP BY doc_id""",
+    "t_dsir_weights" -> s"""$DSIR_W SELECT doc_id, n_grams, log_w FROM w""",
+
+    // DSIR resample-apply: Efraimidis-Spirakis over exp(log_w), ranked
+    // in LOG space (ln(u)/weight — the monotone transform of u^(1/w))
+    // so the 1e-20..1e2 weight range cannot underflow the key; the key
+    // itself is not output (its ~1e19 magnitude would expose ulp noise
+    // the selection itself is immune to)
+    "e_dsir_apply" -> s"""$DSIR_W, k AS (
+  SELECT doc_id, log_w,
+         ln((CAST(${dh("CAST(doc_id AS VARCHAR)")} % 1000000 AS DOUBLE) + 0.5) / 1000000.0)
+           / exp(log_w) AS es_key
+  FROM w)
+SELECT doc_id, log_w FROM k ORDER BY es_key DESC, doc_id LIMIT 100""",
 
     // binary-payload dedup ledger: md5 of the asset bytes (DuckDB's
     // md5(VARCHAR) digests the same UTF-8 bytes the engine's

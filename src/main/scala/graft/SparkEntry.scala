@@ -1205,6 +1205,25 @@ object SparkEntry {
   private def tDsirWeights(s: SparkSession, dir: String): DataFrame =
     TextOps.dsirWeights(T(s, dir, "documents"), col("source") === "src0", 1024)
 
+  /** DSIR resample APPLY — the step that closes the importance-
+    * resampling loop: Efraimidis–Spirakis without replacement over
+    * weight exp(log_w), ranked in LOG space (ln u)/w, the monotone
+    * transform of u^(1/w) that survives the ratios' 1e-20..1e2
+    * dynamic range without pow-underflow ties. Plans as
+    * TakeOrderedAndProject (per-partition heap + driver merge of k),
+    * like d_weighted_sample. The key column is NOT emitted: its ~1e19
+    * magnitude would surface harmless libm ulp noise that the top-k
+    * selection itself is immune to (adjacent key gaps dwarf it). */
+  private def eDsirApply(s: SparkSession, dir: String): DataFrame = {
+    val w = tDsirWeights(s, dir)
+    val u = (pmod(Codecs.portableHash(col("doc_id").cast("string")), lit(1000000L))
+      .cast("double") + lit(0.5)) / lit(1000000.0)
+    w.select(col("doc_id"), col("log_w"), (log(u) / exp(col("log_w"))).as("es_key"))
+      .orderBy(col("es_key").desc, col("doc_id"))
+      .limit(100)
+      .select(col("doc_id"), col("log_w"))
+  }
+
   /** Asset-store exact dedup: payload-hash ledger (n_copies, keeper)
     * over the binary column — the cheap pass that runs BEFORE any
     * decode so duplicate media is fetched and featurized once. Shuffle
@@ -1346,6 +1365,7 @@ object SparkEntry {
     "s_centroid_classify" -> (sCentroidClassify _),
     "s_label_affinity" -> (sLabelAffinity _),
     "m_modality_report" -> (mModalityReport _),
+    "e_dsir_apply" -> (eDsirApply _),
     "d_dedup_apply" -> (dDedupApply _),
     "d_exact" -> (dExact _),
     "d_exact_normalized" -> (dExactNormalized _),

@@ -243,6 +243,12 @@ class PlanShapeSpec extends SparkSpec {
       s"the k-row centroid frame must broadcast:\n$p")
   }
 
+  test("DSIR resample plans as TakeOrderedAndProject, never a full sort") {
+    val p = plan("e_dsir_apply")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-k by sampling key must be the per-partition heap:\n$p")
+  }
+
   test("chunk ANN broadcasts the query chunks over one candidate scan") {
     val p = plan("e_chunk_ann")
     assert(p.contains("BroadcastNestedLoopJoin"),
