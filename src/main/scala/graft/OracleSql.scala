@@ -332,6 +332,30 @@ FROM lineitem JOIN orders ON l_orderkey = o_orderkey
   JOIN customer ON o_custkey = c_custkey
 GROUP BY c_mktsegment""",
 
+    // TPC-H Q10 shape: returned-item revenue per customer, top 20
+    "a_returned_revenue" -> """SELECT c_custkey, c_name, n_name,
+  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+  CAST(count(*) AS BIGINT) AS n_items
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue DESC, c_custkey LIMIT 20""",
+
+    // TPC-H Q5 shape: same-nation customer/supplier revenue by region
+    "a_region_volume" -> """SELECT r_name, n_name,
+  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+  CAST(count(*) AS BIGINT) AS n_items
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name""",
+
     "a_top_orders" -> """SELECT o_orderkey, epoch_us(o_orderdate) AS o_orderdate_us, revenue FROM (
   SELECT l_orderkey, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
   FROM lineitem GROUP BY l_orderkey) r

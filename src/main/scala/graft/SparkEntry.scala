@@ -204,6 +204,39 @@ object SparkEntry {
         countDistinct(col("o_orderkey")).as("n_orders"))
   }
 
+  /** TPC-H Q10 shape: revenue lost to returned items per customer —
+    * fact-side filter pushed to the lineitem scan, two broadcast
+    * dimensions, top-20 as TakeOrderedAndProject over the ROUNDED
+    * revenue with a key tiebreak. */
+  private def aReturnedRevenue(s: SparkSession, dir: String): DataFrame = {
+    val li = T(s, dir, "lineitem").filter(col("l_returnflag") === "R")
+    li.join(T(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(T(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(T(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+  }
+
+  /** TPC-H Q5 shape: revenue where customer and supplier share a
+    * nation, rolled up per region/nation. The nation-match predicate
+    * rides the supplier broadcast join; all dimensions broadcast, the
+    * only shuffles are the fact-side order join and the final small
+    * agg. */
+  private def aRegionVolume(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "lineitem")
+      .join(T(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(T(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(T(s, dir, "supplier")),
+        col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(T(s, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(T(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+        count(lit(1)).as("n_items"))
+
   private def aTopOrders(s: SparkSession, dir: String): DataFrame = {
     val ord = T(s, dir, "orders"); val li = T(s, dir, "lineitem")
     li.groupBy(col("l_orderkey"))
@@ -1300,6 +1333,8 @@ object SparkEntry {
     "q_union_back" -> (qUnionBack _),
     "a_pricing_summary" -> (aPricingSummary _),
     "a_segment_revenue" -> (aSegmentRevenue _),
+    "a_returned_revenue" -> (aReturnedRevenue _),
+    "a_region_volume" -> (aRegionVolume _),
     "a_top_orders" -> (aTopOrders _),
     "a_top_parts_per_brand" -> (aTopPartsPerBrand _),
     "a_semi_join" -> (aSemiJoin _),
