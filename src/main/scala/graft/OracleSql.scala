@@ -978,7 +978,7 @@ WHERE rnk <= 3""",
 ), ex AS (
   SELECT doc_id, tk, unnest(range(0, CAST((n_tok + 47) // 48 AS BIGINT))) AS i FROM d
 ), ctk AS (
-  SELECT doc_id * 1000 + i AS vec_id, tk[i*48+1 : i*48+64] AS ct FROM ex
+  SELECT doc_id * 1000 + i AS vec_id, tk[i*48+1 : i*48+64] AS ct FROM ex WHERE i < 1000
 ), bl AS (
   SELECT vec_id, len(ct) AS n, list_transform(ct, t -> ${dh("t")} % 64) AS bins FROM ctk
 ), fv AS (
@@ -1110,15 +1110,12 @@ FROM documents GROUP BY 1""",
 
     // embedding outliers: cosine to own-label centroid (the exact
     // fixed-point centroid of s_label_centroids), standardized within
-    // the label over ROUNDED cosines, flagged at z <= -2
+    // the label over ROUNDED cosines, flagged on the ROUNDED z so the
+    // comparison itself can't flake cross-engine
     "s_embed_outliers" -> s"""WITH vecs AS (
   SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings
 ), cent AS (
-  SELECT label,
-    [${(1 to 64).map(i =>
-      s"(CAST(sum(CAST(round(v[$i]*1000000.0) AS BIGINT)) AS DOUBLE)/1000000.0)/count(*)")
-      .mkString(",\n     ")}] AS c
-  FROM vecs GROUP BY label
+  SELECT label, $CENT_ARR AS c FROM vecs GROUP BY label
 ), scored AS (
   SELECT vec_id, vecs.label AS label,
          round(list_dot_product(v, c) /
@@ -1128,7 +1125,7 @@ FROM documents GROUP BY 1""",
   SELECT label, avg(cos) AS mu, stddev_pop(cos) AS sigma FROM scored GROUP BY label)
 SELECT vec_id, label, cos, round((cos - mu) / sigma, 4) AS z
 FROM scored JOIN stats USING (label)
-WHERE (cos - mu) / sigma <= -2.0""",
+WHERE round((cos - mu) / sigma, 4) <= -2.0""",
 
     // the composed curation DAG: normalize -> exact-dedup keepers ->
     // quality/length gate -> train split -> pack into 2048-tok chunks

@@ -1282,7 +1282,13 @@ object SparkEntry {
     // extractFeatures batch shape) instead of 64 interpreted filter
     // scans (measured 29.5 s → ~1 s at sf0.1). Cached because the
     // brute-force query and candidate branches both read it.
+    // chunk_id < 1000 keeps vec_id = doc_id·1000 + chunk_id collision-
+    // free BY CONSTRUCTION (a ≥48k-token document would otherwise
+    // collide into the next doc's id space and flip query/candidate
+    // roles); the bound is mirrored in the oracle, so both engines
+    // truncate identically — far beyond any fixture document
     val binRows = tChunk(s, dir)
+      .filter(col("chunk_id") < 1000)
       .select((col("doc_id") * 1000 + col("chunk_id")).as("vec_id"),
         Codecs.tokens(col("chunk_text")).as("tk"))
       .select(col("vec_id"),

@@ -40,9 +40,6 @@ object Multimodal {
       else (0 until nFrames).map(i => i.toLong * p.length / math.max(nFrames, 1))
   }
 
-  /** Wrap any DataFrame with a binary `payload` column into the typed
-    * asset shape. Metadata that is derivable without a codec
-    * (byte_len) is computed as columns; codec-dependent fields start 0. */
   /** Asset-store exact dedup ledger: group by payload digest (+ byte
     * length, which rules out the remaining digest-collision window),
     * count copies, keep the min asset_id. Runs BEFORE any decode so a
@@ -55,6 +52,9 @@ object Multimodal {
         length(col("payload")).cast("long").as("byte_len"))
       .agg(count(lit(1)).as("n_copies"), min(col("asset_id")).as("keeper"))
 
+  /** Wrap any DataFrame with a binary `payload` column into the typed
+    * asset shape. Metadata that is derivable without a codec
+    * (byte_len) is computed as columns; codec-dependent fields start 0. */
   def toAssets(df: DataFrame, mediaType: String): DataFrame =
     df.select(
       col("asset_id"), lit(mediaType).as("media_type"), col("payload"),

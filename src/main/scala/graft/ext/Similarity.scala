@@ -327,10 +327,15 @@ object Similarity {
     }
     val stats = scored.groupBy("label")
       .agg(avg(col("cos")).as("mu"), stddev_pop(col("cos")).as("sigma"))
+    // safeDiv: a degenerate label (singleton, or every cosine rounding
+    // equal) has sigma exactly 0 — ANSI double division would raise
+    // where the oracle's NaN simply fails the comparison and drops the
+    // row. The gate compares the ROUNDED z so summation-order drift in
+    // mu/sigma can't flip a knife-edge row between engines.
     scored.join(broadcast(stats), "label")
-      .withColumn("z", (col("cos") - col("mu")) / col("sigma"))
+      .withColumn("z", round(safeDiv(col("cos") - col("mu"), col("sigma")), 4))
       .filter(col("z") <= -zThresh)
-      .select(col("vec_id"), col("label"), col("cos"), round(col("z"), 4).as("z"))
+      .select(col("vec_id"), col("label"), col("cos"), col("z"))
   }
 
   /** Nearest-centroid classification report: every vector is assigned
