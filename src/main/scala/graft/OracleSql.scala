@@ -1066,6 +1066,34 @@ SELECT doc_id, log_w FROM k ORDER BY es_key DESC, doc_id LIMIT 100""",
        CAST(min(doc_id) AS BIGINT) AS keeper
 FROM documents GROUP BY 1, 2""",
 
+    // ANN against an external store: codebook and cells from the
+    // store (vec_id >= 8) only; the first 8 vectors probe as
+    // non-member queries
+    "s_ann_store" -> s"""$VECS, store AS (
+  SELECT vec_id, v, nrm FROM nv WHERE vec_id >= 8
+), cents AS (
+  SELECT vec_id AS c_id, v AS cv, nrm AS cn FROM store
+  ORDER BY ${dh("CAST(vec_id AS VARCHAR)")}, vec_id LIMIT 8
+), asg AS (
+  SELECT vec_id, v, nrm, c_id AS cell FROM (
+    SELECT s.vec_id, s.v, s.nrm, c.c_id,
+           row_number() OVER (PARTITION BY s.vec_id
+             ORDER BY list_dot_product(s.v, c.cv) / (s.nrm * c.cn) DESC, c.c_id) AS crnk
+    FROM store s, cents c) WHERE crnk = 1
+), q AS (
+  SELECT vec_id AS q_id, qv, qn, c_id AS q_cell FROM (
+    SELECT nv.vec_id, nv.v AS qv, nv.nrm AS qn, c.c_id,
+           row_number() OVER (PARTITION BY nv.vec_id
+             ORDER BY list_dot_product(nv.v, c.cv) / (nv.nrm * c.cn) DESC, c.c_id) AS crnk
+    FROM nv, cents c WHERE nv.vec_id < 8) WHERE crnk = 1
+), s AS (
+  SELECT q_id, vec_id, list_dot_product(qv, v) / (qn * nrm) AS cos
+  FROM q JOIN asg ON q_cell = cell)
+SELECT q_id, vec_id AS neighbor_id, CAST(rnk AS INT) AS rnk, round(cos, 4) AS cos FROM (
+  SELECT q_id, vec_id, cos,
+         row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rnk FROM s)
+WHERE rnk <= 3""",
+
     // nearest-centroid classification: per-vector argmax over the
     // k-row centroid frame (tie -> smaller label), rolled up to a
     // per-label accuracy report

@@ -1208,6 +1208,16 @@ object SparkEntry {
   private def sEmbedOutliers(s: SparkSession, dir: String): DataFrame =
     Similarity.labelOutliers(T(s, dir, "embeddings"), 64, 2.0)
 
+  /** ANN serving shape: the first 8 vectors act as EXTERNAL queries
+    * (not store members) against the store built from the rest —
+    * codebook and cells derive from the store alone. */
+  private def sAnnStore(s: SparkSession, dir: String): DataFrame = {
+    val emb = T(s, dir, "embeddings")
+    Similarity.ivfSearchStore(
+      emb.filter(col("vec_id") < 8).select(col("vec_id").as("q_id"), col("embedding")),
+      emb.filter(col("vec_id") >= 8), 3, 8)
+  }
+
   private def sCentroidClassify(s: SparkSession, dir: String): DataFrame =
     Similarity.centroidClassify(T(s, dir, "embeddings"), 64)
 
@@ -1403,6 +1413,7 @@ object SparkEntry {
     "s_embed_outliers" -> (sEmbedOutliers _),
     "t_dsir_weights" -> (tDsirWeights _),
     "m_payload_dedup" -> (mPayloadDedup _),
+    "s_ann_store" -> (sAnnStore _),
     "s_centroid_classify" -> (sCentroidClassify _),
     "s_label_affinity" -> (sLabelAffinity _),
     "m_modality_report" -> (mModalityReport _),

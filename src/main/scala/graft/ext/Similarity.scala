@@ -279,6 +279,51 @@ object Similarity {
         round(col("cos"), 4).as("cos"))
   }
 
+  /** The store codebook as a LITERAL expression — one bounded k-row
+    * collect at wiring time (k ≪ N, the same bound as the broadcast
+    * row). For probe sides where the cell must be a pure row-local
+    * expression: the streaming micro-batch plan, which re-executes
+    * joins every batch but folds a literal for free. */
+  def codebookLiteral(store: DataFrame, kCells: Int): Column = {
+    val rows = centroidArray(store, kCells)
+      .select(explode(col("cents")).as("c"))
+      .select(col("c.c_id"), col("c.cv"), col("c.cn"))
+      .collect()
+    array(rows.map { r =>
+      struct(lit(r.getLong(0)).as("c_id"),
+        typedLit(r.getSeq[Double](1)).as("cv"),
+        lit(r.getDouble(2)).as("cn"))
+    }: _*)
+  }
+
+  /** Cell assignment as a plain expression over a codebook column
+    * (array of (c_id, cv, cn) structs) — the row-local argmax fold
+    * behind [[ivfAssignCodebook]], exposed for probe sides that carry
+    * the codebook as a literal. */
+  def cellOf(cents: Column, v: Column, nrm: Column): Column =
+    bestCell(cents, v, nrm)
+
+  /** ANN serving shape: EXTERNAL queries (q_id, embedding) against a
+    * persisted store — unlike the self-search variants, the query
+    * vectors are not corpus members, which is how a trained-model
+    * retrieval endpoint actually consumes the index. Codebook and
+    * assignment both derive from the store alone; queries are
+    * broadcast, assigned to their cell by the same argmax fold, and
+    * scored only against cell-mates. One store scan per query batch,
+    * no store shuffle. [[graft.streaming.Pipeline.annStream]] is the
+    * streaming twin over the same cached store frames. */
+  def ivfSearchStore(queries: DataFrame, store: DataFrame, k: Int,
+      kCells: Int): DataFrame = {
+    val assigned = ivfAssign(store, kCells)
+    val q = queries
+      .select(col("q_id"), asDouble(col("embedding")).as("qv"))
+      .withColumn("qn", norm(col("qv")))
+      .crossJoin(broadcast(centroidArray(store, kCells)))
+      .withColumn("q_cell", bestCell(col("cents"), col("qv"), col("qn")))
+      .select(col("q_id"), col("qv"), col("qn"), col("q_cell"))
+    rankTopK(broadcast(q).join(assigned, col("q_cell") === col("cell")), k)
+  }
+
   /** Per-label embedding centroid — the class-prototype aggregate a
     * labeled corpus feeds into nearest-centroid classification or
     * per-class drift monitoring. Means are computed through the same

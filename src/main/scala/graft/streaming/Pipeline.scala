@@ -301,6 +301,36 @@ object Pipeline {
       .drop("l_trace_id")
   }
 
+  /** Streaming ANN probe — the serving twin of
+    * [[graft.ext.Similarity.ivfSearchStore]]: a live stream of query
+    * vectors (q_id, embedding) probes the PERSISTED store index. The
+    * store assignment frame is the same PlanCached frame the batch
+    * searches read; the query's cell is computed by a pure row-local
+    * argmax fold over the codebook as a LITERAL (k rows collected once
+    * at wiring), so the micro-batch plan carries no broadcast join and
+    * no state. Emits SCORED cell-mate candidates (q_id, neighbor_id,
+    * cos): append-safe and stateless — a re-sent query re-emits
+    * identical rows — with the per-query top-k cut being the
+    * consumer's foreachBatch rollup, as with the admission gates. */
+  def annStream(queries: DataFrame, store: DataFrame, kCells: Int): DataFrame = {
+    import graft.ext.Similarity
+    val assigned = Similarity.ivfAssign(store, kCells)
+      .select(col("cell"), col("vec_id"), col("v"), col("nrm"))
+    // the codebook rides as a LITERAL (k rows collected once at
+    // wiring): the micro-batch plan then assigns each query's cell as
+    // a pure row-local fold — no broadcast join, no state
+    val centsLit = Similarity.codebookLiteral(store, kCells)
+    queries
+      .select(col("q_id"), Similarity.asDouble(col("embedding")).as("qv"))
+      .withColumn("qn", Similarity.norm(col("qv")))
+      .withColumn("cell", Similarity.cellOf(centsLit, col("qv"), col("qn")))
+      .join(assigned, Seq("cell")) // stream-static equi-join on the cell
+      .select(col("q_id"), col("vec_id").as("neighbor_id"),
+        round(when(col("qn") * col("nrm") =!= 0.0d,
+          Similarity.dot(col("qv"), col("v")) / (col("qn") * col("nrm")))
+          .otherwise(lit(Double.NaN)), 4).as("cos"))
+  }
+
   /** Start the streaming query: raw Kafka-shaped stream in, four sinks
     * out, one source scan per micro-batch. */
   def start(

@@ -329,6 +329,48 @@ class StreamingPipelineSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming ANN probe equals the batch store search, statelessly") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val store = emb.filter(col("vec_id") >= 8)
+    val queries = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("q_id"), col("embedding"))
+      .as[(Long, Array[Float])].collect().toSeq
+    val expected = graft.ext.Similarity.ivfSearchStore(
+        emb.filter(col("vec_id") < 8).select(col("vec_id").as("q_id"), col("embedding")),
+        store, 3, 8)
+      .select(col("q_id"), col("neighbor_id"), col("rnk"), col("cos"))
+      .as[(Long, Long, Int, Double)].collect().toSet
+    assert(expected.nonEmpty, "store search must return neighbors")
+    val input = MemoryStream[(Long, Array[Float])]
+    val out = Pipeline.annStream(input.toDF().toDF("q_id", "embedding"), store, 8)
+    val q = out.writeStream.format("memory").queryName("ann_stream")
+      .outputMode("append").start()
+    try {
+      val (half1, half2) = queries.splitAt(queries.size / 2)
+      input.addData(half1); q.processAllAvailable()
+      input.addData(half2); q.processAllAvailable()
+      // the stream emits scored cell-mates; the top-k cut is the
+      // consumer's batch-land rollup — apply it and compare exactly
+      val got = spark.table("ann_stream")
+        .withColumn("rnk", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("q_id")).orderBy(col("cos").desc, col("neighbor_id"))))
+        .filter(col("rnk") <= 3)
+        .as[(Long, Long, Double, Int)].collect()
+        .map(r => (r._1, r._2, r._4, r._3)).toSet
+      assert(got === expected,
+        "literal-codebook cell assignment + cell join must reproduce the batch search")
+      // statelessness: a re-sent query re-emits identical candidate rows
+      val someQ = queries.head._1
+      val before = spark.table("ann_stream").filter(col("q_id") === someQ).count()
+      input.addData(queries.filter(_._1 == someQ)); q.processAllAvailable()
+      val after = spark.table("ann_stream").filter(col("q_id") === someQ).count()
+      assert(after === 2 * before, "re-send must exactly double the query's rows")
+    } finally q.stop()
+  }
+
   test("malformed values route to the default branch instead of vanishing") {
     // a 2-byte payload decodes to null value_int; the null parity
     // predicate must fall through to the default (odd) branch
