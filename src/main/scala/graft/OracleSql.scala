@@ -1023,6 +1023,27 @@ SELECT source, CAST(count(*) AS BIGINT) AS n_grams,
        round(CAST(count(DISTINCT g) AS DOUBLE) / count(*), 4) AS diversity
 FROM g GROUP BY source""",
 
+    // winnowing (rightmost-min per w=4 window over 3-gram hashes);
+    // DuckDB's list_indexof finds the FIRST match, so the reversed
+    // window gives the rightmost original position — same rule as the
+    // engine's array_position(reverse(win), minv)
+    "t_winnow" -> s"""WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), t -> len(t) > 0) AS tk
+  FROM documents
+), hsx AS (
+  SELECT doc_id, list_transform(${shinglesN(3)}, s -> ${dh("s")}) AS hs FROM toks
+  WHERE len(tk) >= 3
+), win AS (
+  SELECT doc_id, unnest(range(1, len(hs) - 4 + 2)) AS i, hs
+  FROM hsx WHERE len(hs) >= 4
+), sel AS (
+  SELECT doc_id,
+         i + 4 - list_indexof(list_reverse(hs[i:i+3]), list_min(hs[i:i+3])) AS pos,
+         list_min(hs[i:i+3]) AS fp
+  FROM win)
+SELECT DISTINCT doc_id, CAST(pos AS BIGINT) AS pos, fp FROM sel""",
+
     // per-source unigram KL vs the corpus marginal; counts stay exact
     // integers, doubles only in the final log terms (ln == Spark log)
     "t_source_kl" -> s"""WITH occ AS (

@@ -1202,6 +1202,9 @@ object SparkEntry {
   private def tNgramDiversity(s: SparkSession, dir: String): DataFrame =
     TextOps.ngramDiversity(T(s, dir, "documents"), 3)
 
+  private def tWinnow(s: SparkSession, dir: String): DataFrame =
+    TextOps.winnow(T(s, dir, "documents"), 3, 4)
+
   private def tSourceKl(s: SparkSession, dir: String): DataFrame =
     TextOps.sourceUnigramKl(T(s, dir, "documents"))
 
@@ -1409,6 +1412,7 @@ object SparkEntry {
     "e_chunk_ann" -> (eChunkAnn _),
     "d_edit_verify" -> (dEditVerify _),
     "t_ngram_diversity" -> (tNgramDiversity _),
+    "t_winnow" -> (tWinnow _),
     "t_source_kl" -> (tSourceKl _),
     "s_embed_outliers" -> (sEmbedOutliers _),
     "t_dsir_weights" -> (tDsirWeights _),

@@ -341,4 +341,37 @@ object TextOps {
     * stable under local edits elsewhere in the document. */
   def minShingleFingerprint(text: Column, n: Int = 3): Column =
     array_min(transform(shingles(tokens(text), n), s => portableHash(s)))
+
+  /** Winnowing fingerprints (Schleimer, Wilkerson, Aiken 2003): slide
+    * a `w`-window over the document's positional n-gram hash sequence
+    * and keep the RIGHTMOST minimal hash of each window. The classic
+    * guarantee: any verbatim match of at least w+n-1 tokens shares a
+    * fingerprint, while only ~2/(w+1) of the grams are stored — the
+    * local-fingerprinting middle ground between the single min-hash
+    * (cheap, no position) and the full positional index (exact, big).
+    * Returns one row per selected (doc_id, pos, fp).
+    *
+    * Scale shape: all row-local array work over the layered hash
+    * array (O(grams·w) per document, no shuffle) + one distinct
+    * bounded by selected fingerprints (~2/(w+1) of corpus grams). */
+  def winnow(docs: DataFrame, n: Int, w: Int): DataFrame = {
+    val base = docs
+      .select(col("doc_id"), tokens(col("text")).as("tk"))
+      .select(col("doc_id"),
+        transform(shingles(col("tk"), n), s => portableHash(s)).as("hs"))
+      .filter(size(col("hs")) >= w) // shorter docs have no full window
+    // rightmost minimal hash per window: first match in the REVERSED
+    // window is the last in the original, so
+    // pos = i + w - position_in_reversed
+    val sel = transform(sequence(lit(1), size(col("hs")) - (w - 1)), i => {
+      val win = slice(col("hs"), i, lit(w))
+      val minv = array_min(win)
+      struct((i + w - array_position(reverse(win), minv)).as("pos"),
+        minv.as("fp"))
+    })
+    base
+      .select(col("doc_id"), explode(sel).as("s"))
+      .select(col("doc_id"), col("s.pos").as("pos"), col("s.fp").as("fp"))
+      .distinct() // adjacent windows often elect the same position
+  }
 }

@@ -872,6 +872,25 @@ class ExtSpec extends SparkSpec {
       (0, 2, math.rint(h * 10000) / 10000), (1, 2, math.rint(h * 10000) / 10000)))
   }
 
+  test("winnowing guarantees a shared fingerprint for any long-enough verbatim match") {
+    // the Schleimer guarantee: a verbatim run of >= w+n-1 tokens
+    // (here 4+3-1 = 6; planted: 8) must contribute at least one
+    // common fingerprint VALUE to both documents
+    val shared = "alpha beta gamma delta epsilon zeta eta theta"
+    val docs = Seq(
+      (1L, s"unrelated prefix words here $shared and a suffix"),
+      (2L, s"totally different opening $shared closing differently now"))
+      .toDF("doc_id", "text")
+    val fps = TextOps.winnow(docs, 3, 4)
+      .select(col("doc_id"), col("fp")).as[(Long, Long)].collect()
+    val a = fps.filter(_._1 == 1L).map(_._2).toSet
+    val b = fps.filter(_._1 == 2L).map(_._2).toSet
+    assert(a.intersect(b).nonEmpty, "the planted 8-token run must be fingerprinted in both")
+    // density: winnowing stores ~2/(w+1) of grams — far fewer than all
+    val grams = 10 + 3 - 1 // ~tokens - n + 1 per doc
+    assert(a.size < grams, "winnowing must select a strict subset of grams")
+  }
+
   test("label outliers flag the vector pointing away from its centroid") {
     val emb = ((1L to 5L).map(i => (i, Array(1f, 0f), 0)) :+ ((6L, Array(-1f, 0f), 0)))
       .toDF("vec_id", "embedding", "label")
