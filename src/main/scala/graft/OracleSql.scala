@@ -247,6 +247,26 @@ w AS (
          round(sum(c_db * log_ratio), 4) AS log_w
   FROM pd JOIN model USING (b) GROUP BY doc_id)"""
 
+  /** Winnowing fingerprint CTEs (mirror of TextOps.winnow at n=3,
+    * w=4) ending in `wfps(doc_id, pos, fp)` — shared by the index
+    * query and the pair consumer. */
+  private val WINNOW = s"""WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), t -> len(t) > 0) AS tk
+  FROM documents
+), hsx AS (
+  SELECT doc_id, list_transform(${shinglesN(3)}, s -> ${dh("s")}) AS hs FROM toks
+  WHERE len(tk) >= 3
+), win AS (
+  SELECT doc_id, unnest(range(1, len(hs) - 4 + 2)) AS i, hs
+  FROM hsx WHERE len(hs) >= 4
+), sel AS (
+  SELECT doc_id,
+         i + 4 - list_indexof(list_reverse(hs[i:i+3]), list_min(hs[i:i+3])) AS pos,
+         list_min(hs[i:i+3]) AS fp
+  FROM win),
+wfps AS (SELECT DISTINCT doc_id, CAST(pos AS BIGINT) AS pos, fp FROM sel)"""
+
   val all: Map[String, String] = Map(
     "q_branch_even" -> s"$REC SELECT event_id, user_id, value_int FROM evens",
 
@@ -1027,22 +1047,16 @@ FROM g GROUP BY source""",
     // DuckDB's list_indexof finds the FIRST match, so the reversed
     // window gives the rightmost original position — same rule as the
     // engine's array_position(reverse(win), minv)
-    "t_winnow" -> s"""WITH toks AS (
-  SELECT doc_id,
-         list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), t -> len(t) > 0) AS tk
-  FROM documents
-), hsx AS (
-  SELECT doc_id, list_transform(${shinglesN(3)}, s -> ${dh("s")}) AS hs FROM toks
-  WHERE len(tk) >= 3
-), win AS (
-  SELECT doc_id, unnest(range(1, len(hs) - 4 + 2)) AS i, hs
-  FROM hsx WHERE len(hs) >= 4
-), sel AS (
-  SELECT doc_id,
-         i + 4 - list_indexof(list_reverse(hs[i:i+3]), list_min(hs[i:i+3])) AS pos,
-         list_min(hs[i:i+3]) AS fp
-  FROM win)
-SELECT DISTINCT doc_id, CAST(pos AS BIGINT) AS pos, fp FROM sel""",
+    "t_winnow" -> s"""$WINNOW SELECT doc_id, pos, fp FROM wfps""",
+
+    // MOSS-style pair candidates: equi-join on the winnow fingerprint
+    // value, >= 3 shared fingerprints
+    "d_winnow_pairs" -> s"""$WINNOW, u AS (
+  SELECT DISTINCT doc_id, fp FROM wfps)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(count(*) AS BIGINT) AS n_shared_fps
+FROM u a JOIN u b ON a.fp = b.fp AND a.doc_id < b.doc_id
+GROUP BY 1, 2 HAVING count(*) >= 3""",
 
     // per-source unigram KL vs the corpus marginal; counts stay exact
     // integers, doubles only in the final log terms (ln == Spark log)

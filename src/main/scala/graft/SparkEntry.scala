@@ -82,6 +82,10 @@ object SparkEntry {
       ((s, dir) => { Similarity.pqReconstruct(T(s, dir, "embeddings"), 4, 8, 64).count(); () }),
     "lsh_pairs" ->
       ((s, dir) => { Dedup.lshVerifiedJaccard(T(s, dir, "documents"), 3, 16, 4, 4, 0.5).count(); () }),
+    // winnowing fingerprint index: shared by t_winnow and
+    // d_winnow_pairs
+    "winnow_index" ->
+      ((s, dir) => { winnowIdx(s, dir).count(); () }),
     // incremental batch-vs-corpus pair frame: shared by
     // d_incremental_dedup and d_incremental_apply (alphabetically the
     // APPLY query would otherwise be charged the whole build)
@@ -1202,8 +1206,30 @@ object SparkEntry {
   private def tNgramDiversity(s: SparkSession, dir: String): DataFrame =
     TextOps.ngramDiversity(T(s, dir, "documents"), 3)
 
+  /** The winnowing fingerprint index, materialized once — shared by
+    * t_winnow and d_winnow_pairs (and charged to the winnow_index
+    * prepare step in the bench). */
+  private def winnowIdx(s: SparkSession, dir: String): DataFrame =
+    graft.ops.PlanCache.cached("winnow-3-4",
+      TextOps.winnow(T(s, dir, "documents"), 3, 4))
+
   private def tWinnow(s: SparkSession, dir: String): DataFrame =
-    TextOps.winnow(T(s, dir, "documents"), 3, 4)
+    winnowIdx(s, dir)
+
+  /** Winnow-fingerprint pair candidates: docs sharing ≥ 3 selected
+    * fingerprints — the pair consumer the winnowing index exists for
+    * (MOSS-style match detection). Join fan-out is per fingerprint
+    * VALUE over the ~2/(w+1)-dense index, never all-pairs; the same
+    * equi-join-as-candidate-generator shape as the shingle and band
+    * indices. */
+  private def dWinnowPairs(s: SparkSession, dir: String): DataFrame = {
+    val fps = winnowIdx(s, dir).select(col("doc_id"), col("fp")).distinct()
+    fps.as("a").join(fps.as("b"),
+        col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared_fps"))
+      .filter(col("n_shared_fps") >= 3)
+  }
 
   private def tSourceKl(s: SparkSession, dir: String): DataFrame =
     TextOps.sourceUnigramKl(T(s, dir, "documents"))
@@ -1413,6 +1439,7 @@ object SparkEntry {
     "d_edit_verify" -> (dEditVerify _),
     "t_ngram_diversity" -> (tNgramDiversity _),
     "t_winnow" -> (tWinnow _),
+    "d_winnow_pairs" -> (dWinnowPairs _),
     "t_source_kl" -> (tSourceKl _),
     "s_embed_outliers" -> (sEmbedOutliers _),
     "t_dsir_weights" -> (tDsirWeights _),
