@@ -299,21 +299,51 @@ object TextOps {
     * per-bucket log-ratio. The target slice is any boolean column
     * predicate (here: a source), so "target" costs one filter, not a
     * second corpus. */
-  def dsirWeights(docs: DataFrame, isTarget: Column, vBuckets: Int): DataFrame = {
-    import org.apache.spark.sql.functions.broadcast
+  /** The (doc, bucket) count substrate of the DSIR family — cached;
+    * the key carries the target predicate because the frame embeds
+    * is_t (two targets over one corpus are two frames). */
+  private def dsirDocBuckets(docs: DataFrame, isTarget: Column,
+      vBuckets: Int): DataFrame = {
     val occ = docs
       .select(col("doc_id"), isTarget.as("is_t"), tokens(col("text")).as("tk"))
       .select(col("doc_id"), col("is_t"), explode(shingles(col("tk"), 2)).as("g"))
       .withColumn("b", pmod(portableHash(col("g")), lit(vBuckets.toLong)))
-    // the cache key must carry the target predicate too — the frame
-    // embeds is_t, so two targets over the same corpus are different
-    // frames
-    val perDoc = graft.ops.PlanCache.cachedBy(
+    graft.ops.PlanCache.cachedBy(
         s"dsir-docbuckets-$vBuckets-${isTarget.toString.hashCode}",
         docs.queryExecution.logical.semanticHash(), docs.sparkSession) {
       occ.groupBy(col("doc_id"), col("b"))
         .agg(count(lit(1)).as("c_db"), first(col("is_t")).as("is_t"))
     }
+  }
+
+  /** The frozen DSIR bucket model as DRIVER values, for gate wiring:
+    * (bucket → log-ratio) pairs plus the unseen-bucket constant (the
+    * smoothing prior term for buckets the corpus never produced — the
+    * out-of-distribution case a live gate must price, not crash on).
+    * One bounded collect: ≤ vBuckets rows by construction. */
+  def dsirModelRows(docs: DataFrame, isTarget: Column,
+      vBuckets: Int): (Array[(Long, Double)], Double) = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val pd = dsirDocBuckets(docs, isTarget, vBuckets)
+    val tot = pd.agg(
+      sum(when(col("is_t"), col("c_db")).otherwise(0L)).as("n_t"),
+      sum(col("c_db")).as("n_c")).head()
+    val nT = tot.getLong(0); val nC = tot.getLong(1)
+    val model = pd.groupBy("b")
+      .agg(sum(col("c_db")).as("c_c"),
+        sum(when(col("is_t"), col("c_db")).otherwise(0L)).as("c_t"))
+      .select(col("b"),
+        log(((col("c_t") + 1).cast("double") / lit(nT + vBuckets)) /
+          ((col("c_c") + 1).cast("double") / lit(nC + vBuckets))).as("log_ratio"))
+      .as[(Long, Double)].collect()
+    val unseen = math.log((1.0 / (nT + vBuckets)) / (1.0 / (nC + vBuckets)))
+    (model, unseen)
+  }
+
+  def dsirWeights(docs: DataFrame, isTarget: Column, vBuckets: Int): DataFrame = {
+    import org.apache.spark.sql.functions.broadcast
+    val perDoc = dsirDocBuckets(docs, isTarget, vBuckets)
     val tgt = perDoc.filter(col("is_t")).groupBy("b").agg(sum(col("c_db")).as("c_t"))
     val cor = perDoc.groupBy("b").agg(sum(col("c_db")).as("c_c"))
     val nT = tgt.agg(sum(col("c_t")).as("n_t"))

@@ -301,6 +301,41 @@ object Pipeline {
       .drop("l_trace_id")
   }
 
+  /** Streaming DSIR admission gate — the curation twin of
+    * [[graft.ext.TextOps.dsirWeights]]: each arriving document is
+    * scored against the FROZEN bucket model (built from the static
+    * corpus once at wiring) entirely row-locally — its bigrams hash
+    * into buckets and fold through the model as a LITERAL map, so the
+    * micro-batch plan has no join, no shuffle and no state. Buckets
+    * the corpus never produced are priced by the smoothing prior (the
+    * `unseen` constant), which is exactly the add-one model's value
+    * for a zero-count bucket — out-of-distribution text is scored, not
+    * crashed on or dropped. Calibration caveat: with add-one smoothing
+    * and a target slice much smaller than the corpus, the prior is
+    * POSITIVE (the smaller sample has less evidence against novel
+    * grams), so a gate meant to reject gibberish needs minLogW above
+    * n_grams·unseen, or equalized sample sizes — the classic DSIR
+    * footnote. Emits (doc_id, n_grams, log_w,
+    * admit); a re-sent document re-emits the identical row. Documents
+    * too short to form a bigram are dropped, as in the batch scorer. */
+  def dsirGate(docs: DataFrame, corpusDocs: DataFrame, isTarget: Column,
+      vBuckets: Int, minLogW: Double): DataFrame = {
+    import graft.codec.Codecs
+    val (model, unseen) = graft.ext.TextOps.dsirModelRows(corpusDocs, isTarget, vBuckets)
+    val mapLit = typedLit(model.toMap)
+    docs
+      .select(col("doc_id"), Codecs.tokens(col("text")).as("tk"))
+      .select(col("doc_id"),
+        transform(Codecs.shingles(col("tk"), 2),
+          g => pmod(Codecs.portableHash(g), lit(vBuckets.toLong))).as("bins"))
+      .filter(size(col("bins")) > 0)
+      .select(col("doc_id"),
+        size(col("bins")).cast("long").as("n_grams"),
+        round(aggregate(col("bins"), lit(0.0d),
+          (acc, b) => acc + coalesce(element_at(mapLit, b), lit(unseen))), 4).as("log_w"))
+      .withColumn("admit", col("log_w") >= minLogW)
+  }
+
   /** Streaming ANN probe — the serving twin of
     * [[graft.ext.Similarity.ivfSearchStore]]: a live stream of query
     * vectors (q_id, embedding) probes the PERSISTED store index. The

@@ -329,6 +329,57 @@ class StreamingPipelineSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming DSIR gate reproduces the batch weights and prices unseen buckets") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"), col("source"))
+    val expected = graft.ext.TextOps
+      .dsirWeights(corpus, col("source") === "src0", 1024)
+      .select(col("doc_id"), col("n_grams"), col("log_w"))
+      .as[(Long, Long, Double)].collect().toSet
+    assert(expected.nonEmpty)
+    val docs = corpus.select(col("doc_id"), col("text"))
+      .as[(Long, String)].collect().toSeq
+    val input = MemoryStream[(Long, String)]
+    val out = Pipeline.dsirGate(input.toDF().toDF("doc_id", "text"),
+      corpus, col("source") === "src0", 1024, 0.0)
+    val q = out.writeStream.format("memory").queryName("dsir_gate")
+      .outputMode("append").start()
+    try {
+      // corpus docs replayed through the gate must score exactly the
+      // batch weights (same buckets, same frozen model)
+      input.addData(docs); q.processAllAvailable()
+      val got = spark.table("dsir_gate")
+        .select(col("doc_id"), col("n_grams"), col("log_w"))
+        .as[(Long, Long, Double)].collect().toSet
+      assert(got === expected,
+        "row-local literal-map fold must reproduce the batch bucket-join scores")
+      // a novel doc's bigrams hash into buckets the corpus may or may
+      // not occupy (the hashing trick's collisions are part of the
+      // model): the gate must price each by the model entry when the
+      // bucket exists and by the smoothing prior when it doesn't —
+      // recompute the exact expected score from the collected model
+      val (model, unseen) = graft.ext.TextOps.dsirModelRows(
+        corpus, col("source") === "src0", 1024)
+      val m = model.toMap
+      def ph(s: String): Long = { // JVM mirror of Codecs.portableHash
+        val d = java.security.MessageDigest.getInstance("MD5")
+          .digest(s.getBytes("UTF-8"))
+        java.lang.Long.parseLong(d.take(7).map("%02x".format(_)).mkString, 16)
+      }
+      val novel = Seq("qqxx", "wwyy", "zzkk", "rrtt", "uuvv")
+      val expectedOod = novel.sliding(2)
+        .map(p => m.getOrElse(ph(p.mkString(" ")) % 1024, unseen)).sum
+      input.addData(Seq((999999L, novel.mkString(" ")))); q.processAllAvailable()
+      val ood = spark.table("dsir_gate").filter(col("doc_id") === 999999L)
+        .select(col("log_w"), col("admit")).as[(Double, Boolean)].head()
+      assert(math.abs(ood._1 - expectedOod) < 1e-3,
+        s"novel bigrams must be priced by model entry or prior ($expectedOod): $ood")
+      assert(ood._2 === (ood._1 >= 0.0))
+    } finally q.stop()
+  }
+
   test("streaming ANN probe equals the batch store search, statelessly") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
