@@ -86,6 +86,11 @@ object SparkEntry {
     // d_winnow_pairs
     "winnow_index" ->
       ((s, dir) => { winnowIdx(s, dir).count(); () }),
+    // DSIR (doc, bucket) substrate: shared by t_dsir_weights and
+    // e_dsir_apply (alphabetically the APPLY query would otherwise be
+    // charged the whole build)
+    "dsir_buckets" ->
+      ((s, dir) => { tDsirWeights(s, dir).count(); () }),
     // incremental batch-vs-corpus pair frame: shared by
     // d_incremental_dedup and d_incremental_apply (alphabetically the
     // APPLY query would otherwise be charged the whole build)
