@@ -1101,6 +1101,14 @@ SELECT doc_id, log_w FROM k ORDER BY es_key DESC, doc_id LIMIT 100""",
        CAST(min(doc_id) AS BIGINT) AS keeper
 FROM documents GROUP BY 1, 2""",
 
+    // linear-head classifier sweep: literal weights, one dot+sigmoid
+    // per row (weights regenerated from SparkEntry.ModelWeights)
+    "s_model_score" -> s"""SELECT vec_id,
+  round(1.0 / (1.0 + exp(-(list_dot_product(
+    list_transform(embedding, x -> CAST(x AS DOUBLE)),
+    [${graft.SparkEntry.ModelWeights.mkString(", ")}]) + 0.1))), 4) AS p
+FROM embeddings""",
+
     // ANN against an external store: codebook and cells from the
     // store (vec_id >= 8) only; the first 8 vectors probe as
     // non-member queries

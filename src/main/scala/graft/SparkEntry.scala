@@ -1242,6 +1242,27 @@ object SparkEntry {
   private def sEmbedOutliers(s: SparkSession, dir: String): DataFrame =
     Similarity.labelOutliers(T(s, dir, "embeddings"), 64, 2.0)
 
+  /** Classifier inference over the corpus — the distilled-quality-
+    * model pattern (fastText-style filters, reward-model scores): a
+    * trained linear head's weights ride as a LITERAL vector and the
+    * whole "model" is one codegen'd dot product + sigmoid per row.
+    * One scan, no shuffle, no UDF — at 100 TB this IS how a cheap
+    * classifier sweeps a corpus; a deeper model slots into the same
+    * column via a batch-inference mapPartitions. Weights are a fixed
+    * deterministic ramp so the oracle regenerates them exactly. */
+  private def sModelScore(s: SparkSession, dir: String): DataFrame = {
+    val w = array(ModelWeights.map(lit): _*)
+    T(s, dir, "embeddings")
+      .select(col("vec_id"), Similarity.asDouble(col("embedding")).as("v"))
+      .select(col("vec_id"),
+        round(lit(1.0) / (lit(1.0) +
+          exp(-(Similarity.dot(col("v"), w) + lit(0.1)))), 4).as("p"))
+  }
+
+  /** The fixed linear-head weights of [[sModelScore]] — shared with
+    * the oracle generator so both engines hold the identical model. */
+  val ModelWeights: Seq[Double] = (1 to 64).map(i => ((i * 37 % 19) - 9) / 10.0)
+
   /** ANN serving shape: the first 8 vectors act as EXTERNAL queries
     * (not store members) against the store built from the rest —
     * codebook and cells derive from the store alone. */
@@ -1450,6 +1471,7 @@ object SparkEntry {
     "t_dsir_weights" -> (tDsirWeights _),
     "m_payload_dedup" -> (mPayloadDedup _),
     "s_ann_store" -> (sAnnStore _),
+    "s_model_score" -> (sModelScore _),
     "s_centroid_classify" -> (sCentroidClassify _),
     "s_label_affinity" -> (sLabelAffinity _),
     "m_modality_report" -> (mModalityReport _),
