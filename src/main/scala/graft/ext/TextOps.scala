@@ -385,23 +385,27 @@ object TextOps {
     * array (O(grams·w) per document, no shuffle) + one distinct
     * bounded by selected fingerprints (~2/(w+1) of corpus grams). */
   def winnow(docs: DataFrame, n: Int, w: Int): DataFrame = {
-    val base = docs
+    // Formulated as posexplode + aggregation, NOT per-row array
+    // lambdas: the gram hash then runs as a codegen'd column (an
+    // interpreted md5-per-lambda-element build measured ~4x slower),
+    // and "rightmost minimal hash per window" is min(struct(h, -p)) —
+    // smallest hash, ties to the largest position — per (doc, window)
+    // group: a partial-agg'd shuffle co-keyed on doc_id, bounded by
+    // grams·w rows. Each gram joins its ≤ w window ids row-locally.
+    val hashed = docs
       .select(col("doc_id"), tokens(col("text")).as("tk"))
-      .select(col("doc_id"),
-        transform(shingles(col("tk"), n), s => portableHash(s)).as("hs"))
-      .filter(size(col("hs")) >= w) // shorter docs have no full window
-    // rightmost minimal hash per window: first match in the REVERSED
-    // window is the last in the original, so
-    // pos = i + w - position_in_reversed
-    val sel = transform(sequence(lit(1), size(col("hs")) - (w - 1)), i => {
-      val win = slice(col("hs"), i, lit(w))
-      val minv = array_min(win)
-      struct((i + w - array_position(reverse(win), minv)).as("pos"),
-        minv.as("fp"))
-    })
-    base
-      .select(col("doc_id"), explode(sel).as("s"))
-      .select(col("doc_id"), col("s.pos").as("pos"), col("s.fp").as("fp"))
+      .select(col("doc_id"), posexplode(shingles(col("tk"), n)).as(Seq("p0", "g")))
+      .select(col("doc_id"), (col("p0") + 1).as("p"), portableHash(col("g")).as("h"))
+    val sizes = hashed.groupBy("doc_id").agg(max(col("p")).as("m"))
+      .filter(col("m") >= w) // shorter docs have no full window
+    hashed.join(sizes, "doc_id")
+      .select(col("doc_id"), col("p"), col("h"),
+        explode(sequence(greatest(col("p") - (w - 1), lit(1)),
+          least(col("p"), col("m") - (w - 1)))).as("i"))
+      .groupBy(col("doc_id"), col("i"))
+      .agg(min(struct(col("h"), (-col("p")).as("np"))).as("sel"))
+      .select(col("doc_id"), (-col("sel.np")).cast("long").as("pos"),
+        col("sel.h").as("fp"))
       .distinct() // adjacent windows often elect the same position
   }
 }
