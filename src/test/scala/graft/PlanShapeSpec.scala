@@ -243,6 +243,24 @@ class PlanShapeSpec extends SparkSpec {
       s"the k-row centroid frame must broadcast:\n$p")
   }
 
+  test("rank-limit queries get Spark's native map-side WindowGroupLimit prune") {
+    // Spark 3.5+ plans `row_number() ... filter rnk <= k` with a
+    // PARTIAL WindowGroupLimit BEFORE the exchange — the shuffle
+    // carries at most k rows per key per partition instead of every
+    // row. This is the built-in form of a custom per-key top-k
+    // operator (a prototype of which measurably double-pruned and was
+    // dropped — built-ins win); every rank-window consumer in the
+    // registry (top-k per brand, every ANN rankTopK) relies on it, so
+    // pin it against optimizer-hostile refactors and config drift.
+    for (q <- Seq("a_top_parts_per_brand", "s_ann_brute")) {
+      val p = plan(q)
+      assert(p.contains("WindowGroupLimit"),
+        s"$q must keep the rank-limit pushdown:\n$p")
+      assert(p.contains("Partial"),
+        s"$q must include the PARTIAL (map-side) group limit:\n$p")
+    }
+  }
+
   test("DSIR resample plans as TakeOrderedAndProject, never a full sort") {
     val p = plan("e_dsir_apply")
     assert(p.contains("TakeOrderedAndProject"),
