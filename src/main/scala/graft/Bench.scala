@@ -142,12 +142,17 @@ object Bench {
       try {
         val truth = SparkEntry.queries("s_ann_brute")(spark, sfDir)
           .filter(col("rnk") <= 3).select(col("q_id"), col("neighbor_id")).cache()
+        // an empty truth set (degenerate fixture) must report -1, not
+        // 0/0 = NaN — an unquoted NaN would invalidate the JSON line
         val denom = truth.count().toDouble
         def recallOf(name: String, df: => org.apache.spark.sql.DataFrame): (String, Double) = {
           val r = try {
-            val got = df.filter(col("rnk") <= 3).select(col("q_id"), col("neighbor_id"))
-            math.rint(got.join(truth, Seq("q_id", "neighbor_id"), "left_semi")
-              .count() / denom * 1000) / 1000
+            if (denom == 0.0) -1.0
+            else {
+              val got = df.filter(col("rnk") <= 3).select(col("q_id"), col("neighbor_id"))
+              math.rint(got.join(truth, Seq("q_id", "neighbor_id"), "left_semi")
+                .count() / denom * 1000) / 1000
+            }
           } catch { case e: Throwable =>
             System.err.println(s"[bench] recall $name FAILED: ${e.getMessage}"); -1.0
           }
@@ -197,9 +202,12 @@ object Bench {
     // extras are advisory twins and fail separately
     val nFailed = results.values.count(_ < 0) + prepareSteps.count(_._2 < 0)
     val nExtrasFailed = extraResults.values.count(_ < 0)
-    // matched sf emits as a bare JSON number; a non-matching sfDir must
-    // be quoted or the whole contract line becomes invalid JSON
+    // matched sf emits as a bare JSON number; anything else must be
+    // quoted or the whole contract line becomes invalid JSON. The
+    // capture is re-validated as a strict JSON number — "sf.5"/"sf0.5."
+    // style paths match the loose regex but are not valid bare tokens
     val sfShort = "sf([0-9.]+)".r.findFirstMatchIn(sfDir).map(_.group(1))
+      .filter(_.matches("[0-9]+(\\.[0-9]+)?"))
       .getOrElse("\"" + sfDir.replace("\\", "\\\\").replace("\"", "\\\"") + "\"")
     val detail = s"""{"metric":"total","value":${r3s(total)},"unit":"sec","prepare":${r3s(prepareSec)},"prepare_steps":${jmap(prepareSteps, r3s)},"queries":${jmap(results.toSeq.sortBy(_._1), r3s)},"extras":${jmap(extraResults, r3s)},"recall_at_3":${jmap(annRecall, r3s)},"failed":$nFailed,"extras_failed":$nExtrasFailed,"sf":"$sfDir"}"""
     try java.nio.file.Files.write(
