@@ -94,6 +94,30 @@ object Dedup {
       .select("doc_a", "doc_b", "jaccard")
   }
 
+  /** Candidate-driven intersection census — the shared tail of every
+    * LSH-verified metric (Jaccard verify, containment, incremental
+    * ingest): for each (aCol, bCol) candidate pair, count shared
+    * shingle hashes and attach both side sizes. Cost is
+    * O(candidates × shingles/doc), driven entirely by the candidate
+    * list, never corpus-quadratic. Callers derive their metric
+    * (Jaccard, directional containment) from (n_inter, n_a, n_b). */
+  private def intersectWithSizes(cands: DataFrame, sh: DataFrame,
+      aCol: String, bCol: String): DataFrame = {
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    cands
+      .join(sh.select(col("doc_id").as(aCol), col("h").as("ha")), aCol)
+      .join(sh.select(col("doc_id").as("__b_id"), col("h").as("hb")),
+        col(bCol) === col("__b_id") && col("ha") === col("hb"))
+      .groupBy(aCol, bCol).agg(count(lit(1)).as("n_inter"))
+      .join(sizes.select(col("doc_id").as(aCol), col("n_sh").as("n_a")), aCol)
+      .join(sizes.select(col("doc_id").as(bCol), col("n_sh").as("n_b")), bCol)
+  }
+
+  /** J = |∩| / (|A|+|B|−|∩|) over an [[intersectWithSizes]] frame. */
+  private def jaccardCol: Column =
+    round(col("n_inter").cast("double") /
+      (col("n_a") + col("n_b") - col("n_inter")).cast("double"), 4)
+
   /** n-gram Jaccard near-dup pairs, exhaustive over all shingles.
     * CAUTION at scale: one shingle shared by d documents contributes
     * d²/2 join rows — a single stop-shingle in a billion docs is fatal.
@@ -199,19 +223,10 @@ object Dedup {
   def lshContainment(docs: DataFrame, n: Int, k: Int, bands: Int,
       rowsPerBand: Int, minC: Double, hashName: String = "md5"): DataFrame = {
     val sh = shingleHashes(docs, n, hashName)
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val cands = lshCandidatePairs(minhashSignatures(docs, n, k, hashName),
         bands, rowsPerBand, hashName)
       .select("doc_a", "doc_b")
-    val shA = sh.select(col("doc_id").as("doc_a"), col("h").as("ha"))
-    val shB = sh.select(col("doc_id").as("b_id"), col("h").as("hb"))
-    val inter = cands
-      .join(shA, "doc_a")
-      .join(shB, col("doc_b") === col("b_id") && col("ha") === col("hb"))
-      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_inter"))
-    inter
-      .join(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a")), "doc_a")
-      .join(sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("n_b")), "doc_b")
+    intersectWithSizes(cands, sh, "doc_a", "doc_b")
       .withColumn("c_a_in_b", round(col("n_inter").cast("double") / col("n_a"), 4))
       .withColumn("c_b_in_a", round(col("n_inter").cast("double") / col("n_b"), 4))
       .filter(col("c_a_in_b") >= minC || col("c_b_in_a") >= minC)
@@ -275,18 +290,8 @@ object Dedup {
         Seq("band", "bkey"))
       .select("batch_doc", "corpus_doc").distinct()
     val sh = shingleHashes(docs, n, hashName)
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-    val inter = cands
-      .join(sh.select(col("doc_id").as("batch_doc"), col("h").as("ha")), "batch_doc")
-      .join(sh.select(col("doc_id").as("c_id"), col("h").as("hb")),
-        col("corpus_doc") === col("c_id") && col("ha") === col("hb"))
-      .groupBy("batch_doc", "corpus_doc").agg(count(lit(1)).as("n_inter"))
-    inter
-      .join(sizes.select(col("doc_id").as("batch_doc"), col("n_sh").as("n_a")), "batch_doc")
-      .join(sizes.select(col("doc_id").as("corpus_doc"), col("n_sh").as("n_b")), "corpus_doc")
-      .withColumn("jaccard",
-        round(col("n_inter").cast("double") /
-          (col("n_a") + col("n_b") - col("n_inter")).cast("double"), 4))
+    intersectWithSizes(cands, sh, "batch_doc", "corpus_doc")
+      .withColumn("jaccard", jaccardCol)
       .filter(col("jaccard") >= minJaccard)
       .select("batch_doc", "corpus_doc", "jaccard")
   }
@@ -295,22 +300,11 @@ object Dedup {
       bands: Int, rowsPerBand: Int, minJaccard: Double,
       hashName: String): DataFrame = {
     val sh = shingleHashes(docs, n, hashName)
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val cands = lshCandidatePairs(minhashSignatures(docs, n, k, hashName),
         bands, rowsPerBand, hashName)
       .select("doc_a", "doc_b")
-    val shA = sh.select(col("doc_id").as("doc_a"), col("h").as("ha"))
-    val shB = sh.select(col("doc_id").as("b_id"), col("h").as("hb"))
-    val inter = cands
-      .join(shA, "doc_a")
-      .join(shB, col("doc_b") === col("b_id") && col("ha") === col("hb"))
-      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_inter"))
-    inter
-      .join(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a")), "doc_a")
-      .join(sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("n_b")), "doc_b")
-      .withColumn("jaccard",
-        round(col("n_inter").cast("double") /
-          (col("n_a") + col("n_b") - col("n_inter")).cast("double"), 4))
+    intersectWithSizes(cands, sh, "doc_a", "doc_b")
+      .withColumn("jaccard", jaccardCol)
       .filter(col("jaccard") >= minJaccard)
       .select("doc_a", "doc_b", "jaccard")
   }
