@@ -87,6 +87,41 @@ class PropertySpec extends SparkSpec {
     }, "sampling monotone")
   }
 
+  test("winnowing matches an independent in-memory reference on random documents") {
+    // JVM mirror of the distributed pipeline (tokenize → 3-gram →
+    // portable hash → rightmost-min per 4-window → distinct): a
+    // per-document sequential algorithm, no Spark — so agreement pins
+    // the posexplode+aggregation formulation against an independent
+    // implementation of the winnowing definition itself
+    def ph(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.take(7).map("%02x".format(_)).mkString, 16)
+    }
+    def reference(text: String, n: Int, w: Int): Set[(Long, Long)] = {
+      val tk = text.trim.toLowerCase.split("\\s+").filter(_.nonEmpty)
+      val hs = tk.sliding(n).filter(_.length == n).map(g => ph(g.mkString(" "))).toArray
+      if (hs.length < w) Set.empty
+      else (0 to hs.length - w).flatMap { i0 =>
+        val win = hs.slice(i0, i0 + w)
+        val minv = win.min
+        val j = win.lastIndexOf(minv) // rightmost minimal hash
+        Some(((i0 + j + 1).toLong, minv))
+      }.toSet
+    }
+    val word = Gen.oneOf("alpha", "beta", "gamma", "delta", "eps", "zeta", "eta")
+    val docGen = Gen.chooseNum(0, 24).flatMap(len => Gen.listOfN(len, word).map(_.mkString(" ")))
+    val corpus = Gen.nonEmptyListOf(docGen).map(_.zipWithIndex.map { case (t, i) => (i.toLong, t) })
+    check(Prop.forAll(corpus) { docs =>
+      val got = graft.ext.TextOps.winnow(docs.toDF("doc_id", "text"), 3, 4)
+        .as[(Long, Long, Long)].collect()
+        .groupBy(_._1).map { case (d, rows) => d -> rows.map(r => (r._2, r._3)).toSet }
+      val want = docs.map { case (d, t) => d -> reference(t, 3, 4) }
+        .filter(_._2.nonEmpty).toMap
+      got == want
+    }, "winnow vs reference")
+  }
+
   test("pigeonhole banding finds every pair the exhaustive form finds, on random fingerprints") {
     val rows = Gen.nonEmptyListOf(Gen.choose(0L, (1L << 32) - 1))
       .map(_.zipWithIndex.map { case (fp, i) => (i.toLong, fp) })
