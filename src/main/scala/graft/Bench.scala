@@ -108,6 +108,14 @@ object Bench {
             round(expr("approx_percentile(l_extendedprice, 0.5, 1000)"), 4).as("p50"),
             round(expr("approx_percentile(l_extendedprice, 0.95, 1000)"), 4).as("p95"))
       }),
+      // the 100 TB swap-in for d_edit_verify at a strict-dup dial
+      // (sim >= 0.8, DP bails past 100 edits: O(cap·len) instead of
+      // O(len²) per hopeless pair; the cap equals the threshold's
+      // worst-case bound at <=500 chars — scale both with the corpus)
+      "d_edit_verify_capped" -> ((s, dir) =>
+        graft.ext.Dedup.editVerifiedPairs(
+          s.read.parquet(s"$dir/documents.parquet"), 3, 16, 4, 4, 0.8,
+          maxDist = 100)),
       // the 100 TB swap-in for a_distinct_counts: HLL sketches merge in
       // one pass with no Expand — approximate, hence bench-only
       "a_distinct_hll" -> ((s, dir) => {

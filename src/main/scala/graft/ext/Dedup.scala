@@ -247,15 +247,25 @@ object Dedup {
     * bound) — the unbounded form is kept here so the oracle's
     * levenshtein() computes the identical value. */
   def editVerifiedPairs(docs: DataFrame, n: Int, k: Int, bands: Int,
-      rowsPerBand: Int, minSim: Double, hashName: String = "md5"): DataFrame = {
+      rowsPerBand: Int, minSim: Double, hashName: String = "md5",
+      maxDist: Int = 0): DataFrame = {
     val cands = lshCandidatePairs(minhashSignatures(docs, n, k, hashName),
         bands, rowsPerBand, hashName)
       .select("doc_a", "doc_b")
     val txt = docs.select(col("doc_id"), col("text"))
-    cands
+    // maxDist > 0 = the production cap: the thresholded DP bails out
+    // (returns −1) once the distance exceeds the bound, so a
+    // hopeless pair costs O(maxDist·min(|a|,|b|)) instead of
+    // O(|a|·|b|); bailed pairs are below any similarity threshold by
+    // construction and are dropped. 0 = exact, oracle-reproducible.
+    val levCol =
+      if (maxDist > 0) levenshtein(col("text_a"), col("text_b"), maxDist)
+      else levenshtein(col("text_a"), col("text_b"))
+    val scored = cands
       .join(txt.select(col("doc_id").as("doc_a"), col("text").as("text_a")), "doc_a")
       .join(txt.select(col("doc_id").as("doc_b"), col("text").as("text_b")), "doc_b")
-      .withColumn("lev", levenshtein(col("text_a"), col("text_b")).cast("long"))
+      .withColumn("lev", levCol.cast("long"))
+    (if (maxDist > 0) scored.filter(col("lev") >= 0) else scored)
       .withColumn("edit_sim", round(lit(1.0) - col("lev").cast("double") /
         greatest(length(col("text_a")), length(col("text_b"))).cast("double"), 4))
       .filter(col("edit_sim") >= minSim)
