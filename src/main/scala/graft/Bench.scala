@@ -20,6 +20,43 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * attributed somewhere and nothing is hidden from the headline.
   */
 object Bench {
+
+  /** 2-dp JSON number, trailing zeros stripped. */
+  private[graft] def r2s(v: Double): String = {
+    val s = f"${math.rint(v * 100) / 100}%.2f"
+    if (s.endsWith(".00")) s.dropRight(3)
+    else if (s.endsWith("0")) s.dropRight(1)
+    else s
+  }
+  private[graft] def r3s(v: Double): String = (math.rint(v * 1000) / 1000).toString
+  private[graft] def jmap(m: Iterable[(String, Double)], r: Double => String): String =
+    m.map { case (k, v) => "\"" + k + "\":" + r(v) }.mkString("{", ",", "}")
+
+  /** `sf` token for the contract line: a matched scale factor emits as
+    * a bare JSON number; anything else must be quoted or the whole
+    * line becomes invalid JSON. The capture is re-validated as a
+    * strict JSON number — "sf.5"/"sf0.5."-style paths match the loose
+    * regex but are not valid bare tokens. */
+  private[graft] def sfToken(sfDir: String): String =
+    "sf([0-9.]+)".r.findFirstMatchIn(sfDir).map(_.group(1))
+      .filter(_.matches("[0-9]+(\\.[0-9]+)?"))
+      .getOrElse("\"" + sfDir.replace("\\", "\\\\").replace("\"", "\\\"") + "\"")
+
+  /** The ONE stdout line the driver parses. The driver captures only
+    * the LAST ~2000 chars of stdout (and sbt's own "[success] ..."
+    * line lands after ours), so this line must stay far under that or
+    * its HEAD — the "metric"/"value" fields — gets truncated and the
+    * official record is parsed:null (happened in rounds 2, 3 AND 6:
+    * at 114 registry queries even a 1-dp per-query map measured 2,458
+    * chars). The per-query map therefore does NOT ride on stdout at
+    * all — it is duplicated at full precision in bench_details.json —
+    * and the line is registry-size-INDEPENDENT: seven fixed fields,
+    * ~120 chars, immune to registry growth. BenchContractSpec pins it
+    * under 1500 chars at worst-case field widths. */
+  private[graft] def contractLine(total: Double, prepareSec: Double, nFailed: Int,
+      nExtrasFailed: Int, sfDir: String): String =
+    s"""{"metric":"total","value":${r2s(total)},"unit":"sec","prepare":${r2s(prepareSec)},"failed":$nFailed,"extras_failed":$nExtrasFailed,"sf":${sfToken(sfDir)}}"""
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -188,52 +225,17 @@ object Bench {
       }
     }
 
-    // The driver captures only the LAST ~2000 chars of stdout (and
-    // sbt's own "[success] ..." line lands after ours), so the one
-    // JSON line must stay well under ~1900 bytes or its HEAD gets
-    // truncated and the official record is parsed:null (happened in
-    // rounds 2 AND 3). Stdout therefore carries only the contract
-    // fields (metric/value/unit/queries/sf + failure counts) at 2-dp,
-    // trailing zeros stripped; the full-precision detail including
-    // prepare_steps and extras goes to bench_details.json instead.
-    def r2s(v: Double): String = {
-      val s = f"${math.rint(v * 100) / 100}%.2f"
-      if (s.endsWith(".00")) s.dropRight(3)
-      else if (s.endsWith("0")) s.dropRight(1)
-      else s
-    }
-    def r3s(v: Double): String = (math.rint(v * 1000) / 1000).toString
-    def jmap(m: Iterable[(String, Double)], r: Double => String): String =
-      m.map { case (k, v) => "\"" + k + "\":" + r(v) }.mkString("{", ",", "}")
     val total = prepareSec + results.values.filter(_ >= 0).sum
     // "failed" gates the oracle registry (queries + their prepare);
     // extras are advisory twins and fail separately
     val nFailed = results.values.count(_ < 0) + prepareSteps.count(_._2 < 0)
     val nExtrasFailed = extraResults.values.count(_ < 0)
-    // matched sf emits as a bare JSON number; anything else must be
-    // quoted or the whole contract line becomes invalid JSON. The
-    // capture is re-validated as a strict JSON number — "sf.5"/"sf0.5."
-    // style paths match the loose regex but are not valid bare tokens
-    val sfShort = "sf([0-9.]+)".r.findFirstMatchIn(sfDir).map(_.group(1))
-      .filter(_.matches("[0-9]+(\\.[0-9]+)?"))
-      .getOrElse("\"" + sfDir.replace("\\", "\\\\").replace("\"", "\\\"") + "\"")
     val detail = s"""{"metric":"total","value":${r3s(total)},"unit":"sec","prepare":${r3s(prepareSec)},"prepare_steps":${jmap(prepareSteps, r3s)},"queries":${jmap(results.toSeq.sortBy(_._1), r3s)},"extras":${jmap(extraResults, r3s)},"recall_at_3":${jmap(annRecall, r3s)},"failed":$nFailed,"extras_failed":$nExtrasFailed,"sf":"$sfDir"}"""
     try java.nio.file.Files.write(
       java.nio.file.Paths.get("bench_details.json"),
       (detail + "\n").getBytes("UTF-8"))
     catch { case e: Throwable => System.err.println(s"[bench] detail write failed: ${e.getMessage}") }
-    def contractLine(r: Double => String): String =
-      s"""{"metric":"total","value":${r2s(total)},"unit":"sec","prepare":${r2s(prepareSec)},"queries":${jmap(results.toSeq.sortBy(_._1), r)},"failed":$nFailed,"extras_failed":$nExtrasFailed,"sf":$sfShort}"""
-    // 1-dp fallback keeps the line inside the tail capture if the
-    // registry outgrows the 2-dp budget (~22 chars/query at 80 queries)
-    def r1s(v: Double): String = {
-      val s = f"${math.rint(v * 10) / 10}%.1f"
-      if (s.endsWith(".0")) s.dropRight(2) else s
-    }
-    val line2 = contractLine(r2s)
-    val line = if (line2.length <= 1800) line2 else contractLine(r1s)
-    if (line.length > 1900)
-      System.err.println(s"[bench] WARNING: stdout line ${line.length} chars — nearing the driver's ~2000-char tail capture")
+    val line = contractLine(total, prepareSec, nFailed, nExtrasFailed, sfDir)
     // stop Spark BEFORE printing the contract line so no shutdown
     // message (executor/log4j/jansi) can land on stdout after it —
     // the driver parses the process's LAST line as JSON. A stop()

@@ -834,7 +834,9 @@ WHERE d.doc_id % 10 = 0
          count(*) AS n_sources FROM bysrc
 ), rates AS (
   SELECT source, src_tokens,
-         least(100, (corpus_tokens * 50) // (n_sources * src_tokens)) AS rate_pct
+         CASE WHEN src_tokens > 0
+              THEN least(100, (corpus_tokens * 50) // (n_sources * src_tokens))
+              ELSE 100 END AS rate_pct
   FROM bysrc CROSS JOIN corpus
 ), sampled AS (
   SELECT d.source, count(*) AS n_sampled, CAST(sum(d.nt) AS BIGINT) AS sampled_tokens
@@ -1352,16 +1354,21 @@ WHERE rnk <= 5""",
 
     // per-label centroid through the SAME micro-unit fixed-point sum
     // as the engine's VectorSumFixed: exact longs -> exact doubles, so
-    // the ARRAY column compares bit-for-bit with no rounding
-    "s_label_centroids" -> s"""WITH vecs AS (
-  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings
-)
-SELECT label,
-  [${(1 to 64).map(i =>
+    // each element compares bit-for-bit with no rounding. Emitted as
+    // one (label, dim, value) row per element — the driver's pandas
+    // canonicalizer cannot sort an ARRAY column — zipped by parallel
+    // UNNEST so dim i pairs with element i+1 (0-based like posexplode).
+    "s_label_centroids" -> s"""WITH cents AS (
+  SELECT label,
+    [${(1 to 64).map(i =>
     s"(CAST(sum(CAST(round(v[$i]*1000000.0) AS BIGINT)) AS DOUBLE)/1000000.0)/count(*)")
-    .mkString(",\n   ")}] AS centroid,
-  CAST(count(*) AS BIGINT) AS n_vecs
-FROM vecs GROUP BY label""",
+    .mkString(",\n     ")}] AS centroid,
+    CAST(count(*) AS BIGINT) AS n_vecs
+  FROM (SELECT label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings)
+  GROUP BY label
+)
+SELECT label, CAST(dim AS INT) AS dim, value, n_vecs
+FROM (SELECT label, n_vecs, UNNEST(range(64)) AS dim, UNNEST(centroid) AS value FROM cents)""",
 
     // radius search: threshold on the RAW cosine (both engines), emit
     // rounded — no rank window on either side

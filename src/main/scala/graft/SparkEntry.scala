@@ -670,10 +670,15 @@ object SparkEntry {
       docs.groupBy("source").agg(sum(col("nt")).as("src_tokens")))
     val corpus = bySource.agg(sum(col("src_tokens")).as("corpus_tokens"),
       count(lit(1)).as("n_sources"))
+    // a source whose documents all tokenize to zero tokens would make
+    // the division Infinity and the ANSI floor→long cast raise; it has
+    // no mass to rebalance, so keep all of it (rate 100)
     val rates = bySource.crossJoin(broadcast(corpus))
-      .withColumn("rate_pct", least(lit(100L),
-        floor((col("corpus_tokens") * 50L).cast("double") /
-          (col("n_sources") * col("src_tokens"))).cast("long")))
+      .withColumn("rate_pct", when(col("src_tokens") > 0L,
+        least(lit(100L),
+          floor((col("corpus_tokens") * 50L).cast("double") /
+            (col("n_sources") * col("src_tokens"))).cast("long")))
+        .otherwise(lit(100L)))
       .select(col("source"), col("src_tokens"), col("rate_pct"))
     val sampled = docs.join(broadcast(rates), "source")
       .filter(TextOps.hashSample(col("source"), col("doc_id"), col("rate_pct")))
@@ -1131,10 +1136,15 @@ object SparkEntry {
     Similarity.rangeSearch(T(s, dir, "embeddings"), col("vec_id") < 8, 0.35)
 
   /** Per-label centroid over the embedding corpus (exact fixed-point
-    * means — see [[graft.ext.Similarity.labelCentroids]]); the ARRAY
-    * column is oracle-compared element-for-element. */
+    * means — see [[graft.ext.Similarity.labelCentroids]]), exploded to
+    * one `(label, dim, value)` row per centroid element. The driver's
+    * pandas canonicalizer sort_values-crashes on top-level ARRAY
+    * columns (round 6's one red row), so the registry shape is scalar
+    * rows; the fixed-point comparison stays element-for-element
+    * because every (label, dim) pair appears exactly once. */
   private def sLabelCentroids(s: SparkSession, dir: String): DataFrame =
     Similarity.labelCentroids(T(s, dir, "embeddings"), 64)
+      .select(col("label"), posexplode(col("centroid")).as(Seq("dim", "value")), col("n_vecs"))
 
   /** Metadata-filtered ANN: the candidate corpus is restricted to
     * English documents (embeddings ⋈ documents on vec_id = doc_id)

@@ -256,16 +256,32 @@ object Dedup {
     // maxDist > 0 = the production cap: the thresholded DP bails out
     // (returns −1) once the distance exceeds the bound, so a
     // hopeless pair costs O(maxDist·min(|a|,|b|)) instead of
-    // O(|a|·|b|); bailed pairs are below any similarity threshold by
-    // construction and are dropped. 0 = exact, oracle-reproducible.
-    val levCol =
-      if (maxDist > 0) levenshtein(col("text_a"), col("text_b"), maxDist)
-      else levenshtein(col("text_a"), col("text_b"))
+    // O(|a|·|b|). A bail is DECISIVE only when maxDist already covers
+    // the pair's own similarity bound (1−minSim)·max(|a|,|b|) — for a
+    // longer pair, lev could land in (maxDist, bound] and still clear
+    // minSim, so dropping it on the bail alone would false-negative
+    // exactly the long near-dups. Those pairs (and only those) fall
+    // back to the exact DP; the +1e-4 margin covers the 4-dp rounding
+    // of edit_sim so a knife-edge row can't be dropped either.
+    // 0 = exact everywhere, oracle-reproducible.
     val scored = cands
       .join(txt.select(col("doc_id").as("doc_a"), col("text").as("text_a")), "doc_a")
       .join(txt.select(col("doc_id").as("doc_b"), col("text").as("text_b")), "doc_b")
-      .withColumn("lev", levCol.cast("long"))
-    (if (maxDist > 0) scored.filter(col("lev") >= 0) else scored)
+    val resolved =
+      if (maxDist > 0) {
+        val pairBound = ceil((lit(1.0 - minSim + 1e-4)) *
+          greatest(length(col("text_a")), length(col("text_b"))).cast("double")).cast("long")
+        scored
+          .withColumn("lev_capped",
+            levenshtein(col("text_a"), col("text_b"), maxDist).cast("long"))
+          .withColumn("lev",
+            when(col("lev_capped") >= 0 || lit(maxDist.toLong) >= pairBound,
+              col("lev_capped"))
+              .otherwise(levenshtein(col("text_a"), col("text_b")).cast("long")))
+          .filter(col("lev") >= 0)
+      } else scored.withColumn("lev",
+        levenshtein(col("text_a"), col("text_b")).cast("long"))
+    resolved
       .withColumn("edit_sim", round(lit(1.0) - col("lev").cast("double") /
         greatest(length(col("text_a")), length(col("text_b"))).cast("double"), 4))
       .filter(col("edit_sim") >= minSim)

@@ -837,6 +837,30 @@ class ExtSpec extends SparkSpec {
       s"importance must point toward the target slice: $got")
   }
 
+  test("e_dsir_apply rank-100/101 key gap dwarfs double ulp at both gate scales") {
+    // The cross-engine-compared top-100 rides a raw double order-by
+    // (log(u)/exp(log_w)) — fixed-decimal rounding is a no-op at the
+    // key's ~1e19 dynamic range, so instead pin the property that
+    // keeps the LIMIT boundary engine-stable: the gap between ranks
+    // 100 and 101 must sit orders of magnitude above the ulp of the
+    // keys themselves, so libm noise can never flip rows between
+    // Spark and the DuckDB oracle.
+    for (sf <- Seq("sf0.001", "sf0.01")) {
+      val docs = spark.read.parquet(s"/root/testdata/$sf/documents.parquet")
+      val u = (pmod(graft.codec.Codecs.portableHash(col("doc_id").cast("string")),
+        lit(1000000L)).cast("double") + lit(0.5)) / lit(1000000.0)
+      val keys = TextOps.dsirWeights(docs, col("source") === "src0", 1024)
+        .select((log(u) / exp(col("log_w"))).as("es_key"))
+        .orderBy(col("es_key").desc).limit(102)
+        .as[Double].collect()
+      assert(keys.length >= 101, s"$sf fixture too small for a top-100 boundary")
+      val gap = keys(99) - keys(100)
+      val noise = math.ulp(math.max(math.abs(keys(99)), math.abs(keys(100))))
+      assert(gap > 1e6 * noise,
+        s"$sf rank-100/101 key gap $gap is within libm noise range ($noise)")
+    }
+  }
+
   test("payload dedup ledger counts identical binary payloads once per keeper") {
     val assets = Seq((5L, "same bytes"), (2L, "same bytes"), (9L, "other"))
       .toDF("asset_id", "text")

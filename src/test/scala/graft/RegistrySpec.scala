@@ -24,4 +24,38 @@ class RegistrySpec extends SparkSpec {
   test("flagship entry returns rows on the smoke fixture") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
+
+  test("every registry output schema is driver-sortable (no top-level array/map/struct)") {
+    // The driver's oracle harness canonicalizes results with pandas
+    // sort_values, which throws "unhashable type" on any non-scalar
+    // column — exactly how round 6's s_label_centroids slipped through
+    // a 114-ok local gate (tools/local_check.py canonicalizes via
+    // repr() and passed). Schema analysis only; nothing executes.
+    import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
+    val dir = "/root/testdata/sf0.001"
+    val bad = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      fn(spark, dir).schema.fields.collect {
+        case f if f.dataType.isInstanceOf[ArrayType] ||
+          f.dataType.isInstanceOf[MapType] ||
+          f.dataType.isInstanceOf[StructType] =>
+          s"$name.${f.name}: ${f.dataType.simpleString}"
+      }
+    }
+    assert(bad.isEmpty,
+      s"driver-unsortable output columns (pandas sort_values crashes on these): $bad")
+  }
+
+  test("bench stdout contract line is registry-size-independent and far under the tail capture") {
+    // Rounds 2, 3 and 6 all lost the official bench record to stdout
+    // truncation (~2000-char driver tail). The line now carries seven
+    // fixed fields and no per-query map; pin it at worst-case field
+    // widths so registry growth can never regress it.
+    val line = Bench.contractLine(86399.999, 9999.999, 114, 14, "/root/testdata/sf0.123")
+    assert(line.length < 1500, s"contract line ${line.length} chars: $line")
+    assert(line.length < 300, s"contract line should be ~120 chars, got ${line.length}: $line")
+    assert(line.startsWith("""{"metric":"total","value":"""))
+    assert(line.endsWith(""""sf":0.123}"""))
+    // an unmatched dir must emit quoted, keeping the line valid JSON
+    assert(Bench.contractLine(1.0, 0.5, 0, 0, "/tmp/custom").endsWith(""""sf":"/tmp/custom"}"""))
+  }
 }
