@@ -773,6 +773,71 @@ SELECT t.doc_id, CAST(len(t.tk) AS BIGINT) AS n_tok,
              ELSE 0.0 END, 4) AS dup_frac
 FROM toks t LEFT JOIN per_doc p ON p.doc_id = t.doc_id""",
 
+    // cross-doc maximal substrings via bucketed suffix ordering —
+    // mirror of Dedup.crossDocSubstrings: suffixes (capped at 30
+    // tokens) sorted within leading-5-gram buckets; longest cross-doc
+    // match = LCP against the nearest other-doc suffix at the same-doc
+    // run boundaries. list_zip pads with NULL (counts as mismatch);
+    // list_position returns 0 when not found = arrays equal through
+    // the shorter length. String sort is binary UTF-8 in both engines.
+    "d_substring_dedup" -> s"""$TOKS, posn AS (
+  SELECT doc_id, unnest(range(1, greatest(len(tk)-4, 0)+1)) AS i, tk FROM toks
+), g AS (
+  SELECT doc_id, CAST(i-1 AS BIGINT) AS pos, tk,
+         ${dh("array_to_string(tk[i:i+4], ' ')")} AS h
+  FROM posn
+), xdup AS (SELECT h FROM g GROUP BY h HAVING count(DISTINCT doc_id) >= 2
+), sfx AS (
+  SELECT doc_id, pos, h,
+         tk[CAST(pos+1 AS INT):CAST(pos+30 AS INT)] AS s,
+         array_to_string(tk[CAST(pos+1 AS INT):CAST(pos+30 AS INT)], ' ') AS s_str
+  FROM g WHERE h IN (SELECT h FROM xdup)
+), w0 AS (
+  SELECT doc_id, pos, h, s, s_str,
+         lag(s) OVER wb AS prev_s,
+         lead(s) OVER wb AS next_s,
+         CASE WHEN lag(doc_id) OVER wb IS NULL
+                OR lag(doc_id) OVER wb <> doc_id THEN 1 ELSE 0 END AS chg
+  FROM sfx
+  WINDOW wb AS (PARTITION BY h ORDER BY s_str, doc_id, pos)
+), w1 AS (
+  SELECT doc_id, pos, h, s, s_str, prev_s, next_s,
+         sum(chg) OVER (PARTITION BY h ORDER BY s_str, doc_id, pos) AS run
+  FROM w0
+), w2 AS (
+  SELECT doc_id, s,
+         first_value(prev_s) OVER wr AS prev_other,
+         last_value(next_s) OVER (PARTITION BY h, run ORDER BY s_str, doc_id, pos
+           ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS next_other
+  FROM w1
+  WINDOW wr AS (PARTITION BY h, run ORDER BY s_str, doc_id, pos)
+), lp AS (
+  SELECT doc_id, s,
+         CASE WHEN prev_other IS NULL THEN NULL
+              ELSE list_position(list_transform(list_zip(s, prev_other),
+                z -> CASE WHEN z[1] IS NULL OR z[2] IS NULL THEN false ELSE z[1] = z[2] END), false) END AS pp,
+         CASE WHEN prev_other IS NULL THEN NULL ELSE least(len(s), len(prev_other)) END AS pl,
+         CASE WHEN next_other IS NULL THEN NULL
+              ELSE list_position(list_transform(list_zip(s, next_other),
+                z -> CASE WHEN z[1] IS NULL OR z[2] IS NULL THEN false ELSE z[1] = z[2] END), false) END AS np,
+         CASE WHEN next_other IS NULL THEN NULL ELSE least(len(s), len(next_other)) END AS nl
+  FROM w2
+), mm AS (
+  SELECT doc_id, CAST(match_len AS BIGINT) AS match_len,
+         array_to_string(s[1:CAST(match_len AS INT)], ' ') AS sub
+  FROM (SELECT doc_id, s,
+          greatest(coalesce(CASE WHEN pp = 0 THEN pl ELSE pp - 1 END, 0),
+                   coalesce(CASE WHEN np = 0 THEN nl ELSE np - 1 END, 0)) AS match_len
+        FROM lp)
+  WHERE match_len >= 5
+), st AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup_starts, max(match_len) AS max_len
+  FROM mm GROUP BY 1
+)
+SELECT st.doc_id, st.n_dup_starts, st.max_len, max(mm.sub) AS longest_sub
+FROM st JOIN mm ON mm.doc_id = st.doc_id AND mm.match_len = st.max_len
+GROUP BY 1, 2, 3""",
+
     // minhash-estimated jaccard over LSH candidate pairs: fraction of
     // agreeing signature components
     "d_minhash_jaccard_est" -> s"""$LSH_CANDS
@@ -1094,6 +1159,26 @@ GROUP BY source, n_s""",
   FROM w)
 SELECT doc_id, log_w FROM k ORDER BY es_key DESC, doc_id LIMIT 100""",
 
+    // equalized-sample DSIR calibration: 8 fixed-width strata over the
+    // 4-dp-rounded log_w range (edges from one stats row, no quantile
+    // sort), 20 uniform draws per stratum ranked on the integer
+    // portable hash — no libm term anywhere near the rank boundary
+    "e_dsir_calibrate" -> s"""$DSIR_W, st AS (
+  SELECT min(log_w) AS mn, max(log_w) AS mx FROM w
+), strat AS (
+  SELECT doc_id, log_w,
+         CASE WHEN mx > mn
+              THEN least(7, CAST(floor(((log_w - mn) * 8.0) / (mx - mn)) AS BIGINT))
+              ELSE 0 END AS stratum
+  FROM w CROSS JOIN st
+)
+SELECT stratum, CAST(rk AS INT) AS rk, doc_id, log_w FROM (
+  SELECT stratum, doc_id, log_w,
+         row_number() OVER (PARTITION BY stratum
+           ORDER BY ${dh("CAST(doc_id AS VARCHAR)")}, doc_id) AS rk
+  FROM strat)
+WHERE rk <= 20""",
+
     // binary-payload dedup ledger: md5 of the asset bytes (DuckDB's
     // md5(VARCHAR) digests the same UTF-8 bytes the engine's
     // md5(text-as-binary) does; this build has no md5(BLOB) overload)
@@ -1406,6 +1491,21 @@ WHERE rnk <= 3""",
            row_number() OVER (PARTITION BY nv.vec_id
              ORDER BY list_dot_product(nv.v, c.cv) / (nv.nrm * c.cn) DESC, c.c_id) AS crnk
     FROM nv, cents c WHERE nv.vec_id < 8) WHERE crnk <= 2
+), s AS (
+  SELECT q_id, vec_id, list_dot_product(qv, v) / (qn * nrm) AS cos
+  FROM q JOIN asg ON q_cell = cell AND vec_id >= 8)
+SELECT q_id, vec_id AS neighbor_id, CAST(rnk AS INT) AS rnk, round(cos, 4) AS cos FROM (
+  SELECT q_id, vec_id, cos,
+         row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rnk FROM s)
+WHERE rnk <= 3""",
+
+    // same as s_ann_ivf_mp at the production dial: 4 probed cells
+    "s_ann_ivf_mp4" -> s"""$IVF_ASG, q AS (
+  SELECT vec_id AS q_id, v AS qv, nrm AS qn, c_id AS q_cell FROM (
+    SELECT nv.vec_id, nv.v, nv.nrm, c.c_id,
+           row_number() OVER (PARTITION BY nv.vec_id
+             ORDER BY list_dot_product(nv.v, c.cv) / (nv.nrm * c.cn) DESC, c.c_id) AS crnk
+    FROM nv, cents c WHERE nv.vec_id < 8) WHERE crnk <= 4
 ), s AS (
   SELECT q_id, vec_id, list_dot_product(qv, v) / (qn * nrm) AS cos
   FROM q JOIN asg ON q_cell = cell AND vec_id >= 8)

@@ -868,6 +868,15 @@ object SparkEntry {
   private def dSpanApply(s: SparkSession, dir: String): DataFrame =
     Dedup.removeDuplicatedSpans(T(s, dir, "documents"), 5)
 
+  /** Cross-document maximal duplicated substrings via bucketed suffix
+    * ordering (suffixes sorted within leading-5-gram buckets, LCP at
+    * run boundaries, capped at 30 tokens) — the suffix-ranked
+    * deepening of d_span_dedup's n-gram islands; see
+    * [[graft.ext.Dedup.crossDocSubstrings]]. Shares the gram_pos_5
+    * prepare build. */
+  private def dSubstringDedup(s: SparkSession, dir: String): DataFrame =
+    Dedup.crossDocSubstrings(T(s, dir, "documents"), 5, 30)
+
   /** Bloom-prefiltered exact decontamination: same exact semantics as
     * a train×eval gram join, but train grams cross the shuffle only if
     * they pass a broadcast Bloom filter of the eval grams — the 100 TB
@@ -1090,6 +1099,14 @@ object SparkEntry {
     * cells — recall rises toward brute-force as nprobe → k. */
   private def sAnnIvfMp(s: SparkSession, dir: String): DataFrame =
     Similarity.ivfTopKMulti(T(s, dir, "embeddings"), col("vec_id") < 8, 3, IvfK, 2)
+
+  /** Multi-probe IVF at the PRODUCTION dial (nprobe=4; measured
+    * recall@3 0.792 in bench_details) — the registry's one
+    * search-quality ANN row, oracle-checked at the same dial the
+    * docs/SCALE.md knob table recommends, so the recall claim rides a
+    * verified result rather than only a bench extra. */
+  private def sAnnIvfMp4(s: SparkSession, dir: String): DataFrame =
+    Similarity.ivfTopKMulti(T(s, dir, "embeddings"), col("vec_id") < 8, 3, IvfK, 4)
 
   /** IVF over the spherical-k-means-refined codebook (2 Lloyd rounds,
     * deterministic fixed-point means — oracle-checkable because the
@@ -1332,6 +1349,34 @@ object SparkEntry {
       .select(col("doc_id"), col("log_w"))
   }
 
+  /** Equalized-sample DSIR calibration: equal-count draws from every
+    * importance stratum, the calibration-set construction that
+    * validates an importance model ACROSS its weight range (a global
+    * top-k like e_dsir_apply only ever sees the head). Strata are 8
+    * fixed-width bins over [min, max] of the (4-dp rounded) log_w —
+    * bin edges derive from ONE broadcast stats row, never a global
+    * quantile sort — and the 20 draws per stratum rank on the integer
+    * portable hash (a uniform draw within the stratum) so the rank
+    * boundary is bit-exact cross-engine with no libm term at all.
+    * Plans with the map-side WindowGroupLimit prune: the shuffle
+    * carries ≤ 20 rows per stratum per partition. */
+  private def eDsirCalibrate(s: SparkSession, dir: String): DataFrame = {
+    val w = tDsirWeights(s, dir)
+    val stats = w.agg(min(col("log_w")).as("mn"), max(col("log_w")).as("mx"))
+    val strat = w.crossJoin(broadcast(stats))
+      .withColumn("stratum",
+        when(col("mx") > col("mn"),
+          least(lit(7L),
+            floor(((col("log_w") - col("mn")) * 8.0) / (col("mx") - col("mn")))))
+          .otherwise(lit(0L)))
+    val wnd = Window.partitionBy(col("stratum"))
+      .orderBy(Codecs.portableHash(col("doc_id").cast("string")), col("doc_id"))
+    strat.withColumn("rk", row_number().over(wnd))
+      .filter(col("rk") <= 20)
+      .select(col("stratum"), col("rk").cast("int").as("rk"),
+        col("doc_id"), col("log_w"))
+  }
+
   /** Asset-store exact dedup: payload-hash ledger (n_copies, keeper)
     * over the binary column — the cheap pass that runs BEFORE any
     * decode so duplicate media is fetched and featurized once. Shuffle
@@ -1458,6 +1503,7 @@ object SparkEntry {
     "d_span_apply" -> (dSpanApply _),
     "d_span_dedup" -> (dSpanDedup _),
     "d_span_fraction" -> (dSpanFraction _),
+    "d_substring_dedup" -> (dSubstringDedup _),
     "d_minhash_jaccard_est" -> (dMinhashJaccardEst _),
     "d_incremental_dedup" -> (dIncrementalDedup _),
     "d_incremental_apply" -> (dIncrementalApply _),
@@ -1486,6 +1532,7 @@ object SparkEntry {
     "s_label_affinity" -> (sLabelAffinity _),
     "m_modality_report" -> (mModalityReport _),
     "e_dsir_apply" -> (eDsirApply _),
+    "e_dsir_calibrate" -> (eDsirCalibrate _),
     "d_dedup_apply" -> (dDedupApply _),
     "d_exact" -> (dExact _),
     "d_exact_normalized" -> (dExactNormalized _),
@@ -1502,6 +1549,7 @@ object SparkEntry {
     "s_ann_lsh_mp" -> (sAnnLshMp _),
     "s_ann_ivf" -> (sAnnIvf _),
     "s_ann_ivf_mp" -> (sAnnIvfMp _),
+    "s_ann_ivf_mp4" -> (sAnnIvfMp4 _),
     "s_ann_ivf_km" -> (sAnnIvfKm _),
     "s_ann_ivfpq" -> (sAnnIvfPq _),
     "s_ann_sq8" -> (sAnnSq8 _),

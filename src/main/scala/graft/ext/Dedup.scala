@@ -515,6 +515,92 @@ object Dedup {
         (size(col("tk")) - size(col("kept"))).cast("long").as("n_removed"))
   }
 
+  /** Longest-common-prefix in TOKENS between two capped suffix arrays:
+    * index of the first mismatch (null-padded tails from `zip_with`
+    * count as mismatches, so the result never exceeds the shorter
+    * array); arrays equal through the shorter length ⇒ that length.
+    * Null when either side is null (no neighbor). Pure column
+    * expressions — stays inside whole-stage codegen. */
+  private def lcpTokens(a: Column, b: Column): Column = {
+    val z = zip_with(a, b, (x, y) =>
+      when(x.isNull || y.isNull, lit(false)).otherwise(x === y))
+    val p = array_position(z, lit(false))
+    when(p === 0L, least(size(a), size(b)).cast("long")).otherwise(p - 1L)
+  }
+
+  /** Cross-document MAXIMAL duplicated substrings via bucketed suffix
+    * ordering — the exact-substring side of Lee et al. 2022 that
+    * [[duplicatedSpans]]'s within-corpus n-gram islands approximate.
+    * Instead of a corpus-global suffix array (one unpartitionable
+    * sort), suffixes are bucketed by their leading n-gram hash: any
+    * cross-doc match of length ≥ n shares its leading n-gram, so the
+    * global suffix ordering restricted to one bucket contains every
+    * match, and each bucket sorts independently (shuffle key = gram
+    * hash, bucket size = that gram's corpus occurrence count — the
+    * same distribution [[duplicatedSpans]] already shuffles on).
+    *
+    * Within a bucket sorted by suffix, the longest cross-doc match at
+    * a position is its LCP against the NEAREST other-document suffix
+    * above or below (LCP to anything farther is ≤ the nearest one —
+    * the suffix-array adjacency property), found by two window passes:
+    * runs of same-doc suffixes, then the previous run's last / next
+    * run's first suffix at the run boundary. Suffixes are capped at
+    * `maxLcp` tokens, so reported lengths are min(true length, maxLcp)
+    * and per-row state is bounded; only positions whose leading gram
+    * occurs in ≥ 2 DISTINCT docs enter the sort at all (the others
+    * cannot match cross-doc), so the bucketed frame is the duplicated
+    * fraction of the corpus, not the corpus.
+    *
+    * Returns one row per document that has any cross-doc match of
+    * ≥ n tokens: (doc_id, n_dup_starts, max_len, longest_sub) — the
+    * count of matching start positions, the longest match length, and
+    * that longest substring (ties broken toward the
+    * lexicographically-largest string, engine-reproducible). */
+  def crossDocSubstrings(docs: DataFrame, n: Int, maxLcp: Int,
+      hashName: String = "md5"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val grams = positionalGrams(docs, n, hashName)
+    val xdup = grams.groupBy("h")
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2).select("h")
+    val dupPos = grams.join(xdup, Seq("h"), "left_semi")
+    // suffixes only at duplicated positions, built from ONE doc-keyed
+    // join (the token array moves once per doc, not once per position)
+    val perDoc = dupPos.groupBy("doc_id")
+      .agg(collect_list(struct(col("pos"), col("h"))).as("ps"))
+    val sfxFrame = spread(docs).select(col("doc_id"), tokens(col("text")).as("tk"))
+      .join(perDoc, "doc_id")
+      .select(col("doc_id"), explode(col("ps")).as("p"), col("tk"))
+      .select(col("doc_id"), col("p.pos").as("pos"), col("p.h").as("h"),
+        slice(col("tk"), (col("p.pos") + 1L).cast("int"), lit(maxLcp)).as("sfx"))
+      .withColumn("sfx_str", array_join(col("sfx"), " "))
+    val ord = Seq(col("sfx_str"), col("doc_id"), col("pos"))
+    val wb = Window.partitionBy("h").orderBy(ord: _*)
+    val runs = sfxFrame
+      .withColumn("prev_s", lag(col("sfx"), 1).over(wb))
+      .withColumn("next_s", lead(col("sfx"), 1).over(wb))
+      .withColumn("run", sum(
+        when(lag(col("doc_id"), 1).over(wb).isNull ||
+          lag(col("doc_id"), 1).over(wb) =!= col("doc_id"), 1L).otherwise(0L)).over(wb))
+    // second pass refines the same hash(h) distribution — extra sort,
+    // no extra shuffle
+    val wr = Window.partitionBy("h", "run").orderBy(ord: _*)
+    val wrFull = wr.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val matched = runs
+      .withColumn("prev_other", first(col("prev_s")).over(wr))
+      .withColumn("next_other", last(col("next_s")).over(wrFull))
+      .withColumn("match_len", greatest(
+        coalesce(lcpTokens(col("sfx"), col("prev_other")), lit(0L)),
+        coalesce(lcpTokens(col("sfx"), col("next_other")), lit(0L))))
+      .filter(col("match_len") >= n.toLong)
+      .select(col("doc_id"), col("match_len"),
+        array_join(slice(col("sfx"), lit(1), col("match_len").cast("int")), " ").as("sub"))
+    matched.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_dup_starts"),
+        max(col("match_len")).as("max_len"),
+        max(struct(col("match_len"), col("sub"))).getField("sub").as("longest_sub"))
+  }
+
   /** Bloom-prefiltered exact n-gram decontamination. The exact
     * train×eval gram join ([[graft.SparkEntry]] d_contamination_ngram)
     * shuffles EVERY train gram on the gram hash even though almost none

@@ -837,6 +837,37 @@ class ExtSpec extends SparkSpec {
       s"importance must point toward the target slice: $got")
   }
 
+  test("cross-doc substring dedup finds the maximal shared substring, ignores within-doc repeats") {
+    val docs = Seq(
+      (1L, "a b c d e f g h i j"),
+      (2L, "x y a b c d e f g z"),
+      (3L, "completely different tokens only here now"),
+      (4L, "p q r s t u p q r s t u")) // 5-gram repeats, but single-doc
+      .toDF("doc_id", "text")
+    val got = Dedup.crossDocSubstrings(docs, 5, 30)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    // docs 1 and 2 share "a b c d e f g" (7 tokens): three start
+    // positions carry a cross-doc 5-gram; docs 3 and 4 must be absent
+    // (no cross-doc gram at all / within-doc only)
+    assert(got === Array(
+      (1L, 3L, 7L, "a b c d e f g"),
+      (2L, 3L, 7L, "a b c d e f g")))
+  }
+
+  test("cross-doc substring match length is capped at maxLcp tokens") {
+    val docs = Seq(
+      (1L, "a b c d e f g h i j"),
+      (2L, "x y a b c d e f g z")).toDF("doc_id", "text")
+    val got = Dedup.crossDocSubstrings(docs, 5, 6)
+      .select(col("doc_id"), col("max_len"), col("longest_sub"))
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    // pos0 and pos1 both cap at 6 tokens; the tie breaks toward the
+    // lexicographically-larger substring ("b c d e f g" > "a b c d e f")
+    assert(got === Array((1L, 6L, "b c d e f g"), (2L, 6L, "b c d e f g")))
+  }
+
   test("e_dsir_apply rank-100/101 key gap dwarfs double ulp at both gate scales") {
     // The cross-engine-compared top-100 rides a raw double order-by
     // (log(u)/exp(log_w)) — fixed-decimal rounding is a no-op at the

@@ -210,6 +210,20 @@ class PlanShapeSpec extends SparkSpec {
       s"corpus-pair self-join predicate leaked into the incremental path:\n$p")
   }
 
+  test("substring dedup sorts inside gram buckets, never a corpus-global suffix sort") {
+    val p = plan("d_substring_dedup")
+    // a global suffix array would plan Exchange rangepartitioning (the
+    // global-sort shuffle); the bucketed form only hash-partitions on
+    // the gram key and sorts within partitions
+    assert(!p.contains("rangepartitioning"),
+      s"corpus-global sort leaked into the suffix ordering:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no pair join belongs here:\n$p")
+    // both window passes must be keyed (bucket h, then (h, run));
+    // an empty partition spec would be the corpus-global window
+    assert(!p.contains("Window [") || !p.contains("windowspecdefinition()"),
+      s"unpartitioned window in the suffix pass:\n$p")
+  }
+
   test("edit verify joins candidates to text by key: no cartesian, no corpus window") {
     val p = plan("d_edit_verify")
     assert(!p.contains("CartesianProduct"),
@@ -252,7 +266,9 @@ class PlanShapeSpec extends SparkSpec {
     // dropped — built-ins win); every rank-window consumer in the
     // registry (top-k per brand, every ANN rankTopK) relies on it, so
     // pin it against optimizer-hostile refactors and config drift.
-    for (q <- Seq("a_top_parts_per_brand", "s_ann_brute")) {
+    // e_dsir_calibrate's per-stratum top-20 is the same pattern: the
+    // shuffle moves at most 20 rows per stratum per map partition
+    for (q <- Seq("a_top_parts_per_brand", "s_ann_brute", "e_dsir_calibrate")) {
       val p = plan(q)
       assert(p.contains("WindowGroupLimit"),
         s"$q must keep the rank-limit pushdown:\n$p")

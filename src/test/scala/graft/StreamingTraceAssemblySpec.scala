@@ -105,6 +105,49 @@ class StreamingTraceAssemblySpec extends SparkSpec {
     }
   }
 
+  test("streaming bucket-fill packer reproduces the batch packer's bucket-local offsets") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StreamingPacker
+    import graft.streaming.StreamingPacker.{DocSize, PackedDoc}
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    // ten docs of 1..5 tokens, bucketWidth 4, 10-token chunks
+    val docs = (0L until 10L).map(i =>
+      (i, Seq.fill((i % 5 + 1).toInt)("tok").mkString(" ")))
+    val batch = graft.ext.TextOps
+      .packSequences(docs.toDF("doc_id", "text"), 10L, 4L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // bucket-local expectation derived FROM the batch result: the
+    // bucket base is its first doc's global tok_start
+    val expected = batch.groupBy(_._1 / 4).toSeq.flatMap { case (b, rows) =>
+      val base = rows.map(_._3).min
+      rows.toSeq.map(r =>
+        PackedDoc(r._1, b, r._2, r._3 - base, (r._3 - base) / 10L))
+    }.toSet
+    val input = MemoryStream[DocSize]
+    val out = StreamingPacker.packSequences(input.toDS(), 10L)
+    val q = out.writeStream.format("memory").queryName("packed")
+      .outputMode("append").start()
+    try {
+      // replay in doc_id order per bucket, sliced mid-bucket across
+      // two micro-batches — state must carry the partial fill
+      val sizes = docs.map { case (id, t) =>
+        DocSize(id, id / 4, t.split(" ").length.toLong) }
+      input.addData(sizes.take(6): _*); q.processAllAvailable()
+      input.addData(sizes.drop(6): _*); q.processAllAvailable()
+      val got = spark.table("packed").as[PackedDoc].collect().toSet
+      assert(got === expected)
+    } finally {
+      q.stop()
+      prev match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None    => spark.conf.unset(providerKey)
+      }
+    }
+  }
+
   test("hot-key tracker emits once at the threshold crossing, counts across batches") {
     implicit val sqlCtx = spark.sqlContext
     import graft.streaming.StreamingHotKeys
