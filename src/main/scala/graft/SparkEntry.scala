@@ -86,9 +86,11 @@ object SparkEntry {
     // d_winnow_pairs
     "winnow_index" ->
       ((s, dir) => { winnowIdx(s, dir).count(); () }),
-    // DSIR (doc, bucket) substrate: shared by t_dsir_weights and
-    // e_dsir_apply (alphabetically the APPLY query would otherwise be
-    // charged the whole build)
+    // DSIR substrate: materializes BOTH cached frames — the (doc,
+    // bucket) counts and the per-doc weight table built on them —
+    // shared by t_dsir_weights, e_dsir_apply and e_dsir_calibrate
+    // (alphabetically the APPLY query would otherwise be charged the
+    // whole build)
     "dsir_buckets" ->
       ((s, dir) => { tDsirWeights(s, dir).count(); () }),
     // incremental batch-vs-corpus pair frame: shared by

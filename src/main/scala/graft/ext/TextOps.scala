@@ -341,7 +341,19 @@ object TextOps {
     (model, unseen)
   }
 
-  def dsirWeights(docs: DataFrame, isTarget: Column, vBuckets: Int): DataFrame = {
+  def dsirWeights(docs: DataFrame, isTarget: Column, vBuckets: Int): DataFrame =
+    // cached like the bucket substrate: three registry consumers
+    // (weights, resample apply, calibration) read this frame, and at
+    // production scale the per-doc weight table is exactly the staging
+    // table a DSIR pipeline persists once per (corpus, target, model)
+    graft.ops.PlanCache.cachedBy(
+        s"dsir-weights-$vBuckets-${isTarget.toString.hashCode}",
+        docs.queryExecution.logical.semanticHash(), docs.sparkSession) {
+      dsirWeightsUncached(docs, isTarget, vBuckets)
+    }
+
+  private def dsirWeightsUncached(docs: DataFrame, isTarget: Column,
+      vBuckets: Int): DataFrame = {
     import org.apache.spark.sql.functions.broadcast
     val perDoc = dsirDocBuckets(docs, isTarget, vBuckets)
     val tgt = perDoc.filter(col("is_t")).groupBy("b").agg(sum(col("c_db")).as("c_t"))
