@@ -282,6 +282,65 @@ object Pipeline {
       .select(col("doc_id"), col("corpus_doc"), col("jaccard"))
   }
 
+  /** Streaming winnowing gate (the MOSS-style admission check): each
+    * arriving document's winnowing fingerprint SET is computed
+    * row-locally and probed against the cached corpus fingerprint
+    * index; pairs sharing ≥ `minShared` fingerprints are flagged —
+    * the online form of d_winnow_pairs, the same way incrementalGate
+    * is the online form of the LSH verify.
+    *
+    * Row-local fingerprints: only the fingerprint VALUES matter for
+    * set overlap, and the value of a window's fingerprint is its
+    * minimum gram hash regardless of which (rightmost) position the
+    * batch operator records — so the per-doc set is
+    * distinct(min per w-window), one ordered HOF fold per row, no
+    * window function (streams cannot window) and no state. The corpus
+    * side reuses the BATCH winnow operator's index, PlanCached at
+    * wiring time per the stream-static rule (re-winnowing the corpus
+    * every micro-batch is the cost the gate exists to avoid; in
+    * production this is the persisted fingerprint staging table).
+    *
+    * Duplicate suppression without dedup state: candidate rows join on
+    * single exploded fingerprints, and a pair emits only on the FIRST
+    * shared fingerprint in the probe's window order — the same
+    * first-match-wins trick as incrementalGate's band arrays; the
+    * shared count itself is a row-local array_intersect. Append-safe,
+    * zero streaming state. */
+  def winnowGate(docs: DataFrame, corpusDocs: DataFrame, n: Int, w: Int,
+      minShared: Int): DataFrame = {
+    import graft.codec.Codecs
+    val hs = transform(Codecs.shingles(Codecs.tokens(col("text")), n),
+      g => Codecs.portableHash(g))
+    // docs shorter than one full window have no fingerprints (the
+    // batch operator's sizes filter); sequence() must not step
+    // backwards on them
+    val fpsExpr = when(size(hs) >= w,
+      array_distinct(transform(sequence(lit(1), size(hs) - (w - 1)),
+        i0 => array_min(slice(hs, i0, lit(w))))))
+      .otherwise(array().cast("array<long>"))
+    val corpusIdx = graft.ops.PlanCache.cachedBy(s"winnow-gate-idx-$n-$w",
+        corpusDocs.queryExecution.logical.semanticHash(),
+        corpusDocs.sparkSession) {
+      graft.ext.TextOps.winnow(corpusDocs, n, w)
+        .groupBy(col("doc_id").as("corpus_doc"))
+        .agg(collect_set(col("fp")).as("c_fps"))
+        .select(col("corpus_doc"), col("c_fps"),
+          explode(col("c_fps")).as("fp"))
+    }
+    val probes = docs
+      .select(col("doc_id"), fpsExpr.as("fps"))
+      .filter(size(col("fps")) > 0)
+      .select(col("doc_id"), col("fps"), explode(col("fps")).as("fp"))
+    val firstShared =
+      element_at(filter(col("fps"), x => array_contains(col("c_fps"), x)), 1)
+    probes.join(corpusIdx, Seq("fp"))
+      .filter(col("fp") === firstShared)
+      .withColumn("n_shared",
+        size(array_intersect(col("fps"), col("c_fps"))).cast("long"))
+      .filter(col("n_shared") >= minShared.toLong)
+      .select(col("doc_id"), col("corpus_doc"), col("n_shared"))
+  }
+
   /** Streaming twin of [[ContextOps.correlate]]: records and log rows
     * arrive as TWO live streams and are joined on trace_id as a
     * stream-stream inner join. Both sides are watermarked and the join

@@ -122,6 +122,48 @@ class PropertySpec extends SparkSpec {
     }, "winnow vs reference")
   }
 
+  test("cross-doc substring dedup matches an independent in-memory reference on random documents") {
+    // JVM mirror of the definition (NOT of the bucketed-window
+    // algorithm): per position, the best cross-doc common-prefix
+    // length over ALL other docs' positions, both suffixes capped at
+    // maxLcp — agreement pins the suffix-ordering/run-boundary
+    // formulation (nearest-other-doc-neighbor LCP) against the
+    // brute-force semantics it claims to compute
+    def reference(docs: Seq[(Long, String)], n: Int,
+        maxLcp: Int): Map[Long, (Long, Long, String)] = {
+      val toks = docs.map { case (d, t) =>
+        d -> t.trim.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq }
+      val sufs = for {
+        (d, tk) <- toks
+        p <- 0 to tk.length - n
+      } yield (d, tk.slice(p, math.min(p + maxLcp, tk.length)))
+      def lcp(a: Seq[String], b: Seq[String]): Long =
+        a.zip(b).takeWhile { case (x, y) => x == y }.size.toLong
+      val best = sufs.map { case (d, s) =>
+        val others = sufs.filter(_._1 != d)
+        val m = if (others.isEmpty) 0L else others.map(o => lcp(s, o._2)).max
+        (d, m, s)
+      }.filter(_._2 >= n)
+      best.groupBy(_._1).map { case (d, rows) =>
+        val maxLen = rows.map(_._2).max
+        val sub = rows.filter(_._2 == maxLen)
+          .map(r => r._3.take(maxLen.toInt).mkString(" ")).max
+        d -> (rows.size.toLong, maxLen, sub)
+      }
+    }
+    // 4-word alphabet: dense 3-gram collisions across docs
+    val word = Gen.oneOf("a", "b", "c", "d")
+    val docGen = Gen.chooseNum(0, 20).flatMap(len => Gen.listOfN(len, word).map(_.mkString(" ")))
+    val corpus = Gen.chooseNum(2, 8).flatMap(k => Gen.listOfN(k, docGen))
+      .map(_.zipWithIndex.map { case (t, i) => (i.toLong, t) })
+    check(Prop.forAll(corpus) { docs =>
+      val got = Dedup.crossDocSubstrings(docs.toDF("doc_id", "text"), 3, 5)
+        .as[(Long, Long, Long, String)].collect()
+        .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+      got == reference(docs, 3, 5)
+    }, "cross-doc substrings vs reference")
+  }
+
   test("pigeonhole banding finds every pair the exhaustive form finds, on random fingerprints") {
     val rows = Gen.nonEmptyListOf(Gen.choose(0L, (1L << 32) - 1))
       .map(_.zipWithIndex.map { case (fp, i) => (i.toLong, fp) })

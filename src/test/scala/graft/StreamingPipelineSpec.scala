@@ -229,6 +229,47 @@ class StreamingPipelineSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming winnow gate flags fingerprint-sharing pairs once, matching the batch sets") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val corpus = Seq(
+      (100L, "alpha beta gamma delta eps zeta eta theta iota kappa"),
+      (200L, "one two three four five six seven eight nine ten"))
+      .toDF("doc_id", "text")
+    val input = MemoryStream[(Long, String)]
+    val out = Pipeline.winnowGate(
+      input.toDF().toDF("doc_id", "text"), corpus, n = 3, w = 4, minShared = 2)
+    val q = out.writeStream.format("memory").queryName("winnow_gate")
+      .outputMode("append").start()
+    try {
+      // doc 1 copies corpus doc 100 with a new tail (shares its
+      // fingerprints); doc 2 is unrelated vocabulary
+      input.addData(Seq(
+        (1L, "alpha beta gamma delta eps zeta eta theta iota kappa lambda mu"),
+        (2L, "red orange yellow green blue indigo violet pink")))
+      q.processAllAvailable()
+      val got = spark.table("winnow_gate")
+        .as[(Long, Long, Long)].collect().toSet
+      // exactly one row per flagged pair (first-match-wins, no dedup
+      // state), and n_shared equals the BATCH winnow set overlap
+      val batchFps = graft.ext.TextOps
+        .winnow(Seq(
+          (1L, "alpha beta gamma delta eps zeta eta theta iota kappa lambda mu"),
+          (100L, "alpha beta gamma delta eps zeta eta theta iota kappa"))
+          .toDF("doc_id", "text"), 3, 4)
+        .select(col("doc_id"), col("fp")).as[(Long, Long)].collect()
+        .groupBy(_._1).map { case (d, r) => d -> r.map(_._2).toSet }
+      val expectShared = (batchFps(1L) intersect batchFps(100L)).size.toLong
+      assert(expectShared >= 2L, s"fixture must actually share fingerprints, got $expectShared")
+      assert(got === Set((1L, 100L, expectShared)),
+        s"one flagged pair with the batch-set overlap; got $got")
+      // stateless: replaying the clean doc still emits nothing
+      input.addData(Seq((3L, "red orange yellow green blue indigo violet pink")))
+      q.processAllAvailable()
+      assert(spark.table("winnow_gate").filter(col("doc_id") === 3L).count() === 0L)
+    } finally q.stop()
+  }
+
   test("streaming span decontam emits maximal contaminated spans, statelessly") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
