@@ -56,6 +56,89 @@ object OracleSql {
   SELECT doc_id, unnest(list_distinct($SHINGLES3)) AS s FROM toks
 ), h AS (SELECT doc_id, ${dh("s")} AS h FROM sh)"""
 
+  /** Matched-positions CTE chain of the cross-doc substring family
+    * (mirror of Dedup.substringMatches at n=5, maxLcp=30): suffixes
+    * capped at 30 tokens sorted within leading-5-gram buckets; the
+    * longest cross-doc match at a position is its LCP against the
+    * nearest other-doc suffix at the same-doc run boundaries.
+    * list_zip pads with NULL (counts as mismatch); list_position
+    * returns 0 when not found = arrays equal through the shorter
+    * length; string sort is binary UTF-8 in both engines. Ends at
+    * `mm(doc_id, pos, match_len, sub)`. */
+  private val SUBSTR_M = s"""$TOKS, posn AS (
+  SELECT doc_id, unnest(range(1, greatest(len(tk)-4, 0)+1)) AS i, tk FROM toks
+), g AS (
+  SELECT doc_id, CAST(i-1 AS BIGINT) AS pos, tk,
+         ${dh("array_to_string(tk[i:i+4], ' ')")} AS h
+  FROM posn
+), xdup AS (SELECT h FROM g GROUP BY h HAVING count(DISTINCT doc_id) >= 2
+), sfx AS (
+  SELECT doc_id, pos, h,
+         tk[CAST(pos+1 AS INT):CAST(pos+30 AS INT)] AS s,
+         array_to_string(tk[CAST(pos+1 AS INT):CAST(pos+30 AS INT)], ' ') AS s_str
+  FROM g WHERE h IN (SELECT h FROM xdup)
+), w0 AS (
+  SELECT doc_id, pos, h, s, s_str,
+         lag(s) OVER wb AS prev_s,
+         lead(s) OVER wb AS next_s,
+         CASE WHEN lag(doc_id) OVER wb IS NULL
+                OR lag(doc_id) OVER wb <> doc_id THEN 1 ELSE 0 END AS chg
+  FROM sfx
+  WINDOW wb AS (PARTITION BY h ORDER BY s_str, doc_id, pos)
+), w1 AS (
+  SELECT doc_id, pos, h, s, s_str, prev_s, next_s,
+         sum(chg) OVER (PARTITION BY h ORDER BY s_str, doc_id, pos) AS run
+  FROM w0
+), w2 AS (
+  SELECT doc_id, pos, s,
+         first_value(prev_s) OVER wr AS prev_other,
+         last_value(next_s) OVER (PARTITION BY h, run ORDER BY s_str, doc_id, pos
+           ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS next_other
+  FROM w1
+  WINDOW wr AS (PARTITION BY h, run ORDER BY s_str, doc_id, pos)
+), lp AS (
+  SELECT doc_id, pos, s,
+         CASE WHEN prev_other IS NULL THEN NULL
+              ELSE list_position(list_transform(list_zip(s, prev_other),
+                z -> CASE WHEN z[1] IS NULL OR z[2] IS NULL THEN false ELSE z[1] = z[2] END), false) END AS pp,
+         CASE WHEN prev_other IS NULL THEN NULL ELSE least(len(s), len(prev_other)) END AS pl,
+         CASE WHEN next_other IS NULL THEN NULL
+              ELSE list_position(list_transform(list_zip(s, next_other),
+                z -> CASE WHEN z[1] IS NULL OR z[2] IS NULL THEN false ELSE z[1] = z[2] END), false) END AS np,
+         CASE WHEN next_other IS NULL THEN NULL ELSE least(len(s), len(next_other)) END AS nl
+  FROM w2
+), mm AS (
+  SELECT doc_id, pos, CAST(match_len AS BIGINT) AS match_len,
+         array_to_string(s[1:CAST(match_len AS INT)], ' ') AS sub
+  FROM (SELECT doc_id, pos, s,
+          greatest(coalesce(CASE WHEN pp = 0 THEN pl ELSE pp - 1 END, 0),
+                   coalesce(CASE WHEN np = 0 THEN nl ELSE np - 1 END, 0)) AS match_len
+        FROM lp)
+  WHERE match_len >= 5
+)"""
+
+  /** Interval-union island sweep over `mm` (matches overlap and nest),
+    * continuing SUBSTR_M: running max of interval ends per doc, break
+    * where a start clears it. Ends at `sp(doc_id, s0, e0)`. */
+  private val SUBSTR_ISL = """iv AS (
+  SELECT doc_id, pos, pos + match_len - 1 AS e FROM mm
+), pe AS (
+  SELECT doc_id, pos, e,
+         max(e) OVER (PARTITION BY doc_id ORDER BY pos
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+  FROM iv
+), br AS (
+  SELECT doc_id, pos, e,
+         CASE WHEN prev_end IS NULL OR pos > prev_end THEN 1 ELSE 0 END AS brk
+  FROM pe
+), isl AS (
+  SELECT doc_id, pos, e,
+         sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+  FROM br
+), sp AS (
+  SELECT doc_id, min(pos) AS s0, max(e) AS e0 FROM isl GROUP BY doc_id, island
+)"""
+
   private val MINHASH_P = "2305843009213693951"
   private def mhTerm(i: Int): String =
     s"min((h*${2 * i + 1} + ${10007 * i + 1}) % $MINHASH_P) AS mh$i"
@@ -774,69 +857,44 @@ SELECT t.doc_id, CAST(len(t.tk) AS BIGINT) AS n_tok,
 FROM toks t LEFT JOIN per_doc p ON p.doc_id = t.doc_id""",
 
     // cross-doc maximal substrings via bucketed suffix ordering —
-    // mirror of Dedup.crossDocSubstrings: suffixes (capped at 30
-    // tokens) sorted within leading-5-gram buckets; longest cross-doc
-    // match = LCP against the nearest other-doc suffix at the same-doc
-    // run boundaries. list_zip pads with NULL (counts as mismatch);
-    // list_position returns 0 when not found = arrays equal through
-    // the shorter length. String sort is binary UTF-8 in both engines.
-    "d_substring_dedup" -> s"""$TOKS, posn AS (
-  SELECT doc_id, unnest(range(1, greatest(len(tk)-4, 0)+1)) AS i, tk FROM toks
-), g AS (
-  SELECT doc_id, CAST(i-1 AS BIGINT) AS pos, tk,
-         ${dh("array_to_string(tk[i:i+4], ' ')")} AS h
-  FROM posn
-), xdup AS (SELECT h FROM g GROUP BY h HAVING count(DISTINCT doc_id) >= 2
-), sfx AS (
-  SELECT doc_id, pos, h,
-         tk[CAST(pos+1 AS INT):CAST(pos+30 AS INT)] AS s,
-         array_to_string(tk[CAST(pos+1 AS INT):CAST(pos+30 AS INT)], ' ') AS s_str
-  FROM g WHERE h IN (SELECT h FROM xdup)
-), w0 AS (
-  SELECT doc_id, pos, h, s, s_str,
-         lag(s) OVER wb AS prev_s,
-         lead(s) OVER wb AS next_s,
-         CASE WHEN lag(doc_id) OVER wb IS NULL
-                OR lag(doc_id) OVER wb <> doc_id THEN 1 ELSE 0 END AS chg
-  FROM sfx
-  WINDOW wb AS (PARTITION BY h ORDER BY s_str, doc_id, pos)
-), w1 AS (
-  SELECT doc_id, pos, h, s, s_str, prev_s, next_s,
-         sum(chg) OVER (PARTITION BY h ORDER BY s_str, doc_id, pos) AS run
-  FROM w0
-), w2 AS (
-  SELECT doc_id, s,
-         first_value(prev_s) OVER wr AS prev_other,
-         last_value(next_s) OVER (PARTITION BY h, run ORDER BY s_str, doc_id, pos
-           ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS next_other
-  FROM w1
-  WINDOW wr AS (PARTITION BY h, run ORDER BY s_str, doc_id, pos)
-), lp AS (
-  SELECT doc_id, s,
-         CASE WHEN prev_other IS NULL THEN NULL
-              ELSE list_position(list_transform(list_zip(s, prev_other),
-                z -> CASE WHEN z[1] IS NULL OR z[2] IS NULL THEN false ELSE z[1] = z[2] END), false) END AS pp,
-         CASE WHEN prev_other IS NULL THEN NULL ELSE least(len(s), len(prev_other)) END AS pl,
-         CASE WHEN next_other IS NULL THEN NULL
-              ELSE list_position(list_transform(list_zip(s, next_other),
-                z -> CASE WHEN z[1] IS NULL OR z[2] IS NULL THEN false ELSE z[1] = z[2] END), false) END AS np,
-         CASE WHEN next_other IS NULL THEN NULL ELSE least(len(s), len(next_other)) END AS nl
-  FROM w2
-), mm AS (
-  SELECT doc_id, CAST(match_len AS BIGINT) AS match_len,
-         array_to_string(s[1:CAST(match_len AS INT)], ' ') AS sub
-  FROM (SELECT doc_id, s,
-          greatest(coalesce(CASE WHEN pp = 0 THEN pl ELSE pp - 1 END, 0),
-                   coalesce(CASE WHEN np = 0 THEN nl ELSE np - 1 END, 0)) AS match_len
-        FROM lp)
-  WHERE match_len >= 5
-), st AS (
+    // mirror of Dedup.crossDocSubstrings over the shared SUBSTR_M
+    // matched-positions CTE chain (see its comment above queries)
+    "d_substring_dedup" -> s"""$SUBSTR_M, st AS (
   SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup_starts, max(match_len) AS max_len
   FROM mm GROUP BY 1
 )
 SELECT st.doc_id, st.n_dup_starts, st.max_len, max(mm.sub) AS longest_sub
 FROM st JOIN mm ON mm.doc_id = st.doc_id AND mm.match_len = st.max_len
 GROUP BY 1, 2, 3""",
+
+    // interval-union (running-max island sweep) of the matched
+    // positions -> per-doc cross-doc duplicated-token fraction
+    "d_substring_fraction" -> s"""$SUBSTR_M, $SUBSTR_ISL, pd AS (
+  SELECT doc_id, sum(e0 - s0 + 1) AS dup_tokens FROM sp GROUP BY 1)
+SELECT t.doc_id, CAST(len(t.tk) AS BIGINT) AS n_tok,
+       CAST(coalesce(p.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+       round(CASE WHEN len(t.tk) > 0
+             THEN CAST(coalesce(p.dup_tokens, 0) AS DOUBLE) / len(t.tk)
+             ELSE 0.0 END, 4) AS dup_frac
+FROM toks t LEFT JOIN pd p ON p.doc_id = t.doc_id""",
+
+    // the APPLY: cut every token inside a cross-doc island, re-join
+    // the remainder (same cut mechanics as d_span_apply)
+    "d_substring_apply" -> s"""$SUBSTR_M, $SUBSTR_ISL, tok AS (
+  SELECT doc_id, CAST(j-1 AS BIGINT) AS p, tk[j] AS t
+  FROM (SELECT doc_id, tk, unnest(range(1, len(tk)+1)) AS j FROM toks)
+), keep AS (
+  SELECT k.doc_id, k.p, k.t FROM tok k
+  WHERE NOT EXISTS (SELECT 1 FROM sp
+                    WHERE sp.doc_id = k.doc_id AND k.p BETWEEN sp.s0 AND sp.e0)
+), agg AS (
+  SELECT doc_id, array_to_string(list(t ORDER BY p), ' ') AS clean_text,
+         count(*) AS n_kept
+  FROM keep GROUP BY doc_id)
+SELECT t.doc_id,
+       coalesce(a.clean_text, '') AS clean_text,
+       CAST(len(t.tk) - coalesce(a.n_kept, 0) AS BIGINT) AS n_removed
+FROM toks t LEFT JOIN agg a USING (doc_id)""",
 
     // minhash-estimated jaccard over LSH candidate pairs: fraction of
     // agreeing signature components

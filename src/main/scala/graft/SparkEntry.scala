@@ -73,6 +73,11 @@ object SparkEntry {
     // ~14 s of BENCH_r05 under load was exactly that)
     "gram_pos_5" ->
       ((s, dir) => { Dedup.positionalGrams(T(s, dir, "documents"), 5).count(); () }),
+    // cross-doc matched-positions frame: shared by d_substring_dedup,
+    // d_substring_fraction and d_substring_apply (alphabetically the
+    // APPLY query would otherwise be charged the suffix-sort build)
+    "substring_matches" ->
+      ((s, dir) => { Dedup.substringMatches(T(s, dir, "documents"), 5, 30).count(); () }),
     "ivf_assign" ->
       ((s, dir) => { Similarity.ivfAssign(T(s, dir, "embeddings"), IvfK).count(); () }),
     // PQ code/reconstruction frame: the corpus encode shared by
@@ -879,6 +884,19 @@ object SparkEntry {
   private def dSubstringDedup(s: SparkSession, dir: String): DataFrame =
     Dedup.crossDocSubstrings(T(s, dir, "documents"), 5, 30)
 
+  /** Per-doc fraction of tokens inside a region shared with ANOTHER
+    * document — the inter-document contamination metric over the same
+    * matched-positions frame (d_span_fraction counts within-doc
+    * repeats too; see [[graft.ext.Dedup.crossDocDupFraction]]). */
+  private def dSubstringFraction(s: SparkSession, dir: String): DataFrame =
+    Dedup.crossDocDupFraction(T(s, dir, "documents"), 5, 30)
+
+  /** The cross-doc substring APPLY: cut every token inside a region
+    * shared with another document
+    * (see [[graft.ext.Dedup.removeCrossDocSubstrings]]). */
+  private def dSubstringApply(s: SparkSession, dir: String): DataFrame =
+    Dedup.removeCrossDocSubstrings(T(s, dir, "documents"), 5, 30)
+
   /** Bloom-prefiltered exact decontamination: same exact semantics as
     * a train×eval gram join, but train grams cross the shuffle only if
     * they pass a broadcast Bloom filter of the eval grams — the 100 TB
@@ -1506,6 +1524,8 @@ object SparkEntry {
     "d_span_dedup" -> (dSpanDedup _),
     "d_span_fraction" -> (dSpanFraction _),
     "d_substring_dedup" -> (dSubstringDedup _),
+    "d_substring_fraction" -> (dSubstringFraction _),
+    "d_substring_apply" -> (dSubstringApply _),
     "d_minhash_jaccard_est" -> (dMinhashJaccardEst _),
     "d_incremental_dedup" -> (dIncrementalDedup _),
     "d_incremental_apply" -> (dIncrementalApply _),

@@ -556,49 +556,125 @@ object Dedup {
     * count of matching start positions, the longest match length, and
     * that longest substring (ties broken toward the
     * lexicographically-largest string, engine-reproducible). */
+  /** The matched-positions frame the whole substring family reads:
+    * one row per cross-doc duplicated start position —
+    * (doc_id, pos, match_len, sub) — PlanCache-materialized per
+    * (corpus, n, maxLcp, hash) because three registry consumers
+    * (report, fraction, apply) derive from it, exactly like the
+    * positional gram frame under the span family. */
+  def substringMatches(docs: DataFrame, n: Int, maxLcp: Int,
+      hashName: String = "md5"): DataFrame =
+    graft.ops.PlanCache.cachedBy(s"substr-matches-$n-$maxLcp-$hashName",
+        docs.queryExecution.logical.semanticHash(), docs.sparkSession) {
+      import org.apache.spark.sql.expressions.Window
+      val grams = positionalGrams(docs, n, hashName)
+      val xdup = grams.groupBy("h")
+        .agg(countDistinct(col("doc_id")).as("nd"))
+        .filter(col("nd") >= 2).select("h")
+      val dupPos = grams.join(xdup, Seq("h"), "left_semi")
+      // suffixes only at duplicated positions, built from ONE doc-keyed
+      // join (the token array moves once per doc, not once per position)
+      val perDoc = dupPos.groupBy("doc_id")
+        .agg(collect_list(struct(col("pos"), col("h"))).as("ps"))
+      val sfxFrame = spread(docs).select(col("doc_id"), tokens(col("text")).as("tk"))
+        .join(perDoc, "doc_id")
+        .select(col("doc_id"), explode(col("ps")).as("p"), col("tk"))
+        .select(col("doc_id"), col("p.pos").as("pos"), col("p.h").as("h"),
+          slice(col("tk"), (col("p.pos") + 1L).cast("int"), lit(maxLcp)).as("sfx"))
+        .withColumn("sfx_str", array_join(col("sfx"), " "))
+      val ord = Seq(col("sfx_str"), col("doc_id"), col("pos"))
+      val wb = Window.partitionBy("h").orderBy(ord: _*)
+      val runs = sfxFrame
+        .withColumn("prev_s", lag(col("sfx"), 1).over(wb))
+        .withColumn("next_s", lead(col("sfx"), 1).over(wb))
+        .withColumn("run", sum(
+          when(lag(col("doc_id"), 1).over(wb).isNull ||
+            lag(col("doc_id"), 1).over(wb) =!= col("doc_id"), 1L).otherwise(0L)).over(wb))
+      // second pass refines the same hash(h) distribution — extra sort,
+      // no extra shuffle
+      val wr = Window.partitionBy("h", "run").orderBy(ord: _*)
+      val wrFull = wr.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      runs
+        .withColumn("prev_other", first(col("prev_s")).over(wr))
+        .withColumn("next_other", last(col("next_s")).over(wrFull))
+        .withColumn("match_len", greatest(
+          coalesce(lcpTokens(col("sfx"), col("prev_other")), lit(0L)),
+          coalesce(lcpTokens(col("sfx"), col("next_other")), lit(0L))))
+        .filter(col("match_len") >= n.toLong)
+        .select(col("doc_id"), col("pos"), col("match_len"),
+          array_join(slice(col("sfx"), lit(1), col("match_len").cast("int")), " ").as("sub"))
+    }
+
   def crossDocSubstrings(docs: DataFrame, n: Int, maxLcp: Int,
-      hashName: String = "md5"): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val grams = positionalGrams(docs, n, hashName)
-    val xdup = grams.groupBy("h")
-      .agg(countDistinct(col("doc_id")).as("nd"))
-      .filter(col("nd") >= 2).select("h")
-    val dupPos = grams.join(xdup, Seq("h"), "left_semi")
-    // suffixes only at duplicated positions, built from ONE doc-keyed
-    // join (the token array moves once per doc, not once per position)
-    val perDoc = dupPos.groupBy("doc_id")
-      .agg(collect_list(struct(col("pos"), col("h"))).as("ps"))
-    val sfxFrame = spread(docs).select(col("doc_id"), tokens(col("text")).as("tk"))
-      .join(perDoc, "doc_id")
-      .select(col("doc_id"), explode(col("ps")).as("p"), col("tk"))
-      .select(col("doc_id"), col("p.pos").as("pos"), col("p.h").as("h"),
-        slice(col("tk"), (col("p.pos") + 1L).cast("int"), lit(maxLcp)).as("sfx"))
-      .withColumn("sfx_str", array_join(col("sfx"), " "))
-    val ord = Seq(col("sfx_str"), col("doc_id"), col("pos"))
-    val wb = Window.partitionBy("h").orderBy(ord: _*)
-    val runs = sfxFrame
-      .withColumn("prev_s", lag(col("sfx"), 1).over(wb))
-      .withColumn("next_s", lead(col("sfx"), 1).over(wb))
-      .withColumn("run", sum(
-        when(lag(col("doc_id"), 1).over(wb).isNull ||
-          lag(col("doc_id"), 1).over(wb) =!= col("doc_id"), 1L).otherwise(0L)).over(wb))
-    // second pass refines the same hash(h) distribution — extra sort,
-    // no extra shuffle
-    val wr = Window.partitionBy("h", "run").orderBy(ord: _*)
-    val wrFull = wr.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    val matched = runs
-      .withColumn("prev_other", first(col("prev_s")).over(wr))
-      .withColumn("next_other", last(col("next_s")).over(wrFull))
-      .withColumn("match_len", greatest(
-        coalesce(lcpTokens(col("sfx"), col("prev_other")), lit(0L)),
-        coalesce(lcpTokens(col("sfx"), col("next_other")), lit(0L))))
-      .filter(col("match_len") >= n.toLong)
-      .select(col("doc_id"), col("match_len"),
-        array_join(slice(col("sfx"), lit(1), col("match_len").cast("int")), " ").as("sub"))
-    matched.groupBy("doc_id")
+      hashName: String = "md5"): DataFrame =
+    substringMatches(docs, n, maxLcp, hashName).groupBy("doc_id")
       .agg(count(lit(1)).as("n_dup_starts"),
         max(col("match_len")).as("max_len"),
         max(struct(col("match_len"), col("sub"))).getField("sub").as("longest_sub"))
+
+  /** Interval-union of the matched positions — maximal cross-doc
+    * duplicated REGIONS per doc: matches overlap and nest freely
+    * (every start inside a long match also matches), so coverage is
+    * the classic running-max island sweep, windowed per doc_id only —
+    * never corpus-wide. Returns (doc_id, s0, e0) inclusive token
+    * spans. */
+  private def crossDocIslands(docs: DataFrame, n: Int, maxLcp: Int,
+      hashName: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val iv = substringMatches(docs, n, maxLcp, hashName)
+      .select(col("doc_id"), col("pos"), (col("pos") + col("match_len") - 1L).as("e"))
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    iv
+      .withColumn("prev_end",
+        max(col("e")).over(w.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("brk",
+        when(col("prev_end").isNull || col("pos") > col("prev_end"), 1L).otherwise(0L))
+      .withColumn("island", sum(col("brk")).over(w))
+      .groupBy(col("doc_id"), col("island"))
+      .agg(min(col("pos")).as("s0"), max(col("e")).as("e0"))
+      .select(col("doc_id"), col("s0"), col("e0"))
+  }
+
+  /** Per-document cross-doc duplicated-token fraction — the
+    * inter-document contamination metric (d_span_fraction counts
+    * within-doc repeats too; this form counts ONLY tokens inside a
+    * region shared with ANOTHER document, the quantity Lee et al.'s
+    * exact-substring dedup thresholds on). Match lengths are capped at
+    * `maxLcp`, so coverage is a lower bound at pathological overlap
+    * lengths — the cap is the per-row state bound. */
+  def crossDocDupFraction(docs: DataFrame, n: Int, maxLcp: Int,
+      hashName: String = "md5"): DataFrame = {
+    val spans = crossDocIslands(docs, n, maxLcp, hashName)
+      .groupBy("doc_id")
+      .agg(sum(col("e0") - col("s0") + 1).as("dup_tokens"))
+    docs.select(col("doc_id"), size(tokens(col("text"))).cast("long").as("n_tok"))
+      .join(spans, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tok"),
+        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
+        round(when(col("n_tok") > 0,
+            coalesce(col("dup_tokens"), lit(0L)).cast("double") / col("n_tok"))
+          .otherwise(0.0), 4).as("dup_frac"))
+  }
+
+  /** The APPLY step of cross-doc substring dedup: cut every token
+    * inside a cross-doc duplicated region — same cut mechanics as
+    * [[removeDuplicatedSpans]], driven by the suffix-ordering islands
+    * instead of the within-corpus gram islands. */
+  def removeCrossDocSubstrings(docs: DataFrame, n: Int, maxLcp: Int,
+      hashName: String = "md5"): DataFrame = {
+    val spans = crossDocIslands(docs, n, maxLcp, hashName)
+      .groupBy("doc_id")
+      .agg(collect_list(struct(col("s0").as("s"), col("e0").as("e"))).as("spans"))
+    docs.select(col("doc_id"), tokens(col("text")).as("tk"))
+      .join(spans, Seq("doc_id"), "left")
+      .withColumn("kept",
+        when(col("spans").isNull, col("tk"))
+          .otherwise(filter(col("tk"), (_, i) =>
+            !exists(col("spans"), sp =>
+              i.cast("long") >= sp.getField("s") && i.cast("long") <= sp.getField("e")))))
+      .select(col("doc_id"),
+        array_join(col("kept"), " ").as("clean_text"),
+        (size(col("tk")) - size(col("kept"))).cast("long").as("n_removed"))
   }
 
   /** Bloom-prefiltered exact n-gram decontamination. The exact

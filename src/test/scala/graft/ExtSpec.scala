@@ -855,6 +855,26 @@ class ExtSpec extends SparkSpec {
       (2L, 3L, 7L, "a b c d e f g")))
   }
 
+  test("cross-doc substring fraction and apply cover the interval union of nested matches") {
+    val docs = Seq(
+      (1L, "a b c d e f g h i j"),
+      (2L, "x y a b c d e f g z"),
+      (3L, "completely different tokens only here now")).toDF("doc_id", "text")
+    // matches nest: doc1 positions 0/1/2 (len 7/6/5) all cover [0,6];
+    // doc2 positions 2/3/4 cover [2,8] — 7 of 10 tokens each
+    val frac = Dedup.crossDocDupFraction(docs, 5, 30)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(frac === Array(
+      (1L, 10L, 7L, 0.7), (2L, 10L, 7L, 0.7), (3L, 6L, 0L, 0.0)))
+    val applied = Dedup.removeCrossDocSubstrings(docs, 5, 30)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(applied === Array(
+      (1L, "h i j", 7L), (2L, "x y z", 7L),
+      (3L, "completely different tokens only here now", 0L)))
+  }
+
   test("cross-doc substring match length is capped at maxLcp tokens") {
     val docs = Seq(
       (1L, "a b c d e f g h i j"),
