@@ -1217,6 +1217,38 @@ GROUP BY source, n_s""",
   FROM w)
 SELECT doc_id, log_w FROM k ORDER BY es_key DESC, doc_id LIMIT 100""",
 
+    // multi-target DSIR: one (doc, source, bucket) substrate, one
+    // per-target bucket model (membership = source equality), scoring
+    // join fans each bucket row by the target list — mirror of
+    // TextOps.dsirWeightsMulti with IDENTICAL smoothing to DSIR_W
+    "t_dsir_multi" -> s"""WITH toks AS (
+  SELECT doc_id, source,
+         list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), t -> len(t) > 0) AS tk
+  FROM documents
+), occ AS (
+  SELECT doc_id, source, unnest(${shinglesN(2)}) AS g FROM toks
+), pd AS (
+  SELECT doc_id, source, ${dh("g")} % 1024 AS b, count(*) AS c_db
+  FROM occ GROUP BY 1, 2, 3
+), tgts AS (SELECT unnest(['src0', 'src1']) AS target
+), bs AS (SELECT b, sum(c_db) AS c_c FROM pd GROUP BY b
+), ct AS (
+  SELECT t.target, p.b,
+         sum(CASE WHEN p.source = t.target THEN p.c_db ELSE 0 END) AS c_t
+  FROM pd p CROSS JOIN tgts t GROUP BY 1, 2
+), nt AS (SELECT target, sum(c_t) AS n_t FROM ct GROUP BY 1
+), nc AS (SELECT sum(c_c) AS n_c FROM bs
+), model AS (
+  SELECT ct.target, ct.b,
+         ln((CAST(ct.c_t + 1 AS DOUBLE) / (nt.n_t + 1024)) /
+            (CAST(bs.c_c + 1 AS DOUBLE) / (nc.n_c + 1024))) AS log_ratio
+  FROM ct JOIN bs USING (b) JOIN nt USING (target) CROSS JOIN nc
+)
+SELECT p.doc_id, m.target, CAST(sum(p.c_db) AS BIGINT) AS n_grams,
+       round(sum(p.c_db * m.log_ratio), 4) AS log_w
+FROM pd p JOIN model m ON m.b = p.b
+GROUP BY 1, 2""",
+
     // equalized-sample DSIR calibration: 8 fixed-width strata over the
     // 4-dp-rounded log_w range (edges from one stats row, no quantile
     // sort), 20 uniform draws per stratum ranked on the integer

@@ -1350,6 +1350,16 @@ object SparkEntry {
   private def tDsirWeights(s: SparkSession, dir: String): DataFrame =
     TextOps.dsirWeights(T(s, dir, "documents"), col("source") === "src0", 1024)
 
+  /** Multi-target DSIR: the corpus scored toward src0 AND src1 in one
+    * pass (one substrate, one bucket aggregate, k-model broadcast —
+    * see [[graft.ext.TextOps.dsirWeightsMulti]]); smoothing identical
+    * to t_dsir_weights, pinned by the single-target equivalence
+    * spec. */
+  private def tDsirMulti(s: SparkSession, dir: String): DataFrame =
+    TextOps.dsirWeightsMulti(T(s, dir, "documents"),
+      Seq("src0" -> (col("source") === "src0"),
+        "src1" -> (col("source") === "src1")), 1024)
+
   /** DSIR resample APPLY — the step that closes the importance-
     * resampling loop: Efraimidis–Spirakis without replacement over
     * weight exp(log_w), ranked in LOG space (ln u)/w, the monotone
@@ -1555,6 +1565,7 @@ object SparkEntry {
     "m_modality_report" -> (mModalityReport _),
     "e_dsir_apply" -> (eDsirApply _),
     "e_dsir_calibrate" -> (eDsirCalibrate _),
+    "t_dsir_multi" -> (tDsirMulti _),
     "d_dedup_apply" -> (dDedupApply _),
     "d_exact" -> (dExact _),
     "d_exact_normalized" -> (dExactNormalized _),

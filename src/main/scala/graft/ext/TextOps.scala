@@ -375,6 +375,60 @@ object TextOps {
         round(sum(col("c_db") * col("log_ratio")), 4).as("log_w"))
   }
 
+  /** Multi-target DSIR: importance weights toward K target slices in
+    * ONE corpus pass — the multi-tenant form (a curation run scores
+    * the same corpus toward several target domains; k single-target
+    * runs would tokenize and bucket the corpus k times). One
+    * target-free (doc, bucket) substrate carries a membership flag
+    * per target; per-target bucket models derive from ONE bucket
+    * aggregate (k sums side by side, unpivoted to (target, b) rows),
+    * and the scoring join fans each (doc, bucket) row out by the
+    * k-model broadcast — shuffle ∝ substrate, model ≤ vBuckets·k
+    * rows. Smoothing and rounding are IDENTICAL to [[dsirWeights]]
+    * (spec pins single-target equivalence).
+    *
+    * Returns (doc_id, target, n_grams, log_w), one row per doc per
+    * target. */
+  def dsirWeightsMulti(docs: DataFrame, targets: Seq[(String, Column)],
+      vBuckets: Int): DataFrame = {
+    import org.apache.spark.sql.functions.broadcast
+    require(targets.nonEmpty, "at least one target slice")
+    val tkey = targets.map { case (n, p) => s"$n:${p.toString.hashCode}" }
+      .mkString("|").hashCode
+    val pd = graft.ops.PlanCache.cachedBy(s"dsir-multi-pd-$vBuckets-$tkey",
+        docs.queryExecution.logical.semanticHash(), docs.sparkSession) {
+      val marked = docs.select(
+        Seq(col("doc_id"), tokens(col("text")).as("tk")) ++
+          targets.zipWithIndex.map { case ((_, p), i) => p.as(s"t$i") }: _*)
+      val occ = marked.select(
+        Seq(col("doc_id"), explode(shingles(col("tk"), 2)).as("g")) ++
+          targets.indices.map(i => col(s"t$i")): _*)
+        .withColumn("b", pmod(portableHash(col("g")), lit(vBuckets.toLong)))
+      val aggs = count(lit(1)).as("c_db") +:
+        targets.indices.map(i => first(col(s"t$i")).as(s"t$i"))
+      occ.groupBy(col("doc_id"), col("b")).agg(aggs.head, aggs.tail: _*)
+    }
+    val bAggs = sum(col("c_db")).as("c_c") +:
+      targets.indices.map(i =>
+        sum(when(col(s"t$i"), col("c_db")).otherwise(0L)).as(s"ct$i"))
+    val bucketStats = pd.groupBy("b").agg(bAggs.head, bAggs.tail: _*)
+    val tAggs = sum(col("c_c")).as("n_c") +:
+      targets.indices.map(i => sum(col(s"ct$i")).as(s"nt$i"))
+    val totals = bucketStats.agg(tAggs.head, tAggs.tail: _*)
+    val model = bucketStats.crossJoin(broadcast(totals))
+      .select(col("b"), col("c_c"), col("n_c"),
+        explode(array(targets.zipWithIndex.map { case ((name, _), i) =>
+          struct(lit(name).as("target"), col(s"ct$i").as("c_t"),
+            col(s"nt$i").as("n_t")) }: _*)).as("t"))
+      .select(col("b"), col("t.target").as("target"),
+        log(((col("t.c_t") + 1).cast("double") / (col("t.n_t") + vBuckets)) /
+          ((col("c_c") + 1).cast("double") / (col("n_c") + vBuckets))).as("log_ratio"))
+    pd.join(broadcast(model), "b")
+      .groupBy(col("doc_id"), col("target"))
+      .agg(sum(col("c_db")).as("n_grams"),
+        round(sum(col("c_db") * col("log_ratio")), 4).as("log_w"))
+  }
+
   /** Whole-document fingerprint over whitespace-normalized text. */
   def fingerprint(text: Column): Column =
     portableHash(regexp_replace(lower(trim(text)), "\\s+", " "))

@@ -888,6 +888,25 @@ class ExtSpec extends SparkSpec {
     assert(got === Array((1L, 6L, "b c d e f g"), (2L, 6L, "b c d e f g")))
   }
 
+  test("multi-target DSIR reproduces the single-target weights per slice") {
+    // the one-pass k-target form must be VALUE-identical to k
+    // single-target runs — same substrate, same smoothing, same
+    // rounding — or the multi-tenant claim is a different model
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val multi = TextOps.dsirWeightsMulti(docs,
+      Seq("src0" -> (col("source") === "src0"),
+        "src1" -> (col("source") === "src1")), 1024)
+    for (t <- Seq("src0", "src1")) {
+      val single = TextOps.dsirWeights(docs, col("source") === t, 1024)
+        .select(col("doc_id"), col("n_grams"), col("log_w"))
+      val slice = multi.filter(col("target") === t)
+        .select(col("doc_id"), col("n_grams"), col("log_w"))
+      assert(slice.exceptAll(single).count() === 0L &&
+        single.exceptAll(slice).count() === 0L,
+        s"multi-target slice $t diverges from the single-target run")
+    }
+  }
+
   test("e_dsir_apply rank-100/101 key gap dwarfs double ulp at both gate scales") {
     // The cross-engine-compared top-100 rides a raw double order-by
     // (log(u)/exp(log_w)) — fixed-decimal rounding is a no-op at the
