@@ -135,6 +135,19 @@ object Bench {
       "d_span_dedup_xx" -> ((s, dir) =>
         graft.ext.Dedup.duplicatedSpans(
           s.read.parquet(s"$dir/documents.parquet"), 5, hashName = "xx")),
+      // substring dedup on the production hash (own gram+suffix build
+      // inside the timing — compare against gram_pos_5 +
+      // substring_matches prepare + d_substring_dedup)
+      "d_substring_dedup_xx" -> ((s, dir) =>
+        graft.ext.Dedup.crossDocSubstrings(
+          s.read.parquet(s"$dir/documents.parquet"), 5, 30, hashName = "xx")),
+      // the skew knob measured: stop-gram buckets over 64 occurrences
+      // dropped before the suffix sort (the 100 TB dial for corpora
+      // with degenerate boilerplate grams; approximate, hence
+      // bench-only)
+      "d_substring_dedup_capped" -> ((s, dir) =>
+        graft.ext.Dedup.crossDocSubstrings(
+          s.read.parquet(s"$dir/documents.parquet"), 5, 30, maxOcc = 64)),
       // the 100 TB swap-in for a_percentiles: t-digest sketch instead
       // of exact per-group buffers (not oracle-matchable — approximate)
       "a_percentiles_approx" -> ((s, dir) => {

@@ -563,14 +563,21 @@ object Dedup {
     * (report, fraction, apply) derive from it, exactly like the
     * positional gram frame under the span family. */
   def substringMatches(docs: DataFrame, n: Int, maxLcp: Int,
-      hashName: String = "md5"): DataFrame =
-    graft.ops.PlanCache.cachedBy(s"substr-matches-$n-$maxLcp-$hashName",
+      hashName: String = "md5", maxOcc: Int = 0): DataFrame =
+    graft.ops.PlanCache.cachedBy(s"substr-matches-$n-$maxLcp-$hashName-$maxOcc",
         docs.queryExecution.logical.semanticHash(), docs.sparkSession) {
       import org.apache.spark.sql.expressions.Window
       val grams = positionalGrams(docs, n, hashName)
+      // maxOcc > 0 = the skew knob: a degenerate stop-gram (an n-gram
+      // occurring everywhere) makes one bucket's sort quadratic-ish in
+      // its occurrence count; capping drops those buckets the same way
+      // the df-capped jaccard drops stop-shingles — matches through a
+      // rarer gram elsewhere in the span still surface. 0 = exact.
       val xdup = grams.groupBy("h")
-        .agg(countDistinct(col("doc_id")).as("nd"))
-        .filter(col("nd") >= 2).select("h")
+        .agg(countDistinct(col("doc_id")).as("nd"), count(lit(1)).as("occ"))
+        .filter(col("nd") >= 2 &&
+          (if (maxOcc > 0) col("occ") <= maxOcc else lit(true)))
+        .select("h")
       val dupPos = grams.join(xdup, Seq("h"), "left_semi")
       // suffixes only at duplicated positions, built from ONE doc-keyed
       // join (the token array moves once per doc, not once per position)
@@ -606,8 +613,8 @@ object Dedup {
     }
 
   def crossDocSubstrings(docs: DataFrame, n: Int, maxLcp: Int,
-      hashName: String = "md5"): DataFrame =
-    substringMatches(docs, n, maxLcp, hashName).groupBy("doc_id")
+      hashName: String = "md5", maxOcc: Int = 0): DataFrame =
+    substringMatches(docs, n, maxLcp, hashName, maxOcc).groupBy("doc_id")
       .agg(count(lit(1)).as("n_dup_starts"),
         max(col("match_len")).as("max_len"),
         max(struct(col("match_len"), col("sub"))).getField("sub").as("longest_sub"))

@@ -875,6 +875,16 @@ class ExtSpec extends SparkSpec {
       (3L, "completely different tokens only here now", 0L)))
   }
 
+  test("substring dedup occurrence cap drops hot-gram buckets, keeps the rest") {
+    val docs = Seq(
+      (1L, "a b c d e f g h i j"),
+      (2L, "x y a b c d e f g z")).toDF("doc_id", "text")
+    // every shared gram occurs exactly twice: a cap of 2 changes
+    // nothing; a cap of 1 drops every bucket (the degenerate dial)
+    assert(Dedup.crossDocSubstrings(docs, 5, 30, maxOcc = 2).count() === 2L)
+    assert(Dedup.crossDocSubstrings(docs, 5, 30, maxOcc = 1).count() === 0L)
+  }
+
   test("cross-doc substring match length is capped at maxLcp tokens") {
     val docs = Seq(
       (1L, "a b c d e f g h i j"),
