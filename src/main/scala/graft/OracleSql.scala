@@ -139,6 +139,39 @@ object OracleSql {
   SELECT doc_id, min(pos) AS s0, max(e) AS e0 FROM isl GROUP BY doc_id, island
 )"""
 
+  /** Multi-target DSIR weight chain (mirror of
+    * TextOps.dsirWeightsMulti at targets src0/src1, vBuckets 1024;
+    * smoothing identical to DSIR_W). Ends at
+    * `w(doc_id, target, n_grams, log_w)`. */
+  private val DSIR_MULTI_W = s"""WITH toks AS (
+  SELECT doc_id, source,
+         list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), t -> len(t) > 0) AS tk
+  FROM documents
+), occ AS (
+  SELECT doc_id, source, unnest(${shinglesN(2)}) AS g FROM toks
+), pd AS (
+  SELECT doc_id, source, ${dh("g")} % 1024 AS b, count(*) AS c_db
+  FROM occ GROUP BY 1, 2, 3
+), tgts AS (SELECT unnest(['src0', 'src1']) AS target
+), bs AS (SELECT b, sum(c_db) AS c_c FROM pd GROUP BY b
+), ct AS (
+  SELECT t.target, p.b,
+         sum(CASE WHEN p.source = t.target THEN p.c_db ELSE 0 END) AS c_t
+  FROM pd p CROSS JOIN tgts t GROUP BY 1, 2
+), nt AS (SELECT target, sum(c_t) AS n_t FROM ct GROUP BY 1
+), nc AS (SELECT sum(c_c) AS n_c FROM bs
+), model AS (
+  SELECT ct.target, ct.b,
+         ln((CAST(ct.c_t + 1 AS DOUBLE) / (nt.n_t + 1024)) /
+            (CAST(bs.c_c + 1 AS DOUBLE) / (nc.n_c + 1024))) AS log_ratio
+  FROM ct JOIN bs USING (b) JOIN nt USING (target) CROSS JOIN nc
+), w AS (
+  SELECT p.doc_id, m.target, CAST(sum(p.c_db) AS BIGINT) AS n_grams,
+         round(sum(p.c_db * m.log_ratio), 4) AS log_w
+  FROM pd p JOIN model m ON m.b = p.b
+  GROUP BY 1, 2
+)"""
+
   private val MINHASH_P = "2305843009213693951"
   private def mhTerm(i: Int): String =
     s"min((h*${2 * i + 1} + ${10007 * i + 1}) % $MINHASH_P) AS mh$i"
@@ -1221,33 +1254,27 @@ SELECT doc_id, log_w FROM k ORDER BY es_key DESC, doc_id LIMIT 100""",
     // per-target bucket model (membership = source equality), scoring
     // join fans each bucket row by the target list — mirror of
     // TextOps.dsirWeightsMulti with IDENTICAL smoothing to DSIR_W
-    "t_dsir_multi" -> s"""WITH toks AS (
-  SELECT doc_id, source,
-         list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), t -> len(t) > 0) AS tk
-  FROM documents
-), occ AS (
-  SELECT doc_id, source, unnest(${shinglesN(2)}) AS g FROM toks
-), pd AS (
-  SELECT doc_id, source, ${dh("g")} % 1024 AS b, count(*) AS c_db
-  FROM occ GROUP BY 1, 2, 3
-), tgts AS (SELECT unnest(['src0', 'src1']) AS target
-), bs AS (SELECT b, sum(c_db) AS c_c FROM pd GROUP BY b
-), ct AS (
-  SELECT t.target, p.b,
-         sum(CASE WHEN p.source = t.target THEN p.c_db ELSE 0 END) AS c_t
-  FROM pd p CROSS JOIN tgts t GROUP BY 1, 2
-), nt AS (SELECT target, sum(c_t) AS n_t FROM ct GROUP BY 1
-), nc AS (SELECT sum(c_c) AS n_c FROM bs
-), model AS (
-  SELECT ct.target, ct.b,
-         ln((CAST(ct.c_t + 1 AS DOUBLE) / (nt.n_t + 1024)) /
-            (CAST(bs.c_c + 1 AS DOUBLE) / (nc.n_c + 1024))) AS log_ratio
-  FROM ct JOIN bs USING (b) JOIN nt USING (target) CROSS JOIN nc
+    "t_dsir_multi" -> s"""$DSIR_MULTI_W
+SELECT doc_id, target, n_grams, log_w FROM w""",
+
+    // per-target equalized calibration: e_dsir_calibrate composed
+    // with the multi-target weights — per-target min/max strata,
+    // 10 integer-hash draws per (target, stratum)
+    "e_dsir_multi_calibrate" -> s"""$DSIR_MULTI_W, st AS (
+  SELECT target, min(log_w) AS mn, max(log_w) AS mx FROM w GROUP BY 1
+), strat AS (
+  SELECT w.target, doc_id, log_w,
+         CASE WHEN mx > mn
+              THEN least(7, CAST(floor(((log_w - mn) * 8.0) / (mx - mn)) AS BIGINT))
+              ELSE 0 END AS stratum
+  FROM w JOIN st ON st.target = w.target
 )
-SELECT p.doc_id, m.target, CAST(sum(p.c_db) AS BIGINT) AS n_grams,
-       round(sum(p.c_db * m.log_ratio), 4) AS log_w
-FROM pd p JOIN model m ON m.b = p.b
-GROUP BY 1, 2""",
+SELECT target, stratum, CAST(rk AS INT) AS rk, doc_id, log_w FROM (
+  SELECT target, stratum, doc_id, log_w,
+         row_number() OVER (PARTITION BY target, stratum
+           ORDER BY ${dh("CAST(doc_id AS VARCHAR)")}, doc_id) AS rk
+  FROM strat)
+WHERE rk <= 10""",
 
     // equalized-sample DSIR calibration: 8 fixed-width strata over the
     // 4-dp-rounded log_w range (edges from one stats row, no quantile

@@ -98,6 +98,11 @@ object SparkEntry {
     // whole build)
     "dsir_buckets" ->
       ((s, dir) => { tDsirWeights(s, dir).count(); () }),
+    // multi-target substrate + weight table: shared by t_dsir_multi
+    // and e_dsir_multi_calibrate (alphabetically the calibrate query
+    // would otherwise be charged the one-pass build)
+    "dsir_multi" ->
+      ((s, dir) => { tDsirMulti(s, dir).count(); () }),
     // incremental batch-vs-corpus pair frame: shared by
     // d_incremental_dedup and d_incremental_apply (alphabetically the
     // APPLY query would otherwise be charged the whole build)
@@ -1407,6 +1412,31 @@ object SparkEntry {
         col("doc_id"), col("log_w"))
   }
 
+  /** Per-target equalized calibration — e_dsir_calibrate composed
+    * with t_dsir_multi: each target slice gets its OWN 8 fixed-width
+    * strata over its own weight range (per-target min/max from one
+    * tiny groupBy, broadcast back on target) and 10 integer-hash
+    * draws per (target, stratum). The multi-tenant calibration set:
+    * 2 targets × 8 strata × ≤10 rows. Rank shuffle is bounded by the
+    * same WindowGroupLimit prune, now keyed (target, stratum). */
+  private def eDsirMultiCalibrate(s: SparkSession, dir: String): DataFrame = {
+    val w = tDsirMulti(s, dir)
+    val stats = w.groupBy("target")
+      .agg(min(col("log_w")).as("mn"), max(col("log_w")).as("mx"))
+    val strat = w.join(broadcast(stats), "target")
+      .withColumn("stratum",
+        when(col("mx") > col("mn"),
+          least(lit(7L),
+            floor(((col("log_w") - col("mn")) * 8.0) / (col("mx") - col("mn")))))
+          .otherwise(lit(0L)))
+    val wnd = Window.partitionBy(col("target"), col("stratum"))
+      .orderBy(Codecs.portableHash(col("doc_id").cast("string")), col("doc_id"))
+    strat.withColumn("rk", row_number().over(wnd))
+      .filter(col("rk") <= 10)
+      .select(col("target"), col("stratum"), col("rk").cast("int").as("rk"),
+        col("doc_id"), col("log_w"))
+  }
+
   /** Asset-store exact dedup: payload-hash ledger (n_copies, keeper)
     * over the binary column — the cheap pass that runs BEFORE any
     * decode so duplicate media is fetched and featurized once. Shuffle
@@ -1566,6 +1596,7 @@ object SparkEntry {
     "e_dsir_apply" -> (eDsirApply _),
     "e_dsir_calibrate" -> (eDsirCalibrate _),
     "t_dsir_multi" -> (tDsirMulti _),
+    "e_dsir_multi_calibrate" -> (eDsirMultiCalibrate _),
     "d_dedup_apply" -> (dDedupApply _),
     "d_exact" -> (dExact _),
     "d_exact_normalized" -> (dExactNormalized _),

@@ -423,10 +423,16 @@ object TextOps {
       .select(col("b"), col("t.target").as("target"),
         log(((col("t.c_t") + 1).cast("double") / (col("t.n_t") + vBuckets)) /
           ((col("c_c") + 1).cast("double") / (col("n_c") + vBuckets))).as("log_ratio"))
-    pd.join(broadcast(model), "b")
-      .groupBy(col("doc_id"), col("target"))
-      .agg(sum(col("c_db")).as("n_grams"),
-        round(sum(col("c_db") * col("log_ratio")), 4).as("log_w"))
+    // the per-doc-per-target weight table is cached like the
+    // single-target one: the weights query and the per-target
+    // calibration both read it
+    graft.ops.PlanCache.cachedBy(s"dsir-multi-w-$vBuckets-$tkey",
+        docs.queryExecution.logical.semanticHash(), docs.sparkSession) {
+      pd.join(broadcast(model), "b")
+        .groupBy(col("doc_id"), col("target"))
+        .agg(sum(col("c_db")).as("n_grams"),
+          round(sum(col("c_db") * col("log_ratio")), 4).as("log_w"))
+    }
   }
 
   /** Whole-document fingerprint over whitespace-normalized text. */
