@@ -205,6 +205,40 @@ object OracleSql {
 ), fps AS (SELECT doc_id, $fp AS simhash FROM v)"""
   }
 
+  /** Mirror of m_media_neardup's 64-bit byte-window SimHash
+    * (Dedup.simhashOfHashes over sliding 4-byte windows of
+    * hex(payload)): same lane packing as [[SIMHASH_FPS]] at 64 bits;
+    * bit 63's literal is spelled as BIGINT min because `1::BIGINT <<
+    * 63` overflows DuckDB's checked shift, and the `+` chain stays
+    * in-range at every partial sum (disjoint bits, ascending, the
+    * negative top term last). */
+  private val MEDIA_FPS = {
+    val bits = 64; val laneBits = 20; val lanesPerLong = 3
+    val nPacked = (bits + lanesPerLong - 1) / lanesPerLong
+    val packed = (0 until nPacked).map { k =>
+      val lanes = (0 until lanesPerLong).map(l => (k * lanesPerLong + l, l))
+        .filter(_._1 < bits)
+        .map { case (j, l) => s"(((h>>$j)&1) << ${l * laneBits})" }
+      s"CAST(sum(${lanes.mkString(" + ")}) AS BIGINT) AS p$k"
+    }.mkString(", ")
+    val mask = (1L << laneBits) - 1
+    val fp = (0 until bits).map { j =>
+      val ones = s"((p${j / lanesPerLong} >> ${(j % lanesPerLong) * laneBits}) & $mask)"
+      val bit = if (j == 63) "(-9223372036854775807 - 1)::BIGINT" else s"(1::BIGINT << $j)"
+      s"(CASE WHEN $ones * 2 > n_tok THEN $bit ELSE 0 END)"
+    }.mkString(" + ")
+    s"""WITH hx AS (
+  SELECT doc_id, hex(encode(text)) AS h, octet_length(encode(text)) AS n
+  FROM documents WHERE octet_length(encode(text)) >= 4
+), g AS (
+  SELECT doc_id, unnest(list_transform(range(0, n - 3),
+    i -> substr(h, CAST(2*i+1 AS INT), 8))) AS gram
+  FROM hx
+), th AS (SELECT doc_id, ${dh("gram")} AS h FROM g
+), v AS (SELECT doc_id, $packed, count(*) AS n_tok FROM th GROUP BY doc_id
+), fps AS (SELECT doc_id, $fp AS simhash FROM v)"""
+  }
+
   /** Vector CTEs: double-precision view + norm + 8-bit sign-LSH bucket
     * (mirror of graft.ext.Similarity). */
   private val VECS = {
@@ -1147,6 +1181,16 @@ SELECT q_id, vec_id AS neighbor_id, CAST(rnk AS INT) AS rnk, round(cos, 4) AS co
   SELECT q_id, vec_id, cos,
          row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rnk FROM s)
 WHERE rnk <= 3""",
+
+    // media near-dup: 64-bit byte-window SimHash of the payload →
+    // EXHAUSTIVE hamming pairs — the engine's pigeonhole banding must
+    // lose nothing
+    "m_media_neardup" -> s"""$MEDIA_FPS
+SELECT doc_a, doc_b, hamming FROM (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+  FROM fps a JOIN fps b ON a.doc_id < b.doc_id)
+WHERE hamming <= 8""",
 
     // chunk → token-hash-histogram featurize → ANN: the t_chunk window
     // slices re-derived, 64-bin hashing-trick vector per chunk, exact

@@ -1254,6 +1254,36 @@ object SparkEntry {
     Similarity.bruteForceTopK(feats, col("vec_id") < 8, 3)
   }
 
+  /** Media near-dup: payload bytes → 64-bit content-shingle SimHash
+    * (each sliding 4-byte window of the payload's hex rendering is one
+    * hashed voter, [[graft.ext.Dedup.simhashOfHashes]]) → pigeonhole-
+    * banded hamming pairs ([[graft.ext.Dedup.simhashPairs]], GUARANTEED
+    * recall at ≤ 8 differing bits) — the perceptual-hash shape
+    * (pHash/PDQ-style: fingerprint the content, band the fingerprint)
+    * over an opaque binary column; a real perceptual encoder swaps in
+    * behind the same (doc_id, simhash) frame and every banding dial
+    * applies unchanged. The first cut of this query fingerprinted the
+    * stub FEATURE histogram (bit j ≔ bin j above the 1/64 uniform
+    * share) and measured non-discriminative: byte histograms of same-
+    * generator text are nearly identical, so 96% of ALL pairs landed
+    * within hamming 8 — a quadratic output no plan survives. Byte
+    * 4-gram votes carry document CONTENT, so unrelated docs sit near
+    * hamming 32 and only genuine near-dups (corpus Jaccard 0.95-0.99)
+    * fall inside the budget. The oracle recomputes the fingerprint
+    * from hex bytes and checks pairs EXHAUSTIVELY — the banded form
+    * must lose nothing. */
+  private def mMediaNearDup(s: SparkSession, dir: String): DataFrame = {
+    val hx = T(s, dir, "documents")
+      .select(col("doc_id"), hex(col("text").cast("binary")).as("h"),
+        length(col("text").cast("binary")).as("n"))
+      .filter(col("n") >= 4) // shorter payloads have no 4-byte window
+    val grams = hx
+      .select(col("doc_id"), col("h"), explode(sequence(lit(0), col("n") - 4)).as("i"))
+      .select(col("doc_id"),
+        Codecs.portableHash(col("h").substr(col("i") * 2 + 1, lit(8))).as("h"))
+    Dedup.simhashPairs(Dedup.simhashOfHashes(grams, 64), 8, bits = 64)
+  }
+
   /** Edit-distance verification of the LSH candidates — char-level
     * near-dup confirmation bounded by the candidate list (the
     * order-sensitive complement of d_lsh_jaccard's token-set verify). */
@@ -1579,6 +1609,7 @@ object SparkEntry {
     "t_bpe_merges" -> (tBpeMerges _),
     "e_decontam_report" -> (eDecontamReport _),
     "e_media_ann" -> (eMediaAnn _),
+    "m_media_neardup" -> (mMediaNearDup _),
     "e_chunk_ann" -> (eChunkAnn _),
     "d_edit_verify" -> (dEditVerify _),
     "t_ngram_diversity" -> (tNgramDiversity _),

@@ -351,8 +351,20 @@ object Dedup {
   def simhash(docs: DataFrame, bits: Int): DataFrame =
     graft.ops.PlanCache.cachedBy(s"simhash-$bits",
         docs.queryExecution.logical.semanticHash(), docs.sparkSession) {
-    val toks = spread(docs).select(col("doc_id"), explode(tokens(col("text"))).as("t"))
-      .select(col("doc_id"), portableHash(col("t")).as("h"))
+    simhashOfHashes(
+      spread(docs).select(col("doc_id"), explode(tokens(col("text"))).as("t"))
+        .select(col("doc_id"), portableHash(col("t")).as("h")), bits)
+  }
+
+  /** SimHash over a pre-hashed feature frame `(doc_id, h: long)` — the
+    * substrate-independent core of [[simhash]]: word-token hashes,
+    * payload byte-window hashes (m_media_neardup), or any other
+    * shingle hash votes the same way. Lane packing as documented
+    * above; exact for up to 2^20 features per document. At
+    * `bits = 64` the top bit's literal is Long.MinValue — safe in the
+    * ascending fold (every partial sum of disjoint bit literals is a
+    * valid long, so no ANSI overflow under any association). */
+  def simhashOfHashes(toks: DataFrame, bits: Int): DataFrame = {
     val nPacked = (bits + LanesPerLong - 1) / LanesPerLong
     val packed = (0 until nPacked).map { k =>
       val lanes = (0 until LanesPerLong)
