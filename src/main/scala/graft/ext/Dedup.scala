@@ -540,34 +540,6 @@ object Dedup {
     when(p === 0L, least(size(a), size(b)).cast("long")).otherwise(p - 1L)
   }
 
-  /** Cross-document MAXIMAL duplicated substrings via bucketed suffix
-    * ordering — the exact-substring side of Lee et al. 2022 that
-    * [[duplicatedSpans]]'s within-corpus n-gram islands approximate.
-    * Instead of a corpus-global suffix array (one unpartitionable
-    * sort), suffixes are bucketed by their leading n-gram hash: any
-    * cross-doc match of length ≥ n shares its leading n-gram, so the
-    * global suffix ordering restricted to one bucket contains every
-    * match, and each bucket sorts independently (shuffle key = gram
-    * hash, bucket size = that gram's corpus occurrence count — the
-    * same distribution [[duplicatedSpans]] already shuffles on).
-    *
-    * Within a bucket sorted by suffix, the longest cross-doc match at
-    * a position is its LCP against the NEAREST other-document suffix
-    * above or below (LCP to anything farther is ≤ the nearest one —
-    * the suffix-array adjacency property), found by two window passes:
-    * runs of same-doc suffixes, then the previous run's last / next
-    * run's first suffix at the run boundary. Suffixes are capped at
-    * `maxLcp` tokens, so reported lengths are min(true length, maxLcp)
-    * and per-row state is bounded; only positions whose leading gram
-    * occurs in ≥ 2 DISTINCT docs enter the sort at all (the others
-    * cannot match cross-doc), so the bucketed frame is the duplicated
-    * fraction of the corpus, not the corpus.
-    *
-    * Returns one row per document that has any cross-doc match of
-    * ≥ n tokens: (doc_id, n_dup_starts, max_len, longest_sub) — the
-    * count of matching start positions, the longest match length, and
-    * that longest substring (ties broken toward the
-    * lexicographically-largest string, engine-reproducible). */
   /** The matched-positions frame the whole substring family reads:
     * one row per cross-doc duplicated start position —
     * (doc_id, pos, match_len, sub) — PlanCache-materialized per
@@ -624,6 +596,34 @@ object Dedup {
           array_join(slice(col("sfx"), lit(1), col("match_len").cast("int")), " ").as("sub"))
     }
 
+  /** Cross-document MAXIMAL duplicated substrings via bucketed suffix
+    * ordering — the exact-substring side of Lee et al. 2022 that
+    * [[duplicatedSpans]]'s within-corpus n-gram islands approximate.
+    * Instead of a corpus-global suffix array (one unpartitionable
+    * sort), suffixes are bucketed by their leading n-gram hash: any
+    * cross-doc match of length ≥ n shares its leading n-gram, so the
+    * global suffix ordering restricted to one bucket contains every
+    * match, and each bucket sorts independently (shuffle key = gram
+    * hash, bucket size = that gram's corpus occurrence count — the
+    * same distribution [[duplicatedSpans]] already shuffles on).
+    *
+    * Within a bucket sorted by suffix, the longest cross-doc match at
+    * a position is its LCP against the NEAREST other-document suffix
+    * above or below (LCP to anything farther is ≤ the nearest one —
+    * the suffix-array adjacency property), found by two window passes:
+    * runs of same-doc suffixes, then the previous run's last / next
+    * run's first suffix at the run boundary. Suffixes are capped at
+    * `maxLcp` tokens, so reported lengths are min(true length, maxLcp)
+    * and per-row state is bounded; only positions whose leading gram
+    * occurs in ≥ 2 DISTINCT docs enter the sort at all (the others
+    * cannot match cross-doc), so the bucketed frame is the duplicated
+    * fraction of the corpus, not the corpus.
+    *
+    * Returns one row per document that has any cross-doc match of
+    * ≥ n tokens: (doc_id, n_dup_starts, max_len, longest_sub) — the
+    * count of matching start positions, the longest match length, and
+    * that longest substring (ties broken toward the
+    * lexicographically-largest string, engine-reproducible). */
   def crossDocSubstrings(docs: DataFrame, n: Int, maxLcp: Int,
       hashName: String = "md5", maxOcc: Int = 0): DataFrame =
     substringMatches(docs, n, maxLcp, hashName, maxOcc).groupBy("doc_id")

@@ -309,7 +309,7 @@ object TextOps {
       .select(col("doc_id"), col("is_t"), explode(shingles(col("tk"), 2)).as("g"))
       .withColumn("b", pmod(portableHash(col("g")), lit(vBuckets.toLong)))
     graft.ops.PlanCache.cachedBy(
-        s"dsir-docbuckets-$vBuckets-${isTarget.toString.hashCode}",
+        s"dsir-docbuckets-$vBuckets-${graft.ops.PlanCache.digest(isTarget.toString)}",
         docs.queryExecution.logical.semanticHash(), docs.sparkSession) {
       occ.groupBy(col("doc_id"), col("b"))
         .agg(count(lit(1)).as("c_db"), first(col("is_t")).as("is_t"))
@@ -347,7 +347,7 @@ object TextOps {
     // production scale the per-doc weight table is exactly the staging
     // table a DSIR pipeline persists once per (corpus, target, model)
     graft.ops.PlanCache.cachedBy(
-        s"dsir-weights-$vBuckets-${isTarget.toString.hashCode}",
+        s"dsir-weights-$vBuckets-${graft.ops.PlanCache.digest(isTarget.toString)}",
         docs.queryExecution.logical.semanticHash(), docs.sparkSession) {
       dsirWeightsUncached(docs, isTarget, vBuckets)
     }
@@ -393,8 +393,8 @@ object TextOps {
       vBuckets: Int): DataFrame = {
     import org.apache.spark.sql.functions.broadcast
     require(targets.nonEmpty, "at least one target slice")
-    val tkey = targets.map { case (n, p) => s"$n:${p.toString.hashCode}" }
-      .mkString("|").hashCode
+    val tkey = graft.ops.PlanCache.digest(
+      targets.map { case (n, p) => s"$n:${p.toString}" }.mkString("|"))
     val pd = graft.ops.PlanCache.cachedBy(s"dsir-multi-pd-$vBuckets-$tkey",
         docs.queryExecution.logical.semanticHash(), docs.sparkSession) {
       val marked = docs.select(

@@ -25,6 +25,16 @@ object PlanCache {
   def cached(tag: String, df: DataFrame): DataFrame =
     cachedBy(tag, df.queryExecution.logical.semanticHash(), df.sparkSession)(df)
 
+  /** Collision-safe tag component for caller-rendered strings (e.g. a
+    * target predicate's `Column.toString`). A 32-bit `String.hashCode`
+    * here would let two different predicates over the same corpus
+    * silently share one cached frame — a wrong-results bug, not a perf
+    * bug — so tags embed a truncated SHA-256 (96 bits: collision odds
+    * are negligible at any realistic number of live cache entries). */
+  def digest(s: String): String =
+    java.security.MessageDigest.getInstance("SHA-256")
+      .digest(s.getBytes("UTF-8")).take(12).map("%02x".format(_)).mkString
+
   /** Variant with an explicit key, for callers whose frame is expensive
     * even to CONSTRUCT (partition probes, wide generated expressions):
     * `build` runs only on a cache miss.

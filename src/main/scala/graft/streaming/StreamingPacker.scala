@@ -25,7 +25,12 @@ import org.apache.spark.sql.streaming.{ExpiredTimerInfo, OutputMode, StatefulPro
   * off the shuffle is not contractual), so replaying a corpus in
   * doc_id order per bucket reproduces the batch packer's bucket-local
   * offsets exactly, regardless of how the replay is sliced into
-  * micro-batches (StreamingTraceAssemblySpec pins this). */
+  * micro-batches (StreamingTraceAssemblySpec pins this). The
+  * cross-batch half of that precondition is ENFORCED, not merely
+  * documented: each bucket's state tracks the last packed docId, and
+  * a later micro-batch delivering a smaller docId fails the query
+  * loudly — silent offset divergence from the batch packer is the one
+  * failure mode a replay harness cannot detect downstream. */
 object StreamingPacker {
 
   case class DocSize(docId: Long, bucket: Long, nTok: Long)
@@ -43,22 +48,34 @@ object StreamingPacker {
   private class PackProcessor(chunkTokens: Long)
       extends StatefulProcessor[Long, DocSize, PackedDoc] {
     @transient private var filled: ValueState[Long] = _
+    @transient private var lastDoc: ValueState[Long] = _
 
-    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
       filled = getHandle.getValueState[Long]("filled", Encoders.scalaLong,
         TTLConfig.NONE)
+      lastDoc = getHandle.getValueState[Long]("lastDoc", Encoders.scalaLong,
+        TTLConfig.NONE)
+    }
 
     override def handleInputRows(key: Long, rows: Iterator[DocSize],
         tv: TimerValues): Iterator[PackedDoc] = {
       var off = if (filled.exists()) filled.get() else 0L
       // per-key per-micro-batch buffer: bounded by the batch slice,
       // never the stream
-      val out = rows.toSeq.sortBy(_.docId).map { d =>
+      val sorted = rows.toSeq.sortBy(_.docId)
+      if (lastDoc.exists() && sorted.nonEmpty && sorted.head.docId <= lastDoc.get())
+        throw new IllegalStateException(
+          s"bucket $key: docId ${sorted.head.docId} arrived after " +
+            s"${lastDoc.get()} was already packed — replay must deliver each " +
+            "bucket in doc_id order across micro-batches, or its offsets " +
+            "silently diverge from the batch packer")
+      val out = sorted.map { d =>
         val start = off
         off += d.nTok
         PackedDoc(d.docId, key, d.nTok, start, start / chunkTokens)
       }
       filled.update(off)
+      sorted.lastOption.foreach(d => lastDoc.update(d.docId))
       out.iterator
     }
 

@@ -218,10 +218,14 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("rangepartitioning"),
       s"corpus-global sort leaked into the suffix ordering:\n$p")
     assert(!p.contains("CartesianProduct"), s"no pair join belongs here:\n$p")
-    // both window passes must be keyed (bucket h, then (h, run));
-    // an empty partition spec would be the corpus-global window
-    assert(!p.contains("Window [") || !p.contains("windowspecdefinition()"),
-      s"unpartitioned window in the suffix pass:\n$p")
+    // both window passes must be keyed (bucket h, then (h, run)). An
+    // unpartitioned spec stringifies with the ORDER BY column — and
+    // its ASC/DESC direction — as the FIRST argument (there is no
+    // literal "windowspecdefinition()" form), so flag any spec whose
+    // first argument carries a sort direction.
+    val unpart = "windowspecdefinition\\(([^,()]*?)(ASC|DESC)".r.findAllIn(p).toList
+    assert(unpart.isEmpty,
+      s"unpartitioned window in the suffix pass: $unpart\n$p")
   }
 
   test("edit verify joins candidates to text by key: no cartesian, no corpus window") {

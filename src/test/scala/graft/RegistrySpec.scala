@@ -47,15 +47,25 @@ class RegistrySpec extends SparkSpec {
 
   test("bench stdout contract line is registry-size-independent and far under the tail capture") {
     // Rounds 2, 3 and 6 all lost the official bench record to stdout
-    // truncation (~2000-char driver tail). The line now carries seven
+    // truncation (~2000-char driver tail). The line now carries nine
     // fixed fields and no per-query map; pin it at worst-case field
     // widths so registry growth can never regress it.
-    val line = Bench.contractLine(86399.999, 9999.999, 114, 14, "/root/testdata/sf0.123")
+    val line = Bench.contractLine(86399.999, 9999.999, 114, 14, "/root/testdata/sf0.123",
+      512.25, 512.25)
     assert(line.length < 1500, s"contract line ${line.length} chars: $line")
-    assert(line.length < 300, s"contract line should be ~120 chars, got ${line.length}: $line")
+    assert(line.length < 300, s"contract line should be ~150 chars, got ${line.length}: $line")
     assert(line.startsWith("""{"metric":"total","value":"""))
+    assert(line.contains(""""load1_start":512.25,"load1_end":512.25"""))
     assert(line.endsWith(""""sf":0.123}"""))
     // an unmatched dir must emit quoted, keeping the line valid JSON
-    assert(Bench.contractLine(1.0, 0.5, 0, 0, "/tmp/custom").endsWith(""""sf":"/tmp/custom"}"""))
+    assert(Bench.contractLine(1.0, 0.5, 0, 0, "/tmp/custom", -1.0, -1.0)
+      .endsWith(""""sf":"/tmp/custom"}"""))
+  }
+
+  test("load1 reads a plausible 1-minute loadavg on this platform") {
+    // /proc/loadavg exists on the bench/verify hosts; -1 is reserved
+    // for unreadable platforms, so here the value must be a real load.
+    val l = Bench.load1()
+    assert(l >= 0.0 && l < 100000.0, s"load1() = $l")
   }
 }

@@ -148,6 +148,39 @@ class StreamingTraceAssemblySpec extends SparkSpec {
     }
   }
 
+  test("streaming packer fails loudly on out-of-order cross-batch replay") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StreamingPacker
+    import graft.streaming.StreamingPacker.DocSize
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val input = MemoryStream[DocSize]
+    val out = StreamingPacker.packSequences(input.toDS(), 10L)
+    val q = out.writeStream.format("memory").queryName("packed_ooo")
+      .outputMode("append").start()
+    try {
+      // batch 1 packs docs 5,6 of bucket 0; batch 2 replays doc 3 —
+      // its offset would silently diverge from the batch packer, so
+      // the contract is to fail the query, not to pack it
+      input.addData(DocSize(5L, 0L, 2L), DocSize(6L, 0L, 3L))
+      q.processAllAvailable()
+      input.addData(DocSize(3L, 0L, 1L))
+      val e = intercept[Exception](q.processAllAvailable())
+      def causes(t: Throwable): Seq[Throwable] =
+        if (t == null) Nil else t +: causes(t.getCause)
+      assert(causes(e).exists(c => c.getMessage != null &&
+        c.getMessage.contains("doc_id order")), s"unexpected failure: $e")
+    } finally {
+      try q.stop() catch { case _: Throwable => () }
+      prev match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None    => spark.conf.unset(providerKey)
+      }
+    }
+  }
+
   test("hot-key tracker emits once at the threshold crossing, counts across batches") {
     implicit val sqlCtx = spark.sqlContext
     import graft.streaming.StreamingHotKeys
