@@ -65,19 +65,12 @@ object OracleSql {
     * returns 0 when not found = arrays equal through the shorter
     * length; string sort is binary UTF-8 in both engines. Ends at
     * `mm(doc_id, pos, match_len, sub)`. */
-  private val SUBSTR_M = s"""$TOKS, posn AS (
-  SELECT doc_id, unnest(range(1, greatest(len(tk)-4, 0)+1)) AS i, tk FROM toks
-), g AS (
-  SELECT doc_id, CAST(i-1 AS BIGINT) AS pos, tk,
-         ${dh("array_to_string(tk[i:i+4], ' ')")} AS h
-  FROM posn
-), xdup AS (SELECT h FROM g GROUP BY h HAVING count(DISTINCT doc_id) >= 2
-), sfx AS (
-  SELECT doc_id, pos, h,
-         tk[CAST(pos+1 AS INT):CAST(pos+30 AS INT)] AS s,
-         array_to_string(tk[CAST(pos+1 AS INT):CAST(pos+30 AS INT)], ' ') AS s_str
-  FROM g WHERE h IN (SELECT h FROM xdup)
-), w0 AS (
+  /** Shared w0..mm window chain of the substring families (token AND
+    * char units), picking up from an `sfx(doc_id, pos, h, s, s_str)`
+    * CTE: same-doc runs in bucket suffix order, boundary neighbors,
+    * zip-LCP, matches ≥ `minLen` units. `sep` re-joins the matched
+    * unit slice (" " for tokens, "" for chars). */
+  private def substrWindowTail(minLen: Int, sep: String): String = s"""w0 AS (
   SELECT doc_id, pos, h, s, s_str,
          lag(s) OVER wb AS prev_s,
          lead(s) OVER wb AS next_s,
@@ -109,13 +102,48 @@ object OracleSql {
   FROM w2
 ), mm AS (
   SELECT doc_id, pos, CAST(match_len AS BIGINT) AS match_len,
-         array_to_string(s[1:CAST(match_len AS INT)], ' ') AS sub
+         array_to_string(s[1:CAST(match_len AS INT)], '$sep') AS sub
   FROM (SELECT doc_id, pos, s,
           greatest(coalesce(CASE WHEN pp = 0 THEN pl ELSE pp - 1 END, 0),
                    coalesce(CASE WHEN np = 0 THEN nl ELSE np - 1 END, 0)) AS match_len
         FROM lp)
-  WHERE match_len >= 5
+  WHERE match_len >= $minLen
 )"""
+
+  private val SUBSTR_M = s"""$TOKS, posn AS (
+  SELECT doc_id, unnest(range(1, greatest(len(tk)-4, 0)+1)) AS i, tk FROM toks
+), g AS (
+  SELECT doc_id, CAST(i-1 AS BIGINT) AS pos, tk,
+         ${dh("array_to_string(tk[i:i+4], ' ')")} AS h
+  FROM posn
+), xdup AS (SELECT h FROM g GROUP BY h HAVING count(DISTINCT doc_id) >= 2
+), sfx AS (
+  SELECT doc_id, pos, h,
+         tk[CAST(pos+1 AS INT):CAST(pos+30 AS INT)] AS s,
+         array_to_string(tk[CAST(pos+1 AS INT):CAST(pos+30 AS INT)], ' ') AS s_str
+  FROM g WHERE h IN (SELECT h FROM xdup)
+), ${substrWindowTail(5, " ")}"""
+
+  /** Char-level matched-positions chain (mirror of
+    * Dedup.substringMatchesChar at n=20, maxLcp=80): positions over
+    * the lowercase-trimmed character stream, leading-20-char gram
+    * hashed directly from the string, suffixes capped at 80 chars.
+    * Shares [[substrWindowTail]] with the token chain. */
+  private val SUBSTR_CHAR_M = s"""WITH nx AS (
+  SELECT doc_id, lower(trim(text)) AS txt FROM documents
+), posn AS (
+  SELECT doc_id, txt, unnest(range(0, greatest(length(txt)-19, 0))) AS pos FROM nx
+), g AS (
+  SELECT doc_id, CAST(pos AS BIGINT) AS pos, txt,
+         ${dh("substr(txt, CAST(pos+1 AS INT), 20)")} AS h
+  FROM posn
+), xdup AS (SELECT h FROM g GROUP BY h HAVING count(DISTINCT doc_id) >= 2
+), sfx AS (
+  SELECT doc_id, pos, h,
+         string_split(substr(txt, CAST(pos+1 AS INT), 80), '') AS s,
+         substr(txt, CAST(pos+1 AS INT), 80) AS s_str
+  FROM g WHERE h IN (SELECT h FROM xdup)
+), ${substrWindowTail(20, "")}"""
 
   /** Interval-union island sweep over `mm` (matches overlap and nest),
     * continuing SUBSTR_M: running max of interval ends per doc, break
@@ -927,6 +955,17 @@ FROM toks t LEFT JOIN per_doc p ON p.doc_id = t.doc_id""",
     // mirror of Dedup.crossDocSubstrings over the shared SUBSTR_M
     // matched-positions CTE chain (see its comment above queries)
     "d_substring_dedup" -> s"""$SUBSTR_M, st AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup_starts, max(match_len) AS max_len
+  FROM mm GROUP BY 1
+)
+SELECT st.doc_id, st.n_dup_starts, st.max_len, max(mm.sub) AS longest_sub
+FROM st JOIN mm ON mm.doc_id = st.doc_id AND mm.match_len = st.max_len
+GROUP BY 1, 2, 3""",
+
+    // char-level cross-doc maximal substrings: same bucketed suffix
+    // ordering over the character stream (mirror of
+    // Dedup.crossDocSubstringsChar at n=20, maxLcp=80)
+    "d_substring_char" -> s"""$SUBSTR_CHAR_M, st AS (
   SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup_starts, max(match_len) AS max_len
   FROM mm GROUP BY 1
 )

@@ -83,6 +83,11 @@ object SparkEntry {
     // APPLY query would otherwise be charged the suffix-sort build)
     "substring_matches" ->
       ((s, dir) => { Dedup.substringMatches(T(s, dir, "documents"), 5, 30).count(); () }),
+    // char-level matched-positions frame (one consumer today, but the
+    // suffix sort is the build and the query is the aggregate —
+    // same attribution rule as substring_matches)
+    "substring_char_matches" ->
+      ((s, dir) => { Dedup.substringMatchesChar(T(s, dir, "documents"), 20, 80).count(); () }),
     "ivf_assign" ->
       ((s, dir) => { Similarity.ivfAssign(T(s, dir, "embeddings"), IvfK).count(); () }),
     // PQ code/reconstruction frame: the corpus encode shared by
@@ -907,6 +912,14 @@ object SparkEntry {
   private def dSubstringApply(s: SparkSession, dir: String): DataFrame =
     Dedup.removeCrossDocSubstrings(T(s, dir, "documents"), 5, 30)
 
+  /** CHARACTER-level cross-doc maximal substrings — Lee et al.'s
+    * published formulation operates on the raw character/byte stream,
+    * so a ≥20-char shared run that starts mid-word (invisible to the
+    * token family) is exact here; suffixes capped at 80 chars
+    * (see [[graft.ext.Dedup.crossDocSubstringsChar]]). */
+  private def dSubstringChar(s: SparkSession, dir: String): DataFrame =
+    Dedup.crossDocSubstringsChar(T(s, dir, "documents"), 20, 80)
+
   /** Bloom-prefiltered exact decontamination: same exact semantics as
     * a train×eval gram join, but train grams cross the shuffle only if
     * they pass a broadcast Bloom filter of the eval grams — the 100 TB
@@ -1608,6 +1621,7 @@ object SparkEntry {
     "d_substring_dedup" -> (dSubstringDedup _),
     "d_substring_fraction" -> (dSubstringFraction _),
     "d_substring_apply" -> (dSubstringApply _),
+    "d_substring_char" -> (dSubstringChar _),
     "d_minhash_jaccard_est" -> (dMinhashJaccardEst _),
     "d_incremental_dedup" -> (dIncrementalDedup _),
     "d_incremental_apply" -> (dIncrementalApply _),

@@ -546,23 +546,59 @@ object Dedup {
     * (corpus, n, maxLcp, hash) because three registry consumers
     * (report, fraction, apply) derive from it, exactly like the
     * positional gram frame under the span family. */
+  /** The duplicated-position gram keys of a positional gram frame:
+    * grams occurring in ≥ 2 distinct docs (others cannot match
+    * cross-doc), optionally capped at `maxOcc` total occurrences.
+    * maxOcc > 0 = the skew knob: a degenerate stop-gram (an n-gram
+    * occurring everywhere) makes one bucket's sort quadratic-ish in
+    * its occurrence count; capping drops those buckets the same way
+    * the df-capped jaccard drops stop-shingles — matches through a
+    * rarer gram elsewhere in the span still surface. 0 = exact. */
+  private def crossDocGramKeys(grams: DataFrame, maxOcc: Int): DataFrame =
+    grams.groupBy("h")
+      .agg(countDistinct(col("doc_id")).as("nd"), count(lit(1)).as("occ"))
+      .filter(col("nd") >= 2 &&
+        (if (maxOcc > 0) col("occ") <= maxOcc else lit(true)))
+      .select("h")
+
+  /** Shared suffix-ordering tail of the substring family (token AND
+    * char units): over a (doc_id, pos, h, sfx, sfx_str) bucketed
+    * suffix frame, each position's longest cross-doc match is its LCP
+    * against the nearest OTHER-document suffix above or below in its
+    * h bucket's suffix order, found via same-doc runs and their
+    * boundaries. `sep` re-joins the matched unit slice into the
+    * reported substring (" " for tokens, "" for characters). */
+  private def nearestOtherLcp(sfxFrame: DataFrame, n: Int, sep: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ord = Seq(col("sfx_str"), col("doc_id"), col("pos"))
+    val wb = Window.partitionBy("h").orderBy(ord: _*)
+    val runs = sfxFrame
+      .withColumn("prev_s", lag(col("sfx"), 1).over(wb))
+      .withColumn("next_s", lead(col("sfx"), 1).over(wb))
+      .withColumn("run", sum(
+        when(lag(col("doc_id"), 1).over(wb).isNull ||
+          lag(col("doc_id"), 1).over(wb) =!= col("doc_id"), 1L).otherwise(0L)).over(wb))
+    // second pass refines the same hash(h) distribution — extra sort,
+    // no extra shuffle
+    val wr = Window.partitionBy("h", "run").orderBy(ord: _*)
+    val wrFull = wr.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    runs
+      .withColumn("prev_other", first(col("prev_s")).over(wr))
+      .withColumn("next_other", last(col("next_s")).over(wrFull))
+      .withColumn("match_len", greatest(
+        coalesce(lcpTokens(col("sfx"), col("prev_other")), lit(0L)),
+        coalesce(lcpTokens(col("sfx"), col("next_other")), lit(0L))))
+      .filter(col("match_len") >= n.toLong)
+      .select(col("doc_id"), col("pos"), col("match_len"),
+        array_join(slice(col("sfx"), lit(1), col("match_len").cast("int")), sep).as("sub"))
+  }
+
   def substringMatches(docs: DataFrame, n: Int, maxLcp: Int,
       hashName: String = "md5", maxOcc: Int = 0): DataFrame =
     graft.ops.PlanCache.cachedBy(s"substr-matches-$n-$maxLcp-$hashName-$maxOcc",
         docs.queryExecution.logical.semanticHash(), docs.sparkSession) {
-      import org.apache.spark.sql.expressions.Window
       val grams = positionalGrams(docs, n, hashName)
-      // maxOcc > 0 = the skew knob: a degenerate stop-gram (an n-gram
-      // occurring everywhere) makes one bucket's sort quadratic-ish in
-      // its occurrence count; capping drops those buckets the same way
-      // the df-capped jaccard drops stop-shingles — matches through a
-      // rarer gram elsewhere in the span still surface. 0 = exact.
-      val xdup = grams.groupBy("h")
-        .agg(countDistinct(col("doc_id")).as("nd"), count(lit(1)).as("occ"))
-        .filter(col("nd") >= 2 &&
-          (if (maxOcc > 0) col("occ") <= maxOcc else lit(true)))
-        .select("h")
-      val dupPos = grams.join(xdup, Seq("h"), "left_semi")
+      val dupPos = grams.join(crossDocGramKeys(grams, maxOcc), Seq("h"), "left_semi")
       // suffixes only at duplicated positions, built from ONE doc-keyed
       // join (the token array moves once per doc, not once per position)
       val perDoc = dupPos.groupBy("doc_id")
@@ -573,27 +609,7 @@ object Dedup {
         .select(col("doc_id"), col("p.pos").as("pos"), col("p.h").as("h"),
           slice(col("tk"), (col("p.pos") + 1L).cast("int"), lit(maxLcp)).as("sfx"))
         .withColumn("sfx_str", array_join(col("sfx"), " "))
-      val ord = Seq(col("sfx_str"), col("doc_id"), col("pos"))
-      val wb = Window.partitionBy("h").orderBy(ord: _*)
-      val runs = sfxFrame
-        .withColumn("prev_s", lag(col("sfx"), 1).over(wb))
-        .withColumn("next_s", lead(col("sfx"), 1).over(wb))
-        .withColumn("run", sum(
-          when(lag(col("doc_id"), 1).over(wb).isNull ||
-            lag(col("doc_id"), 1).over(wb) =!= col("doc_id"), 1L).otherwise(0L)).over(wb))
-      // second pass refines the same hash(h) distribution — extra sort,
-      // no extra shuffle
-      val wr = Window.partitionBy("h", "run").orderBy(ord: _*)
-      val wrFull = wr.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-      runs
-        .withColumn("prev_other", first(col("prev_s")).over(wr))
-        .withColumn("next_other", last(col("next_s")).over(wrFull))
-        .withColumn("match_len", greatest(
-          coalesce(lcpTokens(col("sfx"), col("prev_other")), lit(0L)),
-          coalesce(lcpTokens(col("sfx"), col("next_other")), lit(0L))))
-        .filter(col("match_len") >= n.toLong)
-        .select(col("doc_id"), col("pos"), col("match_len"),
-          array_join(slice(col("sfx"), lit(1), col("match_len").cast("int")), " ").as("sub"))
+      nearestOtherLcp(sfxFrame, n, " ")
     }
 
   /** Cross-document MAXIMAL duplicated substrings via bucketed suffix
@@ -627,6 +643,69 @@ object Dedup {
   def crossDocSubstrings(docs: DataFrame, n: Int, maxLcp: Int,
       hashName: String = "md5", maxOcc: Int = 0): DataFrame =
     substringMatches(docs, n, maxLcp, hashName, maxOcc).groupBy("doc_id")
+      .agg(count(lit(1)).as("n_dup_starts"),
+        max(col("match_len")).as("max_len"),
+        max(struct(col("match_len"), col("sub"))).getField("sub").as("longest_sub"))
+
+  /** Single-character view of the normalized text — the unit stream of
+    * the char-level substring family. Normalization matches the token
+    * family's (lowercase, trimmed) so the two levels measure the same
+    * corpus; interior whitespace survives as characters (char-level
+    * matches cross token boundaries — the point of the variant).
+    * split-on-empty yields one element per char plus a trailing empty
+    * in Java regex semantics; the filter drops it. */
+  private def chars(text: Column): Column =
+    filter(split(lower(trim(text)), ""), ch => length(ch) > 0)
+
+  /** Char-level positional grams: one row per character position,
+    * h = hash of the n-CHAR window starting there, taken as a direct
+    * substring of the normalized text (no per-position array
+    * allocation below the hash). Cached per (n, hash, corpus) like the
+    * token-level [[positionalGrams]]. */
+  def positionalCharGrams(docs: DataFrame, n: Int,
+      hashName: String = "md5"): DataFrame =
+    graft.ops.PlanCache.cachedBy(s"chargram-pos-$n-$hashName",
+        docs.queryExecution.logical.semanticHash(), docs.sparkSession) {
+      spread(docs).select(col("doc_id"), lower(trim(col("text"))).as("txt"))
+        .filter(length(col("txt")) >= n)
+        .select(col("doc_id"), col("txt"),
+          explode(sequence(lit(0L), length(col("txt")).cast("long") - n)).as("pos"))
+        .select(col("doc_id"), col("pos"),
+          hashFn(hashName)(col("txt").substr((col("pos") + 1L).cast("int"), lit(n))).as("h"))
+    }
+
+  /** Char-level twin of [[substringMatches]] — Lee et al.'s
+    * exact-substring dedup as published operates on the raw
+    * character/byte stream, not tokens: a 50-char boilerplate string
+    * that starts mid-word is invisible to the token family and exact
+    * here. Same bucketed suffix ordering (leading n-CHAR gram hash =
+    * bucket key, suffixes capped at `maxLcp` CHARS, nearest-other-doc
+    * LCP at run boundaries), same maxOcc stop-gram knob, NO
+    * rangepartitioning (the plan pin covers both levels). Returns
+    * (doc_id, pos, match_len, sub) in character units. */
+  def substringMatchesChar(docs: DataFrame, n: Int, maxLcp: Int,
+      hashName: String = "md5", maxOcc: Int = 0): DataFrame =
+    graft.ops.PlanCache.cachedBy(s"substr-char-matches-$n-$maxLcp-$hashName-$maxOcc",
+        docs.queryExecution.logical.semanticHash(), docs.sparkSession) {
+      val grams = positionalCharGrams(docs, n, hashName)
+      val dupPos = grams.join(crossDocGramKeys(grams, maxOcc), Seq("h"), "left_semi")
+      val perDoc = dupPos.groupBy("doc_id")
+        .agg(collect_list(struct(col("pos"), col("h"))).as("ps"))
+      val sfxFrame = spread(docs).select(col("doc_id"), chars(col("text")).as("ch"))
+        .join(perDoc, "doc_id")
+        .select(col("doc_id"), explode(col("ps")).as("p"), col("ch"))
+        .select(col("doc_id"), col("p.pos").as("pos"), col("p.h").as("h"),
+          slice(col("ch"), (col("p.pos") + 1L).cast("int"), lit(maxLcp)).as("sfx"))
+        .withColumn("sfx_str", array_join(col("sfx"), ""))
+      nearestOtherLcp(sfxFrame, n, "")
+    }
+
+  /** Char-level [[crossDocSubstrings]]: per document, the count of
+    * cross-doc duplicated character positions, the longest match
+    * length in chars, and that longest substring. */
+  def crossDocSubstringsChar(docs: DataFrame, n: Int, maxLcp: Int,
+      hashName: String = "md5", maxOcc: Int = 0): DataFrame =
+    substringMatchesChar(docs, n, maxLcp, hashName, maxOcc).groupBy("doc_id")
       .agg(count(lit(1)).as("n_dup_starts"),
         max(col("match_len")).as("max_len"),
         max(struct(col("match_len"), col("sub"))).getField("sub").as("longest_sub"))

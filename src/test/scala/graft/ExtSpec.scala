@@ -898,6 +898,25 @@ class ExtSpec extends SparkSpec {
     assert(got === Array((1L, 6L, "b c d e f g"), (2L, 6L, "b c d e f g")))
   }
 
+  test("char-level substring dedup catches mid-word runs the token family misses") {
+    // the shared run starts mid-word ("llofrom...") and spans token
+    // boundaries; at n=10 chars it is exact for the char family, while
+    // the 5-token family sees no 5 shared consecutive TOKENS
+    val docs = Seq(
+      (1L, "xhello worlds apart entirely"),
+      (2L, "yhello worlds apart utterly"),
+      (3L, "nothing in common here at all")).toDF("doc_id", "text")
+    val tok = Dedup.crossDocSubstrings(docs, 5, 30)
+    assert(tok.count() === 0L, "token family must not fire on < 5 shared tokens")
+    val got = Dedup.crossDocSubstringsChar(docs, 10, 40)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(3)))
+    // longest shared char run: "hello worlds apart " (19 chars), one
+    // char in from each doc's start
+    assert(got.map(_._1).toSeq === Seq(1L, 2L))
+    assert(got.forall(_._2 == "hello worlds apart "), got.mkString(", "))
+  }
+
   test("multi-target DSIR reproduces the single-target weights per slice") {
     // the one-pass k-target form must be VALUE-identical to k
     // single-target runs — same substrate, same smoothing, same

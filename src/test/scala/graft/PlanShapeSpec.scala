@@ -228,6 +228,18 @@ class PlanShapeSpec extends SparkSpec {
       s"unpartitioned window in the suffix pass: $unpart\n$p")
   }
 
+  test("char-level substring dedup keeps the bucketed suffix shape") {
+    // same pins as the token-level family: no corpus-global sort
+    // (rangepartitioning), no pair join, every window keyed
+    val p = plan("d_substring_char")
+    assert(!p.contains("rangepartitioning"),
+      s"corpus-global sort leaked into the char suffix ordering:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no pair join belongs here:\n$p")
+    val unpart = "windowspecdefinition\\(([^,()]*?)(ASC|DESC)".r.findAllIn(p).toList
+    assert(unpart.isEmpty,
+      s"unpartitioned window in the char suffix pass: $unpart\n$p")
+  }
+
   test("edit verify joins candidates to text by key: no cartesian, no corpus window") {
     val p = plan("d_edit_verify")
     assert(!p.contains("CartesianProduct"),

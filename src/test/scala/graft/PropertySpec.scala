@@ -164,6 +164,45 @@ class PropertySpec extends SparkSpec {
     }, "cross-doc substrings vs reference")
   }
 
+  test("char-level cross-doc substring dedup matches an in-memory reference on random strings") {
+    // string mirror of the definition: per char position, the best
+    // cross-doc common-prefix length over ALL other docs' positions,
+    // both suffixes capped at maxLcp chars — pins the char-unit
+    // suffix-ordering formulation against brute force, including
+    // matches that cross token boundaries (spaces are chars here)
+    def reference(docs: Seq[(Long, String)], n: Int,
+        maxLcp: Int): Map[Long, (Long, Long, String)] = {
+      val txts = docs.map { case (d, t) => d -> t.trim.toLowerCase }
+      val sufs = for {
+        (d, s) <- txts
+        p <- 0 to s.length - n
+      } yield (d, s.substring(p, math.min(p + maxLcp, s.length)))
+      def lcp(a: String, b: String): Long =
+        a.zip(b).takeWhile { case (x, y) => x == y }.size.toLong
+      val best = sufs.map { case (d, s) =>
+        val others = sufs.filter(_._1 != d)
+        val m = if (others.isEmpty) 0L else others.map(o => lcp(s, o._2)).max
+        (d, m, s)
+      }.filter(_._2 >= n)
+      best.groupBy(_._1).map { case (d, rows) =>
+        val maxLen = rows.map(_._2).max
+        val sub = rows.filter(_._2 == maxLen).map(r => r._3.take(maxLen.toInt)).max
+        d -> (rows.size.toLong, maxLen, sub)
+      }
+    }
+    // 3-char alphabet + space: dense collisions and cross-word runs
+    val ch = Gen.oneOf('a', 'b', 'c', ' ')
+    val docGen = Gen.chooseNum(0, 25).flatMap(len => Gen.listOfN(len, ch).map(_.mkString))
+    val corpus = Gen.chooseNum(2, 8).flatMap(k => Gen.listOfN(k, docGen))
+      .map(_.zipWithIndex.map { case (t, i) => (i.toLong, t) })
+    check(Prop.forAll(corpus) { docs =>
+      val got = Dedup.crossDocSubstringsChar(docs.toDF("doc_id", "text"), 3, 6)
+        .as[(Long, Long, Long, String)].collect()
+        .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+      got == reference(docs, 3, 6)
+    }, "char-level cross-doc substrings vs reference")
+  }
+
   test("pigeonhole banding finds every pair the exhaustive form finds, on random fingerprints") {
     val rows = Gen.nonEmptyListOf(Gen.choose(0L, (1L << 32) - 1))
       .map(_.zipWithIndex.map { case (fp, i) => (i.toLong, fp) })
