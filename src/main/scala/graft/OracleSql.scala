@@ -168,10 +168,10 @@ object OracleSql {
 )"""
 
   /** Multi-target DSIR weight chain (mirror of
-    * TextOps.dsirWeightsMulti at targets src0/src1, vBuckets 1024;
-    * smoothing identical to DSIR_W). Ends at
+    * TextOps.dsirWeightsMulti over source-slice targets, vBuckets
+    * 1024; smoothing identical to DSIR_W). Ends at
     * `w(doc_id, target, n_grams, log_w)`. */
-  private val DSIR_MULTI_W = s"""WITH toks AS (
+  private def dsirMultiW(targets: Seq[String]) = s"""WITH toks AS (
   SELECT doc_id, source,
          list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), t -> len(t) > 0) AS tk
   FROM documents
@@ -180,7 +180,7 @@ object OracleSql {
 ), pd AS (
   SELECT doc_id, source, ${dh("g")} % 1024 AS b, count(*) AS c_db
   FROM occ GROUP BY 1, 2, 3
-), tgts AS (SELECT unnest(['src0', 'src1']) AS target
+), tgts AS (SELECT unnest([${targets.map("'" + _ + "'").mkString(", ")}]) AS target
 ), bs AS (SELECT b, sum(c_db) AS c_c FROM pd GROUP BY b
 ), ct AS (
   SELECT t.target, p.b,
@@ -199,6 +199,8 @@ object OracleSql {
   FROM pd p JOIN model m ON m.b = p.b
   GROUP BY 1, 2
 )"""
+
+  private val DSIR_MULTI_W = dsirMultiW(Seq("src0", "src1"))
 
   private val MINHASH_P = "2305843009213693951"
   private def mhTerm(i: Int): String =
@@ -324,11 +326,12 @@ ipairs AS (
   WHERE round(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 4) >= 0.5)"""
 
   /** PQ encode/reconstruct/score CTEs (mirror of Similarity.pqTopK at
-    * kCodes=4, m=8, sub=8, queries vec_id < 8): `s` holds the
-    * approximate (reconstruction-domain) cosine per (q_id, vec_id). */
-  private val PQ_SCORES = s"""$VECS, seeds0 AS (
+    * m=8, sub=8, queries vec_id < 8, `kCodes` codewords per subspace):
+    * `s` holds the approximate (reconstruction-domain) cosine per
+    * (q_id, vec_id). */
+  private def pqScores(kCodes: Int) = s"""$VECS, seeds0 AS (
   SELECT vec_id AS c_id, v FROM nv
-  ORDER BY ${dh("CAST(vec_id AS VARCHAR)")}, vec_id LIMIT 4
+  ORDER BY ${dh("CAST(vec_id AS VARCHAR)")}, vec_id LIMIT $kCodes
 ), seeds AS (
   SELECT c_id, v, row_number() OVER (ORDER BY c_id) AS code FROM seeds0
 ), subcw AS (
@@ -354,6 +357,8 @@ ipairs AS (
   SELECT vec_id AS q_id, v AS qv, nrm AS qn FROM nv WHERE vec_id < 8
 ), s AS (
   SELECT q_id, vec_id, list_dot_product(qv, recon) / (qn * rnorm) AS cos FROM q, r)"""
+
+  private val PQ_SCORES = pqScores(4)
 
   /** IVF codebook + assignment CTEs (mirror of Similarity.ivfAssign):
     * codebook = the 8 vectors with the smallest portable hash of
@@ -508,6 +513,45 @@ SELECT trace_id, count(*) AS n_spans,
        string_agg(name, ',' ORDER BY name) AS span_names,
        epoch_us(min(ts)) AS trace_start_us, epoch_us(max(ts)) AS trace_end_us
 FROM byuser GROUP BY trace_id""",
+
+    // critical path over the modeled 3-level span tree (root 1000 us →
+    // per-event app hop → kafka send leaf): the oracle computes the
+    // CLOSED FORM of the max root-to-leaf path on that tree —
+    // independent of the engine's bottom-up DP, which must agree
+    "q_critical_path" -> """WITH ev AS (
+  SELECT substr(md5(CAST(user_id AS VARCHAR)), 1, 16) AS trace_id,
+         CAST(floor(value) AS BIGINT) AS value_int
+  FROM events)
+SELECT trace_id, CAST(1 + 2 * count(*) AS BIGINT) AS n_spans,
+       CAST(1000 + max(value_int * 10 + 100 + (value_int % 7) * 25 + 50) AS BIGINT)
+         AS critical_path_us
+FROM ev GROUP BY trace_id""",
+
+    // per-service span-duration percentiles over the same modeled span
+    // tree; quantile_cont = the engine's exact histogram+lerp form
+    "q_service_latency" -> """WITH ev AS (
+  SELECT substr(md5(CAST(user_id AS VARCHAR)), 1, 16) AS trace_id,
+         CAST(event_id AS VARCHAR) AS eid,
+         CAST(floor(value) AS BIGINT) AS value_int
+  FROM events
+), spans AS (
+  SELECT DISTINCT 'gateway' AS service, CAST(1000 AS DOUBLE) AS duration_us,
+         trace_id AS uniq
+  FROM ev
+  UNION ALL
+  SELECT 'graft-app', CAST(value_int * 10 + 100 AS DOUBLE),
+         trace_id || '-' || eid
+  FROM ev
+  UNION ALL
+  SELECT 'kafka/' || CASE WHEN value_int % 2 = 0 THEN 'even-numbers'
+                          ELSE 'odd-numbers' END,
+         CAST((value_int % 7) * 25 + 50 AS DOUBLE),
+         trace_id || '-' || eid
+  FROM ev)
+SELECT service, round(quantile_cont(duration_us, 0.5), 4) AS p50_us,
+       round(quantile_cont(duration_us, 0.95), 4) AS p95_us,
+       round(quantile_cont(duration_us, 0.99), 4) AS p99_us
+FROM spans GROUP BY service""",
 
     "q_union_back" -> s"""$REC
 SELECT event_type, count(*) AS n, CAST(sum(value_int) AS BIGINT) AS sum_value
@@ -1359,6 +1403,23 @@ SELECT target, stratum, CAST(rk AS INT) AS rk, doc_id, log_w FROM (
   FROM strat)
 WHERE rk <= 10""",
 
+    // the K=3 slice: same chain, three targets in one pass
+    "e_dsir_multi3" -> s"""${dsirMultiW(Seq("src0", "src1", "src2"))}, st AS (
+  SELECT target, min(log_w) AS mn, max(log_w) AS mx FROM w GROUP BY 1
+), strat AS (
+  SELECT w.target, doc_id, log_w,
+         CASE WHEN mx > mn
+              THEN least(7, CAST(floor(((log_w - mn) * 8.0) / (mx - mn)) AS BIGINT))
+              ELSE 0 END AS stratum
+  FROM w JOIN st ON st.target = w.target
+)
+SELECT target, stratum, CAST(rk AS INT) AS rk, doc_id, log_w FROM (
+  SELECT target, stratum, doc_id, log_w,
+         row_number() OVER (PARTITION BY target, stratum
+           ORDER BY ${dh("CAST(doc_id AS VARCHAR)")}, doc_id) AS rk
+  FROM strat)
+WHERE rk <= 10""",
+
     // equalized-sample DSIR calibration: 8 fixed-width strata over the
     // 4-dp-rounded log_w range (edges from one stats row, no quantile
     // sort), 20 uniform draws per stratum ranked on the integer
@@ -1790,6 +1851,22 @@ WHERE rnk <= 3""",
     SELECT q_id, vec_id,
            row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rn
     FROM s) WHERE rn <= 10
+), ex AS (
+  SELECT sh.q_id, sh.vec_id,
+         list_dot_product(q.qv, nv.v) / (q.qn * nv.nrm) AS cos
+  FROM short sh JOIN q ON q.q_id = sh.q_id JOIN nv ON nv.vec_id = sh.vec_id)
+SELECT q_id, vec_id AS neighbor_id, CAST(rnk AS INT) AS rnk, round(cos, 4) AS cos FROM (
+  SELECT q_id, vec_id, cos,
+         row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rnk FROM ex)
+WHERE rnk <= 3""",
+
+    // the production dial: 64 codewords, 50-wide shortlist (recall
+    // 0.75 at this dial, measured in bench_details) — same chain
+    "s_ann_pq_rerank64" -> s"""${pqScores(64)}, short AS (
+  SELECT q_id, vec_id FROM (
+    SELECT q_id, vec_id,
+           row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rn
+    FROM s) WHERE rn <= 50
 ), ex AS (
   SELECT sh.q_id, sh.vec_id,
          list_dot_product(q.qv, nv.v) / (q.qn * nv.nrm) AS cos

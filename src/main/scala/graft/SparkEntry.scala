@@ -95,6 +95,10 @@ object SparkEntry {
     // dims=64 — the registry queries' parameters)
     "pq_codes" ->
       ((s, dir) => { Similarity.pqReconstruct(T(s, dir, "embeddings"), 4, 8, 64).count(); () }),
+    // the production-dial PQ store (64 codewords) behind
+    // s_ann_pq_rerank64 — separate frame, separate attribution
+    "pq_codes_64" ->
+      ((s, dir) => { Similarity.pqReconstruct(T(s, dir, "embeddings"), 64, 8, 64).count(); () }),
     "lsh_pairs" ->
       ((s, dir) => { Dedup.lshVerifiedJaccard(T(s, dir, "documents"), 3, 16, 4, 4, 0.5).count(); () }),
     // winnowing fingerprint index: shared by t_winnow and
@@ -113,6 +117,10 @@ object SparkEntry {
     // would otherwise be charged the one-pass build)
     "dsir_multi" ->
       ((s, dir) => { tDsirMulti(s, dir).count(); () }),
+    // the K=3 weight table behind e_dsir_multi3 (distinct cache key —
+    // the substrate embeds per-target membership flags)
+    "dsir_multi3" ->
+      ((s, dir) => { tDsirMulti3(s, dir).count(); () }),
     // incremental batch-vs-corpus pair frame: shared by
     // d_incremental_dedup and d_incremental_apply (alphabetically the
     // APPLY query would otherwise be charged the whole build)
@@ -202,6 +210,60 @@ object SparkEntry {
         unix_micros(col("trace_start")).as("trace_start_us"),
         unix_micros(col("trace_end")).as("trace_end_us"))
   }
+
+  /** Deterministic three-level span tree per user-trace — the latency
+    * substrate of the trace-depth analytics (q_critical_path,
+    * q_service_latency). Zipkin's per-trace view needs spans with
+    * parent edges AND durations; the events fixture has neither, so
+    * the tree is MODELED from the reference topology (gateway root →
+    * per-record app hop → kafka send leaf) with durations derived
+    * from record values — deterministic, so the DuckDB oracle rebuilds
+    * the identical tree. Shared by both queries via PlanCache. */
+  private def spanTree(s: SparkSession, dir: String): DataFrame =
+    graft.ops.PlanCache.cached("span-tree", {
+      val ev = T(s, dir, "events")
+        .withColumn("trace_id", Codecs.traceIdFrom(col("user_id")))
+        .withColumn("value_int", floor(col("value")))
+        .withColumn("eid", col("event_id").cast("string"))
+      val root = ev.groupBy(col("trace_id")).agg(count(lit(1)).as("n"))
+        .select(col("trace_id"),
+          Codecs.mintSpanId(col("trace_id"), lit("root")).as("span_id"),
+          lit(null).cast("string").as("parent_id"),
+          lit("gateway").as("service"),
+          lit(1000L).as("duration_us"))
+      val hop = ev.select(col("trace_id"),
+        Codecs.mintSpanId(col("trace_id"), col("eid")).as("span_id"),
+        Codecs.mintSpanId(col("trace_id"), lit("root")).as("parent_id"),
+        lit(C.App).as("service"),
+        (col("value_int") * 10L + 100L).as("duration_us"))
+      val send = ev.select(col("trace_id"),
+        Codecs.mintSpanId(col("trace_id"), concat(col("eid"), lit("/send"))).as("span_id"),
+        Codecs.mintSpanId(col("trace_id"), col("eid")).as("parent_id"),
+        concat(lit("kafka/"), when(pmod(col("value_int"), lit(2)) === 0,
+          "even-numbers").otherwise("odd-numbers")).as("service"),
+        (pmod(col("value_int"), lit(7)) * 25L + 50L).as("duration_us"))
+      root.unionByName(hop).unionByName(send)
+    })
+
+  /** Per-trace critical path over parent_id edges
+    * (see [[graft.ops.TraceAnalytics.criticalPath]]; depth 3 = the
+    * modeled topology's height). */
+  private def qCriticalPath(s: SparkSession, dir: String): DataFrame =
+    TraceAnalytics.criticalPath(spanTree(s, dir), 3)
+
+  /** Per-service span-duration percentiles over the same span tree —
+    * exact distributed order statistics
+    * (see [[graft.ops.ExactPercentiles]], shared with
+    * a_percentiles_dist). */
+  private def qServiceLatency(s: SparkSession, dir: String): DataFrame =
+    graft.ops.ExactPercentiles.of(
+        spanTree(s, dir).select(col("service").as("k"),
+          col("duration_us").cast("double").as("x")),
+        Seq(("p50", 0.5), ("p95", 0.95), ("p99", 0.99)), "svc-lat-cum")
+      .groupBy(col("k").as("service"))
+      .agg(round(min(when(col("qname") === "p50", col("v"))), 4).as("p50_us"),
+        round(min(when(col("qname") === "p95", col("v"))), 4).as("p95_us"),
+        round(min(when(col("qname") === "p99", col("v"))), 4).as("p99_us"))
 
   private def qUnionBack(s: SparkSession, dir: String): DataFrame = {
     val r = rec(s, dir)
@@ -316,22 +378,44 @@ object SparkEntry {
         round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
         round(expr("percentile(l_extendedprice, 0.95)"), 4).as("p95"))
 
-  /** 7-day moving average of daily revenue: a ROWS-frame running
-    * window over the DAILY aggregate (a few thousand rows after the
-    * map-side-combined groupBy — the window input is the aggregate,
-    * never the corpus). Daily sums are exact integer cents, so the
-    * frame sum is order-independent and the oracle's window matches
-    * bit-for-bit after one shared double division. */
+  /** 7-day moving average of daily revenue over the DAILY aggregate —
+    * now with NO unpartitioned window anywhere: the running frame is
+    * partitioned by year(d) with a 6-row cross-boundary carry. Each
+    * year's partition is prepended with the last 6 daily rows of the
+    * PREVIOUS year (flagged, excluded from the output), so the first
+    * rows of a year see exactly the trailing rows a global ROWS -6..0
+    * frame would — value-identical to the unpartitioned form whenever
+    * every year has ≥ 6 daily rows (trivially true for daily revenue;
+    * the oracle pins it by computing the GLOBAL window). The carry
+    * derivation's own window is per-year too, so the whole plan
+    * single-tasks nothing and the WindowExec "no partition" warning is
+    * gone from the registry path. Daily sums are exact integer cents,
+    * so frame sums are order-independent across both forms. */
   private def aMovingAvg(s: SparkSession, dir: String): DataFrame = {
     val daily = T(s, dir, "lineitem")
       .groupBy(date_trunc("day", col("l_shipdate")).as("d"))
       .agg(sum(round(col("l_extendedprice") * 100).cast("long")).as("cents"))
-    val w = Window.orderBy(col("d")).rowsBetween(-6, 0)
-    daily.select(
+      .withColumn("y", year(col("d")))
+    // the last 6 daily rows of each year, re-keyed into the next year
+    val wTail = Window.partitionBy(col("y")).orderBy(col("d").desc)
+    val carry = daily
+      .withColumn("rn", row_number().over(wTail))
+      .filter(col("rn") <= 6)
+      .select(col("d"), col("cents"), (col("y") + 1).as("y"), lit(true).as("carry"))
+    val union = daily.withColumn("carry", lit(false))
+      .select(col("d"), col("cents"), col("y"), col("carry"))
+      .unionByName(carry)
+    // carried rows sort first in their target year (their dates are
+    // strictly earlier), restoring the global trailing-7 frame
+    val w = Window.partitionBy(col("y")).orderBy(col("d")).rowsBetween(-6, 0)
+    union.select(
+      col("carry"),
       unix_micros(col("d").cast("timestamp")).as("day_us"),
       col("cents"),
       round(sum(col("cents")).over(w).cast("double") /
         (lit(100.0) * count(lit(1)).over(w)), 4).as("ma7"))
+      .filter(!col("carry"))
+      .drop("carry")
   }
 
   /** Exact percentiles WITHOUT per-group value buffers — the 100 TB
@@ -342,37 +426,14 @@ object SparkEntry {
     * map-side), a cumulative window over that tiny histogram locates
     * the two order statistics around pos = q·(n−1), and the same
     * lerp as Spark's percentile interpolates. Identical results —
-    * the oracle is the same quantile_cont statement. */
+    * the oracle is the same quantile_cont statement. The machinery
+    * lives in [[graft.ops.ExactPercentiles]] (shared with
+    * q_service_latency). */
   private def aPercentilesDist(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
     val li = T(s, dir, "lineitem")
       .select(col("l_returnflag").as("k"), col("l_extendedprice").as("x"))
-    val hist = li.groupBy("k", "x").agg(count(lit(1)).as("cnt"))
-    val w = Window.partitionBy("k").orderBy("x")
-    // cum_start/cum_end delimit each value's 0-indexed rank interval;
-    // cached — it feeds both the order-statistic join and the group
-    // sizes below, and uncached the histogram shuffle would run twice
-    val cum = graft.ops.PlanCache.cached("pctl-cum",
-      hist.withColumn("cum_end", sum("cnt").over(w))
-        .withColumn("cum_start", col("cum_end") - col("cnt")))
-    val qdf = Seq(("p50", 0.5), ("p95", 0.95)).toDF("qname", "q")
-    // group sizes fold over the cum frame (max cum_end), not a second
-    // corpus aggregation
-    val pos = cum.groupBy("k").agg(max("cum_end").as("n"))
-      .crossJoin(broadcast(qdf))
-      .withColumn("pos", col("q") * (col("n") - 1).cast("double"))
-      .withColumn("lo", floor(col("pos")).cast("long"))
-      .withColumn("hi", ceil(col("pos")).cast("long"))
-    val hitLo = col("lo") >= col("cum_start") && col("lo") < col("cum_end")
-    val hitHi = col("hi") >= col("cum_start") && col("hi") < col("cum_end")
-    val sel = cum.join(broadcast(pos), Seq("k"))
-      .filter(hitLo || hitHi)
-      .groupBy(col("k"), col("qname"), col("pos"), col("lo"))
-      .agg(min(when(hitLo, col("x"))).as("v_lo"), min(when(hitHi, col("x"))).as("v_hi"))
-      // Spark percentile's lerp: lower + (pos - lowerIndex) * (higher - lower)
-      .withColumn("v",
-        col("v_lo") + (col("pos") - col("lo").cast("double")) * (col("v_hi") - col("v_lo")))
-    sel.groupBy(col("k").as("l_returnflag"))
+    graft.ops.ExactPercentiles.of(li, Seq(("p50", 0.5), ("p95", 0.95)), "pctl-cum")
+      .groupBy(col("k").as("l_returnflag"))
       .agg(round(min(when(col("qname") === "p50", col("v"))), 4).as("p50"),
         round(min(when(col("qname") === "p95", col("v"))), 4).as("p95"))
   }
@@ -1170,6 +1231,14 @@ object SparkEntry {
   private def sAnnPqRerank(s: SparkSession, dir: String): DataFrame =
     Similarity.pqRerankTopK(T(s, dir, "embeddings"), col("vec_id") < 8, 3, 10, 4, 8, 64)
 
+  /** The PQ production dial graduated into the registry: 64 codewords
+    * per subspace, 50-wide shortlist (recall@3 0.75 at this dial,
+    * measured per-round in bench_details `recall_at_3`) — the
+    * quality-sized twin of s_ann_pq_rerank's oracle-scale k=4. Same
+    * operator, same oracle chain at LIMIT 64. */
+  private def sAnnPqRerank64(s: SparkSession, dir: String): DataFrame =
+    Similarity.pqRerankTopK(T(s, dir, "embeddings"), col("vec_id") < 8, 3, 50, 64, 8, 64)
+
   /** IVFPQ: cell-restricted candidates scored in the compressed domain
     * — the composed production index (see Similarity.ivfPqTopK),
     * reusing the cached IVF assignment and PQ code frames. */
@@ -1474,8 +1543,7 @@ object SparkEntry {
     * draws per (target, stratum). The multi-tenant calibration set:
     * 2 targets × 8 strata × ≤10 rows. Rank shuffle is bounded by the
     * same WindowGroupLimit prune, now keyed (target, stratum). */
-  private def eDsirMultiCalibrate(s: SparkSession, dir: String): DataFrame = {
-    val w = tDsirMulti(s, dir)
+  private def dsirMultiCalibrateOf(w: DataFrame): DataFrame = {
     val stats = w.groupBy("target")
       .agg(min(col("log_w")).as("mn"), max(col("log_w")).as("mx"))
     val strat = w.join(broadcast(stats), "target")
@@ -1491,6 +1559,26 @@ object SparkEntry {
       .select(col("target"), col("stratum"), col("rk").cast("int").as("rk"),
         col("doc_id"), col("log_w"))
   }
+
+  private def eDsirMultiCalibrate(s: SparkSession, dir: String): DataFrame =
+    dsirMultiCalibrateOf(tDsirMulti(s, dir))
+
+  /** K=3 multi-target DSIR weight table — src0/src1/src2 scored in ONE
+    * corpus pass. [[graft.ext.TextOps.dsirWeightsMulti]] is K-generic;
+    * this row exercises K beyond the pairwise case (k sums side by
+    * side in one bucket aggregate, 3·vBuckets-row model broadcast),
+    * pinned per-slice-equal to single-target runs by the ExtSpec
+    * equivalence test. */
+  private def tDsirMulti3(s: SparkSession, dir: String): DataFrame =
+    TextOps.dsirWeightsMulti(T(s, dir, "documents"),
+      Seq("src0" -> (col("source") === "src0"),
+        "src1" -> (col("source") === "src1"),
+        "src2" -> (col("source") === "src2")), 1024)
+
+  /** The K=3 calibration composition: per-target equalized strata over
+    * the 3-slice weight table — 3 targets × 8 strata × ≤10 rows. */
+  private def eDsirMulti3(s: SparkSession, dir: String): DataFrame =
+    dsirMultiCalibrateOf(tDsirMulti3(s, dir))
 
   /** Asset-store exact dedup: payload-hash ledger (n_copies, keeper)
     * over the binary column — the cheap pass that runs BEFORE any
@@ -1571,6 +1659,8 @@ object SparkEntry {
     "q_span_enrich" -> (qSpanEnrich _),
     "q_dependency_graph" -> (qDependencyGraph _),
     "q_trace_assembly" -> (qTraceAssembly _),
+    "q_critical_path" -> (qCriticalPath _),
+    "q_service_latency" -> (qServiceLatency _),
     "q_union_back" -> (qUnionBack _),
     "a_pricing_summary" -> (aPricingSummary _),
     "a_segment_revenue" -> (aSegmentRevenue _),
@@ -1654,6 +1744,7 @@ object SparkEntry {
     "e_dsir_calibrate" -> (eDsirCalibrate _),
     "t_dsir_multi" -> (tDsirMulti _),
     "e_dsir_multi_calibrate" -> (eDsirMultiCalibrate _),
+    "e_dsir_multi3" -> (eDsirMulti3 _),
     "d_dedup_apply" -> (dDedupApply _),
     "d_exact" -> (dExact _),
     "d_exact_normalized" -> (dExactNormalized _),
@@ -1676,6 +1767,7 @@ object SparkEntry {
     "s_ann_sq8" -> (sAnnSq8 _),
     "s_ann_pq" -> (sAnnPq _),
     "s_ann_pq_rerank" -> (sAnnPqRerank _),
+    "s_ann_pq_rerank64" -> (sAnnPqRerank64 _),
     "s_ann_range" -> (sAnnRange _),
     "s_label_centroids" -> (sLabelCentroids _),
     "s_near_dup" -> (sNearDup _),

@@ -1,0 +1,55 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** EXACT distributed percentiles without per-group buffers — the
+  * 100 TB order-statistic form: value histogram (shuffle ∝ DISTINCT
+  * values per group, with map-side combine), cumulative rank intervals
+  * per group via a group-keyed window, then each requested quantile
+  * finds its two bracketing order statistics by rank-interval join and
+  * linearly interpolates (Spark `percentile` / ANSI PERCENTILE_CONT
+  * lerp, bit-compatible with DuckDB `quantile_cont`). Contrast
+  * `a_percentiles`' ObjectHashAggregate form, which buffers every value
+  * per group.
+  *
+  * Extracted from the a_percentiles_dist registry query so the trace
+  * latency family shares one implementation. */
+object ExactPercentiles {
+
+  /** `df` must expose group column `k` and value column `x` (numeric).
+    * Returns one row per (k, quantile): (k, qname, v) with `v` the
+    * exact interpolated percentile as double. `cacheTag` names the
+    * cumulative-histogram PlanCache entry — it feeds both the
+    * order-statistic join and the group sizes, and uncached the
+    * histogram shuffle would run twice. */
+  def of(df: DataFrame, qs: Seq[(String, Double)], cacheTag: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val hist = df.groupBy("k", "x").agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy("k").orderBy("x")
+    // cum_start/cum_end delimit each value's 0-indexed rank interval
+    val cum = PlanCache.cached(cacheTag,
+      hist.withColumn("cum_end", sum("cnt").over(w))
+        .withColumn("cum_start", col("cum_end") - col("cnt")))
+    val qdf = qs.toDF("qname", "q")
+    // group sizes fold over the cum frame (max cum_end), not a second
+    // corpus aggregation
+    val pos = cum.groupBy("k").agg(max("cum_end").as("n"))
+      .crossJoin(broadcast(qdf))
+      .withColumn("pos", col("q") * (col("n") - 1).cast("double"))
+      .withColumn("lo", floor(col("pos")).cast("long"))
+      .withColumn("hi", ceil(col("pos")).cast("long"))
+    val hitLo = col("lo") >= col("cum_start") && col("lo") < col("cum_end")
+    val hitHi = col("hi") >= col("cum_start") && col("hi") < col("cum_end")
+    cum.join(broadcast(pos), Seq("k"))
+      .filter(hitLo || hitHi)
+      .groupBy(col("k"), col("qname"), col("pos"), col("lo"))
+      .agg(min(when(hitLo, col("x"))).as("v_lo"), min(when(hitHi, col("x"))).as("v_hi"))
+      // Spark percentile's lerp: lower + (pos - lowerIndex) * (higher - lower)
+      .withColumn("v",
+        col("v_lo") + (col("pos") - col("lo").cast("double")) * (col("v_hi") - col("v_lo")))
+      .select(col("k"), col("qname"), col("v"))
+  }
+}

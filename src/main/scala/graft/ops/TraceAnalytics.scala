@@ -29,4 +29,47 @@ object TraceAnalytics {
       .filter(col("remote_service_name").isNotNull)
       .groupBy(col("local_service"), col("remote_service_name"))
       .agg(count(lit(1)).as("n_calls"))
+
+  /** Critical path per trace: the maximum-duration root-to-leaf path
+    * over parent_id edges — the per-trace latency view Zipkin renders
+    * (reference README.adoc:133-135) reduced to its headline number.
+    *
+    * Distributed shape: bottom-up dynamic programming bounded by
+    * `maxDepth` (span-tree depth is an application constant — the
+    * topology's hop count — never data-sized). Iteration k extends
+    * each span's best downward path to height ≤ k via ONE
+    * (trace_id, parent_id)-keyed partial aggregate joined back to the
+    * span frame; no recursion, no driver-side graph walk, and every
+    * shuffle key is a (trace, span) id hash — uniform by
+    * construction. Roots are spans whose parent is null or absent
+    * from the corpus (anti-join on span ids), so dangling edges
+    * surface as local roots instead of silently vanishing. Spans
+    * deeper than `maxDepth` contribute truncated paths — callers pass
+    * the topology's known depth.
+    *
+    * Input: (trace_id, span_id, parent_id, duration_us, ...).
+    * Returns (trace_id, n_spans, critical_path_us). */
+  def criticalPath(spans: DataFrame, maxDepth: Int): DataFrame = {
+    require(maxDepth >= 1, s"maxDepth must be >= 1, got $maxDepth")
+    val base = spans.select(col("trace_id"), col("span_id"), col("parent_id"),
+      col("duration_us").cast("long").as("duration_us"))
+    var best = base.withColumn("path_us", col("duration_us"))
+    for (_ <- 1 until maxDepth) {
+      val childMax = best.filter(col("parent_id").isNotNull)
+        .groupBy(col("trace_id").as("t"), col("parent_id").as("p"))
+        .agg(max(col("path_us")).as("child_us"))
+      best = base
+        .join(childMax,
+          col("trace_id") === col("t") && col("span_id") === col("p"), "left")
+        .select(col("trace_id"), col("span_id"), col("parent_id"), col("duration_us"),
+          (col("duration_us") + coalesce(col("child_us"), lit(0L))).as("path_us"))
+    }
+    val ids = base.select(col("trace_id").as("t2"), col("span_id").as("s2"))
+    val roots = best.join(ids,
+      col("trace_id") === col("t2") && col("parent_id") === col("s2"), "left_anti")
+    val sizes = base.groupBy("trace_id").agg(count(lit(1)).as("n_spans"))
+    roots.groupBy("trace_id").agg(max(col("path_us")).as("critical_path_us"))
+      .join(sizes, "trace_id")
+      .select(col("trace_id"), col("n_spans"), col("critical_path_us"))
+  }
 }

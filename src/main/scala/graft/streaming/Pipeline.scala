@@ -341,6 +341,108 @@ object Pipeline {
       .select(col("doc_id"), col("corpus_doc"), col("n_shared"))
   }
 
+  /** One matched gram position of an arriving document (gate-internal). */
+  case class SubstrPos(doc_id: Long, n_tok: Long, pos: Long)
+  /** Substring-gate verdict row. */
+  case class SubstrAdmit(doc_id: Long, n_tok: Long, dup_tokens: Long,
+      dup_frac: Double, admit: Boolean)
+
+  /** Streaming cross-doc substring admission gate — the online form of
+    * [[graft.ext.Dedup.crossDocDupFraction]]: each arriving document's
+    * PROJECTED duplicated-token fraction against the static corpus,
+    * rejected above `maxFrac` (Lee et al.-style contamination
+    * thresholding at ingest).
+    *
+    * Equivalence to the batch fraction, exactly: a position's
+    * match_len is ≥ n iff its leading n-gram occurs in another
+    * document, and the interval union of [q, q+match_len(q)−1] over
+    * matched positions equals the union of the fixed-width
+    * [q, q+n−1] windows (every start inside a longer shared run is
+    * itself matched, so the wider intervals add nothing — also why
+    * the batch maxLcp cap never changes coverage). The gate therefore
+    * needs only GRAM MEMBERSHIP, not suffix ordering: the corpus side
+    * is the per-gram (distinct-doc count, sole owner) index derived
+    * from the same PlanCached positional-gram frame the batch family
+    * reads (in production: the persisted gram staging table), and the
+    * self-match rule (`nd ≥ 2 ∨ owner ≠ doc`) makes a REPLAYED corpus
+    * document score identically to the batch operator — the spec pins
+    * this.
+    *
+    * Plan shape: row-local tokenize/shingle/hash → ONE stream-static
+    * equi-join on the gram hash → per-doc interval-union fold in a
+    * transformWithState handler that keeps NO state (a document
+    * arrives whole within one micro-batch — re-sent docs re-emit the
+    * identical verdict, append-safe like the other gates). Documents
+    * with no corpus-shared gram emit nothing: absence = dup_frac 0 =
+    * admit. */
+  def substringGate(docs: DataFrame, corpusDocs: DataFrame, n: Int,
+      maxFrac: Double): DataFrame = {
+    import org.apache.spark.sql.Encoders
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    val idx = graft.ops.PlanCache.cachedBy(s"substr-gate-idx-$n",
+        corpusDocs.queryExecution.logical.semanticHash(),
+        corpusDocs.sparkSession) {
+      graft.ext.Dedup.positionalGrams(corpusDocs, n)
+        .groupBy("h")
+        .agg(countDistinct(col("doc_id")).as("nd"), min(col("doc_id")).as("d0"))
+    }
+    val probes = docs
+      .select(col("doc_id"), graft.codec.Codecs.tokens(col("text")).as("tk"))
+      .select(col("doc_id"), size(col("tk")).cast("long").as("n_tok"),
+        posexplode(graft.codec.Codecs.shingles(col("tk"), n)).as(Seq("pos", "sh")))
+      .select(col("doc_id"), col("n_tok"), col("pos").cast("long").as("pos"),
+        graft.codec.Codecs.portableHash(col("sh")).as("h"))
+    implicit val posEnc = Encoders.product[SubstrPos]
+    implicit val keyEnc = Encoders.scalaLong
+    implicit val outEnc = Encoders.product[SubstrAdmit]
+    probes.join(idx, Seq("h"))
+      .filter(col("nd") >= 2 || col("d0") =!= col("doc_id"))
+      .select(col("doc_id"), col("n_tok"), col("pos"))
+      .as[SubstrPos]
+      .groupByKey(_.doc_id)
+      .transformWithState(new SubstringGateProcessor(n, maxFrac),
+        TimeMode.None(), OutputMode.Append())
+      .toDF()
+  }
+
+  /** Stateless per-doc verdict fold for [[substringGate]]: sorts the
+    * micro-batch's matched positions and sweeps the fixed-width
+    * interval union (same running-max rule as the batch island sweep;
+    * rounding matches Spark `round`'s HALF_UP). */
+  private class SubstringGateProcessor(n: Int, maxFrac: Double)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, SubstrPos, SubstrAdmit] {
+    override def init(outputMode: org.apache.spark.sql.streaming.OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit = ()
+
+    override def handleInputRows(key: Long, rows: Iterator[SubstrPos],
+        tv: org.apache.spark.sql.streaming.TimerValues): Iterator[SubstrAdmit] = {
+      val rs = rows.toArray
+      if (rs.isEmpty) Iterator.empty
+      else {
+        val nTok = rs.head.n_tok
+        var covered = 0L
+        var lastEnd = -1L
+        rs.map(_.pos).sorted.foreach { p =>
+          val e = p + n - 1
+          if (p > lastEnd) covered += n
+          else if (e > lastEnd) covered += e - lastEnd
+          lastEnd = math.max(lastEnd, e)
+        }
+        val frac =
+          if (nTok > 0)
+            BigDecimal(covered.toDouble / nTok)
+              .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+          else 0.0
+        Iterator.single(SubstrAdmit(key, nTok, covered, frac, frac <= maxFrac))
+      }
+    }
+
+    override def handleExpiredTimer(key: Long,
+        tv: org.apache.spark.sql.streaming.TimerValues,
+        info: org.apache.spark.sql.streaming.ExpiredTimerInfo): Iterator[SubstrAdmit] =
+      Iterator.empty
+  }
+
   /** Streaming twin of [[ContextOps.correlate]]: records and log rows
     * arrive as TWO live streams and are joined on trace_id as a
     * stream-stream inner join. Both sides are watermarked and the join

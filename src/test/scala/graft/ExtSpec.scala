@@ -922,17 +922,20 @@ class ExtSpec extends SparkSpec {
     // single-target runs — same substrate, same smoothing, same
     // rounding — or the multi-tenant claim is a different model
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
-    val multi = TextOps.dsirWeightsMulti(docs,
-      Seq("src0" -> (col("source") === "src0"),
-        "src1" -> (col("source") === "src1")), 1024)
-    for (t <- Seq("src0", "src1")) {
-      val single = TextOps.dsirWeights(docs, col("source") === t, 1024)
-        .select(col("doc_id"), col("n_grams"), col("log_w"))
-      val slice = multi.filter(col("target") === t)
-        .select(col("doc_id"), col("n_grams"), col("log_w"))
-      assert(slice.exceptAll(single).count() === 0L &&
-        single.exceptAll(slice).count() === 0L,
-        s"multi-target slice $t diverges from the single-target run")
+    // K=2 and K=3 (the registry's two dials): K-generic means EVERY K
+    // reproduces its slices, not just the pairwise case
+    for (targets <- Seq(Seq("src0", "src1"), Seq("src0", "src1", "src2"))) {
+      val multi = TextOps.dsirWeightsMulti(docs,
+        targets.map(t => t -> (col("source") === t)), 1024)
+      for (t <- targets) {
+        val single = TextOps.dsirWeights(docs, col("source") === t, 1024)
+          .select(col("doc_id"), col("n_grams"), col("log_w"))
+        val slice = multi.filter(col("target") === t)
+          .select(col("doc_id"), col("n_grams"), col("log_w"))
+        assert(slice.exceptAll(single).count() === 0L &&
+          single.exceptAll(slice).count() === 0L,
+          s"multi-target (K=${targets.size}) slice $t diverges from the single-target run")
+      }
     }
   }
 

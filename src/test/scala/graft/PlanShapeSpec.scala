@@ -12,6 +12,12 @@ class PlanShapeSpec extends SparkSpec {
   private def plan(name: String): String =
     SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
 
+  /** Unpartitioned window specs in a plan: a spec whose FIRST argument
+    * carries a sort direction has an empty partition clause (partition
+    * keys always stringify before the ORDER BY columns). */
+  private def unpartitionedWindows(p: String): List[String] =
+    "windowspecdefinition\\(([^,()]*?)(ASC|DESC)".r.findAllIn(p).toList
+
   test("parity branching is narrow: no exchange anywhere in the plan") {
     val p = plan("q_branch_even")
     assert(!p.contains("Exchange"), s"unexpected shuffle:\n$p")
@@ -218,14 +224,9 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("rangepartitioning"),
       s"corpus-global sort leaked into the suffix ordering:\n$p")
     assert(!p.contains("CartesianProduct"), s"no pair join belongs here:\n$p")
-    // both window passes must be keyed (bucket h, then (h, run)). An
-    // unpartitioned spec stringifies with the ORDER BY column — and
-    // its ASC/DESC direction — as the FIRST argument (there is no
-    // literal "windowspecdefinition()" form), so flag any spec whose
-    // first argument carries a sort direction.
-    val unpart = "windowspecdefinition\\(([^,()]*?)(ASC|DESC)".r.findAllIn(p).toList
-    assert(unpart.isEmpty,
-      s"unpartitioned window in the suffix pass: $unpart\n$p")
+    // both window passes must be keyed (bucket h, then (h, run))
+    assert(unpartitionedWindows(p).isEmpty,
+      s"unpartitioned window in the suffix pass: ${unpartitionedWindows(p)}\n$p")
   }
 
   test("char-level substring dedup keeps the bucketed suffix shape") {
@@ -235,9 +236,17 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("rangepartitioning"),
       s"corpus-global sort leaked into the char suffix ordering:\n$p")
     assert(!p.contains("CartesianProduct"), s"no pair join belongs here:\n$p")
-    val unpart = "windowspecdefinition\\(([^,()]*?)(ASC|DESC)".r.findAllIn(p).toList
-    assert(unpart.isEmpty,
-      s"unpartitioned window in the char suffix pass: $unpart\n$p")
+    assert(unpartitionedWindows(p).isEmpty,
+      s"unpartitioned window in the char suffix pass: ${unpartitionedWindows(p)}\n$p")
+  }
+
+  test("moving average runs year-partitioned: no unpartitioned window survives") {
+    // the last corpus-adjacent single-task window was a_moving_avg's
+    // daily ROWS frame; the carry construction must keep every window
+    // (tail derivation AND running frame) keyed by year
+    val p = plan("a_moving_avg")
+    assert(unpartitionedWindows(p).isEmpty,
+      s"unpartitioned window in the moving average: ${unpartitionedWindows(p)}\n$p")
   }
 
   test("edit verify joins candidates to text by key: no cartesian, no corpus window") {

@@ -270,6 +270,61 @@ class StreamingPipelineSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming substring gate reproduces the batch cross-doc dup fraction on replay") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val corpusRows = Seq(
+      (1L, "a b c d e f g h i j"),
+      (2L, "x y a b c d e f g z"),
+      (3L, "completely different tokens only here now"))
+    val corpus = corpusRows.toDF("doc_id", "text")
+    val batch = graft.ext.Dedup.crossDocDupFraction(corpus, 5, 30)
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    val input = MemoryStream[(Long, String)]
+    val out = Pipeline.substringGate(
+      input.toDF().toDF("doc_id", "text"), corpus, n = 5, maxFrac = 0.5)
+    val q = out.writeStream.format("memory").queryName("substr_gate")
+      .outputMode("append").start()
+    try {
+      // replay the corpus itself: every emitted verdict must carry the
+      // batch operator's (n_tok, dup_tokens, dup_frac) exactly — the
+      // self-match rule (nd >= 2 or other owner) is what makes this hold
+      input.addData(corpusRows)
+      q.processAllAvailable()
+      val got = spark.table("substr_gate")
+        .as[(Long, Long, Long, Double, Boolean)].collect()
+        .map(r => r._1 -> (r._2, r._3, r._4, r._5)).toMap
+      assert(got.keySet === Set(1L, 2L), s"docs with matches only; got $got")
+      for ((d, (nt, dt, fr, admit)) <- got) {
+        assert((nt, dt, fr) === batch(d), s"doc $d diverges from batch")
+        assert(!admit, s"doc $d at frac $fr must be rejected above 0.5")
+      }
+      // absence = batch zero
+      assert(batch(3L)._2 === 0L)
+      // a NOVEL doc sharing the corpus run is scored against it; its
+      // unique tail keeps it under threshold when diluted enough
+      input.addData(Seq((9L, "a b c d e f g brand new stuff plus extra filler")))
+      q.processAllAvailable()
+      val novel = spark.table("substr_gate").filter(col("doc_id") === 9L)
+        .as[(Long, Long, Long, Double, Boolean)].collect()
+      assert(novel.length === 1)
+      // matched gram starts 0..2 cover tokens [0,6] of 13
+      assert(novel.head._2 === 13L && novel.head._3 === 7L)
+      assert(novel.head._4 === 0.5385 && !novel.head._5)
+    } finally {
+      q.stop()
+      prev match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None    => spark.conf.unset(providerKey)
+      }
+    }
+  }
+
   test("streaming span decontam emits maximal contaminated spans, statelessly") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
