@@ -176,6 +176,13 @@ object Bench {
       "d_substring_dedup_xx" -> ((s, dir) =>
         graft.ext.Dedup.crossDocSubstrings(
           s.read.parquet(s"$dir/documents.parquet"), 5, 30, hashName = "xx")),
+      // char-level twin on the production hash: the md5-of-20-chars per
+      // position is the dominant cost of the substring_char_matches
+      // prepare build, so this measures the 100 TB swap-in (compare
+      // against substring_char_matches + d_substring_char)
+      "d_substring_char_xx" -> ((s, dir) =>
+        graft.ext.Dedup.crossDocSubstringsChar(
+          s.read.parquet(s"$dir/documents.parquet"), 20, 80, hashName = "xx")),
       // the skew knob measured: stop-gram buckets over 64 occurrences
       // dropped before the suffix sort (the 100 TB dial for corpora
       // with degenerate boilerplate grams; approximate, hence

@@ -1017,6 +1017,34 @@ SELECT st.doc_id, st.n_dup_starts, st.max_len, max(mm.sub) AS longest_sub
 FROM st JOIN mm ON mm.doc_id = st.doc_id AND mm.match_len = st.max_len
 GROUP BY 1, 2, 3""",
 
+    // char-level dup fraction: the same island sweep continues from
+    // the char chain's mm; denominator = normalized char count
+    "d_substring_char_fraction" -> s"""$SUBSTR_CHAR_M, $SUBSTR_ISL, pd AS (
+  SELECT doc_id, sum(e0 - s0 + 1) AS dup_chars FROM sp GROUP BY 1)
+SELECT n.doc_id, CAST(length(n.txt) AS BIGINT) AS n_chars,
+       CAST(coalesce(p.dup_chars, 0) AS BIGINT) AS dup_chars,
+       round(CASE WHEN length(n.txt) > 0
+             THEN CAST(coalesce(p.dup_chars, 0) AS DOUBLE) / length(n.txt)
+             ELSE 0.0 END, 4) AS dup_frac
+FROM nx n LEFT JOIN pd p ON p.doc_id = n.doc_id""",
+
+    // char-level APPLY: cut every character inside a cross-doc island
+    "d_substring_char_apply" -> s"""$SUBSTR_CHAR_M, $SUBSTR_ISL, ct AS (
+  SELECT doc_id, CAST(j-1 AS BIGINT) AS p, substr(txt, CAST(j AS INT), 1) AS c
+  FROM (SELECT doc_id, txt, unnest(range(1, length(txt)+1)) AS j FROM nx)
+), keep AS (
+  SELECT k.doc_id, k.p, k.c FROM ct k
+  WHERE NOT EXISTS (SELECT 1 FROM sp
+                    WHERE sp.doc_id = k.doc_id AND k.p BETWEEN sp.s0 AND sp.e0)
+), agg AS (
+  SELECT doc_id, array_to_string(list(c ORDER BY p), '') AS clean_text,
+         count(*) AS n_kept
+  FROM keep GROUP BY doc_id)
+SELECT n.doc_id,
+       coalesce(a.clean_text, '') AS clean_text,
+       CAST(length(n.txt) - coalesce(a.n_kept, 0) AS BIGINT) AS n_removed
+FROM nx n LEFT JOIN agg a USING (doc_id)""",
+
     // interval-union (running-max island sweep) of the matched
     // positions -> per-doc cross-doc duplicated-token fraction
     "d_substring_fraction" -> s"""$SUBSTR_M, $SUBSTR_ISL, pd AS (

@@ -127,7 +127,12 @@ object SparkEntry {
     "incr_pairs" ->
       ((s, dir) => { dIncrementalDedup(s, dir).count(); () }),
     "enriched_events" ->
-      ((s, dir) => { rec(s, dir).count(); () }))
+      ((s, dir) => { rec(s, dir).count(); () }),
+    // modeled span tree with durations: shared by q_critical_path and
+    // q_service_latency (alphabetically the critical path would be
+    // charged the build)
+    "span_tree" ->
+      ((s, dir) => { spanTree(s, dir).count(); () }))
 
   // =====================================================================
   // Spark-side query implementations
@@ -981,6 +986,17 @@ object SparkEntry {
   private def dSubstringChar(s: SparkSession, dir: String): DataFrame =
     Dedup.crossDocSubstringsChar(T(s, dir, "documents"), 20, 80)
 
+  /** Char-level dup fraction — the contamination metric in the
+    * paper's own character units
+    * (see [[graft.ext.Dedup.crossDocDupFractionChar]]). */
+  private def dSubstringCharFraction(s: SparkSession, dir: String): DataFrame =
+    Dedup.crossDocDupFractionChar(T(s, dir, "documents"), 20, 80)
+
+  /** Char-level APPLY: cut duplicated characters, token boundaries
+    * not required (see [[graft.ext.Dedup.removeCrossDocSubstringsChar]]). */
+  private def dSubstringCharApply(s: SparkSession, dir: String): DataFrame =
+    Dedup.removeCrossDocSubstringsChar(T(s, dir, "documents"), 20, 80)
+
   /** Bloom-prefiltered exact decontamination: same exact semantics as
     * a train×eval gram join, but train grams cross the shuffle only if
     * they pass a broadcast Bloom filter of the eval grams — the 100 TB
@@ -1712,6 +1728,8 @@ object SparkEntry {
     "d_substring_fraction" -> (dSubstringFraction _),
     "d_substring_apply" -> (dSubstringApply _),
     "d_substring_char" -> (dSubstringChar _),
+    "d_substring_char_fraction" -> (dSubstringCharFraction _),
+    "d_substring_char_apply" -> (dSubstringCharApply _),
     "d_minhash_jaccard_est" -> (dMinhashJaccardEst _),
     "d_incremental_dedup" -> (dIncrementalDedup _),
     "d_incremental_apply" -> (dIncrementalApply _),

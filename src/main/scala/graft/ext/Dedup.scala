@@ -716,11 +716,11 @@ object Dedup {
     * the classic running-max island sweep, windowed per doc_id only —
     * never corpus-wide. Returns (doc_id, s0, e0) inclusive token
     * spans. */
-  private def crossDocIslands(docs: DataFrame, n: Int, maxLcp: Int,
-      hashName: String): DataFrame = {
+  /** The running-max island sweep shared by both substring levels:
+    * (doc_id, pos, e) intervals → maximal merged (doc_id, s0, e0)
+    * spans, windowed per doc_id only — never corpus-wide. */
+  private def islandSweep(iv: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val iv = substringMatches(docs, n, maxLcp, hashName)
-      .select(col("doc_id"), col("pos"), (col("pos") + col("match_len") - 1L).as("e"))
     val w = Window.partitionBy("doc_id").orderBy("pos")
     iv
       .withColumn("prev_end",
@@ -732,6 +732,16 @@ object Dedup {
       .agg(min(col("pos")).as("s0"), max(col("e")).as("e0"))
       .select(col("doc_id"), col("s0"), col("e0"))
   }
+
+  private def crossDocIslands(docs: DataFrame, n: Int, maxLcp: Int,
+      hashName: String): DataFrame =
+    islandSweep(substringMatches(docs, n, maxLcp, hashName)
+      .select(col("doc_id"), col("pos"), (col("pos") + col("match_len") - 1L).as("e")))
+
+  private def crossDocIslandsChar(docs: DataFrame, n: Int, maxLcp: Int,
+      hashName: String): DataFrame =
+    islandSweep(substringMatchesChar(docs, n, maxLcp, hashName)
+      .select(col("doc_id"), col("pos"), (col("pos") + col("match_len") - 1L).as("e")))
 
   /** Per-document cross-doc duplicated-token fraction — the
     * inter-document contamination metric (d_span_fraction counts
@@ -773,6 +783,45 @@ object Dedup {
       .select(col("doc_id"),
         array_join(col("kept"), " ").as("clean_text"),
         (size(col("tk")) - size(col("kept"))).cast("long").as("n_removed"))
+  }
+
+  /** Char-level [[crossDocDupFraction]]: fraction of the normalized
+    * character stream inside a region shared with another document —
+    * Lee et al.'s contamination metric in its published (character)
+    * units. Same island sweep, denominator = chars. */
+  def crossDocDupFractionChar(docs: DataFrame, n: Int, maxLcp: Int,
+      hashName: String = "md5"): DataFrame = {
+    val spans = crossDocIslandsChar(docs, n, maxLcp, hashName)
+      .groupBy("doc_id")
+      .agg(sum(col("e0") - col("s0") + 1).as("dup_chars"))
+    docs.select(col("doc_id"),
+        length(lower(trim(col("text")))).cast("long").as("n_chars"))
+      .join(spans, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_chars"),
+        coalesce(col("dup_chars"), lit(0L)).as("dup_chars"),
+        round(when(col("n_chars") > 0,
+            coalesce(col("dup_chars"), lit(0L)).cast("double") / col("n_chars"))
+          .otherwise(0.0), 4).as("dup_frac"))
+  }
+
+  /** Char-level [[removeCrossDocSubstrings]]: cut every CHARACTER
+    * inside a cross-doc duplicated region (the apply step in the
+    * paper's own units — cuts need not respect token boundaries). */
+  def removeCrossDocSubstringsChar(docs: DataFrame, n: Int, maxLcp: Int,
+      hashName: String = "md5"): DataFrame = {
+    val spans = crossDocIslandsChar(docs, n, maxLcp, hashName)
+      .groupBy("doc_id")
+      .agg(collect_list(struct(col("s0").as("s"), col("e0").as("e"))).as("spans"))
+    docs.select(col("doc_id"), chars(col("text")).as("ch"))
+      .join(spans, Seq("doc_id"), "left")
+      .withColumn("kept",
+        when(col("spans").isNull, col("ch"))
+          .otherwise(filter(col("ch"), (_, i) =>
+            !exists(col("spans"), sp =>
+              i.cast("long") >= sp.getField("s") && i.cast("long") <= sp.getField("e")))))
+      .select(col("doc_id"),
+        array_join(col("kept"), "").as("clean_text"),
+        (size(col("ch")) - size(col("kept"))).cast("long").as("n_removed"))
   }
 
   /** Bloom-prefiltered exact n-gram decontamination. The exact

@@ -917,6 +917,28 @@ class ExtSpec extends SparkSpec {
     assert(got.forall(_._2 == "hello worlds apart "), got.mkString(", "))
   }
 
+  test("char-level fraction and apply cover the island union, cutting mid-word") {
+    val docs = Seq(
+      (1L, "xhello worlds apart entirely"),
+      (2L, "yhello worlds apart utterly"),
+      (3L, "nothing in common here at all")).toDF("doc_id", "text")
+    // shared island per doc: chars [1, 19] ("hello worlds apart ") —
+    // 19 of 28 / 27 normalized chars
+    val frac = Dedup.crossDocDupFractionChar(docs, 10, 40)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(frac === Array(
+      (1L, 28L, 19L, 0.6786), (2L, 27L, 19L, 0.7037), (3L, 29L, 0L, 0.0)))
+    val applied = Dedup.removeCrossDocSubstringsChar(docs, 10, 40)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    // the cut starts mid-"xhello": the leading x/y survives, the run
+    // (incl. its trailing space) goes
+    assert(applied === Array(
+      (1L, "xentirely", 19L), (2L, "yutterly", 19L),
+      (3L, "nothing in common here at all", 0L)))
+  }
+
   test("multi-target DSIR reproduces the single-target weights per slice") {
     // the one-pass k-target form must be VALUE-identical to k
     // single-target runs — same substrate, same smoothing, same
