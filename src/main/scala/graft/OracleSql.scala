@@ -1431,6 +1431,18 @@ SELECT target, stratum, CAST(rk AS INT) AS rk, doc_id, log_w FROM (
   FROM strat)
 WHERE rk <= 10""",
 
+    // multi-target ES resample: per-target top-50 by (ln u)/exp(log_w)
+    // over the K=3 weight table; the key is never emitted (ulp)
+    "e_dsir_multi_apply" -> s"""${dsirMultiW(Seq("src0", "src1", "src2"))}, k AS (
+  SELECT target, doc_id, log_w,
+         ln((CAST(${dh("CAST(doc_id AS VARCHAR)")} % 1000000 AS DOUBLE) + 0.5) / 1000000.0)
+           / exp(log_w) AS es_key
+  FROM w)
+SELECT target, doc_id, log_w FROM (
+  SELECT target, doc_id, log_w,
+         row_number() OVER (PARTITION BY target ORDER BY es_key DESC, doc_id) AS rk
+  FROM k) WHERE rk <= 50""",
+
     // the K=3 slice: same chain, three targets in one pass
     "e_dsir_multi3" -> s"""${dsirMultiW(Seq("src0", "src1", "src2"))}, st AS (
   SELECT target, min(log_w) AS mn, max(log_w) AS mx FROM w GROUP BY 1

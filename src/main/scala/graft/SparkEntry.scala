@@ -1596,6 +1596,28 @@ object SparkEntry {
   private def eDsirMulti3(s: SparkSession, dir: String): DataFrame =
     dsirMultiCalibrateOf(tDsirMulti3(s, dir))
 
+  /** Multi-target DSIR resample APPLY: Efraimidis–Spirakis without
+    * replacement PER TARGET SLICE over the K=3 weight table — the
+    * multi-tenant closing step (each target domain draws its own
+    * resample from one shared scoring pass). Same log-space rank key
+    * as e_dsir_apply ((ln u)/exp(log_w), u from the integer portable
+    * hash), ranked within target by a WindowGroupLimit-pruned window
+    * instead of a global sort; the es_key is NOT emitted (its ~1e19
+    * magnitude carries libm ulp noise the top-k SET is immune to —
+    * the per-target rank-50/51 gap property is spec-pinned like
+    * e_dsir_apply's). */
+  private def eDsirMultiApply(s: SparkSession, dir: String): DataFrame = {
+    val w = tDsirMulti3(s, dir)
+    val u = (pmod(Codecs.portableHash(col("doc_id").cast("string")), lit(1000000L))
+      .cast("double") + lit(0.5)) / lit(1000000.0)
+    val wnd = Window.partitionBy(col("target"))
+      .orderBy((log(u) / exp(col("log_w"))).desc, col("doc_id"))
+    w.select(col("target"), col("doc_id"), col("log_w"))
+      .withColumn("rk", row_number().over(wnd))
+      .filter(col("rk") <= 50)
+      .select(col("target"), col("doc_id"), col("log_w"))
+  }
+
   /** Asset-store exact dedup: payload-hash ledger (n_copies, keeper)
     * over the binary column — the cheap pass that runs BEFORE any
     * decode so duplicate media is fetched and featurized once. Shuffle
@@ -1763,6 +1785,7 @@ object SparkEntry {
     "t_dsir_multi" -> (tDsirMulti _),
     "e_dsir_multi_calibrate" -> (eDsirMultiCalibrate _),
     "e_dsir_multi3" -> (eDsirMulti3 _),
+    "e_dsir_multi_apply" -> (eDsirMultiApply _),
     "d_dedup_apply" -> (dDedupApply _),
     "d_exact" -> (dExact _),
     "d_exact_normalized" -> (dExactNormalized _),

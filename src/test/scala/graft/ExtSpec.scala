@@ -985,6 +985,31 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("e_dsir_multi_apply per-target rank-50/51 key gap dwarfs double ulp") {
+    // the multi-target resample rides the same raw-double ES key as
+    // e_dsir_apply, now ranked per target slice: each target's
+    // LIMIT boundary must sit orders of magnitude above libm noise or
+    // the top-50 SET could differ between Spark and DuckDB
+    for (sf <- Seq("sf0.001", "sf0.01")) {
+      val docs = spark.read.parquet(s"/root/testdata/$sf/documents.parquet")
+      val multi = TextOps.dsirWeightsMulti(docs,
+        Seq("src0", "src1", "src2").map(t => t -> (col("source") === t)), 1024)
+      val u = (pmod(graft.codec.Codecs.portableHash(col("doc_id").cast("string")),
+        lit(1000000L)).cast("double") + lit(0.5)) / lit(1000000.0)
+      for (t <- Seq("src0", "src1", "src2")) {
+        val keys = multi.filter(col("target") === t)
+          .select((log(u) / exp(col("log_w"))).as("es_key"))
+          .orderBy(col("es_key").desc).limit(52)
+          .as[Double].collect()
+        assert(keys.length >= 51, s"$sf/$t too small for a top-50 boundary")
+        val gap = keys(49) - keys(50)
+        val noise = math.ulp(math.max(math.abs(keys(49)), math.abs(keys(50))))
+        assert(gap > 1e6 * noise,
+          s"$sf/$t rank-50/51 key gap $gap is within libm noise range ($noise)")
+      }
+    }
+  }
+
   test("payload dedup ledger counts identical binary payloads once per keeper") {
     val assets = Seq((5L, "same bytes"), (2L, "same bytes"), (9L, "other"))
       .toDF("asset_id", "text")
