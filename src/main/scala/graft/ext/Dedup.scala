@@ -658,20 +658,30 @@ object Dedup {
     filter(split(lower(trim(text)), ""), ch => length(ch) > 0)
 
   /** Char-level positional grams: one row per character position,
-    * h = hash of the n-CHAR window starting there, taken as a direct
-    * substring of the normalized text (no per-position array
-    * allocation below the hash). Cached per (n, hash, corpus) like the
-    * token-level [[positionalGrams]]. */
+    * h = hash of the n-CHAR window starting there. The md5 path runs
+    * through the fused native [[graft.functions.CharWindowHash]]
+    * (one UTF-8 walk per document, bit-equal to
+    * `portableHash(substr(txt, pos+1, n))` — spec-pinned; the
+    * composed per-position substr was the dominant cost of the
+    * substring_char_matches staging build). The xx path keeps the
+    * composed form (xxhash64 is already one codegen'd call). Cached
+    * per (n, hash, corpus) like the token-level [[positionalGrams]]. */
   def positionalCharGrams(docs: DataFrame, n: Int,
       hashName: String = "md5"): DataFrame =
     graft.ops.PlanCache.cachedBy(s"chargram-pos-$n-$hashName",
         docs.queryExecution.logical.semanticHash(), docs.sparkSession) {
-      spread(docs).select(col("doc_id"), lower(trim(col("text"))).as("txt"))
-        .filter(length(col("txt")) >= n)
-        .select(col("doc_id"), col("txt"),
-          explode(sequence(lit(0L), length(col("txt")).cast("long") - n)).as("pos"))
-        .select(col("doc_id"), col("pos"),
-          hashFn(hashName)(col("txt").substr((col("pos") + 1L).cast("int"), lit(n))).as("h"))
+      val base = spread(docs).select(col("doc_id"), lower(trim(col("text"))).as("txt"))
+      if (hashName == "md5")
+        base.select(col("doc_id"),
+            posexplode(graft.functions.CharWindowHash.charWindowHash(col("txt"), n))
+              .as(Seq("pos", "h")))
+          .select(col("doc_id"), col("pos").cast("long").as("pos"), col("h"))
+      else
+        base.filter(length(col("txt")) >= n)
+          .select(col("doc_id"), col("txt"),
+            explode(sequence(lit(0L), length(col("txt")).cast("long") - n)).as("pos"))
+          .select(col("doc_id"), col("pos"),
+            hashFn(hashName)(col("txt").substr((col("pos") + 1L).cast("int"), lit(n))).as("h"))
     }
 
   /** Char-level twin of [[substringMatches]] — Lee et al.'s
