@@ -527,6 +527,44 @@ SELECT trace_id, CAST(1 + 2 * count(*) AS BIGINT) AS n_spans,
          AS critical_path_us
 FROM ev GROUP BY trace_id""",
 
+    // anomalously slow traces: critical path above mean + 2*stddev of
+    // the trace's topology class (n_spans); same closed-form critical
+    // path as q_critical_path, stddev = sample in both engines
+    "q_trace_anomaly" -> """WITH ev AS (
+  SELECT substr(md5(CAST(user_id AS VARCHAR)), 1, 16) AS trace_id,
+         CAST(floor(value) AS BIGINT) AS value_int
+  FROM events
+), cp AS (
+  SELECT trace_id, CAST(1 + 2 * count(*) AS BIGINT) AS n_spans,
+         CAST(1000 + max(value_int * 10 + 100 + (value_int % 7) * 25 + 50) AS BIGINT)
+           AS critical_path_us
+  FROM ev GROUP BY trace_id
+), st AS (
+  SELECT n_spans AS ns, avg(critical_path_us) + 2 * stddev(critical_path_us) AS thr
+  FROM cp GROUP BY 1)
+SELECT trace_id, n_spans, critical_path_us
+FROM cp JOIN st ON n_spans = ns
+WHERE thr IS NOT NULL AND critical_path_us > thr""",
+
+    // per-dependency-edge latency percentiles: each parent->child link
+    // carries the CHILD span's duration; closed form of the modeled
+    // tree's two edge families (gateway->app, app->kafka send)
+    "q_edge_latency" -> """WITH ev AS (
+  SELECT CAST(floor(value) AS BIGINT) AS value_int
+  FROM events
+), edges AS (
+  SELECT 'gateway>graft-app' AS edge,
+         CAST(value_int * 10 + 100 AS DOUBLE) AS d
+  FROM ev
+  UNION ALL
+  SELECT 'graft-app>kafka/' || CASE WHEN value_int % 2 = 0 THEN 'even-numbers'
+                                    ELSE 'odd-numbers' END,
+         CAST((value_int % 7) * 25 + 50 AS DOUBLE)
+  FROM ev)
+SELECT edge, round(quantile_cont(d, 0.5), 4) AS p50_us,
+       round(quantile_cont(d, 0.95), 4) AS p95_us
+FROM edges GROUP BY edge""",
+
     // per-service span-duration percentiles over the same modeled span
     // tree; quantile_cont = the engine's exact histogram+lerp form
     "q_service_latency" -> """WITH ev AS (

@@ -252,9 +252,30 @@ object SparkEntry {
 
   /** Per-trace critical path over parent_id edges
     * (see [[graft.ops.TraceAnalytics.criticalPath]]; depth 3 = the
-    * modeled topology's height). */
+    * modeled topology's height). PlanCached — q_trace_anomaly scores
+    * over the same frame. */
   private def qCriticalPath(s: SparkSession, dir: String): DataFrame =
-    TraceAnalytics.criticalPath(spanTree(s, dir), 3)
+    graft.ops.PlanCache.cached("crit-path",
+      TraceAnalytics.criticalPath(spanTree(s, dir), 3))
+
+  /** Anomalously slow traces: critical path above mean + 2σ of the
+    * trace's topology class (see
+    * [[graft.ops.TraceAnalytics.traceAnomalies]] — the baseline side
+    * is topology-sized and broadcast). */
+  private def qTraceAnomaly(s: SparkSession, dir: String): DataFrame =
+    TraceAnalytics.traceAnomalies(qCriticalPath(s, dir), 2.0)
+
+  /** Per-dependency-edge latency percentiles: the child-span duration
+    * distribution of each parent→child service link
+    * ([[graft.ops.TraceAnalytics.edgeDurations]] → the shared
+    * [[graft.ops.ExactPercentiles]]). */
+  private def qEdgeLatency(s: SparkSession, dir: String): DataFrame =
+    graft.ops.ExactPercentiles.of(
+        TraceAnalytics.edgeDurations(spanTree(s, dir)),
+        Seq(("p50", 0.5), ("p95", 0.95)), "edge-lat-cum")
+      .groupBy(col("k").as("edge"))
+      .agg(round(min(when(col("qname") === "p50", col("v"))), 4).as("p50_us"),
+        round(min(when(col("qname") === "p95", col("v"))), 4).as("p95_us"))
 
   /** Per-service span-duration percentiles over the same span tree —
     * exact distributed order statistics
@@ -1698,6 +1719,8 @@ object SparkEntry {
     "q_dependency_graph" -> (qDependencyGraph _),
     "q_trace_assembly" -> (qTraceAssembly _),
     "q_critical_path" -> (qCriticalPath _),
+    "q_trace_anomaly" -> (qTraceAnomaly _),
+    "q_edge_latency" -> (qEdgeLatency _),
     "q_service_latency" -> (qServiceLatency _),
     "q_union_back" -> (qUnionBack _),
     "a_pricing_summary" -> (aPricingSummary _),

@@ -72,4 +72,51 @@ object TraceAnalytics {
       .join(sizes, "trace_id")
       .select(col("trace_id"), col("n_spans"), col("critical_path_us"))
   }
+
+  /** Per-dependency-edge child-span durations — the latency face of
+    * [[dependencyGraph]] (Zipkin's dependency view annotates each link
+    * with call volume; a production view wants the link's latency
+    * distribution too). One row per parent→child span pair, keyed
+    * `parent_service + '>' + child_service` and carrying the CHILD
+    * span's duration (the time the parent spent in that dependency).
+    * One shuffle join on the uniform (trace_id, span_id) hash key —
+    * the parent side is the span frame itself, never a broadcast
+    * candidate, and downstream percentile machinery aggregates by
+    * edge (cardinality = #edges in the topology). Feed to
+    * [[ExactPercentiles.of]] for (k, x) percentiles. */
+  def edgeDurations(spans: DataFrame): DataFrame = {
+    val parents = spans.select(col("trace_id").as("pt"), col("span_id").as("ps"),
+      col("service").as("parent_service"))
+    spans.filter(col("parent_id").isNotNull)
+      .join(parents, col("trace_id") === col("pt") && col("parent_id") === col("ps"))
+      .select(concat(col("parent_service"), lit(">"), col("service")).as("k"),
+        col("duration_us").cast("double").as("x"))
+  }
+
+  /** Slow-trace threshold per topology class: traces with the same
+    * span count follow the same modeled topology, so their
+    * critical-path distribution is comparable; the baseline is
+    * mean + z·stddev (sample) of `critical_path_us` within each
+    * `n_spans` class. Classes with a single trace (stddev null) emit
+    * no threshold — a lone trace has no distribution to be an outlier
+    * of. Output (n_spans, threshold_us, n_traces) is topology-sized:
+    * always broadcastable, and the static frame the streaming
+    * slow-trace gate probes against. */
+  def anomalyBaseline(criticalPaths: DataFrame, z: Double): DataFrame =
+    criticalPaths.groupBy(col("n_spans"))
+      .agg((avg(col("critical_path_us")) +
+        lit(z) * stddev(col("critical_path_us"))).as("threshold_us"),
+        count(lit(1)).as("n_traces"))
+      .filter(col("threshold_us").isNotNull)
+
+  /** Anomalously slow traces: critical path above the
+    * [[anomalyBaseline]] threshold of the trace's topology class —
+    * Zipkin's "find the slow traces" sweep as one broadcast join
+    * (baseline is topology-sized) over the critical-path frame. */
+  def traceAnomalies(criticalPaths: DataFrame, z: Double): DataFrame =
+    criticalPaths
+      .join(broadcast(anomalyBaseline(criticalPaths, z)
+        .select(col("n_spans"), col("threshold_us"))), Seq("n_spans"))
+      .filter(col("critical_path_us") > col("threshold_us"))
+      .select(col("trace_id"), col("n_spans"), col("critical_path_us"))
 }

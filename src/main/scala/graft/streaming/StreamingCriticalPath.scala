@@ -1,7 +1,8 @@
 package graft.streaming
 
 import java.sql.Timestamp
-import org.apache.spark.sql.{Dataset, Encoders}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
+import org.apache.spark.sql.functions.{broadcast, col}
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /** Streaming critical-path extraction: the per-trace latency headline
@@ -98,5 +99,25 @@ object StreamingCriticalPath {
       case (r, p) if r.parent_id == null || !ids.contains(r.parent_id) => p
     }
     CriticalPath(traceId, rows.size.toLong, rootPaths.max)
+  }
+
+  /** Live slow-trace gate: closed-trace rows from [[criticalPaths]]
+    * probed against a static per-topology-class baseline —
+    * (n_spans, threshold_us) as produced by
+    * [[graft.ops.TraceAnalytics.anomalyBaseline]] over a batch corpus
+    * — emitting only anomalously slow traces. Stream–static broadcast
+    * join (the baseline is topology-sized), so the gate adds no
+    * state and no shuffle to the closing pipeline; semantics equal
+    * the batch [[graft.ops.TraceAnalytics.traceAnomalies]] by
+    * construction (same threshold frame, same strict comparison —
+    * spec-pinned on a replayed stream). */
+  def slowTraces(cps: Dataset[CriticalPath], baseline: DataFrame)
+      : Dataset[CriticalPath] = {
+    implicit val outEnc = Encoders.product[CriticalPath]
+    cps.join(broadcast(baseline.select(col("n_spans"), col("threshold_us"))),
+        Seq("n_spans"))
+      .filter(col("critical_path_us") > col("threshold_us"))
+      .select(col("trace_id"), col("n_spans"), col("critical_path_us"))
+      .as[CriticalPath]
   }
 }

@@ -314,4 +314,18 @@ class PlanShapeSpec extends SparkSpec {
       s"query side must broadcast (queries × corpus-scan shape):\n$p")
     assert(!p.contains("CartesianProduct"), s"no unbroadcast product:\n$p")
   }
+
+  test("trace anomaly broadcasts the topology-sized baseline") {
+    val p = plan("q_trace_anomaly")
+    assert(p.contains("BroadcastHashJoin"),
+      s"baseline side (one row per topology class) must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no product:\n$p")
+  }
+
+  test("edge latency keeps the keyed windows of the shared percentile machinery") {
+    val p = plan("q_edge_latency")
+    assert(unpartitionedWindows(p).isEmpty,
+      s"cumulative histogram must window per edge, never globally:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no product:\n$p")
+  }
 }

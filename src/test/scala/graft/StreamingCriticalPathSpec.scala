@@ -59,6 +59,42 @@ class StreamingCriticalPathSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming slow-trace gate agrees with batch traceAnomalies on a replay") {
+    implicit val sqlCtx = spark.sqlContext
+    // one topology class (root+child, n_spans=2): five ~20us traces
+    // and one 510us outlier; z=1 flags exactly the outlier
+    val traces = (1 to 5).map(i =>
+      Seq(obs(s"S$i", "r", null, 10L, i * 10),
+        obs(s"S$i", "c", "r", 10L, i * 10 + 1))).flatten ++
+      Seq(obs("S6", "r", null, 10L, 100), obs("S6", "c", "r", 500L, 101))
+    val cpBatch = TraceAnalytics.criticalPath(
+      traces.toDF().select($"trace_id", $"span_id", $"parent_id", $"duration_us"),
+      maxDepth = 3)
+    val baseline = TraceAnalytics.anomalyBaseline(cpBatch, 1.0)
+    val batchFlags = TraceAnalytics.traceAnomalies(cpBatch, 1.0)
+      .as[(String, Long, Long)].collect().toSet
+
+    val input = MemoryStream[SpanObs]
+    val cps = StreamingCriticalPath.criticalPaths(
+      input.toDS(), "10 seconds", gapMs = 5000L, maxDepth = 3)
+    val out = StreamingCriticalPath.slowTraces(cps, baseline)
+    val q = out.writeStream.format("memory").queryName("crit_slow")
+      .outputMode("append").start()
+    try {
+      input.addData(traces: _*)
+      q.processAllAvailable()
+      input.addData(obs("ZZ", "z", null, 1L, 3600000))
+      q.processAllAvailable()
+      input.addData(obs("ZZ2", "z", null, 1L, 7200000))
+      q.processAllAvailable()
+      val streamed = spark.table("crit_slow").as[CriticalPath].collect()
+        .filterNot(_.trace_id.startsWith("ZZ"))
+        .map(c => (c.trace_id, c.n_spans, c.critical_path_us)).toSet
+      assert(streamed === batchFlags)
+      assert(streamed === Set(("S6", 2L, 510L))) // exactly the outlier
+    } finally q.stop()
+  }
+
   test("an open trace stays buffered; spans across batches merge before the fold") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[SpanObs]

@@ -60,4 +60,34 @@ class TraceAnalyticsSpec extends SparkSpec {
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
     assert(got === Array(("t1", 3L, 30L), ("t2", 1L, 7L)))
   }
+
+  test("edge durations pair each child with its parent's service and keep the child's time") {
+    import spark.implicits._
+    val spans = Seq(
+      ("t1", "r", null, 10L, "gw"),
+      ("t1", "a", "r", 5L, "app"),
+      ("t1", "b", "r", 20L, "app"),
+      ("t1", "a1", "a", 100L, "db"),
+      ("t2", "r", null, 1L, "gw"),
+      ("t2", "orphan", "missing", 9L, "db")) // dangling: no edge row
+      .toDF("trace_id", "span_id", "parent_id", "duration_us", "service")
+    val got = TraceAnalytics.edgeDurations(spans).as[(String, Double)]
+      .collect().sorted
+    assert(got === Array(("app>db", 100.0), ("gw>app", 5.0), ("gw>app", 20.0)))
+  }
+
+  test("anomaly baseline is per topology class; lone classes emit no threshold") {
+    import spark.implicits._
+    val cp = Seq(
+      ("a", 2L, 20L), ("b", 2L, 20L), ("c", 2L, 20L), ("d", 2L, 20L),
+      ("e", 2L, 20L), ("slow", 2L, 510L),
+      ("lone", 5L, 999L)) // single-trace class: stddev null, dropped
+      .toDF("trace_id", "n_spans", "critical_path_us")
+    val base = TraceAnalytics.anomalyBaseline(cp, 1.0).collect()
+    assert(base.map(_.getLong(0)).toSeq === Seq(2L))
+    val flagged = TraceAnalytics.traceAnomalies(cp, 1.0)
+      .as[(String, Long, Long)].collect().toSet
+    // mu=101.67, sample sigma=200.04 ⇒ threshold ~301.7: only the outlier
+    assert(flagged === Set(("slow", 2L, 510L)))
+  }
 }
