@@ -293,7 +293,8 @@ class PlanShapeSpec extends SparkSpec {
     // pin it against optimizer-hostile refactors and config drift.
     // e_dsir_calibrate's per-stratum top-20 is the same pattern: the
     // shuffle moves at most 20 rows per stratum per map partition
-    for (q <- Seq("a_top_parts_per_brand", "s_ann_brute", "e_dsir_calibrate")) {
+    for (q <- Seq("a_top_parts_per_brand", "s_ann_brute", "e_dsir_calibrate",
+        "e_dsir_multi_apply")) {
       val p = plan(q)
       assert(p.contains("WindowGroupLimit"),
         s"$q must keep the rank-limit pushdown:\n$p")
