@@ -527,6 +527,105 @@ SELECT trace_id, CAST(1 + 2 * count(*) AS BIGINT) AS n_spans,
          AS critical_path_us
 FROM ev GROUP BY trace_id""",
 
+    // critical-path decomposition: the modeled tree's closed form -- the
+    // best event per trace is argmax by (hop+send path, minted hop span
+    // id), matching the engine's max(struct(path_us, span_id)) argmax;
+    // the waterfall is then root -> that event's app hop -> its send
+    "q_critical_hops" -> """WITH ev AS (
+  SELECT substr(md5(CAST(user_id AS VARCHAR)), 1, 16) AS trace_id,
+         CAST(event_id AS VARCHAR) AS eid,
+         CAST(floor(value) AS BIGINT) AS v
+  FROM events
+), scored AS (
+  SELECT trace_id, eid, v,
+         v * 10 + 100 + (v % 7) * 25 + 50 AS hop_path,
+         substr(md5(trace_id || '-' || eid), 1, 16) AS hop_span
+  FROM ev
+), best AS (
+  SELECT trace_id, eid, v, hop_span FROM (
+    SELECT *, row_number() OVER (PARTITION BY trace_id
+                ORDER BY hop_path DESC, hop_span DESC) AS rk
+    FROM scored) WHERE rk = 1)
+SELECT trace_id, CAST(0 AS INT) AS hop,
+       substr(md5(trace_id || '-root'), 1, 16) AS span_id,
+       'gateway' AS service, CAST(1000 AS BIGINT) AS duration_us
+FROM best
+UNION ALL
+SELECT trace_id, CAST(1 AS INT), hop_span, 'graft-app',
+       CAST(v * 10 + 100 AS BIGINT)
+FROM best
+UNION ALL
+SELECT trace_id, CAST(2 AS INT),
+       substr(md5(trace_id || '-' || eid || '/send'), 1, 16),
+       'kafka/' || CASE WHEN v % 2 = 0 THEN 'even-numbers'
+                        ELSE 'odd-numbers' END,
+       CAST((v % 7) * 25 + 50 AS BIGINT)
+FROM best""",
+
+    // root-cause attribution: for each slow trace (q_trace_anomaly's
+    // closed form), the critical-path hop with max excess over its
+    // (n_spans, hop) class mean; the argmax key is the INTEGER-scaled
+    // excess duration*class_n - class_sum (ties -> hop desc, span desc),
+    // exactly the engine's max(struct(...)) ordering, and excess_us is
+    // the same two IEEE ops on exact integers in both engines
+    "q_critical_blame" -> """WITH ev AS (
+  SELECT substr(md5(CAST(user_id AS VARCHAR)), 1, 16) AS trace_id,
+         CAST(event_id AS VARCHAR) AS eid,
+         CAST(floor(value) AS BIGINT) AS v
+  FROM events
+), scored AS (
+  SELECT trace_id, eid, v,
+         v * 10 + 100 + (v % 7) * 25 + 50 AS hop_path,
+         substr(md5(trace_id || '-' || eid), 1, 16) AS hop_span
+  FROM ev
+), best AS (
+  SELECT trace_id, eid, v, hop_span FROM (
+    SELECT *, row_number() OVER (PARTITION BY trace_id
+                ORDER BY hop_path DESC, hop_span DESC) AS rk
+    FROM scored) WHERE rk = 1
+), cp AS (
+  SELECT trace_id, CAST(1 + 2 * count(*) AS BIGINT) AS n_spans,
+         CAST(1000 + max(v * 10 + 100 + (v % 7) * 25 + 50) AS BIGINT) AS cp_us
+  FROM ev GROUP BY trace_id
+), st AS (
+  SELECT n_spans AS ns, avg(cp_us) + 2 * stddev(cp_us) AS thr
+  FROM cp GROUP BY 1
+), slow AS (
+  SELECT trace_id FROM cp JOIN st ON n_spans = ns
+  WHERE thr IS NOT NULL AND cp_us > thr
+), hops AS (
+  SELECT trace_id, 0 AS hop,
+         substr(md5(trace_id || '-root'), 1, 16) AS span_id,
+         'gateway' AS service, CAST(1000 AS BIGINT) AS duration_us
+  FROM best
+  UNION ALL
+  SELECT trace_id, 1, hop_span, 'graft-app', CAST(v * 10 + 100 AS BIGINT)
+  FROM best
+  UNION ALL
+  SELECT trace_id, 2,
+         substr(md5(trace_id || '-' || eid || '/send'), 1, 16),
+         'kafka/' || CASE WHEN v % 2 = 0 THEN 'even-numbers'
+                          ELSE 'odd-numbers' END,
+         CAST((v % 7) * 25 + 50 AS BIGINT)
+  FROM best
+), hc AS (
+  SELECT h.*, c.n_spans FROM hops h JOIN cp c USING (trace_id)
+), norms AS (
+  SELECT n_spans, hop, CAST(sum(duration_us) AS BIGINT) AS class_sum,
+         count(*) AS class_n
+  FROM hc GROUP BY 1, 2
+), blame AS (
+  SELECT trace_id, n_spans, hop, span_id, service, duration_us,
+         duration_us - CAST(class_sum AS DOUBLE) / class_n AS excess_us,
+         row_number() OVER (PARTITION BY trace_id
+           ORDER BY duration_us * class_n - class_sum DESC, hop DESC,
+                    span_id DESC) AS rk
+  FROM hc JOIN norms USING (n_spans, hop)
+  WHERE trace_id IN (SELECT trace_id FROM slow))
+SELECT trace_id, n_spans, CAST(hop AS INT) AS hop, span_id, service,
+       duration_us, excess_us
+FROM blame WHERE rk = 1""",
+
     // anomalously slow traces: critical path above mean + 2*stddev of
     // the trace's topology class (n_spans); same closed-form critical
     // path as q_critical_path, stddev = sample in both engines

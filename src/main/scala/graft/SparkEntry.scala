@@ -258,6 +258,25 @@ object SparkEntry {
     graft.ops.PlanCache.cached("crit-path",
       TraceAnalytics.criticalPath(spanTree(s, dir), 3))
 
+  /** Critical-path DECOMPOSITION — the per-trace latency waterfall
+    * (hop 0 = root): which spans make up the headline number
+    * ([[graft.ops.TraceAnalytics.criticalPathDecomposition]];
+    * per-depth backtracking, deterministic span-id tie-break the
+    * oracle reproduces in closed form). */
+  private def qCriticalHops(s: SparkSession, dir: String): DataFrame =
+    graft.ops.PlanCache.cached("crit-hops",
+      TraceAnalytics.criticalPathDecomposition(spanTree(s, dir), 3))
+
+  /** Root-cause attribution: for each anomalously slow trace, the
+    * critical-path hop with the largest duration excess over its
+    * topology-class mean ([[graft.ops.TraceAnalytics.criticalBlame]];
+    * integer-scaled argmax, so the oracle reproduces the pick). Shares
+    * the PlanCached critical-path and hop frames with
+    * q_critical_path / q_trace_anomaly / q_critical_hops. */
+  private def qCriticalBlame(s: SparkSession, dir: String): DataFrame =
+    TraceAnalytics.criticalBlame(
+      qCriticalPath(s, dir), qCriticalHops(s, dir), 2.0)
+
   /** Anomalously slow traces: critical path above mean + 2σ of the
     * trace's topology class (see
     * [[graft.ops.TraceAnalytics.traceAnomalies]] — the baseline side
@@ -1719,6 +1738,8 @@ object SparkEntry {
     "q_dependency_graph" -> (qDependencyGraph _),
     "q_trace_assembly" -> (qTraceAssembly _),
     "q_critical_path" -> (qCriticalPath _),
+    "q_critical_hops" -> (qCriticalHops _),
+    "q_critical_blame" -> (qCriticalBlame _),
     "q_trace_anomaly" -> (qTraceAnomaly _),
     "q_edge_latency" -> (qEdgeLatency _),
     "q_service_latency" -> (qServiceLatency _),

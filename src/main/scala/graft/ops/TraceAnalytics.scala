@@ -73,6 +73,71 @@ object TraceAnalytics {
       .select(col("trace_id"), col("n_spans"), col("critical_path_us"))
   }
 
+  /** Critical-path DECOMPOSITION: the latency waterfall — one row per
+    * span ON the critical path, `(trace_id, hop, span_id, service,
+    * duration_us)` with hop 0 at the chosen root. This is the view a
+    * latency tool actually renders (which hops make up the slow
+    * trace), where [[criticalPath]] reports only the headline sum;
+    * per trace, the emitted `duration_us` sum to `critical_path_us`
+    * exactly (spec-pinned).
+    *
+    * Shape: the same depth-bounded bottom-up DP as [[criticalPath]],
+    * but each iteration also records WHICH child realized each span's
+    * best path (`max(struct(path_us, span_id))` — ties break on span
+    * id, so the argmax is deterministic and the DuckDB oracle can
+    * reproduce it). The walk back down is proper DP BACKTRACKING: hop
+    * k follows the pointer recorded in the depth-(maxDepth−1−k)
+    * frame — the argmax its parent's value actually counted — so the
+    * decomposition sums exactly even on topologies DEEPER than
+    * `maxDepth` (the final frame's pointers alone would chase a
+    * longer-horizon argmax the truncated headline never counted).
+    * Every join keys on the uniform (trace, span) id hash, output is
+    * traces × depth rows, and depth is the topology's constant, so
+    * the extra joins are a constant factor, never data-sized. */
+  def criticalPathDecomposition(spans: DataFrame, maxDepth: Int): DataFrame = {
+    require(maxDepth >= 1, s"maxDepth must be >= 1, got $maxDepth")
+    val base = spans.select(col("trace_id"), col("span_id"), col("parent_id"),
+      col("service"), col("duration_us").cast("long").as("duration_us"))
+    var best = base.withColumn("path_us", col("duration_us"))
+      .withColumn("next_id", lit(null).cast("string"))
+    var frames = List(best) // frames(i) = best after i DP iterations
+    for (_ <- 1 until maxDepth) {
+      val childBest = best.filter(col("parent_id").isNotNull)
+        .groupBy(col("trace_id").as("t"), col("parent_id").as("p"))
+        .agg(max(struct(col("path_us"), col("span_id"))).as("m"))
+        .select(col("t"), col("p"), col("m.path_us").as("child_us"),
+          col("m.span_id").as("child_id"))
+      best = base
+        .join(childBest,
+          col("trace_id") === col("t") && col("span_id") === col("p"), "left")
+        .select(col("trace_id"), col("span_id"), col("parent_id"), col("service"),
+          col("duration_us"),
+          (col("duration_us") + coalesce(col("child_us"), lit(0L))).as("path_us"),
+          col("child_id").as("next_id"))
+      frames = best :: frames
+    }
+    // frames is now (depth maxDepth−1, …, depth 0); hop k backtracks
+    // through frames(k)
+    val ids = base.select(col("trace_id").as("t2"), col("span_id").as("s2"))
+    val rootStart = best
+      .join(ids, col("trace_id") === col("t2") && col("parent_id") === col("s2"),
+        "left_anti")
+      .groupBy(col("trace_id"))
+      .agg(max(struct(col("path_us"), col("span_id"))).as("m"))
+      .select(col("trace_id"), col("m.span_id").as("span_id"))
+    var cur = rootStart
+    val hops = frames.zipWithIndex.map { case (frame, k) =>
+      val keyed = frame.select(col("trace_id"), col("span_id"), col("service"),
+        col("duration_us"), col("next_id"))
+      val step = cur.join(keyed, Seq("trace_id", "span_id"))
+      cur = step.filter(col("next_id").isNotNull)
+        .select(col("trace_id"), col("next_id").as("span_id"))
+      step.select(col("trace_id"), lit(k).as("hop"), col("span_id"),
+        col("service"), col("duration_us"))
+    }
+    hops.reduce(_ unionByName _)
+  }
+
   /** Per-dependency-edge child-span durations — the latency face of
     * [[dependencyGraph]] (Zipkin's dependency view annotates each link
     * with call volume; a production view wants the link's latency
@@ -119,4 +184,56 @@ object TraceAnalytics {
         .select(col("n_spans"), col("threshold_us"))), Seq("n_spans"))
       .filter(col("critical_path_us") > col("threshold_us"))
       .select(col("trace_id"), col("n_spans"), col("critical_path_us"))
+
+  /** Root-cause attribution for slow traces: for each
+    * [[traceAnomalies]] trace, the critical-path hop whose duration
+    * grew MOST over its topology-class norm — the answer to "this
+    * trace is slow; which service did it" that a latency tool renders
+    * next to the waterfall. The norm for a hop is the mean
+    * `duration_us` of that hop position across ALL traces of the same
+    * `n_spans` class (same class logic as the anomaly sweep; the hop
+    * frame is [[criticalPathDecomposition]]'s output).
+    *
+    * Determinism across engines: the argmax compares the
+    * INTEGER-scaled excess `duration_us · class_n − class_sum_us`
+    * (same order as `duration − mean`, no float summation-order
+    * hazard), then hop, then span id — so the DuckDB oracle reproduces
+    * the pick exactly. The reported `excess_us` is computed as
+    * `double(duration) − double(class_sum)/double(class_n)` — both
+    * engines evaluate the identical two IEEE ops on exactly
+    * representable integers.
+    *
+    * Scale shape: the class norm table is topology-sized
+    * (#classes × depth rows) and broadcast; the hop frame joins it
+    * map-side, the slow-trace filter is a semi-join on the uniform
+    * trace-id hash, and the argmax is one partial-aggregating
+    * `max(struct(...))` per trace. Nothing here is corpus-sized
+    * except the single pass over the hop frame.
+    *
+    * Returns (trace_id, n_spans, hop, span_id, service, duration_us,
+    * excess_us). */
+  def criticalBlame(criticalPaths: DataFrame, hops: DataFrame,
+      z: Double): DataFrame = {
+    val slow = traceAnomalies(criticalPaths, z).select(col("trace_id"))
+    val classes = criticalPaths.select(col("trace_id"), col("n_spans"))
+    val hopsC = hops.join(classes, Seq("trace_id"))
+    val norms = hopsC.groupBy(col("n_spans"), col("hop"))
+      .agg(sum(col("duration_us")).as("class_sum_us"),
+        count(lit(1)).as("class_n"))
+    hopsC.join(broadcast(norms), Seq("n_spans", "hop"))
+      .join(slow, Seq("trace_id"), "left_semi")
+      .groupBy(col("trace_id"))
+      .agg(max(struct(
+        (col("duration_us") * col("class_n") - col("class_sum_us"))
+          .as("excess_scaled"),
+        col("hop"), col("span_id"), col("service"), col("duration_us"),
+        col("class_sum_us"), col("class_n"), col("n_spans"))).as("m"))
+      .select(col("trace_id"), col("m.n_spans").as("n_spans"),
+        col("m.hop").as("hop"), col("m.span_id").as("span_id"),
+        col("m.service").as("service"),
+        col("m.duration_us").as("duration_us"),
+        (col("m.duration_us").cast("double") -
+          col("m.class_sum_us").cast("double") / col("m.class_n"))
+          .as("excess_us"))
+  }
 }

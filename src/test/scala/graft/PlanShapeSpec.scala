@@ -323,6 +323,13 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), s"no product:\n$p")
   }
 
+  test("critical blame broadcasts the topology-sized class norms") {
+    val p = plan("q_critical_blame")
+    assert(p.contains("BroadcastHashJoin"),
+      s"class-norm side (#classes x depth rows) must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no product:\n$p")
+  }
+
   test("edge latency keeps the keyed windows of the shared percentile machinery") {
     val p = plan("q_edge_latency")
     assert(unpartitionedWindows(p).isEmpty,

@@ -11,8 +11,8 @@ class StreamingCriticalPathSpec extends SparkSpec {
 
   private val t0 = 1700000000000L
   private def obs(trace: String, span: String, parent: String, dur: Long,
-      offMs: Long) =
-    SpanObs(trace, span, parent, dur, new Timestamp(t0 + offMs))
+      offMs: Long, svc: String = "svc") =
+    SpanObs(trace, span, parent, svc, dur, new Timestamp(t0 + offMs))
 
   // branching (root→{a,b}, a→leaf), a forest trace (two roots, one
   // dangling parent), and a chain deeper than maxDepth=3 (truncation)
@@ -92,6 +92,73 @@ class StreamingCriticalPathSpec extends SparkSpec {
         .map(c => (c.trace_id, c.n_spans, c.critical_path_us)).toSet
       assert(streamed === batchFlags)
       assert(streamed === Set(("S6", 2L, 510L))) // exactly the outlier
+    } finally q.stop()
+  }
+
+  test("windowed service latency matches the same aggregate run in batch") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    // two services across two 1-minute windows; accuracy >> distinct
+    // values, so the sketch is exact and batch equality is strict
+    val spans = Seq(
+      obs("T", "a", null, 100L, 0, "gw"), obs("T", "b", null, 200L, 1000, "gw"),
+      obs("T", "c", null, 300L, 2000, "gw"), obs("T2", "d", null, 50L, 500, "app"),
+      obs("T3", "e", null, 80L, 61000, "gw"), obs("T3", "f", null, 40L, 62000, "app"))
+    val expected = spans.toDF()
+      .groupBy(window(col("ts"), "1 minute").as("w"), col("service"))
+      .agg(count(lit(1)).as("n_spans"), max(col("duration_us")).as("max_us"),
+        percentile_approx(col("duration_us").cast("double"),
+          array(lit(0.5), lit(0.95)), lit(10000)).as("ps"))
+      .select(col("w.start").as("window_start"), col("service"),
+        col("n_spans"), col("max_us"),
+        col("ps")(0).as("p50_us"), col("ps")(1).as("p95_us"))
+      .collect().map(_.toSeq).toSet
+
+    val input = MemoryStream[SpanObs]
+    val out = StreamingCriticalPath.serviceLatency(input.toDS(), "10 seconds", "1 minute")
+    val q = out.writeStream.format("memory").queryName("svc_lat")
+      .outputMode("append").start()
+    try {
+      input.addData(spans: _*)
+      q.processAllAvailable()
+      input.addData(obs("ZZ", "z", null, 1L, 7200000)) // close all windows
+      q.processAllAvailable()
+      // the sentinel (service "svc") closes the fixture windows; its
+      // own window row may not be final yet — compare fixture services
+      val got = spark.table("svc_lat").collect().map(_.toSeq)
+        .filterNot(_(1) == "svc").toSet
+      assert(got === expected)
+    } finally q.stop()
+  }
+
+  test("closed-trace edges match the batch edgeDurations multiset on a replayed corpus") {
+    implicit val sqlCtx = spark.sqlContext
+    // the shared fixture has services defaulted; re-tag a few so edge
+    // labels are non-trivial, keep the dangling parent (emits nothing)
+    val spans = Seq(
+      obs("T1", "r", null, 100L, 0, "gw"),
+      obs("T1", "a", "r", 50L, 10, "app"),
+      obs("T1", "b", "r", 400L, 20, "app"),
+      obs("T1", "al", "a", 500L, 30, "db"),
+      obs("T2", "x", null, 10L, 0, "gw"),
+      obs("T2", "y", "ghost", 70L, 5, "app"), // dangling parent: no edge
+      obs("T2", "yl", "y", 20L, 9, "db"))
+    val expected = TraceAnalytics.edgeDurations(spans.toDF()
+        .select("trace_id", "span_id", "parent_id", "service", "duration_us"))
+      .collect().map(r => (r.getString(0), r.getDouble(1))).sorted
+
+    val input = MemoryStream[SpanObs]
+    val out = StreamingCriticalPath.closedTraceEdges(input.toDS(), "5 seconds", 1000L)
+    val q = out.writeStream.format("memory").queryName("trace_edges")
+      .outputMode("append").start()
+    try {
+      input.addData(spans: _*)
+      q.processAllAvailable()
+      input.addData(obs("ZZ", "z", null, 1L, 600000)) // advance watermark
+      q.processAllAvailable()
+      val got = spark.table("trace_edges").as[StreamingCriticalPath.EdgeObs]
+        .collect().map(e => (e.edge, e.duration_us.toDouble)).sorted
+      assert(got === expected)
     } finally q.stop()
   }
 

@@ -61,6 +61,87 @@ class TraceAnalyticsSpec extends SparkSpec {
     assert(got === Array(("t1", 3L, 30L), ("t2", 1L, 7L)))
   }
 
+  private def svcTree(rows: (String, String, String, String, Long)*) = {
+    import spark.implicits._
+    rows.toDF("trace_id", "span_id", "parent_id", "service", "duration_us")
+  }
+
+  test("critical-path decomposition emits the waterfall and sums to the headline") {
+    val spans = svcTree(
+      ("t1", "r", null, "gw", 100L),
+      ("t1", "a", "r", "app", 50L),
+      ("t1", "b", "r", "app", 400L),
+      ("t1", "al", "a", "db", 500L)) // r→a→al = 650 beats r→b = 500
+    val got = TraceAnalytics.criticalPathDecomposition(spans, 3).collect()
+      .map(r => (r.getInt(1), r.getString(2), r.getString(3), r.getLong(4)))
+      .sortBy(_._1)
+    assert(got === Array((0, "r", "gw", 100L), (1, "a", "app", 50L),
+      (2, "al", "db", 500L)))
+    val headline = TraceAnalytics.criticalPath(spans, 3).collect().head.getLong(2)
+    assert(got.map(_._4).sum === headline)
+  }
+
+  test("decomposition backtracks per-depth frames: truncated topologies still sum exactly") {
+    // Deeper than maxDepth=4: x's short chain (20) wins the TRUNCATED
+    // headline, but y's deep chain (100 at depth 4) wins the FINAL
+    // frame's longer-horizon argmax at c1 — a naive walk over the last
+    // frame would follow y and sum 1, not 21. The per-depth backtrack
+    // must follow x.
+    val spans = svcTree(
+      ("t1", "root", null, "gw", 1L),
+      ("t1", "c1", "root", "app", 0L),
+      ("t1", "x", "c1", "svc-x", 0L),
+      ("t1", "x1", "x", "svc-x", 20L),
+      ("t1", "y", "c1", "svc-y", 0L),
+      ("t1", "y1", "y", "svc-y", 0L),
+      ("t1", "y2", "y1", "svc-y", 100L))
+    val got = TraceAnalytics.criticalPathDecomposition(spans, 4).collect()
+      .map(r => (r.getInt(1), r.getString(2), r.getLong(4))).sortBy(_._1)
+    assert(got === Array((0, "root", 1L), (1, "c1", 0L), (2, "x", 0L),
+      (3, "x1", 20L)))
+    val headline = TraceAnalytics.criticalPath(spans, 4).collect().head.getLong(2)
+    assert(got.map(_._3).sum === headline)
+  }
+
+  test("decomposition tie-breaks the argmax child by span id, deterministically") {
+    val spans = svcTree(
+      ("t1", "r", null, "gw", 1L),
+      ("t1", "a", "r", "app", 7L), // equal paths: max span_id wins
+      ("t1", "b", "r", "app", 7L))
+    val got = TraceAnalytics.criticalPathDecomposition(spans, 2).collect()
+      .map(r => (r.getInt(1), r.getString(2))).sortBy(_._1)
+    assert(got === Array((0, "r"), (1, "b")))
+  }
+
+  test("blame picks the hop with max excess over the topology-class mean, slow traces only") {
+    // class n_spans=2, three traces; t3's hop-1 child is what blew up:
+    // class means (root 35/3, child 40) -> t3 excess (hop0 10/3*... ,
+    // hop1 60) -> blame hop 1. thr = mean + 1*stddev of (20,20,115).
+    val spans = svcTree(
+      ("t1", "r1", null, "gw", 10L), ("t1", "c1", "r1", "db", 10L),
+      ("t2", "r2", null, "gw", 10L), ("t2", "c2", "r2", "db", 10L),
+      ("t3", "r3", null, "gw", 15L), ("t3", "c3", "r3", "db", 100L))
+    val cp = TraceAnalytics.criticalPath(spans, 2)
+    val hops = TraceAnalytics.criticalPathDecomposition(spans, 2)
+    val got = TraceAnalytics.criticalBlame(cp, hops, 1.0).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2), r.getString(3),
+        r.getString(4), r.getLong(5), r.getDouble(6)))
+    assert(got === Array(("t3", 2L, 1, "c3", "db", 100L, 100.0 - 120.0 / 3)))
+  }
+
+  test("blame ties on scaled excess break deterministically toward the deeper hop") {
+    // both of t2's hops exceed their class mean by exactly 5 (scaled
+    // excess 10 each) -> the struct argmax must take the HIGHER hop
+    val spans = svcTree(
+      ("t1", "r1", null, "gw", 0L), ("t1", "c1", "r1", "db", 0L),
+      ("t2", "r2", null, "gw", 10L), ("t2", "c2", "r2", "db", 10L))
+    val cp = TraceAnalytics.criticalPath(spans, 2)
+    val hops = TraceAnalytics.criticalPathDecomposition(spans, 2)
+    val got = TraceAnalytics.criticalBlame(cp, hops, 0.5).collect()
+      .map(r => (r.getString(0), r.getInt(2), r.getString(3), r.getDouble(6)))
+    assert(got === Array(("t2", 1, "c2", 5.0)))
+  }
+
   test("edge durations pair each child with its parent's service and keep the child's time") {
     import spark.implicits._
     val spans = Seq(
