@@ -568,29 +568,56 @@ object Dedup {
     * h bucket's suffix order, found via same-doc runs and their
     * boundaries. `sep` re-joins the matched unit slice into the
     * reported substring (" " for tokens, "" for characters). */
-  private def nearestOtherLcp(sfxFrame: DataFrame, n: Int, sep: String): DataFrame = {
+  /** The two window passes shared by both substring levels: bucketed
+    * (by leading-gram hash `h`) suffix ordering, same-doc runs, and at
+    * each row the nearest OTHER-document suffix above/below — the
+    * previous row's suffix seen from the run's first row and the next
+    * row's suffix seen from its last, broadcast across the run. The
+    * suffix payload column is `sfxCol` (token level: the `sfx` array;
+    * char level: the `sfx_str` string itself — the sort key already in
+    * the frame, so the char frame never carries an array at all). The
+    * second pass refines the same hash(h) distribution — extra sort,
+    * no extra shuffle. */
+  private def runBoundaries(sfxFrame: DataFrame, sfxCol: Column): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val ord = Seq(col("sfx_str"), col("doc_id"), col("pos"))
     val wb = Window.partitionBy("h").orderBy(ord: _*)
     val runs = sfxFrame
-      .withColumn("prev_s", lag(col("sfx"), 1).over(wb))
-      .withColumn("next_s", lead(col("sfx"), 1).over(wb))
+      .withColumn("prev_s", lag(sfxCol, 1).over(wb))
+      .withColumn("next_s", lead(sfxCol, 1).over(wb))
       .withColumn("run", sum(
         when(lag(col("doc_id"), 1).over(wb).isNull ||
           lag(col("doc_id"), 1).over(wb) =!= col("doc_id"), 1L).otherwise(0L)).over(wb))
-    // second pass refines the same hash(h) distribution — extra sort,
-    // no extra shuffle
     val wr = Window.partitionBy("h", "run").orderBy(ord: _*)
     val wrFull = wr.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     runs
       .withColumn("prev_other", first(col("prev_s")).over(wr))
       .withColumn("next_other", last(col("next_s")).over(wrFull))
+  }
+
+  private def nearestOtherLcp(sfxFrame: DataFrame, n: Int, sep: String): DataFrame =
+    runBoundaries(sfxFrame, col("sfx"))
       .withColumn("match_len", greatest(
         coalesce(lcpTokens(col("sfx"), col("prev_other")), lit(0L)),
         coalesce(lcpTokens(col("sfx"), col("next_other")), lit(0L))))
       .filter(col("match_len") >= n.toLong)
       .select(col("doc_id"), col("pos"), col("match_len"),
         array_join(slice(col("sfx"), lit(1), col("match_len").cast("int")), sep).as("sub"))
+
+  /** Char-level tail: the suffix IS its sort-key string, so the LCP is
+    * the native code-point [[graft.functions.CommonPrefixLen]] and the
+    * matched substring a plain `substr` — value-identical to running
+    * [[nearestOtherLcp]] over per-code-point split arrays with sep=""
+    * (spec-pinned), at ~1/10th the bytes through the bucket sort. */
+  private def nearestOtherLcpStr(sfxFrame: DataFrame, n: Int): DataFrame = {
+    import graft.functions.CommonPrefixLen.commonPrefixLen
+    runBoundaries(sfxFrame, col("sfx_str"))
+      .withColumn("match_len", greatest(
+        coalesce(commonPrefixLen(col("sfx_str"), col("prev_other")), lit(0L)),
+        coalesce(commonPrefixLen(col("sfx_str"), col("next_other")), lit(0L))))
+      .filter(col("match_len") >= n.toLong)
+      .select(col("doc_id"), col("pos"), col("match_len"),
+        col("sfx_str").substr(lit(1), col("match_len").cast("int")).as("sub"))
   }
 
   def substringMatches(docs: DataFrame, n: Int, maxLcp: Int,
@@ -701,13 +728,16 @@ object Dedup {
       val dupPos = grams.join(crossDocGramKeys(grams, maxOcc), Seq("h"), "left_semi")
       val perDoc = dupPos.groupBy("doc_id")
         .agg(collect_list(struct(col("pos"), col("h"))).as("ps"))
-      val sfxFrame = spread(docs).select(col("doc_id"), chars(col("text")).as("ch"))
+      // suffixes are code-point substrings of the normalized text —
+      // never materialized as char arrays (the sort moves one string
+      // per row, not ~maxLcp UTF8String elements)
+      val sfxFrame = spread(docs)
+        .select(col("doc_id"), lower(trim(col("text"))).as("txt"))
         .join(perDoc, "doc_id")
-        .select(col("doc_id"), explode(col("ps")).as("p"), col("ch"))
+        .select(col("doc_id"), explode(col("ps")).as("p"), col("txt"))
         .select(col("doc_id"), col("p.pos").as("pos"), col("p.h").as("h"),
-          slice(col("ch"), (col("p.pos") + 1L).cast("int"), lit(maxLcp)).as("sfx"))
-        .withColumn("sfx_str", array_join(col("sfx"), ""))
-      nearestOtherLcp(sfxFrame, n, "")
+          col("txt").substr((col("p.pos") + 1L).cast("int"), lit(maxLcp)).as("sfx_str"))
+      nearestOtherLcpStr(sfxFrame, n)
     }
 
   /** Char-level [[crossDocSubstrings]]: per document, the count of
