@@ -277,13 +277,16 @@ object SparkEntry {
     })
 
   /** Critical-path DECOMPOSITION — the per-trace latency waterfall
-    * (hop 0 = root): which spans make up the headline number
-    * ([[graft.ops.TraceAnalytics.criticalPathDecomposition]];
-    * per-depth backtracking, deterministic span-id tie-break the
-    * oracle reproduces in closed form). */
+    * (hop 0 = root): which spans make up the headline number. Runs as
+    * [[graft.ops.TraceAnalytics.criticalPathFold]] — ONE
+    * groupByKey(trace_id) shuffle with the DP + backtrack folded in
+    * memory per application-bounded trace, row-for-row equal
+    * (spec-pinned) to the declarative
+    * [[graft.ops.TraceAnalytics.criticalPathDecomposition]] twin whose
+    * closed form the DuckDB oracle reproduces. */
   private def qCriticalHops(s: SparkSession, dir: String): DataFrame =
     graft.ops.PlanCache.cached("crit-hops",
-      TraceAnalytics.criticalPathDecomposition(spanTree(s, dir), 3))
+      TraceAnalytics.criticalPathFold(spanTree(s, dir), 3))
 
   /** Root-cause attribution: for each anomalously slow trace, the
     * critical-path hop with the largest duration excess over its

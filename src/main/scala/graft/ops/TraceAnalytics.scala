@@ -138,6 +138,98 @@ object TraceAnalytics {
     hops.reduce(_ unionByName _)
   }
 
+  /** One critical-path hop row — the [[criticalPathDecomposition]]
+    * output shape. */
+  case class Hop(trace_id: String, hop: Int, span_id: String,
+      service: String, duration_us: Long)
+
+  /** Encoder-visible span row of [[criticalPathFold]] (a private class
+    * breaks the deserializer's codegen — same constraint as the
+    * streaming twin's SpanRec). */
+  case class SpanRow(trace_id: String, span_id: String,
+      parent_id: String, service: String, duration_us: Long)
+
+  /** The per-trace DP + backtrack kernel behind [[criticalPathFold]]:
+    * [[criticalPathDecomposition]]'s recurrence replayed literally over
+    * ONE trace's rows — per-depth frames with `max(struct(path_us,
+    * span_id))` argmax pointers (ties toward the larger span id, the
+    * same binary order for the ASCII ids both engines compare), root =
+    * argmax over spans whose parent is null or absent, hop k
+    * backtracking through the depth-(maxDepth−1−k) frame. Duplicate
+    * span ids multiply exactly like the DataFrame joins do (every
+    * frame row matching the followed pointer emits, and each non-null
+    * pointer is followed with multiplicity). */
+  private[graft] def hopsOf(rows: Seq[(String, String, String, Long)],
+      maxDepth: Int): Iterator[Hop] = {
+    if (rows.isEmpty) return Iterator.empty
+    // (span_id, parent_id, service, duration), path, next pointer
+    var cur: Vector[((String, String, String, Long), Long, String)] =
+      rows.iterator.map(r => (r, r._4, null: String)).toVector
+    var frames = List(cur)
+    for (_ <- 1 until maxDepth) {
+      val childBest = cur.iterator.filter(_._1._2 != null)
+        .foldLeft(Map.empty[String, (Long, String)]) { case (m, (r, p, _)) =>
+          val keep = m.get(r._2) match {
+            case Some((pp, ps)) if pp > p || (pp == p && ps > r._1) => (pp, ps)
+            case _ => (p, r._1)
+          }
+          m.updated(r._2, keep)
+        }
+      cur = cur.map { case (r, _, _) =>
+        childBest.get(r._1) match {
+          case Some((cp, cid)) => (r, r._4 + cp, cid)
+          case None => (r, r._4, null: String)
+        }
+      }
+      frames = cur :: frames
+    }
+    val ids = rows.iterator.map(_._1).toSet
+    val roots = cur.filter(t => t._1._2 == null || !ids.contains(t._1._2))
+    if (roots.isEmpty) return Iterator.empty
+    val start = roots.maxBy(t => (t._2, t._1._1))._1._1
+    val out = scala.collection.mutable.ListBuffer.empty[(Int, (String, String, String, Long))]
+    var curIds: List[String] = List(start)
+    frames.zipWithIndex.foreach { case (frame, k) =>
+      val byId = frame.groupBy(_._1._1)
+      val matched = curIds.flatMap(c => byId.getOrElse(c, Vector.empty))
+      matched.foreach { case (r, _, _) => out += ((k, r)) }
+      curIds = matched.flatMap { case (_, _, next) => Option(next) }
+    }
+    out.iterator.map { case (k, r) =>
+      Hop(null, k, r._1, r._3, r._4) // trace_id filled by the caller
+    }
+  }
+
+  /** [[criticalPathDecomposition]] as a per-trace fold — the
+    * single-shuffle form. The iterate-and-join DP re-shuffles the span
+    * corpus on a (trace, span)-id key TWICE PER DEPTH LEVEL (one
+    * child-max aggregate + one join back, then the backtrack joins);
+    * but a trace's span set is application-bounded (the topology's
+    * fan-out × depth, never data-sized), so the corpus-scale shape is
+    * ONE groupByKey(trace_id) shuffle with the DP and backtrack run
+    * in memory per trace — the exact shape the streaming twin already
+    * uses as traces close. Output is row-for-row
+    * [[criticalPathDecomposition]] (spec-pinned on branching, deep,
+    * dangling, duplicate-id and forest topologies); the declarative
+    * twin remains the cross-check and the shape documentation. */
+  def criticalPathFold(spans: DataFrame, maxDepth: Int): DataFrame = {
+    require(maxDepth >= 1, s"maxDepth must be >= 1, got $maxDepth")
+    import org.apache.spark.sql.{Dataset, Encoders}
+    implicit val rowEnc = Encoders.product[SpanRow]
+    implicit val hopEnc = Encoders.product[Hop]
+    implicit val strEnc = Encoders.STRING
+    val ds: Dataset[SpanRow] = spans.select(col("trace_id"), col("span_id"),
+        col("parent_id"), col("service"),
+        col("duration_us").cast("long").as("duration_us"))
+      .as[SpanRow]
+    ds.groupByKey(_.trace_id)
+      .flatMapGroups { (t: String, it: Iterator[SpanRow]) =>
+        val rows = it.map(r => (r.span_id, r.parent_id, r.service, r.duration_us)).toVector
+        hopsOf(rows, maxDepth).map(h => h.copy(trace_id = t))
+      }
+      .toDF()
+  }
+
   /** Per-dependency-edge child-span durations — the latency face of
     * [[dependencyGraph]] (Zipkin's dependency view annotates each link
     * with call volume; a production view wants the link's latency

@@ -330,6 +330,25 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), s"no product:\n$p")
   }
 
+  test("critical hops fold the DP in one trace-keyed shuffle, not per-level joins") {
+    // the per-trace fold: exactly one Exchange (groupByKey on
+    // trace_id) between the cached span tree and the in-memory DP —
+    // the iterate-and-join twin would show 2 shuffles per depth level
+    val p = plan("q_critical_hops")
+    val lines = p.linesIterator.toVector
+    val mg = lines.indexWhere(_.contains("MapGroups"))
+    assert(mg >= 0, s"per-trace fold not planned:\n$p")
+    // from the fold down to the cached span-tree scan: exactly the
+    // groupByKey Exchange (the span tree's own build, nested inside
+    // its InMemoryRelation stringification, is out of scope)
+    val scan = lines.indexWhere(_.contains("InMemoryTableScan"), mg)
+    val segment = if (scan >= 0) lines.slice(mg, scan) else lines.drop(mg)
+    val exchanges = segment.count(_.contains("Exchange"))
+    assert(exchanges === 1, s"fold shape must shuffle once, saw $exchanges:\n$p")
+    assert(!lines.take(mg).exists(_.contains("Exchange")),
+      s"nothing may shuffle above the fold:\n$p")
+  }
+
   test("edge latency keeps the keyed windows of the shared percentile machinery") {
     val p = plan("q_edge_latency")
     assert(unpartitionedWindows(p).isEmpty,

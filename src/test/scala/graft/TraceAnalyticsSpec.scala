@@ -113,6 +113,61 @@ class TraceAnalyticsSpec extends SparkSpec {
     assert(got === Array((0, "r"), (1, "b")))
   }
 
+  private def hopRows(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(r => (r.getString(0), r.getInt(1), r.getString(2),
+      r.getString(3), r.getLong(4))).sorted.toSeq
+
+  test("per-trace fold is row-for-row the declarative decomposition on tricky topologies") {
+    val cases = Seq(
+      // branching
+      (svcTree(("t1", "r", null, "gw", 100L), ("t1", "a", "r", "app", 50L),
+        ("t1", "b", "r", "app", 400L), ("t1", "al", "a", "db", 500L)), 3),
+      // deeper than maxDepth: per-depth backtrack must truncate identically
+      (svcTree(("t1", "root", null, "gw", 1L), ("t1", "c1", "root", "app", 0L),
+        ("t1", "x", "c1", "svc-x", 0L), ("t1", "x1", "x", "svc-x", 20L),
+        ("t1", "y", "c1", "svc-y", 0L), ("t1", "y1", "y", "svc-y", 0L),
+        ("t1", "y2", "y1", "svc-y", 100L)), 4),
+      // argmax tie on path: span-id order decides in both
+      (svcTree(("t1", "r", null, "gw", 1L), ("t1", "a", "r", "app", 7L),
+        ("t1", "b", "r", "app", 7L)), 2),
+      // duplicate span ids multiply through the backtrack joins
+      (svcTree(("t1", "r", null, "gw", 1L), ("t1", "a", "r", "app", 7L),
+        ("t1", "a", "r", "app2", 7L)), 2),
+      // dangling parent = local root; forest takes max root
+      (svcTree(("t1", "r1", null, "gw", 10L), ("t1", "r2", null, "gw", 30L),
+        ("t1", "c", "r1", "db", 15L), ("t1", "o", "gone", "db", 99L),
+        ("t2", "r", null, "gw", 7L)), 3))
+    for (((spans, depth), i) <- cases.zipWithIndex) {
+      val fold = hopRows(TraceAnalytics.criticalPathFold(spans, depth))
+      val decl = hopRows(TraceAnalytics.criticalPathDecomposition(spans, depth))
+      assert(fold === decl, s"fold/decomposition divergence in case $i")
+      assert(fold.nonEmpty)
+    }
+  }
+
+  test("per-trace fold matches the declarative decomposition on a randomized forest sweep") {
+    val rnd = new scala.util.Random(7)
+    val rows = (1 to 60).flatMap { t =>
+      val n = 1 + rnd.nextInt(9)
+      (0 until n).map { i =>
+        val parent =
+          if (i == 0 || rnd.nextInt(10) == 0) null
+          else if (rnd.nextInt(12) == 0) s"gone-${rnd.nextInt(3)}" // dangling
+          else s"s${rnd.nextInt(i)}" // any earlier span
+        // occasional duplicate ids: two spans named s<i-1>
+        val id = if (i > 1 && rnd.nextInt(15) == 0) s"s${i - 1}" else s"s$i"
+        (s"t$t", id, parent, s"svc${rnd.nextInt(4)}", rnd.nextInt(1000).toLong)
+      }
+    }
+    val spans = svcTree(rows: _*)
+    for (depth <- Seq(2, 3, 5)) {
+      val fold = hopRows(TraceAnalytics.criticalPathFold(spans, depth))
+      val decl = hopRows(TraceAnalytics.criticalPathDecomposition(spans, depth))
+      assert(fold === decl, s"divergence at depth $depth")
+      assert(fold.nonEmpty)
+    }
+  }
+
   test("blame picks the hop with max excess over the topology-class mean, slow traces only") {
     // class n_spans=2, three traces; t3's hop-1 child is what blew up:
     // class means (root 35/3, child 40) -> t3 excess (hop0 10/3*... ,
