@@ -21,14 +21,20 @@ import graft.ext.{Dedup, Multimodal, Similarity, TextOps}
   */
 object SparkEntry {
 
-  /** Fixture loader. events.ts is TIMESTAMP(NANOS) parquet, which Spark
-    * rejects natively — read it as raw nanos and convert (values are
-    * micro-aligned, so the division is lossless). */
+  /** Fixture loader. events.ts has shipped as TIMESTAMP(NANOS) in some
+    * fixture generations (which Spark rejects natively — read as raw
+    * nanos and convert; values are micro-aligned so the division is
+    * lossless) and as plain TIMESTAMP(MICROS) in others. Sniff the
+    * decoded type and normalize, so the same build runs either. */
   private def T(s: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") {
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      s.read.parquet(s"$dir/events.parquet")
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val raw = s.read.parquet(s"$dir/events.parquet")
+      raw.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        case _ => raw.withColumn("ts", col("ts").cast("timestamp"))
+      }
     } else s.read.parquet(s"$dir/$name.parquet")
 
   /** events → decoded + context-enriched records (batch analog of the
