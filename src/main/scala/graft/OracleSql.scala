@@ -780,6 +780,16 @@ FROM lineitem GROUP BY l_returnflag""",
   event_type, count(*) AS n, round(sum(value), 2) AS sum_value
 FROM events GROUP BY 1, 2""",
 
+    // exact per-(tumbling hour, event_type) value percentiles —
+    // quantile_cont is bit-compatible with the engine's shared
+    // ExactPercentiles lerp (same convention as a_percentiles_dist)
+    "a_windowed_percentiles" -> """SELECT
+  epoch_us(date_trunc('hour', CAST(ts AS TIMESTAMP))) AS hour_start_us,
+  event_type,
+  round(quantile_cont(value, 0.5), 4) AS p50,
+  round(quantile_cont(value, 0.95), 4) AS p95
+FROM events GROUP BY 1, 2""",
+
     // hopping window, size 30 min / slide 15 min: every event belongs
     // to exactly 2 epoch-aligned windows; window starts derived by
     // integer microsecond arithmetic over an unnested slide index
@@ -1227,6 +1237,34 @@ SELECT doc_id, count(*) AS n_bigrams,
        round(CAST(sum(df) AS DOUBLE) / count(*), 4) AS avg_df
 FROM bi JOIN dfreq USING (s)
 GROUP BY doc_id""",
+
+    // log-space conditional bigram LM: add-one-smoothed p(w2|w1) over
+    // the corpus's own counts, per-doc mean −ln p (mirror of
+    // TextOps.bigramCrossEntropy)
+    "t_bigram_ppl" -> s"""$TOKS, occ AS (
+  SELECT doc_id, unnest(${shinglesN(2)}) AS s FROM toks
+), c2 AS (SELECT s, count(*) AS c2 FROM occ GROUP BY s
+), c1 AS (SELECT string_split(s, ' ')[1] AS w1, sum(c2) AS c1 FROM c2 GROUP BY 1
+), v AS (SELECT count(DISTINCT t) AS v FROM (SELECT unnest(tk) AS t FROM toks)
+), model AS (
+  SELECT c2.s, ln(CAST(c2.c2 + 1 AS DOUBLE) / (c1.c1 + v.v)) AS logp
+  FROM c2 JOIN c1 ON string_split(c2.s, ' ')[1] = c1.w1 CROSS JOIN v
+)
+SELECT occ.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+       round(-sum(m.logp) / count(*), 4) AS xent_nats
+FROM occ JOIN model m USING (s)
+GROUP BY occ.doc_id""",
+
+    // exact heavy hitters: the oracle is the sketch-free GROUP BY +
+    // integer-arithmetic HAVING — phase 2 of the engine's two-phase
+    // Misra–Gries form must erase every surplus candidate to match
+    "t_heavy_hitters" -> s"""$TOKS, occ AS (
+  SELECT unnest(${shinglesN(2)}) AS s FROM toks
+), n AS (SELECT count(*) AS n FROM occ)
+SELECT s AS gram, CAST(count(*) AS BIGINT) AS cnt
+FROM occ CROSS JOIN n
+GROUP BY s, n.n
+HAVING count(*) * 1025 > n.n""",
 
     // CCNet-style head/middle/tail buckets over the commonness score,
     // cutoffs at mean ± stddev/2 of the per-doc score

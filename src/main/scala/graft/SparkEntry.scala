@@ -510,6 +510,25 @@ object SparkEntry {
         round(min(when(col("qname") === "p95", col("v"))), 4).as("p95"))
   }
 
+  /** Exact per-(tumbling hour, event_type) value percentiles — the
+    * WINDOWED form of a_percentiles_dist on the same shared
+    * [[graft.ops.ExactPercentiles]] machinery: the group key is the
+    * (window, type) pair, so the cumulative histogram stays keyed
+    * (never corpus-global) and shuffle stays ∝ distinct (window,
+    * type, value). Live twin:
+    * [[graft.streaming.StreamingWindowedPercentiles]] — exact
+    * histogram-per-closing-window, agreement spec-pinned. */
+  private def aWindowedPercentiles(s: SparkSession, dir: String): DataFrame =
+    graft.ops.ExactPercentiles.of(
+        T(s, dir, "events").select(
+          struct(unix_micros(window(col("ts"), "1 hour").getField("start")).as("w_us"),
+            col("event_type").as("et")).as("k"),
+          col("value").as("x")),
+        Seq(("p50", 0.5), ("p95", 0.95)), "win-pctl-cum")
+      .groupBy(col("k.w_us").as("hour_start_us"), col("k.et").as("event_type"))
+      .agg(round(min(when(col("qname") === "p50", col("v"))), 4).as("p50"),
+        round(min(when(col("qname") === "p95", col("v"))), 4).as("p95"))
+
   private def aCube(s: SparkSession, dir: String): DataFrame =
     T(s, dir, "lineitem")
       .cube(col("l_returnflag"), col("l_linestatus"))
@@ -1086,6 +1105,20 @@ object SparkEntry {
     * per-bucket report (see [[graft.ext.TextOps.commonnessBuckets]]). */
   private def tQualityBuckets(s: SparkSession, dir: String): DataFrame =
     TextOps.commonnessBuckets(T(s, dir, "documents"))
+
+  /** Per-doc cross-entropy under the corpus's add-one-smoothed
+    * conditional bigram LM — the log-space KenLM-filter form
+    * (see [[graft.ext.TextOps.bigramCrossEntropy]]). */
+  private def tBigramPpl(s: SparkSession, dir: String): DataFrame =
+    TextOps.bigramCrossEntropy(T(s, dir, "documents"))
+
+  /** Two-phase EXACT heavy hitters over the corpus bigram stream:
+    * mergeable Misra–Gries candidates (m=1024), then an exact count
+    * of candidates only — `cnt·(m+1) > N` in integer arithmetic
+    * (see [[graft.ext.TextOps.heavyHitters]]; the oracle is the plain
+    * GROUP BY + HAVING with no sketch anywhere). */
+  private def tHeavyHitters(s: SparkSession, dir: String): DataFrame =
+    TextOps.heavyHitters(T(s, dir, "documents"), 1024)
 
   /** Incremental ingestion dedup: the doc_id%10==0 docs play the
     * newly-arrived batch, probed against the rest of the corpus's band
@@ -1827,6 +1860,9 @@ object SparkEntry {
     "d_incremental_dedup" -> (dIncrementalDedup _),
     "d_incremental_apply" -> (dIncrementalApply _),
     "t_bigram_lm" -> (tBigramLm _),
+    "t_bigram_ppl" -> (tBigramPpl _),
+    "t_heavy_hitters" -> (tHeavyHitters _),
+    "a_windowed_percentiles" -> (aWindowedPercentiles _),
     "t_quality_buckets" -> (tQualityBuckets _),
     "e_curation_pipeline" -> (eCurationPipeline _),
     "e_source_report" -> (eSourceReport _),

@@ -480,4 +480,71 @@ object TextOps {
         col("sel.h").as("fp"))
       .distinct() // adjacent windows often elect the same position
   }
+
+  /** EXACT heavy hitters over the corpus bigram stream, two-phase:
+    * items with true frequency strictly greater than N/(m+1).
+    *
+    * Phase 1 summarizes the stream with the mergeable Misra–Gries
+    * sketch ([[graft.functions.MisraGries]], capacity m): each map
+    * partition contributes ≤ m counters to the shuffle — NOT its
+    * distinct-item set — and the merged candidates are a guaranteed
+    * superset of every item above the threshold. Phase 2 counts ONLY
+    * the candidates exactly (the candidate frame is sketch-sized, so
+    * the probe is a broadcast join and the counting shuffle carries
+    * ≤ m distinct keys), then keeps `cnt·(m+1) > N` in integer
+    * arithmetic. The full-vocabulary groupBy this replaces shuffles
+    * |vocab| keys — the difference between m rows and billions at
+    * 100 TB. The oracle is the plain GROUP BY + HAVING with no
+    * sketch anywhere: phase 2 must erase whatever extra candidates
+    * phase 1 retained for the row to match.
+    *
+    * At the test fixtures' vocabulary the sketch never evicts (m
+    * exceeds distinct bigrams) — the eviction/merge bound is pinned
+    * by unit specs on adversarial tiny streams instead. */
+  def heavyHitters(docs: DataFrame, m: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val occ = bigramOccurrences(docs).select(col("s"))
+    // one eager job: candidates AND the exact stream length N
+    val sketch = occ.as[String]
+      .select(new graft.functions.MisraGries.MGAgg(m).toColumn).head()
+    val cands = sketch.candidates.toSeq.toDF("s")
+    occ.join(broadcast(cands), "s")
+      .groupBy("s").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") * (m + 1) > lit(sketch.n))
+      .select(col("s").as("gram"), col("cnt"))
+  }
+
+  /** Per-document cross-entropy under the corpus's own add-one-
+    * smoothed conditional bigram LM — the log-space CCNet/KenLM
+    * quality-filter form that [[bigramCommonness]] deliberately
+    * approximates in integer counts. p(w2|w1) =
+    * (c(w1 w2) + 1) / (c(w1 ·) + V), V = corpus unigram vocabulary;
+    * xent = mean −ln p over the document's bigram occurrences,
+    * rounded to 4 (the DSIR chain's convention for per-doc sums of
+    * logs). Documents with < 2 tokens have no bigram occurrences and
+    * no row.
+    *
+    * Scale shape: bigram counts and context counts are partial-agg'd
+    * (bounded by distinct bigrams / unigrams), V is a 1-row literal,
+    * and scoring is one join of occurrences to the model on the
+    * bigram key — no window, no all-pairs, every shuffle keyed on
+    * grams or doc_id. */
+  def bigramCrossEntropy(docs: DataFrame): DataFrame = {
+    val occ = bigramOccurrences(docs) // (doc_id, s) one row per position
+    val c2 = occ.groupBy("s").agg(count(lit(1)).as("c2"))
+    val c1 = c2.select(split(col("s"), " ").getItem(0).as("w1"), col("c2"))
+      .groupBy("w1").agg(sum(col("c2")).as("c1"))
+    val v = docs.select(explode(tokens(col("text"))).as("t"))
+      .agg(countDistinct(col("t"))).head().getLong(0)
+    val model = c2.withColumn("w1", split(col("s"), " ").getItem(0))
+      .join(c1, "w1")
+      .select(col("s"),
+        log((col("c2") + 1L).cast("double") / (col("c1") + v).cast("double"))
+          .as("logp"))
+    occ.join(model, "s")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(-sum(col("logp")) / count(lit(1)), 4).as("xent_nats"))
+  }
 }

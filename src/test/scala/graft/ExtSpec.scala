@@ -917,6 +917,31 @@ class ExtSpec extends SparkSpec {
     assert(got.forall(_._2 == "hello worlds apart "), got.mkString(", "))
   }
 
+  test("char-level occurrence cap drops hot-gram buckets like the token dial") {
+    // every shared 10-char gram occurs exactly twice (once per doc):
+    // a cap of 2 changes nothing; a cap of 1 drops every bucket
+    val docs = Seq(
+      (1L, "xhello worlds apart entirely"),
+      (2L, "yhello worlds apart utterly")).toDF("doc_id", "text")
+    assert(Dedup.crossDocSubstringsChar(docs, 10, 40, maxOcc = 2).count() === 2L)
+    assert(Dedup.crossDocSubstringsChar(docs, 10, 40, maxOcc = 1).count() === 0L)
+  }
+
+  test("bigram cross-entropy scores the add-one-smoothed conditional LM") {
+    // corpus: "a b", "a b", "a c", "solo" — c(a·)=3, V=4 (solo's
+    // token counts toward the vocabulary);
+    // p(b|a) = (2+1)/(3+4) = 3/7, p(c|a) = (1+1)/7 = 2/7
+    val docs = Seq((1L, "a b"), (2L, "a b"), (3L, "a c"), (4L, "solo"))
+      .toDF("doc_id", "text")
+    val got = TextOps.bigramCrossEntropy(docs)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val lnB = math.rint(math.log(7.0 / 3.0) * 1e4) / 1e4
+    val lnC = math.rint(math.log(7.0 / 2.0) * 1e4) / 1e4
+    // single-token doc 4 has no bigram occurrences and no row
+    assert(got === Array((1L, 1L, lnB), (2L, 1L, lnB), (3L, 1L, lnC)))
+  }
+
   test("char-level fraction and apply cover the island union, cutting mid-word") {
     val docs = Seq(
       (1L, "xhello worlds apart entirely"),
