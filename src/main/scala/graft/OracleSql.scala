@@ -1761,6 +1761,20 @@ SELECT vec_id, label, cos, round((cos - mu) / sigma, 4) AS z
 FROM scored JOIN stats USING (label)
 WHERE round((cos - mu) / sigma, 4) <= -2.0""",
 
+    // exact fixed-point Gram matrix (X^T X, upper triangle, 1e3
+    // scale): the oracle is the exploded i×j cross-join formulation —
+    // same exact integer sums the engine's one-buffer imperative
+    // aggregate (GramMatrixFixed) accumulates without per-pair rows
+    "s_embed_gram" -> """WITH vecs AS (
+  SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings
+), idx AS (SELECT CAST(unnest(range(0, 64)) AS INT) AS i
+), pr AS (SELECT a.i AS i, b.i AS j FROM idx a JOIN idx b ON b.i >= a.i)
+SELECT pr.i, pr.j,
+       CAST(sum(CAST(round(v[pr.i+1]*1000.0) AS BIGINT) *
+                CAST(round(v[pr.j+1]*1000.0) AS BIGINT)) AS BIGINT) AS gram_fx
+FROM vecs CROSS JOIN pr
+GROUP BY 1, 2""",
+
     // the composed curation DAG: normalize -> exact-dedup keepers ->
     // quality/length gate -> train split -> pack into 2048-tok chunks
     "e_curation_pipeline" -> s"""WITH norm AS (
@@ -1844,6 +1858,21 @@ GROUP BY 1, 2""",
   SELECT e.b AS doc, r.lbl AS lbl FROM reach r JOIN e ON e.a = r.doc
 )
 SELECT doc AS doc_id, min(lbl) AS group_id FROM reach GROUP BY doc""",
+
+    // component-size histogram over the same closure: clusters per
+    // size, documents they hold — the pre-apply dedup report
+    "d_group_sizes" -> s"""${LSH_PAIRS.replaceFirst("WITH ", "WITH RECURSIVE ")}, e AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION ALL SELECT doc_b AS a, doc_a AS b FROM pairs
+), reach AS (
+  SELECT doc_id AS doc, doc_id AS lbl FROM documents
+  UNION
+  SELECT e.b AS doc, r.lbl AS lbl FROM reach r JOIN e ON e.a = r.doc
+), comp AS (SELECT doc, min(lbl) AS g FROM reach GROUP BY doc
+), gsz AS (SELECT g, CAST(count(*) AS BIGINT) AS group_size FROM comp GROUP BY g)
+SELECT group_size, CAST(count(*) AS BIGINT) AS n_groups,
+       CAST(sum(group_size) AS BIGINT) AS n_docs
+FROM gsz GROUP BY 1""",
 
     // near-dup apply: keep each component's min-doc_id representative
     // (singletons keep themselves) — same closure as d_neardup_groups

@@ -946,12 +946,29 @@ object SparkEntry {
   /** Near-dup dedup APPLY: connected components over the LSH-verified
     * Jaccard pairs, group id = min doc_id per component (oracle: a
     * recursive-CTE transitive closure — an independent algorithm). */
-  private def dNearDupGroups(s: SparkSession, dir: String): DataFrame = {
-    val docs = T(s, dir, "documents")
-    val pairs = Dedup.lshVerifiedJaccard(docs, 3, 16, 4, 4, 0.5)
-      .select("doc_a", "doc_b")
-    Dedup.nearDupComponents(docs.select("doc_id"), pairs)
-  }
+  /** The components frame shared by groups / apply / size-histogram —
+    * PlanCache-materialized so the union-find (an eager pair collect)
+    * runs once per corpus, not once per consumer. */
+  private def nearDupComps(s: SparkSession, dir: String): DataFrame =
+    graft.ops.PlanCache.cached("neardup-comps", {
+      val docs = T(s, dir, "documents")
+      val pairs = Dedup.lshVerifiedJaccard(docs, 3, 16, 4, 4, 0.5)
+        .select("doc_a", "doc_b")
+      Dedup.nearDupComponents(docs.select("doc_id"), pairs)
+    })
+
+  private def dNearDupGroups(s: SparkSession, dir: String): DataFrame =
+    nearDupComps(s, dir)
+
+  /** Component-size histogram over the near-dup groups — the dedup
+    * REPORT a curation run reads before applying: how many clusters
+    * of each size, how many documents they hold. Two partial-agg'd
+    * shuffles over the (tiny) components frame, nothing corpus-wide. */
+  private def dGroupSizes(s: SparkSession, dir: String): DataFrame =
+    nearDupComps(s, dir)
+      .groupBy("group_id").agg(count(lit(1)).as("group_size"))
+      .groupBy("group_size")
+      .agg(count(lit(1)).as("n_groups"), sum(col("group_size")).as("n_docs"))
 
   /** The near-dup APPLY step: the surviving corpus — each component's
     * min-doc_id representative plus every singleton (group_id == own
@@ -959,13 +976,10 @@ object SparkEntry {
     * groups answer "what clusters exist", apply answers "what do I
     * train on". One extra equi-join over the components output. */
   private def dNearDupApply(s: SparkSession, dir: String): DataFrame = {
-    val docs = T(s, dir, "documents")
-    val pairs = Dedup.lshVerifiedJaccard(docs, 3, 16, 4, 4, 0.5)
-      .select("doc_a", "doc_b")
-    val comps = Dedup.nearDupComponents(docs.select("doc_id"), pairs)
+    val comps = nearDupComps(s, dir)
       .filter(col("doc_id") === col("group_id"))
       .select("doc_id")
-    docs.join(comps, "doc_id")
+    T(s, dir, "documents").join(comps, "doc_id")
       .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
   }
 
@@ -1534,6 +1548,21 @@ object SparkEntry {
   private def sEmbedOutliers(s: SparkSession, dir: String): DataFrame =
     Similarity.labelOutliers(T(s, dir, "embeddings"), 64, 2.0)
 
+  /** Exact Gram matrix (X^T X) of the embedding corpus — the PCA/
+    * whitening second-moment input — via the ONE-buffer imperative
+    * aggregate [[graft.functions.GramMatrixFixed]]: d(d+1)/2 long
+    * cells per partition, #partitions × ~16 KB on the shuffle, no
+    * per-pair rows ever (the exploded i×j form shuffles d²·N). Fixed
+    * point (scale 1e3) keeps the sums exact integers, so the result
+    * is order-independent and the oracle's cross-join formulation is
+    * bit-identical. */
+  private def sEmbedGram(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "embeddings")
+      .select(Similarity.asDouble(col("embedding")).as("v"))
+      .agg(graft.functions.GramMatrixFixed.gramFixed(col("v"), 64, 1000.0).as("g"))
+      .select(explode(col("g")).as("c"))
+      .select(col("c.i").as("i"), col("c.j").as("j"), col("c.gram_fx").as("gram_fx"))
+
   /** Classifier inference over the corpus — the distilled-quality-
     * model pattern (fastText-style filters, reward-model scores): a
     * trained linear head's weights ride as a LITERAL vector and the
@@ -1842,6 +1871,7 @@ object SparkEntry {
     "d_stratified_sample" -> (dStratifiedSample _),
     "d_neardup_groups" -> (dNearDupGroups _),
     "d_neardup_apply" -> (dNearDupApply _),
+    "d_group_sizes" -> (dGroupSizes _),
     "d_weighted_sample" -> (dWeightedSample _),
     "t_pack_sequences" -> (tPackSequences _),
     "d_contamination" -> (dContamination _),
@@ -1880,6 +1910,7 @@ object SparkEntry {
     "d_winnow_pairs" -> (dWinnowPairs _),
     "t_source_kl" -> (tSourceKl _),
     "s_embed_outliers" -> (sEmbedOutliers _),
+    "s_embed_gram" -> (sEmbedGram _),
     "t_dsir_weights" -> (tDsirWeights _),
     "m_payload_dedup" -> (mPayloadDedup _),
     "s_ann_store" -> (sAnnStore _),

@@ -355,4 +355,19 @@ class PlanShapeSpec extends SparkSpec {
       s"cumulative histogram must window per edge, never globally:\n$p")
     assert(!p.contains("CartesianProduct"), s"no product:\n$p")
   }
+
+  test("windowed percentiles keep the cumulative histogram keyed per (window, type)") {
+    val p = plan("a_windowed_percentiles")
+    assert(unpartitionedWindows(p).isEmpty,
+      s"cumulative histogram must window per (window, type), never globally:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no product:\n$p")
+  }
+
+  test("heavy hitters phase 2 broadcasts the candidate set, no sort-merge join") {
+    val p = plan("t_heavy_hitters")
+    assert(p.contains("BroadcastHashJoin"),
+      s"candidate probe must broadcast the sketch-sized frame:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"the sketch-sized candidate set must never sort-merge:\n$p")
+  }
 }
