@@ -569,37 +569,46 @@ object Dedup {
     * boundaries. `sep` re-joins the matched unit slice into the
     * reported substring (" " for tokens, "" for characters). */
   /** The two window passes shared by both substring levels: bucketed
-    * (by leading-gram hash `h`) suffix ordering, same-doc runs, and at
-    * each row the nearest OTHER-document suffix above/below — the
-    * previous row's suffix seen from the run's first row and the next
-    * row's suffix seen from its last, broadcast across the run. The
-    * suffix payload column is `sfxCol` (token level: the `sfx` array;
-    * char level: the `sfx_str` string itself — the sort key already in
-    * the frame, so the char frame never carries an array at all). The
-    * second pass refines the same hash(h) distribution — extra sort,
-    * no extra shuffle. */
-  private def runBoundaries(sfxFrame: DataFrame, sfxCol: Column): DataFrame = {
+    * (by leading-gram hash `h`) suffix ordering, then per-row LCP to
+    * the nearest OTHER-document suffix above and below via
+    * adjacent-pair LCP MIN-CHAINS — the suffix-array identity
+    * `lcp(SA[a], SA[b]) = min lcp(SA[i−1], SA[i]) for i in (a, b]`.
+    * Pass 1 (window per h): one LCP against the lagged neighbor per
+    * row (`lcpOf`), plus maximal same-doc run ids. Pass 2 (window per
+    * (h, run)): the nearest other-doc row above r is the previous
+    * run's last row, so its LCP is the running min of `lcp_prev` from
+    * the run's first row (whose lcp_prev crosses the boundary);
+    * symmetrically below with `lcp_next` = lead(lcp_prev). The second
+    * pass therefore sorts LONGS on top of the row — the earlier
+    * formulation broadcast the boundary SUFFIXES across the run,
+    * dragging two maxLcp-sized payloads through the second sort and
+    * evaluating two direct LCPs per row. Bucket edges coalesce to 0
+    * (no neighbor ⇒ no match; the ≥ n filter drops them). Both
+    * passes refine the same hash(h) distribution — extra sort, no
+    * extra shuffle. */
+  private def runBoundaries(sfxFrame: DataFrame, sfxCol: Column,
+      lcpOf: (Column, Column) => Column): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val ord = Seq(col("sfx_str"), col("doc_id"), col("pos"))
     val wb = Window.partitionBy("h").orderBy(ord: _*)
     val runs = sfxFrame
-      .withColumn("prev_s", lag(sfxCol, 1).over(wb))
-      .withColumn("next_s", lead(sfxCol, 1).over(wb))
+      .withColumn("lcp_prev",
+        coalesce(lcpOf(sfxCol, lag(sfxCol, 1).over(wb)), lit(0L)))
       .withColumn("run", sum(
         when(lag(col("doc_id"), 1).over(wb).isNull ||
           lag(col("doc_id"), 1).over(wb) =!= col("doc_id"), 1L).otherwise(0L)).over(wb))
+      .withColumn("lcp_next", coalesce(lead(col("lcp_prev"), 1).over(wb), lit(0L)))
     val wr = Window.partitionBy("h", "run").orderBy(ord: _*)
-    val wrFull = wr.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val wrBefore = wr.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wrAfter = wr.rowsBetween(Window.currentRow, Window.unboundedFollowing)
     runs
-      .withColumn("prev_other", first(col("prev_s")).over(wr))
-      .withColumn("next_other", last(col("next_s")).over(wrFull))
+      .withColumn("match_len", greatest(
+        min(col("lcp_prev")).over(wrBefore),
+        min(col("lcp_next")).over(wrAfter)))
   }
 
   private def nearestOtherLcp(sfxFrame: DataFrame, n: Int, sep: String): DataFrame =
-    runBoundaries(sfxFrame, col("sfx"))
-      .withColumn("match_len", greatest(
-        coalesce(lcpTokens(col("sfx"), col("prev_other")), lit(0L)),
-        coalesce(lcpTokens(col("sfx"), col("next_other")), lit(0L))))
+    runBoundaries(sfxFrame, col("sfx"), lcpTokens)
       .filter(col("match_len") >= n.toLong)
       .select(col("doc_id"), col("pos"), col("match_len"),
         array_join(slice(col("sfx"), lit(1), col("match_len").cast("int")), sep).as("sub"))
@@ -609,16 +618,12 @@ object Dedup {
     * matched substring a plain `substr` — value-identical to running
     * [[nearestOtherLcp]] over per-code-point split arrays with sep=""
     * (spec-pinned), at ~1/10th the bytes through the bucket sort. */
-  private def nearestOtherLcpStr(sfxFrame: DataFrame, n: Int): DataFrame = {
-    import graft.functions.CommonPrefixLen.commonPrefixLen
-    runBoundaries(sfxFrame, col("sfx_str"))
-      .withColumn("match_len", greatest(
-        coalesce(commonPrefixLen(col("sfx_str"), col("prev_other")), lit(0L)),
-        coalesce(commonPrefixLen(col("sfx_str"), col("next_other")), lit(0L))))
+  private def nearestOtherLcpStr(sfxFrame: DataFrame, n: Int): DataFrame =
+    runBoundaries(sfxFrame, col("sfx_str"),
+      graft.functions.CommonPrefixLen.commonPrefixLen)
       .filter(col("match_len") >= n.toLong)
       .select(col("doc_id"), col("pos"), col("match_len"),
         col("sfx_str").substr(lit(1), col("match_len").cast("int")).as("sub"))
-  }
 
   def substringMatches(docs: DataFrame, n: Int, maxLcp: Int,
       hashName: String = "md5", maxOcc: Int = 0): DataFrame =

@@ -28,11 +28,40 @@ object ExactPercentiles {
     val spark = df.sparkSession
     import spark.implicits._
     val hist = df.groupBy("k", "x").agg(count(lit(1)).as("cnt"))
-    val w = Window.partitionBy("k").orderBy("x")
+    // The cumulative count is a TWO-PHASE distributed cumsum (the
+    // t_pack_sequences pattern), not one window per group key: with
+    // few group keys (a_percentiles_dist has 3) a k-partitioned
+    // window sorts each key's whole histogram in ONE task — the
+    // keyed-but-few-groups bottleneck. Instead each value lands in a
+    // range bucket (order-preserving: equal values share a bucket,
+    // bucket b's values all precede bucket b+1's), the running sum
+    // is windowed per (k, bucket) — parallelism = keys × buckets —
+    // and each bucket adds its preceding buckets' total via a
+    // key-local prefix over the bucket-sums frame (≤ buckets rows
+    // per key, broadcast back). Values are identical to the single
+    // window by construction; bucket bounds affect partitioning
+    // only.
+    val nBuckets = 64
+    val stats = hist.groupBy("k")
+      .agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+    val bucketed = hist.join(broadcast(stats), "k")
+      .withColumn("b", when(col("mx") > col("mn"),
+        least(floor((col("x") - col("mn")) / ((col("mx") - col("mn")) / nBuckets)),
+          lit(nBuckets - 1L))).otherwise(lit(0L)))
+      .drop("mn", "mx")
+    val wLocal = Window.partitionBy("k", "b").orderBy("x")
+    val local = bucketed.withColumn("local_end", sum("cnt").over(wLocal))
+    val wB = Window.partitionBy("k").orderBy("b")
+    val offsets = bucketed.groupBy("k", "b").agg(sum("cnt").as("bsum"))
+      .withColumn("base",
+        coalesce(sum("bsum").over(wB) - col("bsum"), lit(0L)))
+      .select(col("k"), col("b"), col("base"))
     // cum_start/cum_end delimit each value's 0-indexed rank interval
     val cum = PlanCache.cached(cacheTag,
-      hist.withColumn("cum_end", sum("cnt").over(w))
-        .withColumn("cum_start", col("cum_end") - col("cnt")))
+      local.join(broadcast(offsets), Seq("k", "b"))
+        .withColumn("cum_end", col("local_end") + col("base"))
+        .withColumn("cum_start", col("cum_end") - col("cnt"))
+        .drop("b", "local_end", "base"))
     val qdf = qs.toDF("qname", "q")
     // group sizes fold over the cum frame (max cum_end), not a second
     // corpus aggregation
