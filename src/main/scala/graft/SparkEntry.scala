@@ -331,7 +331,8 @@ object SparkEntry {
     graft.ops.ExactPercentiles.of(
         spanTree(s, dir).select(col("service").as("k"),
           col("duration_us").cast("double").as("x")),
-        Seq(("p50", 0.5), ("p95", 0.95), ("p99", 0.99)), "svc-lat-cum")
+        Seq(("p50", 0.5), ("p95", 0.95), ("p99", 0.99)), "svc-lat-cum",
+        fewGroups = true)
       .groupBy(col("k").as("service"))
       .agg(round(min(when(col("qname") === "p50", col("v"))), 4).as("p50_us"),
         round(min(when(col("qname") === "p95", col("v"))), 4).as("p95_us"),
@@ -504,7 +505,8 @@ object SparkEntry {
   private def aPercentilesDist(s: SparkSession, dir: String): DataFrame = {
     val li = T(s, dir, "lineitem")
       .select(col("l_returnflag").as("k"), col("l_extendedprice").as("x"))
-    graft.ops.ExactPercentiles.of(li, Seq(("p50", 0.5), ("p95", 0.95)), "pctl-cum")
+    graft.ops.ExactPercentiles.of(li, Seq(("p50", 0.5), ("p95", 0.95)), "pctl-cum",
+      fewGroups = true)
       .groupBy(col("k").as("l_returnflag"))
       .agg(round(min(when(col("qname") === "p50", col("v"))), 4).as("p50"),
         round(min(when(col("qname") === "p95", col("v"))), 4).as("p95"))

@@ -7,12 +7,11 @@ import org.apache.spark.sql.functions._
 /** EXACT distributed percentiles without per-group buffers — the
   * 100 TB order-statistic form: value histogram (shuffle ∝ DISTINCT
   * values per group, with map-side combine), cumulative rank intervals
-  * per group via a group-keyed window, then each requested quantile
-  * finds its two bracketing order statistics by rank-interval join and
-  * linearly interpolates (Spark `percentile` / ANSI PERCENTILE_CONT
-  * lerp, bit-compatible with DuckDB `quantile_cont`). Contrast
-  * `a_percentiles`' ObjectHashAggregate form, which buffers every value
-  * per group.
+  * per group, then each requested quantile finds its two bracketing
+  * order statistics by rank-interval join and linearly interpolates
+  * (Spark `percentile` / ANSI PERCENTILE_CONT lerp, bit-compatible
+  * with DuckDB `quantile_cont`). Contrast `a_percentiles`'
+  * ObjectHashAggregate form, which buffers every value per group.
   *
   * Extracted from the a_percentiles_dist registry query so the trace
   * latency family shares one implementation. */
@@ -23,45 +22,58 @@ object ExactPercentiles {
     * exact interpolated percentile as double. `cacheTag` names the
     * cumulative-histogram PlanCache entry — it feeds both the
     * order-statistic join and the group sizes, and uncached the
-    * histogram shuffle would run twice. */
-  def of(df: DataFrame, qs: Seq[(String, Double)], cacheTag: String): DataFrame = {
+    * histogram shuffle would run twice.
+    *
+    * `fewGroups` picks the cumulative-count strategy — a property of
+    * the KEY DOMAIN the caller knows and the optimizer cannot:
+    *  - false (default, for data-sized domains: edges, windows): one
+    *    window per k — each group's histogram is modest, groups
+    *    themselves carry the parallelism, and the bucketed form's
+    *    extra passes are pure overhead.
+    *  - true (for fixed tiny domains: return flags, services): the
+    *    k-partitioned window would sort each key's ENTIRE histogram
+    *    in one task — the keyed-but-few-groups bottleneck at 100 TB.
+    *    The running count instead uses a TWO-PHASE distributed
+    *    cumsum (the t_pack_sequences pattern): each value lands in
+    *    an order-preserving range bucket (equal values share a
+    *    bucket, bucket b wholly precedes b+1), the local cumsum is
+    *    windowed per (k, bucket) — parallelism = keys × buckets —
+    *    and each bucket adds the preceding buckets' totals via a
+    *    key-local prefix over the tiny bucket-sums frame, broadcast
+    *    back. Values identical by construction; bucket bounds affect
+    *    partitioning only. */
+  def of(df: DataFrame, qs: Seq[(String, Double)], cacheTag: String,
+      fewGroups: Boolean = false): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     val hist = df.groupBy("k", "x").agg(count(lit(1)).as("cnt"))
-    // The cumulative count is a TWO-PHASE distributed cumsum (the
-    // t_pack_sequences pattern), not one window per group key: with
-    // few group keys (a_percentiles_dist has 3) a k-partitioned
-    // window sorts each key's whole histogram in ONE task — the
-    // keyed-but-few-groups bottleneck. Instead each value lands in a
-    // range bucket (order-preserving: equal values share a bucket,
-    // bucket b's values all precede bucket b+1's), the running sum
-    // is windowed per (k, bucket) — parallelism = keys × buckets —
-    // and each bucket adds its preceding buckets' total via a
-    // key-local prefix over the bucket-sums frame (≤ buckets rows
-    // per key, broadcast back). Values are identical to the single
-    // window by construction; bucket bounds affect partitioning
-    // only.
-    val nBuckets = 64
-    val stats = hist.groupBy("k")
-      .agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
-    val bucketed = hist.join(broadcast(stats), "k")
-      .withColumn("b", when(col("mx") > col("mn"),
-        least(floor((col("x") - col("mn")) / ((col("mx") - col("mn")) / nBuckets)),
-          lit(nBuckets - 1L))).otherwise(lit(0L)))
-      .drop("mn", "mx")
-    val wLocal = Window.partitionBy("k", "b").orderBy("x")
-    val local = bucketed.withColumn("local_end", sum("cnt").over(wLocal))
-    val wB = Window.partitionBy("k").orderBy("b")
-    val offsets = bucketed.groupBy("k", "b").agg(sum("cnt").as("bsum"))
-      .withColumn("base",
-        coalesce(sum("bsum").over(wB) - col("bsum"), lit(0L)))
-      .select(col("k"), col("b"), col("base"))
+    val withCum =
+      if (!fewGroups) {
+        val w = Window.partitionBy("k").orderBy("x")
+        hist.withColumn("cum_end", sum("cnt").over(w))
+      } else {
+        val nBuckets = 64
+        val stats = hist.groupBy("k")
+          .agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+        val bucketed = hist.join(broadcast(stats), "k")
+          .withColumn("b", when(col("mx") > col("mn"),
+            least(floor((col("x") - col("mn")) / ((col("mx") - col("mn")) / nBuckets)),
+              lit(nBuckets - 1L))).otherwise(lit(0L)))
+          .drop("mn", "mx")
+        val wLocal = Window.partitionBy("k", "b").orderBy("x")
+        val wB = Window.partitionBy("k").orderBy("b")
+        val offsets = bucketed.groupBy("k", "b").agg(sum("cnt").as("bsum"))
+          .withColumn("base",
+            coalesce(sum("bsum").over(wB) - col("bsum"), lit(0L)))
+          .select(col("k"), col("b"), col("base"))
+        bucketed.withColumn("local_end", sum("cnt").over(wLocal))
+          .join(broadcast(offsets), Seq("k", "b"))
+          .withColumn("cum_end", col("local_end") + col("base"))
+          .drop("b", "local_end", "base")
+      }
     // cum_start/cum_end delimit each value's 0-indexed rank interval
     val cum = PlanCache.cached(cacheTag,
-      local.join(broadcast(offsets), Seq("k", "b"))
-        .withColumn("cum_end", col("local_end") + col("base"))
-        .withColumn("cum_start", col("cum_end") - col("cnt"))
-        .drop("b", "local_end", "base"))
+      withCum.withColumn("cum_start", col("cum_end") - col("cnt")))
     val qdf = qs.toDF("qname", "q")
     // group sizes fold over the cum frame (max cum_end), not a second
     // corpus aggregation
