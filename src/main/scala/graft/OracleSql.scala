@@ -1775,6 +1775,33 @@ SELECT pr.i, pr.j,
 FROM vecs CROSS JOIN pr
 GROUP BY 1, 2""",
 
+    // first principal direction: the oracle replays the engine's 20
+    // fixed power-iteration steps (normalize each step, start
+    // (0.125)^64) over the SAME exact integer gram in a recursive
+    // CTE — per-step float noise is ~1e-15, far inside round-4
+    "s_embed_pc1" -> """WITH RECURSIVE gram AS (
+  WITH vecs AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+  idx AS (SELECT CAST(unnest(range(0, 64)) AS INT) AS i),
+  pr AS (SELECT a.i AS i, b.i AS j FROM idx a, idx b)
+  SELECT pr.i, pr.j,
+         CAST(sum(CAST(round(v[pr.i+1]*1000.0) AS BIGINT) *
+                  CAST(round(v[pr.j+1]*1000.0) AS BIGINT)) AS DOUBLE) / 1000000.0 AS g
+  FROM vecs CROSS JOIN pr GROUP BY 1, 2
+), it AS (
+  -- CAST: a bare 0.125 is DECIMAL in DuckDB and would quantize the
+  -- whole iteration to 3 fractional digits
+  SELECT 0 AS t, list_transform(range(0, 64), x -> CAST(0.125 AS DOUBLE)) AS v
+  UNION ALL
+  SELECT t+1, (
+    SELECT list(mv / sqrt(nrm2) ORDER BY i) FROM (
+      SELECT i, mv, sum(mv*mv) OVER () AS nrm2 FROM (
+        SELECT g.i AS i, sum(g.g * it.v[g.j+1]) AS mv FROM gram g GROUP BY g.i)))
+  FROM it WHERE t < 20
+)
+SELECT CAST(unnest(range(0, 64)) AS INT) AS i,
+       round(v[unnest(range(0, 64))+1], 4) AS loading
+FROM it WHERE t = 20""",
+
     // the composed curation DAG: normalize -> exact-dedup keepers ->
     // quality/length gate -> train split -> pack into 2048-tok chunks
     "e_curation_pipeline" -> s"""WITH norm AS (

@@ -1565,6 +1565,45 @@ object SparkEntry {
       .select(explode(col("g")).as("c"))
       .select(col("c.i").as("i"), col("c.j").as("j"), col("c.gram_fx").as("gram_fx"))
 
+  /** First principal direction of the embedding corpus: 20 fixed
+    * power-iteration steps over the EXACT Gram matrix, normalized
+    * each step, from the constant start vector (0.125)^64. The
+    * distributed part is the one-pass exact moment accumulation
+    * ([[sEmbedGram]]'s aggregate); the 64×64 iteration is
+    * constant-size and runs on the driver — the scale-correct PCA
+    * tail (a corpus of any size reduces to the same d² frame). The
+    * oracle replays the SAME 20 steps in a recursive CTE, so the
+    * row is exact-checked, not rows-only: both sides iterate
+    * identically from the exact integer gram, and per-step float
+    * noise (~1e-15) is far inside the round-4 report. */
+  private def sEmbedPc1(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val tri = T(s, dir, "embeddings")
+      .select(Similarity.asDouble(col("embedding")).as("v"))
+      .agg(graft.functions.GramMatrixFixed.gramFixed(col("v"), 64, 1000.0).as("g"))
+      .select(explode(col("g")).as("c"))
+      .select(col("c.i"), col("c.j"), col("c.gram_fx"))
+      .as[(Int, Int, Long)].collect()
+    val G = Array.ofDim[Double](64, 64)
+    tri.foreach { case (i, j, fx) =>
+      val d = fx / 1e6; G(i)(j) = d; G(j)(i) = d
+    }
+    var v = Array.fill(64)(0.125)
+    for (_ <- 1 to 20) {
+      val mv = Array.tabulate(64)(i => {
+        var acc = 0.0; var j = 0
+        while (j < 64) { acc += G(i)(j) * v(j); j += 1 }
+        acc
+      })
+      val nrm = math.sqrt(mv.map(x => x * x).sum)
+      v = mv.map(_ / nrm)
+    }
+    v.zipWithIndex.map { case (x, i) =>
+      (i, java.math.BigDecimal.valueOf(x)
+        .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue())
+    }.toSeq.toDF("i", "loading")
+  }
+
   /** Classifier inference over the corpus — the distilled-quality-
     * model pattern (fastText-style filters, reward-model scores): a
     * trained linear head's weights ride as a LITERAL vector and the
@@ -1913,6 +1952,7 @@ object SparkEntry {
     "t_source_kl" -> (tSourceKl _),
     "s_embed_outliers" -> (sEmbedOutliers _),
     "s_embed_gram" -> (sEmbedGram _),
+    "s_embed_pc1" -> (sEmbedPc1 _),
     "t_dsir_weights" -> (tDsirWeights _),
     "m_payload_dedup" -> (mPayloadDedup _),
     "s_ann_store" -> (sAnnStore _),
