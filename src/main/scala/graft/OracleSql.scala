@@ -171,12 +171,12 @@ object OracleSql {
     * TextOps.dsirWeightsMulti over source-slice targets, vBuckets
     * 1024; smoothing identical to DSIR_W). Ends at
     * `w(doc_id, target, n_grams, log_w)`. */
-  private def dsirMultiW(targets: Seq[String]) = s"""WITH toks AS (
+  private def dsirMultiW(targets: Seq[String], rel: String = "documents") = s"""WITH dtoks AS (
   SELECT doc_id, source,
          list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), t -> len(t) > 0) AS tk
-  FROM documents
+  FROM $rel
 ), occ AS (
-  SELECT doc_id, source, unnest(${shinglesN(2)}) AS g FROM toks
+  SELECT doc_id, source, unnest(${shinglesN(2)}) AS g FROM dtoks
 ), pd AS (
   SELECT doc_id, source, ${dh("g")} % 1024 AS b, count(*) AS c_db
   FROM occ GROUP BY 1, 2, 3
@@ -1609,6 +1609,31 @@ WHERE rk <= 10""",
     // multi-target ES resample: per-target top-50 by (ln u)/exp(log_w)
     // over the K=3 weight table; the key is never emitted (ulp)
     "e_dsir_multi_apply" -> s"""${dsirMultiW(Seq("src0", "src1", "src2"))}, k AS (
+  SELECT target, doc_id, log_w,
+         ln((CAST(${dh("CAST(doc_id AS VARCHAR)")} % 1000000 AS DOUBLE) + 0.5) / 1000000.0)
+           / exp(log_w) AS es_key
+  FROM w)
+SELECT target, doc_id, log_w FROM (
+  SELECT target, doc_id, log_w,
+         row_number() OVER (PARTITION BY target ORDER BY es_key DESC, doc_id) AS rk
+  FROM k) WHERE rk <= 50""",
+
+    // multi-tenant curation DAG: NEAR-dup component keepers (the
+    // d_neardup_apply closure) -> K=3 DSIR weights over the KEPT
+    // corpus -> per-target ES top-50 (the dedup-first production
+    // ordering: the LM contrast model never sees duplicate mass)
+    "e_multi_curation" -> s"""${LSH_PAIRS.replaceFirst("WITH ", "WITH RECURSIVE ")}, e AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION ALL SELECT doc_b AS a, doc_a AS b FROM pairs
+), reach AS (
+  SELECT doc_id AS doc, doc_id AS lbl FROM documents
+  UNION
+  SELECT e.b AS doc, r.lbl AS lbl FROM reach r JOIN e ON e.a = r.doc
+), keep AS (
+  SELECT doc AS doc_id FROM reach GROUP BY doc HAVING min(lbl) = doc
+), kept AS (
+  SELECT d.doc_id, d.source, d.text FROM documents d JOIN keep USING (doc_id)
+), ${dsirMultiW(Seq("src0", "src1", "src2"), "kept").stripPrefix("WITH ")}, k AS (
   SELECT target, doc_id, log_w,
          ln((CAST(${dh("CAST(doc_id AS VARCHAR)")} % 1000000 AS DOUBLE) + 0.5) / 1000000.0)
            / exp(log_w) AS es_key

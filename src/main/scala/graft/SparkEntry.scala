@@ -1776,16 +1776,41 @@ object SparkEntry {
     * magnitude carries libm ulp noise the top-k SET is immune to —
     * the per-target rank-50/51 gap property is spec-pinned like
     * e_dsir_apply's). */
-  private def eDsirMultiApply(s: SparkSession, dir: String): DataFrame = {
-    val w = tDsirMulti3(s, dir)
+  /** Per-target Efraimidis–Spirakis top-`k` over a (target, doc_id,
+    * log_w) weight frame — the shared closing step of
+    * e_dsir_multi_apply and e_multi_curation. */
+  private def esTopKPerTarget(w: DataFrame, k: Int): DataFrame = {
     val u = (pmod(Codecs.portableHash(col("doc_id").cast("string")), lit(1000000L))
       .cast("double") + lit(0.5)) / lit(1000000.0)
     val wnd = Window.partitionBy(col("target"))
       .orderBy((log(u) / exp(col("log_w"))).desc, col("doc_id"))
     w.select(col("target"), col("doc_id"), col("log_w"))
       .withColumn("rk", row_number().over(wnd))
-      .filter(col("rk") <= 50)
+      .filter(col("rk") <= k)
       .select(col("target"), col("doc_id"), col("log_w"))
+  }
+
+  private def eDsirMultiApply(s: SparkSession, dir: String): DataFrame =
+    esTopKPerTarget(tDsirMulti3(s, dir), 50)
+
+  /** Multi-tenant curation DAG — the dedup-FIRST production ordering:
+    * NEAR-dup component keepers (min-id representative per LSH-verified
+    * Jaccard cluster — the fixture's actual duplicate mass; exact
+    * dedup is the identity on it), K=3 DSIR weights trained over the
+    * KEPT corpus (the contrast LM never sees duplicate mass — run
+    * pre-dedup, a 1000-copy boilerplate dominates every bucket), then
+    * each target draws its ES top-50 from one shared scoring pass.
+    * Composes three verified operators; every shuffle stays keyed on
+    * shingle hashes, grams, or target. */
+  private def eMultiCuration(s: SparkSession, dir: String): DataFrame = {
+    val keepers = nearDupComps(s, dir)
+      .filter(col("doc_id") === col("group_id"))
+      .select("doc_id")
+    val kept = T(s, dir, "documents").join(keepers, "doc_id")
+    esTopKPerTarget(TextOps.dsirWeightsMulti(kept,
+      Seq("src0" -> (col("source") === "src0"),
+        "src1" -> (col("source") === "src1"),
+        "src2" -> (col("source") === "src2")), 1024), 50)
   }
 
   /** Asset-store exact dedup: payload-hash ledger (n_copies, keeper)
@@ -1966,6 +1991,7 @@ object SparkEntry {
     "e_dsir_multi_calibrate" -> (eDsirMultiCalibrate _),
     "e_dsir_multi3" -> (eDsirMulti3 _),
     "e_dsir_multi_apply" -> (eDsirMultiApply _),
+    "e_multi_curation" -> (eMultiCuration _),
     "d_dedup_apply" -> (dDedupApply _),
     "d_exact" -> (dExact _),
     "d_exact_normalized" -> (dExactNormalized _),
