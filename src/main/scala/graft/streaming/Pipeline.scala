@@ -62,6 +62,25 @@ object Pipeline {
       .select(col("w.start").as("window_start"), col("branch"), col("n"), col("sum_value"))
   }
 
+  /** Watermarked SESSION-window statistics — the streaming twin of the
+    * batch a_session_window registry row: per (user, session) the
+    * session bounds and event count, sessions closing after `gap` of
+    * event-time inactivity. Spark's native `session_window` merges
+    * windows as events land (state per OPEN session, emitted and
+    * dropped once the watermark passes session end + gap — append
+    * mode), and its end bound is max(ts) + gap, exactly the batch
+    * formulation's (the batch row derives sessions via lag/sum break
+    * flags — the spec pins all three forms equal on a replay). */
+  def sessionStats(events: DataFrame, watermarkDelay: String, gap: String): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(session_window(col("ts"), gap).as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        unix_micros(col("w.start")).as("session_start_us"),
+        unix_micros(col("w.end")).as("session_end_us"),
+        col("n_events"))
+
   /** Streaming exact deduplication: drop records whose dedup key was
     * already seen, with state bounded by the watermark (keys older
     * than the delay are forgotten — the standard unbounded-stream

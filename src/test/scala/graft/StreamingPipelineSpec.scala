@@ -13,6 +13,8 @@ import graft.streaming.Pipeline
   * re-expressed over MemoryStream + Trigger.AvailableNow — no Kafka or
   * Zipkin needed; the span/log tables replace the Zipkin UI and the
   * actuator logfile. */
+case class SessionEv(user_id: Long, ts: java.sql.Timestamp)
+
 class StreamingPipelineSpec extends SparkSpec {
   import spark.implicits._
 
@@ -541,5 +543,42 @@ class StreamingPipelineSpec extends SparkSpec {
     val rsn = enriched.filter(col("name") === "send-even")
       .select(col("remote_service_name")).distinct().as[String].collect().toSeq
     assert(rsn === Seq("kafka/even-numbers"))
+  }
+
+  test("streaming session windows equal the batch session aggregation on a replay") {
+    implicit val sqlCtx = spark.sqlContext
+    val t0 = 1700000000000L
+    // user 1: two sessions split by a >30min gap (events at 0/10/25min,
+    // then 70/75min); user 2: one single-event session; plus an
+    // out-of-order late event inside the watermark (15min, arrives
+    // after 25min) that must merge into user 1's first session
+    def ev(u: Long, offMin: Long) = SessionEv(u, new Timestamp(t0 + offMin * 60000L))
+    val fixture = Seq(ev(1, 0), ev(1, 10), ev(1, 25), ev(1, 15),
+      ev(1, 70), ev(1, 75), ev(2, 40))
+    // batch mode: the same function over a static frame (the
+    // watermark is a no-op there); its lag/sum-break equivalence is
+    // already pinned by the a_session_window oracle row
+    val expected = Pipeline.sessionStats(fixture.toDF(), "2 hours", "30 minutes")
+      .as[(Long, Long, Long, Long)].collect().toSet
+
+    val input = MemoryStream[SessionEv]
+    val out = Pipeline.sessionStats(input.toDF(), "10 minutes", "30 minutes")
+    val q = out.writeStream.format("memory").queryName("session_stream")
+      .outputMode("append").start()
+    try {
+      input.addData(fixture: _*)
+      q.processAllAvailable()
+      input.addData(ev(99, 600)) // advance the watermark past all sessions
+      q.processAllAvailable()
+      val streamed = spark.table("session_stream")
+        .as[(Long, Long, Long, Long)].collect()
+        .filterNot(_._1 == 99L).toSet
+      assert(streamed === expected)
+      // hand-checked: user 1 sessions [0, 25+30min] (4 events, the
+      // late 15min row merged) and [70, 75+30min] (2 events)
+      val u1 = streamed.filter(_._1 == 1L)
+      assert(u1.map(r => (r._4, (r._3 - r._2) / 60000000L)) ===
+        Set((4L, 55L), (2L, 35L)))
+    } finally q.stop()
   }
 }
