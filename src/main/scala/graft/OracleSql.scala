@@ -1478,6 +1478,27 @@ SELECT doc_a, doc_b, hamming FROM (
   FROM fps a JOIN fps b ON a.doc_id < b.doc_id)
 WHERE hamming <= 8""",
 
+    // media near-dup APPLY: transitive closure over the SimHash pair
+    // graph, keeper = min-id per component; sub-4-byte assets never
+    // fingerprint and survive as singletons
+    "m_media_apply" -> s"""${MEDIA_FPS.replaceFirst("WITH ", "WITH RECURSIVE ")}, mpairs AS (
+  SELECT doc_a, doc_b FROM (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+    FROM fps a JOIN fps b ON a.doc_id < b.doc_id)
+  WHERE hamming <= 8
+), e AS (
+  SELECT doc_a AS a, doc_b AS b FROM mpairs
+  UNION ALL SELECT doc_b AS a, doc_a AS b FROM mpairs
+), reach AS (
+  SELECT doc_id AS doc, doc_id AS lbl FROM documents
+  UNION
+  SELECT e.b AS doc, r.lbl AS lbl FROM reach r JOIN e ON e.a = r.doc
+), keep AS (
+  SELECT doc AS doc_id FROM reach GROUP BY doc HAVING min(lbl) = doc)
+SELECT d.doc_id AS asset_id, d.source, d.n_chars
+FROM documents d JOIN keep USING (doc_id)""",
+
     // chunk → token-hash-histogram featurize → ANN: the t_chunk window
     // slices re-derived, 64-bin hashing-trick vector per chunk, exact
     // double division (counts are exact in both engines)

@@ -1510,6 +1510,22 @@ object SparkEntry {
   private def mMediaNearDup(s: SparkSession, dir: String): DataFrame =
     Dedup.simhashPairs(mediaFps(s, dir), 8, bits = 64)
 
+  /** Media near-dup APPLY — the asset-store survivor set: byte-window
+    * SimHash pairs collapse transitively (same argument as
+    * d_neardup_apply), keeper = min-id per component; assets too short
+    * to fingerprint are singletons and survive. Completes the media
+    * family's pairs → apply symmetry on the shared
+    * [[graft.ext.Dedup.nearDupComponents]] union-find. */
+  private def mMediaApply(s: SparkSession, dir: String): DataFrame = {
+    val docs = T(s, dir, "documents")
+    val comps = Dedup.nearDupComponents(docs.select("doc_id"),
+        mMediaNearDup(s, dir).select("doc_a", "doc_b"))
+      .filter(col("doc_id") === col("group_id"))
+      .select("doc_id")
+    docs.join(comps, "doc_id")
+      .select(col("doc_id").as("asset_id"), col("source"), col("n_chars"))
+  }
+
   /** Edit-distance verification of the LSH candidates — char-level
     * near-dup confirmation bounded by the candidate list (the
     * order-sensitive complement of d_lsh_jaccard's token-set verify). */
@@ -1969,6 +1985,7 @@ object SparkEntry {
     "e_decontam_report" -> (eDecontamReport _),
     "e_media_ann" -> (eMediaAnn _),
     "m_media_neardup" -> (mMediaNearDup _),
+    "m_media_apply" -> (mMediaApply _),
     "e_chunk_ann" -> (eChunkAnn _),
     "d_edit_verify" -> (dEditVerify _),
     "t_ngram_diversity" -> (tNgramDiversity _),

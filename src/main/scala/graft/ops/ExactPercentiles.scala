@@ -53,6 +53,10 @@ object ExactPercentiles {
         hist.withColumn("cum_end", sum("cnt").over(w))
       } else {
         val nBuckets = 64
+        // stats and the bucket offsets re-derive the histogram rather
+        // than read it from a cache: materializing the full histogram
+        // (rows ∝ distinct values) costs more than the re-aggregation
+        // it saves — measured +1.8 s at sf0.1 with a PlanCache here
         val stats = hist.groupBy("k")
           .agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
         val bucketed = hist.join(broadcast(stats), "k")
