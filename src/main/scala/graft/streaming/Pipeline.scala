@@ -81,6 +81,28 @@ object Pipeline {
         unix_micros(col("w.end")).as("session_end_us"),
         col("n_events"))
 
+  /** Windowed embedding-centroid drift monitor: per tumbling window
+    * the EXACT fixed-point mean embedding of everything ingested in
+    * that window — the live face of the batch codebook/centroid
+    * means ([[graft.functions.VectorSumFixed]], the same aggregate
+    * k-means and label centroids build on). The imperative aggregate
+    * merges per-partition long buffers like any partial agg, so it
+    * composes with streaming window state exactly as
+    * percentile_approx does (spec pins batch equality on a replay);
+    * downstream compares successive windows' centroids to alarm on
+    * ingest drift. Append-mode: a window's centroid is final once
+    * the watermark passes. */
+  def embeddingDrift(vecs: DataFrame, dims: Int, watermarkDelay: String,
+      windowLen: String): DataFrame =
+    vecs
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(window(col("ts"), windowLen).as("w"))
+      .agg(graft.functions.VectorSumFixed.vecSumFixed(col("v"), dims, 1000000.0).as("s"),
+        count(lit(1)).as("n"))
+      .select(unix_micros(col("w.start")).as("window_start_us"), col("n"),
+        transform(col("s"), x => (x.cast("double") / 1000000.0) / col("n").cast("double"))
+          .as("centroid"))
+
   /** Streaming exact deduplication: drop records whose dedup key was
     * already seen, with state bounded by the watermark (keys older
     * than the delay are forgotten — the standard unbounded-stream

@@ -215,4 +215,35 @@ class PropertySpec extends SparkSpec {
       banded == exact
     }, "pigeonhole recall")
   }
+
+  test("Misra-Gries retention and error bounds hold on random streams and splits") {
+    import graft.functions.MisraGries.MGAgg
+    // random skewed streams (small alphabet so some item is heavy),
+    // random capacity, random split point for the merge path — the
+    // paper's guarantee must hold for EVERY arrival order and merge
+    // tree: every item with freq > n/(m+1) retained, every retained
+    // count an underestimate by at most n/(m+1)
+    val streamGen = for {
+      n <- Gen.choose(1, 400)
+      s <- Gen.listOfN(n, Gen.oneOf("a", "b", "c", "d", "e", "f", "g", "h"))
+      m <- Gen.choose(1, 6)
+      cut <- Gen.choose(0, n)
+    } yield (s, m, cut)
+    check(Prop.forAll(streamGen) { case (stream, m, cut) =>
+      val agg = new MGAgg(m)
+      val (l, r) = stream.splitAt(cut)
+      val merged = agg.merge(
+        l.foldLeft(agg.zero)(agg.reduce), r.foldLeft(agg.zero)(agg.reduce))
+      val exact = stream.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val n = stream.size.toLong
+      // integer forms: freq > n/(m+1) iff freq·(m+1) > n; error ≤
+      // n/(m+1) iff error·(m+1) ≤ n
+      merged.n == n &&
+        merged.items.size <= m &&
+        exact.forall { case (k, c) =>
+          (c * (m + 1) <= n) || merged.items.contains(k) } &&
+        merged.items.forall { case (k, est) =>
+          est <= exact(k) && (exact(k) - est) * (m + 1) <= n }
+    }, "misra-gries bounds")
+  }
 }

@@ -14,6 +14,7 @@ import graft.streaming.Pipeline
   * Zipkin needed; the span/log tables replace the Zipkin UI and the
   * actuator logfile. */
 case class SessionEv(user_id: Long, ts: java.sql.Timestamp)
+case class VecObs(ts: java.sql.Timestamp, v: Seq[Double])
 
 class StreamingPipelineSpec extends SparkSpec {
   import spark.implicits._
@@ -579,6 +580,37 @@ class StreamingPipelineSpec extends SparkSpec {
       val u1 = streamed.filter(_._1 == 1L)
       assert(u1.map(r => (r._4, (r._3 - r._2) / 60000000L)) ===
         Set((4L, 55L), (2L, 35L)))
+    } finally q.stop()
+  }
+
+  test("streaming embedding drift equals the batch centroid means on a replay") {
+    implicit val sqlCtx = spark.sqlContext
+    val t0 = 1700000040000L // minute-aligned
+    def ob(offS: Long, v: Seq[Double]) = VecObs(new Timestamp(t0 + offS * 1000L), v)
+    // two 1-minute windows; exact fixed-point sums make the centroid
+    // bit-stable across arrival orders and partitionings
+    val fixture = Seq(
+      ob(0, Seq(1.0, 2.0)), ob(10, Seq(3.0, 4.0)), ob(50, Seq(-1.0, 0.5)),
+      ob(70, Seq(10.0, 10.0)), ob(80, Seq(0.0, -10.0)))
+    val expected = Pipeline.embeddingDrift(fixture.toDF(), 2, "2 hours", "1 minute")
+      .as[(Long, Long, Seq[Double])].collect().toSet
+
+    val input = MemoryStream[VecObs]
+    val out = Pipeline.embeddingDrift(input.toDF(), 2, "10 seconds", "1 minute")
+    val q = out.writeStream.format("memory").queryName("drift_stream")
+      .outputMode("append").start()
+    try {
+      input.addData(fixture: _*)
+      q.processAllAvailable()
+      input.addData(ob(3600, Seq(0.0, 0.0))) // advance the watermark
+      q.processAllAvailable()
+      val streamed = spark.table("drift_stream")
+        .as[(Long, Long, Seq[Double])].collect()
+        .filter(r => r._1 < (t0 + 3000000L) * 1000L).toSet
+      assert(streamed === expected)
+      // hand-checked: window 0 mean = ((1+3-1)/3, (2+4+0.5)/3)
+      val w0 = streamed.find(_._1 == t0 * 1000L).get
+      assert(w0._2 === 3L && w0._3 === Seq(1.0, 6.5 / 3.0))
     } finally q.stop()
   }
 }
