@@ -202,6 +202,38 @@ object OracleSql {
 
   private val DSIR_MULTI_W = dsirMultiW(Seq("src0", "src1"))
 
+  /** Composite-PREDICATE DSIR chain (mirror of dsirWeightsMulti with
+    * arbitrary Column targets): pd carries (source, lang) and each
+    * target's contrast counts sum a SQL predicate — targets need not
+    * name one column's values. Ends at `w`. */
+  private def dsirCrossW(targets: Seq[(String, String)]) = s"""WITH xtoks AS (
+  SELECT doc_id, source, lang,
+         list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), t -> len(t) > 0) AS tk
+  FROM documents
+), occ AS (
+  SELECT doc_id, source, lang, unnest(${shinglesN(2)}) AS g FROM xtoks
+), pd AS (
+  SELECT doc_id, source, lang, ${dh("g")} % 1024 AS b, count(*) AS c_db
+  FROM occ GROUP BY 1, 2, 3, 4
+), bs AS (SELECT b, sum(c_db) AS c_c FROM pd GROUP BY b
+), ct AS (
+  ${targets.map { case (n, p) =>
+      s"SELECT '$n' AS target, b, sum(CASE WHEN $p THEN c_db ELSE 0 END) AS c_t FROM pd GROUP BY 2" }
+    .mkString("\n  UNION ALL ")}
+), nt AS (SELECT target, sum(c_t) AS n_t FROM ct GROUP BY 1
+), nc AS (SELECT sum(c_c) AS n_c FROM bs
+), model AS (
+  SELECT ct.target, ct.b,
+         ln((CAST(ct.c_t + 1 AS DOUBLE) / (nt.n_t + 1024)) /
+            (CAST(bs.c_c + 1 AS DOUBLE) / (nc.n_c + 1024))) AS log_ratio
+  FROM ct JOIN bs USING (b) JOIN nt USING (target) CROSS JOIN nc
+), w AS (
+  SELECT p.doc_id, m.target, CAST(sum(p.c_db) AS BIGINT) AS n_grams,
+         round(sum(p.c_db * m.log_ratio), 4) AS log_w
+  FROM pd p JOIN model m ON m.b = p.b
+  GROUP BY 1, 2
+)"""
+
   private val MINHASH_P = "2305843009213693951"
   private def mhTerm(i: Int): String =
     s"min((h*${2 * i + 1} + ${10007 * i + 1}) % $MINHASH_P) AS mh$i"
@@ -1606,6 +1638,14 @@ SELECT doc_id, log_w FROM k ORDER BY es_key DESC, doc_id LIMIT 100""",
     // join fans each bucket row by the target list — mirror of
     // TextOps.dsirWeightsMulti with IDENTICAL smoothing to DSIR_W
     "t_dsir_multi" -> s"""$DSIR_MULTI_W
+SELECT doc_id, target, n_grams, log_w FROM w""",
+
+    // composite-predicate targets: one target is (source AND lang),
+    // the other a bare lang slice — the weights chain is
+    // predicate-generic, not a source-column special case
+    "e_dsir_cross" -> s"""${dsirCrossW(Seq(
+      "src0_en" -> "source = 'src0' AND lang = 'en'",
+      "zh" -> "lang = 'zh'"))}
 SELECT doc_id, target, n_grams, log_w FROM w""",
 
     // per-target equalized calibration: e_dsir_calibrate composed

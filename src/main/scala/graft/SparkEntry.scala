@@ -1777,6 +1777,16 @@ object SparkEntry {
         "src1" -> (col("source") === "src1"),
         "src2" -> (col("source") === "src2")), 1024)
 
+  /** Composite-predicate DSIR targets — one (source ∧ lang) slice and
+    * one bare lang slice in the same pass: pins that
+    * [[graft.ext.TextOps.dsirWeightsMulti]] is predicate-generic
+    * (targets are arbitrary boolean Columns), not a source-column
+    * special case. */
+  private def eDsirCross(s: SparkSession, dir: String): DataFrame =
+    TextOps.dsirWeightsMulti(T(s, dir, "documents"),
+      Seq("src0_en" -> (col("source") === "src0" && col("lang") === "en"),
+        "zh" -> (col("lang") === "zh")), 1024)
+
   /** The K=3 calibration composition: per-target equalized strata over
     * the 3-slice weight table — 3 targets × 8 strata × ≤10 rows. */
   private def eDsirMulti3(s: SparkSession, dir: String): DataFrame =
@@ -2007,6 +2017,7 @@ object SparkEntry {
     "t_dsir_multi" -> (tDsirMulti _),
     "e_dsir_multi_calibrate" -> (eDsirMultiCalibrate _),
     "e_dsir_multi3" -> (eDsirMulti3 _),
+    "e_dsir_cross" -> (eDsirCross _),
     "e_dsir_multi_apply" -> (eDsirMultiApply _),
     "e_multi_curation" -> (eMultiCuration _),
     "d_dedup_apply" -> (dDedupApply _),

@@ -964,6 +964,20 @@ class ExtSpec extends SparkSpec {
       (3L, "nothing in common here at all", 0L)))
   }
 
+  test("composite-predicate DSIR target equals its single-target run") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val pred = col("source") === "src0" && col("lang") === "en"
+    val slice = TextOps.dsirWeightsMulti(docs,
+        Seq("x" -> pred, "zh" -> (col("lang") === "zh")), 1024)
+      .filter(col("target") === "x")
+      .select(col("doc_id"), col("n_grams"), col("log_w"))
+    val single = TextOps.dsirWeights(docs, pred, 1024)
+      .select(col("doc_id"), col("n_grams"), col("log_w"))
+    assert(slice.exceptAll(single).count() === 0L &&
+      single.exceptAll(slice).count() === 0L,
+      "a composite-predicate slice must reproduce the single-target weights")
+  }
+
   test("multi-target DSIR reproduces the single-target weights per slice") {
     // the one-pass k-target form must be VALUE-identical to k
     // single-target runs — same substrate, same smoothing, same

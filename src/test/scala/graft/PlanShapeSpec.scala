@@ -370,4 +370,28 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"),
       s"the sketch-sized candidate set must never sort-merge:\n$p")
   }
+
+  test("the gram matrix plans the one-buffer imperative aggregate, not d² rows") {
+    val p = plan("s_embed_gram")
+    assert(p.contains("grammatrixfixed"),
+      s"imperative Gram aggregate not planned:\n$p")
+    // the ONLY exchange is the partial-buffer merge (one d²/2-long
+    // buffer per partition to a single reducer); the d² explode
+    // happens after the final aggregate, on one row
+    val lines = p.linesIterator.toList
+    val exchanges = lines.filter(_.contains("Exchange"))
+    assert(exchanges.length === 1 && exchanges.head.contains("SinglePartition"),
+      s"only the buffer-merge exchange may plan:\n$p")
+    val gen = lines.indexWhere(_.contains("Generate"))
+    val agg = lines.indexWhere(_.contains("ObjectHashAggregate"))
+    assert(gen >= 0 && agg > gen,
+      s"the triangle explode must sit above the final aggregate:\n$p")
+  }
+
+  test("multi-tenant curation keeps the WindowGroupLimit prune and no product") {
+    val p = plan("e_multi_curation")
+    assert(p.contains("WindowGroupLimit"),
+      s"the per-target top-50 must prune map-side:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no product:\n$p")
+  }
 }
