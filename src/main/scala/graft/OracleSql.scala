@@ -110,6 +110,46 @@ object OracleSql {
   WHERE match_len >= $minLen
 )"""
 
+  /** Shared BPE-encode chain: token occurrences → one-round merge
+    * table (top-20 pairs, rank-ordered) → vocabulary segmented by a
+    * recursive CTE over merge rounds. The round transition is the
+    * greedy left-to-right non-overlapping merge pass, written as a
+    * list_reduce over the chr(31)-separated symbol string: append the
+    * next char, or fuse it with the previous SYMBOL when (prev, next)
+    * is exactly the pair (whole-symbol match via the last-[^sep]-run
+    * regex). Independent of the engine's nested-fold form. */
+  private val BPE = s"""$TOKS, tkc AS (
+  SELECT doc_id, unnest(tk) AS tok FROM toks
+), pc AS (
+  SELECT doc_id, tok, count(*) AS cnt FROM tkc GROUP BY 1, 2
+), mg AS (
+  SELECT pair, CAST(row_number() OVER (ORDER BY n DESC, pair) AS INT) AS rank FROM (
+    SELECT pair, count(*) AS n FROM (
+      SELECT unnest(list_transform(range(1, length(tok)),
+                    i -> substr(tok, CAST(i AS INT), 2))) AS pair
+      FROM tkc)
+    GROUP BY 1 ORDER BY n DESC, pair LIMIT 20)
+), enc AS (
+  WITH RECURSIVE r(tok, round, symstr) AS (
+    SELECT tok, 0, array_to_string(list_transform(range(1, length(tok)+1),
+             i -> substr(tok, CAST(i AS INT), 1)), chr(31))
+    FROM (SELECT DISTINCT tok FROM tkc)
+    UNION ALL
+    SELECT r.tok, r.round + 1,
+      list_reduce(string_split(r.symstr, chr(31)), (acc, x) -> CASE
+        WHEN regexp_extract(acc, '([^' || chr(31) || ']*)$$', 1) = substr(m.pair, 1, 1)
+             AND x = substr(m.pair, 2, 1)
+        THEN CASE WHEN acc = substr(m.pair, 1, 1) THEN m.pair
+                  ELSE regexp_replace(acc, chr(31) || '[^' || chr(31) || ']*$$', '')
+                       || chr(31) || m.pair END
+        ELSE acc || chr(31) || x END)
+    FROM r JOIN mg m ON m.rank = r.round + 1
+  )
+  SELECT tok, string_split(symstr, chr(31)) AS subs,
+         CAST(len(string_split(symstr, chr(31))) AS BIGINT) AS n_sub
+  FROM r WHERE round = (SELECT count(*) FROM mg)
+)"""
+
   private val SUBSTR_M = s"""$TOKS, posn AS (
   SELECT doc_id, unnest(range(1, greatest(len(tk)-4, 0)+1)) AS i, tk FROM toks
 ), g AS (
@@ -1370,6 +1410,41 @@ FROM rates r LEFT JOIN sampled s ON s.source = r.source""",
 )
 SELECT pair, count(*) AS n FROM p
 GROUP BY 1 ORDER BY n DESC, pair LIMIT 20""",
+
+    // BPE ENCODE, per doc: the engine's nested-fold segmentation is
+    // replayed here as a recursive CTE over merge ROUNDS (rank order)
+    // whose transition is a list_reduce greedy left-to-right merge
+    // pass over the chr(31)-separated symbol string (fixture text is
+    // control-char-free, so the separator cannot collide) — the
+    // s_embed_pc1 bounded-iteration pattern. Segmentation runs on the
+    // DISTINCT token vocabulary and joins back, like the engine.
+    "t_bpe_encode" -> s"""$BPE
+SELECT p.doc_id, CAST(sum(p.cnt) AS BIGINT) AS n_tok,
+       CAST(sum(length(p.tok) * p.cnt) AS BIGINT) AS n_chars,
+       CAST(sum(e.n_sub * p.cnt) AS BIGINT) AS n_sub
+FROM pc p JOIN enc e ON e.tok = p.tok
+GROUP BY 1""",
+
+    // top-30 subword vocabulary after encode — pins the segmentation
+    // STRINGS, not just counts
+    "t_bpe_subwords" -> s"""$BPE, tc AS (
+  SELECT tok, count(*) AS cnt FROM tkc GROUP BY 1
+)
+SELECT sub, CAST(sum(cnt) AS BIGINT) AS n FROM (
+  SELECT unnest(e.subs) AS sub, t.cnt
+  FROM tc t JOIN enc e ON e.tok = t.tok)
+GROUP BY 1 ORDER BY n DESC, sub LIMIT 30""",
+
+    // sequence packing on encoded subword counts — naive global-window
+    // cumsum vs the engine's two-phase distributed form
+    "t_pack_bpe" -> s"""$BPE, sized AS (
+  SELECT p.doc_id, CAST(sum(e.n_sub * p.cnt) AS BIGINT) AS n_tok
+  FROM pc p JOIN enc e ON e.tok = p.tok GROUP BY 1
+)
+SELECT doc_id, n_tok, tok_start, tok_start // 2048 AS chunk_id FROM (
+  SELECT doc_id, n_tok,
+         CAST(sum(n_tok) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n_tok AS BIGINT) AS tok_start
+  FROM sized)""",
 
     // content-defined chunking: token i ends a chunk when its hash is
     // 0 mod 16; tail tokens after the last boundary form a final chunk

@@ -29,7 +29,8 @@ import org.apache.spark.sql.types._
   * materialize, unlike the exploded i×j formulation whose shuffle is
   * d²·N. Overflow budget: at scale=1e3 and ‖v‖∞ ≈ 10, products are
   * ≤ 1e8, so ~9·10^10 rows fit a long per cell — raise dims-budget
-  * by lowering scale if a corpus exceeds it.
+  * by lowering scale if a corpus exceeds it. Exceeding the budget
+  * throws (Math.addExact/multiplyExact), never wraps silently.
   *
   * Output: array of (i, j, gram_fx) structs, i ≤ j, 0-indexed.
   * Null arrays contribute nothing; null elements read as 0 (dense
@@ -66,7 +67,10 @@ case class GramMatrixFixed(
       while (i < dims) {
         var j = i
         while (j < dims) {
-          buf(k) += f(i) * f(j)
+          // exact by contract: exceeding the documented scale/row
+          // budget must throw, not wrap silently (intrinsified, no
+          // measurable cost over raw +/*)
+          buf(k) = Math.addExact(buf(k), Math.multiplyExact(f(i), f(j)))
           k += 1; j += 1
         }
         i += 1
@@ -77,7 +81,7 @@ case class GramMatrixFixed(
 
   override def merge(buf: Array[Long], other: Array[Long]): Array[Long] = {
     var k = 0
-    while (k < cells) { buf(k) += other(k); k += 1 }
+    while (k < cells) { buf(k) = Math.addExact(buf(k), other(k)); k += 1 }
     buf
   }
 

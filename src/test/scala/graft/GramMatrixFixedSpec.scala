@@ -61,4 +61,18 @@ class GramMatrixFixedSpec extends SparkSpec {
       .map { case (i, j, v) => (i, j) -> v }.toMap
     assert(g === expected)
   }
+
+  test("exceeding the overflow budget fails loudly (never wraps)") {
+    // 1e9 at scale 1000 → fixed 1e12; its square overflows a long, so
+    // the exact contract demands an ArithmeticException, not a wrapped
+    // (silently corrupt) matrix
+    val df = Seq(Seq(1e9, 0.0)).toDF("v")
+    val e = intercept[Exception] {
+      df.agg(gramFixed(col("v"), 2, 1000.0).as("g")).collect()
+    }
+    def chain(t: Throwable): Seq[Throwable] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(10).toSeq
+    assert(chain(e).exists(_.isInstanceOf[ArithmeticException]),
+      s"expected ArithmeticException in cause chain, got: $e")
+  }
 }
