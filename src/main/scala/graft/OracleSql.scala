@@ -1779,6 +1779,48 @@ SELECT target, doc_id, log_w FROM (
          row_number() OVER (PARTITION BY target ORDER BY es_key DESC, doc_id) AS rk
   FROM k) WHERE rk <= 50""",
 
+    // the FULL curation DAG: decontam (drop train docs near-dupping
+    // across the 20% eval split) -> near-dup keepers over the
+    // surviving train corpus (pair graph = the shared LSH pairs
+    // restricted to train x train) -> K=3 DSIR over the kept corpus
+    // -> per-target ES top-50
+    "e_decontam_curation" -> s"""${LSH_PAIRS.replaceFirst("WITH ", "WITH RECURSIVE ")}, marks AS (
+  SELECT doc_id, ${dh("lang || '|' || CAST(doc_id AS VARCHAR)")} % 100 < 20 AS is_eval
+  FROM documents
+), bad AS (
+  SELECT DISTINCT CASE WHEN ma.is_eval THEN doc_b ELSE doc_a END AS doc_id
+  FROM pairs
+  JOIN marks ma ON ma.doc_id = doc_a
+  JOIN marks mb ON mb.doc_id = doc_b
+  WHERE ma.is_eval <> mb.is_eval
+), train AS (
+  SELECT d.* FROM documents d
+  JOIN marks m USING (doc_id)
+  WHERE NOT m.is_eval AND d.doc_id NOT IN (SELECT doc_id FROM bad)
+), tp AS (
+  SELECT doc_a, doc_b FROM pairs
+  WHERE doc_a IN (SELECT doc_id FROM train) AND doc_b IN (SELECT doc_id FROM train)
+), e AS (
+  SELECT doc_a AS a, doc_b AS b FROM tp
+  UNION ALL SELECT doc_b AS a, doc_a AS b FROM tp
+), reach AS (
+  SELECT doc_id AS doc, doc_id AS lbl FROM train
+  UNION
+  SELECT e.b AS doc, r.lbl AS lbl FROM reach r JOIN e ON e.a = r.doc
+), keep AS (
+  SELECT doc AS doc_id FROM reach GROUP BY doc HAVING min(lbl) = doc
+), kept AS (
+  SELECT d.doc_id, d.source, d.text FROM train d JOIN keep USING (doc_id)
+), ${dsirMultiW(Seq("src0", "src1", "src2"), "kept").stripPrefix("WITH ")}, k AS (
+  SELECT target, doc_id, log_w,
+         ln((CAST(${dh("CAST(doc_id AS VARCHAR)")} % 1000000 AS DOUBLE) + 0.5) / 1000000.0)
+           / exp(log_w) AS es_key
+  FROM w)
+SELECT target, doc_id, log_w FROM (
+  SELECT target, doc_id, log_w,
+         row_number() OVER (PARTITION BY target ORDER BY es_key DESC, doc_id) AS rk
+  FROM k) WHERE rk <= 50""",
+
     // the K=3 slice: same chain, three targets in one pass
     "e_dsir_multi3" -> s"""${dsirMultiW(Seq("src0", "src1", "src2"))}, st AS (
   SELECT target, min(log_w) AS mn, max(log_w) AS mx FROM w GROUP BY 1

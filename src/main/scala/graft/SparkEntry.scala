@@ -1321,13 +1321,14 @@ object SparkEntry {
       .withColumn("text", regexp_replace(lower(trim(col("text"))), "\\s+", " ")))
 
   private def dJaccard(s: SparkSession, dir: String): DataFrame =
-    Dedup.ngramJaccardPairs(T(s, dir, "documents"), 3, 0.5)
+    Dedup.ngramJaccardPairs(T(s, dir, "documents"), 3, 0.5,
+      Dedup.DfCap.ExhaustiveOracle)
 
   /** df-capped Jaccard: shingles in more than 5 documents are dropped
     * before the self-join — the scale-safe form of d_ngram_jaccard
     * (bounded fan-out per shingle key). */
   private def dJaccardCapped(s: SparkSession, dir: String): DataFrame =
-    Dedup.ngramJaccardPairsCapped(T(s, dir, "documents"), 3, 0.5, 5L)
+    Dedup.ngramJaccardPairs(T(s, dir, "documents"), 3, 0.5, Dedup.DfCap.Capped(5L))
 
   private def dMinhashSig(s: SparkSession, dir: String): DataFrame =
     Dedup.minhashSignatures(T(s, dir, "documents"), 3, 16)
@@ -1854,7 +1855,7 @@ object SparkEntry {
   /** Per-target Efraimidis–Spirakis top-`k` over a (target, doc_id,
     * log_w) weight frame — the shared closing step of
     * e_dsir_multi_apply and e_multi_curation. */
-  private def esTopKPerTarget(w: DataFrame, k: Int): DataFrame = {
+  private[graft] def esTopKPerTarget(w: DataFrame, k: Int): DataFrame = {
     val u = (pmod(Codecs.portableHash(col("doc_id").cast("string")), lit(1000000L))
       .cast("double") + lit(0.5)) / lit(1000000.0)
     val wnd = Window.partitionBy(col("target"))
@@ -1882,6 +1883,46 @@ object SparkEntry {
       .filter(col("doc_id") === col("group_id"))
       .select("doc_id")
     val kept = T(s, dir, "documents").join(keepers, "doc_id")
+    esTopKPerTarget(TextOps.dsirWeightsMulti(kept,
+      Seq("src0" -> (col("source") === "src0"),
+        "src1" -> (col("source") === "src1"),
+        "src2" -> (col("source") === "src2")), 1024), 50)
+  }
+
+  /** The FULL pretraining curation DAG — decontam first, then dedup,
+    * then DSIR, then the per-target draw (the production ordering a
+    * real run uses before holding out an eval set):
+    * (1) mark the deterministic 20% eval split; (2) drop every train
+    * doc that near-dups ACROSS the split (d_contamination's gate);
+    * (3) near-dup keepers over the surviving train corpus — the pair
+    * graph is the SAME shared LSH-verified frame restricted to
+    * train×train (Jaccard is pairwise, so subset pairs ≡ corpus pairs
+    * ∩ subset², no rebuild); (4) K=3 DSIR weights trained on the kept
+    * corpus; (5) each target's ES top-50. Every shuffle stays keyed on
+    * shingle hashes, doc ids, grams, or target. */
+  private def eDecontamCuration(s: SparkSession, dir: String): DataFrame = {
+    val docs = T(s, dir, "documents")
+    val marks = docs.select(col("doc_id"),
+      TextOps.hashSample(col("lang"), col("doc_id"), 20).as("is_eval"))
+    val pairs = Dedup.lshVerifiedJaccard(docs, 3, 16, 4, 4, 0.5)
+      .select("doc_a", "doc_b")
+    val marked = pairs
+      .join(marks.select(col("doc_id").as("doc_a"), col("is_eval").as("eval_a")), "doc_a")
+      .join(marks.select(col("doc_id").as("doc_b"), col("is_eval").as("eval_b")), "doc_b")
+    val bad = marked.filter(col("eval_a") =!= col("eval_b"))
+      .select(when(col("eval_a"), col("doc_b")).otherwise(col("doc_a")).as("doc_id"))
+      .distinct()
+    val train = docs
+      .join(marks.filter(!col("is_eval")).select("doc_id"), "doc_id")
+      .join(bad, Seq("doc_id"), "left_anti")
+    val trainIds = graft.ops.PlanCache.cached("decontam-train-ids",
+      train.select("doc_id"))
+    val tPairs = pairs
+      .join(trainIds.select(col("doc_id").as("doc_a")), "doc_a")
+      .join(trainIds.select(col("doc_id").as("doc_b")), "doc_b")
+    val keepers = Dedup.nearDupComponents(trainIds, tPairs)
+      .filter(col("doc_id") === col("group_id")).select("doc_id")
+    val kept = train.join(keepers, "doc_id")
     esTopKPerTarget(TextOps.dsirWeightsMulti(kept,
       Seq("src0" -> (col("source") === "src0"),
         "src1" -> (col("source") === "src1"),
@@ -2072,6 +2113,7 @@ object SparkEntry {
     "e_dsir_cross" -> (eDsirCross _),
     "e_dsir_multi_apply" -> (eDsirMultiApply _),
     "e_multi_curation" -> (eMultiCuration _),
+    "e_decontam_curation" -> (eDecontamCuration _),
     "d_dedup_apply" -> (dDedupApply _),
     "d_exact" -> (dExact _),
     "d_exact_normalized" -> (dExactNormalized _),

@@ -72,13 +72,44 @@ object Dedup {
         .select(col("doc_id"), hashFn(hashName)(col("sh")).as("h"))
     }
 
+  /** Caller-DECLARED document-frequency policy for the shared gram
+    * self-join substrate (the ExactPercentiles `fewGroups` pattern:
+    * the scale-critical strategy choice is part of the call, never an
+    * implicit default). [[DfCap.Capped]] drops shingles in more than
+    * `maxDf` docs before the join — the production form, join fan-out
+    * ≤ maxDf² per key. [[DfCap.ExhaustiveOracle]] keeps every shingle:
+    * one stop-shingle shared by d docs contributes d²/2 join rows, so
+    * this form exists ONLY as the correctness twin the capped path is
+    * verified against — the name is the warning. */
+  sealed trait DfCap
+  object DfCap {
+    final case class Capped(maxDf: Long) extends DfCap
+    case object ExhaustiveOracle extends DfCap
+  }
+
   /** Shared Jaccard tail over a (doc_id, h) shingle frame: equi-join on
     * the shingle hash (this IS the candidate generator — only docs
     * sharing ≥1 shingle ever meet), count intersections, then
     * J = |∩| / (|A|+|B|-|∩|). Sizes are computed over the SAME frame,
     * so a df-capped caller gets Jaccard over the capped universe —
-    * consistent numerator and denominator. */
-  private def jaccardPairs(sh: DataFrame, minJaccard: Double): DataFrame = {
+    * consistent numerator and denominator. Every caller declares its
+    * [[DfCap]]: the capped index is PlanCached (the tail references
+    * its input 3× — self-join twice + sizes — so the df pass would
+    * otherwise run three times per query), and the df aggregation
+    * shuffles on the same key `h` as the join, one co-partitioned
+    * pass, not a new shuffle shape. */
+  private def jaccardPairs(shRaw: DataFrame, minJaccard: Double, cap: DfCap,
+      cacheTag: String): DataFrame = {
+    val sh = cap match {
+      case DfCap.ExhaustiveOracle => shRaw
+      case DfCap.Capped(maxDf) =>
+        graft.ops.PlanCache.cachedBy(s"$cacheTag-capped-$maxDf",
+            shRaw.queryExecution.logical.semanticHash(), shRaw.sparkSession) {
+          val rare = shRaw.groupBy("h").agg(count(lit(1)).as("df"))
+            .filter(col("df") <= maxDf).select("h")
+          shRaw.join(rare, Seq("h"), "left_semi")
+        }
+    }
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val inter = sh.as("a").join(sh.as("b"),
         col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
@@ -118,38 +149,17 @@ object Dedup {
     round(col("n_inter").cast("double") /
       (col("n_a") + col("n_b") - col("n_inter")).cast("double"), 4)
 
-  /** n-gram Jaccard near-dup pairs, exhaustive over all shingles.
-    * CAUTION at scale: one shingle shared by d documents contributes
-    * d²/2 join rows — a single stop-shingle in a billion docs is fatal.
-    * Use [[ngramJaccardPairsCapped]] (df cap) or [[lshVerifiedJaccard]]
-    * (candidate-driven) as the scale path; this form is the
-    * local-correctness twin they are verified against. */
-  def ngramJaccardPairs(docs: DataFrame, n: Int, minJaccard: Double): DataFrame =
-    jaccardPairs(shingleHashes(docs, n), minJaccard)
-
-  /** [[ngramJaccardPairs]] with a shingle document-frequency cap:
-    * shingles occurring in more than `maxDf` documents are dropped
-    * BEFORE the self-join (classic stop-shingle removal), so the join
-    * fan-out per shingle key is bounded by maxDf² instead of corpus².
-    * Jaccard is computed over the capped shingle universe — both |∩|
-    * and the set sizes exclude hot shingles, which also makes near-dup
-    * scores sharper (ubiquitous shingles carry no signal). The df
-    * aggregation shuffles on the same key `h` as the join, so the cap
-    * adds one co-partitioned pass, not a new shuffle shape. */
-  def ngramJaccardPairsCapped(docs: DataFrame, n: Int, minJaccard: Double,
-      maxDf: Long): DataFrame = {
-    val sh = shingleHashes(docs, n)
-    // the downstream Jaccard tail references its input 3x (self-join
-    // twice + sizes) — cache the capped index or the df-cap pass runs
-    // three times per query
-    val capped = graft.ops.PlanCache.cachedBy(s"shingles-capped-$n-$maxDf",
-        docs.queryExecution.logical.semanticHash(), docs.sparkSession) {
-      val rare = sh.groupBy("h").agg(count(lit(1)).as("df"))
-        .filter(col("df") <= maxDf).select("h")
-      sh.join(rare, Seq("h"), "left_semi")
-    }
-    jaccardPairs(capped, minJaccard)
-  }
+  /** n-gram Jaccard near-dup pairs under a declared [[DfCap]].
+    * [[DfCap.Capped]] is the production form (classic stop-shingle
+    * removal: join fan-out per key ≤ maxDf², and near-dup scores
+    * sharpen because ubiquitous shingles carry no signal).
+    * [[DfCap.ExhaustiveOracle]] is the semantics twin the capped path
+    * and LSH are verified against — a stop-shingle shared by d docs
+    * costs d²/2 join rows, so it must never be a production entry
+    * point (the registry keeps it only as an oracle row). */
+  def ngramJaccardPairs(docs: DataFrame, n: Int, minJaccard: Double,
+      cap: DfCap): DataFrame =
+    jaccardPairs(shingleHashes(docs, n), minJaccard, cap, s"shingles-$n")
 
   /** MinHash signatures via the [[graft.functions.MinHashSketch]]
     * custom aggregate: ONE imperative agg with an Array[Long] buffer

@@ -36,7 +36,7 @@ class ExtSpec extends SparkSpec {
       (1L, "the quick brown fox jumps over the lazy dog"),
       (2L, "the quick brown fox jumps over the lazy cat"),
       (3L, "completely different words entirely here now")).toDF("doc_id", "text")
-    val pairs = Dedup.ngramJaccardPairs(docs, 3, 0.4)
+    val pairs = Dedup.ngramJaccardPairs(docs, 3, 0.4, Dedup.DfCap.ExhaustiveOracle)
       .select(col("doc_a"), col("doc_b")).as[(Long, Long)].collect().toSeq
     assert(pairs === Seq((1L, 2L)))
   }
@@ -73,9 +73,9 @@ class ExtSpec extends SparkSpec {
     val hot = (1L to 6L).map(i => (i, s"hot shin gle u${i}a u${i}b u${i}c"))
     val dups = Seq((100L, "dup one two three"), (101L, "dup one two three"))
     val docs = (hot ++ dups).toDF("doc_id", "text")
-    val uncapped = Dedup.ngramJaccardPairs(docs, 3, 0.0)
+    val uncapped = Dedup.ngramJaccardPairs(docs, 3, 0.0, Dedup.DfCap.ExhaustiveOracle)
       .select(col("doc_a"), col("doc_b")).as[(Long, Long)].collect().toSet
-    val capped = Dedup.ngramJaccardPairsCapped(docs, 3, 0.0, 5L)
+    val capped = Dedup.ngramJaccardPairs(docs, 3, 0.0, Dedup.DfCap.Capped(5L))
       .select(col("doc_a"), col("doc_b")).as[(Long, Long)].collect().toSet
     // uncapped: the hot shingle alone manufactures all 15 cross-pairs
     assert(uncapped.contains((1L, 2L)) && uncapped.size === 16)
@@ -1112,5 +1112,45 @@ class ExtSpec extends SparkSpec {
       .select(col("vec_id"), col("z")).as[(Long, Double)].collect().toSeq
     assert(got.map(_._1) === Seq(6L))
     assert(math.abs(got.head._2 - -2.2361) < 1e-4)
+  }
+
+  test("decontam gate genuinely changes the curation draw (and the draw is clean)") {
+    val dir = "/root/testdata/sf0.001"
+    val docs = SparkEntry.T(spark, dir, "documents")
+    val marks = docs.select(col("doc_id"),
+      TextOps.hashSample(col("lang"), col("doc_id"), 20).as("is_eval"))
+    val pairs = Dedup.lshVerifiedJaccard(docs, 3, 16, 4, 4, 0.5)
+      .select("doc_a", "doc_b")
+    val marked = pairs
+      .join(marks.select(col("doc_id").as("doc_a"), col("is_eval").as("eval_a")), "doc_a")
+      .join(marks.select(col("doc_id").as("doc_b"), col("is_eval").as("eval_b")), "doc_b")
+    val bad = marked.filter(col("eval_a") =!= col("eval_b"))
+      .select(when(col("eval_a"), col("doc_b")).otherwise(col("doc_a")).as("doc_id"))
+      .distinct()
+    val badIds = bad.as[Long].collect().toSet
+    assert(badIds.nonEmpty, "fixture must contain cross-split contamination")
+    val evalIds = marks.filter(col("is_eval")).select("doc_id").as[Long].collect().toSet
+
+    val gated = SparkEntry.queries("e_decontam_curation")(spark, dir)
+      .select(col("target"), col("doc_id")).as[(String, Long)].collect().toSet
+    // the draw must be contamination- and eval-free by construction
+    assert(gated.forall { case (_, d) => !badIds(d) && !evalIds(d) })
+
+    // ungated twin: identical chain minus the contamination anti-join
+    val train0 = docs.join(marks.filter(!col("is_eval")).select("doc_id"), "doc_id")
+    val ids0 = train0.select("doc_id")
+    val tp0 = pairs
+      .join(ids0.select(col("doc_id").as("doc_a")), "doc_a")
+      .join(ids0.select(col("doc_id").as("doc_b")), "doc_b")
+    val keep0 = Dedup.nearDupComponents(ids0, tp0)
+      .filter(col("doc_id") === col("group_id")).select("doc_id")
+    val ungated = SparkEntry.esTopKPerTarget(TextOps.dsirWeightsMulti(
+      train0.join(keep0, "doc_id"),
+      Seq("src0" -> (col("source") === "src0"),
+        "src1" -> (col("source") === "src1"),
+        "src2" -> (col("source") === "src2")), 1024), 50)
+      .select(col("target"), col("doc_id")).as[(String, Long)].collect().toSet
+    assert(gated !== ungated,
+      "the decontam gate must change the downstream draw on this fixture")
   }
 }

@@ -394,4 +394,23 @@ class PlanShapeSpec extends SparkSpec {
       s"the per-target top-50 must prune map-side:\n$p")
     assert(!p.contains("CartesianProduct"), s"no product:\n$p")
   }
+
+  test("capped gram join plans the df gate; only the declared oracle row skips it") {
+    // the DfCap.Capped path must stage the stop-shingle removal as a
+    // semi join BEFORE the self-join; the exhaustive twin (declared
+    // DfCap.ExhaustiveOracle at its single registry call site) is the
+    // only plan allowed to go straight to the self-join
+    graft.ops.PlanCache.clear()
+    val capped = plan("d_ngram_jaccard_capped")
+    assert(capped.contains("LeftSemi"),
+      s"df cap did not plan as a semi-join gate:\n$capped")
+    assert(!plan("d_ngram_jaccard").contains("LeftSemi"))
+  }
+
+  test("full curation DAG keeps the per-target prune and no product") {
+    val p = plan("e_decontam_curation")
+    assert(p.contains("WindowGroupLimit"),
+      s"the per-target top-50 must prune map-side:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no product:\n$p")
+  }
 }
