@@ -103,6 +103,69 @@ object Pipeline {
         transform(col("s"), x => (x.cast("double") / 1000000.0) / col("n").cast("double"))
           .as("centroid"))
 
+  /** One closed window's centroid, as [[embeddingDrift]] emits it. */
+  case class CentroidObs(window_start_us: Long, n: Long, centroid: Seq[Double])
+
+  /** Drift verdict for one window: cosine against the PREVIOUS
+    * window's centroid (None for the first window ever) and the alarm
+    * bit. */
+  case class DriftAlert(window_start_us: Long, n: Long,
+      cos_prev: Option[Double], alert: Boolean)
+
+  /** Alarm state: last closed window + its centroid (public, not
+    * private — the state encoder's codegen cannot see private
+    * classes, the [[StreamingCriticalPath.SpanRec]] lesson). */
+  case class DriftState(lastStartUs: Long, centroid: Seq[Double])
+
+  /** Cosine of two equal-length vectors; 0.0 when either norm is 0 —
+    * a collapsed (all-zero) centroid after a live one IS drift, so the
+    * zero convention keeps the alarm armed rather than silencing it
+    * with a NaN. */
+  private[streaming] def cosineOf(a: Seq[Double], b: Seq[Double]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+    if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  /** The drift ALARM over the centroid stream: cosine between window
+    * N−1 and N centroids, alert when it falls under `minCos` — the
+    * comparison [[embeddingDrift]]'s scaladoc promises downstream.
+    *
+    * Runs as its own query stage consuming the (one row per closed
+    * window) centroid stream — in production the aggregation job
+    * writes centroids to a topic and this alarm tails it, which is
+    * also why a single-key stateful fold is the CORRECT scale shape
+    * here: the input is window-cardinality, never data-sized, and the
+    * state is exactly one window id + d doubles. Windows close in
+    * watermark order, so arrival order is monotone by construction;
+    * a regression is a wiring bug and fails loudly (the
+    * StreamingPacker enforcement rule). Batch agreement: replaying
+    * the same centroid rows reproduces the batch lag-window cosines
+    * bit for bit (spec-pinned). */
+  def driftAlarm(cents: org.apache.spark.sql.Dataset[CentroidObs],
+      minCos: Double): org.apache.spark.sql.Dataset[DriftAlert] = {
+    import org.apache.spark.sql.Encoders
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    implicit val outEnc = Encoders.product[DriftAlert]
+    implicit val stEnc = Encoders.product[DriftState]
+    implicit val keyEnc = Encoders.scalaInt
+    cents.groupByKey(_ => 0)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (_: Int, rows: Iterator[CentroidObs], state: GroupState[DriftState]) => {
+          val sorted = rows.toIndexedSeq.sortBy(_.window_start_us)
+          var prev = state.getOption
+          val out = sorted.map { c =>
+            prev.foreach(p => require(p.lastStartUs < c.window_start_us,
+              s"centroid window regression: ${p.lastStartUs} then ${c.window_start_us}"))
+            val cos = prev.map(p => cosineOf(p.centroid, c.centroid))
+            prev = Some(DriftState(c.window_start_us, c.centroid))
+            DriftAlert(c.window_start_us, c.n, cos, cos.exists(_ < minCos))
+          }
+          prev.foreach(state.update)
+          out.iterator
+        })
+  }
+
   /** Streaming exact deduplication: drop records whose dedup key was
     * already seen, with state bounded by the watermark (keys older
     * than the delay are forgotten — the standard unbounded-stream
@@ -566,6 +629,46 @@ object Pipeline {
         round(when(col("qn") * col("nrm") =!= 0.0d,
           Similarity.dot(col("qv"), col("v")) / (col("qn") * col("nrm")))
           .otherwise(lit(Double.NaN)), 4).as("cos"))
+  }
+
+  /** Streaming ANN SERVE gate — [[annStream]] plus the per-query
+    * top-k cut, so the streaming side emits the SAME final answer rows
+    * as [[graft.ext.Similarity.ivfSearchStore]] instead of raw scored
+    * candidates. Per arriving query: row-local cell assignment via the
+    * codebook LITERAL, stream-static equi-join against the persisted
+    * cell-bucketed store, then a watermarked (window, q_id) rollup
+    * that keeps the k best by the shared tie rule (cos desc on the
+    * UNROUNDED score, then neighbor id — rankTopK's ordering, so
+    * outputs are directly comparable). A query's answer emits exactly
+    * once, when its window closes under the watermark.
+    *
+    * Scale: no state beyond the rollup, whose per-query buffer is
+    * bounded by the query's CELL occupancy (≈ N/kCells by
+    * construction of the codebook) — the same bound the batch probe
+    * pays; the store is never shuffled per micro-batch. */
+  def annGate(queries: DataFrame, store: DataFrame, kCells: Int, k: Int,
+      watermarkDelay: String, windowLen: String): DataFrame = {
+    import graft.ext.Similarity
+    val assigned = Similarity.ivfAssign(store, kCells)
+      .select(col("cell"), col("vec_id"), col("v"), col("nrm"))
+    val centsLit = Similarity.codebookLiteral(store, kCells)
+    queries
+      .withWatermark("ts", watermarkDelay)
+      .select(col("ts"), col("q_id"), Similarity.asDouble(col("embedding")).as("qv"))
+      .withColumn("qn", Similarity.norm(col("qv")))
+      .withColumn("cell", Similarity.cellOf(centsLit, col("qv"), col("qn")))
+      .join(assigned, Seq("cell")) // stream-static equi-join on the cell
+      .withColumn("cos_raw",
+        when(col("qn") * col("nrm") =!= 0.0d,
+          Similarity.dot(col("qv"), col("v")) / (col("qn") * col("nrm")))
+          .otherwise(lit(Double.NaN)))
+      .groupBy(window(col("ts"), windowLen), col("q_id"))
+      .agg(slice(array_sort(collect_list(struct(
+        (col("cos_raw") * -1.0d).as("nc"), col("vec_id"),
+        round(col("cos_raw"), 4).as("cos")))), 1, k).as("top"))
+      .select(col("q_id"), posexplode(col("top")))
+      .select(col("q_id"), col("col.vec_id").as("neighbor_id"),
+        (col("pos") + 1).cast("int").as("rnk"), col("col.cos"))
   }
 
   /** Start the streaming query: raw Kafka-shaped stream in, four sinks

@@ -53,6 +53,39 @@ object StreamingHeavyHitters {
       .transformWithState(new ShardProcessor(m), TimeMode.None(), OutputMode.Update())
   }
 
+  /** One exactly-confirmed heavy hitter. */
+  case class Confirmed(item: String, cnt: Long)
+
+  /** Phase-2 EXACT confirm composed onto the candidate stream — the
+    * slowTraces stream-static shape ([[StreamingCriticalPath]]): each
+    * emitted shard summary explodes its retained items and probes the
+    * STATIC exact corpus counts (broadcast per micro-batch, zero added
+    * state), keeping batch phase 2's integer rule `cnt·(m+1) > total`.
+    * Soundness: every emitted row passed the exact global filter, so
+    * nothing spurious ever streams out. Completeness: a true heavy
+    * hitter always survives in its shard's final summary (the
+    * Misra–Gries retention bound), so the last trigger emits it. The
+    * DISTINCT confirmed rows after a corpus replay therefore equal the
+    * batch [[graft.ext.TextOps.heavyHitters]] set exactly
+    * (spec-pinned); items confirmed at earlier triggers are true
+    * positives by soundness, just re-stated.
+    *
+    * `corpusCounts` is (item, cnt) — the batch-side exact ledger the
+    * confirm joins against; at scale it is a bucketed staging table or
+    * broadcast, exactly like slowTraces' anomaly baseline. */
+  def confirmed(cands: Dataset[ShardSummary], corpusCounts: Dataset[Confirmed],
+      total: Long, m: Int): Dataset[Confirmed] = {
+    import org.apache.spark.sql.functions.{broadcast, col, explode}
+    implicit val outEnc = Encoders.product[Confirmed]
+    cands
+      .select(explode(col("items")))
+      .select(col("key").as("item"))
+      .join(broadcast(corpusCounts.toDF()), Seq("item"))
+      .filter(col("cnt") * (m + 1) > total)
+      .select(col("item"), col("cnt"))
+      .as[Confirmed]
+  }
+
   private class ShardProcessor(m: Int)
       extends StatefulProcessor[Int, KeyedItem, ShardSummary] {
     @transient private lazy val agg = new MGAgg(m)

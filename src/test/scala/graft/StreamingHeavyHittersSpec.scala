@@ -63,6 +63,35 @@ class StreamingHeavyHittersSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-static exact confirm emits exactly the batch heavy hitters") {
+    implicit val sqlCtx = spark.sqlContext
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val m = 4; val shards = 2
+    val exact = bigrams.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val counts = exact.toSeq.map { case (k, c) =>
+      StreamingHeavyHitters.Confirmed(k, c) }.toDS()
+    val input = MemoryStream[KeyedItem]
+    val out = StreamingHeavyHitters.confirmed(
+      StreamingHeavyHitters.candidates(input.toDS(), m, shards),
+      counts, bigrams.size.toLong, m)
+    val q = out.writeStream.format("memory").queryName("hh_confirmed")
+      .outputMode("update").start()
+    try {
+      val (first, rest) = bigrams.splitAt(bigrams.size / 2)
+      input.addData(first.map(KeyedItem): _*)
+      q.processAllAvailable()
+      input.addData(rest.map(KeyedItem): _*)
+      q.processAllAvailable()
+      val streamed = spark.table("hh_confirmed")
+        .as[StreamingHeavyHitters.Confirmed].collect().toSet
+      val batch = TextOps.heavyHitters(docs.toDF("doc_id", "text"), m)
+        .as[(String, Long)].collect().toSet
+      assert(streamed.map(c => (c.item, c.cnt)) === batch,
+        "distinct confirmed rows after replay must equal the batch exact set")
+    } finally q.stop()
+  }
+
   test("shard routing is total and stable") {
     val ks = Seq("a b", "hot hot", "q r", "", "x")
     ks.foreach { k =>

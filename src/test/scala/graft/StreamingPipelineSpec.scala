@@ -15,6 +15,7 @@ import graft.streaming.Pipeline
   * actuator logfile. */
 case class SessionEv(user_id: Long, ts: java.sql.Timestamp)
 case class VecObs(ts: java.sql.Timestamp, v: Seq[Double])
+case class QVecObs(ts: java.sql.Timestamp, q_id: Long, embedding: Array[Float])
 
 class StreamingPipelineSpec extends SparkSpec {
   import spark.implicits._
@@ -611,6 +612,73 @@ class StreamingPipelineSpec extends SparkSpec {
       // hand-checked: window 0 mean = ((1+3-1)/3, (2+4+0.5)/3)
       val w0 = streamed.find(_._1 == t0 * 1000L).get
       assert(w0._2 === 3L && w0._3 === Seq(1.0, 6.5 / 3.0))
+    } finally q.stop()
+  }
+
+  test("drift alarm flags the flipped centroid and is replay-split invariant") {
+    implicit val sqlCtx = spark.sqlContext
+    // four closed windows: steady +x, then a flip to +y (the injected
+    // drift event), then steady again
+    val cents = Seq(
+      Pipeline.CentroidObs(1000L, 3L, Seq(1.0, 0.0)),
+      Pipeline.CentroidObs(2000L, 4L, Seq(0.9, 0.1)),
+      Pipeline.CentroidObs(3000L, 5L, Seq(0.0, 1.0)),
+      Pipeline.CentroidObs(4000L, 2L, Seq(0.1, 0.9)))
+    def run(name: String, batches: Seq[Seq[Pipeline.CentroidObs]]): Seq[Pipeline.DriftAlert] = {
+      val input = MemoryStream[Pipeline.CentroidObs]
+      val q = Pipeline.driftAlarm(input.toDS(), 0.8)
+        .writeStream.format("memory").queryName(name).outputMode("append").start()
+      try {
+        batches.foreach { b => input.addData(b: _*); q.processAllAvailable() }
+        spark.table(name).as[Pipeline.DriftAlert].collect()
+          .sortBy(_.window_start_us).toSeq
+      } finally q.stop()
+    }
+    val oneBatch = run("drift_a", Seq(cents))
+    // hand-checked: cos(w1,w2)=0.9/√0.82≈0.99388, cos(w2,w3)=0.1/√0.82
+    // ≈0.11043 (<0.8 ⇒ alert), cos(w3,w4)=0.9/√0.82
+    assert(oneBatch.map(_.window_start_us) === Seq(1000L, 2000L, 3000L, 4000L))
+    assert(oneBatch.head.cos_prev.isEmpty && !oneBatch.head.alert)
+    assert(oneBatch.map(_.alert) === Seq(false, false, true, false))
+    val eps = 1e-9
+    assert(math.abs(oneBatch(1).cos_prev.get - 0.9 / math.sqrt(0.82)) < eps)
+    assert(math.abs(oneBatch(2).cos_prev.get - 0.1 / math.sqrt(0.82)) < eps)
+    assert(math.abs(oneBatch(3).cos_prev.get - 0.9 / math.sqrt(0.82)) < eps)
+    // batch-replay agreement: the same centroids through per-row
+    // triggers (state crossing every boundary) emit identical rows
+    val perRow = run("drift_b", cents.map(Seq(_)))
+    assert(perRow === oneBatch)
+  }
+
+  test("ANN serve gate emits exactly the batch store-search answers at window close") {
+    implicit val sqlCtx = spark.sqlContext
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val store = emb.filter(col("vec_id") >= 8)
+    val expected = graft.ext.Similarity.ivfSearchStore(
+        emb.filter(col("vec_id") < 8).select(col("vec_id").as("q_id"), col("embedding")),
+        store, 3, 8)
+      .select(col("q_id"), col("neighbor_id"), col("rnk"), col("cos"))
+      .as[(Long, Long, Int, Double)].collect().toSet
+    assert(expected.nonEmpty, "store search must return neighbors")
+    val t0 = 1700000040000L // minute-aligned
+    val queries = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])].collect()
+      .map { case (id, v) => QVecObs(new Timestamp(t0 + id * 1000L), id, v) }.toSeq
+    val input = MemoryStream[QVecObs]
+    val out = Pipeline.annGate(input.toDF(), store, 8, 3, "10 seconds", "1 minute")
+    val q = out.writeStream.format("memory").queryName("ann_gate")
+      .outputMode("append").start()
+    try {
+      val (half1, half2) = queries.splitAt(queries.size / 2)
+      input.addData(half1: _*); q.processAllAvailable()
+      input.addData(half2: _*); q.processAllAvailable()
+      // advance the watermark far past the query window so it closes
+      input.addData(QVecObs(new Timestamp(t0 + 3600 * 1000L), 999L, queries.head.embedding))
+      q.processAllAvailable()
+      val got = spark.table("ann_gate").filter(col("q_id") < 8)
+        .as[(Long, Long, Int, Double)].collect().toSet
+      assert(got === expected,
+        "the gated stream must emit the batch top-k rows once the window closes")
     } finally q.stop()
   }
 }
