@@ -2077,6 +2077,59 @@ GROUP BY 1, 2""",
 
     "d_lsh_jaccard" -> s"$LSH_PAIRS SELECT doc_a, doc_b, jaccard FROM pairs",
 
+    // engine: the FORCED distributed label-propagation sweep loop
+    // (driverEdgeLimit = 0 — the 100 TB path of nearDupComponents);
+    // oracle: the same recursive closure as d_neardup_groups. Pinning
+    // both rows means the driver fast-path AND the iterative path are
+    // each oracle-checked, not just whichever the fixture size picks.
+    "d_cc_iterative" -> s"""${LSH_PAIRS.replaceFirst("WITH ", "WITH RECURSIVE ")}, e AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION ALL SELECT doc_b AS a, doc_a AS b FROM pairs
+), reach AS (
+  SELECT doc_id AS doc, doc_id AS lbl FROM documents
+  UNION
+  SELECT e.b AS doc, r.lbl AS lbl FROM reach r JOIN e ON e.a = r.doc
+)
+SELECT doc AS doc_id, min(lbl) AS group_id FROM reach GROUP BY doc""",
+
+    // fixed-boundary 16-token chunk ("paragraph") dedup report: the
+    // duplicated chunks with their global first occurrence; okey =
+    // doc_id·100000 + chunk_id linearizes the occurrence order
+    "d_chunk_dedup" -> s"""$TOKS, ch AS (
+  SELECT doc_id, tk, unnest(range(0, CAST((len(tk) + 15) // 16 AS BIGINT))) AS chunk_id
+  FROM toks WHERE len(tk) > 0
+), cr AS (
+  SELECT doc_id, chunk_id, doc_id*100000 + chunk_id AS okey,
+         array_to_string(tk[chunk_id*16+1 : chunk_id*16+16], ' ') AS chunk_text
+  FROM ch
+), g AS (
+  SELECT ${dh("chunk_text")} AS h, count(*) AS n_copies,
+         count(DISTINCT doc_id) AS n_docs, min(okey) AS keep_key
+  FROM cr GROUP BY 1)
+SELECT h AS chunk_hash, n_copies, CAST(n_docs AS BIGINT) AS n_docs,
+       keep_key // 100000 AS keeper_doc, keep_key % 100000 AS keeper_chunk
+FROM g WHERE n_copies > 1""",
+
+    // chunk-dedup apply: duplicated chunks keep only the global first
+    // occurrence; docs reassembled from surviving chunks in order
+    "d_chunk_apply" -> s"""$TOKS, ch AS (
+  SELECT doc_id, tk, unnest(range(0, CAST((len(tk) + 15) // 16 AS BIGINT))) AS chunk_id
+  FROM toks WHERE len(tk) > 0
+), cr AS (
+  SELECT doc_id, chunk_id, doc_id*100000 + chunk_id AS okey,
+         array_to_string(tk[chunk_id*16+1 : chunk_id*16+16], ' ') AS chunk_text
+  FROM ch
+), hr AS (SELECT *, ${dh("chunk_text")} AS h FROM cr
+), g AS (SELECT h, min(okey) AS keep_key FROM hr GROUP BY h
+), j AS (
+  SELECT hr.doc_id, hr.chunk_id, hr.chunk_text, hr.okey = g.keep_key AS kept
+  FROM hr JOIN g ON g.h = hr.h)
+SELECT doc_id,
+       CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(sum(CASE WHEN kept THEN 0 ELSE 1 END) AS BIGINT) AS n_dropped,
+       coalesce(string_agg(chunk_text, ' ' ORDER BY chunk_id) FILTER (WHERE kept), '') AS text
+FROM j GROUP BY doc_id""",
+
     // engine: iterative min-label propagation; oracle: recursive-CTE
     // transitive closure — independent algorithms, identical fixpoint
     "d_neardup_groups" -> s"""${LSH_PAIRS.replaceFirst("WITH ", "WITH RECURSIVE ")}, e AS (
@@ -2117,6 +2170,61 @@ FROM gsz GROUP BY 1""",
   SELECT doc AS doc_id FROM reach GROUP BY doc HAVING min(lbl) = doc)
 SELECT d.doc_id, d.lang, d.source, d.n_chars
 FROM documents d JOIN keep USING (doc_id)""",
+
+    // weighted PageRank over the symmetrized customer↔supplier
+    // purchase graph — the oracle replays the engine's 5 exact
+    // fixed-point power steps in a recursive CTE (all-long arithmetic;
+    // `//` on non-negative longs = Spark `div`), the s_embed_pc1
+    // bounded-iteration convention at graph scale
+    "g_pagerank" -> """WITH RECURSIVE cs AS (
+  SELECT 'c' || CAST(o.o_custkey AS VARCHAR) AS cnode,
+         's' || CAST(l.l_suppkey AS VARCHAR) AS snode, count(*) AS w
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  GROUP BY 1, 2
+), e AS (
+  SELECT cnode AS src, snode AS dst, w FROM cs
+  UNION ALL SELECT snode AS src, cnode AS dst, w FROM cs
+), ow AS (SELECT src, sum(w) AS wout FROM e GROUP BY src
+), pr AS (
+  SELECT 0 AS t, src AS node, CAST(1000000 AS BIGINT) AS p FROM (SELECT DISTINCT src FROM e)
+  UNION ALL
+  SELECT t+1, dst AS node, CAST(150000 + (85 * s) // 100 AS BIGINT) AS p FROM (
+    SELECT pr.t AS t, e.dst AS dst, sum((pr.p * e.w) // ow.wout) AS s
+    FROM pr JOIN e ON e.src = pr.node JOIN ow ON ow.src = pr.node
+    WHERE pr.t < 5 GROUP BY 1, 2)
+)
+SELECT node, p AS pr_fx FROM pr WHERE t = 5""",
+
+    // per-user EWMA (α=1/2, bounded 16-row frame) in exact integer
+    // arithmetic: frame values weighted 2^(16-L+i), one double
+    // division at the end — list() over a window frame preserves
+    // frame order in both engines
+    "a_ewma" -> """WITH ev AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
+         CAST(round(value*1000) AS BIGINT) AS v_fx
+  FROM events
+), wv AS (
+  SELECT user_id, event_id,
+         list(v_fx) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS BETWEEN 15 PRECEDING AND CURRENT ROW) AS vals
+  FROM ev)
+SELECT user_id, event_id,
+       round(CAST(list_sum(list_transform(range(0, len(vals)),
+                    k -> vals[k+1] * (CAST(1 AS BIGINT) << (16 - len(vals) + k)))) AS DOUBLE)
+             / ((CAST(1 AS BIGINT) << 16) - (CAST(1 AS BIGINT) << (16 - len(vals))))
+             / 1000.0, 4) AS ewma
+FROM wv""",
+
+    // fastText-shaped hashed-bigram linear scorer: the weight vector
+    // is minted from the bucket id's portable hash, so the oracle
+    // derives the identical model with no side-channel
+    "t_hash_score" -> s"""$TOKS, bg AS (
+  SELECT doc_id, unnest(${shinglesN(2)}) AS bg FROM toks
+), b AS (SELECT doc_id, ${dh("bg")} % 4096 AS b FROM bg
+), wt AS (SELECT doc_id, (${dh("'w' || CAST(b AS VARCHAR)")} % 2001) - 1000 AS w_fx FROM b)
+SELECT doc_id, count(*) AS n_feat, CAST(sum(w_fx) AS BIGINT) AS score_fx,
+       CAST(round(CAST(sum(w_fx) AS DOUBLE) * 10.0 / count(*)) AS BIGINT) AS score_e4
+FROM wt GROUP BY doc_id""",
 
     // Efraimidis–Spirakis weighted sample: top 200 by u^(1/n_chars),
     // u minted from the portable hash — selection is engine-stable

@@ -1994,6 +1994,128 @@ object SparkEntry {
   }
 
   // =====================================================================
+  // Graph analytics / chunk dedup / per-key EWMA / hashed scorer (r9)
+  // =====================================================================
+
+  /** The customer↔supplier purchase graph: one weighted edge per
+    * (customer, supplier) pair that traded, symmetrized so the random
+    * walk is well-defined in both directions. Edge build is one
+    * orderkey-equi-join + one partial-agg'd groupBy; the explode emits
+    * both directions in a single pass over the aggregated pairs.
+    * PlanCached — the rank query's 5 iterations all read it. */
+  private def purchaseEdges(s: SparkSession, dir: String): DataFrame =
+    graft.ops.PlanCache.cached("purchase-edges", {
+      val li = T(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+      val ord = T(s, dir, "orders")
+        .select(col("o_orderkey").as("l_orderkey"), col("o_custkey"))
+      li.join(ord, "l_orderkey")
+        .groupBy(col("o_custkey"), col("l_suppkey"))
+        .agg(count(lit(1)).as("w"))
+        .select(explode(array(
+          struct(concat(lit("c"), col("o_custkey").cast("string")).as("src"),
+            concat(lit("s"), col("l_suppkey").cast("string")).as("dst"), col("w")),
+          struct(concat(lit("s"), col("l_suppkey").cast("string")).as("src"),
+            concat(lit("c"), col("o_custkey").cast("string")).as("dst"), col("w")))).as("e"))
+        .select(col("e.src").as("src"), col("e.dst").as("dst"), col("e.w").as("w"))
+    })
+
+  /** Weighted PageRank over the purchase graph — "which entities does
+    * the trade network concentrate on" ([[graft.ops.Graph.pageRankFixed]]:
+    * exact fixed-point longs, 5 bounded power steps, so the DuckDB
+    * oracle replays the identical iteration in a recursive CTE). */
+  private def gPageRank(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Graph.pageRankFixed(purchaseEdges(s, dir), 5)
+
+  /** The ITERATIVE connected-components path of
+    * [[graft.ext.Dedup.nearDupComponents]], forced by
+    * `driverEdgeLimit = 0` — the shape that runs when the pair graph
+    * cannot sit on the driver, i.e. the 100 TB path. Same fixpoint
+    * (min reachable doc_id) and same oracle as d_neardup_groups, so
+    * the correctness gate pins the distributed sweep loop itself, not
+    * only the driver fast-path that small fixtures would otherwise
+    * always take. */
+  private def dCcIterative(s: SparkSession, dir: String): DataFrame = {
+    val docs = T(s, dir, "documents")
+    val pairs = Dedup.lshVerifiedJaccard(docs, 3, 16, 4, 4, 0.5)
+      .select("doc_a", "doc_b")
+    Dedup.nearDupComponents(docs.select("doc_id"), pairs, driverEdgeLimit = 0L)
+  }
+
+  /** Cross-doc chunk-hash dedup REPORT (16-token fixed chunks): the
+    * duplicated-paragraph table a CCNet-style pass reads —
+    * [[graft.ext.Dedup.chunkDedupReport]]. */
+  private def dChunkDedup(s: SparkSession, dir: String): DataFrame =
+    Dedup.chunkDedupReport(T(s, dir, "documents"), 16)
+
+  /** Chunk-dedup APPLY: the corpus with every duplicated 16-token
+    * chunk reduced to its global first occurrence, documents
+    * reassembled in chunk order ([[graft.ext.Dedup.chunkDedupApply]]). */
+  private def dChunkApply(s: SparkSession, dir: String): DataFrame =
+    Dedup.chunkDedupApply(T(s, dir, "documents"), 16)
+
+  /** Per-user exponentially-weighted moving average of event values —
+    * the trend/monitoring analytic, in EXACT integer arithmetic.
+    * α = 1/2 over a bounded 16-row frame: the frame's values (fixed-
+    * point ×1000 longs) are collected in ts order and weighted
+    * 2^(16-L+i) (newest = 2^15), so numerator and denominator are
+    * exact long sums — both engines then perform ONE double division
+    * and round to 4 digits, inside hash-match tolerance by ulp
+    * arguments (the d_weighted_sample convention). Truncating at 16
+    * terms loses only weight < 2^-16 of an unbounded EWMA.
+    *
+    * Scale shape: one user_id-keyed window (uniform, data-sized key
+    * domain — never a global or 3-key spec), frame bounded at 16 rows
+    * regardless of history length. */
+  private def aEwma(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id")).rowsBetween(-15, 0)
+    T(s, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"),
+        round(col("value") * 1000).cast("long").as("v_fx"))
+      .withColumn("vals", collect_list(col("v_fx")).over(w))
+      .withColumn("len", size(col("vals")))
+      .select(col("user_id"), col("event_id"),
+        round(
+          aggregate(
+            // pow(2,k) is exact in doubles for k ≤ 16, so the cast
+            // back to long is the integer 2^k (shiftleft's Scala API
+            // only takes a literal shift)
+            transform(col("vals"), (v, i) =>
+              v * pow(lit(2.0), lit(16) - col("len") + i).cast("long")),
+            lit(0L), (acc, x) => acc + x).cast("double")
+          / (lit(65536L) - pow(lit(2.0), lit(16) - col("len")).cast("long"))
+          / 1000.0, 4).as("ewma"))
+  }
+
+  /** fastText-shaped hashed-bigram linear scorer: token bigrams →
+    * feature-hash into 4096 buckets → dot with a deterministic
+    * fixed-point weight vector (weights minted from the bucket id's
+    * portable hash, so the oracle derives the identical model without
+    * any side-channel file — the s_model_score convention, on hashed
+    * TEXT features instead of embeddings). Score is an exact long sum
+    * normalized once per doc. All row-local until one doc_id-keyed
+    * partial agg; the weight "table" is an expression, not a join. */
+  private def tHashScore(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "documents")
+      .select(col("doc_id"), Codecs.tokens(col("text")).as("tk"))
+      .select(col("doc_id"), explode(Codecs.shingles(col("tk"), 2)).as("bg"))
+      .select(col("doc_id"),
+        pmod(Codecs.portableHash(col("bg")), lit(4096L)).as("b"))
+      .select(col("doc_id"),
+        (pmod(Codecs.portableHash(concat(lit("w"), col("b").cast("string"))),
+          lit(2001L)) - 1000L).as("w_fx"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_feat"),
+        sum(col("w_fx")).as("score_fx"),
+        // mean score in e4 fixed point: sum·10/n is either a non-tie
+        // double (both engines round it identically) or an EXACT x.5
+        // (x.5 is always representable, and Spark HALF_UP = DuckDB
+        // round = away from zero) — a plain decimal mean can land on
+        // an unrepresentable .xxxx5 and round differently per engine
+        round(sum(col("w_fx")).cast("double") * 10.0 / count(lit(1)))
+          .cast("long").as("score_e4"))
+
+  // =====================================================================
   // Registry
   // =====================================================================
 
@@ -2054,6 +2176,12 @@ object SparkEntry {
     "d_neardup_groups" -> (dNearDupGroups _),
     "d_neardup_apply" -> (dNearDupApply _),
     "d_group_sizes" -> (dGroupSizes _),
+    "d_cc_iterative" -> (dCcIterative _),
+    "d_chunk_dedup" -> (dChunkDedup _),
+    "d_chunk_apply" -> (dChunkApply _),
+    "g_pagerank" -> (gPageRank _),
+    "a_ewma" -> (aEwma _),
+    "t_hash_score" -> (tHashScore _),
     "d_weighted_sample" -> (dWeightedSample _),
     "t_pack_sequences" -> (tPackSequences _),
     "d_contamination" -> (dContamination _),

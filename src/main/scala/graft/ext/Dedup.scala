@@ -1057,4 +1057,79 @@ object Dedup {
       .join(labels.withColumnRenamed("group_id", "cc"), Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("cc"), col("doc_id")).as("group_id"))
   }
+
+  /** Non-overlapping fixed-boundary n-token chunk rows — the
+    * "paragraph" unit of CCNet-style corpus-level chunk dedup (Wenzek
+    * et al. 2020 dedup by paragraph hash; the fixture text has no
+    * newlines, so the paragraph boundary is a fixed token count). The
+    * occurrence key `okey = doc_id·100000 + chunk_id` linearizes
+    * (doc_id, chunk_id) into one long so "first occurrence" is a
+    * plain min on both engines — chunk_id is bounded by doc length /
+    * n (100000 chunks = a 1.6M-token document at n=16; the same
+    * encoding bound as the media bin rows).
+    *
+    * All row-local (tokenize → slice → hash); no shuffle. */
+  def docChunks(docs: DataFrame, n: Int): DataFrame = {
+    val toks = spread(docs)
+      .select(col("doc_id"), tokens(col("text")).as("tk"))
+      .withColumn("n_tok", size(col("tk")).cast("long"))
+      .filter(col("n_tok") > 0)
+    toks
+      .withColumn("chunk_id",
+        explode(sequence(lit(0L), floor((col("n_tok") + lit(n - 1)) / lit(n)).cast("long") - 1)))
+      .select(col("doc_id"), col("chunk_id"),
+        (col("doc_id") * 100000L + col("chunk_id")).as("okey"),
+        concat_ws(" ", slice(col("tk"), (col("chunk_id") * n + 1).cast("int"), lit(n)))
+          .as("chunk_text"))
+      .withColumn("h", portableHash(col("chunk_text")))
+  }
+
+  /** Per-chunk-hash group stats: copies, distinct docs, the keeper
+    * occurrence (global first by (doc_id, chunk_id)). ONE
+    * hash-partitioned partial aggregation over the chunk rows —
+    * shuffle cardinality is the number of DISTINCT chunks, and a
+    * boilerplate chunk duplicated a billion times still crosses the
+    * shuffle as one partial row per map partition. */
+  private def chunkGroups(docs: DataFrame, n: Int): DataFrame =
+    docChunks(docs, n)
+      .groupBy(col("h"))
+      .agg(count(lit(1)).as("n_copies"),
+        countDistinct(col("doc_id")).as("n_docs"),
+        min(col("okey")).as("keep_key"))
+
+  /** Chunk-dedup REPORT: the duplicated chunks (n_copies > 1) with
+    * their keeper occurrence. This is the fixed-boundary production
+    * complement of the suffix-based substring family: alignment-blind
+    * (a shared passage straddling chunk boundaries is missed — the
+    * substring family's job) but one aggregation over row-local chunk
+    * rows instead of a corpus-wide suffix sort, which is why it is
+    * the form CCNet/Gopher-scale pipelines run corpus-wide. */
+  def chunkDedupReport(docs: DataFrame, n: Int): DataFrame =
+    chunkGroups(docs, n)
+      .filter(col("n_copies") > 1)
+      .select(col("h").as("chunk_hash"), col("n_copies"), col("n_docs"),
+        expr("keep_key div 100000").as("keeper_doc"),
+        expr("keep_key % 100000").as("keeper_chunk"))
+
+  /** Chunk-dedup APPLY: the rewritten corpus — every duplicated chunk
+    * keeps only its global first occurrence, and each document is
+    * reassembled from its surviving chunks in order. Shape: the
+    * chunkGroups aggregation, one equi-join of chunk rows against the
+    * per-hash group row (fan-out = occurrences; AQE broadcasts the
+    * group side when the duplicate table is small), one doc_id-keyed
+    * partial agg to reassemble — all uniform hash keys. Docs whose
+    * every chunk was dropped survive with empty text (the curation
+    * gate downstream drops them); token-less docs have no chunks and
+    * are absent, the [[graft.ext.TextOps]] chunking convention. */
+  def chunkDedupApply(docs: DataFrame, n: Int): DataFrame =
+    docChunks(docs, n)
+      .join(chunkGroups(docs, n).select(col("h"), col("keep_key")), "h")
+      .withColumn("kept", col("okey") === col("keep_key"))
+      .groupBy(col("doc_id"))
+      .agg(sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("kept"), 0L).otherwise(1L)).as("n_dropped"),
+        array_join(transform(
+          sort_array(collect_list(when(col("kept"),
+            struct(col("chunk_id"), col("chunk_text"))))),
+          c => c.getField("chunk_text")), " ").as("text"))
 }

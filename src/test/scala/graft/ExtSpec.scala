@@ -1153,4 +1153,77 @@ class ExtSpec extends SparkSpec {
     assert(gated !== ungated,
       "the decontam gate must change the downstream draw on this fixture")
   }
+
+  test("chunk dedup keeps the global first occurrence and reassembles in order") {
+    val c16 = (1 to 16).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"$c16 tail tokens here"),          // chunk0 = c16 (keeper), chunk1 short
+      (2L, c16),                               // whole doc duplicated -> emptied
+      (3L, s"alpha beta gamma $c16")           // c16 NOT chunk-aligned -> untouched
+    ).toDF("doc_id", "text")
+    val rep = Dedup.chunkDedupReport(docs, 16)
+      .select(col("n_copies"), col("n_docs"), col("keeper_doc"), col("keeper_chunk"))
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(rep === Seq((2L, 2L, 1L, 0L)),
+      "one duplicated chunk, first occurrence = (doc 1, chunk 0); the " +
+        "unaligned copy in doc 3 is invisible to the fixed-boundary family")
+    val app = Dedup.chunkDedupApply(docs, 16)
+      .select(col("doc_id"), col("n_kept"), col("n_dropped"), col("text"))
+      .as[(Long, Long, Long, String)].collect().map(r => r._1 -> r).toMap
+    assert(app(1L) === ((1L, 2L, 0L, s"$c16 tail tokens here")))
+    assert(app(2L) === ((2L, 0L, 1L, "")), "fully-duplicated doc survives empty")
+    assert(app(3L)._4 === s"alpha beta gamma $c16")
+  }
+
+  test("dropping a middle chunk splices the surviving chunks in chunk order") {
+    val a = (1 to 16).map(i => s"a$i").mkString(" ")
+    val dup = (1 to 16).map(i => s"d$i").mkString(" ")
+    val z = (1 to 16).map(i => s"z$i").mkString(" ")
+    val docs = Seq((1L, dup), (2L, s"$a $dup $z")).toDF("doc_id", "text")
+    val app = Dedup.chunkDedupApply(docs, 16)
+      .filter(col("doc_id") === 2L)
+      .select(col("n_kept"), col("n_dropped"), col("text"))
+      .as[(Long, Long, String)].head()
+    assert(app === ((2L, 1L, s"$a $z")))
+  }
+
+  test("iterative label propagation equals the driver union-find fast path") {
+    val docs = (1L to 9L).toDF("doc_id")
+    // two chains and one triangle; 4 and 9 are singletons
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L), (6L, 7L), (7L, 5L), (8L, 3L))
+      .toDF("doc_a", "doc_b")
+    val fast = Dedup.nearDupComponents(docs, pairs)
+      .as[(Long, Long)].collect().toMap
+    val iter = Dedup.nearDupComponents(docs, pairs, driverEdgeLimit = 0L)
+      .as[(Long, Long)].collect().toMap
+    assert(iter === fast)
+    assert(iter === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 8L -> 1L, 4L -> 4L,
+      5L -> 5L, 6L -> 5L, 7L -> 5L, 9L -> 9L))
+  }
+
+  test("a_ewma: first event per user equals its own value; constants are fixed points") {
+    val dir = "/root/testdata/sf0.001"
+    val ev = SparkEntry.T(spark, dir, "events")
+    val first = ev.withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("user_id")
+          .orderBy(col("ts"), col("event_id"))))
+      .filter(col("rn") === 1)
+      .select(col("event_id"),
+        (round(col("value") * 1000).cast("long").cast("double") / 1000.0).as("v"))
+    val got = SparkEntry.queries("a_ewma")(spark, dir)
+      .join(first, "event_id")
+    assert(got.count() > 0)
+    val off = got.filter(abs(col("ewma") - round(col("v"), 4)) > 1e-9).count()
+    assert(off === 0, "a frame of length 1 must return the value itself")
+  }
+
+  test("t_hash_score: n_feat is the bigram count; sub-2-token docs are absent") {
+    val dir = "/root/testdata/sf0.001"
+    val docs = SparkEntry.T(spark, dir, "documents")
+      .select(col("doc_id"), size(graft.codec.Codecs.tokens(col("text"))).as("n_tok"))
+    val got = SparkEntry.queries("t_hash_score")(spark, dir)
+    val joined = got.join(docs, "doc_id")
+    assert(joined.filter(col("n_feat") =!= col("n_tok") - 1).count() === 0)
+    assert(got.count() === docs.filter(col("n_tok") >= 2).count())
+  }
 }

@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.Graph
+
+/** Behavioral pins for the fixed-point PageRank operator: the
+  * distributed iterate must equal an in-memory replica of the exact
+  * integer recurrence (the contract the DuckDB oracle replays), and
+  * the ranking must behave like PageRank (hubs outrank leaves, total
+  * mass stays bounded). */
+class GraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** In-memory replica of the exact recurrence: p' = teleport +
+    * (85 · Σ (p_src·w) / wout_src) / 100, all longs, truncating
+    * division (non-negative, so truncation = floor = SQL div). */
+  private def ref(edges: Seq[(String, String, Long)], iters: Int): Map[String, Long] = {
+    val wout = edges.groupBy(_._1).map { case (s, es) => s -> es.map(_._3).sum }
+    val verts = (edges.map(_._1) ++ edges.map(_._2)).distinct
+    var p = verts.map(_ -> 1000000L).toMap
+    for (_ <- 1 to iters) {
+      val contrib = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+      edges.foreach { case (s, d, w) => contrib(d) += (p(s) * w) / wout(s) }
+      p = verts.map(v => v -> (150000L + (85L * contrib(v)) / 100L)).toMap
+    }
+    p
+  }
+
+  private def symmetricTestGraph: Seq[(String, String, Long)] = {
+    val dir = for {
+      i <- 0 until 12
+      (j, w) <- Seq(((i * 5 + 3) % 12, (i % 3 + 1).toLong), ((i * 7 + 1) % 12, 2L))
+      if i != j
+    } yield (s"n$i", s"n$j", w)
+    // symmetrize and merge duplicate directed edges by summing weights
+    (dir ++ dir.map { case (a, b, w) => (b, a, w) })
+      .groupBy(e => (e._1, e._2))
+      .map { case ((a, b), es) => (a, b, es.map(_._3).sum) }
+      .toSeq
+  }
+
+  test("pageRankFixed equals the in-memory exact-integer replica") {
+    val edges = symmetricTestGraph
+    val got = Graph.pageRankFixed(edges.toDF("src", "dst", "w"), 5)
+      .as[(String, Long)].collect().toMap
+    assert(got === ref(edges, 5))
+  }
+
+  test("star center outranks its leaves; leaves tie exactly") {
+    val leaves = (1 to 6).map(i => s"l$i")
+    val edges = leaves.flatMap(l => Seq(("hub", l, 1L), (l, "hub", 1L)))
+    val pr = Graph.pageRankFixed(edges.toDF("src", "dst", "w"), 5)
+      .as[(String, Long)].collect().toMap
+    assert(pr("hub") > pr("l1"), "the hub must concentrate rank")
+    assert(leaves.map(pr).distinct.size === 1, "symmetric leaves must tie bit-for-bit")
+  }
+
+  test("total mass never exceeds the initial |V|·scale (overflow-budget premise)") {
+    val edges = symmetricTestGraph
+    val n = (edges.map(_._1) ++ edges.map(_._2)).distinct.size
+    val total = Graph.pageRankFixed(edges.toDF("src", "dst", "w"), 8)
+      .agg(sum(col("pr_fx"))).as[Long].head()
+    // the damped update with truncating division only loses mass, so
+    // the documented p·w ≲ |V|·scale·w_max budget is conservative
+    assert(total <= n * 1000000L)
+  }
+}
