@@ -693,4 +693,79 @@ object Pipeline {
         ()
       }
       .start()
+
+  /** One chunk of an arriving document with its keep verdict
+    * (gate-internal). */
+  case class ChunkRow(doc_id: Long, chunk_id: Long, chunk_text: String,
+      kept: Boolean)
+  /** Chunk-gate output row — the [[graft.ext.Dedup.chunkDedupApply]]
+    * shape. */
+  case class ChunkAdmit(doc_id: Long, n_kept: Long, n_dropped: Long,
+      text: String)
+
+  /** Streaming chunk-dedup ("boilerplate paragraph") gate — the online
+    * form of [[graft.ext.Dedup.chunkDedupApply]]: each arriving
+    * document is re-chunked row-locally, every chunk whose hash the
+    * static corpus already holds is dropped unless THIS occurrence is
+    * the corpus keeper, and the document is re-emitted reassembled
+    * from its surviving chunks.
+    *
+    * Equivalence: on a replay of the corpus itself the keeper rule
+    * makes the output row-for-row equal to the batch apply (the
+    * substringGate self-match convention); a novel document keeps
+    * exactly its corpus-unseen chunks. Shape: the per-gram staging
+    * index is one (h → keep_key) frame built once per corpus
+    * (PlanCached); the micro-batch side is a stream-static left join
+    * on the chunk hash plus a stateless per-doc reassembly fold — no
+    * cross-batch state at all. */
+  def chunkGate(docs: DataFrame, corpusDocs: DataFrame, n: Int): DataFrame = {
+    import org.apache.spark.sql.Encoders
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    val idx = graft.ops.PlanCache.cachedBy(s"chunk-gate-idx-$n",
+        corpusDocs.queryExecution.logical.semanticHash(),
+        corpusDocs.sparkSession) {
+      graft.ext.Dedup.docChunks(corpusDocs, n)
+        .groupBy("h").agg(min(col("okey")).as("keep_key"))
+    }
+    implicit val rowEnc = Encoders.product[ChunkRow]
+    implicit val keyEnc = Encoders.scalaLong
+    implicit val outEnc = Encoders.product[ChunkAdmit]
+    graft.ext.Dedup.docChunks(docs, n)
+      .join(idx, Seq("h"), "left")
+      .select(col("doc_id"), col("chunk_id"), col("chunk_text"),
+        (col("keep_key").isNull || col("okey") === col("keep_key")).as("kept"))
+      .as[ChunkRow]
+      .groupByKey(_.doc_id)
+      .transformWithState(new ChunkGateProcessor,
+        TimeMode.None(), OutputMode.Append())
+      .toDF()
+  }
+
+  /** Stateless per-doc reassembly fold for [[chunkGate]]: orders the
+    * micro-batch's chunk rows and splices the kept ones — the
+    * batch apply's sort_array + array_join, in memory per doc (a
+    * document's chunk count is bounded by its length / n, never
+    * corpus-sized). */
+  private class ChunkGateProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, ChunkRow, ChunkAdmit] {
+    override def init(outputMode: org.apache.spark.sql.streaming.OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit = ()
+
+    override def handleInputRows(key: Long, rows: Iterator[ChunkRow],
+        tv: org.apache.spark.sql.streaming.TimerValues): Iterator[ChunkAdmit] = {
+      val rs = rows.toArray.sortBy(_.chunk_id)
+      if (rs.isEmpty) Iterator.empty
+      else {
+        val kept = rs.filter(_.kept)
+        Iterator.single(ChunkAdmit(key, kept.length.toLong,
+          (rs.length - kept.length).toLong,
+          kept.map(_.chunk_text).mkString(" ")))
+      }
+    }
+
+    override def handleExpiredTimer(key: Long,
+        tv: org.apache.spark.sql.streaming.TimerValues,
+        info: org.apache.spark.sql.streaming.ExpiredTimerInfo): Iterator[ChunkAdmit] =
+      Iterator.empty
+  }
 }

@@ -681,4 +681,47 @@ class StreamingPipelineSpec extends SparkSpec {
         "the gated stream must emit the batch top-k rows once the window closes")
     } finally q.stop()
   }
+
+  test("chunk gate replays the corpus to the batch apply; novel docs keep unseen chunks") {
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val corpusRows = Seq(
+      (1L, "d1 d2 d3 d4 a1 a2 a3 a4"), // chunk0 = keeper of the dup, chunk1 unique
+      (2L, "d1 d2 d3 d4"),             // whole doc duplicated -> emptied
+      (3L, "u1 u2 u3"))                // short tail chunk, unique
+    val corpus = corpusRows.toDF("doc_id", "text")
+    val batch = graft.ext.Dedup.chunkDedupApply(corpus, 4)
+      .as[(Long, Long, Long, String)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val out = Pipeline.chunkGate(input.toDF().toDF("doc_id", "text"), corpus, n = 4)
+    val q = out.writeStream.format("memory").queryName("chunk_gate")
+      .outputMode("append").start()
+    try {
+      input.addData(corpusRows)
+      q.processAllAvailable()
+      val got = spark.table("chunk_gate")
+        .as[(Long, Long, Long, String)].collect()
+        .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+      assert(got === batch,
+        "a corpus replay must reproduce the batch chunk apply row-for-row")
+      assert(got(2L) === ((0L, 1L, "")), "the fully-duplicated doc survives empty")
+      // novel doc: the corpus chunk is dropped (it is not the keeper),
+      // the unseen chunk is kept
+      input.addData(Seq((9L, "d1 d2 d3 d4 n1 n2 n3 n4")))
+      q.processAllAvailable()
+      val novel = spark.table("chunk_gate").filter(col("doc_id") === 9L)
+        .as[(Long, Long, Long, String)].head()
+      assert(novel === ((9L, 1L, 1L, "n1 n2 n3 n4")))
+    } finally {
+      q.stop()
+      prev match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None    => spark.conf.unset(providerKey)
+      }
+    }
+  }
 }
