@@ -2226,6 +2226,22 @@ SELECT doc_id, count(*) AS n_feat, CAST(sum(w_fx) AS BIGINT) AS score_fx,
        CAST(round(CAST(sum(w_fx) AS DOUBLE) * 10.0 / count(*)) AS BIGINT) AS score_e4
 FROM wt GROUP BY doc_id""",
 
+    // deterministic bottom-k-by-hash sample: the mergeable uniform
+    // sample (per-partition bottom-64 merges to the global bottom-64)
+    "d_sample_bottomk" -> s"""SELECT doc_id, lang, ${dh("text")} AS h
+FROM documents ORDER BY h, doc_id LIMIT 64""",
+
+    // KMV distinct estimate over the token vocabulary: est = (k-1)/U,
+    // U = kth-minimum hash / 2^56; the estimator itself is
+    // bit-checked (same h_k -> same division -> same rounded long)
+    "t_kmv_distinct" -> s"""$TOKS, v AS (
+  SELECT DISTINCT ${dh("tok")} AS h FROM (SELECT unnest(tk) AS tok FROM toks)
+), b AS (SELECT h FROM v ORDER BY h LIMIT 64)
+SELECT CAST(64 AS BIGINT) AS k, max(h) AS h_k,
+       CAST(round(63.0 * 72057594037927936 / max(h)) AS BIGINT) AS est_distinct,
+       (SELECT count(*) FROM v) AS exact_distinct
+FROM b""",
+
     // Efraimidis–Spirakis weighted sample: top 200 by u^(1/n_chars),
     // u minted from the portable hash — selection is engine-stable
     // because adjacent key gaps dwarf pow() ulp error

@@ -94,6 +94,11 @@ object SparkEntry {
     // same attribution rule as substring_matches)
     "substring_char_matches" ->
       ((s, dir) => { Dedup.substringMatchesChar(T(s, dir, "documents"), 20, 80).count(); () }),
+    // symmetrized purchase-graph edge list: the lineitem⋈orders build
+    // behind g_pagerank (the iterate is the query; the edge build is
+    // the staging table — same attribution rule as the gram indexes)
+    "purchase_edges" ->
+      ((s, dir) => { purchaseEdges(s, dir).count(); () }),
     "ivf_assign" ->
       ((s, dir) => { Similarity.ivfAssign(T(s, dir, "embeddings"), IvfK).count(); () }),
     // PQ code/reconstruction frame: the corpus encode shared by
@@ -2115,6 +2120,44 @@ object SparkEntry {
         round(sum(col("w_fx")).cast("double") * 10.0 / count(lit(1)))
           .cast("long").as("score_e4"))
 
+  /** Deterministic bottom-k-by-hash sample: the 64 documents with the
+    * smallest content hashes. The mergeable form of uniform sampling —
+    * every partition's local bottom-64 merges to the global bottom-64
+    * (TakeOrderedAndProject: per-partition top-k, one k-row merge on
+    * the driver — never a full sort), the sample is stable under
+    * corpus growth ordering, and the same sketch doubles as the KMV
+    * distinct estimator (t_kmv_distinct). */
+  private def dSampleBottomk(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), Codecs.portableHash(col("text")).as("h"))
+      .orderBy(col("h"), col("doc_id")).limit(64)
+
+  /** KMV (k-minimum-values) distinct-count estimate of the token
+    * vocabulary (Bar-Yossef et al. 2002): with the 64 smallest
+    * distinct hash values, est = (k-1)/U where U is the k-th minimum
+    * as a fraction of the 2^56 hash space. The estimate is emitted as
+    * a rounded integer next to the exact count, so the oracle checks
+    * the ESTIMATOR bit-for-bit (same h_k → same double division →
+    * same rounded long), not an error band. Shape: one distinct
+    * (partial-agg'd, vocab-sized shuffle) + a 64-row TakeOrdered; the
+    * exact count shares the distinct frame. */
+  private def tKmvDistinct(s: SparkSession, dir: String): DataFrame = {
+    val vh = graft.ops.PlanCache.cached("kmv-vocab-hashes",
+      T(s, dir, "documents")
+        .select(explode(Codecs.tokens(col("text"))).as("t"))
+        .select(Codecs.portableHash(col("t")).as("h")).distinct())
+    val bottom = vh.orderBy(col("h")).limit(64).agg(max(col("h")).as("h_k"))
+    val exact = vh.agg(count(lit(1)).as("exact_distinct"))
+    bottom.crossJoin(broadcast(exact))
+      .select(lit(64L).as("k"), col("h_k"),
+        // 63·2^56 is exactly representable (6 significant bits), so
+        // both engines divide identical doubles; rounding to a LONG
+        // only ever ties on an exactly-representable x.5
+        round(lit(63.0) * lit(7.2057594037927936e16) / col("h_k"))
+          .cast("long").as("est_distinct"),
+        col("exact_distinct"))
+  }
+
   // =====================================================================
   // Registry
   // =====================================================================
@@ -2182,6 +2225,8 @@ object SparkEntry {
     "g_pagerank" -> (gPageRank _),
     "a_ewma" -> (aEwma _),
     "t_hash_score" -> (tHashScore _),
+    "d_sample_bottomk" -> (dSampleBottomk _),
+    "t_kmv_distinct" -> (tKmvDistinct _),
     "d_weighted_sample" -> (dWeightedSample _),
     "t_pack_sequences" -> (tPackSequences _),
     "d_contamination" -> (dContamination _),

@@ -30,9 +30,17 @@ object Graph {
     * Iteration count is fixed (a handful of power steps ranks a
     * dependency/purchase graph; convergence testing would add a
     * count() job per step for no semantic gain — the fixpoint is not
-    * the contract, the bounded iterate is). Lineage is truncated per
-    * step with localCheckpoint, the [[graft.ext.Dedup.nearDupComponents]]
-    * discipline; substitute a reliable checkpoint dir on a cluster.
+    * the contract, the bounded iterate is). The edge and vertex
+    * frames ARE localCheckpoint'ed (each is referenced every
+    * iteration — uncheckpointed they would recompute per reference),
+    * but the rank chain deliberately is NOT: unlike
+    * [[graft.ext.Dedup.nearDupComponents]]' open-ended sweep loop
+    * with mid-loop count() actions, this loop is a bounded unroll
+    * with a single terminal action, so the `iters`-stage plan runs as
+    * ONE job — per-step checkpoints measured 6.65 s vs ~2 s at
+    * sf0.1/local[32] purely from `iters` serial job barriers. Set
+    * `checkpointEvery` > 0 for iteration counts large enough that
+    * plan size itself becomes the problem (~dozens).
     *
     * Overflow budget (documented, not guarded — column arithmetic has
     * no addExact): total mass stays ~|V|·scale under the damped
@@ -47,7 +55,8 @@ object Graph {
     * Input: edges (src: String, dst: String, w: Long).
     * Returns (node, pr_fx: Long) after `iters` steps. */
   def pageRankFixed(edges: DataFrame, iters: Int, scale: Long = 1000000L,
-      dampNum: Long = 85L, dampDen: Long = 100L): DataFrame = {
+      dampNum: Long = 85L, dampDen: Long = 100L,
+      checkpointEvery: Int = 0): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
     require(dampNum > 0 && dampNum < dampDen, s"damping $dampNum/$dampDen not in (0,1)")
     val teleport = (scale * (dampDen - dampNum)) / dampDen
@@ -61,7 +70,7 @@ object Graph {
       .distinct()
       .localCheckpoint()
     var pr = verts.withColumn("p", lit(scale))
-    for (_ <- 1 to iters) {
+    for (i <- 1 to iters) {
       val contrib = e.join(pr.withColumnRenamed("node", "src"), "src")
         .groupBy(col("dst").as("node"))
         .agg(sum(expr("(p * w) div wout")).as("c"))
@@ -69,7 +78,8 @@ object Graph {
         .select(col("node"),
           (lit(teleport) + expr(s"($dampNum * coalesce(c, 0L)) div $dampDen"))
             .as("p"))
-        .localCheckpoint()
+      if (checkpointEvery > 0 && i % checkpointEvery == 0 && i < iters)
+        pr = pr.localCheckpoint()
     }
     pr.select(col("node"), col("p").as("pr_fx"))
   }

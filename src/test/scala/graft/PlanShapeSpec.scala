@@ -413,4 +413,38 @@ class PlanShapeSpec extends SparkSpec {
       s"the per-target top-50 must prune map-side:\n$p")
     assert(!p.contains("CartesianProduct"), s"no product:\n$p")
   }
+
+  test("chunk dedup is generate → partial-agg shaped: no window, no corpus sort") {
+    val p = plan("d_chunk_apply")
+    assert(p.contains("Generate"), s"chunk explode must be row-local:\n$p")
+    assert(!p.contains("Window"),
+      s"keeper selection must be a min-aggregate, not a rank window:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no product:\n$p")
+  }
+
+  test("hash score is join-free: the weight table is an expression, not a table") {
+    val p = plan("t_hash_score")
+    assert(!p.contains("Join"), s"weights must be minted inline:\n$p")
+    assert(!p.contains("Window"), s"no window needed:\n$p")
+  }
+
+  test("ewma window is user-partitioned with the bounded 16-row frame") {
+    val p = plan("a_ewma")
+    assert(unpartitionedWindows(p).isEmpty,
+      s"unpartitioned window in ewma: ${unpartitionedWindows(p)}\n$p")
+    assert(p.contains("-15"),
+      s"the ROWS BETWEEN 15 PRECEDING frame bound must survive planning:\n$p")
+  }
+
+  test("bottom-k sample plans the per-partition TakeOrdered merge, not a full sort") {
+    val p = plan("d_sample_bottomk")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"bottom-k must merge per-partition top-k, never globally sort:\n$p")
+  }
+
+  test("kmv estimator joins its two one-row aggregates by broadcast") {
+    val p = plan("t_kmv_distinct")
+    assert(p.contains("BroadcastNestedLoopJoin"), s"1-row sides must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"nothing to sort-merge:\n$p")
+  }
 }
