@@ -2226,6 +2226,72 @@ SELECT doc_id, count(*) AS n_feat, CAST(sum(w_fx) AS BIGINT) AS score_fx,
        CAST(round(CAST(sum(w_fx) AS DOUBLE) * 10.0 / count(*)) AS BIGINT) AS score_e4
 FROM wt GROUP BY doc_id""",
 
+    // personalized PageRank: same recursive fixed-point iterate as
+    // g_pagerank, with initial mass and teleport restricted to the
+    // supplier seed set (node LIKE 's%')
+    "g_ppr_suppliers" -> """WITH RECURSIVE cs AS (
+  SELECT 'c' || CAST(o.o_custkey AS VARCHAR) AS cnode,
+         's' || CAST(l.l_suppkey AS VARCHAR) AS snode, count(*) AS w
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  GROUP BY 1, 2
+), e AS (
+  SELECT cnode AS src, snode AS dst, w FROM cs
+  UNION ALL SELECT snode AS src, cnode AS dst, w FROM cs
+), ow AS (SELECT src, sum(w) AS wout FROM e GROUP BY src
+), pr AS (
+  SELECT 0 AS t, src AS node,
+         CAST(CASE WHEN src LIKE 's%' THEN 1000000 ELSE 0 END AS BIGINT) AS p
+  FROM (SELECT DISTINCT src FROM e)
+  UNION ALL
+  SELECT t+1, dst AS node,
+         CAST(CASE WHEN dst LIKE 's%' THEN 150000 ELSE 0 END + (85 * s) // 100 AS BIGINT) AS p
+  FROM (
+    SELECT pr.t AS t, e.dst AS dst, sum((pr.p * e.w) // ow.wout) AS s
+    FROM pr JOIN e ON e.src = pr.node JOIN ow ON ow.src = pr.node
+    WHERE pr.t < 5 GROUP BY 1, 2)
+)
+SELECT node, p AS pr_fx FROM pr WHERE t = 5""",
+
+    // triangle count over the LSH near-dup pair graph; the oracle
+    // orients by id (a<b<c), the engine by degree — identical count
+    "g_triangles" -> s"""$LSH_PAIRS, ed AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs)
+SELECT (SELECT count(*) FROM ed) AS n_edges,
+       (SELECT count(*) FROM ed e1
+        JOIN ed e2 ON e2.a = e1.b
+        JOIN ed e3 ON e3.a = e1.a AND e3.b = e2.b) AS n_triangles""",
+
+    // ordered funnel view -> click -> purchase with STRICT inter-step
+    // event-time ordering and a 6-hour per-step conversion window;
+    // output = funnel-depth histogram
+    "a_funnel" -> """WITH ev AS (
+  SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events
+), s1 AS (SELECT user_id, min(ts) AS t1 FROM ev WHERE event_type = 'view' GROUP BY 1
+), s2 AS (SELECT ev.user_id, min(ts) AS t2 FROM ev JOIN s1 USING (user_id)
+          WHERE event_type = 'click' AND ts > t1 AND ts <= t1 + INTERVAL '6 hours' GROUP BY 1
+), s3 AS (SELECT ev.user_id, min(ts) AS t3 FROM ev JOIN s2 USING (user_id)
+          WHERE event_type = 'purchase' AND ts > t2 AND ts <= t2 + INTERVAL '6 hours' GROUP BY 1
+), d AS (
+  SELECT u.user_id,
+         (CASE WHEN s1.user_id IS NOT NULL THEN 1 ELSE 0 END +
+          CASE WHEN s2.user_id IS NOT NULL THEN 1 ELSE 0 END +
+          CASE WHEN s3.user_id IS NOT NULL THEN 1 ELSE 0 END) AS depth
+  FROM (SELECT DISTINCT user_id FROM ev) u
+  LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id))
+SELECT CAST(depth AS BIGINT) AS depth, count(*) AS n_users FROM d GROUP BY 1""",
+
+    // weekly cohort retention matrix (both engines truncate weeks to
+    // ISO Mondays, so day-diff // 7 is exact)
+    "a_cohort" -> """WITH ev AS (
+  SELECT user_id, date_trunc('week', CAST(ts AS TIMESTAMP)) AS wk FROM events
+), cohorts AS (SELECT user_id, min(wk) AS cw FROM ev GROUP BY 1
+), act AS (SELECT DISTINCT user_id, wk FROM ev)
+SELECT epoch_us(cw) AS cohort_week_us,
+       CAST(date_diff('day', cw, wk) // 7 AS BIGINT) AS week_offset,
+       count(*) AS n_active
+FROM act JOIN cohorts USING (user_id)
+GROUP BY 1, 2""",
+
     // deterministic bottom-k-by-hash sample: the mergeable uniform
     // sample (per-partition bottom-64 merges to the global bottom-64)
     "d_sample_bottomk" -> s"""SELECT doc_id, lang, ${dh("text")} AS h

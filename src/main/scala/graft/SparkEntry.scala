@@ -2120,6 +2120,77 @@ object SparkEntry {
         round(sum(col("w_fx")).cast("double") * 10.0 / count(lit(1)))
           .cast("long").as("score_e4"))
 
+  /** Personalized PageRank from the SUPPLIER side of the purchase
+    * graph (topic-sensitive teleport — [[graft.ops.Graph.pageRankFixed]]
+    * with a seed set): rank measures weighted proximity to the supply
+    * network, the "which customers sit closest to which supply
+    * concentration" dial. Same exact fixed-point iterate, same
+    * recursive-CTE oracle shape as g_pagerank. */
+  private def gPprSuppliers(s: SparkSession, dir: String): DataFrame = {
+    val edges = purchaseEdges(s, dir)
+    val seeds = edges.select(col("src").as("node"))
+      .filter(col("node").startsWith("s")).distinct()
+    graft.ops.Graph.pageRankFixed(edges, 5, seeds = Some(seeds))
+  }
+
+  /** Exact triangle count of the near-dup similarity graph
+    * ([[graft.ops.Graph.triangleCount]] over the shared LSH-verified
+    * pair frame): the clustering-structure scalar a dedup report
+    * reads — triangles mean duplicate CLUSTERS, disjoint edges mean
+    * pairwise-only duplication. */
+  private def gTriangles(s: SparkSession, dir: String): DataFrame = {
+    val pairs = Dedup.lshVerifiedJaccard(T(s, dir, "documents"), 3, 16, 4, 4, 0.5)
+      .select("doc_a", "doc_b")
+    graft.ops.Graph.triangleCount(pairs)
+  }
+
+  /** Ordered funnel analysis view → click → purchase: how deep each
+    * user gets, requiring STRICT event-time ordering between steps
+    * (a click before the first view does not count) AND a 6-hour
+    * conversion window per step — the windowless form saturates on
+    * month-long histories (every user eventually does everything).
+    * The classic event-analytics query, as three sequential
+    * min-aggregations — each step is one user-keyed join +
+    * partial-agg'd min over the step's filtered events, so the corpus
+    * is scanned once per step with the filter pushed to the scan and
+    * every shuffle keyed on user_id. Output: funnel depth (0-3)
+    * histogram. */
+  private def aFunnel(s: SparkSession, dir: String): DataFrame = {
+    val win = expr("INTERVAL 6 HOURS")
+    val ev = T(s, dir, "events").select(col("user_id"), col("event_type"), col("ts"))
+    val s1 = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min("ts").as("t1"))
+    val s2 = ev.filter(col("event_type") === "click").join(s1, "user_id")
+      .filter(col("ts") > col("t1") && col("ts") <= col("t1") + win)
+      .groupBy("user_id").agg(min("ts").as("t2"))
+    val s3 = ev.filter(col("event_type") === "purchase").join(s2, "user_id")
+      .filter(col("ts") > col("t2") && col("ts") <= col("t2") + win)
+      .groupBy("user_id").agg(min("ts").as("t3"))
+    ev.select("user_id").distinct()
+      .join(s1.select(col("user_id"), lit(1).as("d1")), Seq("user_id"), "left")
+      .join(s2.select(col("user_id"), lit(1).as("d2")), Seq("user_id"), "left")
+      .join(s3.select(col("user_id"), lit(1).as("d3")), Seq("user_id"), "left")
+      .select((coalesce(col("d1"), lit(0)) + coalesce(col("d2"), lit(0))
+        + coalesce(col("d3"), lit(0))).cast("long").as("depth"))
+      .groupBy("depth").agg(count(lit(1)).as("n_users"))
+  }
+
+  /** Weekly cohort retention: users bucketed by first-activity week,
+    * activity matrix (cohort week × week offset → distinct active
+    * users). Two partial-agg'd shuffles keyed on user_id plus the
+    * final matrix aggregation — the key domains are data-sized
+    * (users) then matrix-sized (weeks²). */
+  private def aCohort(s: SparkSession, dir: String): DataFrame = {
+    val ev = T(s, dir, "events")
+      .select(col("user_id"), date_trunc("week", col("ts")).as("wk"))
+    val cohorts = ev.groupBy("user_id").agg(min(col("wk")).as("cw"))
+    ev.distinct()
+      .join(cohorts, "user_id")
+      .groupBy(unix_micros(col("cw")).as("cohort_week_us"),
+        (datediff(to_date(col("wk")), to_date(col("cw"))) / 7).cast("long").as("week_offset"))
+      .agg(count(lit(1)).as("n_active"))
+  }
+
   /** Deterministic bottom-k-by-hash sample: the 64 documents with the
     * smallest content hashes. The mergeable form of uniform sampling —
     * every partition's local bottom-64 merges to the global bottom-64
@@ -2227,6 +2298,10 @@ object SparkEntry {
     "t_hash_score" -> (tHashScore _),
     "d_sample_bottomk" -> (dSampleBottomk _),
     "t_kmv_distinct" -> (tKmvDistinct _),
+    "g_ppr_suppliers" -> (gPprSuppliers _),
+    "g_triangles" -> (gTriangles _),
+    "a_funnel" -> (aFunnel _),
+    "a_cohort" -> (aCohort _),
     "d_weighted_sample" -> (dWeightedSample _),
     "t_pack_sequences" -> (tPackSequences _),
     "d_contamination" -> (dContamination _),

@@ -52,11 +52,18 @@ object Graph {
     * PageRank without a dangling-mass redistribution term); on a
     * symmetric edge list — the intended use — there are none.
     *
+    * Personalization: `seeds` restricts both the initial mass and the
+    * teleport to the given vertex set (Haveliwala 2002 topic-
+    * sensitive PageRank) — rank then measures weighted proximity TO
+    * the seeds. `None` (default) is classic uniform PageRank. The
+    * seed frame is vertex-set-sized metadata joined once into the
+    * vertex table, not re-derived per step.
+    *
     * Input: edges (src: String, dst: String, w: Long).
     * Returns (node, pr_fx: Long) after `iters` steps. */
   def pageRankFixed(edges: DataFrame, iters: Int, scale: Long = 1000000L,
       dampNum: Long = 85L, dampDen: Long = 100L,
-      checkpointEvery: Int = 0): DataFrame = {
+      checkpointEvery: Int = 0, seeds: Option[DataFrame] = None): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
     require(dampNum > 0 && dampNum < dampDen, s"damping $dampNum/$dampDen not in (0,1)")
     val teleport = (scale * (dampDen - dampNum)) / dampDen
@@ -65,22 +72,65 @@ object Graph {
       .select(col("src"), col("dst"), col("w").cast("long").as("w"),
         col("wout").cast("long").as("wout"))
       .localCheckpoint()
-    val verts = e.select(col("src").as("node"))
+    val verts0 = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node")))
       .distinct()
-      .localCheckpoint()
-    var pr = verts.withColumn("p", lit(scale))
+    val verts = (seeds match {
+      case Some(sd) => verts0.join(
+          sd.select(col("node")).distinct().withColumn("s", lit(true)),
+          Seq("node"), "left")
+        .select(col("node"), coalesce(col("s"), lit(false)).as("seed"))
+      case None => verts0.withColumn("seed", lit(true))
+    }).localCheckpoint()
+    var pr = verts.withColumn("p", when(col("seed"), lit(scale)).otherwise(lit(0L)))
+      .select(col("node"), col("p"))
     for (i <- 1 to iters) {
       val contrib = e.join(pr.withColumnRenamed("node", "src"), "src")
         .groupBy(col("dst").as("node"))
         .agg(sum(expr("(p * w) div wout")).as("c"))
       pr = verts.join(contrib, Seq("node"), "left")
         .select(col("node"),
-          (lit(teleport) + expr(s"($dampNum * coalesce(c, 0L)) div $dampDen"))
-            .as("p"))
+          (when(col("seed"), lit(teleport)).otherwise(lit(0L)) +
+            expr(s"($dampNum * coalesce(c, 0L)) div $dampDen")).as("p"))
       if (checkpointEvery > 0 && i % checkpointEvery == 0 && i < iters)
         pr = pr.localCheckpoint()
     }
     pr.select(col("node"), col("p").as("pr_fx"))
+  }
+
+  /** Exact triangle count by degree-ordered edge orientation (the
+    * node-iterator of Schank & Wagner 2005 / the MapReduce form of
+    * Suri & Vassilvitskii 2011): orient every undirected edge from
+    * its lower (degree, id) endpoint to the higher, generate wedges
+    * at each edge's SOURCE, and close them against the canonical edge
+    * set. Orientation is what makes this scale-safe: every wedge is
+    * generated at its lowest-degree vertex, so the per-vertex wedge
+    * fan-out is bounded by the graph's degeneracy (≈ max out-degree
+    * after orientation, √m worst case) instead of the square of a
+    * hub's degree — the difference between a boilerplate-document hub
+    * exploding quadratically and costing its out-degree choose 2.
+    * Three shuffles total (degree agg, wedge self-join, closing
+    * join), all keyed on vertex/edge ids.
+    *
+    * Input: undirected pairs (doc_a < doc_b). Returns one row
+    * (n_edges, n_triangles). */
+  def triangleCount(pairs: DataFrame): DataFrame = {
+    val e = pairs.select(col("doc_a").as("a"), col("doc_b").as("b")).distinct()
+    val deg = e.select(explode(array(col("a"), col("b"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("d"))
+    val withDeg = e
+      .join(deg.select(col("node").as("a"), col("d").as("da")), "a")
+      .join(deg.select(col("node").as("b"), col("d").as("db")), "b")
+    val oriented = withDeg.select(
+      when(col("da") < col("db") || (col("da") === col("db") && col("a") < col("b")),
+        col("a")).otherwise(col("b")).as("u"),
+      when(col("da") < col("db") || (col("da") === col("db") && col("a") < col("b")),
+        col("b")).otherwise(col("a")).as("v"))
+    val wedges = oriented.select(col("u"), col("v").as("v1"))
+      .join(oriented.select(col("u"), col("v").as("v2")), "u")
+      .filter(col("v1") < col("v2"))
+      .select(col("v1").as("a"), col("v2").as("b"))
+    val tri = wedges.join(e, Seq("a", "b")).agg(count(lit(1)).as("n_triangles"))
+    e.agg(count(lit(1)).as("n_edges")).crossJoin(broadcast(tri))
   }
 }

@@ -1217,6 +1217,43 @@ class ExtSpec extends SparkSpec {
     assert(off === 0, "a frame of length 1 must return the value itself")
   }
 
+  test("a_funnel enforces strict step order and the 6-hour conversion window") {
+    val t0 = 1700000000000L
+    def ts(offMin: Long) = new java.sql.Timestamp(t0 + offMin * 60000L)
+    val rows = Seq(
+      // user 1: clean view -> click -> purchase inside the window
+      (1L, ts(0), 101L, "view"), (1L, ts(60), 102L, "click"), (1L, ts(120), 103L, "purchase"),
+      // user 2: the click PRECEDES the first view -> depth 1
+      (2L, ts(0), 201L, "click"), (2L, ts(60), 202L, "view"),
+      // user 3: click 7h after the view -> outside the window -> depth 1
+      (3L, ts(0), 301L, "view"), (3L, ts(420), 302L, "click"),
+      // user 4: never views -> depth 0
+      (4L, ts(0), 401L, "error"))
+    val dir = java.nio.file.Files.createTempDirectory("funnel-fixture").toString
+    rows.toDF("user_id", "ts", "event_id", "event_type")
+      .withColumn("value", lit(1.0)).withColumn("props", lit("{}"))
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = SparkEntry.queries("a_funnel")(spark, dir)
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(3L -> 1L, 1L -> 2L, 0L -> 1L))
+  }
+
+  test("a_cohort: offset 0 holds the whole cohort; offsets are non-negative") {
+    val dir = "/root/testdata/sf0.001"
+    val got = SparkEntry.queries("a_cohort")(spark, dir)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got.nonEmpty && got.forall(_._2 >= 0L))
+    val atZero = got.filter(_._2 == 0L).map(r => r._1 -> r._3).toMap
+    val cohortSizes = SparkEntry.T(spark, dir, "events")
+      .select(col("user_id"), date_trunc("week", col("ts")).as("wk"))
+      .groupBy("user_id").agg(min(col("wk")).as("cw"))
+      .groupBy(unix_micros(col("cw")).as("cwus")).agg(count(lit(1)).as("n"))
+      .as[(Long, Long)].collect().toMap
+    assert(atZero === cohortSizes,
+      "every user is active in their own first week by definition")
+  }
+
   test("t_hash_score: n_feat is the bigram count; sub-2-token docs are absent") {
     val dir = "/root/testdata/sf0.001"
     val docs = SparkEntry.T(spark, dir, "documents")

@@ -11,17 +11,21 @@ import graft.ops.Graph
 class GraphSpec extends SparkSpec {
   import spark.implicits._
 
-  /** In-memory replica of the exact recurrence: p' = teleport +
+  /** In-memory replica of the exact recurrence: p' = teleport(v) +
     * (85 · Σ (p_src·w) / wout_src) / 100, all longs, truncating
-    * division (non-negative, so truncation = floor = SQL div). */
-  private def ref(edges: Seq[(String, String, Long)], iters: Int): Map[String, Long] = {
+    * division (non-negative, so truncation = floor = SQL div).
+    * `seeds = None` is uniform PageRank (every vertex teleports). */
+  private def ref(edges: Seq[(String, String, Long)], iters: Int,
+      seeds: Option[Set[String]] = None): Map[String, Long] = {
     val wout = edges.groupBy(_._1).map { case (s, es) => s -> es.map(_._3).sum }
     val verts = (edges.map(_._1) ++ edges.map(_._2)).distinct
-    var p = verts.map(_ -> 1000000L).toMap
+    def isSeed(v: String) = seeds.forall(_.contains(v))
+    var p = verts.map(v => v -> (if (isSeed(v)) 1000000L else 0L)).toMap
     for (_ <- 1 to iters) {
       val contrib = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
       edges.foreach { case (s, d, w) => contrib(d) += (p(s) * w) / wout(s) }
-      p = verts.map(v => v -> (150000L + (85L * contrib(v)) / 100L)).toMap
+      p = verts.map(v => v ->
+        ((if (isSeed(v)) 150000L else 0L) + (85L * contrib(v)) / 100L)).toMap
     }
     p
   }
@@ -53,6 +57,32 @@ class GraphSpec extends SparkSpec {
       .as[(String, Long)].collect().toMap
     assert(pr("hub") > pr("l1"), "the hub must concentrate rank")
     assert(leaves.map(pr).distinct.size === 1, "symmetric leaves must tie bit-for-bit")
+  }
+
+  test("personalized pageRank equals the seeded replica and concentrates near seeds") {
+    val edges = symmetricTestGraph
+    val seeds = Set("n0", "n1")
+    val got = Graph.pageRankFixed(edges.toDF("src", "dst", "w"), 5,
+        seeds = Some(Seq("n0", "n1").toDF("node")))
+      .as[(String, Long)].collect().toMap
+    assert(got === ref(edges, 5, Some(seeds)))
+    // a seed always retains at least its teleport; total seeded mass
+    // is far below the uniform run's (only seeds inject mass)
+    assert(seeds.forall(got(_) >= 150000L))
+    assert(got.values.sum < ref(edges, 5).values.sum)
+  }
+
+  test("triangle count: K4 has 4, a path has 0, a star has 0") {
+    def undirected(pairs: Seq[(Long, Long)]) = pairs.toDF("doc_a", "doc_b")
+    def count(pairs: Seq[(Long, Long)]): (Long, Long) =
+      Graph.triangleCount(undirected(pairs)).as[(Long, Long)].head()
+    val k4 = for { a <- 1L to 4L; b <- (a + 1) to 4L } yield (a, b)
+    assert(count(k4) === ((6L, 4L)))
+    assert(count(Seq((1L, 2L), (2L, 3L), (3L, 4L))) === ((3L, 0L)))
+    assert(count((2L to 7L).map(l => (1L, l))) === ((6L, 0L)),
+      "hub wedges must not close without a third edge")
+    // triangle + pendant edge: exactly one
+    assert(count(Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L))) === ((4L, 1L)))
   }
 
   test("total mass never exceeds the initial |V|·scale (overflow-budget premise)") {
