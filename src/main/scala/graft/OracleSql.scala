@@ -2252,6 +2252,19 @@ FROM wt GROUP BY doc_id""",
 )
 SELECT node, p AS pr_fx FROM pr WHERE t = 5""",
 
+    // degree histogram of the symmetrized purchase graph
+    "g_degree_hist" -> """WITH cs AS (
+  SELECT 'c' || CAST(o.o_custkey AS VARCHAR) AS cnode,
+         's' || CAST(l.l_suppkey AS VARCHAR) AS snode, count(*) AS w
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  GROUP BY 1, 2
+), e AS (
+  SELECT cnode AS src, snode AS dst, w FROM cs
+  UNION ALL SELECT snode AS src, cnode AS dst, w FROM cs
+), d AS (SELECT src, count(*) AS degree, sum(w) AS wdeg FROM e GROUP BY 1)
+SELECT degree, count(*) AS n_nodes, CAST(sum(wdeg) AS BIGINT) AS sum_wdegree
+FROM d GROUP BY 1""",
+
     // triangle count over the LSH near-dup pair graph; the oracle
     // orients by id (a<b<c), the engine by degree — identical count
     "g_triangles" -> s"""$LSH_PAIRS, ed AS (

@@ -2144,6 +2144,18 @@ object SparkEntry {
     graft.ops.Graph.triangleCount(pairs)
   }
 
+  /** Degree distribution of the purchase graph — the structural
+    * report read before ranking it (skew check: a hub customer
+    * dominating the walk). One vertex-keyed partial agg + one
+    * histogram-keyed agg; on the symmetric edge list out-degree IS
+    * undirected degree. */
+  private def gDegreeHist(s: SparkSession, dir: String): DataFrame =
+    purchaseEdges(s, dir)
+      .groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("degree"), sum(col("w")).as("wdeg"))
+      .groupBy(col("degree"))
+      .agg(count(lit(1)).as("n_nodes"), sum(col("wdeg")).as("sum_wdegree"))
+
   /** Ordered funnel analysis view → click → purchase: how deep each
     * user gets, requiring STRICT event-time ordering between steps
     * (a click before the first view does not count) AND a 6-hour
@@ -2300,6 +2312,7 @@ object SparkEntry {
     "t_kmv_distinct" -> (tKmvDistinct _),
     "g_ppr_suppliers" -> (gPprSuppliers _),
     "g_triangles" -> (gTriangles _),
+    "g_degree_hist" -> (gDegreeHist _),
     "a_funnel" -> (aFunnel _),
     "a_cohort" -> (aCohort _),
     "d_weighted_sample" -> (dWeightedSample _),

@@ -27,8 +27,8 @@ object StreamingEwma {
 
   case class EwmaEvent(userId: Long, tsUs: Long, eventId: Long, vFx: Long)
   case class EwmaPoint(user_id: Long, event_id: Long, ewma: Double)
-  private case class Hist(vals: Array[Long])
-  private case class Last(tsUs: Long, eventId: Long)
+  case class Hist(vals: Array[Long])
+  case class Last(tsUs: Long, eventId: Long)
 
   /** events(user_id, ts: timestamp, event_id, value) → one EWMA point
     * per event, keyed state only. */
