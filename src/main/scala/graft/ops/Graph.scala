@@ -68,9 +68,16 @@ object Graph {
     require(dampNum > 0 && dampNum < dampDen, s"damping $dampNum/$dampDen not in (0,1)")
     val teleport = (scale * (dampDen - dampNum)) / dampDen
     val outw = edges.groupBy(col("src")).agg(sum(col("w")).as("wout"))
+    // Pre-partition the STATIC frames by their join keys before the
+    // checkpoint (localCheckpoint preserves output partitioning): the
+    // edge list is the big side and must not re-shuffle per step —
+    // each iteration then moves only the vertex-sized rank frame into
+    // the edge partitioning, which is the whole iterate's shuffle
+    // budget at any scale.
     val e = edges.join(outw, "src")
       .select(col("src"), col("dst"), col("w").cast("long").as("w"),
         col("wout").cast("long").as("wout"))
+      .repartition(col("src"))
       .localCheckpoint()
     val verts0 = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node")))
@@ -81,7 +88,7 @@ object Graph {
           Seq("node"), "left")
         .select(col("node"), coalesce(col("s"), lit(false)).as("seed"))
       case None => verts0.withColumn("seed", lit(true))
-    }).localCheckpoint()
+    }).repartition(col("node")).localCheckpoint()
     var pr = verts.withColumn("p", when(col("seed"), lit(scale)).otherwise(lit(0L)))
       .select(col("node"), col("p"))
     for (i <- 1 to iters) {
