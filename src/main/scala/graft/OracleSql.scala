@@ -2293,6 +2293,22 @@ SELECT (SELECT count(*) FROM ed) AS n_edges,
   LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id))
 SELECT CAST(depth AS BIGINT) AS depth, count(*) AS n_users FROM d GROUP BY 1""",
 
+    // funnel transitions per hour — the time-resolved twin of
+    // a_funnel over the same sequential-min stage chain
+    "a_funnel_hourly" -> """WITH ev AS (
+  SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events
+), s1 AS (SELECT user_id, min(ts) AS t1 FROM ev WHERE event_type = 'view' GROUP BY 1
+), s2 AS (SELECT ev.user_id, min(ts) AS t2 FROM ev JOIN s1 USING (user_id)
+          WHERE event_type = 'click' AND ts > t1 AND ts <= t1 + INTERVAL '6 hours' GROUP BY 1
+), s3 AS (SELECT ev.user_id, min(ts) AS t3 FROM ev JOIN s2 USING (user_id)
+          WHERE event_type = 'purchase' AND ts > t2 AND ts <= t2 + INTERVAL '6 hours' GROUP BY 1
+), steps AS (
+  SELECT t1 AS ts, CAST(1 AS BIGINT) AS depth FROM s1
+  UNION ALL SELECT t2, 2 FROM s2
+  UNION ALL SELECT t3, 3 FROM s3)
+SELECT epoch_us(date_trunc('hour', ts)) AS hour_us, depth, count(*) AS n_steps
+FROM steps GROUP BY 1, 2""",
+
     // weekly cohort retention matrix (both engines truncate weeks to
     // ISO Mondays, so day-diff // 7 is exact)
     "a_cohort" -> """WITH ev AS (

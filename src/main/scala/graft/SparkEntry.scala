@@ -2168,23 +2168,51 @@ object SparkEntry {
     * every shuffle keyed on user_id. Output: funnel depth (0-3)
     * histogram. */
   private def aFunnel(s: SparkSession, dir: String): DataFrame = {
-    val win = expr("INTERVAL 6 HOURS")
-    val ev = T(s, dir, "events").select(col("user_id"), col("event_type"), col("ts"))
-    val s1 = ev.filter(col("event_type") === "view")
-      .groupBy("user_id").agg(min("ts").as("t1"))
-    val s2 = ev.filter(col("event_type") === "click").join(s1, "user_id")
-      .filter(col("ts") > col("t1") && col("ts") <= col("t1") + win)
-      .groupBy("user_id").agg(min("ts").as("t2"))
-    val s3 = ev.filter(col("event_type") === "purchase").join(s2, "user_id")
-      .filter(col("ts") > col("t2") && col("ts") <= col("t2") + win)
-      .groupBy("user_id").agg(min("ts").as("t3"))
-    ev.select("user_id").distinct()
+    val (s1, s2, s3) = funnelStages(s, dir)
+    T(s, dir, "events").select("user_id").distinct()
       .join(s1.select(col("user_id"), lit(1).as("d1")), Seq("user_id"), "left")
       .join(s2.select(col("user_id"), lit(1).as("d2")), Seq("user_id"), "left")
       .join(s3.select(col("user_id"), lit(1).as("d3")), Seq("user_id"), "left")
       .select((coalesce(col("d1"), lit(0)) + coalesce(col("d2"), lit(0))
         + coalesce(col("d3"), lit(0))).cast("long").as("depth"))
       .groupBy("depth").agg(count(lit(1)).as("n_users"))
+  }
+
+  /** The funnel's three sequential stage frames (first view; first
+    * qualifying click ≤ 6 h after it; first qualifying purchase ≤ 6 h
+    * after that) — PlanCached per stage: a_funnel reads all three for
+    * the depth histogram and a_funnel_hourly re-reads them as
+    * transition timestamps, so the user-keyed min-agg chain runs
+    * once. */
+  private def funnelStages(s: SparkSession, dir: String): (DataFrame, DataFrame, DataFrame) = {
+    val win = expr("INTERVAL 6 HOURS")
+    val ev = T(s, dir, "events").select(col("user_id"), col("event_type"), col("ts"))
+    val s1 = graft.ops.PlanCache.cached("funnel-s1",
+      ev.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min("ts").as("t1")))
+    val s2 = graft.ops.PlanCache.cached("funnel-s2",
+      ev.filter(col("event_type") === "click").join(s1, "user_id")
+        .filter(col("ts") > col("t1") && col("ts") <= col("t1") + win)
+        .groupBy("user_id").agg(min("ts").as("t2")))
+    val s3 = graft.ops.PlanCache.cached("funnel-s3",
+      ev.filter(col("event_type") === "purchase").join(s2, "user_id")
+        .filter(col("ts") > col("t2") && col("ts") <= col("t2") + win)
+        .groupBy("user_id").agg(min("ts").as("t3")))
+    (s1, s2, s3)
+  }
+
+  /** Funnel transitions per hour: when each user crossed each step —
+    * the time-resolved view of a_funnel (same PlanCached stage
+    * frames), and the batch twin of the streaming windowed conversion
+    * report ([[graft.streaming.Pipeline.funnelHourly]]). One tiny
+    * (hour × depth)-keyed aggregation over the stage unions. */
+  private def aFunnelHourly(s: SparkSession, dir: String): DataFrame = {
+    val (s1, s2, s3) = funnelStages(s, dir)
+    s1.select(col("t1").as("ts"), lit(1L).as("depth"))
+      .unionByName(s2.select(col("t2").as("ts"), lit(2L).as("depth")))
+      .unionByName(s3.select(col("t3").as("ts"), lit(3L).as("depth")))
+      .groupBy(unix_micros(date_trunc("hour", col("ts"))).as("hour_us"), col("depth"))
+      .agg(count(lit(1)).as("n_steps"))
   }
 
   /** Weekly cohort retention: users bucketed by first-activity week,
@@ -2314,6 +2342,7 @@ object SparkEntry {
     "g_triangles" -> (gTriangles _),
     "g_degree_hist" -> (gDegreeHist _),
     "a_funnel" -> (aFunnel _),
+    "a_funnel_hourly" -> (aFunnelHourly _),
     "a_cohort" -> (aCohort _),
     "d_weighted_sample" -> (dWeightedSample _),
     "t_pack_sequences" -> (tPackSequences _),

@@ -694,6 +694,27 @@ object Pipeline {
       }
       .start()
 
+  /** Streaming windowed funnel conversion report — the live twin of
+    * the batch `a_funnel_hourly` row: [[StreamingFunnel]]'s depth
+    * transitions, bucketed per event-time hour under a watermark.
+    * Two stateful stages compose: the per-user funnel fold (bounded:
+    * three timestamps per user) feeding a windowed count whose state
+    * is (window × depth) cells dropped at watermark close — the
+    * monitoring dashboard's "conversions this hour by step" feed.
+    * Windows emit on close (append mode), so a replay's final
+    * windows need the watermark pushed past them (spec feeds a
+    * sentinel event; production streams just keep flowing). */
+  def funnelHourly(events: DataFrame, windowUs: Long,
+      watermarkDelay: String): DataFrame =
+    StreamingFunnel.funnel(events, windowUs)
+      .select(col("depth").cast("long").as("depth"),
+        timestamp_micros(col("at_us")).as("at"))
+      .withWatermark("at", watermarkDelay)
+      .groupBy(window(col("at"), "1 hour").as("w"), col("depth"))
+      .agg(count(lit(1)).as("n_steps"))
+      .select(unix_micros(col("w.start")).as("hour_us"), col("depth"),
+        col("n_steps"))
+
   /** One chunk of an arriving document with its keep verdict
     * (gate-internal). */
   case class ChunkRow(doc_id: Long, chunk_id: Long, chunk_text: String,

@@ -69,6 +69,42 @@ class StreamingFunnelSpec extends SparkSpec {
     }
   }
 
+  test("windowed conversion report equals a_funnel_hourly once windows close") {
+    withRocksDB {
+      val dir = "/root/testdata/sf0.001"
+      val batch = SparkEntry.queries("a_funnel_hourly")(spark, dir)
+        .as[(Long, Long, Long)].collect().toSet
+      val ev = SparkEntry.T(spark, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      val rows = ev.orderBy(col("ts"), col("event_id"))
+        .as[(Long, java.sql.Timestamp, Long, String)].collect().toSeq
+      val maxUs = rows.map(_._2.getTime).max * 1000L
+
+      implicit val sqlCtx = spark.sqlContext
+      val input = MemoryStream[(Long, java.sql.Timestamp, Long, String)]
+      val out = graft.streaming.Pipeline.funnelHourly(
+        input.toDF().toDF("user_id", "ts", "event_id", "event_type"),
+        21600000000L, "10 minutes")
+      val q = out.writeStream.format("memory").queryName("funnel_hourly")
+        .outputMode("append").start()
+      try {
+        rows.grouped(500).foreach { slice =>
+          input.addData(slice); q.processAllAvailable()
+        }
+        // push the watermark past every fixture window with a
+        // sentinel view from a user the fixture never saw
+        input.addData(Seq((999999L,
+          new java.sql.Timestamp(maxUs / 1000L + 86400000L), 999999L, "view")))
+        q.processAllAvailable()
+        val got = spark.table("funnel_hourly")
+          .as[(Long, Long, Long)].collect().toSet
+          .filter(_._1 <= maxUs) // the sentinel's own window stays open
+        assert(got === batch,
+          "closed windows must carry exactly the batch per-hour step counts")
+      } finally q.stop()
+    }
+  }
+
   test("strict order and window rules match batch: pre-view click never counts") {
     withRocksDB {
       val t0 = 1700000000000L
