@@ -246,4 +246,86 @@ class PropertySpec extends SparkSpec {
           est <= exact(k) && (exact(k) - est) * (m + 1) <= n }
     }, "misra-gries bounds")
   }
+
+  test("chunk dedup apply equals the in-memory keep-first reference on random corpora") {
+    // tiny vocab forces genuine cross-doc chunk collisions
+    val vocab = Vector("aa", "bb", "cc", "dd")
+    val corpusGen = Gen.listOfN(6,
+      Gen.choose(0, 11).flatMap(n => Gen.listOfN(n, Gen.oneOf(vocab))))
+    val cn = 3
+    check(Prop.forAll(corpusGen) { toks =>
+      val docs = toks.zipWithIndex
+        .map { case (tk, i) => (i.toLong, tk.mkString(" ")) }
+      val got = Dedup.chunkDedupApply(docs.toDF("doc_id", "text"), cn)
+        .as[(Long, Long, Long, String)].collect()
+        .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+      // reference: global keep-first over (doc_id, chunk_id) order,
+      // keyed by the chunk text itself (the 56-bit hash cannot
+      // meaningfully collide on these inputs)
+      val seen = scala.collection.mutable.Set.empty[String]
+      val expect = docs.filter(_._2.nonEmpty).map { case (id, text) =>
+        val chunks = text.split(" ").grouped(cn).map(_.mkString(" ")).toSeq
+        val kept = chunks.filter(c => if (seen.contains(c)) false else { seen += c; true })
+        id -> ((kept.size.toLong, (chunks.size - kept.size).toLong, kept.mkString(" ")))
+      }.toMap
+      got == expect
+    }, "chunk dedup keep-first")
+  }
+
+  test("pageRank equals the exact integer replica on random symmetric graphs") {
+    val graphGen = for {
+      n <- Gen.choose(3, 10)
+      pairs <- Gen.someOf(for { a <- 0 until n; b <- a + 1 until n } yield (a, b))
+      if pairs.nonEmpty
+      ws <- Gen.listOfN(pairs.size, Gen.choose(1L, 3L))
+      iters <- Gen.choose(1, 4)
+      nSeeds <- Gen.choose(1, n)
+    } yield (pairs.toList.zip(ws), iters, (0 until nSeeds).map(i => s"v$i").toSet)
+    def replica(edges: Seq[(String, String, Long)], iters: Int,
+        seeds: Option[Set[String]]): Map[String, Long] = {
+      val wout = edges.groupBy(_._1).map { case (s, es) => s -> es.map(_._3).sum }
+      val verts = (edges.map(_._1) ++ edges.map(_._2)).distinct
+      def isSeed(v: String) = seeds.forall(_.contains(v))
+      var p = verts.map(v => v -> (if (isSeed(v)) 1000000L else 0L)).toMap
+      for (_ <- 1 to iters) {
+        val c = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+        edges.foreach { case (s, d, w) => c(d) += (p(s) * w) / wout(s) }
+        p = verts.map(v => v ->
+          ((if (isSeed(v)) 150000L else 0L) + (85L * c(v)) / 100L)).toMap
+      }
+      p
+    }
+    check(Prop.forAll(graphGen) { case (pw, iters, seeds) =>
+      val edges = pw.flatMap { case ((a, b), w) =>
+        Seq((s"v$a", s"v$b", w), (s"v$b", s"v$a", w)) }
+      val df = edges.toDF("src", "dst", "w")
+      val uniform = graft.ops.Graph.pageRankFixed(df, iters)
+        .as[(String, Long)].collect().toMap
+      val seeded = graft.ops.Graph.pageRankFixed(df, iters,
+          seeds = Some(seeds.toSeq.toDF("node")))
+        .as[(String, Long)].collect().toMap
+      uniform == replica(edges, iters, None) &&
+        seeded == replica(edges, iters, Some(seeds))
+    }, "pagerank replica")
+  }
+
+  test("triangle count equals the brute-force triple loop on random graphs") {
+    val graphGen = for {
+      n <- Gen.choose(3, 9)
+      pairs <- Gen.someOf(for { a <- 0 until n; b <- a + 1 until n } yield (a.toLong, b.toLong))
+      if pairs.nonEmpty
+    } yield pairs.toList
+    check(Prop.forAll(graphGen) { pairs =>
+      val got = graft.ops.Graph.triangleCount(pairs.toDF("doc_a", "doc_b"))
+        .as[(Long, Long)].head()
+      val es = pairs.toSet
+      def edge(a: Long, b: Long) = es.contains((math.min(a, b), math.max(a, b)))
+      val verts = pairs.flatMap(p => Seq(p._1, p._2)).distinct.sorted
+      val brute = (for {
+        a <- verts; b <- verts if a < b; c <- verts if b < c
+        if edge(a, b) && edge(b, c) && edge(a, c)
+      } yield 1).size.toLong
+      got == ((pairs.size.toLong, brute))
+    }, "triangle brute force")
+  }
 }
