@@ -2274,6 +2274,236 @@ SELECT (SELECT count(*) FROM ed) AS n_edges,
         JOIN ed e2 ON e2.a = e1.b
         JOIN ed e3 ON e3.a = e1.a AND e3.b = e2.b) AS n_triangles""",
 
+    // bounded k-core peel (k=48, 3 rounds): the oracle replays the
+    // engine's single-reference iterate verbatim — real edges carry
+    // the source's aliveness into the degree sum, the zero-marked
+    // self edge carries each vertex's own (alive, peeled) through the
+    // aggregate, so the recursive table is referenced exactly once
+    "g_kcore" -> """WITH RECURSIVE cs AS (
+  SELECT 'c' || CAST(o.o_custkey AS VARCHAR) AS cnode,
+         's' || CAST(l.l_suppkey AS VARCHAR) AS snode
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  GROUP BY 1, 2
+), e AS (
+  SELECT cnode AS src, snode AS dst FROM cs
+  UNION ALL SELECT snode AS src, cnode AS dst FROM cs
+), e2 AS (
+  SELECT src, dst, 1 AS rl FROM e
+  UNION ALL SELECT src AS src, src AS dst, 0 AS rl FROM (SELECT DISTINCT src FROM e)
+), st AS (
+  SELECT 0 AS t, src AS node, CAST(1 AS BIGINT) AS alive, CAST(0 AS BIGINT) AS peeled
+  FROM (SELECT DISTINCT src FROM e)
+  UNION ALL
+  SELECT t + 1, dst AS node,
+         CAST(CASE WHEN ca = 1 AND deg >= 48 THEN 1 ELSE 0 END AS BIGINT),
+         CAST(CASE WHEN ca = 1 AND deg < 48 THEN t + 1 ELSE cp END AS BIGINT)
+  FROM (
+    SELECT st.t AS t, e2.dst AS dst,
+           sum(CASE WHEN e2.rl = 1 THEN st.alive ELSE 0 END) AS deg,
+           max(CASE WHEN e2.rl = 0 THEN st.alive END) AS ca,
+           max(CASE WHEN e2.rl = 0 THEN st.peeled END) AS cp
+    FROM st JOIN e2 ON e2.src = st.node
+    WHERE st.t < 3 GROUP BY 1, 2)
+)
+SELECT node, alive AS in_core, peeled AS peeled_round FROM st WHERE t = 3""",
+
+    // multi-source BFS from the nation-0 supplier seeds, depth 3 —
+    // same single-reference iterate; NULL dist is "unreached" (NULL+1
+    // = NULL and MIN ignores NULLs identically in both engines)
+    "g_bfs" -> """WITH RECURSIVE cs AS (
+  SELECT 'c' || CAST(o.o_custkey AS VARCHAR) AS cnode,
+         's' || CAST(l.l_suppkey AS VARCHAR) AS snode
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  GROUP BY 1, 2
+), e AS (
+  SELECT cnode AS src, snode AS dst FROM cs
+  UNION ALL SELECT snode AS src, cnode AS dst FROM cs
+), e2 AS (
+  SELECT src, dst, CAST(1 AS BIGINT) AS delta FROM e
+  UNION ALL SELECT src AS src, src AS dst, CAST(0 AS BIGINT) AS delta
+  FROM (SELECT DISTINCT src FROM e)
+), sd AS (
+  SELECT DISTINCT 's' || CAST(s_suppkey AS VARCHAR) AS node
+  FROM supplier WHERE s_nationkey = 0
+), st AS (
+  SELECT 0 AS t, v.src AS node,
+         CASE WHEN sd.node IS NOT NULL THEN CAST(0 AS BIGINT) END AS dist
+  FROM (SELECT DISTINCT src FROM e) v LEFT JOIN sd ON sd.node = v.src
+  UNION ALL
+  SELECT t + 1, dst AS node, d AS dist FROM (
+    SELECT st.t AS t, e2.dst AS dst, min(st.dist + e2.delta) AS d
+    FROM st JOIN e2 ON e2.src = st.node
+    WHERE st.t < 3 GROUP BY 1, 2)
+)
+SELECT node, dist FROM st WHERE t = 3""",
+
+    // hour-of-day seasonality: per-(type, hour) mean and deviation
+    // from the type's overall mean, all e4 fixed point — the
+    // deviation is a LONG subtraction of already-rounded means
+    "a_seasonality" -> """WITH ev AS (
+  SELECT event_type, extract(hour FROM CAST(ts AS TIMESTAMP)) AS hr,
+         CAST(round(value * 1000) AS BIGINT) AS v_fx
+  FROM events
+), hourly AS (
+  SELECT event_type, hr, count(*) AS n, sum(v_fx) AS s_fx
+  FROM ev GROUP BY 1, 2
+), o AS (
+  SELECT event_type,
+         CAST(round(CAST(sum(s_fx) AS DOUBLE) * 10.0 / sum(n)) AS BIGINT) AS omean_e4
+  FROM hourly GROUP BY 1
+), m AS (
+  SELECT h.event_type, CAST(hr AS BIGINT) AS hr, n,
+         CAST(round(CAST(s_fx AS DOUBLE) * 10.0 / n) AS BIGINT) AS mean_e4, omean_e4
+  FROM hourly h JOIN o ON o.event_type = h.event_type)
+SELECT event_type, hr, n, mean_e4,
+       CAST(mean_e4 - omean_e4 AS BIGINT) AS dev_e4 FROM m""",
+
+    // per-source duplication report: exact-dup docs via full-text
+    // hash multiplicity, near-dup docs via the shared LSH pair frame,
+    // both as e4 fractions in exact long division
+    "e_dup_by_source" -> s"""$LSH_PAIRS, exd AS (
+  SELECT doc_id FROM (
+    SELECT doc_id,
+           count(*) OVER (PARTITION BY ${dh("text")}, length(text)) AS n
+    FROM documents)
+  WHERE n > 1
+), nd AS (
+  SELECT DISTINCT doc_id FROM (
+    SELECT doc_a AS doc_id FROM pairs
+    UNION ALL SELECT doc_b AS doc_id FROM pairs)
+), agg AS (
+  SELECT d.source, count(*) AS n_docs,
+         CAST(sum(CASE WHEN exd.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_exact_dup,
+         CAST(sum(CASE WHEN nd.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_neardup
+  FROM documents d
+  LEFT JOIN exd ON exd.doc_id = d.doc_id
+  LEFT JOIN nd ON nd.doc_id = d.doc_id
+  GROUP BY 1)
+SELECT source, n_docs, n_exact_dup, n_neardup,
+       CAST((n_exact_dup * 10000) // n_docs AS BIGINT) AS exact_frac_e4,
+       CAST((n_neardup * 10000) // n_docs AS BIGINT) AS near_frac_e4
+FROM agg""",
+
+    // bounded min-plus relaxation from the nation-0 supplier seeds,
+    // edge cost 1000000 // w (inverse trade volume), 4 rounds — the
+    // weighted generalization of g_bfs, same single-reference iterate
+    "g_cheapest_path" -> """WITH RECURSIVE cs AS (
+  SELECT 'c' || CAST(o.o_custkey AS VARCHAR) AS cnode,
+         's' || CAST(l.l_suppkey AS VARCHAR) AS snode, count(*) AS w
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  GROUP BY 1, 2
+), e AS (
+  SELECT cnode AS src, snode AS dst, w FROM cs
+  UNION ALL SELECT snode AS src, cnode AS dst, w FROM cs
+), e2 AS (
+  SELECT src, dst, CAST(1000000 // w AS BIGINT) AS delta FROM e
+  UNION ALL SELECT src AS src, src AS dst, CAST(0 AS BIGINT) AS delta
+  FROM (SELECT DISTINCT src FROM e)
+), sd AS (
+  SELECT DISTINCT 's' || CAST(s_suppkey AS VARCHAR) AS node
+  FROM supplier WHERE s_nationkey = 0
+), st AS (
+  SELECT 0 AS t, v.src AS node,
+         CASE WHEN sd.node IS NOT NULL THEN CAST(0 AS BIGINT) END AS cost
+  FROM (SELECT DISTINCT src FROM e) v LEFT JOIN sd ON sd.node = v.src
+  UNION ALL
+  SELECT t + 1, dst AS node, c AS cost FROM (
+    SELECT st.t AS t, e2.dst AS dst, min(st.cost + e2.delta) AS c
+    FROM st JOIN e2 ON e2.src = st.node
+    WHERE st.t < 4 GROUP BY 1, 2)
+)
+SELECT node, cost FROM st WHERE t = 4""",
+
+    // co-purchase link prediction: customer pairs sharing >= 3 parts
+    // among parts with 2 <= df <= 64 (the declared DfCap), Jaccard of
+    // the FULL neighborhoods in e4 fixed point
+    "g_common_neighbors" -> """WITH cp AS (
+  SELECT DISTINCT o_custkey AS u, l_partkey AS v
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+), kept AS (
+  SELECT cp.u, cp.v FROM cp
+  JOIN (SELECT v FROM cp GROUP BY v HAVING count(*) BETWEEN 2 AND 64) d USING (v)
+), g AS (
+  SELECT a.u AS ua, b.u AS ub, count(*) AS n
+  FROM kept a JOIN kept b ON a.v = b.v AND a.u < b.u
+  GROUP BY 1, 2 HAVING count(*) >= 3
+), deg AS (SELECT u, count(*) AS d FROM cp GROUP BY u)
+SELECT ua AS cust_a, ub AS cust_b, CAST(n AS BIGINT) AS n_common,
+       CAST((n * 10000) // (da.d + db.d - n) AS BIGINT) AS jaccard_e4
+FROM g JOIN deg da ON da.u = g.ua JOIN deg db ON db.u = g.ub""",
+
+    // gap-based sessionization (30-min inactivity): lag + running sum
+    // of session breaks, exact microsecond arithmetic throughout
+    "a_sessionize" -> """WITH ev AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, event_type,
+         epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+         CAST(round(value * 1000) AS BIGINT) AS v_fx
+  FROM events
+), l AS (
+  SELECT *, lag(us) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+  FROM ev
+), b AS (
+  SELECT *, CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000
+                 THEN 1 ELSE 0 END AS brk
+  FROM l
+), sx AS (
+  SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS sess_idx
+  FROM b)
+SELECT user_id, CAST(sess_idx AS BIGINT) AS sess_idx,
+       min(us) AS start_us, max(us) AS end_us,
+       CAST(max(us) - min(us) AS BIGINT) AS duration_us,
+       count(*) AS n_events,
+       CAST(count(DISTINCT event_type) AS BIGINT) AS n_types,
+       CAST(sum(v_fx) AS BIGINT) AS value_fx
+FROM sx GROUP BY 1, 2""",
+
+    // RFM quintile scoring: exact long metrics per user; quintile
+    // boundaries via quantile_cont (bit-compatible with the engine's
+    // shared ExactPercentiles lerp); scores are strict-> comparisons
+    "a_rfm" -> """WITH ev AS (
+  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+         CAST(round(value * 1000) AS BIGINT) AS v_fx
+  FROM events
+), g AS (SELECT max(us) AS gm FROM ev
+), u AS (
+  SELECT user_id,
+         CAST((gm - max(us)) // 86400000000 AS BIGINT) AS recency_days,
+         count(*) AS frequency, CAST(sum(v_fx) AS BIGINT) AS monetary_fx
+  FROM ev, g GROUP BY user_id, gm
+), bd AS (
+  SELECT quantile_cont(CAST(recency_days AS DOUBLE), 0.2) AS rp20,
+         quantile_cont(CAST(recency_days AS DOUBLE), 0.4) AS rp40,
+         quantile_cont(CAST(recency_days AS DOUBLE), 0.6) AS rp60,
+         quantile_cont(CAST(recency_days AS DOUBLE), 0.8) AS rp80,
+         quantile_cont(CAST(frequency AS DOUBLE), 0.2) AS fp20,
+         quantile_cont(CAST(frequency AS DOUBLE), 0.4) AS fp40,
+         quantile_cont(CAST(frequency AS DOUBLE), 0.6) AS fp60,
+         quantile_cont(CAST(frequency AS DOUBLE), 0.8) AS fp80,
+         quantile_cont(CAST(monetary_fx AS DOUBLE), 0.2) AS mp20,
+         quantile_cont(CAST(monetary_fx AS DOUBLE), 0.4) AS mp40,
+         quantile_cont(CAST(monetary_fx AS DOUBLE), 0.6) AS mp60,
+         quantile_cont(CAST(monetary_fx AS DOUBLE), 0.8) AS mp80
+  FROM u
+), sc AS (
+  SELECT user_id, recency_days, frequency, monetary_fx,
+         CAST(1 + CASE WHEN recency_days > rp20 THEN 1 ELSE 0 END
+                + CASE WHEN recency_days > rp40 THEN 1 ELSE 0 END
+                + CASE WHEN recency_days > rp60 THEN 1 ELSE 0 END
+                + CASE WHEN recency_days > rp80 THEN 1 ELSE 0 END AS BIGINT) AS r_score,
+         CAST(1 + CASE WHEN frequency > fp20 THEN 1 ELSE 0 END
+                + CASE WHEN frequency > fp40 THEN 1 ELSE 0 END
+                + CASE WHEN frequency > fp60 THEN 1 ELSE 0 END
+                + CASE WHEN frequency > fp80 THEN 1 ELSE 0 END AS BIGINT) AS f_score,
+         CAST(1 + CASE WHEN monetary_fx > mp20 THEN 1 ELSE 0 END
+                + CASE WHEN monetary_fx > mp40 THEN 1 ELSE 0 END
+                + CASE WHEN monetary_fx > mp60 THEN 1 ELSE 0 END
+                + CASE WHEN monetary_fx > mp80 THEN 1 ELSE 0 END AS BIGINT) AS m_score
+  FROM u, bd)
+SELECT user_id, recency_days, frequency, monetary_fx, r_score, f_score, m_score,
+       CAST(r_score * 100 + f_score * 10 + m_score AS BIGINT) AS rfm
+FROM sc""",
+
     // ordered funnel view -> click -> purchase with STRICT inter-step
     // event-time ordering and a 6-hour per-step conversion window;
     // output = funnel-depth histogram

@@ -2269,6 +2269,184 @@ object SparkEntry {
         col("exact_distinct"))
   }
 
+  /** Gap-based sessionization (30-minute inactivity gap): the
+    * session-ID assignment form of session windowing — a_session_window
+    * aggregates Spark's session_window; this derives explicit
+    * per-session rows the way an event-analytics store would, via the
+    * classic lag + running-sum-of-breaks window. Exact microsecond
+    * arithmetic end to end (epoch micros, fixed-point value sum), so
+    * the oracle replays it bit-for-bit. Scale shape: ONE user-keyed
+    * window spec (data-sized key domain, both lag and the running sum
+    * share it — one sort, one WindowExec) followed by a
+    * (user, session)-keyed partial agg. */
+  private def aSessionize(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Sessionize.sessions(T(s, dir, "events"), 1800L * 1000000L)
+
+  /** RFM (recency / frequency / monetary) customer scoring — the
+    * classic segmentation analytic. Per-user metrics are exact longs
+    * (days-since-last-event vs the global max timestamp, event count,
+    * fixed-point value sum); each metric's quintile boundaries come
+    * from the shared [[graft.ops.ExactPercentiles]] frame with the
+    * metrics STACKED as a 3-key domain (`fewGroups = true` — exactly
+    * the tiny-key-domain case the two-phase cumsum strategy exists
+    * for), and scores are strict-> comparisons against the four
+    * boundaries. Determinism: boundaries are the ExactPercentiles
+    * lerp, bit-compatible with DuckDB quantile_cont (the
+    * a_percentiles_dist claim); a comparison could only disagree if a
+    * boundary landed within one ulp of an integer metric, which
+    * happens exactly when the lerp is exact in both engines. The
+    * boundary frame is 12 rows, broadcast — never collected. */
+  private def aRfm(s: SparkSession, dir: String): DataFrame = {
+    val ev = T(s, dir, "events")
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        round(col("value") * 1000).cast("long").as("v_fx"))
+    val gmax = ev.agg(max(col("us")).as("g"))
+    val users = graft.ops.PlanCache.cached("rfm-users",
+      ev.groupBy("user_id")
+        .agg(max(col("us")).as("last_us"), count(lit(1)).as("frequency"),
+          sum(col("v_fx")).as("monetary_fx"))
+        .crossJoin(broadcast(gmax))
+        .select(col("user_id"),
+          expr("(g - last_us) div 86400000000").as("recency_days"),
+          col("frequency"), col("monetary_fx")))
+    val stacked = users.select(explode(array(
+        struct(lit("r").as("k"), col("recency_days").cast("double").as("x")),
+        struct(lit("f").as("k"), col("frequency").cast("double").as("x")),
+        struct(lit("m").as("k"), col("monetary_fx").cast("double").as("x")))).as("e"))
+      .select(col("e.k").as("k"), col("e.x").as("x"))
+    val qs = Seq(("p20", 0.2), ("p40", 0.4), ("p60", 0.6), ("p80", 0.8))
+    val bcols = for { m <- Seq("r", "f", "m"); q <- Seq("p20", "p40", "p60", "p80") }
+      yield max(when(col("k") === m && col("qname") === q, col("v"))).as(s"$m$q")
+    val bounds = graft.ops.ExactPercentiles.of(stacked, qs, "rfm-bounds",
+        fewGroups = true)
+      .agg(bcols.head, bcols.tail: _*)
+    def score(metric: String, pfx: String) =
+      lit(1L) +
+        (col(metric) > col(s"${pfx}p20")).cast("long") +
+        (col(metric) > col(s"${pfx}p40")).cast("long") +
+        (col(metric) > col(s"${pfx}p60")).cast("long") +
+        (col(metric) > col(s"${pfx}p80")).cast("long")
+    users.crossJoin(broadcast(bounds))
+      .withColumn("r_score", score("recency_days", "r"))
+      .withColumn("f_score", score("frequency", "f"))
+      .withColumn("m_score", score("monetary_fx", "m"))
+      .select(col("user_id"), col("recency_days"), col("frequency"),
+        col("monetary_fx"), col("r_score"), col("f_score"), col("m_score"),
+        (col("r_score") * 100 + col("f_score") * 10 + col("m_score")).as("rfm"))
+  }
+
+  /** Hour-of-day seasonality profile per event type — the periodic
+    * baseline an event-monitoring alarm compares against. Mean value
+    * per (event_type, hour) and its deviation from the type's overall
+    * mean, all in e4 fixed point: the per-cell and overall means are
+    * exact-long sums divided once and rounded (the t_hash_score
+    * convention — a non-tie double or an exactly-representable .5 in
+    * both engines), and the deviation is a LONG subtraction of the
+    * two already-rounded means, so it cannot introduce new rounding.
+    * Shape: one (type, hour)-keyed partial agg (≤ 24·|types| cells),
+    * overall means folded from the cell frame and broadcast back. */
+  private def aSeasonality(s: SparkSession, dir: String): DataFrame = {
+    val hourly = T(s, dir, "events")
+      .select(col("event_type"), hour(col("ts")).cast("long").as("hr"),
+        round(col("value") * 1000).cast("long").as("v_fx"))
+      .groupBy("event_type", "hr")
+      .agg(count(lit(1)).as("n"), sum("v_fx").as("s_fx"))
+    val overall = hourly.groupBy("event_type")
+      .agg(round(sum(col("s_fx")).cast("double") * 10.0 / sum(col("n")))
+        .cast("long").as("omean_e4"))
+    hourly.join(broadcast(overall), "event_type")
+      .withColumn("mean_e4",
+        round(col("s_fx").cast("double") * 10.0 / col("n")).cast("long"))
+      .select(col("event_type"), col("hr"), col("n"), col("mean_e4"),
+        (col("mean_e4") - col("omean_e4")).as("dev_e4"))
+  }
+
+  /** Per-source duplication report — the curation read that decides
+    * which sources need dedup attention before mixing: document
+    * count, exact-duplicate docs (full-text hash multiplicity > 1,
+    * the d_exact frame), near-duplicate docs (≥ 1 LSH-verified
+    * Jaccard ≥ 0.5 partner — the shared pair frame every d_* LSH row
+    * reads), and both as e4 fractions in exact long division. Two
+    * doc-keyed semi/left joins + one source-keyed agg on top of
+    * already-PlanCached substrates. */
+  private def eDupBySource(s: SparkSession, dir: String): DataFrame = {
+    val docs = T(s, dir, "documents")
+    val multi = Dedup.exactGroups(docs).filter(col("n_copies") > 1)
+      .select(col("text_hash"), col("text_len"))
+    val exactDup = docs
+      .select(col("doc_id"), Codecs.portableHash(col("text")).as("text_hash"),
+        length(col("text")).cast("long").as("text_len"))
+      .join(multi, Seq("text_hash", "text_len"), "left_semi")
+      .select(col("doc_id")).withColumn("is_exact", lit(1L))
+    val pairs = Dedup.lshVerifiedJaccard(docs, 3, 16, 4, 4, 0.5)
+    val near = pairs.select(col("doc_a").as("doc_id"))
+      .union(pairs.select(col("doc_b").as("doc_id")))
+      .distinct().withColumn("is_near", lit(1L))
+    docs.select(col("doc_id"), col("source"))
+      .join(exactDup, Seq("doc_id"), "left")
+      .join(near, Seq("doc_id"), "left")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(coalesce(col("is_exact"), lit(0L))).as("n_exact_dup"),
+        sum(coalesce(col("is_near"), lit(0L))).as("n_neardup"))
+      .select(col("source"), col("n_docs"), col("n_exact_dup"), col("n_neardup"),
+        expr("(n_exact_dup * 10000) div n_docs").as("exact_frac_e4"),
+        expr("(n_neardup * 10000) div n_docs").as("near_frac_e4"))
+  }
+
+  /** Bounded k-core peel of the purchase graph
+    * ([[graft.ops.Graph.kCorePeel]], k=48, 3 rounds): the
+    * trade-network "core vs periphery" report — round-1 peels are
+    * thin customers, later rounds are the cascade as their removal
+    * drains supplier degrees. k=48 is tuned to the sf0.01 graph so
+    * all three rounds fire AND a core survives; the bounded unroll is
+    * the contract, so the oracle replays it whatever the shape. */
+  private def gKcore(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Graph.kCorePeel(purchaseEdges(s, dir), 48, 3)
+
+  /** Multi-source BFS shells from the nation-0 supplier seed set
+    * ([[graft.ops.Graph.bfsHops]], depth 3): hop distance through the
+    * trade network — 0 = the seeds, 1 = their customers, 2 = suppliers
+    * sharing those customers, 3 = the rest; NULL = outside the
+    * 3-hop ball. */
+  private def gBfs(s: SparkSession, dir: String): DataFrame = {
+    val seeds = T(s, dir, "supplier").filter(col("s_nationkey") === 0)
+      .select(concat(lit("s"), col("s_suppkey").cast("string")).as("node"))
+    graft.ops.Graph.bfsHops(purchaseEdges(s, dir), seeds, 3)
+  }
+
+  /** Cheapest trade-cost path from the nation-0 supplier seeds
+    * ([[graft.ops.Graph.minPlus]], 4 relaxation rounds): edge cost
+    * `1000000 div w` — inverse trade volume, so the label measures
+    * how cheaply (via how strong a chain of relationships) each
+    * entity is reached from the seed population. The weighted
+    * generalization of g_bfs; NULL = outside the 4-edge ball. */
+  private def gCheapestPath(s: SparkSession, dir: String): DataFrame = {
+    val edges = purchaseEdges(s, dir)
+      .select(col("src"), col("dst"), expr("1000000 div w").as("cost"))
+    val seeds = T(s, dir, "supplier").filter(col("s_nationkey") === 0)
+      .select(concat(lit("s"), col("s_suppkey").cast("string")).as("node"))
+    graft.ops.Graph.minPlus(edges, seeds, 4)
+  }
+
+  /** Co-purchase link prediction
+    * ([[graft.ops.Graph.commonNeighborPairs]]): customer pairs
+    * sharing ≥ 3 distinct parts, with neighborhood Jaccard in e4
+    * fixed point — the "customers also bought" similarity graph. The
+    * declared maxDf=64 cap (DfCap convention) bounds the per-part
+    * pair fan-out; at sf0.01 every part is under it, at 100 TB it is
+    * what keeps a commodity part from generating d²/2 rows. */
+  private def gCommonNeighbors(s: SparkSession, dir: String): DataFrame = {
+    val li = T(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey"))
+    val ord = T(s, dir, "orders")
+      .select(col("o_orderkey").as("l_orderkey"), col("o_custkey"))
+    val inc = li.join(ord, "l_orderkey")
+      .select(col("o_custkey").as("u"), col("l_partkey").as("v"))
+    graft.ops.Graph.commonNeighborPairs(inc, 64, 3)
+      .select(col("u_a").as("cust_a"), col("u_b").as("cust_b"),
+        col("n_common"), col("jaccard_e4"))
+  }
+
   // =====================================================================
   // Registry
   // =====================================================================
@@ -2341,6 +2519,14 @@ object SparkEntry {
     "g_ppr_suppliers" -> (gPprSuppliers _),
     "g_triangles" -> (gTriangles _),
     "g_degree_hist" -> (gDegreeHist _),
+    "g_kcore" -> (gKcore _),
+    "g_bfs" -> (gBfs _),
+    "g_common_neighbors" -> (gCommonNeighbors _),
+    "a_sessionize" -> (aSessionize _),
+    "a_rfm" -> (aRfm _),
+    "g_cheapest_path" -> (gCheapestPath _),
+    "a_seasonality" -> (aSeasonality _),
+    "e_dup_by_source" -> (eDupBySource _),
     "a_funnel" -> (aFunnel _),
     "a_funnel_hourly" -> (aFunnelHourly _),
     "a_cohort" -> (aCohort _),

@@ -105,6 +105,177 @@ object Graph {
     pr.select(col("node"), col("p").as("pr_fx"))
   }
 
+  /** Bounded k-core peeling (Seidman 1983 coreness, the Batagelj–
+    * Zaveršnik peel expressed as a synchronous bounded iterate):
+    * each round simultaneously removes every vertex whose degree
+    * among the still-alive vertices is below `k`; `rounds` rounds of
+    * that cascade. The bounded unroll IS the contract (the a_ewma /
+    * pageRankFixed convention) — both engines replay the same rounds,
+    * so the result is engine-independent even when the cascade has
+    * not yet reached its fixpoint.
+    *
+    * Single-reference iterate: a naive step needs the previous state
+    * twice (once to weight each edge by its source's aliveness, once
+    * to carry the destination's own aliveness forward) — in Spark
+    * that doubles the unrolled plan per round, and a recursive-CTE
+    * oracle cannot express it at all (the recursive table may be
+    * referenced only once). Instead the static edge list is augmented
+    * with one zero-marked SELF-edge per vertex, so ONE join + ONE
+    * dst-keyed aggregate per round sees both: real edges contribute
+    * the source's aliveness to the degree sum, the self edge carries
+    * the vertex's own (aliveness, peel round) through the aggregate.
+    * Plan stays linear in `rounds`, runs as one job, and the DuckDB
+    * oracle replays it verbatim.
+    *
+    * Distributed shape: the augmented edge list is repartitioned by
+    * src once and checkpointed; each round shuffles only the
+    * vertex-sized state frame into that partitioning plus one
+    * partial-agg'd groupBy — the pageRankFixed shuffle budget.
+    *
+    * Input: symmetric edges (src, dst, w) — w ignored, degree = edge
+    * count. Returns (node, in_core: 1/0 long, peeled_round: long,
+    * 0 = survived all rounds). */
+  def kCorePeel(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
+    require(k >= 1 && rounds >= 1, s"need k>=1, rounds>=1; got k=$k rounds=$rounds")
+    val verts = edges.select(col("src").as("node"))
+      .union(edges.select(col("dst").as("node")))
+      .distinct()
+    val e2 = edges.select(col("src"), col("dst"), lit(1L).as("real"))
+      .union(verts.select(col("node").as("src"), col("node").as("dst"),
+        lit(0L).as("real")))
+      .repartition(col("src"))
+      .localCheckpoint()
+    var st = verts.select(col("node"), lit(1L).as("alive"), lit(0L).as("peeled"))
+    for (t <- 1 to rounds) {
+      st = e2.join(st.withColumnRenamed("node", "src"), "src")
+        .groupBy(col("dst").as("node"))
+        .agg(sum(when(col("real") === 1L, col("alive")).otherwise(0L)).as("deg"),
+          max(when(col("real") === 0L, col("alive"))).as("ca"),
+          max(when(col("real") === 0L, col("peeled"))).as("cp"))
+        .select(col("node"),
+          when(col("ca") === 1L && col("deg") >= k, 1L).otherwise(0L).as("alive"),
+          when(col("ca") === 1L && col("deg") < k, lit(t.toLong))
+            .otherwise(col("cp")).as("peeled"))
+    }
+    st.select(col("node"), col("alive").as("in_core"), col("peeled").as("peeled_round"))
+  }
+
+  /** Multi-source BFS hop distance from a seed vertex set, bounded
+    * depth — the reachability-shell analytic (which entities sit how
+    * many trades away from a seed population). Same single-reference
+    * iterate as [[kCorePeel]]: real edges carry `dist + 1`, the
+    * zero-marked self edge carries `dist + 0`, one join + one
+    * dst-keyed MIN per round. NULL is "unreached": NULL + 1 = NULL
+    * and MIN ignores NULLs identically in Spark and DuckDB, so no
+    * sentinel arithmetic is needed and the recursive-CTE oracle
+    * replays the iterate as written. After `depth` rounds dist(v) is
+    * the true hop distance for every v within `depth` hops, NULL
+    * beyond — the bounded unroll is the contract.
+    *
+    * Input: symmetric edges (src, dst, *), seeds (node). Returns
+    * (node, dist: nullable long). */
+  def bfsHops(edges: DataFrame, seeds: DataFrame, depth: Int): DataFrame = {
+    require(depth >= 1, s"depth must be >= 1, got $depth")
+    val verts = edges.select(col("src").as("node"))
+      .union(edges.select(col("dst").as("node")))
+      .distinct()
+    val e2 = edges.select(col("src"), col("dst"), lit(1L).as("delta"))
+      .union(verts.select(col("node").as("src"), col("node").as("dst"),
+        lit(0L).as("delta")))
+      .repartition(col("src"))
+      .localCheckpoint()
+    var st = verts
+      .join(seeds.select(col("node")).distinct().withColumn("s", lit(true)),
+        Seq("node"), "left")
+      .select(col("node"),
+        when(col("s"), lit(0L)).otherwise(lit(null).cast("long")).as("dist"))
+    for (_ <- 1 to depth) {
+      st = e2.join(st.withColumnRenamed("node", "src"), "src")
+        .groupBy(col("dst").as("node"))
+        .agg(min(col("dist") + col("delta")).as("dist"))
+    }
+    st
+  }
+
+  /** Bounded min-plus (Bellman–Ford) relaxation: cheapest-path cost
+    * from a seed set under a per-edge long cost, `rounds` relaxation
+    * rounds — [[bfsHops]] is the special case cost ≡ 1. Same
+    * single-reference iterate (real edges carry `cost + edge`, the
+    * zero-cost self edge carries the current label), same NULL-is-
+    * unreached contract, same recursive-CTE oracle shape. After
+    * `rounds` rounds the label is exact for every vertex whose
+    * cheapest path uses ≤ `rounds` edges — the bounded unroll is the
+    * contract.
+    *
+    * Overflow: costs are caller-provided non-negative longs; a path
+    * sums ≤ `rounds` of them, so keep max-cost ≲ 2^62/rounds.
+    *
+    * Input: symmetric edges (src, dst, cost: Long), seeds (node).
+    * Returns (node, cost: nullable long). */
+  def minPlus(edges: DataFrame, seeds: DataFrame, rounds: Int): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    val verts = edges.select(col("src").as("node"))
+      .union(edges.select(col("dst").as("node")))
+      .distinct()
+    val e2 = edges.select(col("src"), col("dst"), col("cost").cast("long").as("delta"))
+      .union(verts.select(col("node").as("src"), col("node").as("dst"),
+        lit(0L).as("delta")))
+      .repartition(col("src"))
+      .localCheckpoint()
+    var st = verts
+      .join(seeds.select(col("node")).distinct().withColumn("s", lit(true)),
+        Seq("node"), "left")
+      .select(col("node"),
+        when(col("s"), lit(0L)).otherwise(lit(null).cast("long")).as("cost"))
+    for (_ <- 1 to rounds) {
+      st = e2.join(st.withColumnRenamed("node", "src"), "src")
+        .groupBy(col("dst").as("node"))
+        .agg(min(col("cost") + col("delta")).as("cost"))
+    }
+    st
+  }
+
+  /** Common-neighbor link prediction over a bipartite incidence list
+    * (the "customers who bought the same parts" co-occurrence graph):
+    * for every left-vertex pair sharing ≥ `minCommon` right
+    * neighbors, the shared count and the Jaccard of their
+    * neighborhoods in e4 fixed point. The declared `maxDf` cap is the
+    * scale contract (the DfCap convention from the gram-join family):
+    * a right vertex shared by d left vertices generates d·(d−1)/2
+    * candidate rows, so hub neighbors — a boilerplate part every
+    * customer bought — are EXCLUDED up front by the caller's cap
+    * rather than discovered as a skewed-key explosion at 100 TB.
+    * Everything shuffles on (v) then (a, b); degrees join back on the
+    * left-vertex key; nothing is collected.
+    *
+    * Input: incidence (u, v) — u the scored side, v the shared-
+    * neighbor side. Returns (u_a, u_b, n_common, jaccard_e4) with
+    * u_a < u_b. */
+  def commonNeighborPairs(inc: DataFrame, maxDf: Long, minCommon: Long): DataFrame = {
+    require(maxDf >= 2 && minCommon >= 1,
+      s"need maxDf>=2, minCommon>=1; got maxDf=$maxDf minCommon=$minCommon")
+    val uv = inc.select(col("u"), col("v")).distinct()
+    val kept = uv.join(
+      uv.groupBy("v").agg(count(lit(1)).as("df"))
+        .filter(col("df") >= 2 && col("df") <= maxDf)
+        .select("v"),
+      "v")
+    val pairs = kept.select(col("v"), col("u").as("u_a"))
+      .join(kept.select(col("v"), col("u").as("u_b")), "v")
+      .filter(col("u_a") < col("u_b"))
+      .groupBy(col("u_a"), col("u_b"))
+      .agg(count(lit(1)).as("n_common"))
+      .filter(col("n_common") >= minCommon)
+    // Jaccard over the FULL (uncapped) neighborhoods: the cap bounds
+    // candidate generation, not the similarity definition
+    val deg = uv.groupBy(col("u")).agg(count(lit(1)).as("d"))
+    pairs
+      .join(deg.select(col("u").as("u_a"), col("d").as("da")), "u_a")
+      .join(deg.select(col("u").as("u_b"), col("d").as("db")), "u_b")
+      .select(col("u_a"), col("u_b"), col("n_common"),
+        expr("(n_common * 10000L) div (da + db - n_common)").as("jaccard_e4"))
+  }
+
   /** Exact triangle count by degree-ordered edge orientation (the
     * node-iterator of Schank & Wagner 2005 / the MapReduce form of
     * Suri & Vassilvitskii 2011): orient every undirected edge from

@@ -85,6 +85,43 @@ class GraphSpec extends SparkSpec {
     assert(count(Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L))) === ((4L, 1L)))
   }
 
+  private def sym(pairs: Seq[(String, String)]) =
+    pairs.flatMap { case (a, b) => Seq((a, b, 1L), (b, a, 1L)) }.toDF("src", "dst", "w")
+
+  test("kCorePeel on a path cascades inward; on a cycle the 2-core survives") {
+    val path = sym(Seq(("v0", "v1"), ("v1", "v2"), ("v2", "v3"), ("v3", "v4")))
+    val got = Graph.kCorePeel(path, 2, 4)
+      .as[(String, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    // endpoints (deg 1) fall round 1, exposing v1/v3 (round 2), then v2
+    assert(got === Map(
+      "v0" -> ((0L, 1L)), "v4" -> ((0L, 1L)),
+      "v1" -> ((0L, 2L)), "v3" -> ((0L, 2L)),
+      "v2" -> ((0L, 3L))))
+    val cycle = sym(Seq(("v0", "v1"), ("v1", "v2"), ("v2", "v3"), ("v3", "v0")))
+    val core = Graph.kCorePeel(cycle, 2, 4)
+      .as[(String, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(core.values.forall(_ == ((1L, 0L))), "a cycle IS its own 2-core")
+  }
+
+  test("bfsHops on a path: dist = index from the seed, NULL beyond the depth bound") {
+    val path = sym(Seq(("v0", "v1"), ("v1", "v2"), ("v2", "v3"), ("v3", "v4")))
+    val got = Graph.bfsHops(path, Seq("v0").toDF("node"), 2)
+      .as[(String, Option[Long])].collect().toMap
+    assert(got === Map("v0" -> Some(0L), "v1" -> Some(1L), "v2" -> Some(2L),
+      "v3" -> None, "v4" -> None))
+  }
+
+  test("commonNeighborPairs: hub neighbors above the df cap generate no candidates") {
+    // u1,u2 share {p1,p2}; everyone shares hub p9 (df 4 > cap 3)
+    val inc = Seq((1L, 1L), (1L, 2L), (2L, 1L), (2L, 2L),
+      (1L, 9L), (2L, 9L), (3L, 9L), (4L, 9L)).toDF("u", "v")
+    val got = Graph.commonNeighborPairs(inc, 3, 1)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    // n_common counts capped neighbors only; Jaccard uses FULL
+    // neighborhoods: |{p1,p2} ∩ {p1,p2}| = 2, union = 3+3-2 = 4
+    assert(got === Set((1L, 2L, 2L, 5000L)))
+  }
+
   test("total mass never exceeds the initial |V|·scale (overflow-budget premise)") {
     val edges = symmetricTestGraph
     val n = (edges.map(_._1) ++ edges.map(_._2)).distinct.size

@@ -309,6 +309,135 @@ class PropertySpec extends SparkSpec {
     }, "pagerank replica")
   }
 
+  test("kCorePeel equals the synchronous peel replica on random symmetric graphs") {
+    val graphGen = for {
+      n <- Gen.choose(3, 10)
+      pairs <- Gen.someOf(for { a <- 0 until n; b <- a + 1 until n } yield (a, b))
+      if pairs.nonEmpty
+      k <- Gen.choose(1, 4)
+      rounds <- Gen.choose(1, 4)
+    } yield (pairs.toList, k, rounds)
+    def replica(pairs: Seq[(Int, Int)], k: Int, rounds: Int): Map[String, (Long, Long)] = {
+      val adj = pairs.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+        .groupBy(_._1).map { case (v, es) => s"v$v" -> es.map(e => s"v${e._2}").toSet }
+      var alive = adj.keySet
+      val peeled = scala.collection.mutable.Map.empty[String, Long]
+      for (t <- 1 to rounds) {
+        // SYNCHRONOUS round: every sub-k vertex measured against the
+        // round's INCOMING alive set is removed together
+        val dead = alive.filter(v => adj(v).count(alive.contains) < k)
+        alive = alive -- dead
+        dead.foreach(peeled(_) = t.toLong)
+      }
+      adj.keySet.map(v =>
+        v -> ((if (alive(v)) 1L else 0L, peeled.getOrElse(v, 0L)))).toMap
+    }
+    check(Prop.forAll(graphGen) { case (pairs, k, rounds) =>
+      val edges = pairs.flatMap { case (a, b) =>
+        Seq((s"v$a", s"v$b", 1L), (s"v$b", s"v$a", 1L)) }
+      val got = graft.ops.Graph.kCorePeel(edges.toDF("src", "dst", "w"), k, rounds)
+        .as[(String, Long, Long)].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap
+      got == replica(pairs, k, rounds)
+    }, "kcore peel replica")
+  }
+
+  test("bfsHops equals the BFS replica (bounded depth, NULL = unreached) on random graphs") {
+    val graphGen = for {
+      n <- Gen.choose(3, 10)
+      pairs <- Gen.someOf(for { a <- 0 until n; b <- a + 1 until n } yield (a, b))
+      if pairs.nonEmpty
+      nSeeds <- Gen.choose(1, 3)
+      depth <- Gen.choose(1, 4)
+    } yield (pairs.toList, (0 until nSeeds).map(i => s"v$i").toSet, depth)
+    def replica(pairs: Seq[(Int, Int)], seeds: Set[String],
+        depth: Int): Map[String, Option[Long]] = {
+      val adj = pairs.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+        .groupBy(_._1).map { case (v, es) => s"v$v" -> es.map(e => s"v${e._2}") }
+      val verts = adj.keySet
+      var dist = verts.map(v =>
+        v -> (if (seeds.contains(v)) Some(0L) else Option.empty[Long])).toMap
+      for (_ <- 1 to depth) {
+        dist = verts.map { v =>
+          val in = (adj(v).flatMap(dist(_)).map(_ + 1) ++ dist(v)).toSeq
+          v -> (if (in.isEmpty) None else Some(in.min))
+        }.toMap
+      }
+      dist
+    }
+    check(Prop.forAll(graphGen) { case (pairs, seeds, depth) =>
+      val edges = pairs.flatMap { case (a, b) =>
+        Seq((s"v$a", s"v$b", 1L), (s"v$b", s"v$a", 1L)) }
+      // seeds may name vertices absent from the edge list (isolated
+      // in the sampled graph) — the operator only ranks graph vertices
+      val got = graft.ops.Graph.bfsHops(edges.toDF("src", "dst", "w"),
+          seeds.toSeq.toDF("node"), depth)
+        .as[(String, Option[Long])].collect().toMap
+      got == replica(pairs, seeds, depth)
+    }, "bfs replica")
+  }
+
+  test("minPlus equals the bounded Bellman-Ford replica on random weighted graphs") {
+    val graphGen = for {
+      n <- Gen.choose(3, 10)
+      pairs <- Gen.someOf(for { a <- 0 until n; b <- a + 1 until n } yield (a, b))
+      if pairs.nonEmpty
+      ws <- Gen.listOfN(pairs.size, Gen.choose(1L, 9L))
+      nSeeds <- Gen.choose(1, 3)
+      rounds <- Gen.choose(1, 4)
+    } yield (pairs.toList.zip(ws), (0 until nSeeds).map(i => s"v$i").toSet, rounds)
+    def replica(edges: Seq[(String, String, Long)], seeds: Set[String],
+        rounds: Int): Map[String, Option[Long]] = {
+      val in = edges.groupBy(_._2)
+      val verts = (edges.map(_._1) ++ edges.map(_._2)).distinct
+      var cost = verts.map(v =>
+        v -> (if (seeds.contains(v)) Some(0L) else Option.empty[Long])).toMap
+      for (_ <- 1 to rounds) {
+        cost = verts.map { v =>
+          val relax = (in.getOrElse(v, Nil).flatMap { case (s, _, c) =>
+            cost(s).map(_ + c) } ++ cost(v)).toSeq
+          v -> (if (relax.isEmpty) None else Some(relax.min))
+        }.toMap
+      }
+      cost
+    }
+    check(Prop.forAll(graphGen) { case (pw, seeds, rounds) =>
+      val edges = pw.flatMap { case ((a, b), w) =>
+        Seq((s"v$a", s"v$b", w), (s"v$b", s"v$a", w)) }
+      val got = graft.ops.Graph.minPlus(
+          edges.toDF("src", "dst", "cost"), seeds.toSeq.toDF("node"), rounds)
+        .as[(String, Option[Long])].collect().toMap
+      got == replica(edges, seeds, rounds)
+    }, "min-plus replica")
+  }
+
+  test("commonNeighborPairs equals the set-intersection replica under the df cap") {
+    val graphGen = for {
+      nu <- Gen.choose(3, 8)
+      nv <- Gen.choose(2, 6)
+      inc <- Gen.someOf(for { u <- 0 until nu; v <- 0 until nv } yield (u.toLong, v.toLong))
+      if inc.nonEmpty
+      maxDf <- Gen.choose(2, 6)
+      minCommon <- Gen.choose(1, 3)
+    } yield (inc.toList, maxDf, minCommon)
+    check(Prop.forAll(graphGen) { case (inc, maxDf, minCommon) =>
+      val nbr = inc.groupBy(_._1).map { case (u, es) => u -> es.map(_._2).toSet }
+      val df = inc.groupBy(_._2).map { case (v, es) => v -> es.map(_._1).size }
+      val keptV = df.filter { case (_, d) => d >= 2 && d <= maxDf }.keySet
+      val us = nbr.keys.toSeq.sorted
+      val expect = (for {
+        a <- us; b <- us if a < b
+        nc = (nbr(a) & nbr(b) & keptV).size.toLong if nc >= minCommon
+        j = nc * 10000L / (nbr(a).size + nbr(b).size - nc)
+      } yield (a, b) -> ((nc, j))).toMap
+      val got = graft.ops.Graph.commonNeighborPairs(
+          inc.toDF("u", "v"), maxDf.toLong, minCommon.toLong)
+        .as[(Long, Long, Long, Long)].collect()
+        .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+      got == expect
+    }, "common neighbors replica")
+  }
+
   test("triangle count equals the brute-force triple loop on random graphs") {
     val graphGen = for {
       n <- Gen.choose(3, 9)
