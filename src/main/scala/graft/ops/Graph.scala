@@ -68,12 +68,19 @@ object Graph {
     require(dampNum > 0 && dampNum < dampDen, s"damping $dampNum/$dampDen not in (0,1)")
     val teleport = (scale * (dampDen - dampNum)) / dampDen
     val outw = edges.groupBy(col("src")).agg(sum(col("w")).as("wout"))
-    // Pre-partition the STATIC frames by their join keys before the
-    // checkpoint (localCheckpoint preserves output partitioning): the
-    // edge list is the big side and must not re-shuffle per step —
-    // each iteration then moves only the vertex-sized rank frame into
-    // the edge partitioning, which is the whole iterate's shuffle
-    // budget at any scale.
+    // Materialize the STATIC frames once: every iteration references
+    // them, and uncheckpointed they would recompute per reference.
+    // The pre-repartition's role (r9 measurement, BASELINE.md): under
+    // AQE a checkpoint scan reports UNKNOWN partitioning, so the
+    // PLANNER never reuses it — what keeps the edge side
+    // exchange-free per step is that the rank frame is vertex-sized
+    // and AQE broadcasts it. But the repartition still pays for the
+    // PHYSICAL layout of the materialized RDD: without it the
+    // checkpoint inherits the (few, skewed) join-output partitions
+    // and every per-step map stage runs under-parallel — measured
+    // 3.7 → 6.6 s warm at sf0.1 when removed. For graphs whose
+    // vertex frame outgrows broadcast, stage the edge list as a
+    // bucketed table instead (the PlanCache scale note).
     val e = edges.join(outw, "src")
       .select(col("src"), col("dst"), col("w").cast("long").as("w"),
         col("wout").cast("long").as("wout"))
@@ -127,10 +134,12 @@ object Graph {
     * Plan stays linear in `rounds`, runs as one job, and the DuckDB
     * oracle replays it verbatim.
     *
-    * Distributed shape: the augmented edge list is repartitioned by
-    * src once and checkpointed; each round shuffles only the
-    * vertex-sized state frame into that partitioning plus one
-    * partial-agg'd groupBy — the pageRankFixed shuffle budget.
+    * Distributed shape: the augmented edge list is materialized once
+    * (checkpoint); each round's join moves only the vertex-sized
+    * state frame (AQE broadcast — see pageRankFixed's note on why
+    * pre-partitioning is not what saves the exchange) plus one
+    * partial-agg'd dst-keyed groupBy — the pageRankFixed shuffle
+    * budget.
     *
     * Input: symmetric edges (src, dst, w) — w ignored, degree = edge
     * count. Returns (node, in_core: 1/0 long, peeled_round: long,
@@ -254,7 +263,17 @@ object Graph {
   def commonNeighborPairs(inc: DataFrame, maxDf: Long, minCommon: Long): DataFrame = {
     require(maxDf >= 2 && minCommon >= 1,
       s"need maxDf>=2, minCommon>=1; got maxDf=$maxDf minCommon=$minCommon")
-    val uv = inc.select(col("u"), col("v")).distinct()
+    // The distinct incidence list is referenced four times (df filter,
+    // both self-join sides, degrees) — localCheckpoint runs the
+    // scan + distinct ONCE instead of four times. The downstream
+    // v-keyed exchanges remain in either variant: under AQE both a
+    // checkpoint scan and a cached plan report unknown partitioning,
+    // so pre-partitioning by v cannot be reused — and the measured
+    // PlanCache alternative (persist + columnar decode per reference)
+    // was 8× slower cold at sf0.001 (recorded in BASELINE.md). The
+    // exchanges that remain move only the distinct-reduced incidence
+    // list, keyed on v (bounded fan-out by the df cap) and u.
+    val uv = inc.select(col("u"), col("v")).distinct().localCheckpoint()
     val kept = uv.join(
       uv.groupBy("v").agg(count(lit(1)).as("df"))
         .filter(col("df") >= 2 && col("df") <= maxDf)
