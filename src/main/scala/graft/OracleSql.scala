@@ -351,6 +351,44 @@ object OracleSql {
   SELECT vec_id, label, v, sqrt(list_dot_product(v, v)) AS nrm, $bucket AS bucket FROM vecs)"""
   }
 
+  /** Ridge normal-equation recursive iterate (mirror of
+    * graft.ext.Ridge.jacobiSweeps): exact fixed-point moments
+    * G = XᵀX (scale 1e3 → 1e6 units) and b = Xᵀy (1e3 units), then 60
+    * damped-Jacobi sweeps on A = G + 50·I with ω = 1/max_i(Σ|A_ij|/A_ii).
+    * Update associativity `w + (ω·(b − aw)) / d` mirrors the engine
+    * verbatim. Ends with `it(t, w)`; read `WHERE t = 60`. */
+  private val RIDGE_IT = """WITH RECURSIVE amat AS (
+  WITH vecs AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+                       CAST(label AS DOUBLE) AS y FROM embeddings),
+  idx AS (SELECT CAST(unnest(range(0, 64)) AS INT) AS i),
+  pr AS (SELECT a.i AS i, b.i AS j FROM idx a, idx b)
+  SELECT pr.i, pr.j,
+         CAST(sum(CAST(round(v[pr.i+1]*1000.0) AS BIGINT) *
+                  CAST(round(v[pr.j+1]*1000.0) AS BIGINT)) AS DOUBLE) / 1000000.0
+         + CASE WHEN pr.i = pr.j THEN 50.0 ELSE 0.0 END AS a
+  FROM vecs CROSS JOIN pr GROUP BY 1, 2
+), bvec AS (
+  SELECT i.i AS i,
+         CAST(sum(CAST(round(v[i.i+1]*y*1000.0) AS BIGINT)) AS DOUBLE) / 1000.0 AS b
+  FROM (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+               CAST(label AS DOUBLE) AS y FROM embeddings)
+  CROSS JOIN (SELECT CAST(unnest(range(0, 64)) AS INT) AS i) i
+  GROUP BY 1
+), dg AS (SELECT i, a AS d FROM amat WHERE i = j
+), om AS (
+  SELECT 1.0 / max(rs / d) AS omega FROM (
+    SELECT i, sum(abs(a)) AS rs, max(CASE WHEN i = j THEN a END) AS d
+    FROM amat GROUP BY i)
+), it AS (
+  SELECT 0 AS t, list_transform(range(0, 64), x -> CAST(0.0 AS DOUBLE)) AS w
+  UNION ALL
+  SELECT t+1, (
+    SELECT list(it.w[i+1] + omega * (b - aw) / d ORDER BY i) FROM (
+      SELECT m.i AS i, sum(m.a * it.w[m.j+1]) AS aw FROM amat m GROUP BY m.i) s
+    JOIN dg USING (i) JOIN bvec USING (i) CROSS JOIN om)
+  FROM it WHERE t < 60
+)"""
+
   /** LSH-verified Jaccard pair CTEs (mirror of Dedup.lshVerifiedJaccard):
     * ends with `pairs(doc_a, doc_b, jaccard)` at threshold 0.5. */
   private val LSH_CANDS = s"""$SIG, bands AS (
@@ -2004,6 +2042,26 @@ GROUP BY 1, 2""",
 SELECT CAST(unnest(range(0, 64)) AS INT) AS i,
        round(v[unnest(range(0, 64))+1], 4) AS loading
 FROM it WHERE t = 20""",
+
+    // ridge linear probe: replay the engine's 60 damped-Jacobi sweeps
+    // on (G + λI)w = b from the SAME exact integer moments; ω derives
+    // from the matrix itself (1 / max row-ratio), associativity of the
+    // update mirrors Ridge.jacobiSweeps verbatim
+    "s_ridge_fit" -> s"""$RIDGE_IT
+SELECT CAST(unnest(range(0, 64)) AS INT) AS i,
+       round(w[unnest(range(0, 64))+1], 4) AS weight
+FROM it WHERE t = 60""",
+
+    // the trained probe scored back over the corpus: round-4 weights
+    // (the SAME emission s_ridge_fit pins) dotted with each vector
+    "s_ridge_score" -> s"""$RIDGE_IT, w4 AS (
+  SELECT list(round(w[i.i+1], 4) ORDER BY i.i) AS w4
+  FROM it CROSS JOIN (SELECT CAST(unnest(range(0, 64)) AS INT) AS i) i
+  WHERE t = 60
+)
+SELECT vec_id, CAST(label AS BIGINT) AS label,
+       round(list_dot_product(list_transform(embedding, x -> CAST(x AS DOUBLE)), w4), 4) AS yhat
+FROM embeddings CROSS JOIN w4""",
 
     // the composed curation DAG: normalize -> exact-dedup keepers ->
     // quality/length gate -> train split -> pack into 2048-tok chunks

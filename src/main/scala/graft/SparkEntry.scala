@@ -1675,6 +1675,21 @@ object SparkEntry {
     }.toSeq.toDF("i", "loading")
   }
 
+  /** Ridge-regression linear probe TRAINED on the corpus's own exact
+    * moments ([[graft.ext.Ridge]]): one Gram+Xᵀy aggregate pass (the
+    * distributed part — any corpus reduces to a d²-long frame), then
+    * 60 damped-Jacobi sweeps on (G + λI)w = b on the driver. λ = 50,
+    * fixed-point scale 1e3. The oracle replays the identical sweeps
+    * in a recursive CTE from the identical exact integer moments. */
+  private def sRidgeFit(s: SparkSession, dir: String): DataFrame =
+    graft.ext.Ridge.fitFrame(T(s, dir, "embeddings"), 64, 1000.0, 50.0, 60)
+
+  /** The trained probe applied back over the corpus: weights ride as
+    * a literal vector — one codegen'd dot per row, one scan, no
+    * shuffle (the s_model_score shape with LEARNED weights). */
+  private def sRidgeScore(s: SparkSession, dir: String): DataFrame =
+    graft.ext.Ridge.scoreFrame(T(s, dir, "embeddings"), 64, 1000.0, 50.0, 60)
+
   /** Classifier inference over the corpus — the distilled-quality-
     * model pattern (fastText-style filters, reward-model scores): a
     * trained linear head's weights ride as a LITERAL vector and the
@@ -2574,6 +2589,8 @@ object SparkEntry {
     "s_embed_outliers" -> (sEmbedOutliers _),
     "s_embed_gram" -> (sEmbedGram _),
     "s_embed_pc1" -> (sEmbedPc1 _),
+    "s_ridge_fit" -> (sRidgeFit _),
+    "s_ridge_score" -> (sRidgeScore _),
     "t_dsir_weights" -> (tDsirWeights _),
     "m_payload_dedup" -> (mPayloadDedup _),
     "s_ann_store" -> (sAnnStore _),
