@@ -389,6 +389,22 @@ object OracleSql {
   FROM it WHERE t < 60
 )"""
 
+  /** Morton bit-spread (mirror of graft.ops.Layout.spread16): scatter
+    * the low 16 bits of `e` onto even positions with the classic
+    * shift-and-mask chain. Inlined (each level duplicates the lower
+    * level), so `e` should be a bare column reference. */
+  private def zspread(e: String): String = {
+    val m0 = s"(($e) & 65535)"
+    val m1 = s"(($m0 | ($m0 << 8)) & 16711935)"
+    val m2 = s"(($m1 | ($m1 << 4)) & 252645135)"
+    val m3 = s"(($m2 | ($m2 << 2)) & 858993459)"
+    s"(($m3 | ($m3 << 1)) & 1431655765)"
+  }
+
+  /** Morton z value of two 16-bit dims (mirror of Layout.zValue). */
+  private def zmorton(a: String, b: String): String =
+    s"(${zspread(a)} | (${zspread(b)} << 1))"
+
   /** LSH-verified Jaccard pair CTEs (mirror of Dedup.lshVerifiedJaccard):
     * ends with `pairs(doc_a, doc_b, jaccard)` at threshold 0.5. */
   private val LSH_CANDS = s"""$SIG, bands AS (
@@ -2062,6 +2078,73 @@ FROM it WHERE t = 60""",
 SELECT vec_id, CAST(label AS BIGINT) AS label,
        round(list_dot_product(list_transform(embedding, x -> CAST(x AS DOUBLE)), w4), 4) AS yhat
 FROM embeddings CROSS JOIN w4""",
+
+    // z-order layout audit: exact integer Morton codes, equal-COUNT
+    // files cut by row_number over the z order (unique tiebreak) —
+    // bit-for-bit with the engine
+    "p_zorder_hist" -> s"""WITH zf AS (
+  SELECT l_partkey, l_suppkey, l_orderkey, l_linenumber,
+         ${zmorton("l_partkey", "l_suppkey")} AS z FROM lineitem
+), n AS (SELECT count(*) AS n_total FROM zf),
+rk AS (
+  SELECT l_partkey, l_suppkey,
+         row_number() OVER (ORDER BY z, l_orderkey, l_linenumber) AS rn, n_total
+  FROM zf CROSS JOIN n)
+SELECT ((rn - 1) * 64) // n_total AS bucket, count(*) AS n_rows,
+       min(l_partkey) AS min_pk, max(l_partkey) AS max_pk,
+       min(l_suppkey) AS min_sk, max(l_suppkey) AS max_sk
+FROM rk GROUP BY 1""",
+
+    // data-skipping effectiveness of three candidate sort layouts vs
+    // a 2-D range predicate — integer arithmetic end to end
+    "p_skipping_report" -> s"""WITH mx AS (
+  SELECT max(l_partkey) AS max_pk, max(l_suppkey) AS max_sk,
+         count(*) AS n_total
+  FROM lineitem
+), r AS (
+  SELECT l_partkey, l_suppkey, l_orderkey, l_linenumber, n_total,
+         max_pk // 10 AS p_lo, max_pk // 5 AS p_hi,
+         max_sk // 10 AS s_lo, max_sk // 5 AS s_hi,
+         ${zmorton("l_partkey", "l_suppkey")} AS z
+  FROM lineitem CROSS JOIN mx
+), lb AS (
+  SELECT 'zorder' AS layout, z AS skey, * FROM r
+  UNION ALL
+  SELECT 'partkey', l_partkey, * FROM r
+  UNION ALL
+  SELECT 'orderkey', l_orderkey, * FROM r
+), rk AS (
+  SELECT layout, l_partkey, l_suppkey, p_lo, p_hi, s_lo, s_hi,
+         ((row_number() OVER (PARTITION BY layout
+             ORDER BY skey, l_orderkey, l_linenumber) - 1) * 64) // n_total AS bucket
+  FROM lb
+), pb AS (
+  SELECT layout, bucket, count(*) AS n,
+         min(l_partkey) AS mn_p, max(l_partkey) AS mx_p,
+         min(l_suppkey) AS mn_s, max(l_suppkey) AS mx_s,
+         CAST(sum(CASE WHEN l_partkey BETWEEN p_lo AND p_hi
+                        AND l_suppkey BETWEEN s_lo AND s_hi
+                   THEN 1 ELSE 0 END) AS BIGINT) AS n_match,
+         CAST(sum(CASE WHEN l_suppkey BETWEEN s_lo AND s_hi
+                   THEN 1 ELSE 0 END) AS BIGINT) AS n_match_sk,
+         min(p_lo) AS p_lo, min(p_hi) AS p_hi,
+         min(s_lo) AS s_lo, min(s_hi) AS s_hi
+  FROM rk GROUP BY 1, 2),
+pv AS (
+  SELECT layout, n, 'pk_and_sk' AS predicate,
+         (mx_p < p_lo OR mn_p > p_hi OR mx_s < s_lo OR mn_s > s_hi) AS pruned,
+         n_match AS matched
+  FROM pb
+  UNION ALL
+  SELECT layout, n, 'sk_only',
+         (mx_s < s_lo OR mn_s > s_hi), n_match_sk
+  FROM pb)
+SELECT layout, predicate, count(*) AS n_buckets,
+       CAST(sum(CASE WHEN pruned THEN 1 ELSE 0 END) AS BIGINT) AS n_pruned,
+       CAST(sum(CASE WHEN pruned THEN 0 ELSE n END) AS BIGINT) AS rows_scanned,
+       CAST(sum(matched) AS BIGINT) AS rows_matched
+FROM pv
+GROUP BY 1, 2""",
 
     // the composed curation DAG: normalize -> exact-dedup keepers ->
     // quality/length gate -> train split -> pack into 2048-tok chunks

@@ -1675,6 +1675,20 @@ object SparkEntry {
     }.toSeq.toDF("i", "loading")
   }
 
+  /** Z-order layout audit of lineitem on (l_partkey, l_suppkey):
+    * per-bucket row counts and dimension min/max under Morton-code
+    * equal-width bucketing ([[graft.ops.Layout]]) — what per-file
+    * stats would look like after a Z-order rewrite. */
+  private def pZorderHist(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Layout.zorderHist(T(s, dir, "lineitem"), 64)
+
+  /** Data-skipping effectiveness of three candidate physical layouts
+    * (zorder / partkey / natural orderkey) against a 2-D range
+    * predicate: files pruned and rows scanned per layout, exact
+    * integers end to end. One scan + one (layout, bucket) shuffle. */
+  private def pSkippingReport(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Layout.skippingReport(T(s, dir, "lineitem"), 64)
+
   /** Ridge-regression linear probe TRAINED on the corpus's own exact
     * moments ([[graft.ext.Ridge]]): one Gram+Xᵀy aggregate pass (the
     * distributed part — any corpus reduces to a d²-long frame), then
@@ -2591,6 +2605,8 @@ object SparkEntry {
     "s_embed_pc1" -> (sEmbedPc1 _),
     "s_ridge_fit" -> (sRidgeFit _),
     "s_ridge_score" -> (sRidgeScore _),
+    "p_zorder_hist" -> (pZorderHist _),
+    "p_skipping_report" -> (pSkippingReport _),
     "t_dsir_weights" -> (tDsirWeights _),
     "m_payload_dedup" -> (mPayloadDedup _),
     "s_ann_store" -> (sAnnStore _),
