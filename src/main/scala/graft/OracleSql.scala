@@ -1392,6 +1392,61 @@ FROM occ CROSS JOIN n
 GROUP BY s, n.n
 HAVING count(*) * 1025 > n.n""",
 
+    // BM25 retrieval: the query is DERIVED (df-rank window 11..13), so
+    // the oracle rebuilds the identical query; constants are CAST to
+    // DOUBLE (bare decimals are DECIMAL in DuckDB and would change
+    // the division); ranking compares the ROUNDED score
+    "t_bm25_topk" -> s"""$TOKS, occ AS (
+  SELECT doc_id, unnest(tk) AS tok FROM toks
+), dl AS (SELECT doc_id, count(*) AS dl FROM occ GROUP BY 1
+), st AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS sum_dl FROM dl
+), dfr AS (
+  SELECT tok, count(*) AS df FROM (SELECT DISTINCT doc_id, tok FROM occ) GROUP BY 1
+), qt AS (
+  SELECT tok, df FROM (
+    SELECT tok, df, row_number() OVER (ORDER BY df DESC, tok) AS r FROM dfr)
+  WHERE r > 10 AND r <= 13
+), tf AS (
+  SELECT o.doc_id, o.tok, qt.df, count(*) AS tf
+  FROM occ o JOIN qt ON o.tok = qt.tok GROUP BY 1, 2, 3
+), sc AS (
+  SELECT tf.doc_id,
+         sum( ln(1.0 + (n_docs - df + CAST(0.5 AS DOUBLE)) / (df + CAST(0.5 AS DOUBLE))) *
+              (tf * CAST(2.2 AS DOUBLE)) /
+              (tf + CAST(1.2 AS DOUBLE) *
+                (CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE) * dl /
+                 (CAST(sum_dl AS DOUBLE) / n_docs))) ) AS score,
+         count(*) AS n_terms_hit
+  FROM tf JOIN dl USING (doc_id) CROSS JOIN st GROUP BY 1)
+SELECT doc_id, round(score, 4) AS score, CAST(n_terms_hit AS BIGINT) AS n_terms_hit
+FROM sc ORDER BY round(score, 4) DESC, doc_id LIMIT 20""",
+
+    // top collocations by PMI over bigram occurrences, min support 5;
+    // products taken in double in the engine's exact order
+    "t_pmi_topk" -> s"""$TOKS, occ AS (
+  SELECT doc_id, unnest(${shinglesN(2)}) AS s FROM toks
+), uni AS (
+  SELECT t, count(*) AS c1 FROM (SELECT unnest(tk) AS t FROM toks) GROUP BY 1
+), tot AS (SELECT CAST(sum(c1) AS BIGINT) AS n_uni FROM uni
+), nb AS (SELECT count(*) AS n_bi FROM occ
+), bi AS (SELECT s, count(*) AS c2 FROM occ GROUP BY 1 HAVING count(*) >= 5
+), j AS (
+  SELECT bi.s, bi.c2, ux.c1 AS cx, uy.c1 AS cy
+  FROM bi JOIN uni ux ON string_split(bi.s, ' ')[1] = ux.t
+          JOIN uni uy ON string_split(bi.s, ' ')[2] = uy.t)
+SELECT s AS bigram, CAST(c2 AS BIGINT) AS n_occ,
+       round(ln((CAST(c2 AS DOUBLE) * n_uni * n_uni) /
+                (CAST(n_bi AS DOUBLE) * cx * cy)), 4) AS pmi
+FROM j CROSS JOIN tot CROSS JOIN nb
+ORDER BY pmi DESC, bigram LIMIT 50""",
+
+    // k-anonymity audit: QI group sizes + at-risk flag, exact integers
+    "a_k_anonymity" -> """SELECT c_nationkey, c_mktsegment,
+       CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_bucket,
+       count(*) AS group_size,
+       (count(*) < 5) AS at_risk
+FROM customer GROUP BY 1, 2, 3""",
+
     // CCNet-style head/middle/tail buckets over the commonness score,
     // cutoffs at mean ± stddev/2 of the per-doc score
     "t_quality_buckets" -> s"""$TOKS, bi AS (

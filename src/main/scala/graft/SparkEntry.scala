@@ -1190,6 +1190,30 @@ object SparkEntry {
   private def tHeavyHitters(s: SparkSession, dir: String): DataFrame =
     TextOps.heavyHitters(T(s, dir, "documents"), 1024)
 
+  /** BM25 ranked retrieval, query = df-ranked tokens 11-13 (the rank
+    * window IS the query spec, so the oracle derives the same query
+    * from the corpus alone — [[graft.ext.TextOps.bm25TopK]]). */
+  private def tBm25TopK(s: SparkSession, dir: String): DataFrame =
+    TextOps.bm25TopK(T(s, dir, "documents"), 10, 3, 20)
+
+  /** Top-50 collocations by PMI with min support 5
+    * ([[graft.ext.TextOps.pmiTopK]], bigram substrate shared with the
+    * LM family via PlanCache). */
+  private def tPmiTopK(s: SparkSession, dir: String): DataFrame =
+    TextOps.pmiTopK(T(s, dir, "documents"), 5L, 50)
+
+  /** k-anonymity audit over quasi-identifiers (nation, market
+    * segment, account-balance band): group sizes and the k<5 at-risk
+    * flag — the re-identification risk report a dataset release gate
+    * reads. One partial-agg shuffle on the QI key. */
+  private def aKAnonymity(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "customer")
+      .select(col("c_nationkey"), col("c_mktsegment"),
+        floor(col("c_acctbal") / 1000).cast("long").as("bal_bucket"))
+      .groupBy("c_nationkey", "c_mktsegment", "bal_bucket")
+      .agg(count(lit(1)).as("group_size"))
+      .withColumn("at_risk", col("group_size") < 5)
+
   /** Incremental ingestion dedup: the doc_id%10==0 docs play the
     * newly-arrived batch, probed against the rest of the corpus's band
     * index ([[graft.ext.Dedup.incrementalNearDups]]). PlanCached —
@@ -2579,6 +2603,9 @@ object SparkEntry {
     "t_bigram_lm" -> (tBigramLm _),
     "t_bigram_ppl" -> (tBigramPpl _),
     "t_heavy_hitters" -> (tHeavyHitters _),
+    "t_bm25_topk" -> (tBm25TopK _),
+    "t_pmi_topk" -> (tPmiTopK _),
+    "a_k_anonymity" -> (aKAnonymity _),
     "a_windowed_percentiles" -> (aWindowedPercentiles _),
     "t_quality_buckets" -> (tQualityBuckets _),
     "e_curation_pipeline" -> (eCurationPipeline _),

@@ -635,4 +635,81 @@ object TextOps {
       .agg(count(lit(1)).as("n_bigrams"),
         round(-sum(col("logp")) / count(lit(1)), 4).as("xent_nats"))
   }
+
+  // --- Ranked retrieval and collocations
+
+  /** BM25 ranked retrieval against a deterministic self-derived query:
+    * the `nTerms` tokens ranked `skipTop+1 … skipTop+nTerms` by
+    * (document frequency DESC, token) act as the query — skipping the
+    * head approximates stopword removal without a fixed list, and the
+    * rank window makes the query reproducible from the corpus alone
+    * (so the oracle derives the identical query).
+    *
+    * Scale shape: the inverted-index build (token → postings with tf)
+    * is explode → partial-agg, shuffle bounded by distinct (doc, term)
+    * pairs of QUERY terms only — the full index never materializes;
+    * the query-term frame and the two corpus scalars broadcast. The
+    * top-N is TakeOrderedAndProject (per-partition heads, never a
+    * global sort). ln-based idf emits at round-4, the t_bigram_ppl
+    * precedent; ranking compares the ROUNDED score with doc_id
+    * tiebreak so the cut is deterministic cross-engine. */
+  def bm25TopK(docs: DataFrame, skipTop: Int, nTerms: Int, topN: Int): DataFrame = {
+    val occ = docs.select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+    val dl = occ.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val st = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+    val dfT = occ.distinct().groupBy("tok").agg(count(lit(1)).as("df"))
+    // rows skipTop+1 .. skipTop+nTerms of the (df DESC, tok) ranking:
+    // two TakeOrdered passes, no window
+    val qt = dfT.orderBy(col("df").desc, col("tok")).limit(skipTop + nTerms)
+      .orderBy(col("df").asc, col("tok").desc).limit(nTerms)
+    val tf = occ.join(broadcast(qt), "tok")
+      .groupBy(col("doc_id"), col("tok"), col("df"))
+      .agg(count(lit(1)).as("tf"))
+    val avgdl = col("sum_dl").cast("double") / col("n_docs")
+    val idf = log(lit(1.0) +
+      (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    val tfn = (col("tf") * lit(2.2)) /
+      (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / avgdl))
+    tf.join(dl, "doc_id").crossJoin(broadcast(st))
+      .select(col("doc_id"), (idf * tfn).as("contrib"))
+      .groupBy("doc_id")
+      .agg(round(sum(col("contrib")), 4).as("score"),
+        count(lit(1)).as("n_terms_hit"))
+      .orderBy(col("score").desc, col("doc_id")).limit(topN)
+  }
+
+  /** Top collocations by pointwise mutual information over bigram
+    * OCCURRENCES (reusing the PlanCached [[bigramOccurrences]]
+    * substrate), with a minimum-support gate against rare-pair noise.
+    * PMI = ln(c_xy·N_u² / (N_b·c_x·c_y)) with every product taken in
+    * double in a FIXED order (mirrored in the oracle) and a round-4
+    * emission; ranking compares the rounded value with the bigram
+    * string as tiebreak.
+    *
+    * Scale shape: unigram and bigram counts are partial-agg'd
+    * (bounded by vocab), the support filter shrinks the candidate
+    * frame before any join, and both count joins broadcast the
+    * candidate side — the vocabulary frame streams, nothing shuffles
+    * on an unbounded key. */
+  def pmiTopK(docs: DataFrame, minCount: Long, topN: Int): DataFrame = {
+    val uni = docs.select(explode(tokens(col("text"))).as("t"))
+      .groupBy("t").agg(count(lit(1)).as("c1"))
+    val tot = uni.agg(sum(col("c1")).as("n_uni"))
+    val occ = bigramOccurrences(docs)
+    val nBi = occ.agg(count(lit(1)).as("n_bi"))
+    val bi = occ.groupBy("s").agg(count(lit(1)).as("c2"))
+      .filter(col("c2") >= minCount)
+      .withColumn("w1", split(col("s"), " ").getItem(0))
+      .withColumn("w2", split(col("s"), " ").getItem(1))
+    val j1 = uni.withColumnRenamed("t", "w1").withColumnRenamed("c1", "cx")
+      .join(broadcast(bi), "w1")
+    val j2 = uni.withColumnRenamed("t", "w2").withColumnRenamed("c1", "cy")
+      .join(broadcast(j1), "w2")
+      .crossJoin(broadcast(tot)).crossJoin(broadcast(nBi))
+    val pmi = log((col("c2").cast("double") * col("n_uni") * col("n_uni")) /
+      (col("n_bi").cast("double") * col("cx") * col("cy")))
+    j2.select(col("s").as("bigram"), col("c2").as("n_occ"),
+        round(pmi, 4).as("pmi"))
+      .orderBy(col("pmi").desc, col("bigram")).limit(topN)
+  }
 }
