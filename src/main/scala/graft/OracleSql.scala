@@ -1447,6 +1447,74 @@ ORDER BY pmi DESC, bigram LIMIT 50""",
        (count(*) < 5) AS at_risk
 FROM customer GROUP BY 1, 2, 3""",
 
+    // per-group OLS trend from exact integer moments; slope/intercept
+    // computed in double with the engine's exact operation order
+    "a_trend" -> """WITH ev AS (
+  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+         CAST(round(value * 10000) AS BIGINT) AS yfx
+  FROM events
+), mn AS (SELECT event_type, min(day) AS day0 FROM ev GROUP BY 1
+), x AS (
+  SELECT ev.event_type, ev.day - mn.day0 AS x, yfx
+  FROM ev JOIN mn USING (event_type)
+), m AS (
+  SELECT event_type, count(*) AS n,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(yfx) AS BIGINT) AS sy,
+         CAST(sum(x * yfx) AS BIGINT) AS sxy, CAST(sum(x * x) AS BIGINT) AS sxx
+  FROM x GROUP BY 1)
+SELECT event_type, n,
+       round((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy) /
+             (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) / 10000.0, 4)
+         AS slope_per_day,
+       round((CAST(sy AS DOUBLE) -
+              (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy) /
+              (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) * sx) / n / 10000.0, 4)
+         AS intercept
+FROM m""",
+
+    // one-pass column profiler: per-column nulls, distincts, numeric
+    // min/max; the oracle is the per-column UNION of the same stats
+    "p_profile" -> """SELECT 'event_id' AS col_name, count(*) AS n_rows,
+       count(*) - count(event_id) AS n_nulls,
+       count(DISTINCT event_id) AS n_distinct,
+       round(min(CAST(event_id AS DOUBLE)), 4) AS min_val,
+       round(max(CAST(event_id AS DOUBLE)), 4) AS max_val
+FROM events
+UNION ALL
+SELECT 'user_id', count(*), count(*) - count(user_id),
+       count(DISTINCT user_id),
+       round(min(CAST(user_id AS DOUBLE)), 4), round(max(CAST(user_id AS DOUBLE)), 4)
+FROM events
+UNION ALL
+SELECT 'value', count(*), count(*) - count(value),
+       count(DISTINCT value), round(min(value), 4), round(max(value), 4)
+FROM events
+UNION ALL
+SELECT 'event_type', count(*), count(*) - count(event_type),
+       count(DISTINCT event_type), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
+FROM events
+UNION ALL
+SELECT 'props', count(*), count(*) - count(props),
+       count(DISTINCT props), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
+FROM events""",
+
+    // referential-integrity + domain audit: one violation count per rule
+    "p_fk_violations" -> """SELECT 'lineitem.l_orderkey -> orders.o_orderkey' AS rule,
+       count(*) AS n_violations
+FROM lineitem l
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+UNION ALL
+SELECT 'orders.o_custkey -> customer.c_custkey', count(*)
+FROM orders o
+WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+UNION ALL
+SELECT 'customer.c_nationkey -> nation.n_nationkey', count(*)
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM nation n WHERE n.n_nationkey = c.c_nationkey)
+UNION ALL
+SELECT 'lineitem.l_quantity > 0', count(*)
+FROM lineitem WHERE l_quantity <= 0""",
+
     // CCNet-style head/middle/tail buckets over the commonness score,
     // cutoffs at mean ± stddev/2 of the per-doc score
     "t_quality_buckets" -> s"""$TOKS, bi AS (

@@ -1202,6 +1202,83 @@ object SparkEntry {
   private def tPmiTopK(s: SparkSession, dir: String): DataFrame =
     TextOps.pmiTopK(T(s, dir, "documents"), 5L, 50)
 
+  /** Per-group OLS trend of event value over time — the drift report
+    * ("is error cost rising?") read before alerting. Exact integer
+    * moments (Σx, Σy, Σxy, Σx² on fixed-point values and per-group
+    * day offsets — one partial-agg pass, order-independent), then the
+    * closed-form slope/intercept in double with a FIXED operation
+    * order the oracle mirrors. Day offsets are group-relative (x =
+    * day − min day), which both bounds the moments (offset ≤ span,
+    * not epoch-days) and conditions the normal equations. Long
+    * moments carry ~5e3T rows at these magnitudes; beyond that the
+    * same pass runs on DECIMAL(38) sums. */
+  private def aTrend(s: SparkSession, dir: String): DataFrame = {
+    val ev = T(s, dir, "events").select(col("event_type"),
+      (unix_micros(col("ts")) / 86400000000L).cast("long").as("day"),
+      expr("CAST(round(value * 10000) AS BIGINT)").as("yfx"))
+    val mins = ev.groupBy("event_type").agg(min("day").as("day0"))
+    val m = ev.join(broadcast(mins), "event_type")
+      .select(col("event_type"), (col("day") - col("day0")).as("x"), col("yfx"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("yfx").as("sy"),
+        sum(col("x") * col("yfx")).as("sxy"), sum(col("x") * col("x")).as("sxx"))
+    val num = col("n").cast("double") * col("sxy") -
+      col("sx").cast("double") * col("sy")
+    val den = col("n").cast("double") * col("sxx") -
+      col("sx").cast("double") * col("sx")
+    m.select(col("event_type"), col("n"),
+      round(num / den / 10000.0, 4).as("slope_per_day"),
+      round((col("sy").cast("double") - num / den * col("sx")) / col("n") / 10000.0, 4)
+        .as("intercept"))
+  }
+
+  /** One-pass column profiler over events — null counts, distinct
+    * counts, numeric min/max per column (the first thing a pipeline
+    * run reads about an unfamiliar table). One scan, exploded to
+    * (column, value) pairs, one partial-agg shuffle keyed on the
+    * 5-value column name; numeric and string payloads ride disjoint
+    * struct fields so the distinct count is countDistinct(dval) +
+    * countDistinct(sval) with no cross-type casting (a string render
+    * of doubles would differ between engines). */
+  private def pProfile(s: SparkSession, dir: String): DataFrame = {
+    val ev = T(s, dir, "events")
+    val specs = Seq(
+      ("event_id", col("event_id").cast("double"), lit(null).cast("string")),
+      ("user_id", col("user_id").cast("double"), lit(null).cast("string")),
+      ("value", col("value"), lit(null).cast("string")),
+      ("event_type", lit(null).cast("double"), col("event_type")),
+      ("props", lit(null).cast("double"), col("props")))
+    ev.select(explode(array(specs.map { case (n, d, st) =>
+        struct(lit(n).as("col_name"), d.as("dval"), st.as("sval")) }: _*)).as("c"))
+      .groupBy(col("c.col_name").as("col_name"))
+      .agg(count(lit(1)).as("n_rows"),
+        (count(lit(1)) - count(col("c.dval")) - count(col("c.sval"))).as("n_nulls"),
+        (countDistinct(col("c.dval")) + countDistinct(col("c.sval"))).as("n_distinct"),
+        round(min(col("c.dval")), 4).as("min_val"),
+        round(max(col("c.dval")), 4).as("max_val"))
+  }
+
+  /** Referential-integrity and domain-constraint audit — violation
+    * counts per declared rule (the load gate of a warehouse ingest).
+    * FK rules are distributed left-anti joins on the key (broadcast
+    * where the dimension is small); the domain rule is a scan-side
+    * filter count. Always emits one row per rule, zero included. */
+  private def pFkViolations(s: SparkSession, dir: String): DataFrame = {
+    val li = T(s, dir, "lineitem"); val ord = T(s, dir, "orders")
+    val cust = T(s, dir, "customer"); val nat = T(s, dir, "nation")
+    def cnt(df: DataFrame, rule: String) =
+      df.agg(count(lit(1)).as("n_violations"))
+        .select(lit(rule).as("rule"), col("n_violations"))
+    cnt(li.join(ord, li("l_orderkey") === ord("o_orderkey"), "left_anti"),
+        "lineitem.l_orderkey -> orders.o_orderkey")
+      .unionAll(cnt(ord.join(cust, ord("o_custkey") === cust("c_custkey"), "left_anti"),
+        "orders.o_custkey -> customer.c_custkey"))
+      .unionAll(cnt(cust.join(broadcast(nat),
+          cust("c_nationkey") === nat("n_nationkey"), "left_anti"),
+        "customer.c_nationkey -> nation.n_nationkey"))
+      .unionAll(cnt(li.filter(col("l_quantity") <= 0), "lineitem.l_quantity > 0"))
+  }
+
   /** k-anonymity audit over quasi-identifiers (nation, market
     * segment, account-balance band): group sizes and the k<5 at-risk
     * flag — the re-identification risk report a dataset release gate
@@ -2606,6 +2683,9 @@ object SparkEntry {
     "t_bm25_topk" -> (tBm25TopK _),
     "t_pmi_topk" -> (tPmiTopK _),
     "a_k_anonymity" -> (aKAnonymity _),
+    "a_trend" -> (aTrend _),
+    "p_profile" -> (pProfile _),
+    "p_fk_violations" -> (pFkViolations _),
     "a_windowed_percentiles" -> (aWindowedPercentiles _),
     "t_quality_buckets" -> (tQualityBuckets _),
     "e_curation_pipeline" -> (eCurationPipeline _),

@@ -789,4 +789,55 @@ object Pipeline {
         info: org.apache.spark.sql.streaming.ExpiredTimerInfo): Iterator[ChunkAdmit] =
       Iterator.empty
   }
+
+  /** Streaming BM25 relevance gate — the online form of
+    * [[graft.ext.TextOps.bm25TopK]]'s scoring pass: arriving documents
+    * are scored against the static corpus's derived query (df-rank
+    * window) and corpus statistics, and routed on whether they match
+    * any query term.
+    *
+    * STATELESS by construction: the model (query terms with idf, the
+    * corpus n_docs/avgdl) is a driver-collected literal — nTerms + 2
+    * scalars, the codebookLiteral pattern — and each document's tf
+    * comes from filtering its OWN token array, so no explode, no
+    * shuffle, no cross-batch state: one codegen'd projection per
+    * micro-batch row, the shape a serving tier wants.
+    *
+    * Equivalence: idf/tf-normalization arithmetic mirrors the batch
+    * operator term-for-term; only the ≤ nTerms-summand addition order
+    * differs (batch sums via partial aggregation), so replayed scores
+    * agree to float-noise (spec pins ≤ 1e-9 and exact n_terms_hit). */
+  def bm25Gate(docs: DataFrame, corpusDocs: DataFrame,
+      skipTop: Int, nTerms: Int): DataFrame = {
+    val occ = corpusDocs.select(col("doc_id"),
+      explode(graft.codec.Codecs.tokens(col("text"))).as("tok"))
+    val dl = occ.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val Array(nDocs, sumDl) = dl
+      .agg(count(lit(1)).cast("long"), sum(col("dl")).cast("long"))
+      .head().toSeq.map(_.asInstanceOf[Long]).toArray
+    val avgdl = sumDl.toDouble / nDocs
+    val terms: Seq[(String, Long)] = occ.distinct()
+      .groupBy("tok").agg(count(lit(1)).as("df"))
+      .orderBy(col("df").desc, col("tok")).limit(skipTop + nTerms)
+      .orderBy(col("df").asc, col("tok").desc).limit(nTerms)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val toks = graft.codec.Codecs.tokens(col("text"))
+    val dlCol = size(toks).cast("long")
+    val contribs = terms.map { case (t, df) =>
+      val tf = size(filter(toks, x => x === lit(t))).cast("long")
+      // StrictMath, not Math: Catalyst's Log expression evaluates via
+      // StrictMath.log, and the spec pins float-noise-level agreement
+      val idf = StrictMath.log(1.0 + (nDocs - df + 0.5) / (df + 0.5))
+      (tf, when(tf > 0,
+        (tf * lit(2.2)) /
+          (tf + lit(1.2) * (lit(0.25) + lit(0.75) * dlCol / lit(avgdl))) * lit(idf))
+        .otherwise(lit(0.0)))
+    }
+    docs.select(col("doc_id"),
+      contribs.map(_._2).reduce(_ + _).as("score"),
+      contribs.map(c => when(c._1 > 0, 1L).otherwise(0L)).reduce(_ + _)
+        .as("n_terms_hit"))
+      .filter(col("n_terms_hit") > 0)
+      .select(col("doc_id"), round(col("score"), 4).as("score"), col("n_terms_hit"))
+  }
 }

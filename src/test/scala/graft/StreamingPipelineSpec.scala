@@ -724,4 +724,45 @@ class StreamingPipelineSpec extends SparkSpec {
       }
     }
   }
+
+  test("bm25 gate scores a corpus replay to the batch operator's answers") {
+    // 60 filler docs pin the df head; three probe docs carry the
+    // derived query terms (the RetrievalSpec corpus)
+    val corpusRows: Seq[(Long, String)] =
+      (0 until 60).map { i =>
+        (i.toLong, (0 to 10).filter(k => i % (k + 1) == 0).map(k => s"f$k").mkString(" "))
+      } ++ Seq(
+        (100L, "alpha pad pad beta gamma"),
+        (101L, "alpha alpha alpha beta gamma"),
+        (102L, "alpha beta gamma"))
+    val corpus = corpusRows.toDF("doc_id", "text")
+    val batch = graft.ext.TextOps.bm25TopK(corpus, 11, 3, 10)
+      .as[(Long, Double, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val out = Pipeline.bm25Gate(input.toDF().toDF("doc_id", "text"), corpus, 11, 3)
+    val q = out.writeStream.format("memory").queryName("bm25_gate")
+      .outputMode("append").start()
+    try {
+      // split the replay across two micro-batches: the gate is
+      // stateless, so the seam must not matter
+      val (h1, h2) = corpusRows.splitAt(corpusRows.size / 2)
+      input.addData(h1: _*); q.processAllAvailable()
+      input.addData(h2: _*); q.processAllAvailable()
+      val got = spark.table("bm25_gate")
+        .as[(Long, Double, Long)].collect()
+        .map(r => r._1 -> (r._2, r._3)).toMap
+      // every batch-scored doc is emitted with the identical term-hit
+      // count and a score equal up to the <= 3-summand addition-order
+      // noise under the shared round-4 emission
+      batch.foreach { case (id, (score, hits)) =>
+        val (gs, gh) = got(id)
+        assert(gh === hits, s"doc $id term hits")
+        assert(math.abs(gs - score) <= 1.01e-4, s"doc $id: gate $gs vs batch $score")
+      }
+      // only term-matching docs pass the gate: fillers never appear
+      assert(got.keySet.forall(_ >= 100L), s"non-matching docs leaked: ${got.keySet}")
+    } finally q.stop()
+  }
 }
