@@ -1472,6 +1472,34 @@ SELECT event_type, n,
          AS intercept
 FROM m""",
 
+    // first/last-touch attribution inside a 6h lookback; left join
+    // keeps unattributed purchases
+    "a_attribution" -> """WITH p AS (
+  SELECT event_id AS p_id, user_id, epoch_us(ts) AS p_us
+  FROM events WHERE event_type = 'purchase'
+), v AS (
+  SELECT user_id AS v_user, epoch_us(ts) AS v_us
+  FROM events WHERE event_type = 'view')
+SELECT p.p_id, p.user_id, p.p_us,
+       min(v.v_us) AS first_touch_us, max(v.v_us) AS last_touch_us,
+       count(v.v_us) AS n_touch_views
+FROM p LEFT JOIN v
+  ON v.v_user = p.user_id AND v.v_us < p.p_us AND v.v_us >= p.p_us - 21600000000
+GROUP BY 1, 2, 3""",
+
+    // event-type transition matrix with per-source probabilities
+    "a_transitions" -> """WITH nx AS (
+  SELECT user_id, event_type,
+         lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS next_type
+  FROM events
+), agg AS (
+  SELECT event_type AS from_type, next_type AS to_type, count(*) AS n
+  FROM nx WHERE next_type IS NOT NULL GROUP BY 1, 2)
+SELECT from_type, to_type, n,
+       round(CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY from_type), 4) AS p
+FROM agg""",
+
     // one-pass column profiler: per-column nulls, distincts, numeric
     // min/max; the oracle is the per-column UNION of the same stats
     "p_profile" -> """SELECT 'event_id' AS col_name, count(*) AS n_rows,

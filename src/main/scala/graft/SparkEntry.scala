@@ -1202,6 +1202,48 @@ object SparkEntry {
   private def tPmiTopK(s: SparkSession, dir: String): DataFrame =
     TextOps.pmiTopK(T(s, dir, "documents"), 5L, 50)
 
+  /** Marketing attribution: each purchase credited to the first and
+    * last preceding view of the same user inside a 6-hour lookback —
+    * the first/last-touch report. Keyed equi-join on user_id with a
+    * range predicate, then a per-purchase min/max/count agg; left
+    * join keeps unattributed purchases (nulls, count 0). Per-user
+    * fan-out is bounded by views-per-6h; at extreme per-user rates
+    * the same join runs time-bucketed (the as-of join's bucketing
+    * note at [[graft.ops.AsOfJoin]]). */
+  private def aAttribution(s: SparkSession, dir: String): DataFrame = {
+    val ev = T(s, dir, "events")
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id"),
+        unix_micros(col("ts")).as("p_us"))
+    val v = ev.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), unix_micros(col("ts")).as("v_us"))
+    p.join(v, p("user_id") === col("v_user") &&
+        col("v_us") < col("p_us") &&
+        col("v_us") >= col("p_us") - lit(21600000000L), "left")
+      .groupBy(col("p_id"), col("user_id"), col("p_us"))
+      .agg(min(col("v_us")).as("first_touch_us"),
+        max(col("v_us")).as("last_touch_us"),
+        count(col("v_us")).as("n_touch_views"))
+  }
+
+  /** Event-type transition matrix over per-user event sequences —
+    * the behavioral Markov-chain summary (what follows a view?).
+    * One user-keyed window for the successor, then a partial-agg on
+    * the 25-cell (from, to) key; transition probabilities divide on
+    * the aggregated frame (a second tiny window over ≤ |types|²
+    * rows, not over events). */
+  private def aTransitions(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val agg = T(s, dir, "events")
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("next_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+    agg.withColumn("p",
+      round(col("n").cast("double") / sum(col("n")).over(
+        Window.partitionBy(col("from_type"))), 4))
+  }
+
   /** Per-group OLS trend of event value over time — the drift report
     * ("is error cost rising?") read before alerting. Exact integer
     * moments (Σx, Σy, Σxy, Σx² on fixed-point values and per-group
@@ -2684,6 +2726,8 @@ object SparkEntry {
     "t_pmi_topk" -> (tPmiTopK _),
     "a_k_anonymity" -> (aKAnonymity _),
     "a_trend" -> (aTrend _),
+    "a_attribution" -> (aAttribution _),
+    "a_transitions" -> (aTransitions _),
     "p_profile" -> (pProfile _),
     "p_fk_violations" -> (pFkViolations _),
     "a_windowed_percentiles" -> (aWindowedPercentiles _),
