@@ -1472,6 +1472,58 @@ SELECT event_type, n,
          AS intercept
 FROM m""",
 
+    // per-day distinct users, exact + KMV estimate (the t_kmv_distinct
+    // estimator per day; sub-k days fall back to the exact count)
+    "a_daily_distinct" -> s"""WITH ev AS (
+  SELECT DISTINCT epoch_us(ts) // 86400000000 AS day,
+         ${dh("CAST(user_id AS VARCHAR)")} AS h
+  FROM events
+), kth AS (
+  SELECT day, h AS h_k FROM (
+    SELECT day, h, row_number() OVER (PARTITION BY day ORDER BY h) AS rn FROM ev)
+  WHERE rn = 16
+), ex AS (SELECT day, count(*) AS exact_distinct FROM ev GROUP BY 1)
+SELECT ex.day, ex.exact_distinct,
+       CASE WHEN kth.h_k IS NOT NULL
+            THEN CAST(round(15.0 * 72057594037927936 / kth.h_k) AS BIGINT)
+            ELSE ex.exact_distinct END AS est_distinct
+FROM ex LEFT JOIN kth USING (day)""",
+
+    // quartile binning + weight of evidence vs the return flag; the
+    // engine's exact interpolated percentiles are bit-compatible with
+    // quantile_cont (the a_percentiles_dist contract)
+    "a_woe_bins" -> """WITH qs AS (
+  SELECT quantile_cont(l_extendedprice, 0.25) AS q25,
+         quantile_cont(l_extendedprice, 0.5) AS q50,
+         quantile_cont(l_extendedprice, 0.75) AS q75
+  FROM lineitem
+), b AS (
+  SELECT CASE WHEN l_extendedprice <= q25 THEN 0
+              WHEN l_extendedprice <= q50 THEN 1
+              WHEN l_extendedprice <= q75 THEN 2 ELSE 3 END AS bin,
+         (l_returnflag = 'R') AS ret
+  FROM lineitem CROSS JOIN qs
+), agg AS (
+  SELECT bin,
+         CAST(sum(CASE WHEN ret THEN 1 ELSE 0 END) AS BIGINT) AS n_returned,
+         CAST(sum(CASE WHEN ret THEN 0 ELSE 1 END) AS BIGINT) AS n_kept
+  FROM b GROUP BY 1
+), tot AS (
+  SELECT CAST(sum(n_returned) AS BIGINT) AS tr,
+         CAST(sum(n_kept) AS BIGINT) AS tk FROM agg)
+SELECT bin, n_returned, n_kept,
+       round(ln((CAST(n_returned AS DOUBLE) / tr) /
+                (CAST(n_kept AS DOUBLE) / tk)), 4) AS woe
+FROM agg CROSS JOIN tot""",
+
+    // heaviest join keys with row share — the skew diagnosis report
+    "p_skew_report" -> """WITH tot AS (SELECT count(*) AS n_total FROM lineitem)
+SELECT l_partkey, count(*) AS n,
+       round(CAST(count(*) AS DOUBLE) / n_total, 4) AS share
+FROM lineitem CROSS JOIN tot
+GROUP BY 1, n_total
+ORDER BY n DESC, l_partkey LIMIT 10""",
+
     // first/last-touch attribution inside a 6h lookback; left join
     // keeps unattributed purchases
     "a_attribution" -> """WITH p AS (

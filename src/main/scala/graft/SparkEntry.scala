@@ -1202,6 +1202,82 @@ object SparkEntry {
   private def tPmiTopK(s: SparkSession, dir: String): DataFrame =
     TextOps.pmiTopK(T(s, dir, "documents"), 5L, 50)
 
+  /** Per-day distinct users, exact AND as a KMV (k-minimum-values)
+    * estimate — the mergeable-sketch form a 100 TB daily dashboard
+    * carries: per day only the k smallest user-hashes cross the
+    * shuffle, and merging days is a k-way min-merge. The estimator is
+    * bit-checked like t_kmv_distinct ((k−1)·2^56/h_k on identical
+    * hashes → identical division → identical rounded long); days with
+    * fewer than k users fall back to the exact count, which a real
+    * sketch also stores (it keeps ALL hashes until k arrive). */
+  private def aDailyDistinct(s: SparkSession, dir: String): DataFrame = {
+    val k = 16
+    val ev = T(s, dir, "events").select(
+        (unix_micros(col("ts")) / 86400000000L).cast("long").as("day"),
+        Codecs.portableHash(col("user_id")).as("h"))
+      .distinct()
+    val w = Window.partitionBy("day").orderBy("h")
+    val kth = ev.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === k).select(col("day"), col("h").as("h_k"))
+    ev.groupBy("day").agg(count(lit(1)).as("exact_distinct"))
+      .join(kth, Seq("day"), "left")
+      .select(col("day"), col("exact_distinct"),
+        when(col("h_k").isNotNull,
+          round(lit((k - 1).toDouble) * lit(7.2057594037927936e16) / col("h_k"))
+            .cast("long"))
+          .otherwise(col("exact_distinct")).as("est_distinct"))
+  }
+
+  /** Quartile feature binning + weight-of-evidence encoding of
+    * l_extendedprice against the return flag — the classic credit-
+    * scoring feature transform, composed from the shared
+    * [[graft.ops.ExactPercentiles]] machinery: boundaries are the
+    * exact interpolated quartiles (bit-compatible with DuckDB
+    * quantile_cont), binning is a literal CASE against them, counts
+    * stay exact integers, and the one ln per bin emits at round-4.
+    * WOE_i = ln((returned_i/R) / (kept_i/K)). */
+  private def aWoeBins(s: SparkSession, dir: String): DataFrame = {
+    val li = T(s, dir, "lineitem")
+    val qs = graft.ops.ExactPercentiles.of(
+      li.select(lit("all").as("k"), col("l_extendedprice").as("x")),
+      Seq(("q25", 0.25), ("q50", 0.5), ("q75", 0.75)), "woe-quartiles")
+      .groupBy("k")
+      .agg(max(when(col("qname") === "q25", col("v"))).as("q25"),
+        max(when(col("qname") === "q50", col("v"))).as("q50"),
+        max(when(col("qname") === "q75", col("v"))).as("q75"))
+      .drop("k")
+    val binned = li.crossJoin(broadcast(qs))
+      .select(
+        when(col("l_extendedprice") <= col("q25"), 0)
+          .when(col("l_extendedprice") <= col("q50"), 1)
+          .when(col("l_extendedprice") <= col("q75"), 2)
+          .otherwise(3).as("bin"),
+        (col("l_returnflag") === "R").as("ret"))
+      .groupBy("bin")
+      .agg(sum(when(col("ret"), 1L).otherwise(0L)).as("n_returned"),
+        sum(when(col("ret"), 0L).otherwise(1L)).as("n_kept"))
+    val tot = binned.agg(sum("n_returned").as("tr"), sum("n_kept").as("tk"))
+    binned.crossJoin(broadcast(tot))
+      .select(col("bin"), col("n_returned"), col("n_kept"),
+        round(log((col("n_returned").cast("double") / col("tr")) /
+          (col("n_kept").cast("double") / col("tk"))), 4).as("woe"))
+  }
+
+  /** Join-key skew diagnosis: the heaviest l_partkey keys with their
+    * row share — the report read BEFORE choosing the a_skew_salted
+    * mitigation ([[graft.ops.SkewJoin]]). One partial-agg shuffle on
+    * the key + a TakeOrderedAndProject head; the 1-row total
+    * broadcasts. */
+  private def pSkewReport(s: SparkSession, dir: String): DataFrame = {
+    val li = T(s, dir, "lineitem")
+    val tot = li.agg(count(lit(1)).as("n_total"))
+    li.groupBy("l_partkey").agg(count(lit(1)).as("n"))
+      .crossJoin(broadcast(tot))
+      .select(col("l_partkey"), col("n"),
+        round(col("n").cast("double") / col("n_total"), 4).as("share"))
+      .orderBy(col("n").desc, col("l_partkey")).limit(10)
+  }
+
   /** Marketing attribution: each purchase credited to the first and
     * last preceding view of the same user inside a 6-hour lookback —
     * the first/last-touch report. Keyed equi-join on user_id with a
@@ -2728,6 +2804,9 @@ object SparkEntry {
     "a_trend" -> (aTrend _),
     "a_attribution" -> (aAttribution _),
     "a_transitions" -> (aTransitions _),
+    "a_daily_distinct" -> (aDailyDistinct _),
+    "a_woe_bins" -> (aWoeBins _),
+    "p_skew_report" -> (pSkewReport _),
     "p_profile" -> (pProfile _),
     "p_fk_violations" -> (pFkViolations _),
     "a_windowed_percentiles" -> (aWindowedPercentiles _),
