@@ -1472,6 +1472,69 @@ SELECT event_type, n,
          AS intercept
 FROM m""",
 
+    // Q8-shaped market share: focal nation's revenue share of the
+    // ASIA market per order year
+    "a_market_share" -> """WITH j AS (
+  SELECT year(o.o_orderdate) AS o_year,
+         l.l_extendedprice * (1 - l.l_discount) AS rev,
+         sn.n_name AS s_nation
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+  JOIN region r ON cn.n_regionkey = r.r_regionkey AND r.r_name = 'ASIA'
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN nation sn ON s.s_nationkey = sn.n_nationkey)
+SELECT CAST(o_year AS INT) AS o_year,
+       round(sum(CASE WHEN s_nation = 'NATION_3' THEN rev ELSE 0.0 END) /
+             sum(rev), 4) AS mkt_share
+FROM j GROUP BY 1""",
+
+    // Q11-shaped global-threshold HAVING on exact fixed-point revenue
+    "a_important_parts" -> """WITH rev AS (
+  SELECT l_partkey,
+         CAST(round(l_extendedprice * 100) AS BIGINT) *
+         (100 - CAST(round(l_discount * 100) AS BIGINT)) AS rev_fx
+  FROM lineitem
+), bp AS (SELECT l_partkey, CAST(sum(rev_fx) AS BIGINT) AS value_fx FROM rev GROUP BY 1
+), tot AS (SELECT CAST(sum(value_fx) AS BIGINT) AS total_fx FROM bp)
+SELECT l_partkey, round(value_fx / 10000.0, 2) AS value
+FROM bp CROSS JOIN tot
+WHERE value_fx * 1500 > total_fx""",
+
+    // brand-keyed rank functions with a unique order
+    "a_price_ranks" -> """SELECT p_partkey, p_brand,
+       CAST(ntile(4) OVER w AS INT) AS price_quartile,
+       round(percent_rank() OVER w, 4) AS pct_rank,
+       round(cume_dist() OVER w, 4) AS cume
+FROM part
+WINDOW w AS (PARTITION BY p_brand ORDER BY p_retailprice, p_partkey)""",
+
+    // customer cohorts by order era via INTERSECT / EXCEPT
+    "a_except_intersect" -> """WITH early AS (
+  SELECT DISTINCT o_custkey FROM orders WHERE o_orderdate < TIMESTAMP '1998-01-01'
+), late AS (
+  SELECT DISTINCT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '1998-01-01')
+SELECT 'retained' AS cohort, count(*) AS n_customers
+  FROM (SELECT * FROM early INTERSECT SELECT * FROM late)
+UNION ALL
+SELECT 'churned', count(*) FROM (SELECT * FROM early EXCEPT SELECT * FROM late)
+UNION ALL
+SELECT 'acquired', count(*) FROM (SELECT * FROM late EXCEPT SELECT * FROM early)""",
+
+    // the Q1 summary melted to long form
+    "a_unpivot" -> """WITH base AS (
+  SELECT l_returnflag, l_linestatus,
+         round(sum(l_quantity), 2) AS sum_qty,
+         round(sum(l_extendedprice), 2) AS sum_price,
+         CAST(count(*) AS DOUBLE) AS count_order
+  FROM lineitem GROUP BY 1, 2)
+SELECT l_returnflag, l_linestatus, 'sum_qty' AS metric, sum_qty AS value FROM base
+UNION ALL
+SELECT l_returnflag, l_linestatus, 'sum_price', sum_price FROM base
+UNION ALL
+SELECT l_returnflag, l_linestatus, 'count_order', count_order FROM base""",
+
     // per-day distinct users, exact + KMV estimate (the t_kmv_distinct
     // estimator per day; sub-k days fall back to the exact count)
     "a_daily_distinct" -> s"""WITH ev AS (

@@ -1202,6 +1202,101 @@ object SparkEntry {
   private def tPmiTopK(s: SparkSession, dir: String): DataFrame =
     TextOps.pmiTopK(T(s, dir, "documents"), 5L, 50)
 
+  /** TPC-H Q8-shaped market share: the focal nation's suppliers'
+    * revenue share of the ASIA-region market per order year. A
+    * five-table snowflake join — lineitem fans to orders→customer→
+    * nation→region on one side and supplier→nation on the other, the
+    * four dimension legs all broadcast — then one year-keyed agg;
+    * the share ratio divides two same-noise double sums, so round-4
+    * is far beyond the summation-order noise. */
+  private def aMarketShare(s: SparkSession, dir: String): DataFrame = {
+    val li = T(s, dir, "lineitem"); val ord = T(s, dir, "orders")
+    val cust = T(s, dir, "customer"); val sup = T(s, dir, "supplier")
+    val nat = T(s, dir, "nation"); val reg = T(s, dir, "region")
+    val custAsia = cust
+      .join(broadcast(nat), cust("c_nationkey") === nat("n_nationkey"))
+      .join(broadcast(reg.filter(col("r_name") === "ASIA")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("c_custkey"))
+    val supNat = sup
+      .join(broadcast(nat.select(col("n_nationkey").as("sn_key"),
+        col("n_name").as("s_nation"))), sup("s_nationkey") === col("sn_key"))
+      .select(col("s_suppkey"), col("s_nation"))
+    li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .join(broadcast(custAsia), ord("o_custkey") === custAsia("c_custkey"))
+      .join(broadcast(supNat), li("l_suppkey") === supNat("s_suppkey"))
+      .select(year(col("o_orderdate")).as("o_year"),
+        (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("rev"),
+        col("s_nation"))
+      .groupBy("o_year")
+      .agg(round(sum(when(col("s_nation") === "NATION_3", col("rev"))
+          .otherwise(0.0)) / sum(col("rev")), 4).as("mkt_share"))
+  }
+
+  /** TPC-H Q11-shaped "important stock": parts whose revenue exceeds
+    * a fraction of the GLOBAL total — the global-threshold HAVING
+    * pattern. Revenue is EXACT fixed point (cents × discount
+    * percent), so the threshold comparison `value·1000 > total` is
+    * integer arithmetic and no boundary part can flip between
+    * engines; the 1-row total broadcasts. */
+  private def aImportantParts(s: SparkSession, dir: String): DataFrame = {
+    val li = T(s, dir, "lineitem")
+    val rev = li.select(col("l_partkey"),
+      (expr("CAST(round(l_extendedprice * 100) AS BIGINT)") *
+        (lit(100L) - expr("CAST(round(l_discount * 100) AS BIGINT)"))).as("rev_fx"))
+    val byPart = rev.groupBy("l_partkey").agg(sum(col("rev_fx")).as("value_fx"))
+    val tot = byPart.agg(sum(col("value_fx")).as("total_fx"))
+    byPart.crossJoin(broadcast(tot))
+      .filter(col("value_fx") * 1500L > col("total_fx"))
+      .select(col("l_partkey"),
+        round(col("value_fx") / 10000.0, 2).as("value"))
+  }
+
+  /** Window-rank coverage over the part catalog: quartile (ntile),
+    * percent_rank and cume_dist of retail price within each brand —
+    * one brand-keyed window spec, unique (price, partkey) order so
+    * every rank is deterministic. */
+  private def aPriceRanks(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("p_brand")
+      .orderBy(col("p_retailprice"), col("p_partkey"))
+    T(s, dir, "part").select(col("p_partkey"), col("p_brand"),
+      ntile(4).over(w).as("price_quartile"),
+      round(percent_rank().over(w), 4).as("pct_rank"),
+      round(cume_dist().over(w), 4).as("cume"))
+  }
+
+  /** Set-operation coverage: customer cohorts by order era (before /
+    * since 1998) — INTERSECT for retained, EXCEPT each way for
+    * churned and acquired. Three distinct-key frames, three counts. */
+  private def aExceptIntersect(s: SparkSession, dir: String): DataFrame = {
+    val ord = T(s, dir, "orders")
+    val early = ord.filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+      .select(col("o_custkey")).distinct()
+    val late = ord.filter(col("o_orderdate") >= lit("1998-01-01").cast("timestamp"))
+      .select(col("o_custkey")).distinct()
+    def cnt(df: DataFrame, tag: String) =
+      df.agg(count(lit(1)).as("n_customers")).select(lit(tag).as("cohort"),
+        col("n_customers"))
+    cnt(early.intersect(late), "retained")
+      .unionAll(cnt(early.except(late), "churned"))
+      .unionAll(cnt(late.except(early), "acquired"))
+  }
+
+  /** Unpivot coverage: the Q1 pricing summary melted to long form —
+    * (flag, status, metric, value) — the shape a metrics store
+    * ingests. Uses the Dataset.unpivot operator on the aggregated
+    * frame (6 rows × 3 metrics), nothing re-shuffles. */
+  private def aUnpivot(s: SparkSession, dir: String): DataFrame = {
+    val base = T(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_price"),
+        count(lit(1)).cast("double").as("count_order"))
+    base.unpivot(Array(col("l_returnflag"), col("l_linestatus")),
+      Array(col("sum_qty"), col("sum_price"), col("count_order")),
+      "metric", "value")
+  }
+
   /** Per-day distinct users, exact AND as a KMV (k-minimum-values)
     * estimate — the mergeable-sketch form a 100 TB daily dashboard
     * carries: per day only the k smallest user-hashes cross the
@@ -2807,6 +2902,11 @@ object SparkEntry {
     "a_daily_distinct" -> (aDailyDistinct _),
     "a_woe_bins" -> (aWoeBins _),
     "p_skew_report" -> (pSkewReport _),
+    "a_market_share" -> (aMarketShare _),
+    "a_important_parts" -> (aImportantParts _),
+    "a_price_ranks" -> (aPriceRanks _),
+    "a_except_intersect" -> (aExceptIntersect _),
+    "a_unpivot" -> (aUnpivot _),
     "p_profile" -> (pProfile _),
     "p_fk_violations" -> (pFkViolations _),
     "a_windowed_percentiles" -> (aWindowedPercentiles _),
