@@ -1552,6 +1552,24 @@ SELECT ex.day, ex.exact_distinct,
             ELSE ex.exact_distinct END AS est_distinct
 FROM ex LEFT JOIN kth USING (day)""",
 
+    // one-pass KMV form: the oracle rebuilds the sketch's k-min set
+    // with a rank window — identical set, identical estimator
+    "a_daily_distinct_kmv" -> s"""WITH ev AS (
+  SELECT DISTINCT epoch_us(ts) // 86400000000 AS day,
+         ${dh("CAST(user_id AS VARCHAR)")} AS h
+  FROM events
+), r AS (
+  SELECT day, h, row_number() OVER (PARTITION BY day ORDER BY h) AS rn FROM ev
+), sk AS (
+  SELECT day, count(*) AS n_in_sketch,
+         max(CASE WHEN rn = 16 THEN h END) AS h_k
+  FROM r WHERE rn <= 16 GROUP BY day)
+SELECT day,
+       CASE WHEN n_in_sketch < 16 THEN n_in_sketch
+            ELSE CAST(round(15.0 * 72057594037927936 / h_k) AS BIGINT) END
+         AS est_distinct
+FROM sk""",
+
     // quartile binning + weight of evidence vs the return flag; the
     // engine's exact interpolated percentiles are bit-compatible with
     // quantile_cont (the a_percentiles_dist contract)

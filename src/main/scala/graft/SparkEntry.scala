@@ -1323,6 +1323,22 @@ object SparkEntry {
           .otherwise(col("exact_distinct")).as("est_distinct"))
   }
 
+  /** One-pass production form of [[aDailyDistinct]]: the KMV sketch
+    * rides a single partial-agg shuffle as the mergeable
+    * [[graft.functions.KmvSketch]] aggregate (k longs per day — no
+    * distinct shuffle, no rank window), and the shared estimator
+    * column emits the same value the two-pass comparison row pins. */
+  private def aDailyDistinctKmv(s: SparkSession, dir: String): DataFrame = {
+    val k = 16
+    T(s, dir, "events").select(
+        (unix_micros(col("ts")) / 86400000000L).cast("long").as("day"),
+        Codecs.portableHash(col("user_id")).as("h"))
+      .groupBy("day")
+      .agg(graft.functions.KmvSketch.kmv(col("h"), k).as("sk"))
+      .select(col("day"),
+        graft.functions.KmvSketch.estimate(col("sk"), k).as("est_distinct"))
+  }
+
   /** Quartile feature binning + weight-of-evidence encoding of
     * l_extendedprice against the return flag — the classic credit-
     * scoring feature transform, composed from the shared
@@ -2900,6 +2916,7 @@ object SparkEntry {
     "a_attribution" -> (aAttribution _),
     "a_transitions" -> (aTransitions _),
     "a_daily_distinct" -> (aDailyDistinct _),
+    "a_daily_distinct_kmv" -> (aDailyDistinctKmv _),
     "a_woe_bins" -> (aWoeBins _),
     "p_skew_report" -> (pSkewReport _),
     "a_market_share" -> (aMarketShare _),

@@ -790,6 +790,26 @@ object Pipeline {
       Iterator.empty
   }
 
+  /** Streaming per-day distinct users — the online form of the batch
+    * `a_daily_distinct_kmv` row, and the reason [[graft.functions
+    * .KmvSketch]] is a MERGEABLE aggregate: the same k-long buffer
+    * that partial-aggregates in batch is the per-window streaming
+    * state, merged per micro-batch and emitted when the watermark
+    * closes the day. State per open window = k longs + the window
+    * struct; closed windows are dropped by the watermark. A replay
+    * with the watermark pushed past every day reproduces the batch
+    * row exactly (spec-pinned) — the estimator is deterministic in
+    * the VALUE SET, so micro-batch seams cannot change it. */
+  def dailyDistinct(events: DataFrame, k: Int,
+      watermarkDelay: String): DataFrame =
+    events.select(col("ts"),
+        graft.codec.Codecs.portableHash(col("user_id")).as("h"))
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(window(col("ts"), "1 day").as("w"))
+      .agg(graft.functions.KmvSketch.kmv(col("h"), k).as("sk"))
+      .select((unix_micros(col("w.start")) / 86400000000L).cast("long").as("day"),
+        graft.functions.KmvSketch.estimate(col("sk"), k).as("est_distinct"))
+
   /** Streaming BM25 relevance gate — the online form of
     * [[graft.ext.TextOps.bm25TopK]]'s scoring pass: arriving documents
     * are scored against the static corpus's derived query (df-rank

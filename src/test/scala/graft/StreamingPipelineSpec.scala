@@ -725,6 +725,38 @@ class StreamingPipelineSpec extends SparkSpec {
     }
   }
 
+  test("streaming daily distinct emits the batch KMV rows at window close") {
+    val rows: Seq[(java.sql.Timestamp, Long)] =
+      (0 until 120).map { i =>
+        (new java.sql.Timestamp(1700000000000L + (i / 40) * 86400000L + i * 60000L),
+          (i * 13 % 37).toLong)
+      }
+    val static = rows.toDF("ts", "user_id")
+    val batch = graft.streaming.Pipeline.dailyDistinct(static, 8, "1 minute")
+      .as[(Long, Long)].collect().toMap
+
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, Long)]
+    val out = graft.streaming.Pipeline.dailyDistinct(
+      input.toDF().toDF("ts", "user_id"), 8, "1 minute")
+    val q = out.writeStream.format("memory").queryName("daily_distinct")
+      .outputMode("append").start()
+    try {
+      rows.grouped(50).foreach { slice =>
+        input.addData(slice); q.processAllAvailable()
+      }
+      // sentinel far in the future closes every real window
+      input.addData(Seq((new java.sql.Timestamp(1700000000000L + 30L * 86400000L), 999L)))
+      q.processAllAvailable()
+      // the sentinel's own window never closes, so the closed-window
+      // emissions are exactly the batch rows over the real days
+      val got = spark.table("daily_distinct")
+        .as[(Long, Long)].collect().toMap
+      assert(got === batch,
+        "closed daily windows must equal the batch KMV computation")
+    } finally q.stop()
+  }
+
   test("bm25 gate scores a corpus replay to the batch operator's answers") {
     // 60 filler docs pin the df head; three probe docs carry the
     // derived query terms (the RetrievalSpec corpus)
