@@ -2502,6 +2502,21 @@ GROUP BY 1, 2""",
 
     "d_lsh_jaccard" -> s"$LSH_PAIRS SELECT doc_a, doc_b, jaccard FROM pairs",
 
+    // near-dup pairs straddling the deterministic 20% holdout,
+    // oriented train -> eval
+    "e_split_leakage" -> s"""$LSH_PAIRS,
+sp AS (
+  SELECT doc_id,
+         (${dh("lang || '|' || CAST(doc_id AS VARCHAR)")} % 100 < 20) AS is_eval
+  FROM documents)
+SELECT CASE WHEN a.is_eval THEN p.doc_b ELSE p.doc_a END AS train_doc,
+       CASE WHEN a.is_eval THEN p.doc_a ELSE p.doc_b END AS eval_doc,
+       p.jaccard
+FROM pairs p
+JOIN sp a ON a.doc_id = p.doc_a
+JOIN sp b ON b.doc_id = p.doc_b
+WHERE a.is_eval <> b.is_eval""",
+
     // engine: the FORCED distributed label-propagation sweep loop
     // (driverEdgeLimit = 0 — the 100 TB path of nearDupComponents);
     // oracle: the same recursive closure as d_neardup_groups. Pinning

@@ -1508,6 +1508,29 @@ object SparkEntry {
       .unionAll(cnt(li.filter(col("l_quantity") <= 0), "lineitem.l_quantity > 0"))
   }
 
+  /** Train/eval split-leakage report: near-dup pairs that STRADDLE
+    * the deterministic 20% holdout — the "my eval set leaked into
+    * training" check run before any benchmark number is believed.
+    * Pure composition: the shared LSH-verified pair frame (PlanCached,
+    * sub-quadratic) joined to the hash-split flags; the pair side is
+    * tiny relative to the corpus, so both flag joins broadcast it
+    * under AQE. One row per straddling pair, oriented train → eval. */
+  private def eSplitLeakage(s: SparkSession, dir: String): DataFrame = {
+    val docs = T(s, dir, "documents")
+    val split = docs.select(col("doc_id"),
+      TextOps.hashSample(col("lang"), col("doc_id"), 20).as("is_eval"))
+    Dedup.lshVerifiedJaccard(docs, 3, 16, 4, 4, 0.5)
+      .join(split.select(col("doc_id").as("doc_a"), col("is_eval").as("eval_a")),
+        "doc_a")
+      .join(split.select(col("doc_id").as("doc_b"), col("is_eval").as("eval_b")),
+        "doc_b")
+      .filter(col("eval_a") =!= col("eval_b"))
+      .select(
+        when(col("eval_a"), col("doc_b")).otherwise(col("doc_a")).as("train_doc"),
+        when(col("eval_a"), col("doc_a")).otherwise(col("doc_b")).as("eval_doc"),
+        col("jaccard"))
+  }
+
   /** k-anonymity audit over quasi-identifiers (nation, market
     * segment, account-balance band): group sizes and the k<5 at-risk
     * flag — the re-identification risk report a dataset release gate
@@ -2912,6 +2935,7 @@ object SparkEntry {
     "t_bm25_topk" -> (tBm25TopK _),
     "t_pmi_topk" -> (tPmiTopK _),
     "a_k_anonymity" -> (aKAnonymity _),
+    "e_split_leakage" -> (eSplitLeakage _),
     "a_trend" -> (aTrend _),
     "a_attribution" -> (aAttribution _),
     "a_transitions" -> (aTransitions _),
