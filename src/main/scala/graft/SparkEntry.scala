@@ -1349,9 +1349,14 @@ object SparkEntry {
     * WOE_i = ln((returned_i/R) / (kept_i/K)). */
   private def aWoeBins(s: SparkSession, dir: String): DataFrame = {
     val li = T(s, dir, "lineitem")
+    // fewGroups = true: the key domain is ONE constant — the
+    // k-partitioned window would sort the entire price histogram in
+    // a single task (the exact bottleneck the bucketed two-phase
+    // cumsum strategy exists for)
     val qs = graft.ops.ExactPercentiles.of(
       li.select(lit("all").as("k"), col("l_extendedprice").as("x")),
-      Seq(("q25", 0.25), ("q50", 0.5), ("q75", 0.75)), "woe-quartiles")
+      Seq(("q25", 0.25), ("q50", 0.5), ("q75", 0.75)), "woe-quartiles",
+      fewGroups = true)
       .groupBy("k")
       .agg(max(when(col("qname") === "q25", col("v"))).as("q25"),
         max(when(col("qname") === "q50", col("v"))).as("q50"),
