@@ -2635,6 +2635,33 @@ FROM documents d JOIN keep USING (doc_id)""",
 )
 SELECT node, p AS pr_fx FROM pr WHERE t = 5""",
 
+    // label-propagation communities: replay the engine's 4 bounded
+    // synchronous rounds; argmax-with-min-tie = first row of
+    // (cnt DESC, label) per dst
+    "g_communities" -> """WITH RECURSIVE cs AS (
+  SELECT 'c' || CAST(o.o_custkey AS VARCHAR) AS cnode,
+         's' || CAST(l.l_suppkey AS VARCHAR) AS snode, count(*) AS w
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  GROUP BY 1, 2
+), e AS (
+  SELECT cnode AS src, snode AS dst, w FROM cs
+  UNION ALL SELECT snode AS src, cnode AS dst, w FROM cs
+), lp AS (
+  SELECT 0 AS t, node, node AS label FROM (
+    SELECT DISTINCT src AS node FROM e
+    UNION SELECT DISTINCT dst FROM e)
+  UNION ALL
+  SELECT t+1, dst AS node, label FROM (
+    SELECT t, dst, label,
+           row_number() OVER (PARTITION BY t, dst ORDER BY cnt DESC, label) AS rn
+    FROM (
+      SELECT lp.t AS t, e.dst AS dst, lp.label AS label, sum(e.w) AS cnt
+      FROM lp JOIN e ON e.src = lp.node
+      WHERE lp.t < 4 GROUP BY 1, 2, 3))
+  WHERE rn = 1
+)
+SELECT node, label AS community FROM lp WHERE t = 4""",
+
     // per-user EWMA (α=1/2, bounded 16-row frame) in exact integer
     // arithmetic: frame values weighted 2^(16-L+i), one double
     // division at the end — list() over a window frame preserves

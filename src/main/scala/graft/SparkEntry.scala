@@ -2418,6 +2418,13 @@ object SparkEntry {
   private def gPageRank(s: SparkSession, dir: String): DataFrame =
     graft.ops.Graph.pageRankFixed(purchaseEdges(s, dir), 5)
 
+  /** Label-propagation communities over the purchase graph — 4
+    * bounded synchronous rounds, ties to the smallest label so the
+    * oracle replays the identical rounds in a recursive CTE
+    * ([[graft.ops.Graph.labelPropagation]]). */
+  private def gCommunities(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Graph.labelPropagation(purchaseEdges(s, dir), 4)
+
   /** The ITERATIVE connected-components path of
     * [[graft.ext.Dedup.nearDupComponents]], forced by
     * `driverEdgeLimit = 0` — the shape that runs when the pair graph
@@ -2899,6 +2906,7 @@ object SparkEntry {
     "d_chunk_dedup" -> (dChunkDedup _),
     "d_chunk_apply" -> (dChunkApply _),
     "g_pagerank" -> (gPageRank _),
+    "g_communities" -> (gCommunities _),
     "a_ewma" -> (aEwma _),
     "t_hash_score" -> (tHashScore _),
     "d_sample_bottomk" -> (dSampleBottomk _),

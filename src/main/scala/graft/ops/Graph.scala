@@ -330,4 +330,38 @@ object Graph {
     val tri = wedges.join(e, Seq("a", "b")).agg(count(lit(1)).as("n_triangles"))
     e.agg(count(lit(1)).as("n_edges")).crossJoin(broadcast(tri))
   }
+
+  /** Synchronous label-propagation communities over a weighted edge
+    * list — the last graph closer: every vertex starts as its own
+    * label and, each round, adopts the label with the greatest
+    * incident weight among its neighbors, ties to the SMALLEST label
+    * (the argmin of (−weight, label) — fully deterministic, so the
+    * bounded replay is the contract exactly like the PageRank
+    * iterate; LPA's usual run-to-oscillation nondeterminism is
+    * designed out, not papered over).
+    *
+    * Scale shape per round: one edges⋈labels equi-join on src (the
+    * static edge frame is repartitioned by the join key once and
+    * localCheckpoint'ed, the pageRankFixed discipline) + two keyed
+    * partial aggs ((dst, label) weight sums, then the per-dst
+    * struct-min argmax). The bounded unroll is ONE job. */
+  def labelPropagation(edges: DataFrame, iters: Int): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val e = edges.select(col("src"), col("dst"), col("w").cast("long").as("w"))
+      .repartition(col("src"))
+      .localCheckpoint()
+    var labels = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node")))
+      .distinct()
+      .withColumn("label", col("node"))
+    for (_ <- 1 to iters) {
+      labels = e.join(labels, e("src") === labels("node"))
+        .groupBy(col("dst"), col("label"))
+        .agg(sum(col("w")).as("cnt"))
+        .groupBy(col("dst"))
+        .agg(min(struct((-col("cnt")).as("nc"), col("label").as("l"))).as("m"))
+        .select(col("dst").as("node"), col("m.l").as("label"))
+    }
+    labels.select(col("node"), col("label").as("community"))
+  }
 }

@@ -131,4 +131,42 @@ class GraphSpec extends SparkSpec {
     // the documented p·w ≲ |V|·scale·w_max budget is conservative
     assert(total <= n * 1000000L)
   }
+
+  /** In-memory replica of the synchronous LPA recurrence with the
+    * (−weight, label) argmin tie-break. */
+  private def lpaRef(edges: Seq[(String, String, Long)], iters: Int): Map[String, String] = {
+    val verts = (edges.map(_._1) ++ edges.map(_._2)).distinct
+    var lab = verts.map(v => v -> v).toMap
+    for (_ <- 1 to iters) {
+      lab = edges.groupBy(_._2).map { case (dst, es) =>
+        val scores = es.groupBy(e => lab(e._1))
+          .map { case (l, ws) => (l, ws.map(_._3).sum) }
+        dst -> scores.toSeq.minBy { case (l, c) => (-c, l) }._1
+      }
+    }
+    lab
+  }
+
+  test("labelPropagation equals the in-memory replica and separates two bridged cliques") {
+    // two 4-cliques joined by one weak bridge edge
+    def clique(p: String) = for {
+      i <- 0 until 4; j <- 0 until 4 if i != j
+    } yield (s"$p$i", s"$p$j", 10L)
+    val edges = clique("a") ++ clique("b") ++ Seq(("a0", "b0", 1L), ("b0", "a0", 1L))
+    val got = Graph.labelPropagation(edges.toDF("src", "dst", "w"), 4)
+      .as[(String, String)].collect().toMap
+    assert(got === lpaRef(edges, 4))
+    val aComm = (0 until 4).map(i => got(s"a$i")).toSet
+    val bComm = (0 until 4).map(i => got(s"b$i")).toSet
+    assert(aComm.size === 1 && bComm.size === 1,
+      s"each clique must agree on one label: $got")
+    assert(aComm != bComm, "the weak bridge must not merge the cliques")
+  }
+
+  test("labelPropagation matches the replica on the irregular weighted graph") {
+    val edges = symmetricTestGraph
+    val got = Graph.labelPropagation(edges.toDF("src", "dst", "w"), 3)
+      .as[(String, String)].collect().toMap
+    assert(got === lpaRef(edges, 3))
+  }
 }
