@@ -447,4 +447,52 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("BroadcastNestedLoopJoin"), s"1-row sides must broadcast:\n$p")
     assert(!p.contains("SortMergeJoin"), s"nothing to sort-merge:\n$p")
   }
+
+  // --- round-9 continuation pins
+
+  test("bm25 ranks with TakeOrdered passes, never a window") {
+    val p = plan("t_bm25_topk")
+    assert(!p.contains("Window"),
+      s"both the query derivation and the final top-N must be TakeOrdered:\n$p")
+    assert(p.contains("TakeOrderedAndProject"))
+  }
+
+  test("the one-pass KMV daily-distinct plans the sketch aggregate, no window, no distinct pre-shuffle") {
+    val p = plan("a_daily_distinct_kmv")
+    assert(!p.contains("Window"),
+      s"the sketch replaces the rank window entirely:\n$p")
+    assert(p.contains("kmvsketch") || p.contains("KmvSketch") ||
+      p.contains("ObjectHashAggregate"), s"sketch aggregate not planned:\n$p")
+  }
+
+  test("profiler is a join-free partial-agg chain") {
+    val p = plan("p_profile")
+    assert(!p.contains("Join"), s"the profiler must be one exploded scan:\n$p")
+    assert(p.contains("Generate") && p.contains("Expand"))
+  }
+
+  test("market share broadcasts every dimension leg") {
+    val p = plan("a_market_share")
+    assert(!p.contains("CartesianProduct"), s"no cartesian anywhere:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"dimension legs must broadcast:\n$p")
+  }
+
+  test("important parts keeps its global threshold as a broadcast, not a window") {
+    val p = plan("a_important_parts")
+    assert(!p.contains("Window"), s"the 1-row total must broadcast:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"))
+  }
+
+  test("trend moments ride one partial-agg pass with a broadcast min-day frame") {
+    val p = plan("a_trend")
+    assert(p.contains("BroadcastHashJoin"), s"min-day frame must broadcast:\n$p")
+    assert(!p.contains("Window") && !p.contains("SortMergeJoin"), s"\n$p")
+  }
+
+  test("ridge scoring is a literal-weights projection: no join, no shuffle, no window") {
+    val p = plan("s_ridge_score")
+    assert(!p.contains("Join") && !p.contains("Window"),
+      s"the trained head must ride as a literal:\n$p")
+  }
 }
