@@ -790,6 +790,21 @@ object Pipeline {
       Iterator.empty
   }
 
+  /** Streaming referential-integrity gate — the online form of one
+    * `p_fk_violations` rule: arriving fact rows whose key has no
+    * match in the static dimension are routed out as violations
+    * (with the rule name attached), valid rows never leave the
+    * pipeline. A stream-static LEFT ANTI join is stateless — the
+    * dimension is the build side per micro-batch, broadcast when
+    * small — so re-delivery is idempotent and nothing accumulates.
+    * Spec pins: a replay emits exactly the batch rule's violating
+    * rows, and valid rows are absent. */
+  def fkGate(rows: DataFrame, dim: DataFrame, rowKey: String,
+      dimKey: String, rule: String): DataFrame =
+    rows.join(dim.select(col(dimKey)).distinct(),
+        rows(rowKey) === col(dimKey), "left_anti")
+      .withColumn("rule", lit(rule))
+
   /** Streaming per-day distinct users — the online form of the batch
     * `a_daily_distinct_kmv` row, and the reason [[graft.functions
     * .KmvSketch]] is a MERGEABLE aggregate: the same k-long buffer

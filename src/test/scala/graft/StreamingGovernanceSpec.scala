@@ -1,0 +1,108 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.streaming.{Pipeline, StreamingTransitions}
+
+/** Replay-agreement pins for the governance/behavior twins: the FK
+  * gate must emit exactly the batch rule's violating rows (and
+  * nothing else), and the transition twin's emitted rows must
+  * aggregate to the batch transition matrix. */
+class StreamingGovernanceSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val providerKey = "spark.sql.streaming.stateStore.providerClass"
+
+  private def withRocksDB(body: => Unit): Unit = {
+    val prev = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try body
+    finally prev match {
+      case Some(v) => spark.conf.set(providerKey, v)
+      case None    => spark.conf.unset(providerKey)
+    }
+  }
+
+  test("fk gate routes exactly the orphaned rows, valid rows never leave") {
+    val dim = (0L until 50L).map(k => (k, s"name$k")).toDF("c_custkey", "c_name")
+    val facts = (0 until 40).map(i =>
+      (i.toLong, if (i % 5 == 0) 100L + i else (i % 50).toLong))
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Long)]
+    val out = Pipeline.fkGate(input.toDF().toDF("o_orderkey", "o_custkey"),
+      dim, "o_custkey", "c_custkey", "orders.o_custkey -> customer.c_custkey")
+    val q = out.writeStream.format("memory").queryName("fk_gate")
+      .outputMode("append").start()
+    try {
+      val (h1, h2) = facts.splitAt(20)
+      input.addData(h1); q.processAllAvailable()
+      input.addData(h2); q.processAllAvailable()
+      val got = spark.table("fk_gate")
+        .as[(Long, Long, String)].collect().toSet
+      val expect = facts.filter(_._2 >= 100L)
+        .map(f => (f._1, f._2, "orders.o_custkey -> customer.c_custkey")).toSet
+      assert(got === expect, "gate output must be exactly the orphans")
+    } finally q.stop()
+  }
+
+  test("transition rows aggregate to the batch matrix on an ordered replay") {
+    val rows: Seq[(Long, java.sql.Timestamp, Long, String)] =
+      (0 until 60).map { i =>
+        ((1000 + i).toLong,
+          new java.sql.Timestamp(1700000000000L + i * 60000L),
+          (i % 4).toLong,
+          Seq("view", "view", "click", "purchase", "error")(i % 5))
+      }
+    val dir = java.nio.file.Files.createTempDirectory("trans-fixture").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type")
+      .withColumn("value", lit(1.0)).withColumn("props", lit("{}"))
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val batch = SparkEntry.queries("a_transitions")(spark, dir)
+      .select("from_type", "to_type", "n")
+      .as[(String, String, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+
+    withRocksDB {
+      implicit val sqlCtx = spark.sqlContext
+      val input = MemoryStream[(Long, java.sql.Timestamp, Long, String)]
+      val out = StreamingTransitions.transitions(input.toDF()
+        .toDF("event_id", "ts", "user_id", "event_type"))
+      val q = out.writeStream.format("memory").queryName("trans_stream")
+        .outputMode("append").start()
+      try {
+        rows.grouped(17).foreach { slice =>
+          input.addData(slice); q.processAllAvailable()
+        }
+        val got = spark.table("trans_stream")
+          .groupBy("from_type", "to_type").agg(count(lit(1)).as("n"))
+          .as[(String, String, Long)].collect()
+          .map(r => (r._1, r._2) -> r._3).toMap
+        assert(got === batch,
+          "aggregated transition rows must equal the batch lead-window matrix")
+      } finally q.stop()
+    }
+  }
+
+  test("a late event fails the transition stream loudly") {
+    withRocksDB {
+      implicit val sqlCtx = spark.sqlContext
+      val input = MemoryStream[(Long, java.sql.Timestamp, Long, String)]
+      val out = StreamingTransitions.transitions(input.toDF()
+        .toDF("event_id", "ts", "user_id", "event_type"))
+      val q = out.writeStream.format("memory").queryName("trans_disorder")
+        .outputMode("append").start()
+      try {
+        input.addData(Seq((1L, new java.sql.Timestamp(1700000100000L), 1L, "view")))
+        q.processAllAvailable()
+        input.addData(Seq((2L, new java.sql.Timestamp(1700000000000L), 1L, "click")))
+        val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+          q.processAllAvailable()
+        }
+        assert(ex.getMessage.contains("order") ||
+          Option(ex.getCause).exists(_.getMessage.contains("order")))
+      } finally q.stop()
+    }
+  }
+}
