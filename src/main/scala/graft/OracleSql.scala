@@ -2502,6 +2502,21 @@ GROUP BY 1, 2""",
 
     "d_lsh_jaccard" -> s"$LSH_PAIRS SELECT doc_a, doc_b, jaccard FROM pairs",
 
+    // one-row corpus overview; the quality mean sums fixed-point
+    // per-doc scores so it is order-independent
+    "e_corpus_report" -> s"""$TOKS, ts AS (
+  SELECT count(*) AS n_tokens, count(DISTINCT t) AS vocab
+  FROM (SELECT unnest(tk) AS t FROM toks)
+), ds AS (
+  SELECT count(*) AS n_docs, count(DISTINCT lang) AS n_langs,
+         count(*) - count(DISTINCT ${dh("text")}) AS n_dup_docs,
+         CAST(sum(CAST(round(($QUALITY) * 10000) AS BIGINT)) AS BIGINT) AS q_fx
+  FROM toks)
+SELECT n_docs, n_langs, CAST(n_dup_docs AS BIGINT) AS n_dup_docs,
+       CAST(n_tokens AS BIGINT) AS n_tokens, vocab,
+       round(CAST(q_fx AS DOUBLE) / n_docs / 10000.0, 4) AS avg_quality
+FROM ds CROSS JOIN ts""",
+
     // near-dup pairs straddling the deterministic 20% holdout,
     // oriented train -> eval
     "e_split_leakage" -> s"""$LSH_PAIRS,

@@ -1513,6 +1513,31 @@ object SparkEntry {
       .unionAll(cnt(li.filter(col("l_quantity") <= 0), "lineitem.l_quantity > 0"))
   }
 
+  /** One-row corpus overview — docs, languages, exact-dup count,
+    * token volume, vocabulary, mean quality — the first dashboard a
+    * curation run renders. Two aggregate passes (doc-level and
+    * token-level) cross-joined by 1-row broadcast; the quality mean
+    * sums per-doc FIXED-POINT scores (exact longs) with one division
+    * at emission, so the averaged double never depends on summation
+    * order. */
+  private def eCorpusReport(s: SparkSession, dir: String): DataFrame = {
+    val d = T(s, dir, "documents")
+    val tokStats = d.select(explode(Codecs.tokens(col("text"))).as("t"))
+      .agg(count(lit(1)).as("n_tokens"), countDistinct(col("t")).as("vocab"))
+    val docStats = d.agg(
+      count(lit(1)).as("n_docs"),
+      countDistinct(col("lang")).as("n_langs"),
+      (count(lit(1)) - countDistinct(Codecs.portableHash(col("text"))))
+        .as("n_dup_docs"),
+      sum(round(TextOps.qualityScore(col("text")) * 10000).cast("long"))
+        .as("q_fx"))
+    docStats.crossJoin(broadcast(tokStats))
+      .select(col("n_docs"), col("n_langs"), col("n_dup_docs"),
+        col("n_tokens"), col("vocab"),
+        round(col("q_fx").cast("double") / col("n_docs") / 10000.0, 4)
+          .as("avg_quality"))
+  }
+
   /** Train/eval split-leakage report: near-dup pairs that STRADDLE
     * the deterministic 20% holdout — the "my eval set leaked into
     * training" check run before any benchmark number is believed.
@@ -2949,6 +2974,7 @@ object SparkEntry {
     "t_pmi_topk" -> (tPmiTopK _),
     "a_k_anonymity" -> (aKAnonymity _),
     "e_split_leakage" -> (eSplitLeakage _),
+    "e_corpus_report" -> (eCorpusReport _),
     "a_trend" -> (aTrend _),
     "a_attribution" -> (aAttribution _),
     "a_transitions" -> (aTransitions _),
