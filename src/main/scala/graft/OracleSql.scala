@@ -351,6 +351,34 @@ object OracleSql {
   SELECT vec_id, label, v, sqrt(list_dot_product(v, v)) AS nrm, $bucket AS bucket FROM vecs)"""
   }
 
+  /** Gap-sessionization CTEs (mirror of graft.ops.Sessionize.sessions
+    * at a 30-minute gap): ends with `sess(user_id, sess_idx,
+    * start_us, end_us, duration_us, n_events, n_types, value_fx)`. */
+  private val SESSIONS = """WITH ev AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, event_type,
+         epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+         CAST(round(value * 1000) AS BIGINT) AS v_fx
+  FROM events
+), l AS (
+  SELECT *, lag(us) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+  FROM ev
+), b AS (
+  SELECT *, CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000
+                 THEN 1 ELSE 0 END AS brk
+  FROM l
+), sx AS (
+  SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS sess_idx
+  FROM b
+), sess AS (
+  SELECT user_id, sess_idx,
+         min(us) AS start_us, max(us) AS end_us,
+         CAST(max(us) - min(us) AS BIGINT) AS duration_us,
+         count(*) AS n_events,
+         CAST(count(DISTINCT event_type) AS BIGINT) AS n_types,
+         CAST(sum(v_fx) AS BIGINT) AS value_fx
+  FROM sx GROUP BY 1, 2)"""
+
   /** Ridge normal-equation recursive iterate (mirror of
     * graft.ext.Ridge.jacobiSweeps): exact fixed-point moments
     * G = XᵀX (scale 1e3 → 1e6 units) and b = Xᵀy (1e3 units), then 60
@@ -2916,29 +2944,33 @@ FROM g JOIN deg da ON da.u = g.ua JOIN deg db ON db.u = g.ub""",
 
     // gap-based sessionization (30-min inactivity): lag + running sum
     // of session breaks, exact microsecond arithmetic throughout
-    "a_sessionize" -> """WITH ev AS (
-  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, event_type,
-         epoch_us(CAST(ts AS TIMESTAMP)) AS us,
-         CAST(round(value * 1000) AS BIGINT) AS v_fx
-  FROM events
-), l AS (
-  SELECT *, lag(us) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
-  FROM ev
-), b AS (
-  SELECT *, CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000
-                 THEN 1 ELSE 0 END AS brk
-  FROM l
-), sx AS (
-  SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                           ROWS UNBOUNDED PRECEDING) AS sess_idx
-  FROM b)
+    "a_sessionize" -> s"""$SESSIONS
 SELECT user_id, CAST(sess_idx AS BIGINT) AS sess_idx,
-       min(us) AS start_us, max(us) AS end_us,
-       CAST(max(us) - min(us) AS BIGINT) AS duration_us,
-       count(*) AS n_events,
-       CAST(count(DISTINCT event_type) AS BIGINT) AS n_types,
-       CAST(sum(v_fx) AS BIGINT) AS value_fx
-FROM sx GROUP BY 1, 2""",
+       start_us, end_us, duration_us, n_events, n_types, value_fx
+FROM sess""",
+
+    // peak concurrent sessions per day: ±1 boundary sweep in a unique
+    // total order (+1 before −1 on ties), day-keyed running sum, and
+    // the cross-day carry-in as a prefix over the tiny day frame
+    "a_concurrency" -> s"""$SESSIONS, bounds AS (
+  SELECT start_us AS us, 1 AS delta, user_id AS u, start_us AS s0 FROM sess
+  UNION ALL
+  SELECT end_us + 1, -1, user_id, start_us FROM sess
+), r AS (
+  SELECT us // 86400000000 AS day, delta, us, u, s0,
+         sum(delta) OVER (PARTITION BY us // 86400000000
+                          ORDER BY us, delta DESC, u, s0
+                          ROWS UNBOUNDED PRECEDING) AS run
+  FROM bounds
+), pd AS (
+  SELECT day, max(run) AS peak_local, sum(delta) AS day_delta
+  FROM r GROUP BY day
+), c AS (
+  SELECT day, peak_local,
+         coalesce(sum(day_delta) OVER (ORDER BY day
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS carry
+  FROM pd)
+SELECT day, CAST(carry + peak_local AS BIGINT) AS peak_concurrent FROM c""",
 
     // RFM quintile scoring: exact long metrics per user; quintile
     // boundaries via quantile_cont (bit-compatible with the engine's

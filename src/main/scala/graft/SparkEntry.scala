@@ -1513,6 +1513,41 @@ object SparkEntry {
       .unionAll(cnt(li.filter(col("l_quantity") <= 0), "lineitem.l_quantity > 0"))
   }
 
+  /** Peak concurrent sessions per day — the occupancy/capacity
+    * question every serving team asks of session data. Classic ±1
+    * boundary sweep: each session emits a +1 at its start and a −1
+    * just past its end; a DAY-KEYED running sum (unique total order,
+    * +1 before −1 on timestamp ties) gives the within-day profile,
+    * and the cross-day carry-in is a prefix sum over the aggregated
+    * per-day frame — the two-phase cumsum idiom (t_pack_sequences /
+    * ExactPercentiles): the only unpartitioned window runs over ~one
+    * row per day, never over events. Exact integers end to end. */
+  private def aConcurrency(s: SparkSession, dir: String): DataFrame = {
+    val sess = graft.ops.Sessionize.sessions(T(s, dir, "events"), 1800L * 1000000L)
+      .select(col("user_id"), col("start_us"), col("end_us"))
+    val bounds = sess.select(explode(array(
+        struct(col("start_us").as("us"), lit(1L).as("delta"),
+          col("user_id").as("u"), col("start_us").as("s0")),
+        struct((col("end_us") + 1L).as("us"), lit(-1L).as("delta"),
+          col("user_id").as("u"), col("start_us").as("s0")))).as("b"))
+      .select(col("b.us").as("us"), col("b.delta").as("delta"),
+        col("b.u").as("u"), col("b.s0").as("s0"),
+        (col("b.us") / 86400000000L).cast("long").as("day"))
+    val wDay = Window.partitionBy("day")
+      .orderBy(col("us"), col("delta").desc, col("u"), col("s0"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val perDay = bounds
+      .withColumn("run", sum(col("delta")).over(wDay))
+      .groupBy("day")
+      .agg(max(col("run")).as("peak_local"), sum(col("delta")).as("day_delta"))
+    // prefix over the tiny day frame (one row per active day)
+    val wPrefix = Window.orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    perDay
+      .withColumn("carry", coalesce(sum(col("day_delta")).over(wPrefix), lit(0L)))
+      .select(col("day"), (col("carry") + col("peak_local")).as("peak_concurrent"))
+  }
+
   /** One-row corpus overview — docs, languages, exact-dup count,
     * token volume, vocabulary, mean quality — the first dashboard a
     * curation run renders. Two aggregate passes (doc-level and
@@ -2975,6 +3010,7 @@ object SparkEntry {
     "a_k_anonymity" -> (aKAnonymity _),
     "e_split_leakage" -> (eSplitLeakage _),
     "e_corpus_report" -> (eCorpusReport _),
+    "a_concurrency" -> (aConcurrency _),
     "a_trend" -> (aTrend _),
     "a_attribution" -> (aAttribution _),
     "a_transitions" -> (aTransitions _),
