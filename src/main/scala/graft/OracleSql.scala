@@ -2972,6 +2972,16 @@ FROM sess""",
   FROM pd)
 SELECT day, CAST(carry + peak_local AS BIGINT) AS peak_concurrent FROM c""",
 
+    // top session-opening event-type paths (first 5 events, '>'-joined)
+    "a_top_journeys" -> s"""$SESSIONS, pth AS (
+  SELECT user_id, sess_idx,
+         array_to_string(list_slice(
+           list(event_type ORDER BY us, event_id), 1, 5), '>') AS path
+  FROM sx GROUP BY 1, 2)
+SELECT path, count(*) AS n_sessions
+FROM pth GROUP BY path
+ORDER BY n_sessions DESC, path LIMIT 20""",
+
     // RFM quintile scoring: exact long metrics per user; quintile
     // boundaries via quantile_cont (bit-compatible with the engine's
     // shared ExactPercentiles lerp); scores are strict-> comparisons

@@ -1548,6 +1548,25 @@ object SparkEntry {
       .select(col("day"), (col("carry") + col("peak_local")).as("peak_concurrent"))
   }
 
+  /** Top user journeys — the most frequent session-opening event-type
+    * paths (first 5 events per session, '>' -joined) with their
+    * session counts: the "what do users actually do" product-
+    * analytics staple. Rides the shared per-event session assignment
+    * ([[graft.ops.Sessionize.assigned]]); the path is built from a
+    * sort_array of (us, event_id, type) structs so the order is the
+    * deterministic event order, and the top-20 cut is
+    * TakeOrderedAndProject on (count DESC, path). */
+  private def aTopJourneys(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Sessionize.assigned(T(s, dir, "events"), 1800L * 1000000L)
+      .groupBy(col("user_id"), col("sess_idx"))
+      .agg(array_join(
+        slice(transform(
+          sort_array(collect_list(struct(col("us"), col("event_id"),
+            col("event_type").as("et")))), x => x.getField("et")), 1, 5), ">")
+        .as("path"))
+      .groupBy("path").agg(count(lit(1)).as("n_sessions"))
+      .orderBy(col("n_sessions").desc, col("path")).limit(20)
+
   /** One-row corpus overview — docs, languages, exact-dup count,
     * token volume, vocabulary, mean quality — the first dashboard a
     * curation run renders. Two aggregate passes (doc-level and
@@ -3011,6 +3030,7 @@ object SparkEntry {
     "e_split_leakage" -> (eSplitLeakage _),
     "e_corpus_report" -> (eCorpusReport _),
     "a_concurrency" -> (aConcurrency _),
+    "a_top_journeys" -> (aTopJourneys _),
     "a_trend" -> (aTrend _),
     "a_attribution" -> (aAttribution _),
     "a_transitions" -> (aTransitions _),

@@ -24,7 +24,11 @@ object Sessionize {
     * the lag and the running break-sum share the spec, so there is one
     * sort and one WindowExec — followed by a (user, session)-keyed
     * partial agg. */
-  def sessions(events: DataFrame, gapUs: Long): DataFrame = {
+  /** Per-EVENT session assignment — the substrate [[sessions]]
+    * aggregates and the journey/path consumers read directly: every
+    * event row plus its 1-based `sess_idx`. One user-keyed window
+    * spec shared by the lag and the running break-sum. */
+  def assigned(events: DataFrame, gapUs: Long): DataFrame = {
     val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
     events
       .select(col("user_id"), col("ts"), col("event_id"), col("event_type"),
@@ -36,6 +40,10 @@ object Sessionize {
           .otherwise(0L))
       .withColumn("sess_idx",
         sum(col("brk")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+  }
+
+  def sessions(events: DataFrame, gapUs: Long): DataFrame = {
+    assigned(events, gapUs)
       .groupBy(col("user_id"), col("sess_idx"))
       .agg(min(col("us")).as("start_us"), max(col("us")).as("end_us"),
         (max(col("us")) - min(col("us"))).as("duration_us"),
