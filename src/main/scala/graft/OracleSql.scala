@@ -3135,6 +3135,46 @@ SELECT q_id, vec_id AS neighbor_id, CAST(rnk AS INT) AS rnk, round(cos, 4) AS co
          row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rnk FROM s)
 WHERE rnk <= 3""",
 
+    // MMR diversified re-rank: recursive-CTE replay of the engine's
+    // greedy selection over the identical top-20 candidate frame;
+    // constants CAST to DOUBLE (bare decimals are DECIMAL in DuckDB)
+    "s_mmr_rerank" -> """WITH RECURSIVE vecs AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings
+), q AS (
+  SELECT v AS qv, sqrt(list_dot_product(v, v)) AS qn FROM vecs WHERE vec_id = 0
+), cand0 AS (
+  SELECT vec_id, v,
+         list_dot_product(qv, v) / (qn * sqrt(list_dot_product(v, v))) AS rel
+  FROM vecs CROSS JOIN q WHERE vec_id <> 0
+  ORDER BY rel DESC, vec_id LIMIT 20
+), sims AS (
+  SELECT a.vec_id AS ai, b.vec_id AS bi,
+         list_dot_product(a.v, b.v) /
+         (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS sim
+  FROM cand0 a, cand0 b
+), it AS (
+  SELECT 0 AS t, CAST([] AS BIGINT[]) AS sel, CAST([] AS DOUBLE[]) AS scs
+  UNION ALL
+  SELECT t+1, list_append(sel, pk['vid']), list_append(scs, pk['score']) FROM (
+    SELECT t, sel, scs, (
+      SELECT struct_pack(vid := c.vec_id,
+        score := CAST(0.7 AS DOUBLE) * c.rel - CAST(0.3 AS DOUBLE) *
+          coalesce((SELECT max(s.sim) FROM sims s
+                    WHERE s.ai = c.vec_id AND list_contains(it.sel, s.bi)),
+                   CAST(0.0 AS DOUBLE)))
+      FROM cand0 c
+      WHERE NOT list_contains(it.sel, c.vec_id)
+      ORDER BY CAST(0.7 AS DOUBLE) * c.rel - CAST(0.3 AS DOUBLE) *
+          coalesce((SELECT max(s.sim) FROM sims s
+                    WHERE s.ai = c.vec_id AND list_contains(it.sel, s.bi)),
+                   CAST(0.0 AS DOUBLE)) DESC, c.vec_id LIMIT 1) AS pk
+    FROM it WHERE t < 5)
+)
+SELECT CAST(r + 1 AS INT) AS rank, sel[r + 1] AS vec_id,
+       round(scs[r + 1], 4) AS mmr_score
+FROM it CROSS JOIN (SELECT CAST(unnest(range(0, 5)) AS INT) AS r)
+WHERE t = 5""",
+
     "s_ann_brute" -> s"""$VECS, q AS (
   SELECT vec_id AS q_id, v AS qv, nrm AS qn FROM nv WHERE vec_id < 8
 ), s AS (

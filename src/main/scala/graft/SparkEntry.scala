@@ -2172,6 +2172,13 @@ object SparkEntry {
       emb.filter(col("vec_id") >= 8), 3, 8)
   }
 
+  /** MMR-diversified re-rank of vec 0's top-20 cosine candidates
+    * (λ = 0.7, pick 5) — the RAG-serving diversification step
+    * ([[graft.ext.Similarity.mmrRerank]]; the oracle replays the
+    * greedy selection in a recursive CTE). */
+  private def sMmrRerank(s: SparkSession, dir: String): DataFrame =
+    Similarity.mmrRerank(T(s, dir, "embeddings"), 0L, 20, 5, 0.7, 0.3)
+
   private def sCentroidClassify(s: SparkSession, dir: String): DataFrame =
     Similarity.centroidClassify(T(s, dir, "embeddings"), 64)
 
@@ -3078,6 +3085,7 @@ object SparkEntry {
     "s_ann_store" -> (sAnnStore _),
     "s_model_score" -> (sModelScore _),
     "s_centroid_classify" -> (sCentroidClassify _),
+    "s_mmr_rerank" -> (sMmrRerank _),
     "s_label_affinity" -> (sLabelAffinity _),
     "m_modality_report" -> (mModalityReport _),
     "e_dsir_apply" -> (eDsirApply _),

@@ -664,4 +664,59 @@ object Similarity {
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
         round(col("cos"), 3).as("cos"))
   }
+
+  /** MMR (maximal-marginal-relevance) diversified re-ranking — the
+    * RAG-serving step after retrieval: from the query's top-`candK`
+    * cosine candidates, greedily pick `k` maximizing
+    * λ·rel(d) − (1−λ)·max_{s∈chosen} sim(d, s), ties to the smaller
+    * vec_id. Redundant near-duplicate hits fall out; coverage wins.
+    *
+    * Scale shape: the DISTRIBUTED work is the candidate search (one
+    * scan, broadcast query, TakeOrdered top-candK — the s_ann_brute
+    * shape); the greedy tail runs on the collected candK×(d+1) frame
+    * — bounded by construction, the codebookLiteral account (eager at
+    * construction, like the ridge fit; BASELINE.md). Every float op
+    * (dot folds, the norm-product division, λ arithmetic) mirrors the
+    * oracle's expression order, so the recursive-CTE greedy replay
+    * picks identical ids. */
+  def mmrRerank(emb: DataFrame, qId: Long, candK: Int, k: Int,
+      lam: Double, oneMinusLam: Double): DataFrame = {
+    val s = emb.sparkSession
+    import s.implicits._
+    val dv = emb.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val q = dv.filter(col("vec_id") === qId)
+      .select(col("v").as("qv"), sqrt(dot(col("v"), col("v"))).as("qn"))
+    val cand = dv.filter(col("vec_id") =!= qId)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"),
+        (dot(col("qv"), col("v")) / (col("qn") * sqrt(dot(col("v"), col("v")))))
+          .as("rel"),
+        col("v"))
+      .orderBy(col("rel").desc, col("vec_id")).limit(candK)
+      .as[(Long, Double, Seq[Double])].collect()
+    def ddot(a: Seq[Double], b: Seq[Double]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { acc += a(i) * b(i); i += 1 }
+      acc
+    }
+    val sim = Array.tabulate(cand.length, cand.length) { (i, j) =>
+      ddot(cand(i)._3, cand(j)._3) /
+        (math.sqrt(ddot(cand(i)._3, cand(i)._3)) *
+          math.sqrt(ddot(cand(j)._3, cand(j)._3)))
+    }
+    val sel = scala.collection.mutable.ArrayBuffer.empty[Int]
+    val out = (1 to k).map { rank =>
+      val best = cand.indices.filterNot(sel.contains).minBy { i =>
+        val maxSim = if (sel.isEmpty) 0.0 else sel.map(j => sim(i)(j)).max
+        (-(lam * cand(i)._2 - oneMinusLam * maxSim), cand(i)._1)
+      }
+      val maxSim = if (sel.isEmpty) 0.0 else sel.map(j => sim(best)(j)).max
+      val score = lam * cand(best)._2 - oneMinusLam * maxSim
+      sel += best
+      (rank, cand(best)._1,
+        java.math.BigDecimal.valueOf(score)
+          .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue())
+    }
+    out.toDF("rank", "vec_id", "mmr_score")
+  }
 }

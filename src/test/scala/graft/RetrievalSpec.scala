@@ -49,6 +49,21 @@ class RetrievalSpec extends SparkSpec {
     assert(byDoc(102L) > byDoc(100L), "shorter doc must outscore padded doc at equal tf")
   }
 
+  test("mmr: the second pick skips the near-duplicate of the first for coverage") {
+    // vec 0 = query; 1 ≈ 2 (near-duplicates, both most relevant);
+    // 3 is less relevant but diverse — plain top-2 would return
+    // (1, 2); MMR must return (1, 3)
+    val emb = Seq(
+      (0L, Seq(1.0f, 0.0f, 0.0f, 0.0f), 0),
+      (1L, Seq(0.9f, 0.43589f, 0.0f, 0.0f), 0),
+      (2L, Seq(0.895f, 0.44617f, 0.0f, 0.0f), 0),
+      (3L, Seq(0.85f, 0.0f, 0.5268f, 0.0f), 0))
+      .toDF("vec_id", "embedding", "label")
+    val got = graft.ext.Similarity.mmrRerank(emb, 0L, 3, 2, 0.7, 0.3)
+      .select("rank", "vec_id").as[(Int, Long)].collect().toList
+    assert(got.map(_._2) === List(1L, 3L), s"got $got")
+  }
+
   test("pmi: an always-together pair outranks a frequent independent pair") {
     // "zig zag" always adjacent (20 docs); "foo"/"bar" both frequent
     // but adjacent in only a few docs
