@@ -2972,6 +2972,26 @@ FROM sess""",
   FROM pd)
 SELECT day, CAST(carry + peak_local AS BIGINT) AS peak_concurrent FROM c""",
 
+    // quantity-weighted type-1 percentiles of price per return flag:
+    // integer threshold comparison, price only ever a group key
+    "a_weighted_percentiles" -> """WITH hist AS (
+  SELECT l_returnflag AS k, l_extendedprice AS x,
+         CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS wc
+  FROM lineitem GROUP BY 1, 2
+), cum AS (
+  SELECT k, x, wc,
+         CAST(sum(wc) OVER (PARTITION BY k ORDER BY x
+                            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+  FROM hist
+), tot AS (SELECT k, CAST(sum(wc) AS BIGINT) AS tw FROM hist GROUP BY 1
+), qs AS (
+  SELECT * FROM (VALUES ('q25', 1, 4), ('q50', 1, 2), ('q75', 3, 4))
+    AS t(qname, qn, qd))
+SELECT cum.k AS l_returnflag, qs.qname, min(cum.x) AS wq_price
+FROM cum JOIN tot ON tot.k = cum.k CROSS JOIN qs
+WHERE cum.cum * qs.qd >= qs.qn * tot.tw
+GROUP BY 1, 2""",
+
     // top session-opening event-type paths (first 5 events, '>'-joined)
     "a_top_journeys" -> s"""$SESSIONS, pth AS (
   SELECT user_id, sess_idx,

@@ -1513,6 +1513,35 @@ object SparkEntry {
       .unionAll(cnt(li.filter(col("l_quantity") <= 0), "lineitem.l_quantity > 0"))
   }
 
+  /** WEIGHTED percentiles (type-1 lower: the smallest value whose
+    * cumulative weight reaches q·W) of extended price, weighted by
+    * quantity, per return flag — the "price point where half the
+    * UNITS sit" question the unweighted family cannot answer. Exact
+    * end to end: integral quantities sum as longs, the selection
+    * compares `cum·d ≥ n·W` in integers, and the price itself is a
+    * group key, never arithmetic. Shape: value histogram (shuffle ∝
+    * distinct prices per flag) → flag-keyed running weight → rational
+    * thresholds ride a 9-row broadcast. The 3-key domain makes the
+    * keyed window single-task-per-flag at extreme scale — the same
+    * declared trade as ExactPercentiles, whose bucketed two-phase
+    * cumsum slots in identically if a corpus ever needs it. */
+  private def aWeightedPercentiles(s: SparkSession, dir: String): DataFrame = {
+    val li = T(s, dir, "lineitem")
+    val hist = li.select(col("l_returnflag").as("k"), col("l_extendedprice").as("x"),
+        expr("CAST(round(l_quantity) AS BIGINT)").as("w"))
+      .groupBy("k", "x").agg(sum(col("w")).as("wc"))
+    val wWin = Window.partitionBy("k").orderBy("x")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = hist.withColumn("cum", sum(col("wc")).over(wWin))
+    val tot = hist.groupBy("k").agg(sum(col("wc")).as("tw"))
+    val qs = Seq(("q25", 1L, 4L), ("q50", 1L, 2L), ("q75", 3L, 4L))
+    val qf = { import s.implicits._; qs.toDF("qname", "qn", "qd") }
+    cum.join(broadcast(tot), "k").crossJoin(broadcast(qf))
+      .filter(col("cum") * col("qd") >= col("qn") * col("tw"))
+      .groupBy(col("k").as("l_returnflag"), col("qname"))
+      .agg(min(col("x")).as("wq_price"))
+  }
+
   /** Peak concurrent sessions per day — the occupancy/capacity
     * question every serving team asks of session data. Classic ±1
     * boundary sweep: each session emits a +1 at its start and a −1
@@ -3038,6 +3067,7 @@ object SparkEntry {
     "e_corpus_report" -> (eCorpusReport _),
     "a_concurrency" -> (aConcurrency _),
     "a_top_journeys" -> (aTopJourneys _),
+    "a_weighted_percentiles" -> (aWeightedPercentiles _),
     "a_trend" -> (aTrend _),
     "a_attribution" -> (aAttribution _),
     "a_transitions" -> (aTransitions _),
