@@ -2972,6 +2972,14 @@ FROM sess""",
   FROM pd)
 SELECT day, CAST(carry + peak_local AS BIGINT) AS peak_concurrent FROM c""",
 
+    // LSH band-planner S-curve for the 16-hash signature
+    "d_lsh_planner" -> """SELECT CAST(16 / r AS INT) AS bands, CAST(r AS INT) AS rows_per_band,
+       round(1.0 - pow(1.0 - pow(CAST(0.3 AS DOUBLE), r), 16 / r), 4) AS p_j03,
+       round(1.0 - pow(1.0 - pow(CAST(0.5 AS DOUBLE), r), 16 / r), 4) AS p_j05,
+       round(1.0 - pow(1.0 - pow(CAST(0.7 AS DOUBLE), r), 16 / r), 4) AS p_j07,
+       round(1.0 - pow(1.0 - pow(CAST(0.9 AS DOUBLE), r), 16 / r), 4) AS p_j09
+FROM (SELECT unnest([1, 2, 4, 8, 16]) AS r)""",
+
     // quantity-weighted type-1 percentiles of price per return flag:
     // integer threshold comparison, price only ever a group key
     "a_weighted_percentiles" -> """WITH hist AS (

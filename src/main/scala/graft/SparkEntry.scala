@@ -1513,6 +1513,25 @@ object SparkEntry {
       .unionAll(cnt(li.filter(col("l_quantity") <= 0), "lineitem.l_quantity > 0"))
   }
 
+  /** LSH band-planner table: the candidate-probability S-curve
+    * p(candidate | jaccard j) = 1 − (1 − j^r)^b for every (bands,
+    * rows-per-band) split of the 16-hash MinHash signature — the
+    * table a user reads to pick the d_minhash_lsh dials for a target
+    * threshold (steepness moves toward high j as r grows). Pure
+    * bounded math from the signature width, replayed by the oracle
+    * with SQL pow; emitted at round-4 (pow's cross-engine ulp is far
+    * inside). */
+  private def dLshPlanner(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    def r4(x: Double) = java.math.BigDecimal.valueOf(x)
+      .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
+    Seq(1, 2, 4, 8, 16).map { r =>
+      val b = 16 / r
+      def p(j: Double) = 1.0 - math.pow(1.0 - math.pow(j, r.toDouble), b.toDouble)
+      (b, r, r4(p(0.3)), r4(p(0.5)), r4(p(0.7)), r4(p(0.9)))
+    }.toDF("bands", "rows_per_band", "p_j03", "p_j05", "p_j07", "p_j09")
+  }
+
   /** WEIGHTED percentiles (type-1 lower: the smallest value whose
     * cumulative weight reaches q·W) of extended price, weighted by
     * quantity, per return flag — the "price point where half the
@@ -3068,6 +3087,7 @@ object SparkEntry {
     "a_concurrency" -> (aConcurrency _),
     "a_top_journeys" -> (aTopJourneys _),
     "a_weighted_percentiles" -> (aWeightedPercentiles _),
+    "d_lsh_planner" -> (dLshPlanner _),
     "a_trend" -> (aTrend _),
     "a_attribution" -> (aAttribution _),
     "a_transitions" -> (aTransitions _),
