@@ -379,6 +379,33 @@ object OracleSql {
          CAST(sum(v_fx) AS BIGINT) AS value_fx
   FROM sx GROUP BY 1, 2)"""
 
+  /** Per-group OLS trend from exact integer moments — shared by the
+    * from-scratch a_trend row AND the partials-merged
+    * a_trend_incremental row (same output contract, independent
+    * derivations on the engine side). */
+  private val TREND_SQL = """WITH ev AS (
+  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+         CAST(round(value * 10000) AS BIGINT) AS yfx
+  FROM events
+), mn AS (SELECT event_type, min(day) AS day0 FROM ev GROUP BY 1
+), x AS (
+  SELECT ev.event_type, ev.day - mn.day0 AS x, yfx
+  FROM ev JOIN mn USING (event_type)
+), m AS (
+  SELECT event_type, count(*) AS n,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(yfx) AS BIGINT) AS sy,
+         CAST(sum(x * yfx) AS BIGINT) AS sxy, CAST(sum(x * x) AS BIGINT) AS sxx
+  FROM x GROUP BY 1)
+SELECT event_type, n,
+       round((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy) /
+             (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) / 10000.0, 4)
+         AS slope_per_day,
+       round((CAST(sy AS DOUBLE) -
+              (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy) /
+              (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) * sx) / n / 10000.0, 4)
+         AS intercept
+FROM m"""
+
   /** Ridge normal-equation recursive iterate (mirror of
     * graft.ext.Ridge.jacobiSweeps): exact fixed-point moments
     * G = XᵀX (scale 1e3 → 1e6 units) and b = Xᵀy (1e3 units), then 60
@@ -1477,28 +1504,12 @@ FROM customer GROUP BY 1, 2, 3""",
 
     // per-group OLS trend from exact integer moments; slope/intercept
     // computed in double with the engine's exact operation order
-    "a_trend" -> """WITH ev AS (
-  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
-         CAST(round(value * 10000) AS BIGINT) AS yfx
-  FROM events
-), mn AS (SELECT event_type, min(day) AS day0 FROM ev GROUP BY 1
-), x AS (
-  SELECT ev.event_type, ev.day - mn.day0 AS x, yfx
-  FROM ev JOIN mn USING (event_type)
-), m AS (
-  SELECT event_type, count(*) AS n,
-         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(yfx) AS BIGINT) AS sy,
-         CAST(sum(x * yfx) AS BIGINT) AS sxy, CAST(sum(x * x) AS BIGINT) AS sxx
-  FROM x GROUP BY 1)
-SELECT event_type, n,
-       round((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy) /
-             (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) / 10000.0, 4)
-         AS slope_per_day,
-       round((CAST(sy AS DOUBLE) -
-              (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy) /
-              (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) * sx) / n / 10000.0, 4)
-         AS intercept
-FROM m""",
+    "a_trend" -> TREND_SQL,
+
+    // the incremental (partials-merged) form must equal the from-
+    // scratch computation, so its oracle IS the full-data trend SQL —
+    // the mergeable-moments claim proved on the gate
+    "a_trend_incremental" -> TREND_SQL,
 
     // Q8-shaped market share: focal nation's revenue share of the
     // ASIA market per order year

@@ -1436,6 +1436,48 @@ object SparkEntry {
         Window.partitionBy(col("from_type"))), 4))
   }
 
+  /** Incremental-view-maintenance form of [[aTrend]]: the first 15
+    * days play the PRECOMPUTED moment table (what yesterday's batch
+    * left behind), the rest plays the arriving delta; each side
+    * derives its six-long moments independently and the two partial
+    * frames merge by plain summation — then the identical
+    * slope/intercept projection. The oracle is the FULL-data a_trend
+    * SQL, so the row is green only if merging partials exactly equals
+    * recomputing from scratch (the mergeable-moments claim, proved on
+    * the oracle gate rather than asserted). The shared x-origin is
+    * the history's per-group first day — the [[graft.streaming
+    * .StreamingTrend]] first-day-is-min-day convention — which equals
+    * the full-data min because every type appears in the history
+    * window. */
+  private def aTrendIncremental(s: SparkSession, dir: String): DataFrame = {
+    val ev = T(s, dir, "events").select(col("event_type"),
+      (unix_micros(col("ts")) / 86400000000L).cast("long").as("day"),
+      expr("CAST(round(value * 10000) AS BIGINT)").as("yfx"))
+    val cut = ev.agg((min(col("day")) + 15L).as("cut_day"))
+    val tagged = ev.crossJoin(broadcast(cut))
+    val history = tagged.filter(col("day") < col("cut_day"))
+    val delta = tagged.filter(col("day") >= col("cut_day"))
+    val day0 = history.groupBy("event_type").agg(min(col("day")).as("day0"))
+    def partialMoments(df: DataFrame): DataFrame =
+      df.join(broadcast(day0), "event_type")
+        .select(col("event_type"), (col("day") - col("day0")).as("x"), col("yfx"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("yfx").as("sy"),
+          sum(col("x") * col("yfx")).as("sxy"), sum(col("x") * col("x")).as("sxx"))
+    val merged = partialMoments(history).unionAll(partialMoments(delta))
+      .groupBy("event_type")
+      .agg(sum("n").as("n"), sum("sx").as("sx"), sum("sy").as("sy"),
+        sum("sxy").as("sxy"), sum("sxx").as("sxx"))
+    val num = col("n").cast("double") * col("sxy") -
+      col("sx").cast("double") * col("sy")
+    val den = col("n").cast("double") * col("sxx") -
+      col("sx").cast("double") * col("sx")
+    merged.select(col("event_type"), col("n"),
+      round(num / den / 10000.0, 4).as("slope_per_day"),
+      round((col("sy").cast("double") - num / den * col("sx")) / col("n") / 10000.0, 4)
+        .as("intercept"))
+  }
+
   /** Per-group OLS trend of event value over time — the drift report
     * ("is error cost rising?") read before alerting. Exact integer
     * moments (Σx, Σy, Σxy, Σx² on fixed-point values and per-group
@@ -3089,6 +3131,7 @@ object SparkEntry {
     "a_weighted_percentiles" -> (aWeightedPercentiles _),
     "d_lsh_planner" -> (dLshPlanner _),
     "a_trend" -> (aTrend _),
+    "a_trend_incremental" -> (aTrendIncremental _),
     "a_attribution" -> (aAttribution _),
     "a_transitions" -> (aTransitions _),
     "a_daily_distinct" -> (aDailyDistinct _),
