@@ -1659,6 +1659,26 @@ FROM p LEFT JOIN v
   ON v.v_user = p.user_id AND v.v_us < p.p_us AND v.v_us >= p.p_us - 21600000000
 GROUP BY 1, 2, 3""",
 
+    // conversion-lag percentiles over attributed purchases;
+    // quantile_cont is bit-compatible with the engine's exact
+    // histogram+lerp (the a_percentiles_dist contract)
+    "a_conversion_lag" -> """WITH p AS (
+  SELECT event_id AS p_id, user_id, epoch_us(ts) AS p_us
+  FROM events WHERE event_type = 'purchase'
+), v AS (
+  SELECT user_id AS v_user, epoch_us(ts) AS v_us
+  FROM events WHERE event_type = 'view'
+), att AS (
+  SELECT p.p_id, p.p_us, max(v.v_us) AS lt
+  FROM p JOIN v
+    ON v.v_user = p.user_id AND v.v_us < p.p_us AND v.v_us >= p.p_us - 21600000000
+  GROUP BY 1, 2
+), lg AS (SELECT CAST(p_us - lt AS DOUBLE) AS x FROM att)
+SELECT 'q25' AS qname, round(quantile_cont(x, 0.25), 4) AS lag_us FROM lg
+UNION ALL SELECT 'q50', round(quantile_cont(x, 0.5), 4) FROM lg
+UNION ALL SELECT 'q75', round(quantile_cont(x, 0.75), 4) FROM lg
+UNION ALL SELECT 'q90', round(quantile_cont(x, 0.9), 4) FROM lg""",
+
     // event-type transition matrix with per-source probabilities
     "a_transitions" -> """WITH nx AS (
   SELECT user_id, event_type,

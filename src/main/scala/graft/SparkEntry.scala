@@ -1418,6 +1418,32 @@ object SparkEntry {
         count(col("v_us")).as("n_touch_views"))
   }
 
+  /** Conversion-lag distribution: exact percentiles of the time from
+    * LAST preceding view to purchase (the attributed purchases of
+    * [[aAttribution]]'s join) — "how long before buying do users
+    * look". Composes the 6h user-keyed range join with the shared
+    * [[graft.ops.ExactPercentiles]] machinery (fewGroups = true: one
+    * constant key). Lags are exact integer micros; the interpolated
+    * percentile is bit-compatible with quantile_cont. */
+  private def aConversionLag(s: SparkSession, dir: String): DataFrame = {
+    val ev = T(s, dir, "events")
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id"),
+        unix_micros(col("ts")).as("p_us"))
+    val v = ev.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), unix_micros(col("ts")).as("v_us"))
+    val lags = p.join(v, p("user_id") === col("v_user") &&
+        col("v_us") < col("p_us") &&
+        col("v_us") >= col("p_us") - lit(21600000000L))
+      .groupBy(col("p_id"), col("p_us"))
+      .agg(max(col("v_us")).as("lt"))
+      .select(lit("all").as("k"), (col("p_us") - col("lt")).cast("double").as("x"))
+    graft.ops.ExactPercentiles.of(lags,
+        Seq(("q25", 0.25), ("q50", 0.5), ("q75", 0.75), ("q90", 0.9)),
+        "conv-lag", fewGroups = true)
+      .select(col("qname"), round(col("v"), 4).as("lag_us"))
+  }
+
   /** Event-type transition matrix over per-user event sequences —
     * the behavioral Markov-chain summary (what follows a view?).
     * One user-keyed window for the successor, then a partial-agg on
@@ -3133,6 +3159,7 @@ object SparkEntry {
     "a_trend" -> (aTrend _),
     "a_trend_incremental" -> (aTrendIncremental _),
     "a_attribution" -> (aAttribution _),
+    "a_conversion_lag" -> (aConversionLag _),
     "a_transitions" -> (aTransitions _),
     "a_daily_distinct" -> (aDailyDistinct _),
     "a_daily_distinct_kmv" -> (aDailyDistinctKmv _),
