@@ -208,6 +208,16 @@ object Bench {
         graft.ext.Dedup.editVerifiedPairs(
           s.read.parquet(s"$dir/documents.parquet"), 3, 16, 4, 4, 0.8,
           maxDist = 100)),
+      // the 100 TB swap-ins for p_zorder_hist / p_skipping_report:
+      // repartitionByRange file cuts + per-partition stats instead of
+      // the exact forms' global row_number windows (sampled boundaries
+      // — report-pinned in LayoutSpec, not oracle-hashable)
+      "p_zorder_hist_range" -> ((s, dir) =>
+        graft.ops.Layout.zorderHistRange(
+          s.read.parquet(s"$dir/lineitem.parquet"), 64)),
+      "p_skipping_report_range" -> ((s, dir) =>
+        graft.ops.Layout.skippingReportRange(
+          s.read.parquet(s"$dir/lineitem.parquet"), 64)),
       // the 100 TB swap-in for a_distinct_counts: HLL sketches merge in
       // one pass with no Expand — approximate, hence bench-only
       "a_distinct_hll" -> ((s, dir) => {

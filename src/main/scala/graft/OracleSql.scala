@@ -3001,7 +3001,7 @@ FROM sess""",
          coalesce(sum(day_delta) OVER (ORDER BY day
            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS carry
   FROM pd)
-SELECT day, CAST(carry + peak_local AS BIGINT) AS peak_concurrent FROM c""",
+SELECT day, CAST(carry + greatest(peak_local, 0) AS BIGINT) AS peak_concurrent FROM c""",
 
     // LSH band-planner S-curve for the 16-hash signature
     "d_lsh_planner" -> """SELECT CAST(16 / r AS INT) AS bands, CAST(r AS INT) AS rows_per_band,

@@ -1471,10 +1471,12 @@ object SparkEntry {
     * SQL, so the row is green only if merging partials exactly equals
     * recomputing from scratch (the mergeable-moments claim, proved on
     * the oracle gate rather than asserted). The shared x-origin is
-    * the history's per-group first day — the [[graft.streaming
-    * .StreamingTrend]] first-day-is-min-day convention — which equals
-    * the full-data min because every type appears in the history
-    * window. */
+    * the FULL frame's per-group first day (history ∪ delta — the
+    * [[graft.streaming.StreamingTrend]] first-day-is-min-day
+    * convention), so an event_type first seen after the cut keeps its
+    * delta rows instead of silently dropping out of the inner join;
+    * in production the origin is a persisted per-group scalar the
+    * history batch wrote, unchanged by deltas. */
   private def aTrendIncremental(s: SparkSession, dir: String): DataFrame = {
     val ev = T(s, dir, "events").select(col("event_type"),
       (unix_micros(col("ts")) / 86400000000L).cast("long").as("day"),
@@ -1483,7 +1485,7 @@ object SparkEntry {
     val tagged = ev.crossJoin(broadcast(cut))
     val history = tagged.filter(col("day") < col("cut_day"))
     val delta = tagged.filter(col("day") >= col("cut_day"))
-    val day0 = history.groupBy("event_type").agg(min(col("day")).as("day0"))
+    val day0 = ev.groupBy("event_type").agg(min(col("day")).as("day0"))
     def partialMoments(df: DataFrame): DataFrame =
       df.join(broadcast(day0), "event_type")
         .select(col("event_type"), (col("day") - col("day0")).as("x"), col("yfx"))
@@ -1637,7 +1639,13 @@ object SparkEntry {
     * and the cross-day carry-in is a prefix sum over the aggregated
     * per-day frame — the two-phase cumsum idiom (t_pack_sequences /
     * ExactPercentiles): the only unpartitioned window runs over ~one
-    * row per day, never over events. Exact integers end to end. */
+    * row per day, never over events. Exact integers end to end.
+    * The day peak floors the local max at 0 (peak-at-day-start =
+    * carry + 0): a day whose earliest boundary is an overnight
+    * session's close has max(run) < 0 within the day, but the true
+    * midnight concurrency is the carry itself. Days with no boundary
+    * rows at all (fully inside an open session) emit no row — the
+    * report covers days with session activity. */
   private def aConcurrency(s: SparkSession, dir: String): DataFrame = {
     val sess = graft.ops.Sessionize.sessions(T(s, dir, "events"), 1800L * 1000000L)
       .select(col("user_id"), col("start_us"), col("end_us"))
@@ -1661,7 +1669,8 @@ object SparkEntry {
       .rowsBetween(Window.unboundedPreceding, -1)
     perDay
       .withColumn("carry", coalesce(sum(col("day_delta")).over(wPrefix), lit(0L)))
-      .select(col("day"), (col("carry") + col("peak_local")).as("peak_concurrent"))
+      .select(col("day"),
+        (col("carry") + greatest(col("peak_local"), lit(0L))).as("peak_concurrent"))
   }
 
   /** Top user journeys — the most frequent session-opening event-type

@@ -49,11 +49,26 @@ object Layout {
 
   /** Integer division on non-negative longs via double division + long
     * cast. Exact equivalence with SQL `div`/`//` holds because the
-    * numerators here are ≤ 2^38 (exactly representable) and the true
-    * quotient is never within one double ulp below an integer (the
-    * nearest possible gap is 1/divisor ≥ 2^-33, the ulp at these
-    * magnitudes ~1e-14), so the cast truncates the same way. */
+    * numerators here are ≤ 2^53 (rn·buckets with rn computed in LONG —
+    * exactly representable; 6e11 rows × 64 buckets ≈ 2^45) and the
+    * true quotient is never within one double ulp below an integer
+    * (the nearest possible gap is 1/divisor; even at divisor = 6e11
+    * that is ~1.6e-12 while the quotient's ulp at magnitude ≤ buckets
+    * is ~1e-14), so the cast truncates the same way. */
   private def idiv(a: Column, b: Column): Column = (a / b).cast("long")
+
+  /** One-row 16-bit precondition gate for [[zValue]]: evaluates to
+    * null (row kept) when both maxima fit 16 bits, throws otherwise —
+    * spread16 masks to the low 16 bits, so keys above 65535 would
+    * silently alias and the co-location bound the report prices would
+    * be meaningless. Wired as a filter on broadcast-frame columns so
+    * column pruning cannot drop it; two long compares per row against
+    * broadcast constants, codegen'd. */
+  private def guard16(mxA: Column, mxB: Column): Column =
+    assert_true(mxA <= 65535L && mxB <= 65535L,
+      lit("Layout.zValue precondition violated: a z-order key exceeds " +
+        "16 bits (65535); widen spread16 to a 32-bit-per-dimension " +
+        "spread before using this layout")).isNull
 
   /** Per-file layout audit of lineitem Z-ordered on (l_partkey,
     * l_suppkey): row count and min/max of each dimension per
@@ -74,12 +89,14 @@ object Layout {
     val z = zValue(col("l_partkey"), col("l_suppkey"))
     val zf = lineitem.select(col("l_partkey"), col("l_suppkey"), col("l_orderkey"),
       col("l_linenumber"), z.as("z"))
-    val n = zf.agg(count(lit(1)).as("n_total"))
+    val n = zf.agg(count(lit(1)).as("n_total"),
+      max(col("l_partkey")).as("_mx_a"), max(col("l_suppkey")).as("_mx_b"))
     zf.crossJoin(broadcast(n))
+      .filter(guard16(col("_mx_a"), col("_mx_b")))
       .withColumn("rn", row_number().over(
         Window.orderBy(col("z"), col("l_orderkey"), col("l_linenumber"))))
       .select(col("l_partkey"), col("l_suppkey"),
-        idiv((col("rn") - 1) * buckets, col("n_total")).as("bucket"))
+        idiv((col("rn") - 1).cast("long") * buckets, col("n_total")).as("bucket"))
       .groupBy("bucket")
       .agg(count(lit(1)).as("n_rows"),
         min("l_partkey").as("min_pk"), max("l_partkey").as("max_pk"),
@@ -113,6 +130,7 @@ object Layout {
       count(lit(1)).as("n_total"))
     val z = zValue(col("l_partkey"), col("l_suppkey"))
     val withKeys = lineitem.crossJoin(broadcast(mx))
+      .filter(guard16(col("max_pk"), col("max_sk")))
       .select(col("l_partkey"), col("l_suppkey"),
         col("l_orderkey"), col("l_linenumber"), col("n_total"),
         // predicate window: partkey in [max/10, max/5], suppkey in [max/10, max/5]
@@ -129,25 +147,38 @@ object Layout {
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("lb.layout"))
           .orderBy(col("lb.skey"), col("l_orderkey"), col("l_linenumber"))))
-      .withColumn("bucket", idiv((col("rn") - 1) * buckets, col("n_total")))
+      .withColumn("bucket",
+        idiv((col("rn") - 1).cast("long") * buckets, col("n_total")))
       .groupBy(col("lb.layout").as("layout"), col("bucket"))
-      .agg(count(lit(1)).as("n"),
-        min("l_partkey").as("mn_p"), max("l_partkey").as("mx_p"),
-        min("l_suppkey").as("mn_s"), max("l_suppkey").as("mx_s"),
-        sum(when(col("l_partkey").between(col("p_lo"), col("p_hi")) &&
-                 col("l_suppkey").between(col("s_lo"), col("s_hi")), 1L)
-          .otherwise(0L)).as("n_match"),
-        sum(when(col("l_suppkey").between(col("s_lo"), col("s_hi")), 1L)
-          .otherwise(0L)).as("n_match_sk"),
-        // constant per group (one broadcast maxima row) — min is just
-        // the deterministic way to carry them through the agg
-        min("p_lo").as("p_lo"), min("p_hi").as("p_hi"),
-        min("s_lo").as("s_lo"), min("s_hi").as("s_hi"))
-    // two query shapes against the same files: the 2-D rectangle and a
-    // suppkey-only range — the single-dimension probe is where a
-    // single-key layout collapses (scans everything) while Z-order
-    // still prunes on BOTH dimensions; that robustness across
-    // predicate mixes is the reason to pay for the Z-order rewrite
+      .agg(bucketStats.head, bucketStats.tail: _*)
+    priceBuckets(perBucket)
+  }
+
+  /** The per-(layout, bucket) file statistics both report forms
+    * aggregate: row count, min/max of each predicate column, the two
+    * predicate match counts, and the (constant-per-group, broadcast
+    * one-row) predicate bounds carried through with min. */
+  private val bucketStats: Seq[Column] = Seq(
+    count(lit(1)).as("n"),
+    min("l_partkey").as("mn_p"), max("l_partkey").as("mx_p"),
+    min("l_suppkey").as("mn_s"), max("l_suppkey").as("mx_s"),
+    sum(when(col("l_partkey").between(col("p_lo"), col("p_hi")) &&
+             col("l_suppkey").between(col("s_lo"), col("s_hi")), 1L)
+      .otherwise(0L)).as("n_match"),
+    sum(when(col("l_suppkey").between(col("s_lo"), col("s_hi")), 1L)
+      .otherwise(0L)).as("n_match_sk"),
+    // constant per group (one broadcast maxima row) — min is just
+    // the deterministic way to carry them through the agg
+    min("p_lo").as("p_lo"), min("p_hi").as("p_hi"),
+    min("s_lo").as("s_lo"), min("s_hi").as("s_hi"))
+
+  /** Prices a per-(layout, bucket) stats frame against the two query
+    * shapes: the 2-D rectangle and a suppkey-only range — the
+    * single-dimension probe is where a single-key layout collapses
+    * (scans everything) while Z-order still prunes on BOTH
+    * dimensions; that robustness across predicate mixes is the reason
+    * to pay for the Z-order rewrite. */
+  private def priceBuckets(perBucket: DataFrame): DataFrame = {
     val prunedBoth = col("mx_p") < col("p_lo") || col("mn_p") > col("p_hi") ||
       col("mx_s") < col("s_lo") || col("mn_s") > col("s_hi")
     val prunedSk = col("mx_s") < col("s_lo") || col("mn_s") > col("s_hi")
@@ -163,5 +194,73 @@ object Layout {
         sum(when(col("pv.pruned"), 1L).otherwise(0L)).as("n_pruned"),
         sum(when(col("pv.pruned"), 0L).otherwise(col("n"))).as("rows_scanned"),
         sum(col("pv.matched")).as("rows_matched"))
+  }
+
+  /** 100 TB production form of [[zorderHist]]: the equal-count file
+    * cut runs as `repartitionByRange(buckets, z, …)` — a sampled-
+    * boundary range shuffle, every partition writing its own file
+    * stats in parallel — instead of a global row_number window that
+    * funnels the whole table through ONE task. Per-file stats are a
+    * partial-agg'd groupBy on `spark_partition_id()` (each range
+    * partition reduces to one row map-side; the second shuffle moves
+    * `buckets` rows). File sizes are approximately equal (reservoir-
+    * sampled boundaries, not exact ranks) — which is exactly what a
+    * real rewrite produces — so this twin is report-pinned against
+    * the exact form (LayoutSpec: rows conserved, z-ranges disjoint
+    * across files, same pruning behavior), not oracle-hashed.
+    * Emits min_z/max_z per file as well: range partitioning
+    * guarantees the z intervals are pairwise disjoint — the
+    * co-location property itself, pinned by spec. */
+  def zorderHistRange(lineitem: DataFrame, buckets: Int): DataFrame = {
+    val mx = lineitem.agg(
+      max(col("l_partkey")).as("_mx_a"), max(col("l_suppkey")).as("_mx_b"))
+    lineitem
+      .select(col("l_partkey"), col("l_suppkey"),
+        col("l_orderkey"), col("l_linenumber"))
+      .crossJoin(broadcast(mx))
+      .filter(guard16(col("_mx_a"), col("_mx_b")))
+      .withColumn("z", zValue(col("l_partkey"), col("l_suppkey")))
+      .repartitionByRange(buckets, col("z"), col("l_orderkey"), col("l_linenumber"))
+      .groupBy(spark_partition_id().as("bucket"))
+      .agg(count(lit(1)).as("n_rows"),
+        min("l_partkey").as("min_pk"), max("l_partkey").as("max_pk"),
+        min("l_suppkey").as("min_sk"), max("l_suppkey").as("max_sk"),
+        min("z").as("min_z"), max("z").as("max_z"))
+  }
+
+  /** 100 TB production form of [[skippingReport]]: each candidate
+    * layout is priced with its own `repartitionByRange` pass over the
+    * projected 4-column frame — three narrow range shuffles, each
+    * fully parallel — instead of the exact form's per-layout global
+    * window (a full-table sort through one task per layout). Same
+    * stats, same pricing tail, same output schema; bucket boundaries
+    * are sampled rather than exact ranks, so the twin is
+    * report-pinned (LayoutSpec: rows_matched identical to the exact
+    * form — match counts are bucketing-independent — rows conserved,
+    * pruning at least as selective as scanning everything). */
+  def skippingReportRange(lineitem: DataFrame, buckets: Int): DataFrame = {
+    val mx = lineitem.agg(
+      max(col("l_partkey")).as("max_pk"),
+      max(col("l_suppkey")).as("max_sk"))
+    val base = lineitem.crossJoin(broadcast(mx))
+      .filter(guard16(col("max_pk"), col("max_sk")))
+      .select(col("l_partkey"), col("l_suppkey"),
+        col("l_orderkey"), col("l_linenumber"),
+        (col("max_pk") / 10).cast("long").as("p_lo"),
+        (col("max_pk") / 5).cast("long").as("p_hi"),
+        (col("max_sk") / 10).cast("long").as("s_lo"),
+        (col("max_sk") / 5).cast("long").as("s_hi"))
+    def layoutStats(name: String, skey: Column): DataFrame =
+      base.withColumn("skey", skey)
+        .repartitionByRange(buckets, col("skey"), col("l_orderkey"),
+          col("l_linenumber"))
+        .groupBy(spark_partition_id().as("bucket"))
+        .agg(bucketStats.head, bucketStats.tail: _*)
+        .withColumn("layout", lit(name))
+    val perBucket =
+      layoutStats("zorder", zValue(col("l_partkey"), col("l_suppkey")))
+        .unionByName(layoutStats("partkey", col("l_partkey")))
+        .unionByName(layoutStats("orderkey", col("l_orderkey")))
+    priceBuckets(perBucket)
   }
 }

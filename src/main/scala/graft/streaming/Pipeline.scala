@@ -801,8 +801,11 @@ object Pipeline {
     * rows, and valid rows are absent. */
   def fkGate(rows: DataFrame, dim: DataFrame, rowKey: String,
       dimKey: String, rule: String): DataFrame =
-    rows.join(dim.select(col(dimKey)).distinct(),
-        rows(rowKey) === col(dimKey), "left_anti")
+    // alias the dimension key before joining: with rowKey == dimKey
+    // (the common user_id -> user_id FK shape) an unqualified
+    // col(dimKey) would be ambiguous and fail analysis
+    rows.join(dim.select(col(dimKey).as("__dim_key")).distinct(),
+        rows(rowKey) === col("__dim_key"), "left_anti")
       .withColumn("rule", lit(rule))
 
   /** Streaming per-day distinct users — the online form of the batch

@@ -58,4 +58,60 @@ class LayoutSpec extends SparkSpec {
       .as[(Long, Long)].head()
     assert(hist._1 <= 9 && hist._2 >= 0)
   }
+
+  test("keys above 16 bits fail loudly instead of silently aliasing") {
+    val li = Seq((70000L, 3L, 1L, 1L), (2L, 5L, 2L, 1L))
+      .toDF("l_partkey", "l_suppkey", "l_orderkey", "l_linenumber")
+    val e = intercept[Exception] { Layout.zorderHist(li, 4).collect() }
+    def messages(t: Throwable): List[String] =
+      if (t == null) Nil else Option(t.getMessage).toList ::: messages(t.getCause)
+    assert(messages(e).exists(_.contains("16 bits")), s"got: $e")
+    val e2 = intercept[Exception] { Layout.skippingReport(li, 4).collect() }
+    assert(messages(e2).exists(_.contains("16 bits")), s"got: $e2")
+  }
+
+  private def rangeFixture = (0 until 1200).map { i =>
+    ((i * 7 % 300).toLong, (i * 13 % 200).toLong, i.toLong, (i % 7).toLong)
+  }.toDF("l_partkey", "l_suppkey", "l_orderkey", "l_linenumber")
+
+  test("range twin conserves rows and cuts disjoint z intervals (the co-location property)") {
+    val hist = Layout.zorderHistRange(rangeFixture, 16)
+      .orderBy("min_z")
+      .select("n_rows", "min_z", "max_z")
+      .as[(Long, Long, Long)].collect()
+    assert(hist.map(_._1).sum === 1200)
+    assert(hist.length <= 16)
+    // range partitioning guarantees pairwise-disjoint z intervals —
+    // exactly the property a Z-order rewrite buys; sampled boundaries
+    // may produce unequal (even empty) files, never overlapping ones
+    hist.sliding(2).foreach {
+      case Array((_, _, hi), (_, lo, _)) =>
+        assert(hi <= lo, s"overlapping z intervals: $hi > $lo")
+      case _ =>
+    }
+  }
+
+  test("range skipping twin agrees with the exact form where bucketing cannot matter") {
+    val exact = Layout.skippingReport(rangeFixture, 16)
+      .select("layout", "predicate", "rows_matched")
+      .as[(String, String, Long)].collect()
+      .map { case (l, p, m) => (l, p) -> m }.toMap
+    val got = Layout.skippingReportRange(rangeFixture, 16)
+      .select("layout", "predicate", "n_buckets", "rows_scanned", "rows_matched")
+      .as[(String, String, Long, Long, Long)].collect()
+    assert(got.length === 6) // 3 layouts × 2 predicates
+    got.foreach { case (layout, pred, nb, scanned, matched) =>
+      // match counts are bucketing-independent: they must equal the
+      // exact form's no matter where sampled boundaries landed
+      assert(matched === exact((layout, pred)), s"$layout/$pred matched")
+      assert(scanned >= matched, s"$layout/$pred scanned < matched")
+      assert(scanned <= 1200, s"$layout/$pred scanned > table")
+      assert(nb <= 16)
+    }
+    // the layout argument survives sampling: sorting by the probe key
+    // itself must prune at least as well as the unrelated natural order
+    val bySk = got.filter(_._2 == "sk_only").map(r => r._1 -> r._4).toMap
+    assert(bySk("zorder") <= bySk("orderkey"),
+      s"z-order should never scan more than natural order: $bySk")
+  }
 }

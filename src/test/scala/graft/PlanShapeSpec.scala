@@ -495,4 +495,18 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("Join") && !p.contains("Window"),
       s"the trained head must ride as a literal:\n$p")
   }
+
+  // --- round-10 pins
+
+  test("range layout twins cut files with a range exchange, never a global window") {
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+    for (df <- Seq(graft.ops.Layout.zorderHistRange(li, 16),
+                   graft.ops.Layout.skippingReportRange(li, 16))) {
+      val p = df.queryExecution.executedPlan.toString
+      assert(!p.contains("Window"),
+        s"the 100 TB form must never funnel the table through one window task:\n$p")
+      assert(p.contains("rangepartitioning"),
+        s"file cuts must come from repartitionByRange:\n$p")
+    }
+  }
 }
