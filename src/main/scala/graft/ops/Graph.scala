@@ -48,9 +48,15 @@ object Graph {
     * scale=10^6 that is ~10^9 vertices with hub weights ~10^4. Lower
     * `scale` for larger graphs.
     *
-    * Vertices with no out-edges leak their mass (the simplified
-    * PageRank without a dangling-mass redistribution term); on a
-    * symmetric edge list — the intended use — there are none.
+    * Vertices with no out-edges would leak their mass (the simplified
+    * PageRank has no dangling-mass redistribution term), so the
+    * vertex build REFUSES them loudly: a sink vertex (appears as dst,
+    * never as src) fails the evaluation with a clear message instead
+    * of silently deflating every rank. On a symmetric edge list — the
+    * intended use — there are none; asymmetric graphs are fine as
+    * long as every vertex has at least one out-edge (e.g. a directed
+    * cycle). The check is one vertex-sized left join inside the
+    * once-materialized verts frame — no extra job, no per-step cost.
     *
     * Personalization: `seeds` restricts both the initial mass and the
     * teleport to the given vertex set (Haveliwala 2002 topic-
@@ -89,6 +95,14 @@ object Graph {
     val verts0 = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node")))
       .distinct()
+      // dangling-mass guard: a sink vertex would silently leak rank
+      // mass every step; refuse it loudly at vertex-build time
+      .join(outw.select(col("src").as("node"), lit(true).as("_has_out")),
+        Seq("node"), "left")
+      .filter(assert_true(col("_has_out").isNotNull,
+        lit("pageRankFixed: vertex with no out-edges (dangling mass " +
+          "would leak; symmetrize the edge list or add self-loops)")).isNull)
+      .select(col("node"))
     val verts = (seeds match {
       case Some(sd) => verts0.join(
           sd.select(col("node")).distinct().withColumn("s", lit(true)),

@@ -169,4 +169,31 @@ class GraphSpec extends SparkSpec {
       .as[(String, String)].collect().toMap
     assert(got === lpaRef(edges, 3))
   }
+
+  test("a sink vertex fails loudly instead of silently leaking rank mass") {
+    // c appears only as a destination: its mass would vanish each step
+    val edges = Seq(("a", "b", 1L), ("b", "a", 1L), ("a", "c", 1L))
+    val e = intercept[Exception] {
+      Graph.pageRankFixed(edges.toDF("src", "dst", "w"), 3).collect()
+    }
+    def messages(t: Throwable): List[String] =
+      if (t == null) Nil else Option(t.getMessage).toList ::: messages(t.getCause)
+    assert(messages(e).exists(_.contains("no out-edges")), s"got: $e")
+  }
+
+  test("sink-free asymmetric graphs still rank (mass conserved up to truncation)") {
+    // directed 4-cycle with a chord: asymmetric, but every vertex has
+    // an out-edge, so the guard must NOT fire and total mass must stay
+    // at ~|V|·scale (damped: teleport + 0.85·mass, fixpoint |V|·scale)
+    val edges = Seq(("a", "b", 1L), ("b", "c", 1L), ("c", "d", 1L),
+      ("d", "a", 1L), ("a", "c", 2L))
+    val got = Graph.pageRankFixed(edges.toDF("src", "dst", "w"), 5)
+      .as[(String, Long)].collect()
+    assert(got.length === 4)
+    val total = got.map(_._2).sum
+    // truncating division only ever loses mass; 5 steps on 4 vertices
+    // lose at most a few units per vertex per step
+    assert(total <= 4L * 1000000L && total > 4L * 1000000L - 1000L,
+      s"mass not conserved: $total")
+  }
 }
