@@ -1,0 +1,108 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.streaming.StreamingEwma
+
+/** Checkpoint-recovery pin for the stateful streaming operators: a
+  * query stopped mid-stream and restarted against the SAME checkpoint
+  * directory must resume from its committed offsets with its keyed
+  * state intact — the at-least-once delivery contract the reference
+  * pipeline assumes of its streams runtime (commit offsets, restart
+  * from last commit, state survives).
+  *
+  * The operator under test is [[StreamingEwma]] because its per-user
+  * state is the most seam-sensitive in the library: the bounded
+  * 16-value frame AND the (ts, event_id) ordering cursor. If state
+  * restore broke, every post-restart EWMA would fold from an empty
+  * frame and diverge from the batch window; if offset restore broke,
+  * rows would duplicate or vanish. Either failure trips the exact
+  * batch-equality assert below.
+  *
+  * The sink is `foreachBatch` — the one sink shape that supports
+  * checkpoint recovery (the memory sink refuses restart in append
+  * mode), and the same shape `streaming.Pipeline` uses for its
+  * branch/sink legs. */
+class StreamingRecoverySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val providerKey = "spark.sql.streaming.stateStore.providerClass"
+
+  private def withRocksDB(body: => Unit): Unit = {
+    val prev = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try body
+    finally prev match {
+      case Some(v) => spark.conf.set(providerKey, v)
+      case None    => spark.conf.unset(providerKey)
+    }
+  }
+
+  /** 60 events over 3 users (20 each — past the 16-row frame bound so
+    * post-restart folds exercise a restored, truncated frame),
+    * strictly increasing ts. */
+  private def eventRows: Seq[(Long, java.sql.Timestamp, Long, Double)] =
+    (0 until 60).map { i =>
+      ((i % 3 + 1).toLong,
+        new java.sql.Timestamp(1700000000000L + i * 60000L),
+        (1000 + i).toLong,
+        math.sin(i.toDouble) * 37.0 + i * 0.13)
+    }
+
+  test("stop/restart from checkpoint resumes offsets and keyed state exactly") {
+    withRocksDB {
+      val rows = eventRows
+      val dir = java.nio.file.Files.createTempDirectory("rec-fixture").toString
+      rows.toDF("user_id", "ts", "event_id", "value")
+        .withColumn("event_type", lit("e")).withColumn("props", lit("{}"))
+        .select("event_id", "ts", "user_id", "event_type", "value", "props")
+        .write.mode("overwrite").parquet(s"$dir/events.parquet")
+      val batch = SparkEntry.queries("a_ewma")(spark, dir)
+        .as[(Long, Long, Double)].collect()
+        .map(r => r._2 -> (r._1, r._3)).toMap
+
+      implicit val sqlCtx = spark.sqlContext
+      val input = MemoryStream[(Long, java.sql.Timestamp, Long, Double)]
+      val out = StreamingEwma.ewma(
+        input.toDF().toDF("user_id", "ts", "event_id", "value"))
+      val cp = java.nio.file.Files.createTempDirectory("rec-cp").toString
+      val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+      def start() = out.writeStream
+        .outputMode("append")
+        .option("checkpointLocation", cp)
+        .foreachBatch { (df: DataFrame, _: Long) =>
+          val got = df.select("user_id", "event_id", "ewma")
+            .as[(Long, Long, Double)].collect()
+          buf.synchronized { buf ++= got }
+          ()
+        }
+        .start()
+
+      // run 1: first 20 events (each user's frame is ~7 deep), clean stop
+      val q1 = start()
+      try { input.addData(rows.take(20)); q1.processAllAvailable() }
+      finally q1.stop()
+      val run1 = buf.synchronized { buf.toVector }
+      assert(run1.length === 20, "run 1 must emit exactly its slice")
+
+      // data arriving while the query is DOWN, then restart from the
+      // same checkpoint: committed offsets mean no batch re-runs, and
+      // the restored per-user frames + ordering cursors mean the
+      // post-restart folds continue mid-frame, not from scratch
+      input.addData(rows.drop(20))
+      val q2 = start()
+      try q2.processAllAvailable()
+      finally q2.stop()
+
+      val all = buf.synchronized { buf.toVector }
+      assert(all.length === 60,
+        s"restart must neither re-deliver nor drop (got ${all.length})")
+      val got = all.map(r => r._2 -> (r._1, r._3)).toMap
+      assert(got === batch,
+        "post-restart EWMA must continue the RESTORED frames: any state " +
+          "loss folds from empty history and diverges from the batch window")
+    }
+  }
+}
