@@ -1659,6 +1659,26 @@ FROM p LEFT JOIN v
   ON v.v_user = p.user_id AND v.v_us < p.p_us AND v.v_us >= p.p_us - 21600000000
 GROUP BY 1, 2, 3""",
 
+    // bounded-lookback attribution: only the 8 newest in-window views
+    // count (min/max/count are rank-tie-proof: tied v_us values give
+    // the same aggregated multiset whichever row holds rank 8)
+    "a_attribution_bounded" -> """WITH p AS (
+  SELECT event_id AS p_id, user_id, epoch_us(ts) AS p_us
+  FROM events WHERE event_type = 'purchase'
+), v AS (
+  SELECT user_id AS v_user, epoch_us(ts) AS v_us
+  FROM events WHERE event_type = 'view'
+), j AS (
+  SELECT p.p_id, p.user_id, p.p_us, v.v_us,
+         row_number() OVER (PARTITION BY p.p_id ORDER BY v.v_us DESC) AS rk
+  FROM p LEFT JOIN v
+    ON v.v_user = p.user_id AND v.v_us < p.p_us
+       AND v.v_us >= p.p_us - 21600000000)
+SELECT p_id, user_id, p_us,
+       min(v_us) AS first_touch_us, max(v_us) AS last_touch_us,
+       count(v_us) AS n_touch_views
+FROM j WHERE rk <= 8 GROUP BY 1, 2, 3""",
+
     // conversion-lag percentiles over attributed purchases;
     // quantile_cont is bit-compatible with the engine's exact
     // histogram+lerp (the a_percentiles_dist contract)

@@ -1418,6 +1418,36 @@ object SparkEntry {
         count(col("v_us")).as("n_touch_views"))
   }
 
+  /** Bounded-lookback form of [[aAttribution]]: per purchase, only
+    * the 8 MOST RECENT preceding views inside the 6h window count —
+    * the declared-state dial that unblocks a streaming twin (the
+    * EWMA bounded-frame convention): [[graft.streaming
+    * .StreamingAttribution]] keeps exactly 8 view timestamps per user
+    * as state, where the unbounded form would hoard every view for
+    * 6h. Equivalence note: "8 newest overall, filtered to the window"
+    * equals "8 newest within the window" because in-window views are
+    * by definition newer than out-of-window ones. The per-purchase
+    * rank rides Spark's map-side WindowGroupLimit prune (plan-pinned)
+    * so no shuffle buffer ever holds more than 9 rows per purchase. */
+  private def aAttributionBounded(s: SparkSession, dir: String): DataFrame = {
+    val ev = T(s, dir, "events")
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id"),
+        unix_micros(col("ts")).as("p_us"))
+    val v = ev.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), unix_micros(col("ts")).as("v_us"))
+    val wk = Window.partitionBy(col("p_id")).orderBy(col("v_us").desc)
+    p.join(v, p("user_id") === col("v_user") &&
+        col("v_us") < col("p_us") &&
+        col("v_us") >= col("p_us") - lit(21600000000L), "left")
+      .withColumn("rk", row_number().over(wk))
+      .filter(col("rk") <= 8)
+      .groupBy(col("p_id"), col("user_id"), col("p_us"))
+      .agg(min(col("v_us")).as("first_touch_us"),
+        max(col("v_us")).as("last_touch_us"),
+        count(col("v_us")).as("n_touch_views"))
+  }
+
   /** Conversion-lag distribution: exact percentiles of the time from
     * LAST preceding view to purchase (the attributed purchases of
     * [[aAttribution]]'s join) — "how long before buying do users
@@ -3168,6 +3198,7 @@ object SparkEntry {
     "a_trend" -> (aTrend _),
     "a_trend_incremental" -> (aTrendIncremental _),
     "a_attribution" -> (aAttribution _),
+    "a_attribution_bounded" -> (aAttributionBounded _),
     "a_conversion_lag" -> (aConversionLag _),
     "a_transitions" -> (aTransitions _),
     "a_daily_distinct" -> (aDailyDistinct _),

@@ -498,6 +498,12 @@ class PlanShapeSpec extends SparkSpec {
 
   // --- round-10 pins
 
+  test("bounded attribution's per-purchase rank rides the map-side WindowGroupLimit prune") {
+    val p = plan("a_attribution_bounded")
+    assert(p.contains("WindowGroupLimit"),
+      s"the rank<=8 filter must prune shuffle buffers to 9 rows per purchase:\n$p")
+  }
+
   test("range layout twins cut files with a range exchange, never a global window") {
     val li = spark.read.parquet(s"$sf/lineitem.parquet")
     for (df <- Seq(graft.ops.Layout.zorderHistRange(li, 16),
