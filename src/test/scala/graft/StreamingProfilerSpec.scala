@@ -103,4 +103,69 @@ class StreamingProfilerSpec extends SparkSpec {
       } finally q.stop()
     }
   }
+
+  test("timer-driven profiler emits on its declared cadence, not per micro-batch") {
+    withRocksDB {
+      // processAllAvailable is unusable here BY DESIGN: while any
+      // processing-time timer is registered the engine keeps
+      // scheduling batches to check expiry, so "all available data
+      // processed" never latches (measured: a free-running busy loop
+      // at the default trigger). The spec therefore drives the query
+      // with a 1s trigger and observes it from outside via
+      // recentProgress + the sink table — exactly how a production
+      // monitor is consumed.
+      val cadenceMs = 15000L
+      val rows = eventRows
+      implicit val sqlCtx = spark.sqlContext
+      val input = MemoryStream[(Long, java.sql.Timestamp, Long, String, Double, String)]
+      val out = StreamingProfiler.profileEvery(input.toDF()
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props"),
+        8, emitEveryMs = cadenceMs)
+      val q = out.writeStream.format("memory").queryName("prof_timed")
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("1 second"))
+        .start()
+      def inputRowsSoFar: Long =
+        q.recentProgress.map(_.numInputRows).sum
+      def pollUntil(deadline: Long)(cond: => Boolean): Unit =
+        while (!cond && System.currentTimeMillis() < deadline)
+          Thread.sleep(300L)
+      try {
+        // all 48 rows over two additions, folded across several 1s
+        // batches well inside the cadence: state grows, NOTHING is
+        // emitted — this is the whole contract (the per-batch
+        // profiler would have emitted 5 rows per batch)
+        val t0 = System.currentTimeMillis()
+        input.addData(rows.take(17))
+        input.addData(rows.drop(17))
+        pollUntil(t0 + cadenceMs - 5000L) { inputRowsSoFar >= 48L }
+        assert(inputRowsSoFar >= 48L, "input must fold within the cadence")
+        assert(spark.table("prof_timed").count() === 0,
+          "within the cadence window the monitor must stay silent")
+
+        // when the cadence elapses the engine runs a timer batch on
+        // its own (no new data needed) and every live column emits
+        // its profile-so-far — poll until it lands
+        pollUntil(t0 + cadenceMs + 60000L) {
+          spark.table("prof_timed").count() >= 5L
+        }
+        val emitted = spark.table("prof_timed")
+          .as[(String, Long, Long, Long, Option[Double], Option[Double])].collect()
+        assert(emitted.length === 5,
+          s"one row per column per expiry, got ${emitted.toSeq}")
+        assert(emitted.map(_._1).toSet ===
+          Set("event_id", "user_id", "value", "event_type", "props"))
+        assert(emitted.forall(_._2 === 48L),
+          s"each profile must cover all 48 folded rows: ${emitted.toSeq}")
+
+        // inside the NEW cadence window: silent again (the timer
+        // re-armed a full cadence out), even as fresh data folds
+        input.addData(Seq((9999L, new java.sql.Timestamp(1700009999000L),
+          1L, "view", 1.0, "{}")))
+        Thread.sleep(3000L)
+        assert(spark.table("prof_timed").count() === 5,
+          "re-armed timer must hold the next emission until its cadence")
+      } finally q.stop()
+    }
+  }
 }
