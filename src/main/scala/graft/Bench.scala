@@ -268,25 +268,17 @@ object Bench {
           }
           name -> r
         }
-        val registry = Seq("s_ann_lsh", "s_ann_lsh_mp", "s_ann_ivf", "s_ann_ivf_mp",
-          "s_ann_ivf_mp4", "s_ann_ivf_km", "s_ann_ivfpq", "s_ann_sq8", "s_ann_pq",
+        // every ANN family reports BOTH its oracle-scale dial (tiny
+        // codebooks/buckets so DuckDB can recheck the arithmetic) and
+        // its graduated search-quality dial — as of round 10 all the
+        // former bench-only dials (lsh_mp@nbits4, pq@k64, ivfpq@k64)
+        // are registry rows (s_ann_lsh_mp4 / s_ann_pq64 /
+        // s_ann_ivfpq64), so the whole list is oracle-checked
+        Seq("s_ann_lsh", "s_ann_lsh_mp", "s_ann_lsh_mp4", "s_ann_ivf",
+          "s_ann_ivf_mp", "s_ann_ivf_mp4", "s_ann_ivf_km", "s_ann_ivfpq",
+          "s_ann_ivfpq64", "s_ann_sq8", "s_ann_pq", "s_ann_pq64",
           "s_ann_pq_rerank", "s_ann_pq_rerank64")
           .map(n => recallOf(n, SparkEntry.queries(n)(spark, sfDir)))
-        // the registry dials are ORACLE-scale (tiny codebooks/buckets so
-        // DuckDB can recheck them); these rows show where the recall
-        // dial actually lands when each variant is sized for search
-        // quality — the docs/SCALE.md knobs, measured
-        import graft.ext.Similarity
-        val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
-        val qp = col("vec_id") < 8
-        // (the former s_ann_ivf_mp@nprobe4 and s_ann_pq_rerank@k64s50
-        // dials graduated into the registry as s_ann_ivf_mp4 /
-        // s_ann_pq_rerank64 and report in the list above)
-        val dialed = Seq(
-          recallOf("s_ann_lsh_mp@nbits4", Similarity.lshTopKMulti(emb, qp, 3, 4)),
-          recallOf("s_ann_pq@k64", Similarity.pqTopK(emb, qp, 3, 64, 8, 64)),
-          recallOf("s_ann_ivfpq@k64", Similarity.ivfPqTopK(emb, qp, 3, 8, 64, 8, 64)))
-        registry ++ dialed
       } catch { case e: Throwable =>
         System.err.println(s"[bench] recall baseline FAILED: ${e.getMessage}"); Nil
       }

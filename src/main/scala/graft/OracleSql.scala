@@ -341,15 +341,16 @@ object OracleSql {
 ), fps AS (SELECT doc_id, $fp AS simhash FROM v)"""
   }
 
-  /** Vector CTEs: double-precision view + norm + 8-bit sign-LSH bucket
-    * (mirror of graft.ext.Similarity). */
-  private val VECS = {
-    val bucket = (0 until 8).map(i => s"(CASE WHEN v[${i + 1}] > 0 THEN (1::BIGINT << $i) ELSE 0 END)").mkString(" + ")
+  /** Vector CTEs: double-precision view + norm + nBits-bit sign-LSH
+    * bucket (mirror of graft.ext.Similarity). */
+  private def vecs(nBits: Int) = {
+    val bucket = (0 until nBits).map(i => s"(CASE WHEN v[${i + 1}] > 0 THEN (1::BIGINT << $i) ELSE 0 END)").mkString(" + ")
     s"""WITH vecs AS (
   SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings
 ), nv AS (
   SELECT vec_id, label, v, sqrt(list_dot_product(v, v)) AS nrm, $bucket AS bucket FROM vecs)"""
   }
+  private val VECS = vecs(8)
 
   /** Gap-sessionization CTEs (mirror of graft.ops.Sessionize.sessions
     * at a 30-minute gap): ends with `sess(user_id, sess_idx,
@@ -540,6 +541,46 @@ ipairs AS (
   SELECT q_id, vec_id, list_dot_product(qv, recon) / (qn * rnorm) AS cos FROM q, r)"""
 
   private val PQ_SCORES = pqScores(4)
+
+  /** IVFPQ chain at a given PQ codebook size: IVF cell restriction
+    * (IVF_ASG) + PQ encode/recon scoring — the two independently
+    * mirrored chains composed; kCodes parameterizes the seeds LIMIT
+    * exactly like [[pqScores]]. */
+  private def ivfPqSql(kCodes: Int) = s"""$IVF_ASG, seeds0 AS (
+  SELECT vec_id AS c_id, v FROM nv
+  ORDER BY ${dh("CAST(vec_id AS VARCHAR)")}, vec_id LIMIT $kCodes
+), seeds AS (
+  SELECT c_id, v, row_number() OVER (ORDER BY c_id) AS code FROM seeds0
+), subcw AS (
+  SELECT t.i AS sub, code, v[t.i*8+1 : t.i*8+8] AS cw FROM seeds, range(0, 8) t(i)
+), enc AS (
+  SELECT nv.vec_id, sc.sub, sc.code,
+         list_sum(list_transform(range(1, 9),
+           j -> (nv.v[sc.sub*8 + j] - sc.cw[j]) * (nv.v[sc.sub*8 + j] - sc.cw[j]))) AS d
+  FROM nv, subcw sc
+), best AS (
+  SELECT vec_id, sub, code FROM (
+    SELECT vec_id, sub, code,
+           row_number() OVER (PARTITION BY vec_id, sub ORDER BY d ASC, code ASC) AS rn
+    FROM enc) WHERE rn = 1
+), recon AS (
+  SELECT b.vec_id, flatten(list(sc.cw ORDER BY b.sub)) AS recon
+  FROM best b JOIN subcw sc ON sc.sub = b.sub AND sc.code = b.code
+  GROUP BY b.vec_id
+), r AS (
+  SELECT a.vec_id, a.cell, rc.recon,
+         sqrt(list_dot_product(rc.recon, rc.recon)) AS rnorm
+  FROM recon rc JOIN asg a ON a.vec_id = rc.vec_id
+  WHERE a.vec_id >= 8
+), q AS (
+  SELECT vec_id AS q_id, v AS qv, nrm AS qn, cell AS q_cell FROM asg WHERE vec_id < 8
+), s AS (
+  SELECT q_id, vec_id, list_dot_product(qv, recon) / (qn * rnorm) AS cos
+  FROM q JOIN r ON q_cell = cell)
+SELECT q_id, vec_id AS neighbor_id, CAST(rnk AS INT) AS rnk, round(cos, 4) AS cos FROM (
+  SELECT q_id, vec_id, cos,
+         row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rnk FROM s)
+WHERE rnk <= 3"""
 
   /** IVF codebook + assignment CTEs (mirror of Similarity.ivfAssign):
     * codebook = the 8 vectors with the smallest portable hash of
@@ -3369,43 +3410,23 @@ WHERE rnk <= 3""",
     // IVFPQ: IVF cell restriction + PQ-reconstruction-domain scoring —
     // the IVF_ASG chain extended with the PQ encode/recon chain (both
     // independently mirrored elsewhere; here they compose)
-    "s_ann_ivfpq" -> s"""$IVF_ASG, seeds0 AS (
-  SELECT vec_id AS c_id, v FROM nv
-  ORDER BY ${dh("CAST(vec_id AS VARCHAR)")}, vec_id LIMIT 4
-), seeds AS (
-  SELECT c_id, v, row_number() OVER (ORDER BY c_id) AS code FROM seeds0
-), subcw AS (
-  SELECT t.i AS sub, code, v[t.i*8+1 : t.i*8+8] AS cw FROM seeds, range(0, 8) t(i)
-), enc AS (
-  SELECT nv.vec_id, sc.sub, sc.code,
-         list_sum(list_transform(range(1, 9),
-           j -> (nv.v[sc.sub*8 + j] - sc.cw[j]) * (nv.v[sc.sub*8 + j] - sc.cw[j]))) AS d
-  FROM nv, subcw sc
-), best AS (
-  SELECT vec_id, sub, code FROM (
-    SELECT vec_id, sub, code,
-           row_number() OVER (PARTITION BY vec_id, sub ORDER BY d ASC, code ASC) AS rn
-    FROM enc) WHERE rn = 1
-), recon AS (
-  SELECT b.vec_id, flatten(list(sc.cw ORDER BY b.sub)) AS recon
-  FROM best b JOIN subcw sc ON sc.sub = b.sub AND sc.code = b.code
-  GROUP BY b.vec_id
-), r AS (
-  SELECT a.vec_id, a.cell, rc.recon,
-         sqrt(list_dot_product(rc.recon, rc.recon)) AS rnorm
-  FROM recon rc JOIN asg a ON a.vec_id = rc.vec_id
-  WHERE a.vec_id >= 8
-), q AS (
-  SELECT vec_id AS q_id, v AS qv, nrm AS qn, cell AS q_cell FROM asg WHERE vec_id < 8
-), s AS (
-  SELECT q_id, vec_id, list_dot_product(qv, recon) / (qn * rnorm) AS cos
-  FROM q JOIN r ON q_cell = cell)
+    "s_ann_ivfpq" -> ivfPqSql(4),
+
+    // the IVFPQ production dial graduated into the registry: 64
+    // codewords per subspace (recall@3 measured per-round in
+    // bench_details `recall_at_3`) — same chain, bigger codebook
+    "s_ann_ivfpq64" -> ivfPqSql(64),
+
+    "s_ann_pq" -> s"""$PQ_SCORES
 SELECT q_id, vec_id AS neighbor_id, CAST(rnk AS INT) AS rnk, round(cos, 4) AS cos FROM (
   SELECT q_id, vec_id, cos,
          row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rnk FROM s)
 WHERE rnk <= 3""",
 
-    "s_ann_pq" -> s"""$PQ_SCORES
+    // the single-stage PQ production dial graduated into the
+    // registry: 64 codewords per subspace (recall@3 measured
+    // per-round in bench_details `recall_at_3`) — same chain
+    "s_ann_pq64" -> s"""${pqScores(64)}
 SELECT q_id, vec_id AS neighbor_id, CAST(rnk AS INT) AS rnk, round(cos, 4) AS cos FROM (
   SELECT q_id, vec_id, cos,
          row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rnk FROM s)
@@ -3448,6 +3469,24 @@ WHERE rnk <= 3""",
   SELECT q_id, qv, qn, bucket AS q_bucket FROM q0
   UNION ALL
   SELECT q_id, qv, qn, xor(bucket, CAST(1 AS BIGINT) << i) FROM q0, range(0, 8) t(i)
+), s AS (
+  SELECT q_id, vec_id, list_dot_product(qv, v) / (qn * nrm) AS cos
+  FROM probes JOIN nv ON q_bucket = bucket AND vec_id >= 8)
+SELECT q_id, vec_id AS neighbor_id, CAST(rnk AS INT) AS rnk, round(cos, 4) AS cos FROM (
+  SELECT q_id, vec_id, cos,
+         row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rnk FROM s)
+WHERE rnk <= 3""",
+
+    // the multiprobe LSH production dial graduated into the registry:
+    // 4-bit buckets (16 cells, 5 probes per query — recall@3 measured
+    // per-round in bench_details `recall_at_3`); same chain on the
+    // 4-bit vecs view
+    "s_ann_lsh_mp4" -> s"""${vecs(4)}, q0 AS (
+  SELECT vec_id AS q_id, v AS qv, nrm AS qn, bucket FROM nv WHERE vec_id < 8
+), probes AS (
+  SELECT q_id, qv, qn, bucket AS q_bucket FROM q0
+  UNION ALL
+  SELECT q_id, qv, qn, xor(bucket, CAST(1 AS BIGINT) << i) FROM q0, range(0, 4) t(i)
 ), s AS (
   SELECT q_id, vec_id, list_dot_product(qv, v) / (qn * nrm) AS cos
   FROM probes JOIN nv ON q_bucket = bucket AND vec_id >= 8)

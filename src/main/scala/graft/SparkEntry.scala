@@ -1975,6 +1975,16 @@ object SparkEntry {
   private def sAnnLshMp(s: SparkSession, dir: String): DataFrame =
     Similarity.lshTopKMulti(T(s, dir, "embeddings"), col("vec_id") < 8, 3, 8)
 
+  /** The multiprobe-LSH SEARCH-QUALITY dial graduated into the
+    * registry (the s_ann_ivf_mp4 convention): 4-bit buckets — 16
+    * cells over 10k vectors, 5 probes per query — where the 8-bit
+    * dial's 256 cells are so sparse at this corpus size that recall
+    * collapses. Recall@3 at this dial is measured per-round in the
+    * bench's `recall_at_3` harness; the oracle replays the identical
+    * bucket/probe/rank arithmetic. */
+  private def sAnnLshMp4(s: SparkSession, dir: String): DataFrame =
+    Similarity.lshTopKMulti(T(s, dir, "embeddings"), col("vec_id") < 8, 3, 4)
+
   private def sAnnIvf(s: SparkSession, dir: String): DataFrame =
     Similarity.ivfTopK(T(s, dir, "embeddings"), col("vec_id") < 8, 3, IvfK)
 
@@ -2005,6 +2015,13 @@ object SparkEntry {
   private def sAnnPq(s: SparkSession, dir: String): DataFrame =
     Similarity.pqTopK(T(s, dir, "embeddings"), col("vec_id") < 8, 3, 4, 8, 64)
 
+  /** Single-stage PQ at the search-quality dial: 64 codewords per
+    * subspace (the s_ann_pq_rerank64 codebook, no re-rank stage) —
+    * the honest "compressed-domain only" recall number next to the
+    * oracle-scale k=4 row. */
+  private def sAnnPq64(s: SparkSession, dir: String): DataFrame =
+    Similarity.pqTopK(T(s, dir, "embeddings"), col("vec_id") < 8, 3, 64, 8, 64)
+
   /** Two-stage PQ: 10-candidate compressed-domain shortlist, exact
     * re-rank to top-3 (see Similarity.pqRerankTopK). */
   private def sAnnPqRerank(s: SparkSession, dir: String): DataFrame =
@@ -2023,6 +2040,12 @@ object SparkEntry {
     * reusing the cached IVF assignment and PQ code frames. */
   private def sAnnIvfPq(s: SparkSession, dir: String): DataFrame =
     Similarity.ivfPqTopK(T(s, dir, "embeddings"), col("vec_id") < 8, 3, IvfK, 4, 8, 64)
+
+  /** IVFPQ at the search-quality dial: the same composed index with
+    * the 64-codeword PQ stage — cell restriction unchanged, the
+    * compressed-domain scores fine enough to rank real neighbors. */
+  private def sAnnIvfPq64(s: SparkSession, dir: String): DataFrame =
+    Similarity.ivfPqTopK(T(s, dir, "embeddings"), col("vec_id") < 8, 3, IvfK, 64, 8, 64)
 
   /** SQ8: candidates scored against their int8 scalar-quantized form
     * (see Similarity.sq8TopK) — the codebook-free compression dial. */
@@ -3271,13 +3294,16 @@ object SparkEntry {
     "s_ann_brute" -> (sAnnBrute _),
     "s_ann_lsh" -> (sAnnLsh _),
     "s_ann_lsh_mp" -> (sAnnLshMp _),
+    "s_ann_lsh_mp4" -> (sAnnLshMp4 _),
     "s_ann_ivf" -> (sAnnIvf _),
     "s_ann_ivf_mp" -> (sAnnIvfMp _),
     "s_ann_ivf_mp4" -> (sAnnIvfMp4 _),
     "s_ann_ivf_km" -> (sAnnIvfKm _),
     "s_ann_ivfpq" -> (sAnnIvfPq _),
+    "s_ann_ivfpq64" -> (sAnnIvfPq64 _),
     "s_ann_sq8" -> (sAnnSq8 _),
     "s_ann_pq" -> (sAnnPq _),
+    "s_ann_pq64" -> (sAnnPq64 _),
     "s_ann_pq_rerank" -> (sAnnPqRerank _),
     "s_ann_pq_rerank64" -> (sAnnPqRerank64 _),
     "s_ann_range" -> (sAnnRange _),
