@@ -3064,6 +3064,32 @@ FROM sess""",
   FROM pd)
 SELECT day, CAST(carry + greatest(peak_local, 0) AS BIGINT) AS peak_concurrent FROM c""",
 
+    // densified concurrency: every calendar day in the span gets a
+    // row — days with no session boundary report the carried-in level
+    "a_concurrency_dense" -> s"""$SESSIONS, bounds AS (
+  SELECT start_us AS us, 1 AS delta, user_id AS u, start_us AS s0 FROM sess
+  UNION ALL
+  SELECT end_us + 1, -1, user_id, start_us FROM sess
+), r AS (
+  SELECT us // 86400000000 AS day, delta, us, u, s0,
+         sum(delta) OVER (PARTITION BY us // 86400000000
+                          ORDER BY us, delta DESC, u, s0
+                          ROWS UNBOUNDED PRECEDING) AS run
+  FROM bounds
+), pd AS (
+  SELECT day, max(run) AS peak_local, sum(delta) AS day_delta
+  FROM r GROUP BY day
+), spine AS (
+  SELECT unnest(range(min(day), max(day) + 1)) AS day FROM pd
+), c AS (
+  SELECT spine.day, pd.peak_local,
+         coalesce(sum(coalesce(pd.day_delta, 0)) OVER (ORDER BY spine.day
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS carry
+  FROM spine LEFT JOIN pd ON pd.day = spine.day)
+SELECT day, CAST(carry + greatest(coalesce(peak_local, 0), 0) AS BIGINT)
+         AS peak_concurrent
+FROM c""",
+
     // LSH band-planner S-curve for the 16-hash signature
     "d_lsh_planner" -> """SELECT CAST(16 / r AS INT) AS bands, CAST(r AS INT) AS rows_per_band,
        round(1.0 - pow(1.0 - pow(CAST(0.3 AS DOUBLE), r), 16 / r), 4) AS p_j03,

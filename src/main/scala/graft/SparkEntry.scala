@@ -1703,6 +1703,46 @@ object SparkEntry {
         (col("carry") + greatest(col("peak_local"), lit(0L))).as("peak_concurrent"))
   }
 
+  /** Densified form of [[aConcurrency]]: every calendar day in the
+    * data's span gets a row, including days with NO session boundary
+    * at all — a day fully inside long-running sessions reports the
+    * carried-in concurrency (peak = carry + 0) instead of silently
+    * missing from the report, which is what a capacity dashboard
+    * actually plots. The day spine is one `sequence(min, max)` off a
+    * broadcast two-value frame — span-sized, never event-sized; the
+    * sparse per-day frame left-joins onto it and the same two-phase
+    * prefix carry runs over the (still tiny) dense day frame. */
+  private def aConcurrencyDense(s: SparkSession, dir: String): DataFrame = {
+    val sess = graft.ops.Sessionize.sessions(T(s, dir, "events"), 1800L * 1000000L)
+      .select(col("user_id"), col("start_us"), col("end_us"))
+    val bounds = sess.select(explode(array(
+        struct(col("start_us").as("us"), lit(1L).as("delta"),
+          col("user_id").as("u"), col("start_us").as("s0")),
+        struct((col("end_us") + 1L).as("us"), lit(-1L).as("delta"),
+          col("user_id").as("u"), col("start_us").as("s0")))).as("b"))
+      .select(col("b.us").as("us"), col("b.delta").as("delta"),
+        col("b.u").as("u"), col("b.s0").as("s0"),
+        (col("b.us") / 86400000000L).cast("long").as("day"))
+    val wDay = Window.partitionBy("day")
+      .orderBy(col("us"), col("delta").desc, col("u"), col("s0"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val perDay = bounds
+      .withColumn("run", sum(col("delta")).over(wDay))
+      .groupBy("day")
+      .agg(max(col("run")).as("peak_local"), sum(col("delta")).as("day_delta"))
+    val days = perDay.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(explode(sequence(col("d0"), col("d1"))).as("day"))
+    val wPrefix = Window.orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    days.join(perDay, Seq("day"), "left")
+      .withColumn("carry",
+        coalesce(sum(coalesce(col("day_delta"), lit(0L))).over(wPrefix), lit(0L)))
+      .select(col("day"),
+        (col("carry") +
+          greatest(coalesce(col("peak_local"), lit(0L)), lit(0L)))
+          .as("peak_concurrent"))
+  }
+
   /** Top user journeys — the most frequent session-opening event-type
     * paths (first 5 events per session, '>' -joined) with their
     * session counts: the "what do users actually do" product-
@@ -3215,6 +3255,7 @@ object SparkEntry {
     "e_split_leakage" -> (eSplitLeakage _),
     "e_corpus_report" -> (eCorpusReport _),
     "a_concurrency" -> (aConcurrency _),
+    "a_concurrency_dense" -> (aConcurrencyDense _),
     "a_top_journeys" -> (aTopJourneys _),
     "a_weighted_percentiles" -> (aWeightedPercentiles _),
     "d_lsh_planner" -> (dLshPlanner _),

@@ -1254,6 +1254,42 @@ class ExtSpec extends SparkSpec {
       "every user is active in their own first week by definition")
   }
 
+  test("a_concurrency_dense: gap days report the carried-in level; boundary days agree with the sparse form") {
+    val us = 86400000000L
+    // five single-event (point) sessions on days 0, 2, 3, 5 and 8 —
+    // the 30-min sessionize gap splits every pair — so days 1, 4, 6
+    // and 7 have NO boundary rows at all: the sparse report omits
+    // them, the dense spine must carry them at level 0
+    def ts(u: Long) = new java.sql.Timestamp(u / 1000L)
+    val rows = Seq(
+      (1L, ts(1000L), 101L, "view"),
+      (1L, ts(5L * us + 1000L), 102L, "view"),
+      (2L, ts(2L * us), 201L, "view"),
+      (2L, ts(3L * us), 202L, "view"),
+      (3L, ts(8L * us), 301L, "view"))
+    val dir = java.nio.file.Files.createTempDirectory("conc-fixture").toString
+    rows.toDF("user_id", "ts", "event_id", "event_type")
+      .withColumn("value", lit(1.0)).withColumn("props", lit("{}"))
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val dense = SparkEntry.queries("a_concurrency_dense")(spark, dir)
+      .as[(Long, Long)].collect().toMap
+    val sparse = SparkEntry.queries("a_concurrency")(spark, dir)
+      .as[(Long, Long)].collect().toMap
+    // the spine covers every day of the span, gaps included
+    assert(dense.keySet === (0L to 8L).toSet, s"dense days: ${dense.keySet}")
+    // days with boundary activity agree with the sparse form
+    sparse.foreach { case (d, p) =>
+      assert(dense(d) === p, s"day $d: dense ${dense(d)} vs sparse $p")
+    }
+    // gap days (single-point sessions here, so nothing stays open):
+    // carried-in level is zero, and the sparse form omits them
+    for (d <- Seq(1L, 4L, 6L, 7L)) {
+      assert(!sparse.contains(d), s"sparse must omit boundary-free day $d")
+      assert(dense(d) === 0L, s"gap day $d carries zero open sessions")
+    }
+  }
+
   test("t_hash_score: n_feat is the bigram count; sub-2-token docs are absent") {
     val dir = "/root/testdata/sf0.001"
     val docs = SparkEntry.T(spark, dir, "documents")

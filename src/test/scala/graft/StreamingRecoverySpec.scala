@@ -105,4 +105,57 @@ class StreamingRecoverySpec extends SparkSpec {
           "loss folds from empty history and diverges from the batch window")
     }
   }
+
+  test("windowed KmvSketch aggregation state survives a checkpoint restart") {
+    // a DIFFERENT restore path than transformWithState's ValueState:
+    // the custom TypedImperativeAggregate's serialized buffer inside
+    // the streaming-aggregation state store. The query stops with a
+    // day window OPEN mid-fill; on restart the partial sketch must
+    // come back, or the emitted estimate diverges from batch.
+    withRocksDB {
+      val rows: Seq[(java.sql.Timestamp, Long)] =
+        (0 until 120).map { i =>
+          (new java.sql.Timestamp(1700000000000L + (i / 40) * 86400000L + i * 60000L),
+            (i * 13 % 37).toLong)
+        }
+      val batch = graft.streaming.Pipeline.dailyDistinct(
+          rows.toDF("ts", "user_id"), 8, "1 minute")
+        .as[(Long, Long)].collect().toMap
+
+      implicit val sqlCtx = spark.sqlContext
+      val input = MemoryStream[(java.sql.Timestamp, Long)]
+      val out = graft.streaming.Pipeline.dailyDistinct(
+        input.toDF().toDF("ts", "user_id"), 8, "1 minute")
+      val cp = java.nio.file.Files.createTempDirectory("kmv-cp").toString
+      val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+      def start() = out.writeStream
+        .outputMode("append")
+        .option("checkpointLocation", cp)
+        .foreachBatch { (df: DataFrame, _: Long) =>
+          val got = df.as[(Long, Long)].collect()
+          buf.synchronized { buf ++= got }
+          ()
+        }
+        .start()
+
+      // run 1 stops with day 2's window half-filled (50 of 80 rows in)
+      val q1 = start()
+      try { input.addData(rows.take(50)); q1.processAllAvailable() }
+      finally q1.stop()
+
+      // the rest of the data plus a far-future sentinel that closes
+      // every real window arrives while the query is down
+      input.addData(rows.drop(50))
+      input.addData(Seq((new java.sql.Timestamp(
+        1700000000000L + 30L * 86400000L), 999L)))
+      val q2 = start()
+      try q2.processAllAvailable()
+      finally q2.stop()
+
+      val got = buf.synchronized { buf.toVector }.toMap
+      assert(got === batch,
+        "estimates after restart must ride the RESTORED partial sketches — " +
+          "a lost buffer re-counts only post-restart users and under-estimates")
+    }
+  }
 }
