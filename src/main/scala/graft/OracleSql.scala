@@ -3602,5 +3602,180 @@ FROM documents""",
   CAST((i * CAST(length(text) AS BIGINT)) // 4 AS BIGINT) AS frame_off,
   substr(text, CAST((i * CAST(length(text) AS BIGINT)) // 4 AS INT) + 1, 8) AS frame_str
 FROM documents, range(0, 4) t(i)""",
+
+    // ------------------------------------------------- round-10 widening
+
+    // binary sign-code ANN: two 32-bit words (so shifts never touch
+    // the BIGINT sign bit), XOR+popcount Hamming candidates (32),
+    // exact cosine rerank with the shared (cos DESC, vec_id) rule
+    "s_ann_hamming" -> {
+      def word(w: Int) = (0 until 32).map(i =>
+        s"(CASE WHEN v[${w * 32 + i + 1}] > 0 THEN (1::BIGINT << $i) ELSE 0 END)")
+        .mkString(" + ")
+      s"""WITH vecs AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings
+), nv AS (
+  SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm,
+         ${word(0)} AS c0,
+         ${word(1)} AS c1
+  FROM vecs
+), q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn, c0 AS qc0, c1 AS qc1
+         FROM nv WHERE vec_id < 8
+), st AS (SELECT vec_id, v, nrm, c0, c1 FROM nv WHERE vec_id >= 8
+), cand AS (
+  SELECT q_id, vec_id,
+         row_number() OVER (PARTITION BY q_id ORDER BY hd, vec_id) AS hrnk
+  FROM (SELECT q_id, vec_id,
+               bit_count(xor(qc0, c0)) + bit_count(xor(qc1, c1)) AS hd
+        FROM q JOIN st ON q_id <> vec_id)
+), rr AS (
+  SELECT c.q_id, c.vec_id,
+         list_dot_product(q.qv, s.v) / (q.qn * s.nrm) AS cos
+  FROM cand c JOIN st s USING (vec_id) JOIN q ON c.q_id = q.q_id
+  WHERE c.hrnk <= 32)
+SELECT q_id, vec_id AS neighbor_id, CAST(rnk AS INT) AS rnk, round(cos, 4) AS cos
+FROM (SELECT q_id, vec_id, cos,
+        row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rnk
+      FROM rr)
+WHERE rnk <= 5"""
+    },
+
+    // basket association rules: pair support via basket self-join,
+    // min-support 3 gate, both directions, e4 integer fixed point
+    "a_basket_rules" -> """WITH items AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+), no AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM items
+), supp AS (SELECT l_partkey, count(*) AS supp FROM items GROUP BY 1
+), pairs AS (
+  SELECT a.l_partkey AS pa, b.l_partkey AS pb, count(*) AS supp_ab
+  FROM items a JOIN items b USING (l_orderkey)
+  WHERE a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+  HAVING count(*) >= 3
+), rules AS (
+  SELECT pa AS ante, pb AS cons, supp_ab FROM pairs
+  UNION ALL
+  SELECT pb AS ante, pa AS cons, supp_ab FROM pairs)
+SELECT r.ante, r.cons, r.supp_ab,
+       sa.supp AS supp_ante, sc.supp AS supp_cons,
+       r.supp_ab * 10000 // sa.supp AS conf_e4,
+       r.supp_ab * no.n_orders * 10000 // (sa.supp * sc.supp) AS lift_e4
+FROM rules r
+JOIN supp sa ON sa.l_partkey = r.ante
+JOIN supp sc ON sc.l_partkey = r.cons
+CROSS JOIN no""",
+
+    // l-diversity: distinct sensitive values per QI group
+    "a_l_diversity" -> """SELECT c_nationkey,
+       CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_bucket,
+       count(*) AS group_size,
+       count(DISTINCT c_mktsegment) AS l_distinct,
+       (count(DISTINCT c_mktsegment) < 3) AS at_risk
+FROM customer GROUP BY 1, 2""",
+
+    // RTBF cascade audit: every 97th customer -> their orders -> those
+    // orders' line items; one row per table
+    "e_forget" -> """WITH tomb AS (
+  SELECT c_custkey FROM customer WHERE c_custkey % 97 = 0
+), ordrm AS (
+  SELECT o_orderkey FROM orders WHERE o_custkey IN (SELECT c_custkey FROM tomb)
+), a AS (
+  SELECT 'customer' AS table_name,
+         (SELECT count(*) FROM customer) AS n_rows,
+         (SELECT count(*) FROM tomb) AS n_removed
+  UNION ALL
+  SELECT 'orders',
+         (SELECT count(*) FROM orders),
+         (SELECT count(*) FROM ordrm)
+  UNION ALL
+  SELECT 'lineitem',
+         (SELECT count(*) FROM lineitem),
+         (SELECT count(*) FROM lineitem
+          WHERE l_orderkey IN (SELECT o_orderkey FROM ordrm)))
+SELECT table_name, n_rows, n_removed, n_rows - n_removed AS n_kept FROM a""",
+
+    // the incremental four-term view must equal the from-scratch
+    // aggregate, so its oracle IS the full join aggregate — the
+    // join-view delta rule proved on the gate
+    "a_mv_join_delta" -> """SELECT o_orderpriority, l_returnflag,
+  count(*) AS n_items,
+  sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
+      (100 - CAST(round(l_discount * 100) AS BIGINT))) AS rev_fx
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY 1, 2""",
+
+    // gap fill: day spine per observed type (bounds from the FULL
+    // frame), LOCF + linear interpolation from ignore-nulls anchors;
+    // interp = exact integer anchors, one double ratio, round at
+    // emission (both engines HALF_UP on positives)
+    "a_gap_fill" -> """WITH d AS (
+  SELECT min(epoch_us(ts) // 86400000000) AS min_day,
+         max(epoch_us(ts) // 86400000000) AS max_day
+  FROM events
+), obs AS (
+  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+         max(CAST(round(value * 10000) AS BIGINT)) AS v_fx
+  FROM events WHERE value > 300 GROUP BY 1, 2
+), spine AS (
+  SELECT event_type, unnest(range(min_day, max_day + 1)) AS day
+  FROM (SELECT DISTINCT event_type FROM obs) CROSS JOIN d
+), j AS (
+  SELECT s.event_type, s.day, o.v_fx,
+    last_value(o.v_fx IGNORE NULLS) OVER (PARTITION BY s.event_type ORDER BY s.day
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pv,
+    last_value(CASE WHEN o.v_fx IS NOT NULL THEN s.day END IGNORE NULLS)
+      OVER (PARTITION BY s.event_type ORDER BY s.day
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pd,
+    first_value(o.v_fx IGNORE NULLS) OVER (PARTITION BY s.event_type ORDER BY s.day
+      ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nv,
+    first_value(CASE WHEN o.v_fx IS NOT NULL THEN s.day END IGNORE NULLS)
+      OVER (PARTITION BY s.event_type ORDER BY s.day
+      ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nd
+  FROM spine s LEFT JOIN obs o ON o.event_type = s.event_type AND o.day = s.day)
+SELECT event_type, day, v_fx,
+  coalesce(v_fx, pv) AS locf_fx,
+  CASE WHEN v_fx IS NOT NULL THEN v_fx
+       WHEN pv IS NOT NULL AND nv IS NOT NULL THEN
+         CAST(round(pv + (nv - pv) * (CAST(day - pd AS DOUBLE) /
+              CAST(nd - pd AS DOUBLE))) AS BIGINT)
+       ELSE coalesce(pv, nv) END AS interp_fx,
+  (v_fx IS NULL) AS is_gap
+FROM j""",
+
+    // one-vs-rest rank-sum AUC from the score histogram: doubled
+    // midrank 2*start + c - 1 keeps everything integer
+    "s_auc" -> s"""WITH scored AS (
+  SELECT label, CAST(round((1.0 / (1.0 + exp(-(list_dot_product(
+    list_transform(embedding, x -> CAST(x AS DOUBLE)),
+    [${graft.SparkEntry.ModelWeights.mkString(", ")}]) + 0.1)))) * 10000) AS BIGINT) AS s_e4
+  FROM embeddings
+), hist AS (SELECT s_e4, count(*) AS c FROM scored GROUP BY 1
+), starts AS (
+  SELECT s_e4, c,
+         coalesce(sum(c) OVER (ORDER BY s_e4
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + 1 AS start
+  FROM hist
+), perls AS (SELECT s_e4, label, count(*) AS n_ls FROM scored GROUP BY 1, 2
+), tot AS (SELECT count(*) AS n_tot FROM scored
+), agg AS (
+  SELECT label,
+         sum(n_ls * (2 * start + c - 1)) AS sum_r2,
+         sum(n_ls) AS npos
+  FROM perls JOIN starts USING (s_e4) GROUP BY 1)
+SELECT label, npos, n_tot - npos AS nneg,
+       (sum_r2 - npos * (npos + 1)) * 500000 // (npos * (n_tot - npos)) AS auc_e6
+FROM agg CROSS JOIN tot""",
+
+    // reliability table: ten score bins vs the label < 5 target, all
+    // integer sums and truncating divisions
+    "s_calibration" -> s"""WITH scored AS (
+  SELECT label, CAST(round((1.0 / (1.0 + exp(-(list_dot_product(
+    list_transform(embedding, x -> CAST(x AS DOUBLE)),
+    [${graft.SparkEntry.ModelWeights.mkString(", ")}]) + 0.1)))) * 10000) AS BIGINT) AS s_e4
+  FROM embeddings)
+SELECT least(s_e4 // 1000, 9) AS bin, count(*) AS n,
+       sum(s_e4) // count(*) AS mean_pred_e4,
+       sum(CASE WHEN label < 5 THEN 1 ELSE 0 END) * 10000 // count(*) AS frac_pos_e4
+FROM scored GROUP BY 1""",
   )
 }

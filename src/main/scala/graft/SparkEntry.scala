@@ -3146,6 +3146,232 @@ object SparkEntry {
   }
 
   // =====================================================================
+  // Round-10 widening: binary-code ANN, basket rules, governance
+  // (RTBF cascade, l-diversity), incremental view maintenance,
+  // time-series gap fill, model evaluation (AUC, calibration)
+  // =====================================================================
+
+  /** Binary sign-code ANN with exact rerank
+    * ([[graft.ext.Similarity.hammingTopK]], 32 Hamming candidates →
+    * cosine top-5): the 16-bytes-per-row candidate pass every
+    * large-scale vector store runs before touching float arrays. Same
+    * query/store split and rank rules as s_ann_brute, so recall@3 is
+    * measured per-round in the bench harness. */
+  private def sAnnHamming(s: SparkSession, dir: String): DataFrame =
+    Similarity.hammingTopK(T(s, dir, "embeddings"), col("vec_id") < 8, 5, 32)
+
+  /** Association rules over order baskets (support / confidence /
+    * lift): pair co-occurrence via a basket-keyed self-join — fan-out
+    * bounded by basket size squared (TPC-H baskets ≤ ~13 items), never
+    * corpus-quadratic — a min-support gate BEFORE the rule arithmetic,
+    * then both rule directions in exact e4 fixed point (integer
+    * division on non-negative longs, identical in both engines). The
+    * item-support frame joins onto the post-gate pair frame, which AQE
+    * broadcasts; the 1-row basket count rides a broadcast cross join.
+    * At 100 TB the shape holds: the only quadratic term is per-basket,
+    * and the support gate prunes before any wide join. */
+  private def aBasketRules(s: SparkSession, dir: String): DataFrame = {
+    val items = T(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val nOrders = items.agg(countDistinct(col("l_orderkey")).as("n_orders"))
+    val supp = items.groupBy(col("l_partkey")).agg(count(lit(1)).as("supp"))
+    val pairs = items.select(col("l_orderkey"), col("l_partkey").as("pa"))
+      .join(items.select(col("l_orderkey"), col("l_partkey").as("pb")), "l_orderkey")
+      .filter(col("pa") < col("pb"))
+      .groupBy(col("pa"), col("pb")).agg(count(lit(1)).as("supp_ab"))
+      .filter(col("supp_ab") >= 3)
+    val rules = pairs.select(col("pa").as("ante"), col("pb").as("cons"), col("supp_ab"))
+      .unionAll(pairs.select(col("pb").as("ante"), col("pa").as("cons"), col("supp_ab")))
+    rules
+      .join(supp.select(col("l_partkey").as("ante"), col("supp").as("supp_ante")), "ante")
+      .join(supp.select(col("l_partkey").as("cons"), col("supp").as("supp_cons")), "cons")
+      .crossJoin(broadcast(nOrders))
+      .select(col("ante"), col("cons"), col("supp_ab"), col("supp_ante"),
+        col("supp_cons"),
+        expr("supp_ab * 10000 div supp_ante").as("conf_e4"),
+        expr("supp_ab * n_orders * 10000 div (supp_ante * supp_cons)").as("lift_e4"))
+  }
+
+  /** l-diversity audit — the sensitive-attribute complement of
+    * [[aKAnonymity]]: within each quasi-identifier group (nation ×
+    * account-balance band), how many DISTINCT market segments exist;
+    * a group with l < 3 lets an attacker who pins the QI infer the
+    * sensitive value with high confidence even when k is large. One
+    * partial-agg'd distinct on the QI key. */
+  private def aLDiversity(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "customer")
+      .select(col("c_nationkey"),
+        floor(col("c_acctbal") / 1000).cast("long").as("bal_bucket"),
+        col("c_mktsegment"))
+      .groupBy("c_nationkey", "bal_bucket")
+      .agg(count(lit(1)).as("group_size"),
+        countDistinct(col("c_mktsegment")).as("l_distinct"))
+      .withColumn("at_risk", col("l_distinct") < 3)
+
+  /** Right-to-be-forgotten cascade audit: a deterministic tombstone
+    * set (every 97th customer) cascades through the FK graph —
+    * orders via custkey, line items via the removed orders — and the
+    * report is one row per table with total/removed/kept counts, the
+    * evidence a deletion request handler files. Each cascade level is
+    * a broadcast left-semi join (the tombstone frontier is always the
+    * small side); nothing is rewritten here — the apply step is the
+    * same anti-join with the audit's complement. */
+  private def eForget(s: SparkSession, dir: String): DataFrame = {
+    val cust = T(s, dir, "customer")
+    val tomb = cust.filter(col("c_custkey") % 97 === 0).select(col("c_custkey"))
+    val ord = T(s, dir, "orders")
+    val ordRm = ord.join(broadcast(tomb),
+      col("o_custkey") === col("c_custkey"), "left_semi")
+    val li = T(s, dir, "lineitem")
+    val liRm = li.join(
+      broadcast(ordRm.select(col("o_orderkey").as("l_orderkey"))),
+      Seq("l_orderkey"), "left_semi")
+    def audit(name: String, total: DataFrame, removed: DataFrame): DataFrame =
+      total.agg(count(lit(1)).as("n_rows"))
+        .crossJoin(removed.agg(count(lit(1)).as("n_removed")))
+        .select(lit(name).as("table_name"), col("n_rows"), col("n_removed"),
+          (col("n_rows") - col("n_removed")).as("n_kept"))
+    audit("customer", cust, tomb)
+      .unionAll(audit("orders", ord, ordRm))
+      .unionAll(audit("lineitem", li, liRm))
+  }
+
+  /** Incremental maintenance of an aggregated JOIN view — the full
+    * four-term delta rule, not the single-table special case of
+    * [[aTrendIncremental]]: with orders = Aₕ∪Aᵈ and lineitem =
+    * Bₕ∪Bᵈ (both sides receiving deltas, split on independent keys),
+    * the view V = Σ(A⋈B) decomposes as Aₕ⋈Bₕ + Aₕ⋈Bᵈ + Aᵈ⋈Bₕ +
+    * Aᵈ⋈Bᵈ — each term partial-aggregated to the view key and merged
+    * by plain summation. The oracle is the from-scratch full-join
+    * aggregate, so the delta rule is PROVED on the gate (green only
+    * if maintaining equals recomputing). Revenue in the exact e4
+    * cents fixed point of a_important_parts. At 100 TB only the two
+    * delta-sided terms touch fresh data; the hⱼoin-h term is
+    * yesterday's materialization. */
+  private def aMvJoinDelta(s: SparkSession, dir: String): DataFrame = {
+    val ord = T(s, dir, "orders").select(col("o_orderkey"), col("o_orderpriority"),
+      (col("o_orderkey") % 10 === 7).as("is_delta"))
+    val li = T(s, dir, "lineitem").select(col("l_orderkey"), col("l_returnflag"),
+      (expr("CAST(round(l_extendedprice * 100) AS BIGINT)") *
+        (lit(100L) - expr("CAST(round(l_discount * 100) AS BIGINT)"))).as("rev_fx"),
+      ((col("l_orderkey") + col("l_linenumber")) % 5 === 2).as("is_delta_l"))
+    def term(o: DataFrame, l: DataFrame): DataFrame =
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority"), col("l_returnflag"))
+        .agg(count(lit(1)).as("n_items"), sum(col("rev_fx")).as("rev"))
+    Seq(
+      term(ord.filter(!col("is_delta")), li.filter(!col("is_delta_l"))),
+      term(ord.filter(!col("is_delta")), li.filter(col("is_delta_l"))),
+      term(ord.filter(col("is_delta")), li.filter(!col("is_delta_l"))),
+      term(ord.filter(col("is_delta")), li.filter(col("is_delta_l"))))
+      .reduce(_ unionAll _)
+      .groupBy(col("o_orderpriority"), col("l_returnflag"))
+      .agg(sum(col("n_items")).as("n_items"), sum(col("rev")).as("rev_fx"))
+  }
+
+  /** Time-series gap fill over the sparse high-value event series
+    * (value > 300 fires on ~0.2% of events, so most (type, day) cells
+    * are EMPTY): a generated day spine per observed type — bounds from
+    * the full frame so both engines agree — left-joined to the
+    * observations, then LOCF and linear interpolation from
+    * ignore-nulls window anchors. Fill values stay in e4 fixed point;
+    * interpolation is the a_ewma convention (exact integer anchors,
+    * ONE double multiply-divide, round at emission — both engines
+    * HALF_UP on positives). Leading gaps: LOCF stays null (nothing to
+    * carry), interp falls back to the nearest anchor. The per-type
+    * window partitions on the series key — no global window; spine
+    * size is |types| × |days|, trivially partition-parallel. */
+  private def aGapFill(s: SparkSession, dir: String): DataFrame = {
+    val ev = T(s, dir, "events")
+    val days = ev.agg(
+      expr("min(unix_micros(ts) div 86400000000)").as("min_day"),
+      expr("max(unix_micros(ts) div 86400000000)").as("max_day"))
+    val obs = ev.filter(col("value") > 300.0)
+      .select(col("event_type"), expr("unix_micros(ts) div 86400000000").as("day"),
+        expr("CAST(round(value * 10000) AS BIGINT)").as("v_fx"))
+      .groupBy("event_type", "day").agg(max(col("v_fx")).as("v_fx"))
+    val spine = obs.select("event_type").distinct()
+      .crossJoin(broadcast(days))
+      .select(col("event_type"),
+        explode(sequence(col("min_day"), col("max_day"))).as("day"))
+    val w = Window.partitionBy("event_type").orderBy("day")
+    val wp = w.rowsBetween(Window.unboundedPreceding, -1)
+    val wn = w.rowsBetween(1, Window.unboundedFollowing)
+    spine.join(obs, Seq("event_type", "day"), "left")
+      .withColumn("pv", last(col("v_fx"), ignoreNulls = true).over(wp))
+      .withColumn("pd", last(when(col("v_fx").isNotNull, col("day")),
+        ignoreNulls = true).over(wp))
+      .withColumn("nv", first(col("v_fx"), ignoreNulls = true).over(wn))
+      .withColumn("nd", first(when(col("v_fx").isNotNull, col("day")),
+        ignoreNulls = true).over(wn))
+      .select(col("event_type"), col("day"), col("v_fx"),
+        coalesce(col("v_fx"), col("pv")).as("locf_fx"),
+        when(col("v_fx").isNotNull, col("v_fx"))
+          .when(col("pv").isNotNull && col("nv").isNotNull,
+            expr("CAST(round(pv + (nv - pv) * (CAST(day - pd AS DOUBLE) / " +
+              "CAST(nd - pd AS DOUBLE))) AS BIGINT)"))
+          .otherwise(coalesce(col("pv"), col("nv"))).as("interp_fx"),
+        col("v_fx").isNull.as("is_gap"))
+  }
+
+  /** The linear head's sigmoid score in e4 fixed point, with the
+    * label — the shared input of [[sAuc]] and [[sCalibration]]
+    * (identical model to [[sModelScore]]). */
+  private def modelScoreE4(s: SparkSession, dir: String): DataFrame = {
+    val w = array(ModelWeights.map(lit): _*)
+    T(s, dir, "embeddings")
+      .select(col("label"),
+        (lit(1.0) / (lit(1.0) + exp(-(Similarity.dot(
+          Similarity.asDouble(col("embedding")), w) + lit(0.1))))).as("p"))
+      .select(col("label"), expr("CAST(round(p * 10000) AS BIGINT)").as("s_e4"))
+  }
+
+  /** One-vs-rest ROC-AUC of the linear head per label, by the exact
+    * rank-sum (Mann–Whitney) identity with average-rank tie handling —
+    * held ENTIRELY in integers: from one score histogram (≤ 10001
+    * distinct e4 scores — a bounded frame, so its cumulative window
+    * is NOT a global data window), each member's doubled midrank is
+    * 2·start + c − 1, and AUC_e6 = (ΣR₂ − npos(npos+1))·5·10⁵ ÷
+    * (npos·nneg) — exact while n·npos < 2⁶³/10⁶ (~2·10⁹ rows per
+    * label); past that the same histogram feeds a double ratio. The
+    * per-(score,label) aggregate and the histogram are two partial-agg
+    * passes over the scored scan; no row-level window anywhere. */
+  private def sAuc(s: SparkSession, dir: String): DataFrame = {
+    val scored = modelScoreE4(s, dir)
+    val hist = scored.groupBy("s_e4").agg(count(lit(1)).as("c"))
+    val starts = hist.withColumn("start",
+      coalesce(sum(col("c")).over(
+        Window.orderBy("s_e4").rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)) + lit(1L))
+    val perLS = scored.groupBy(col("s_e4"), col("label")).agg(count(lit(1)).as("n_ls"))
+    val tot = scored.agg(count(lit(1)).as("n_tot"))
+    perLS.join(starts, "s_e4")
+      .groupBy("label")
+      .agg(sum(col("n_ls") * (lit(2L) * col("start") + col("c") - lit(1L)))
+        .as("sum_r2"),
+        sum(col("n_ls")).as("npos"))
+      .crossJoin(broadcast(tot))
+      .select(col("label"), col("npos"), (col("n_tot") - col("npos")).as("nneg"),
+        expr("(sum_r2 - npos * (npos + 1)) * 500000 div (npos * (n_tot - npos))")
+          .as("auc_e6"))
+  }
+
+  /** Reliability (calibration) table of the linear head against the
+    * deterministic binary target label < 5: ten equal-width score
+    * bins, each with its count, mean predicted probability and
+    * observed positive rate — all exact integer arithmetic (sums and
+    * truncating divisions of non-negative longs). One partial-agg
+    * pass; the s_e4 = 10000 edge clamps into bin 9. */
+  private def sCalibration(s: SparkSession, dir: String): DataFrame =
+    modelScoreE4(s, dir)
+      .select(least(expr("s_e4 div 1000"), lit(9L)).as("bin"), col("s_e4"),
+        (col("label") < 5).cast("long").as("pos"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"),
+        expr("sum(s_e4) div count(1)").as("mean_pred_e4"),
+        expr("sum(pos) * 10000 div count(1)").as("frac_pos_e4"))
+
+  // =====================================================================
   // Registry
   // =====================================================================
 
@@ -3352,6 +3578,14 @@ object SparkEntry {
     "s_near_dup" -> (sNearDup _),
     "s_ann_filtered" -> (sAnnFiltered _),
     "d_semantic_dedup" -> (dSemanticDedup _),
+    "s_ann_hamming" -> (sAnnHamming _),
+    "a_basket_rules" -> (aBasketRules _),
+    "a_l_diversity" -> (aLDiversity _),
+    "e_forget" -> (eForget _),
+    "a_mv_join_delta" -> (aMvJoinDelta _),
+    "a_gap_fill" -> (aGapFill _),
+    "s_auc" -> (sAuc _),
+    "s_calibration" -> (sCalibration _),
     "m_asset_meta" -> (mAssetMeta _),
     "m_audio_meta" -> (mAudioMeta _),
     "m_frame_sample" -> (mFrameSample _),

@@ -102,6 +102,49 @@ object Similarity {
     topK(asQueries(vecs, queryPred, Nil), cands, Nil, k)
   }
 
+  /** One 32-bit word of the full sign-bit binary code: word `w`
+    * packs dimensions 32w+1..32w+32 (1-based) into bits 0..31 of a
+    * long. Two words cover a 64-dim vector without ever touching a
+    * BIGINT sign bit, so the oracle's `1::BIGINT << i` shifts are
+    * always well-defined — the reason the code is NOT one 64-bit
+    * word. */
+  def binaryCodeWord(v: Column, word: Int): Column =
+    (0 until 32).map { i =>
+      when(element_at(v, word * 32 + i + 1) > 0.0d, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** Binary-code ANN with exact rerank (the SimHash/ITQ serving
+    * shape): every vector compresses to a 64-bit sign code (two
+    * 32-bit words); candidate generation scores XOR+popcount Hamming
+    * distance — 2 codegen'd `bit_count` calls per pair instead of a
+    * 64-mult dot product — keeps the `nCand` Hamming-nearest per
+    * query (WindowGroupLimit prunes map-side), and only that pruned
+    * frame joins the wide vectors back for the exact cosine top-k.
+    * At 100 TB the first pass streams 16 bytes/row against a
+    * broadcast query-code table and the expensive float arrays touch
+    * only nCand×|queries| rows; rank/tie rules are [[rankTopK]]'s, so
+    * recall@k vs s_ann_brute is directly measurable. */
+  def hammingTopK(emb: DataFrame, queryPred: Column, k: Int, nCand: Int): DataFrame = {
+    val vecs = withNorm(emb)
+      .withColumn("c0", binaryCodeWord(col("v"), 0))
+      .withColumn("c1", binaryCodeWord(col("v"), 1))
+    val store = vecs.filter(!queryPred)
+    val q = vecs.filter(queryPred)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"),
+        col("c0").as("qc0"), col("c1").as("qc1"))
+    val cand = broadcast(q.select(col("q_id"), col("qc0"), col("qc1")))
+      .join(store.select(col("vec_id"), col("c0"), col("c1")),
+        col("q_id") =!= col("vec_id"))
+      .withColumn("hd", expr("bit_count(qc0 ^ c0) + bit_count(qc1 ^ c1)"))
+      .withColumn("hrnk", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("hd"), col("vec_id"))))
+      .filter(col("hrnk") <= nCand)
+      .select(col("q_id"), col("vec_id"))
+    rankTopK(
+      cand.join(store.select(col("vec_id"), col("v"), col("nrm")), "vec_id")
+        .join(broadcast(q.select(col("q_id"), col("qv"), col("qn"))), "q_id"), k)
+  }
+
   /** Sign-bit LSH bucket id from the first `nBits` dimensions
     * (axis-aligned random-hyperplane LSH; deterministic and
     * oracle-reproducible). Bucket join turns the quadratic candidate
