@@ -3326,50 +3326,19 @@ object SparkEntry {
       .select(col("label"), expr("CAST(round(p * 10000) AS BIGINT)").as("s_e4"))
   }
 
-  /** One-vs-rest ROC-AUC of the linear head per label, by the exact
-    * rank-sum (Mann–Whitney) identity with average-rank tie handling —
-    * held ENTIRELY in integers: from one score histogram (≤ 10001
-    * distinct e4 scores — a bounded frame, so its cumulative window
-    * is NOT a global data window), each member's doubled midrank is
-    * 2·start + c − 1, and AUC_e6 = (ΣR₂ − npos(npos+1))·5·10⁵ ÷
-    * (npos·nneg) — exact while n·npos < 2⁶³/10⁶ (~2·10⁹ rows per
-    * label); past that the same histogram feeds a double ratio. The
-    * per-(score,label) aggregate and the histogram are two partial-agg
-    * passes over the scored scan; no row-level window anywhere. */
-  private def sAuc(s: SparkSession, dir: String): DataFrame = {
-    val scored = modelScoreE4(s, dir)
-    val hist = scored.groupBy("s_e4").agg(count(lit(1)).as("c"))
-    val starts = hist.withColumn("start",
-      coalesce(sum(col("c")).over(
-        Window.orderBy("s_e4").rowsBetween(Window.unboundedPreceding, -1)),
-        lit(0L)) + lit(1L))
-    val perLS = scored.groupBy(col("s_e4"), col("label")).agg(count(lit(1)).as("n_ls"))
-    val tot = scored.agg(count(lit(1)).as("n_tot"))
-    perLS.join(starts, "s_e4")
-      .groupBy("label")
-      .agg(sum(col("n_ls") * (lit(2L) * col("start") + col("c") - lit(1L)))
-        .as("sum_r2"),
-        sum(col("n_ls")).as("npos"))
-      .crossJoin(broadcast(tot))
-      .select(col("label"), col("npos"), (col("n_tot") - col("npos")).as("nneg"),
-        expr("(sum_r2 - npos * (npos + 1)) * 500000 div (npos * (n_tot - npos))")
-          .as("auc_e6"))
-  }
+  /** One-vs-rest ROC-AUC of the linear head per label
+    * ([[graft.ops.Eval.aucByLabel]] — exact integer rank-sum with
+    * average-rank ties from a bounded score histogram; no row-level
+    * window anywhere). */
+  private def sAuc(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Eval.aucByLabel(modelScoreE4(s, dir))
 
   /** Reliability (calibration) table of the linear head against the
-    * deterministic binary target label < 5: ten equal-width score
-    * bins, each with its count, mean predicted probability and
-    * observed positive rate — all exact integer arithmetic (sums and
-    * truncating divisions of non-negative longs). One partial-agg
-    * pass; the s_e4 = 10000 edge clamps into bin 9. */
+    * deterministic binary target label < 5
+    * ([[graft.ops.Eval.calibration]], ten bins, all exact integer
+    * arithmetic). */
   private def sCalibration(s: SparkSession, dir: String): DataFrame =
-    modelScoreE4(s, dir)
-      .select(least(expr("s_e4 div 1000"), lit(9L)).as("bin"), col("s_e4"),
-        (col("label") < 5).cast("long").as("pos"))
-      .groupBy("bin")
-      .agg(count(lit(1)).as("n"),
-        expr("sum(s_e4) div count(1)").as("mean_pred_e4"),
-        expr("sum(pos) * 10000 div count(1)").as("frac_pos_e4"))
+    graft.ops.Eval.calibration(modelScoreE4(s, dir), col("label") < 5)
 
   // =====================================================================
   // Registry

@@ -1299,4 +1299,41 @@ class ExtSpec extends SparkSpec {
     assert(joined.filter(col("n_feat") =!= col("n_tok") - 1).count() === 0)
     assert(got.count() === docs.filter(col("n_tok") >= 2).count())
   }
+
+  test("binary code words pack sign bits: bit i of word w = sign(v[32w+i+1])") {
+    val v = (1 to 64).map(d => if (d % 3 == 0) 1.0f else -1.0f).toArray
+    val df = Seq((0L, v)).toDF("vec_id", "embedding")
+      .withColumn("v", Similarity.asDouble(col("embedding")))
+    val (c0, c1) = df.select(
+      Similarity.binaryCodeWord(col("v"), 0).as("c0"),
+      Similarity.binaryCodeWord(col("v"), 1).as("c1"))
+      .as[(Long, Long)].head()
+    val exp0 = (0 until 32).filter(i => (i + 1) % 3 == 0).map(1L << _).sum
+    val exp1 = (0 until 32).filter(i => (i + 33) % 3 == 0).map(1L << _).sum
+    assert((c0, c1) === ((exp0, exp1)))
+  }
+
+  /** Deterministic non-degenerate embedding fixture for ANN specs. */
+  private def annFixture(n: Int): org.apache.spark.sql.DataFrame =
+    (0 until n).map { id =>
+      (id.toLong, 0L, (1 to 64).map(d => ((id * 37 + d * 13) % 17 - 8) / 8.0f).toArray)
+    }.toDF("vec_id", "label", "embedding")
+
+  test("hammingTopK admitting every candidate equals brute force exactly") {
+    val emb = annFixture(20)
+    val pred = col("vec_id") < 2
+    val ham = Similarity.hammingTopK(emb, pred, 3, 18)
+      .collect().map(_.toSeq).toSet
+    val brute = Similarity.bruteForceTopK(emb, pred, 3)
+      .collect().map(_.toSeq).toSet
+    assert(ham === brute, "with nCand = |store| the rerank IS brute force")
+  }
+
+  test("hammingTopK returns k ranked rows per query from the pruned candidate set") {
+    val emb = annFixture(40)
+    val out = Similarity.hammingTopK(emb, col("vec_id") < 3, 5, 8)
+      .select(col("q_id"), col("rnk")).as[(Long, Int)].collect().toSeq
+    assert(out.groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap ===
+      Map(0L -> Seq(1, 2, 3, 4, 5), 1L -> Seq(1, 2, 3, 4, 5), 2L -> Seq(1, 2, 3, 4, 5)))
+  }
 }
