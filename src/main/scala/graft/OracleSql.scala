@@ -3766,6 +3766,78 @@ SELECT label, npos, n_tot - npos AS nneg,
        (sum_r2 - npos * (npos + 1)) * 500000 // (npos * (n_tot - npos)) AS auc_e6
 FROM agg CROSS JOIN tot""",
 
+    // two-proportion A/B test: parity split, heavy-purchaser success,
+    // exact counts + ONE double z chain mirrored operation-for-
+    // operation (guarded degenerate edge)
+    "a_abtest" -> """WITH u AS (
+  SELECT user_id,
+         CASE WHEN sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) >= 14
+              THEN 1 ELSE 0 END AS conv
+  FROM events GROUP BY 1
+), agg AS (
+  SELECT (user_id % 2 = 0) AS in_a, count(*) AS n, sum(conv) AS k
+  FROM u GROUP BY 1
+), w AS (
+  SELECT a.n AS n_a, CAST(a.k AS BIGINT) AS k_a,
+         b.n AS n_b, CAST(b.k AS BIGINT) AS k_b
+  FROM (SELECT n, k FROM agg WHERE in_a) a
+  CROSS JOIN (SELECT n, k FROM agg WHERE NOT in_a) b)
+SELECT n_a, k_a, n_b, k_b,
+  k_a * 10000 // n_a AS conv_a_e4,
+  k_b * 10000 // n_b AS conv_b_e4,
+  CASE WHEN k_a + k_b = 0 OR k_a + k_b = n_a + n_b THEN NULL
+    ELSE round((CAST(k_a AS DOUBLE) / n_a - CAST(k_b AS DOUBLE) / n_b) /
+      sqrt((CAST(k_a + k_b AS DOUBLE) / (n_a + n_b)) *
+           (1.0 - CAST(k_a + k_b AS DOUBLE) / (n_a + n_b)) *
+           (1.0 / n_a + 1.0 / n_b)), 4) END AS z
+FROM w""",
+
+    // 4096-bucket quantized Gini: per-bucket tie groups via the
+    // doubled rank-sum identity, all integers
+    "a_gini" -> """WITH rev AS (
+  SELECT o_custkey,
+         sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
+             (100 - CAST(round(l_discount * 100) AS BIGINT))) AS x
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  GROUP BY 1
+), mx AS (SELECT max(x) AS mx FROM rev
+), bk AS (
+  SELECT x * 4096 // (mx + 1) AS b, count(*) AS c, sum(x) AS bx
+  FROM rev CROSS JOIN mx GROUP BY 1
+), st AS (
+  SELECT b, c, bx,
+         coalesce(sum(c) OVER (ORDER BY b
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + 1 AS start
+  FROM bk
+), agg AS (
+  SELECT CAST(sum(c) AS BIGINT) AS n, CAST(sum(bx) AS BIGINT) AS t,
+         CAST(sum(bx * (2 * start + c - 1)) AS BIGINT) AS s2
+  FROM st)
+SELECT n, t, round(CAST(s2 - (n + 1) * t AS DOUBLE) / n / t, 6) AS gini FROM agg""",
+
+    // kNN vote over the brute-force top-5 with (votes DESC, best
+    // rank, label) tie-break
+    "s_knn_classify" -> s"""$VECS, q AS (
+  SELECT vec_id AS q_id, v AS qv, nrm AS qn FROM nv WHERE vec_id < 8
+), s AS (
+  SELECT q_id, vec_id, label, list_dot_product(qv, v) / (qn * nrm) AS cos
+  FROM q JOIN nv ON vec_id >= 8
+), nn AS (
+  SELECT q_id, vec_id, label, rnk FROM (
+    SELECT q_id, vec_id, label, cos,
+           row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rnk
+    FROM s)
+  WHERE rnk <= 5
+), votes AS (
+  SELECT q_id, label, count(*) AS votes, CAST(min(rnk) AS INT) AS best_rnk
+  FROM nn GROUP BY 1, 2)
+SELECT q_id, label AS pred_label, votes, best_rnk FROM (
+  SELECT q_id, label, votes, best_rnk,
+         row_number() OVER (PARTITION BY q_id
+           ORDER BY votes DESC, best_rnk, label) AS rk
+  FROM votes)
+WHERE rk = 1""",
+
     // reliability table: ten score bins vs the label < 5 target, all
     // integer sums and truncating divisions
     "s_calibration" -> s"""WITH scored AS (

@@ -3340,6 +3340,99 @@ object SparkEntry {
   private def sCalibration(s: SparkSession, dir: String): DataFrame =
     graft.ops.Eval.calibration(modelScoreE4(s, dir), col("label") < 5)
 
+  /** Two-proportion A/B test: users hash-split into variants by
+    * parity, success = a heavy-purchaser flag (≥ 14 purchase events —
+    * straddles the fixture median so neither arm degenerates), and
+    * the report is one row with counts, exact e4 conversion rates and
+    * the pooled two-proportion z statistic. Counts are one partial-agg
+    * pass over per-user rollups; the z chain is the a_ewma convention
+    * — exact integers until a SINGLE double expression (both engines
+    * replay the identical IEEE sequence; correctly-rounded sqrt),
+    * rounded at emission, with a mirrored guard for the degenerate
+    * all/none-converted edge. */
+  private def aAbtest(s: SparkSession, dir: String): DataFrame = {
+    val users = T(s, dir, "events")
+      .groupBy(col("user_id"))
+      .agg(sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("np"))
+      .select((col("user_id") % 2 === 0).as("in_a"),
+        when(col("np") >= 14, 1L).otherwise(0L).as("conv"))
+    val agg = users.groupBy("in_a").agg(count(lit(1)).as("n"), sum("conv").as("k"))
+    agg.filter(col("in_a")).select(col("n").as("n_a"), col("k").as("k_a"))
+      .crossJoin(agg.filter(!col("in_a")).select(col("n").as("n_b"), col("k").as("k_b")))
+      .select(col("n_a"), col("k_a"), col("n_b"), col("k_b"),
+        expr("k_a * 10000 div n_a").as("conv_a_e4"),
+        expr("k_b * 10000 div n_b").as("conv_b_e4"),
+        expr("""CASE WHEN k_a + k_b = 0 OR k_a + k_b = n_a + n_b THEN NULL
+          ELSE round((CAST(k_a AS DOUBLE) / n_a - CAST(k_b AS DOUBLE) / n_b) /
+            sqrt((CAST(k_a + k_b AS DOUBLE) / (n_a + n_b)) *
+                 (1.0 - CAST(k_a + k_b AS DOUBLE) / (n_a + n_b)) *
+                 (1.0 / n_a + 1.0 / n_b)), 4) END""").as("z"))
+  }
+
+  /** Revenue-concentration Gini over per-customer revenue, computed on
+    * a 4096-bucket quantized distribution — the SCALE-SAFE form by
+    * construction: bucketing (x·4096 ÷ (max+1), exact integers, max
+    * broadcast) bounds the rank histogram at 4096 rows, so the
+    * cumulative-rank window runs over a FIXED-size frame, never the
+    * data (the p_zorder lesson applied at design time rather than
+    * patched later). Within-bucket ties share a value, so the rank-sum
+    * identity G = (2·Σ rank·x − (n+1)·Σx) / (n·Σx) is exact ON THE
+    * QUANTIZED distribution — a well-defined statistic both engines
+    * replay bit-for-bit; quantization error vs the unbucketed Gini is
+    * O(1/4096) of the revenue range. The rank-sum S₂ and the
+    * numerator stay exact longs (valid while 2n̄·total_revenue_fx <
+    * 2⁶³ — comfortably past sf100; beyond that drop the fixed-point
+    * scale); the FINAL ratio is one mirrored double chain
+    * (numerator / n / t — correctly-rounded IEEE, identical order in
+    * both engines) because numerator·10⁶ would overflow longs where
+    * the numerator itself does not. */
+  private def aGini(s: SparkSession, dir: String): DataFrame = {
+    val rev = T(s, dir, "lineitem")
+      .select(col("l_orderkey"),
+        (expr("CAST(round(l_extendedprice * 100) AS BIGINT)") *
+          (lit(100L) - expr("CAST(round(l_discount * 100) AS BIGINT)"))).as("rev_fx"))
+      .join(T(s, dir, "orders").select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_custkey").agg(sum("rev_fx").as("x"))
+    val mx = rev.agg(max(col("x")).as("mx"))
+    val bucketed = rev.crossJoin(broadcast(mx))
+      .select(expr("x * 4096 div (mx + 1)").as("b"), col("x"))
+      .groupBy("b").agg(count(lit(1)).as("c"), sum("x").as("bx"))
+    val starts = bucketed.withColumn("start",
+      coalesce(sum(col("c")).over(
+        Window.orderBy("b").rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)) + lit(1L))
+    // all members of a bucket carry the bucket's MEAN value in the
+    // quantized distribution; Σ rank·x over a tie group of equal
+    // values is (mean value)·Σ ranks = (bx/c)·(c·start + c(c-1)/2)
+    // = bx·start + bx·(c-1)/2 — kept integer by doubling: S2 = 2·Σ rank·x
+    starts.agg(
+      sum(col("c")).as("n"), sum(col("bx")).as("t"),
+      sum(col("bx") * (lit(2L) * col("start") + col("c") - lit(1L))).as("s2"))
+      .select(col("n"), col("t"),
+        expr("round(CAST(s2 - (n + 1) * t AS DOUBLE) / n / t, 6)").as("gini"))
+  }
+
+  /** kNN classifier over the shared ANN query/store split: each query
+    * vector takes the majority label of its 5 exact nearest
+    * neighbors, ties broken by best (lowest) neighbor rank then label
+    * — fully deterministic. Composes [[graft.ext.Similarity
+    * .bruteForceTopK]] with a label join (broadcast — the label frame
+    * is the store projected to two columns) and a per-query vote; the
+    * per-query window runs over ≤ k rows. */
+  private def sKnnClassify(s: SparkSession, dir: String): DataFrame = {
+    val emb = T(s, dir, "embeddings")
+    val nn = Similarity.bruteForceTopK(emb, col("vec_id") < 8, 5)
+    nn.join(emb.select(col("vec_id").as("neighbor_id"), col("label")), "neighbor_id")
+      .groupBy(col("q_id"), col("label"))
+      .agg(count(lit(1)).as("votes"), min("rnk").as("best_rnk"))
+      .withColumn("rk", row_number().over(Window.partitionBy("q_id")
+        .orderBy(col("votes").desc, col("best_rnk"), col("label"))))
+      .filter(col("rk") === 1)
+      .select(col("q_id"), col("label").as("pred_label"), col("votes"),
+        col("best_rnk"))
+  }
+
   // =====================================================================
   // Registry
   // =====================================================================
@@ -3548,6 +3641,9 @@ object SparkEntry {
     "s_ann_filtered" -> (sAnnFiltered _),
     "d_semantic_dedup" -> (dSemanticDedup _),
     "s_ann_hamming" -> (sAnnHamming _),
+    "a_abtest" -> (aAbtest _),
+    "a_gini" -> (aGini _),
+    "s_knn_classify" -> (sKnnClassify _),
     "a_basket_rules" -> (aBasketRules _),
     "a_l_diversity" -> (aLDiversity _),
     "e_forget" -> (eForget _),
