@@ -3792,6 +3792,38 @@ SELECT n_a, k_a, n_b, k_b,
            (1.0 / n_a + 1.0 / n_b)), 4) END AS z
 FROM w""",
 
+    // CUSUM in closed form: prefix sums + running min per type, all
+    // exact longs; mu/kappa/h from truncating divisions
+    "a_cusum" -> """WITH daily AS (
+  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+         sum(CAST(round(value * 10000) AS BIGINT)) AS x
+  FROM events GROUP BY 1, 2
+), mu AS (
+  SELECT event_type, CAST(sum(x) AS BIGINT) // count(*) AS mu
+  FROM daily GROUP BY 1
+), d AS (
+  SELECT daily.event_type, day, x, mu,
+         x - mu - mu // 50 AS d,
+         mu - mu // 50 - x AS e
+  FROM daily JOIN mu USING (event_type)
+), pfx AS (
+  SELECT event_type, day, x, mu,
+    sum(d) OVER (PARTITION BY event_type ORDER BY day
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p,
+    sum(e) OVER (PARTITION BY event_type ORDER BY day
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS q
+  FROM d
+), st AS (
+  SELECT event_type, day, x, mu,
+    p - least(min(p) OVER (PARTITION BY event_type ORDER BY day
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0) AS sp,
+    q - least(min(q) OVER (PARTITION BY event_type ORDER BY day
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0) AS sn
+  FROM pfx)
+SELECT event_type, day, x, sp AS sp_fx, sn AS sn_fx,
+       (sp > mu // 10) AS alarm_up, (sn > mu // 10) AS alarm_down
+FROM st""",
+
     // 4096-bucket quantized Gini: per-bucket tie groups via the
     // doubled rank-sum identity, all integers
     "a_gini" -> """WITH rev AS (

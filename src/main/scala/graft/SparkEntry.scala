@@ -3433,6 +3433,41 @@ object SparkEntry {
         col("best_rnk"))
   }
 
+  /** CUSUM changepoint statistics over the per-type daily value
+    * series — the classical drift detector (Page 1954) in its
+    * CLOSED-FORM prefix expression: S⁺ₜ = max(0, S⁺ₜ₋₁ + xₜ − μ − κ)
+    * expands to Pₜ − min(0, min_{j≤t} Pⱼ) over the prefix sums of
+    * d = x − μ − κ, so the sequential recurrence becomes two plain
+    * running windows per series key (sum + min) — no fold, no
+    * collect, partition-parallel across types. μ is the per-type
+    * daily mean (exact truncating division — in production the
+    * persisted target the calibration batch wrote, the
+    * a_trend_incremental scalar convention); allowance κ = μ/50,
+    * alarm threshold h = μ/10. Everything exact longs; alarms on
+    * both shift directions. [[graft.streaming.StreamingCusum]] keeps
+    * exactly (P, min P, Q, min Q) as state and agrees row-for-row on
+    * ordered replay (spec-pinned). */
+  private def aCusum(s: SparkSession, dir: String): DataFrame = {
+    val daily = T(s, dir, "events")
+      .select(col("event_type"), expr("unix_micros(ts) div 86400000000").as("day"),
+        expr("CAST(round(value * 10000) AS BIGINT)").as("v_fx"))
+      .groupBy("event_type", "day").agg(sum("v_fx").as("x"))
+    val mu = daily.groupBy("event_type").agg(expr("sum(x) div count(1)").as("mu"))
+    val w = Window.partitionBy("event_type").orderBy("day")
+    val wc = w.rowsBetween(Window.unboundedPreceding, 0)
+    daily.join(broadcast(mu), "event_type")
+      .withColumn("d", col("x") - col("mu") - expr("mu div 50"))
+      .withColumn("e", col("mu") - expr("mu div 50") - col("x"))
+      .withColumn("p", sum(col("d")).over(wc))
+      .withColumn("q", sum(col("e")).over(wc))
+      .withColumn("sp", col("p") - least(min(col("p")).over(wc), lit(0L)))
+      .withColumn("sn", col("q") - least(min(col("q")).over(wc), lit(0L)))
+      .select(col("event_type"), col("day"), col("x"),
+        col("sp").as("sp_fx"), col("sn").as("sn_fx"),
+        (col("sp") > expr("mu div 10")).as("alarm_up"),
+        (col("sn") > expr("mu div 10")).as("alarm_down"))
+  }
+
   // =====================================================================
   // Registry
   // =====================================================================
@@ -3642,6 +3677,7 @@ object SparkEntry {
     "d_semantic_dedup" -> (dSemanticDedup _),
     "s_ann_hamming" -> (sAnnHamming _),
     "a_abtest" -> (aAbtest _),
+    "a_cusum" -> (aCusum _),
     "a_gini" -> (aGini _),
     "s_knn_classify" -> (sKnnClassify _),
     "a_basket_rules" -> (aBasketRules _),
