@@ -808,6 +808,28 @@ object Pipeline {
         rows(rowKey) === col("__dim_key"), "left_anti")
       .withColumn("rule", lit(rule))
 
+  /** Streaming right-to-be-forgotten gate — the online form of the
+    * batch `e_forget` cascade's apply step: arriving rows whose key
+    * appears in the tombstone table are DROPPED before they reach any
+    * downstream sink, so a granted deletion request holds for data
+    * that arrives after it. Stateless stream-static left-anti join
+    * (the fkGate shape — the tombstone side broadcasts); survivors
+    * pass through unchanged. */
+  def forgetGate(rows: DataFrame, tombstones: DataFrame, rowKey: String,
+      tombKey: String): DataFrame =
+    rows.join(tombstones.select(col(tombKey).as("__tomb_key")).distinct(),
+      rows(rowKey) === col("__tomb_key"), "left_anti")
+
+  /** The audit complement of [[forgetGate]]: exactly the rows the
+    * gate suppressed, tagged with the deletion rule — what the
+    * compliance log records. forgetGate(r) ∪ forgetAudit(r) = r,
+    * disjointly (spec-pinned). */
+  def forgetAudit(rows: DataFrame, tombstones: DataFrame, rowKey: String,
+      tombKey: String, rule: String): DataFrame =
+    rows.join(tombstones.select(col(tombKey).as("__tomb_key")).distinct(),
+        rows(rowKey) === col("__tomb_key"), "left_semi")
+      .withColumn("rule", lit(rule))
+
   /** Streaming per-day distinct users — the online form of the batch
     * `a_daily_distinct_kmv` row, and the reason [[graft.functions
     * .KmvSketch]] is a MERGEABLE aggregate: the same k-long buffer

@@ -46,6 +46,36 @@ class StreamingGovernanceSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("forget gate and its audit partition the stream exactly") {
+    val tomb = Seq(3L, 7L, 11L).toDF("user_id")
+    val rows = (0 until 30).map(i => (i.toLong, (i % 13).toLong))
+    implicit val sqlCtx = spark.sqlContext
+    val inG = MemoryStream[(Long, Long)]
+    val inA = MemoryStream[(Long, Long)]
+    val qG = Pipeline.forgetGate(inG.toDF().toDF("event_id", "user_id"),
+        tomb, "user_id", "user_id")
+      .writeStream.format("memory").queryName("forget_gate")
+      .outputMode("append").start()
+    val qA = Pipeline.forgetAudit(inA.toDF().toDF("event_id", "user_id"),
+        tomb, "user_id", "user_id", "gdpr.forget user_id")
+      .writeStream.format("memory").queryName("forget_audit")
+      .outputMode("append").start()
+    try {
+      val (h1, h2) = rows.splitAt(15)
+      inG.addData(h1); inA.addData(h1); qG.processAllAvailable(); qA.processAllAvailable()
+      inG.addData(h2); inA.addData(h2); qG.processAllAvailable(); qA.processAllAvailable()
+      val kept = spark.table("forget_gate").as[(Long, Long)].collect().toSet
+      val dropped = spark.table("forget_audit")
+        .as[(Long, Long, String)].collect().toSet
+      val tombSet = Set(3L, 7L, 11L)
+      assert(kept === rows.filterNot(r => tombSet(r._2)).toSet)
+      assert(dropped === rows.filter(r => tombSet(r._2))
+        .map(r => (r._1, r._2, "gdpr.forget user_id")).toSet)
+      assert(kept.map(_._1).intersect(dropped.map(_._1)).isEmpty)
+      assert(kept.size + dropped.size === rows.size)
+    } finally { qG.stop(); qA.stop() }
+  }
+
   test("transition rows aggregate to the batch matrix on an ordered replay") {
     val rows: Seq[(Long, java.sql.Timestamp, Long, String)] =
       (0 until 60).map { i =>
