@@ -515,4 +515,44 @@ class PlanShapeSpec extends SparkSpec {
         s"file cuts must come from repartitionByRange:\n$p")
     }
   }
+
+  test("hamming ANN prunes candidates map-side before the wide-vector rerank joins") {
+    val p = plan("s_ann_hamming")
+    assert(p.contains("WindowGroupLimit"),
+      s"the hrnk<=nCand filter must prune shuffle buffers per query:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the query side must broadcast against the streaming store scan:\n$p")
+  }
+
+  test("AUC runs on partial-agg passes: its only window is over the bounded score histogram") {
+    val p = plan("s_auc")
+    // the cumulative-rank window exists, but it must consume an
+    // aggregated (HashAggregate) child, never a raw data scan
+    val lines = p.linesIterator.toList
+    val wIdx = lines.indexWhere(_.contains("Window"))
+    assert(wIdx >= 0)
+    assert(lines.drop(wIdx).exists(_.contains("HashAggregate")),
+      s"the rank window must sit above the score histogram aggregate:\n$p")
+  }
+
+  test("gap fill windows are series-partitioned, never global") {
+    assert(unpartitionedWindows(plan("a_gap_fill")).isEmpty,
+      "every LOCF/interp anchor window must partition on event_type")
+  }
+
+  test("cusum windows are series-partitioned, never global") {
+    assert(unpartitionedWindows(plan("a_cusum")).isEmpty,
+      "prefix-sum and running-min windows must partition on event_type")
+  }
+
+  test("basket rules never plan a cartesian product over items") {
+    val p = plan("a_basket_rules")
+    assert(!p.contains("CartesianProduct"),
+      s"pair generation must ride the basket-keyed equi-join:\n$p")
+  }
+
+  test("the four-term IVM merge stays partial-agg shaped: one final agg exchange per term") {
+    val p = plan("a_mv_join_delta")
+    assert(!p.contains("Window") && !p.contains("CartesianProduct"))
+  }
 }
