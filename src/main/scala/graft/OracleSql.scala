@@ -3792,6 +3792,70 @@ SELECT n_a, k_a, n_b, k_b,
            (1.0 / n_a + 1.0 / n_b)), 4) END AS z
 FROM w""",
 
+    // Zipf fit over the count-of-counts histogram: e4-fixed logs,
+    // exact weighted moments, the a_trend double projection
+    "t_zipf" -> s"""$TOKS, tf AS (
+  SELECT token, count(*) AS cnt FROM (SELECT unnest(tk) AS token FROM toks)
+  GROUP BY 1
+), hist AS (SELECT cnt, count(*) AS c FROM tf GROUP BY 1
+), st AS (
+  SELECT cnt, c,
+         coalesce(sum(c) OVER (ORDER BY cnt DESC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + 1 AS start
+  FROM hist
+), pts AS (
+  SELECT c,
+         CAST(round(ln((2 * start + c - 1) / 2.0) * 10000) AS BIGINT) AS x,
+         CAST(round(ln(CAST(cnt AS DOUBLE)) * 10000) AS BIGINT) AS y
+  FROM st
+), m AS (
+  SELECT CAST(sum(c) AS BIGINT) AS n,
+         CAST(sum(c * x) AS BIGINT) AS sx, CAST(sum(c * y) AS BIGINT) AS sy,
+         CAST(sum(c * x * y) AS BIGINT) AS sxy,
+         CAST(sum(c * x * x) AS BIGINT) AS sxx
+  FROM pts)
+SELECT n AS n_vocab,
+  round((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy) /
+        (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx), 4) AS slope,
+  round((CAST(sy AS DOUBLE) -
+        (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy) /
+        (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) * sx) / n / 10000.0,
+        4) AS intercept
+FROM m""",
+
+    // median/MAD outliers in doubled-integer form: med2 = two middle
+    // order stats summed, mad4 = doubled median of |2x - med2|
+    "a_anomaly_mad" -> """WITH daily AS (
+  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+         sum(CAST(round(value * 10000) AS BIGINT)) AS x
+  FROM events GROUP BY 1, 2
+), rx AS (
+  SELECT event_type, day, x,
+         row_number() OVER (PARTITION BY event_type ORDER BY x, day) AS r,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM daily
+), med AS (
+  SELECT event_type,
+         CAST(sum(CASE WHEN r = (n + 1) // 2 THEN x ELSE 0 END +
+                  CASE WHEN r = (n + 2) // 2 THEN x ELSE 0 END) AS BIGINT) AS med2
+  FROM rx GROUP BY 1
+), dev AS (
+  SELECT d.event_type, d.day, d.x, m.med2, abs(d.x * 2 - m.med2) AS dev2
+  FROM daily d JOIN med m USING (event_type)
+), rd AS (
+  SELECT event_type, day, dev2,
+         row_number() OVER (PARTITION BY event_type ORDER BY dev2, day) AS r,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM dev
+), mad AS (
+  SELECT event_type,
+         CAST(sum(CASE WHEN r = (n + 1) // 2 THEN dev2 ELSE 0 END +
+                  CASE WHEN r = (n + 2) // 2 THEN dev2 ELSE 0 END) AS BIGINT) AS mad4
+  FROM rd GROUP BY 1)
+SELECT dev.event_type, day, x, med2, mad4,
+       (dev2 * 2 > mad4 * 3) AS is_outlier
+FROM dev JOIN mad USING (event_type)""",
+
     // CUSUM in closed form: prefix sums + running min per type, all
     // exact longs; mu/kappa/h from truncating divisions
     "a_cusum" -> """WITH daily AS (

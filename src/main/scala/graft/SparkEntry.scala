@@ -3468,6 +3468,75 @@ object SparkEntry {
         (col("sn") > expr("mu div 10")).as("alarm_down"))
   }
 
+  /** Zipf-law fit of the term-frequency distribution — the corpus
+    * health check ("does this scrape look like natural language?")
+    * read before mixing a source in. OLS of ln(freq) on ln(midrank)
+    * over the FREQUENCY HISTOGRAM: ranks come from the count-of-counts
+    * frame (cumulative window over distinct frequencies — a frame
+    * bounded far below vocabulary size, Zipf itself guarantees few
+    * distinct counts), each tie group contributing its weight c at its
+    * midrank, so no token-level rank window ever runs. Logs are fixed
+    * to e4 ONCE per group (ln agrees across engines at this rounding —
+    * the t_bigram_lm convention), then the moments are exact weighted
+    * longs and the slope/intercept projection is the a_trend double
+    * order. Natural text → slope ≈ −1. Long bound: n·x̄·ȳ < 2⁶³
+    * holds to ~10⁸ vocabulary at e4 scale. */
+  private def tZipf(s: SparkSession, dir: String): DataFrame = {
+    val tf = T(s, dir, "documents")
+      .select(explode(Codecs.tokens(col("text"))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+    val hist = tf.groupBy("cnt").agg(count(lit(1)).as("c"))
+    val starts = hist.withColumn("start",
+      coalesce(sum(col("c")).over(Window.orderBy(col("cnt").desc)
+        .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)) + lit(1L))
+    val pts = starts.select(col("c"),
+      expr("CAST(round(ln((2 * start + c - 1) / 2.0) * 10000) AS BIGINT)").as("x"),
+      expr("CAST(round(ln(CAST(cnt AS DOUBLE)) * 10000) AS BIGINT)").as("y"))
+    pts.agg(sum(col("c")).as("n"),
+        sum(col("c") * col("x")).as("sx"), sum(col("c") * col("y")).as("sy"),
+        sum(col("c") * col("x") * col("y")).as("sxy"),
+        sum(col("c") * col("x") * col("x")).as("sxx"))
+      .select(col("n").as("n_vocab"),
+        expr("""round((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy) /
+          (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx), 4)""").as("slope"),
+        expr("""round((CAST(sy AS DOUBLE) -
+          (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy) /
+          (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) * sx) / n / 10000.0,
+          4)""").as("intercept"))
+  }
+
+  /** Robust (median/MAD) outlier days per event-type series — the
+    * point-anomaly complement of [[aCusum]]'s sustained-shift
+    * detector. Medians stay EXACT integers by doubling: med2 = the
+    * two middle order statistics summed (equal when n is odd), dev2 =
+    * |2x − med2| = 2·|x − med|, and mad4 = the doubled median of dev2
+    * = 4·MAD — so the flag |x − med| > 3·MAD is the pure integer
+    * comparison 2·dev2 > 3·mad4, no half-steps ever materialize. Rank
+    * windows partition on the series key over day-bounded frames (the
+    * a_cusum shape); the two per-type medians broadcast back. */
+  private def aAnomalyMad(s: SparkSession, dir: String): DataFrame = {
+    val daily = T(s, dir, "events")
+      .select(col("event_type"), expr("unix_micros(ts) div 86400000000").as("day"),
+        expr("CAST(round(value * 10000) AS BIGINT)").as("v_fx"))
+      .groupBy("event_type", "day").agg(sum("v_fx").as("x"))
+    val wn = Window.partitionBy("event_type")
+    def med2Of(df: DataFrame, v: String): DataFrame =
+      df.withColumn("r", row_number().over(
+          Window.partitionBy("event_type").orderBy(col(v), col("day"))))
+        .withColumn("n", count(lit(1)).over(wn))
+        .groupBy("event_type")
+        .agg(sum(
+          when(col("r") === expr("(n + 1) div 2"), col(v)).otherwise(0L) +
+          when(col("r") === expr("(n + 2) div 2"), col(v)).otherwise(0L)).as("m2"))
+    val med = med2Of(daily, "x").withColumnRenamed("m2", "med2")
+    val dev = daily.join(broadcast(med), "event_type")
+      .withColumn("dev2", abs(col("x") * 2 - col("med2")))
+    val mad = med2Of(dev, "dev2").withColumnRenamed("m2", "mad4")
+    dev.join(broadcast(mad), "event_type")
+      .select(col("event_type"), col("day"), col("x"), col("med2"), col("mad4"),
+        (col("dev2") * 2 > col("mad4") * 3).as("is_outlier"))
+  }
+
   // =====================================================================
   // Registry
   // =====================================================================
@@ -3678,6 +3747,8 @@ object SparkEntry {
     "s_ann_hamming" -> (sAnnHamming _),
     "a_abtest" -> (aAbtest _),
     "a_cusum" -> (aCusum _),
+    "a_anomaly_mad" -> (aAnomalyMad _),
+    "t_zipf" -> (tZipf _),
     "a_gini" -> (aGini _),
     "s_knn_classify" -> (sKnnClassify _),
     "a_basket_rules" -> (aBasketRules _),
