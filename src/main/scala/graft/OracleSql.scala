@@ -672,6 +672,52 @@ w AS (
   FROM win),
 wfps AS (SELECT DISTINCT doc_id, CAST(pos AS BIGINT) AS pos, fp FROM sel)"""
 
+  /** Exact brute-force cosine top-5 SQL (shared by s_ann_brute and
+    * the s_ann_recall_audit composition). */
+  private val S_ANN_BRUTE: String = s"""$VECS, q AS (
+  SELECT vec_id AS q_id, v AS qv, nrm AS qn FROM nv WHERE vec_id < 8
+), s AS (
+  SELECT q_id, vec_id, list_dot_product(qv, v) / (qn * nrm) AS cos
+  FROM q JOIN nv ON vec_id >= 8)
+SELECT q_id, vec_id AS neighbor_id, CAST(rnk AS INT) AS rnk, round(cos, 4) AS cos FROM (
+  SELECT q_id, vec_id, cos,
+         row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rnk FROM s)
+WHERE rnk <= 5"""
+
+  /** Binary sign-code ANN SQL (shared by s_ann_hamming and the
+    * s_ann_recall_audit composition). */
+  private val S_ANN_HAMMING: String = {
+      def word(w: Int) = (0 until 32).map(i =>
+        s"(CASE WHEN v[${w * 32 + i + 1}] > 0 THEN (1::BIGINT << $i) ELSE 0 END)")
+        .mkString(" + ")
+      s"""WITH vecs AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings
+), nv AS (
+  SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm,
+         ${word(0)} AS c0,
+         ${word(1)} AS c1
+  FROM vecs
+), q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn, c0 AS qc0, c1 AS qc1
+         FROM nv WHERE vec_id < 8
+), st AS (SELECT vec_id, v, nrm, c0, c1 FROM nv WHERE vec_id >= 8
+), cand AS (
+  SELECT q_id, vec_id,
+         row_number() OVER (PARTITION BY q_id ORDER BY hd, vec_id) AS hrnk
+  FROM (SELECT q_id, vec_id,
+               bit_count(xor(qc0, c0)) + bit_count(xor(qc1, c1)) AS hd
+        FROM q JOIN st ON q_id <> vec_id)
+), rr AS (
+  SELECT c.q_id, c.vec_id,
+         list_dot_product(q.qv, s.v) / (q.qn * s.nrm) AS cos
+  FROM cand c JOIN st s USING (vec_id) JOIN q ON c.q_id = q.q_id
+  WHERE c.hrnk <= 32)
+SELECT q_id, vec_id AS neighbor_id, CAST(rnk AS INT) AS rnk, round(cos, 4) AS cos
+FROM (SELECT q_id, vec_id, cos,
+        row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rnk
+      FROM rr)
+WHERE rnk <= 5"""
+    }
+
   val all: Map[String, String] = Map(
     "q_branch_even" -> s"$REC SELECT event_id, user_id, value_int FROM evens",
 
@@ -3321,15 +3367,7 @@ SELECT CAST(r + 1 AS INT) AS rank, sel[r + 1] AS vec_id,
 FROM it CROSS JOIN (SELECT CAST(unnest(range(0, 5)) AS INT) AS r)
 WHERE t = 5""",
 
-    "s_ann_brute" -> s"""$VECS, q AS (
-  SELECT vec_id AS q_id, v AS qv, nrm AS qn FROM nv WHERE vec_id < 8
-), s AS (
-  SELECT q_id, vec_id, list_dot_product(qv, v) / (qn * nrm) AS cos
-  FROM q JOIN nv ON vec_id >= 8)
-SELECT q_id, vec_id AS neighbor_id, CAST(rnk AS INT) AS rnk, round(cos, 4) AS cos FROM (
-  SELECT q_id, vec_id, cos,
-         row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rnk FROM s)
-WHERE rnk <= 5""",
+    "s_ann_brute" -> S_ANN_BRUTE,
 
     // per-label centroid through the SAME micro-unit fixed-point sum
     // as the engine's VectorSumFixed: exact longs -> exact doubles, so
@@ -3608,37 +3646,41 @@ FROM documents, range(0, 4) t(i)""",
     // binary sign-code ANN: two 32-bit words (so shifts never touch
     // the BIGINT sign bit), XOR+popcount Hamming candidates (32),
     // exact cosine rerank with the shared (cos DESC, vec_id) rule
-    "s_ann_hamming" -> {
-      def word(w: Int) = (0 until 32).map(i =>
-        s"(CASE WHEN v[${w * 32 + i + 1}] > 0 THEN (1::BIGINT << $i) ELSE 0 END)")
-        .mkString(" + ")
-      s"""WITH vecs AS (
-  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings
-), nv AS (
-  SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm,
-         ${word(0)} AS c0,
-         ${word(1)} AS c1
-  FROM vecs
-), q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn, c0 AS qc0, c1 AS qc1
-         FROM nv WHERE vec_id < 8
-), st AS (SELECT vec_id, v, nrm, c0, c1 FROM nv WHERE vec_id >= 8
-), cand AS (
-  SELECT q_id, vec_id,
-         row_number() OVER (PARTITION BY q_id ORDER BY hd, vec_id) AS hrnk
-  FROM (SELECT q_id, vec_id,
-               bit_count(xor(qc0, c0)) + bit_count(xor(qc1, c1)) AS hd
-        FROM q JOIN st ON q_id <> vec_id)
-), rr AS (
-  SELECT c.q_id, c.vec_id,
-         list_dot_product(q.qv, s.v) / (q.qn * s.nrm) AS cos
-  FROM cand c JOIN st s USING (vec_id) JOIN q ON c.q_id = q.q_id
-  WHERE c.hrnk <= 32)
-SELECT q_id, vec_id AS neighbor_id, CAST(rnk AS INT) AS rnk, round(cos, 4) AS cos
-FROM (SELECT q_id, vec_id, cos,
-        row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rnk
-      FROM rr)
-WHERE rnk <= 5"""
-    },
+    "s_ann_hamming" -> S_ANN_HAMMING,
+
+    // snapshot diff: one full outer join, 4-status partial agg, exact
+    // cent deltas
+    "e_snapshot_diff" -> """WITH ord AS (
+  SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS p_fx
+  FROM orders
+), old AS (
+  SELECT o_orderkey AS k_old, p_fx AS p_old FROM ord WHERE o_orderkey % 13 <> 0
+), neu AS (
+  SELECT o_orderkey AS k_new,
+         p_fx + (CASE WHEN o_orderkey % 7 = 0 THEN 100 ELSE 0 END) AS p_new
+  FROM ord WHERE o_orderkey % 17 <> 0
+), j AS (
+  SELECT CASE WHEN k_old IS NULL THEN 'added'
+              WHEN k_new IS NULL THEN 'removed'
+              WHEN p_old <> p_new THEN 'changed'
+              ELSE 'unchanged' END AS status,
+         coalesce(abs(p_new - p_old), 0) AS adelta
+  FROM old FULL OUTER JOIN neu ON k_old = k_new)
+SELECT status, count(*) AS n, CAST(sum(adelta) AS BIGINT) AS sum_abs_delta_fx
+FROM j GROUP BY 1""",
+
+    // the hamming variant's recall@3 replayed END-TO-END: both
+    // rankings re-derived, per-query hit counts exact
+    "s_ann_recall_audit" -> s"""WITH b3 AS (
+  SELECT q_id, neighbor_id FROM ($S_ANN_BRUTE) WHERE rnk <= 3
+), h3 AS (
+  SELECT q_id, neighbor_id FROM ($S_ANN_HAMMING) WHERE rnk <= 3
+)
+SELECT b.q_id, CAST(count(h.neighbor_id) AS BIGINT) AS hits,
+       CAST(count(h.neighbor_id) AS BIGINT) * 10000 // 3 AS recall_e4
+FROM b3 b LEFT JOIN h3 h
+  ON b.q_id = h.q_id AND b.neighbor_id = h.neighbor_id
+GROUP BY 1""",
 
     // basket association rules: pair support via basket self-join,
     // min-support 3 gate, both directions, e4 integer fixed point

@@ -3537,6 +3537,55 @@ object SparkEntry {
         (col("dev2") * 2 > col("mad4") * 3).as("is_outlier"))
   }
 
+  /** Snapshot diff — the versioned-table audit (what changed between
+    * yesterday's and today's extract): two deterministic views of
+    * orders play the snapshots (old drops every 13th key; new drops
+    * every 17th and bumps every 7th key's total by 1.00), and the
+    * report is one row per status — added / removed / changed /
+    * unchanged — with counts and the changed rows' total absolute
+    * delta in exact cents. ONE key-partitioned full outer join (the
+    * sort-merge shape that scales to any snapshot pair co-partitioned
+    * on the key), then a 4-group partial agg. */
+  private def eSnapshotDiff(s: SparkSession, dir: String): DataFrame = {
+    val ord = T(s, dir, "orders").select(col("o_orderkey"),
+      expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("p_fx"))
+    val old = ord.filter(col("o_orderkey") % 13 =!= 0)
+      .select(col("o_orderkey").as("k_old"), col("p_fx").as("p_old"))
+    val neu = ord.filter(col("o_orderkey") % 17 =!= 0)
+      .select(col("o_orderkey").as("k_new"),
+        (col("p_fx") + when(col("o_orderkey") % 7 === 0, 100L).otherwise(0L))
+          .as("p_new"))
+    old.join(neu, col("k_old") === col("k_new"), "full_outer")
+      .select(
+        when(col("k_old").isNull, "added")
+          .when(col("k_new").isNull, "removed")
+          .when(col("p_old") =!= col("p_new"), "changed")
+          .otherwise("unchanged").as("status"),
+        coalesce(abs(col("p_new") - col("p_old")), lit(0L)).as("adelta"))
+      .groupBy("status")
+      .agg(count(lit(1)).as("n"), sum(col("adelta")).as("sum_abs_delta_fx"))
+  }
+
+  /** Recall audit of the binary-code ANN against the exact top-3 —
+    * the bench harness's recall@3 graduated INTO the oracle gate:
+    * both rankings re-derive in-query (the shared PlanCache dedups
+    * nothing here — each side is cheap), join on (query, neighbor)
+    * at rank ≤ 3, and the per-query hit count and e4 recall are
+    * exact integers. The DuckDB oracle replays both chains end-to-
+    * end, so the measured search quality itself is cross-engine
+    * verified, not just reported. */
+  private def sAnnRecallAudit(s: SparkSession, dir: String): DataFrame = {
+    val brute = sAnnBrute(s, dir).filter(col("rnk") <= 3)
+      .select(col("q_id"), col("neighbor_id"))
+    val ham = sAnnHamming(s, dir).filter(col("rnk") <= 3)
+      .select(col("q_id"), col("neighbor_id"))
+    brute.join(ham, Seq("q_id", "neighbor_id"), "left_semi")
+      .groupBy("q_id").agg(count(lit(1)).as("hits"))
+      .join(brute.select(col("q_id")).distinct(), Seq("q_id"), "right_outer")
+      .select(col("q_id"), coalesce(col("hits"), lit(0L)).as("hits"))
+      .withColumn("recall_e4", expr("hits * 10000 div 3"))
+  }
+
   // =====================================================================
   // Registry
   // =====================================================================
@@ -3748,6 +3797,8 @@ object SparkEntry {
     "a_abtest" -> (aAbtest _),
     "a_cusum" -> (aCusum _),
     "a_anomaly_mad" -> (aAnomalyMad _),
+    "e_snapshot_diff" -> (eSnapshotDiff _),
+    "s_ann_recall_audit" -> (sAnnRecallAudit _),
     "t_zipf" -> (tZipf _),
     "a_gini" -> (aGini _),
     "s_knn_classify" -> (sKnnClassify _),
