@@ -3648,6 +3648,49 @@ FROM documents, range(0, 4) t(i)""",
     // exact cosine rerank with the shared (cos DESC, vec_id) rule
     "s_ann_hamming" -> S_ANN_HAMMING,
 
+    // Benford first-digit audit: exact cents -> string head digit,
+    // e6 fixed point, expected constants shared with the engine
+    "a_benford" -> s"""WITH exp AS (
+  ${(1 to 9).map(d =>
+    s"SELECT CAST($d AS BIGINT) AS digit, CAST(${graft.SparkEntry.BenfordE6(d - 1)} AS BIGINT) AS expected_e6")
+    .mkString("\n  UNION ALL ")}
+), obs AS (
+  SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+         count(*) AS n
+  FROM orders GROUP BY 1
+), tot AS (SELECT count(*) AS n_tot FROM orders)
+SELECT e.digit, coalesce(o.n, 0) AS n,
+       coalesce(o.n, 0) * 1000000 // n_tot AS freq_e6,
+       e.expected_e6,
+       coalesce(o.n, 0) * 1000000 // n_tot - e.expected_e6 AS delta_e6
+FROM exp e LEFT JOIN obs o ON e.digit = o.digit CROSS JOIN tot""",
+
+    // degree assortativity: exact edge-endpoint degree moments, one
+    // mirrored double chain
+    "g_assortativity" -> """WITH cs AS (
+  SELECT 'c' || CAST(o.o_custkey AS VARCHAR) AS cnode,
+         's' || CAST(l.l_suppkey AS VARCHAR) AS snode, count(*) AS w
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  GROUP BY 1, 2
+), e AS (
+  SELECT cnode AS src, snode AS dst FROM cs
+  UNION ALL SELECT snode AS src, cnode AS dst FROM cs
+), d AS (SELECT src, count(*) AS degree FROM e GROUP BY 1
+), p AS (
+  SELECT dx.degree AS dx, dy.degree AS dy
+  FROM e JOIN d dx ON e.src = dx.src JOIN d dy ON e.dst = dy.src
+), m AS (
+  SELECT count(*) AS n, CAST(sum(dx) AS BIGINT) AS sx, CAST(sum(dy) AS BIGINT) AS sy,
+         CAST(sum(dx * dy) AS BIGINT) AS sxy,
+         CAST(sum(dx * dx) AS BIGINT) AS sxx,
+         CAST(sum(dy * dy) AS BIGINT) AS syy
+  FROM p)
+SELECT n AS n_edges,
+  round((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy) /
+        sqrt((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) *
+             (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)), 6) AS assortativity
+FROM m""",
+
     // snapshot diff: one full outer join, 4-status partial agg, exact
     // cent deltas
     "e_snapshot_diff" -> """WITH ord AS (

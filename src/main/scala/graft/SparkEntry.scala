@@ -3586,6 +3586,66 @@ object SparkEntry {
       .withColumn("recall_e4", expr("hits * 10000 div 3"))
   }
 
+  /** Expected Benford first-digit frequencies in e6 fixed point —
+    * shared with the oracle generator so both engines compare against
+    * the identical constants (the ModelWeights convention). */
+  val BenfordE6: Seq[Long] =
+    (1 to 9).map(d => math.round(math.log10(1.0 + 1.0 / d) * 1e6))
+
+  /** Benford's-law first-digit audit over order totals — the
+    * fabricated-data / extraction-bug smoke test a finance-shaped
+    * table gets on ingest: observed leading-digit frequencies vs the
+    * log₁₀(1+1/d) expectation, both in e6 fixed point, one partial-agg
+    * pass. The leading digit comes from the exact cents integer via
+    * string head (no float log in the data path); expected values are
+    * inlined literals from [[BenfordE6]]. */
+  private def aBenford(s: SparkSession, dir: String): DataFrame = {
+    val exp = BenfordE6.zipWithIndex
+      .map { case (e, i) => struct(lit(i + 1L).as("digit"), lit(e).as("expected_e6")) }
+    val expDf = broadcast(
+      T(s, dir, "orders").sparkSession.range(1).select(
+        explode(array(exp: _*)).as("x"))
+        .select(col("x.digit").as("digit"), col("x.expected_e6").as("expected_e6")))
+    val tot = T(s, dir, "orders").agg(count(lit(1)).as("n_tot"))
+    val counts = T(s, dir, "orders")
+      .select(expr(
+        "CAST(substring(CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS STRING), 1, 1) AS BIGINT)")
+        .as("digit"))
+      .groupBy("digit").agg(count(lit(1)).as("n"))
+    expDf.join(counts, Seq("digit"), "left_outer")
+      .select(col("digit"), coalesce(col("n"), lit(0L)).as("n"),
+        col("expected_e6"))
+      .crossJoin(broadcast(tot))
+      .select(col("digit"), col("n"),
+        expr("n * 1000000 div n_tot").as("freq_e6"),
+        col("expected_e6"),
+        (expr("n * 1000000 div n_tot") - col("expected_e6")).as("delta_e6"))
+  }
+
+  /** Degree assortativity of the purchase graph — one Pearson
+    * correlation over the directed edge list of endpoint degrees
+    * (negative = hubs attach to leaves, the dominant bipartite
+    * trade-network shape). Exact integer moments (two broadcast
+    * degree joins onto the shared cached edge frame), then the single
+    * mirrored double chain with correctly-rounded sqrt. */
+  private def gAssortativity(s: SparkSession, dir: String): DataFrame = {
+    val e = purchaseEdges(s, dir)
+    val deg = e.groupBy("src").agg(count(lit(1)).as("degree"))
+    val pairs = e
+      .join(deg.select(col("src"), col("degree").as("dx")), "src")
+      .join(deg.select(col("src").as("dst"), col("degree").as("dy")), "dst")
+      .select(col("dx"), col("dy"))
+    pairs.agg(count(lit(1)).as("n"), sum("dx").as("sx"), sum("dy").as("sy"),
+        sum(col("dx") * col("dy")).as("sxy"),
+        sum(col("dx") * col("dx")).as("sxx"),
+        sum(col("dy") * col("dy")).as("syy"))
+      .select(col("n").as("n_edges"),
+        expr("""round((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy) /
+          sqrt((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) *
+               (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)), 6)""")
+          .as("assortativity"))
+  }
+
   // =====================================================================
   // Registry
   // =====================================================================
@@ -3798,6 +3858,8 @@ object SparkEntry {
     "a_cusum" -> (aCusum _),
     "a_anomaly_mad" -> (aAnomalyMad _),
     "e_snapshot_diff" -> (eSnapshotDiff _),
+    "a_benford" -> (aBenford _),
+    "g_assortativity" -> (gAssortativity _),
     "s_ann_recall_audit" -> (sAnnRecallAudit _),
     "t_zipf" -> (tZipf _),
     "a_gini" -> (aGini _),
