@@ -3877,6 +3877,26 @@ SELECT n_a, k_a, n_b, k_b,
            (1.0 / n_a + 1.0 / n_b)), 4) END AS z
 FROM w""",
 
+    // Kneser-Ney bigram probabilities in exact quarters (D = 3/4):
+    // two truncating divisions per row, term-split for headroom
+    "t_bigram_kn" -> s"""$TOKS, occ AS (
+  SELECT doc_id, unnest(list_transform(range(1, greatest(len(tk)-1, 0)+1),
+    i -> array_to_string(tk[i:i+1], ' '))) AS s
+  FROM toks
+), c AS (
+  SELECT split_part(s, ' ', 1) AS w1, split_part(s, ' ', 2) AS w2,
+         count(*) AS c12
+  FROM occ GROUP BY 1, 2
+), b1 AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1, count(*) AS n1f
+          FROM c GROUP BY 1
+), b2 AS (SELECT w2, count(*) AS n1p FROM c GROUP BY 1
+), nb AS (SELECT count(*) AS nbt FROM c)
+SELECT w1, w2, c12,
+       greatest(4 * c12 - 3, 0) * 1000000 // (4 * c1) +
+       3 * n1f * n1p * 1000000 // (4 * c1 * nbt) AS p_kn_e6
+FROM c JOIN b1 USING (w1) JOIN b2 USING (w2) CROSS JOIN nb
+ORDER BY c12 DESC, w1, w2 LIMIT 50""",
+
     // Zipf fit over the count-of-counts histogram: e4-fixed logs,
     // exact weighted moments, the a_trend double projection
     "t_zipf" -> s"""$TOKS, tf AS (

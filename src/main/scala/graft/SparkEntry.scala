@@ -3646,6 +3646,38 @@ object SparkEntry {
           .as("assortativity"))
   }
 
+  /** Kneser–Ney smoothed bigram probabilities (D = 3/4) for the top-50
+    * corpus bigrams — the LM-quality depth behind the add-one model of
+    * t_bigram_lm: p(w₂|w₁) = max(c₁₂−D,0)/c₁ + D·N₁₊(w₁·)/c₁ ·
+    * N₁₊(·w₂)/N_types. With D = 3/4 everything is quarters, so the
+    * e6 emission is TWO truncating divisions of exact longs (term
+    * split keeps 4·c₁₂·N_types·10⁶ out of the product — exact while
+    * 3·N₁₊(w₁·)·N₁₊(·w₂)·10⁶ < 2⁶³, i.e. continuation fan-ins to
+    * ~10⁵·10⁵; the single-denominator form would overflow first).
+    * Three partial aggs over the shared cached bigram substrate +
+    * one TakeOrdered — no window. Hand-replica spec pins the exact
+    * quarters arithmetic against independently computed KN values. */
+  private def tBigramKn(s: SparkSession, dir: String): DataFrame =
+    kneserNeyTop(TextOps.bigramOccurrences(T(s, dir, "documents")), 50)
+
+  /** The KN arithmetic over a (doc_id, s) bigram-occurrence frame —
+    * factored so the spec can feed a hand corpus. */
+  private[graft] def kneserNeyTop(occ: DataFrame, k: Int): DataFrame = {
+    val c = occ.groupBy(
+        element_at(split(col("s"), " "), 1).as("w1"),
+        element_at(split(col("s"), " "), 2).as("w2"))
+      .agg(count(lit(1)).as("c12"))
+    val byW1 = c.groupBy("w1").agg(sum("c12").as("c1"), count(lit(1)).as("n1f"))
+    val byW2 = c.groupBy("w2").agg(count(lit(1)).as("n1p"))
+    val nb = c.agg(count(lit(1)).as("nbt"))
+    c.join(byW1, "w1").join(byW2, "w2").crossJoin(broadcast(nb))
+      .select(col("w1"), col("w2"), col("c12"),
+        expr("""greatest(4 * c12 - 3, 0) * 1000000 div (4 * c1) +
+          3 * n1f * n1p * 1000000 div (4 * c1 * nbt)""").as("p_kn_e6"))
+      .orderBy(col("c12").desc, col("w1"), col("w2"))
+      .limit(k)
+  }
+
   // =====================================================================
   // Registry
   // =====================================================================
@@ -3862,6 +3894,7 @@ object SparkEntry {
     "g_assortativity" -> (gAssortativity _),
     "s_ann_recall_audit" -> (sAnnRecallAudit _),
     "t_zipf" -> (tZipf _),
+    "t_bigram_kn" -> (tBigramKn _),
     "a_gini" -> (aGini _),
     "s_knn_classify" -> (sKnnClassify _),
     "a_basket_rules" -> (aBasketRules _),

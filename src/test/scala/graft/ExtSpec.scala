@@ -1300,6 +1300,19 @@ class ExtSpec extends SparkSpec {
     assert(got.count() === docs.filter(col("n_tok") >= 2).count())
   }
 
+  test("Kneser-Ney quarters arithmetic matches hand-computed KN values") {
+    // corpus "a b a b a c": bigrams ab ab ba ba ac
+    // p(b|a) = (2-3/4)/3 + (3/4 * 2/3)(1/3) = 0.583333 -> trunc e6 583332
+    // p(a|b) = (2-3/4)/2 + (3/4 * 1/2)(1/3) = 0.750000
+    // p(c|a) = (1-3/4)/3 + (3/4 * 2/3)(1/3) = 0.250000 -> 249999
+    val occ = Seq((1L, "a b"), (1L, "b a"), (1L, "a b"), (1L, "b a"), (1L, "a c"))
+      .toDF("doc_id", "s")
+    val got = SparkEntry.kneserNeyTop(occ, 10)
+      .select(col("w1"), col("w2"), col("p_kn_e6"))
+      .as[(String, String, Long)].collect().toSet
+    assert(got === Set(("a", "b", 583332L), ("b", "a", 750000L), ("a", "c", 249999L)))
+  }
+
   test("binary code words pack sign bits: bit i of word w = sign(v[32w+i+1])") {
     val v = (1 to 64).map(d => if (d % 3 == 0) 1.0f else -1.0f).toArray
     val df = Seq((0L, v)).toDF("vec_id", "embedding")
