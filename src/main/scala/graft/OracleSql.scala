@@ -3877,6 +3877,16 @@ SELECT n_a, k_a, n_b, k_b,
            (1.0 / n_a + 1.0 / n_b)), 4) END AS z
 FROM w""",
 
+    // blocking join: first-token blocks, levenshtein verify on the
+    // blocked pairs only
+    "d_blocking_join" -> """WITH n AS (
+  SELECT DISTINCT p_name, split_part(p_name, ' ', 1) AS blk FROM part
+)
+SELECT a.p_name AS name_a, b.p_name AS name_b,
+       CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
+FROM n a JOIN n b ON a.blk = b.blk AND a.p_name < b.p_name
+WHERE levenshtein(a.p_name, b.p_name) <= 3""",
+
     // Kneser-Ney bigram probabilities in exact quarters (D = 3/4):
     // two truncating divisions per row, term-split for headroom
     "t_bigram_kn" -> s"""$TOKS, occ AS (

@@ -3678,6 +3678,27 @@ object SparkEntry {
       .limit(k)
   }
 
+  /** Entity-resolution blocking join over the part-name dictionary —
+    * the classic record-linkage shape: candidate pairs come ONLY from
+    * shared blocks (first token — the LSH-band principle applied to
+    * strings), then the expensive edit-distance verify runs on the
+    * blocked pairs alone, never all-pairs. Levenshtein is a built-in
+    * with identical unit-cost semantics in both engines; dist ≤ 3
+    * keeps the near-name pairs. A skewed mega-block would cap via the
+    * DfCap convention (the gram-join dial). The dictionary is
+    * distinct-name-sized — at 100 TB the same plan runs on the
+    * deduplicated name dimension, not the fact table. */
+  private def dBlockingJoin(s: SparkSession, dir: String): DataFrame = {
+    val names = T(s, dir, "part").select(col("p_name")).distinct()
+      .select(col("p_name"), element_at(split(col("p_name"), " "), 1).as("blk"))
+    names.select(col("blk"), col("p_name").as("name_a"))
+      .join(names.select(col("blk"), col("p_name").as("name_b")), "blk")
+      .filter(col("name_a") < col("name_b"))
+      .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
+      .filter(col("dist") <= 3)
+      .select(col("name_a"), col("name_b"), col("dist").cast("long").as("dist"))
+  }
+
   // =====================================================================
   // Registry
   // =====================================================================
@@ -3895,6 +3916,7 @@ object SparkEntry {
     "s_ann_recall_audit" -> (sAnnRecallAudit _),
     "t_zipf" -> (tZipf _),
     "t_bigram_kn" -> (tBigramKn _),
+    "d_blocking_join" -> (dBlockingJoin _),
     "a_gini" -> (aGini _),
     "s_knn_classify" -> (sKnnClassify _),
     "a_basket_rules" -> (aBasketRules _),
