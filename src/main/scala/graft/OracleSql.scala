@@ -3938,6 +3938,23 @@ SELECT n AS n_vocab,
         4) AS intercept
 FROM m""",
 
+    // trailing 15-day rolling median, doubled-integer form over the
+    // bounded window frame list
+    "a_rolling_median" -> """WITH daily AS (
+  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+         sum(CAST(round(value * 10000) AS BIGINT)) AS x
+  FROM events GROUP BY 1, 2
+), f AS (
+  SELECT event_type, day, x,
+         list_sort(list(x) OVER (PARTITION BY event_type ORDER BY day
+           ROWS BETWEEN 14 PRECEDING AND CURRENT ROW)) AS frame
+  FROM daily)
+SELECT event_type, day, x,
+       CAST(len(frame) AS BIGINT) AS n_window,
+       frame[CAST((len(frame) + 1) // 2 AS INT)] +
+       frame[CAST((len(frame) + 2) // 2 AS INT)] AS med2_roll
+FROM f""",
+
     // median/MAD outliers in doubled-integer form: med2 = two middle
     // order stats summed, mad4 = doubled median of |2x - med2|
     "a_anomaly_mad" -> """WITH daily AS (

@@ -3699,6 +3699,31 @@ object SparkEntry {
       .select(col("name_a"), col("name_b"), col("dist").cast("long").as("dist"))
   }
 
+  /** Trailing 15-day rolling median of the per-type daily value
+    * series — the robust level estimate behind [[aAnomalyMad]]'s
+    * full-series audit, in the STREAMABLE bounded form (the EWMA
+    * bounded-frame convention): the window holds ≤ 15 rows, so the
+    * doubled median (two middle order statistics summed — exact
+    * longs, no half-steps) comes from sorting the collected frame
+    * array per row, and [[graft.streaming.StreamingRollingMedian]]
+    * keeps exactly those 15 (day, value) pairs as state and agrees
+    * row-for-row on ordered replay (spec-pinned). Windows partition
+    * on the series key; the frame bound is the state bound. */
+  private def aRollingMedian(s: SparkSession, dir: String): DataFrame = {
+    val daily = T(s, dir, "events")
+      .select(col("event_type"), expr("unix_micros(ts) div 86400000000").as("day"),
+        expr("CAST(round(value * 10000) AS BIGINT)").as("v_fx"))
+      .groupBy("event_type", "day").agg(sum("v_fx").as("x"))
+    val w = Window.partitionBy("event_type").orderBy("day").rowsBetween(-14, 0)
+    daily
+      .withColumn("frame", sort_array(collect_list(col("x")).over(w)))
+      .select(col("event_type"), col("day"), col("x"),
+        size(col("frame")).cast("long").as("n_window"),
+        (element_at(col("frame"), expr("CAST((size(frame) + 1) div 2 AS INT)")) +
+          element_at(col("frame"), expr("CAST((size(frame) + 2) div 2 AS INT)")))
+          .as("med2_roll"))
+  }
+
   // =====================================================================
   // Registry
   // =====================================================================
@@ -3910,6 +3935,7 @@ object SparkEntry {
     "a_abtest" -> (aAbtest _),
     "a_cusum" -> (aCusum _),
     "a_anomaly_mad" -> (aAnomalyMad _),
+    "a_rolling_median" -> (aRollingMedian _),
     "e_snapshot_diff" -> (eSnapshotDiff _),
     "a_benford" -> (aBenford _),
     "g_assortativity" -> (gAssortativity _),
