@@ -718,6 +718,71 @@ FROM (SELECT q_id, vec_id, cos,
 WHERE rnk <= 5"""
     }
 
+  /** s_ann_lsh_mp4 SQL (shared with the s_ann_recall_audit composition). */
+  private val S_ANN_LSH_MP4: String = s"""${vecs(4)}, q0 AS (
+  SELECT vec_id AS q_id, v AS qv, nrm AS qn, bucket FROM nv WHERE vec_id < 8
+), probes AS (
+  SELECT q_id, qv, qn, bucket AS q_bucket FROM q0
+  UNION ALL
+  SELECT q_id, qv, qn, xor(bucket, CAST(1 AS BIGINT) << i) FROM q0, range(0, 4) t(i)
+), s AS (
+  SELECT q_id, vec_id, list_dot_product(qv, v) / (qn * nrm) AS cos
+  FROM probes JOIN nv ON q_bucket = bucket AND vec_id >= 8)
+SELECT q_id, vec_id AS neighbor_id, CAST(rnk AS INT) AS rnk, round(cos, 4) AS cos FROM (
+  SELECT q_id, vec_id, cos,
+         row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rnk FROM s)
+WHERE rnk <= 3"""
+
+  /** s_ann_ivf_mp4 SQL (shared with the s_ann_recall_audit composition). */
+  private val S_ANN_IVF_MP4: String = s"""$IVF_ASG, q AS (
+  SELECT vec_id AS q_id, v AS qv, nrm AS qn, c_id AS q_cell FROM (
+    SELECT nv.vec_id, nv.v, nv.nrm, c.c_id,
+           row_number() OVER (PARTITION BY nv.vec_id
+             ORDER BY list_dot_product(nv.v, c.cv) / (nv.nrm * c.cn) DESC, c.c_id) AS crnk
+    FROM nv, cents c WHERE nv.vec_id < 8) WHERE crnk <= 4
+), s AS (
+  SELECT q_id, vec_id, list_dot_product(qv, v) / (qn * nrm) AS cos
+  FROM q JOIN asg ON q_cell = cell AND vec_id >= 8)
+SELECT q_id, vec_id AS neighbor_id, CAST(rnk AS INT) AS rnk, round(cos, 4) AS cos FROM (
+  SELECT q_id, vec_id, cos,
+         row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rnk FROM s)
+WHERE rnk <= 3"""
+
+  /** s_ann_pq_rerank64 SQL (shared with the s_ann_recall_audit composition). */
+  private val S_ANN_PQ_RERANK64: String = s"""${pqScores(64)}, short AS (
+  SELECT q_id, vec_id FROM (
+    SELECT q_id, vec_id,
+           row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rn
+    FROM s) WHERE rn <= 50
+), ex AS (
+  SELECT sh.q_id, sh.vec_id,
+         list_dot_product(q.qv, nv.v) / (q.qn * nv.nrm) AS cos
+  FROM short sh JOIN q ON q.q_id = sh.q_id JOIN nv ON nv.vec_id = sh.vec_id)
+SELECT q_id, vec_id AS neighbor_id, CAST(rnk AS INT) AS rnk, round(cos, 4) AS cos FROM (
+  SELECT q_id, vec_id, cos,
+         row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rnk FROM ex)
+WHERE rnk <= 3"""
+
+  /** s_ann_sq8 SQL (shared with the s_ann_recall_audit composition). */
+  private val S_ANN_SQ8: String = s"""$VECS, sq AS (
+  SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS mx FROM vecs
+), dq AS (
+  SELECT vec_id,
+         CASE WHEN mx <> 0
+              THEN list_transform(v, x -> round(x * 127.0 / mx) * mx / 127.0)
+              ELSE list_transform(v, x -> 0.0) END AS v
+  FROM sq
+), q AS (
+  SELECT vec_id AS q_id, v AS qv, nrm AS qn FROM nv WHERE vec_id < 8
+), s AS (
+  SELECT q_id, d.vec_id,
+         list_dot_product(qv, d.v) / (qn * sqrt(list_dot_product(d.v, d.v))) AS cos
+  FROM q JOIN dq d ON d.vec_id >= 8)
+SELECT q_id, vec_id AS neighbor_id, CAST(rnk AS INT) AS rnk, round(cos, 4) AS cos FROM (
+  SELECT q_id, vec_id, cos,
+         row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rnk FROM s)
+WHERE rnk <= 3"""
+
   val all: Map[String, String] = Map(
     "q_branch_even" -> s"$REC SELECT event_id, user_id, value_int FROM evens",
 
@@ -3308,24 +3373,7 @@ WHERE hamming <= 3""",
 
     // SQ8 ANN: candidates dequantized from int8 codes (one per-vector
     // scale mx/127); queries exact — mirror of Similarity.sq8TopK
-    "s_ann_sq8" -> s"""$VECS, sq AS (
-  SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS mx FROM vecs
-), dq AS (
-  SELECT vec_id,
-         CASE WHEN mx <> 0
-              THEN list_transform(v, x -> round(x * 127.0 / mx) * mx / 127.0)
-              ELSE list_transform(v, x -> 0.0) END AS v
-  FROM sq
-), q AS (
-  SELECT vec_id AS q_id, v AS qv, nrm AS qn FROM nv WHERE vec_id < 8
-), s AS (
-  SELECT q_id, d.vec_id,
-         list_dot_product(qv, d.v) / (qn * sqrt(list_dot_product(d.v, d.v))) AS cos
-  FROM q JOIN dq d ON d.vec_id >= 8)
-SELECT q_id, vec_id AS neighbor_id, CAST(rnk AS INT) AS rnk, round(cos, 4) AS cos FROM (
-  SELECT q_id, vec_id, cos,
-         row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rnk FROM s)
-WHERE rnk <= 3""",
+    "s_ann_sq8" -> S_ANN_SQ8,
 
     // MMR diversified re-rank: recursive-CTE replay of the engine's
     // greedy selection over the identical top-20 candidate frame;
@@ -3432,19 +3480,7 @@ SELECT q_id, vec_id AS neighbor_id, CAST(rnk AS INT) AS rnk, round(cos, 4) AS co
 WHERE rnk <= 3""",
 
     // same as s_ann_ivf_mp at the production dial: 4 probed cells
-    "s_ann_ivf_mp4" -> s"""$IVF_ASG, q AS (
-  SELECT vec_id AS q_id, v AS qv, nrm AS qn, c_id AS q_cell FROM (
-    SELECT nv.vec_id, nv.v, nv.nrm, c.c_id,
-           row_number() OVER (PARTITION BY nv.vec_id
-             ORDER BY list_dot_product(nv.v, c.cv) / (nv.nrm * c.cn) DESC, c.c_id) AS crnk
-    FROM nv, cents c WHERE nv.vec_id < 8) WHERE crnk <= 4
-), s AS (
-  SELECT q_id, vec_id, list_dot_product(qv, v) / (qn * nrm) AS cos
-  FROM q JOIN asg ON q_cell = cell AND vec_id >= 8)
-SELECT q_id, vec_id AS neighbor_id, CAST(rnk AS INT) AS rnk, round(cos, 4) AS cos FROM (
-  SELECT q_id, vec_id, cos,
-         row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rnk FROM s)
-WHERE rnk <= 3""",
+    "s_ann_ivf_mp4" -> S_ANN_IVF_MP4,
 
     // two Lloyd rounds: asg (hash codebook, from IVF_ASG) -> means ->
     // asg2 -> means -> asg3; search within the final cells
@@ -3513,19 +3549,7 @@ WHERE rnk <= 3""",
 
     // the production dial: 64 codewords, 50-wide shortlist (recall
     // 0.75 at this dial, measured in bench_details) — same chain
-    "s_ann_pq_rerank64" -> s"""${pqScores(64)}, short AS (
-  SELECT q_id, vec_id FROM (
-    SELECT q_id, vec_id,
-           row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rn
-    FROM s) WHERE rn <= 50
-), ex AS (
-  SELECT sh.q_id, sh.vec_id,
-         list_dot_product(q.qv, nv.v) / (q.qn * nv.nrm) AS cos
-  FROM short sh JOIN q ON q.q_id = sh.q_id JOIN nv ON nv.vec_id = sh.vec_id)
-SELECT q_id, vec_id AS neighbor_id, CAST(rnk AS INT) AS rnk, round(cos, 4) AS cos FROM (
-  SELECT q_id, vec_id, cos,
-         row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rnk FROM ex)
-WHERE rnk <= 3""",
+    "s_ann_pq_rerank64" -> S_ANN_PQ_RERANK64,
 
     "s_ann_lsh_mp" -> s"""$VECS, q0 AS (
   SELECT vec_id AS q_id, v AS qv, nrm AS qn, bucket FROM nv WHERE vec_id < 8
@@ -3545,19 +3569,7 @@ WHERE rnk <= 3""",
     // 4-bit buckets (16 cells, 5 probes per query — recall@3 measured
     // per-round in bench_details `recall_at_3`); same chain on the
     // 4-bit vecs view
-    "s_ann_lsh_mp4" -> s"""${vecs(4)}, q0 AS (
-  SELECT vec_id AS q_id, v AS qv, nrm AS qn, bucket FROM nv WHERE vec_id < 8
-), probes AS (
-  SELECT q_id, qv, qn, bucket AS q_bucket FROM q0
-  UNION ALL
-  SELECT q_id, qv, qn, xor(bucket, CAST(1 AS BIGINT) << i) FROM q0, range(0, 4) t(i)
-), s AS (
-  SELECT q_id, vec_id, list_dot_product(qv, v) / (qn * nrm) AS cos
-  FROM probes JOIN nv ON q_bucket = bucket AND vec_id >= 8)
-SELECT q_id, vec_id AS neighbor_id, CAST(rnk AS INT) AS rnk, round(cos, 4) AS cos FROM (
-  SELECT q_id, vec_id, cos,
-         row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rnk FROM s)
-WHERE rnk <= 3""",
+    "s_ann_lsh_mp4" -> S_ANN_LSH_MP4,
 
     "s_near_dup" -> s"""$VECS, pairs AS (
   SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
@@ -3712,18 +3724,23 @@ FROM m""",
 SELECT status, count(*) AS n, CAST(sum(adelta) AS BIGINT) AS sum_abs_delta_fx
 FROM j GROUP BY 1""",
 
-    // the hamming variant's recall@3 replayed END-TO-END: both
-    // rankings re-derived, per-query hit counts exact
-    "s_ann_recall_audit" -> s"""WITH b3 AS (
-  SELECT q_id, neighbor_id FROM ($S_ANN_BRUTE) WHERE rnk <= 3
-), h3 AS (
-  SELECT q_id, neighbor_id FROM ($S_ANN_HAMMING) WHERE rnk <= 3
-)
-SELECT b.q_id, CAST(count(h.neighbor_id) AS BIGINT) AS hits,
+    // every graduated quality dial's recall@3 replayed END-TO-END:
+    // each variant's full ranking re-derived, hit counts exact
+    "s_ann_recall_audit" -> {
+      def one(name: String, sql: String) = s"""SELECT '$name' AS variant, b.q_id,
+       CAST(count(h.neighbor_id) AS BIGINT) AS hits,
        CAST(count(h.neighbor_id) AS BIGINT) * 10000 // 3 AS recall_e4
-FROM b3 b LEFT JOIN h3 h
+FROM (SELECT q_id, neighbor_id FROM ($S_ANN_BRUTE) WHERE rnk <= 3) b
+LEFT JOIN (SELECT q_id, neighbor_id FROM ($sql) WHERE rnk <= 3) h
   ON b.q_id = h.q_id AND b.neighbor_id = h.neighbor_id
-GROUP BY 1""",
+GROUP BY 1, 2"""
+      Seq(
+        one("s_ann_hamming", S_ANN_HAMMING),
+        one("s_ann_lsh_mp4", S_ANN_LSH_MP4),
+        one("s_ann_ivf_mp4", S_ANN_IVF_MP4),
+        one("s_ann_pq_rerank64", S_ANN_PQ_RERANK64),
+        one("s_ann_sq8", S_ANN_SQ8)).mkString("\nUNION ALL\n")
+    },
 
     // basket association rules: pair support via basket self-join,
     // min-support 3 gate, both directions, e4 integer fixed point

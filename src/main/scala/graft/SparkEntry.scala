@@ -3566,24 +3566,35 @@ object SparkEntry {
       .agg(count(lit(1)).as("n"), sum(col("adelta")).as("sum_abs_delta_fx"))
   }
 
-  /** Recall audit of the binary-code ANN against the exact top-3 —
-    * the bench harness's recall@3 graduated INTO the oracle gate:
-    * both rankings re-derive in-query (the shared PlanCache dedups
-    * nothing here — each side is cheap), join on (query, neighbor)
-    * at rank ≤ 3, and the per-query hit count and e4 recall are
-    * exact integers. The DuckDB oracle replays both chains end-to-
-    * end, so the measured search quality itself is cross-engine
-    * verified, not just reported. */
+  /** Recall audit of every graduated search-quality ANN dial (plus
+    * the binary-code variant) against the exact top-3 — the bench
+    * harness's recall@3 graduated INTO the oracle gate: each
+    * variant's ranking re-derives in-query, joins the brute-force
+    * top-3 on (query, neighbor), and the per-query hit counts and e4
+    * recalls are exact integers. The DuckDB oracle replays EVERY
+    * chain end-to-end, so the measured search quality of each shipped
+    * dial is cross-engine verified, not just reported. */
   private def sAnnRecallAudit(s: SparkSession, dir: String): DataFrame = {
     val brute = sAnnBrute(s, dir).filter(col("rnk") <= 3)
       .select(col("q_id"), col("neighbor_id"))
-    val ham = sAnnHamming(s, dir).filter(col("rnk") <= 3)
-      .select(col("q_id"), col("neighbor_id"))
-    brute.join(ham, Seq("q_id", "neighbor_id"), "left_semi")
-      .groupBy("q_id").agg(count(lit(1)).as("hits"))
-      .join(brute.select(col("q_id")).distinct(), Seq("q_id"), "right_outer")
-      .select(col("q_id"), coalesce(col("hits"), lit(0L)).as("hits"))
-      .withColumn("recall_e4", expr("hits * 10000 div 3"))
+    val allQ = brute.select(col("q_id")).distinct()
+    def audit(name: String, df: DataFrame): DataFrame = {
+      val hits = brute.join(
+          df.filter(col("rnk") <= 3).select(col("q_id"), col("neighbor_id")),
+          Seq("q_id", "neighbor_id"), "left_semi")
+        .groupBy("q_id").agg(count(lit(1)).as("hits"))
+      allQ.join(hits, Seq("q_id"), "left_outer")
+        .select(lit(name).as("variant"), col("q_id"),
+          coalesce(col("hits"), lit(0L)).as("hits"))
+        .withColumn("recall_e4", expr("hits * 10000 div 3"))
+    }
+    Seq(
+      audit("s_ann_hamming", sAnnHamming(s, dir)),
+      audit("s_ann_lsh_mp4", sAnnLshMp4(s, dir)),
+      audit("s_ann_ivf_mp4", sAnnIvfMp4(s, dir)),
+      audit("s_ann_pq_rerank64", sAnnPqRerank64(s, dir)),
+      audit("s_ann_sq8", sAnnSq8(s, dir)))
+      .reduce(_ unionAll _)
   }
 
   /** Expected Benford first-digit frequencies in e6 fixed point —
