@@ -3955,6 +3955,18 @@ SELECT n AS n_vocab,
         4) AS intercept
 FROM m""",
 
+    // JSON property extraction with an unparsed-count audit column
+    "a_props_extract" -> """WITH p AS (
+  SELECT event_type,
+         TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+  FROM events)
+SELECT event_type, count(*) AS n,
+       CAST(sum(CASE WHEN k IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_unparsed,
+       CAST(sum(coalesce(k, 0)) AS BIGINT) AS sum_k,
+       min(k) AS min_k, max(k) AS max_k,
+       count(DISTINCT k) AS n_distinct_k
+FROM p GROUP BY 1""",
+
     // trailing 15-day rolling median, doubled-integer form over the
     // bounded window frame list
     "a_rolling_median" -> """WITH daily AS (

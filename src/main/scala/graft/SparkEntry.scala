@@ -3735,6 +3735,24 @@ object SparkEntry {
           .as("med2_roll"))
   }
 
+  /** Semi-structured property extraction — the JSON-payload leg every
+    * event pipeline has: `props` parses with a JSON-path expression
+    * (codegen'd `get_json_object`, no UDF), unparseable payloads are
+    * COUNTED rather than dropped (the audit column a schema-drift
+    * alarm watches), and the typed value aggregates per event type in
+    * exact longs. One partial-agg pass; at 100 TB the parse runs
+    * inside the scan's whole-stage codegen. */
+  private def aPropsExtract(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "events")
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(col("k").isNull.cast("long")).as("n_unparsed"),
+        sum(coalesce(col("k"), lit(0L))).as("sum_k"),
+        min(col("k")).as("min_k"), max(col("k")).as("max_k"),
+        countDistinct(col("k")).as("n_distinct_k"))
+
   // =====================================================================
   // Registry
   // =====================================================================
@@ -3947,6 +3965,7 @@ object SparkEntry {
     "a_cusum" -> (aCusum _),
     "a_anomaly_mad" -> (aAnomalyMad _),
     "a_rolling_median" -> (aRollingMedian _),
+    "a_props_extract" -> (aPropsExtract _),
     "e_snapshot_diff" -> (eSnapshotDiff _),
     "a_benford" -> (aBenford _),
     "g_assortativity" -> (gAssortativity _),
