@@ -783,6 +783,27 @@ SELECT q_id, vec_id AS neighbor_id, CAST(rnk AS INT) AS rnk, round(cos, 4) AS co
          row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rnk FROM s)
 WHERE rnk <= 3"""
 
+  /** Kneser-Ney bigram probability CTE chain (ends in kn_bi(w1, w2,
+    * c12, p_kn_e6)) - shared by t_bigram_kn and the interpolated
+    * trigram model. */
+  private val KN_BI = s"""$TOKS, occ AS (
+  SELECT doc_id, unnest(list_transform(range(1, greatest(len(tk)-1, 0)+1),
+    i -> array_to_string(tk[i:i+1], ' '))) AS s
+  FROM toks
+), c AS (
+  SELECT split_part(s, ' ', 1) AS w1, split_part(s, ' ', 2) AS w2,
+         count(*) AS c12
+  FROM occ GROUP BY 1, 2
+), b1 AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1, count(*) AS n1f
+          FROM c GROUP BY 1
+), b2 AS (SELECT w2, count(*) AS n1p FROM c GROUP BY 1
+), nb AS (SELECT count(*) AS nbt FROM c
+), kn_bi AS (
+  SELECT w1, w2, c12,
+         greatest(4 * c12 - 3, 0) * 1000000 // (4 * c1) +
+         3 * n1f * n1p * 1000000 // (4 * c1 * nbt) AS p_kn_e6
+  FROM c JOIN b1 USING (w1) JOIN b2 USING (w2) CROSS JOIN nb)"""
+
   val all: Map[String, String] = Map(
     "q_branch_even" -> s"$REC SELECT event_id, user_id, value_int FROM evens",
 
@@ -3906,23 +3927,27 @@ WHERE levenshtein(a.p_name, b.p_name) <= 3""",
 
     // Kneser-Ney bigram probabilities in exact quarters (D = 3/4):
     // two truncating divisions per row, term-split for headroom
-    "t_bigram_kn" -> s"""$TOKS, occ AS (
-  SELECT doc_id, unnest(list_transform(range(1, greatest(len(tk)-1, 0)+1),
-    i -> array_to_string(tk[i:i+1], ' '))) AS s
+    "t_bigram_kn" -> s"""$KN_BI
+SELECT w1, w2, c12, p_kn_e6 FROM kn_bi ORDER BY c12 DESC, w1, w2 LIMIT 50""",
+
+    // interpolated trigram KN: the shipped bigram KN as the lower
+    // order, one more truncating division per row
+    "t_trigram_kn" -> s"""$KN_BI, occ3 AS (
+  SELECT unnest(list_transform(range(1, greatest(len(tk)-2, 0)+1),
+    i -> array_to_string(tk[i:i+2], ' '))) AS s
   FROM toks
-), c AS (
+), t AS (
   SELECT split_part(s, ' ', 1) AS w1, split_part(s, ' ', 2) AS w2,
-         count(*) AS c12
-  FROM occ GROUP BY 1, 2
-), b1 AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1, count(*) AS n1f
-          FROM c GROUP BY 1
-), b2 AS (SELECT w2, count(*) AS n1p FROM c GROUP BY 1
-), nb AS (SELECT count(*) AS nbt FROM c)
-SELECT w1, w2, c12,
-       greatest(4 * c12 - 3, 0) * 1000000 // (4 * c1) +
-       3 * n1f * n1p * 1000000 // (4 * c1 * nbt) AS p_kn_e6
-FROM c JOIN b1 USING (w1) JOIN b2 USING (w2) CROSS JOIN nb
-ORDER BY c12 DESC, w1, w2 LIMIT 50""",
+         split_part(s, ' ', 3) AS w3, count(*) AS c123
+  FROM occ3 GROUP BY 1, 2, 3
+), ctx AS (
+  SELECT w1, w2, CAST(sum(c123) AS BIGINT) AS c12ctx, count(*) AS n1f12
+  FROM t GROUP BY 1, 2)
+SELECT t.w1, t.w2, t.w3, c123,
+       greatest(4 * c123 - 3, 0) * 1000000 // (4 * c12ctx) +
+       3 * n1f12 * k.p_kn_e6 // (4 * c12ctx) AS p_kn3_e6
+FROM t JOIN ctx USING (w1, w2) JOIN kn_bi k ON k.w1 = t.w2 AND k.w2 = t.w3
+ORDER BY c123 DESC, t.w1, t.w2, t.w3 LIMIT 50""",
 
     // Zipf fit over the count-of-counts histogram: e4-fixed logs,
     // exact weighted moments, the a_trend double projection

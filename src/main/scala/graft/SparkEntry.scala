@@ -3672,8 +3672,10 @@ object SparkEntry {
     kneserNeyTop(TextOps.bigramOccurrences(T(s, dir, "documents")), 50)
 
   /** The KN arithmetic over a (doc_id, s) bigram-occurrence frame —
-    * factored so the spec can feed a hand corpus. */
-  private[graft] def kneserNeyTop(occ: DataFrame, k: Int): DataFrame = {
+    * the FULL probability frame (w1, w2, c12, p_kn_e6), factored so
+    * the spec can feed a hand corpus and so the trigram model can
+    * interpolate against it. */
+  private[graft] def kneserNeyProbs(occ: DataFrame): DataFrame = {
     val c = occ.groupBy(
         element_at(split(col("s"), " "), 1).as("w1"),
         element_at(split(col("s"), " "), 2).as("w2"))
@@ -3685,8 +3687,42 @@ object SparkEntry {
       .select(col("w1"), col("w2"), col("c12"),
         expr("""greatest(4 * c12 - 3, 0) * 1000000 div (4 * c1) +
           3 * n1f * n1p * 1000000 div (4 * c1 * nbt)""").as("p_kn_e6"))
+  }
+
+  private[graft] def kneserNeyTop(occ: DataFrame, k: Int): DataFrame =
+    kneserNeyProbs(occ)
       .orderBy(col("c12").desc, col("w1"), col("w2"))
       .limit(k)
+
+  /** Interpolated TRIGRAM Kneser–Ney (D = 3/4) for the top-50 corpus
+    * trigrams: p(w₃|w₁w₂) = max(c₁₂₃−D,0)/c₁₂ + D·N₁₊(w₁w₂·)/c₁₂ ·
+    * p_KN(w₃|w₂), with the SHIPPED bigram KN model
+    * ([[kneserNeyProbs]]) as the lower order — the interpolation
+    * composes already-truncated e6 probabilities through one more
+    * truncating division (a well-defined statistic both engines
+    * replay identically; each step exact longs). A trigram always
+    * contains its (w₂,w₃) bigram, so the lower-order join never
+    * drops rows. Four partial aggs + one TakeOrdered, no window. */
+  private def tTrigramKn(s: SparkSession, dir: String): DataFrame = {
+    val docs = T(s, dir, "documents")
+    val occ3 = docs.select(
+      explode(graft.codec.Codecs.shingles(Codecs.tokens(col("text")), 3)).as("s"))
+    val tri = occ3.groupBy(
+        element_at(split(col("s"), " "), 1).as("w1"),
+        element_at(split(col("s"), " "), 2).as("w2"),
+        element_at(split(col("s"), " "), 3).as("w3"))
+      .agg(count(lit(1)).as("c123"))
+    val byCtx = tri.groupBy("w1", "w2")
+      .agg(sum("c123").as("c12ctx"), count(lit(1)).as("n1f12"))
+    val lower = kneserNeyProbs(TextOps.bigramOccurrences(docs))
+      .select(col("w1").as("w2"), col("w2").as("w3"),
+        col("p_kn_e6").as("p_lo_e6"))
+    tri.join(byCtx, Seq("w1", "w2")).join(lower, Seq("w2", "w3"))
+      .select(col("w1"), col("w2"), col("w3"), col("c123"),
+        expr("""greatest(4 * c123 - 3, 0) * 1000000 div (4 * c12ctx) +
+          3 * n1f12 * p_lo_e6 div (4 * c12ctx)""").as("p_kn3_e6"))
+      .orderBy(col("c123").desc, col("w1"), col("w2"), col("w3"))
+      .limit(50)
   }
 
   /** Entity-resolution blocking join over the part-name dictionary —
@@ -3972,6 +4008,7 @@ object SparkEntry {
     "s_ann_recall_audit" -> (sAnnRecallAudit _),
     "t_zipf" -> (tZipf _),
     "t_bigram_kn" -> (tBigramKn _),
+    "t_trigram_kn" -> (tTrigramKn _),
     "d_blocking_join" -> (dBlockingJoin _),
     "a_gini" -> (aGini _),
     "s_knn_classify" -> (sKnnClassify _),
