@@ -4120,6 +4120,28 @@ SELECT q_id, label AS pred_label, votes, best_rnk FROM (
   FROM votes)
 WHERE rk = 1""",
 
+    // PR curve at 21 fixed thresholds from the score histogram, all
+    // exact integers with a mirrored NULL guard
+    "s_pr_curve" -> s"""WITH scored AS (
+  SELECT CAST(label < 5 AS BIGINT) AS pos,
+         CAST(round((1.0 / (1.0 + exp(-(list_dot_product(
+    list_transform(embedding, x -> CAST(x AS DOUBLE)),
+    [${graft.SparkEntry.ModelWeights.mkString(", ")}]) + 0.1)))) * 10000) AS BIGINT) AS s_e4
+  FROM embeddings
+), hist AS (SELECT s_e4, count(*) AS c, CAST(sum(pos) AS BIGINT) AS cp
+            FROM scored GROUP BY 1
+), thr AS (SELECT CAST(unnest(range(0, 21)) * 500 AS BIGINT) AS t
+), tot AS (SELECT count(*) AS n_tot, CAST(sum(pos) AS BIGINT) AS n_pos FROM scored
+), agg AS (
+  SELECT t, CAST(coalesce(sum(c), 0) AS BIGINT) AS n_pred,
+         CAST(coalesce(sum(cp), 0) AS BIGINT) AS tp
+  FROM thr LEFT JOIN hist ON s_e4 >= t GROUP BY 1)
+SELECT t, n_pred, tp, n_pred - tp AS fp, n_pos - tp AS fn,
+  CASE WHEN n_pred = 0 THEN NULL ELSE tp * 10000 // n_pred END AS precision_e4,
+  tp * 10000 // n_pos AS recall_e4,
+  2 * tp * 10000 // (n_pred + n_pos) AS f1_e4
+FROM agg CROSS JOIN tot""",
+
     // reliability table: ten score bins vs the label < 5 target, all
     // integer sums and truncating divisions
     "s_calibration" -> s"""WITH scored AS (

@@ -3789,6 +3789,37 @@ object SparkEntry {
         min(col("k")).as("min_k"), max(col("k")).as("max_k"),
         countDistinct(col("k")).as("n_distinct_k"))
 
+  /** Precision–recall curve of the linear head against the label < 5
+    * target at 21 fixed thresholds (step 0.05) — the operating-point
+    * table read before picking a filter cutoff; completes the
+    * [[graft.ops.Eval]] family (AUC ranks, calibration reliability,
+    * PR operating points). Everything derives from the BOUNDED score
+    * histogram (threshold × distinct-score fan-out ≤ 21·10001 rows,
+    * data touched once); TP/FP/FN and the e4 ratios are exact
+    * integers, with a mirrored NULL guard where a high threshold
+    * predicts nothing. */
+  private def sPrCurve(s: SparkSession, dir: String): DataFrame = {
+    val scored = modelScoreE4(s, dir)
+      .select(col("s_e4"), (col("label") < 5).cast("long").as("pos"))
+    val hist = scored.groupBy("s_e4").agg(count(lit(1)).as("c"), sum("pos").as("cp"))
+    val thr = s.range(0, 21).select((col("id") * 500L).as("t"))
+    val tot = scored.agg(count(lit(1)).as("n_tot"), sum("pos").as("n_pos"))
+    hist.crossJoin(broadcast(thr))
+      .filter(col("s_e4") >= col("t"))
+      .groupBy("t").agg(sum("c").as("n_pred"), sum("cp").as("tp"))
+      .join(broadcast(thr), Seq("t"), "right_outer")
+      .select(col("t"), coalesce(col("n_pred"), lit(0L)).as("n_pred"),
+        coalesce(col("tp"), lit(0L)).as("tp"))
+      .crossJoin(broadcast(tot))
+      .select(col("t"), col("n_pred"), col("tp"),
+        (col("n_pred") - col("tp")).as("fp"),
+        (col("n_pos") - col("tp")).as("fn"),
+        expr("CASE WHEN n_pred = 0 THEN NULL ELSE tp * 10000 div n_pred END")
+          .as("precision_e4"),
+        expr("tp * 10000 div n_pos").as("recall_e4"),
+        expr("2 * tp * 10000 div (n_pred + n_pos)").as("f1_e4"))
+  }
+
   // =====================================================================
   // Registry
   // =====================================================================
@@ -4019,6 +4050,7 @@ object SparkEntry {
     "a_gap_fill" -> (aGapFill _),
     "s_auc" -> (sAuc _),
     "s_calibration" -> (sCalibration _),
+    "s_pr_curve" -> (sPrCurve _),
     "m_asset_meta" -> (mAssetMeta _),
     "m_audio_meta" -> (mAudioMeta _),
     "m_frame_sample" -> (mFrameSample _),
