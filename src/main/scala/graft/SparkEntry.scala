@@ -3675,11 +3675,21 @@ object SparkEntry {
     * the FULL probability frame (w1, w2, c12, p_kn_e6), factored so
     * the spec can feed a hand corpus and so the trigram model can
     * interpolate against it. */
-  private[graft] def kneserNeyProbs(occ: DataFrame): DataFrame = {
-    val c = occ.groupBy(
-        element_at(split(col("s"), " "), 1).as("w1"),
-        element_at(split(col("s"), " "), 2).as("w2"))
-      .agg(count(lit(1)).as("c12"))
+  private[graft] def kneserNeyProbs(occ: DataFrame): DataFrame =
+    // two registry rows consume this frame (the bigram top-k and the
+    // trigram interpolation's lower-order model) — materialize once,
+    // the bigram-lm convention
+    graft.ops.PlanCache.cachedBy("kn-bigram-probs",
+        occ.queryExecution.logical.semanticHash(), occ.sparkSession) {
+      kneserNeyProbsUncached(occ)
+    }
+
+  private def kneserNeyProbsUncached(occ: DataFrame): DataFrame = {
+    // aggregate on the raw shingle STRING first (map-side combine over
+    // the occurrence stream), split once per DISTINCT bigram after
+    val c = occ.groupBy("s").agg(count(lit(1)).as("c12"))
+      .select(element_at(split(col("s"), " "), 1).as("w1"),
+        element_at(split(col("s"), " "), 2).as("w2"), col("c12"))
     val byW1 = c.groupBy("w1").agg(sum("c12").as("c1"), count(lit(1)).as("n1f"))
     val byW2 = c.groupBy("w2").agg(count(lit(1)).as("n1p"))
     val nb = c.agg(count(lit(1)).as("nbt"))
@@ -3705,13 +3715,15 @@ object SparkEntry {
     * drops rows. Four partial aggs + one TakeOrdered, no window. */
   private def tTrigramKn(s: SparkSession, dir: String): DataFrame = {
     val docs = T(s, dir, "documents")
-    val occ3 = docs.select(
-      explode(graft.codec.Codecs.shingles(Codecs.tokens(col("text")), 3)).as("s"))
-    val tri = occ3.groupBy(
-        element_at(split(col("s"), " "), 1).as("w1"),
+    // project the token array FIRST: shingles references its input
+    // n+2 times, and an inlined tokens(text) would re-tokenize per
+    // reference (measured 20× on the corpus scan — ProbeKn)
+    val occ3 = docs.select(Codecs.tokens(col("text")).as("tk"))
+      .select(explode(graft.codec.Codecs.shingles(col("tk"), 3)).as("s"))
+    val tri = occ3.groupBy("s").agg(count(lit(1)).as("c123"))
+      .select(element_at(split(col("s"), " "), 1).as("w1"),
         element_at(split(col("s"), " "), 2).as("w2"),
-        element_at(split(col("s"), " "), 3).as("w3"))
-      .agg(count(lit(1)).as("c123"))
+        element_at(split(col("s"), " "), 3).as("w3"), col("c123"))
     val byCtx = tri.groupBy("w1", "w2")
       .agg(sum("c123").as("c12ctx"), count(lit(1)).as("n1f12"))
     val lower = kneserNeyProbs(TextOps.bigramOccurrences(docs))

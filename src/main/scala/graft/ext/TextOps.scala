@@ -235,7 +235,8 @@ object TextOps {
   def bigramOccurrences(docs: DataFrame): DataFrame =
     graft.ops.PlanCache.cachedBy("bigram-occ",
         docs.queryExecution.logical.semanticHash(), docs.sparkSession) {
-      docs.select(col("doc_id"), explode(shingles(tokens(col("text")), 2)).as("s"))
+      docs.select(col("doc_id"), tokens(col("text")).as("tk"))
+        .select(col("doc_id"), explode(shingles(col("tk"), 2)).as("s"))
     }
 
   /** Per-bigram document frequency over [[bigramOccurrences]] — shared
