@@ -4153,5 +4153,46 @@ SELECT least(s_e4 // 1000, 9) AS bin, count(*) AS n,
        sum(s_e4) // count(*) AS mean_pred_e4,
        sum(CASE WHEN label < 5 THEN 1 ELSE 0 END) * 10000 // count(*) AS frac_pos_e4
 FROM scored GROUP BY 1""",
+
+    // NDCG@10 + AP@10 per query over the exact cosine top-10;
+    // relevance = shared label, discounts are the e6-fixed literals
+    // graft.SparkEntry.NdcgDiscE6 — no transcendental runs here either
+    "s_rank_eval" -> s"""$VECS, q AS (
+  SELECT vec_id AS q_id, label AS q_label, v AS qv, nrm AS qn
+  FROM nv WHERE vec_id < 8
+), s AS (
+  SELECT q_id, q_label, vec_id, label AS n_label,
+         list_dot_product(qv, v) / (qn * nrm) AS cos
+  FROM q JOIN nv ON vec_id >= 8
+), nn AS (
+  SELECT q_id, q_label, vec_id, n_label, rnk FROM (
+    SELECT q_id, q_label, vec_id, n_label, cos,
+           row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rnk
+    FROM s)
+  WHERE rnk <= 10
+), nrel AS (
+  SELECT qq.vec_id AS q_id, CAST(count(cc.vec_id) AS BIGINT) AS n_rel
+  FROM nv qq LEFT JOIN nv cc ON cc.vec_id >= 8 AND cc.label = qq.label
+  WHERE qq.vec_id < 8 GROUP BY 1
+), terms AS (
+  SELECT nn.q_id, q_label, n_rel,
+         CAST(n_label = q_label AS BIGINT) AS rel, rnk,
+         sum(CAST(n_label = q_label AS BIGINT))
+           OVER (PARTITION BY nn.q_id ORDER BY rnk) AS hits
+  FROM nn JOIN nrel ON nn.q_id = nrel.q_id
+), agg AS (
+  SELECT q_id, q_label, n_rel,
+         CAST(sum(rel) AS BIGINT) AS hits10,
+         CAST(sum(rel * ([${graft.SparkEntry.NdcgDiscE6.mkString(", ")}])[rnk]) AS BIGINT) AS dcg_e6,
+         CASE WHEN n_rel = 0 THEN NULL
+              ELSE CAST(([${graft.SparkEntry.NdcgIdcgE6.mkString(", ")}])[least(n_rel, 10)] AS BIGINT) END AS idcg_e6,
+         CAST(sum(rel * (hits * 10000 // rnk)) AS BIGINT) AS ap_sum_e4
+  FROM terms GROUP BY 1, 2, 3)
+SELECT q_id, q_label, n_rel, hits10, dcg_e6, idcg_e6,
+  CASE WHEN idcg_e6 IS NULL THEN NULL
+       ELSE dcg_e6 * 10000 // idcg_e6 END AS ndcg_e4,
+  CASE WHEN n_rel = 0 THEN NULL
+       ELSE ap_sum_e4 // least(n_rel, 10) END AS ap_e4
+FROM agg""",
   )
 }

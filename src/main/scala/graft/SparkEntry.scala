@@ -3433,6 +3433,62 @@ object SparkEntry {
         col("best_rnk"))
   }
 
+  /** Graded-ranking discounts 1/log₂(r+1) for ranks 1..10, fixed at
+    * e6 so NDCG stays integer arithmetic — shared with the oracle
+    * generator (the [[ModelWeights]] convention). */
+  val NdcgDiscE6: Seq[Long] =
+    (1 to 10).map(r => Math.round(1e6 * Math.log(2) / Math.log(r + 1.0)))
+
+  /** Prefix sums of [[NdcgDiscE6]]: the ideal DCG when the first
+    * min(n_rel, 10) positions are all relevant. */
+  val NdcgIdcgE6: Seq[Long] = NdcgDiscE6.scanLeft(0L)(_ + _).tail
+
+  /** Retrieval-quality report card — NDCG@10 and AP@10 per query over
+    * the EXACT cosine top-10 (same ranked frame and tie-break every
+    * ANN dial is audited against), with "relevant" = the neighbor
+    * shares the query's label. Both metrics are pure integer
+    * arithmetic: the log₂ discounts are e6-fixed literals
+    * ([[NdcgDiscE6]]) and the ideal DCG is their prefix-sum literal
+    * indexed at min(n_rel, 10), so no transcendental function runs in
+    * either engine. The per-query window ranks ≤ 10 rows; n_rel comes
+    * from a broadcast label-histogram join, so the whole plan is one
+    * corpus scan + bounded per-query work — the shape that holds when
+    * the query set is a panel of thousands against a 100 TB corpus. */
+  private def sRankEval(s: SparkSession, dir: String): DataFrame = {
+    val emb = T(s, dir, "embeddings")
+    val nn = Similarity.bruteForceTopK(emb, col("vec_id") < 8, 10)
+    val qlab = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("q_id"), col("label").as("q_label"))
+    val corpusHist = emb.filter(col("vec_id") >= 8)
+      .groupBy(col("label").as("q_label")).agg(count(lit(1)).as("n_rel"))
+    val nrel = qlab.join(broadcast(corpusHist), Seq("q_label"), "left")
+      .select(col("q_id"), col("q_label"),
+        coalesce(col("n_rel"), lit(0L)).as("n_rel"))
+    val disc = array(NdcgDiscE6.map(lit): _*)
+    val idcgArr = array(NdcgIdcgE6.map(lit): _*)
+    val lab = emb.select(col("vec_id").as("neighbor_id"),
+      col("label").as("n_label"))
+    val w = Window.partitionBy("q_id").orderBy("rnk")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    nn.join(broadcast(lab), "neighbor_id")
+      .join(broadcast(nrel), "q_id")
+      .withColumn("rel", (col("n_label") === col("q_label")).cast("long"))
+      .withColumn("hits", sum("rel").over(w))
+      .withColumn("contrib", col("rel") * element_at(disc, col("rnk")))
+      .withColumn("ap_term", col("rel") * expr("hits * 10000 div rnk"))
+      .groupBy("q_id", "q_label", "n_rel")
+      .agg(sum("rel").as("hits10"), sum("contrib").as("dcg_e6"),
+        sum("ap_term").as("ap_sum_e4"))
+      .withColumn("idcg_e6", when(col("n_rel") > 0,
+        element_at(idcgArr, least(col("n_rel"), lit(10L)).cast("int"))))
+      .select(col("q_id"), col("q_label"), col("n_rel"), col("hits10"),
+        col("dcg_e6"), col("idcg_e6"),
+        expr("CASE WHEN idcg_e6 IS NULL THEN NULL" +
+          " ELSE dcg_e6 * 10000 div idcg_e6 END").as("ndcg_e4"),
+        expr("CASE WHEN n_rel = 0 THEN NULL" +
+          " ELSE ap_sum_e4 div least(n_rel, 10) END").as("ap_e4"))
+  }
+
   /** CUSUM changepoint statistics over the per-type daily value
     * series — the classical drift detector (Page 1954) in its
     * CLOSED-FORM prefix expression: S⁺ₜ = max(0, S⁺ₜ₋₁ + xₜ − μ − κ)
@@ -4063,6 +4119,7 @@ object SparkEntry {
     "s_auc" -> (sAuc _),
     "s_calibration" -> (sCalibration _),
     "s_pr_curve" -> (sPrCurve _),
+    "s_rank_eval" -> (sRankEval _),
     "m_asset_meta" -> (mAssetMeta _),
     "m_audio_meta" -> (mAudioMeta _),
     "m_frame_sample" -> (mFrameSample _),
