@@ -4194,5 +4194,36 @@ SELECT q_id, q_label, n_rel, hits10, dcg_e6, idcg_e6,
   CASE WHEN n_rel = 0 THEN NULL
        ELSE ap_sum_e4 // least(n_rel, 10) END AS ap_e4
 FROM agg""",
+
+    // chi-squared independence of event volume vs day-of-week, exact
+    // e4 fixed-point over the DENSIFIED contingency table
+    "a_chi2" -> """WITH ev AS (
+  SELECT event_type,
+         epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 % 7 AS dow
+  FROM events
+), obs AS (
+  SELECT event_type, dow, CAST(count(*) AS BIGINT) AS o FROM ev GROUP BY 1, 2
+), rt AS (SELECT event_type, CAST(sum(o) AS BIGINT) AS r FROM obs GROUP BY 1
+), ct AS (SELECT dow, CAST(sum(o) AS BIGINT) AS c FROM obs GROUP BY 1
+), tot AS (
+  SELECT CAST(sum(o) AS BIGINT) AS n,
+         CAST(count(DISTINCT event_type) AS BIGINT) AS n_types,
+         CAST(count(DISTINCT dow) AS BIGINT) AS n_dows
+  FROM obs
+), cells AS (
+  SELECT rt.event_type, ct.dow, r, c, coalesce(o, 0) AS o
+  FROM rt CROSS JOIN ct
+  LEFT JOIN obs ON obs.event_type = rt.event_type AND obs.dow = ct.dow
+), contrib AS (
+  SELECT n, n_types, n_dows,
+         CASE WHEN r * c * 10000 // n = 0 THEN NULL
+              ELSE (o * 10000 - r * c * 10000 // n)
+                 * (o * 10000 - r * c * 10000 // n)
+                 // ((r * c * 10000 // n) * 10000) END AS contrib_e4
+  FROM cells CROSS JOIN tot)
+SELECT n, n_types, n_dows, (n_types - 1) * (n_dows - 1) AS dof,
+       CAST(sum(contrib_e4) AS BIGINT) AS chi2_e4,
+       CAST(max(contrib_e4) AS BIGINT) AS max_contrib_e4
+FROM contrib GROUP BY 1, 2, 3""",
   )
 }

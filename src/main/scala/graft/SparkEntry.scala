@@ -3489,6 +3489,41 @@ object SparkEntry {
           " ELSE ap_sum_e4 div least(n_rel, 10) END").as("ap_e4"))
   }
 
+  /** χ² independence audit — is event volume independent of
+    * day-of-week across event types? The contingency table densifies
+    * to ALL row×column cells (a cross join of the two bounded margin
+    * aggregates — absent combinations must contribute their expected
+    * count), expected counts are exact truncating e4 fixed-point
+    * (e = r·c·10⁴ div N), and each cell's (o−e)²/e lands in e4 via
+    * ((o·10⁴−e_e4)² div (e_e4·10⁴)) — pure longs, safe to o ≈ 3·10⁵
+    * per cell; beyond that the same chain widens to DECIMAL(38,0).
+    * Plan: one scan → tiny margins → broadcast joins; the only
+    * cross join is margins × margins (n_types·7 rows). The classic
+    * pre-launch drift check a pipeline runs against its own history. */
+  private def aChi2(s: SparkSession, dir: String): DataFrame = {
+    val ev = T(s, dir, "events").select(col("event_type"),
+      expr("unix_micros(ts) div 86400000000 % 7").as("dow"))
+    val obs = ev.groupBy("event_type", "dow").agg(count(lit(1)).as("o"))
+    val rowT = obs.groupBy("event_type").agg(sum("o").as("r"))
+    val colT = obs.groupBy("dow").agg(sum("o").as("c"))
+    val tot = obs.agg(sum("o").as("n"),
+      countDistinct("event_type").as("n_types"),
+      countDistinct("dow").as("n_dows"))
+    rowT.crossJoin(broadcast(colT))
+      .join(obs, Seq("event_type", "dow"), "left")
+      .withColumn("o", coalesce(col("o"), lit(0L)))
+      .crossJoin(broadcast(tot))
+      .withColumn("e_e4", expr("r * c * 10000 div n"))
+      .withColumn("contrib_e4", expr(
+        "CASE WHEN e_e4 = 0 THEN NULL ELSE" +
+          " (o * 10000 - e_e4) * (o * 10000 - e_e4) div (e_e4 * 10000) END"))
+      .groupBy("n", "n_types", "n_dows")
+      .agg(sum("contrib_e4").as("chi2_e4"), max("contrib_e4").as("max_contrib_e4"))
+      .select(col("n"), col("n_types"), col("n_dows"),
+        ((col("n_types") - 1) * (col("n_dows") - 1)).as("dof"),
+        col("chi2_e4"), col("max_contrib_e4"))
+  }
+
   /** CUSUM changepoint statistics over the per-type daily value
     * series — the classical drift detector (Page 1954) in its
     * CLOSED-FORM prefix expression: S⁺ₜ = max(0, S⁺ₜ₋₁ + xₜ − μ − κ)
@@ -4120,6 +4155,7 @@ object SparkEntry {
     "s_calibration" -> (sCalibration _),
     "s_pr_curve" -> (sPrCurve _),
     "s_rank_eval" -> (sRankEval _),
+    "a_chi2" -> (aChi2 _),
     "m_asset_meta" -> (mAssetMeta _),
     "m_audio_meta" -> (mAudioMeta _),
     "m_frame_sample" -> (mFrameSample _),
