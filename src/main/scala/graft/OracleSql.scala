@@ -4225,5 +4225,64 @@ SELECT n, n_types, n_dows, (n_types - 1) * (n_dows - 1) AS dof,
        CAST(sum(contrib_e4) AS BIGINT) AS chi2_e4,
        CAST(max(contrib_e4) AS BIGINT) AS max_contrib_e4
 FROM contrib GROUP BY 1, 2, 3""",
+
+    // longest consecutive-day streak per user (gaps-and-islands);
+    // best = longest then earliest start
+    "a_streaks" -> """WITH days AS (
+  SELECT DISTINCT user_id,
+         epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day
+  FROM events
+), isl AS (
+  SELECT user_id, day,
+         day - dense_rank() OVER (PARTITION BY user_id ORDER BY day) AS grp
+  FROM days
+), st AS (
+  SELECT user_id, grp, CAST(count(*) AS BIGINT) AS len, min(day) AS start_day
+  FROM isl GROUP BY 1, 2
+), rk AS (
+  SELECT user_id, len, start_day,
+         row_number() OVER (PARTITION BY user_id
+           ORDER BY len DESC, start_day) AS rn
+  FROM st
+), agg AS (
+  SELECT user_id, CAST(sum(len) AS BIGINT) AS n_active_days,
+         CAST(count(*) AS BIGINT) AS n_streaks
+  FROM st GROUP BY 1)
+SELECT agg.user_id, n_active_days, n_streaks,
+       len AS best_len, start_day AS best_start_day
+FROM agg JOIN rk ON agg.user_id = rk.user_id AND rn = 1""",
+
+    // RAKE keywords: phrases = non-stopword runs, word score =
+    // deg*1e4 // freq, phrase score = sum of member scores; top 30
+    "t_rake" -> """WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+                     t -> len(t) > 0) AS tk
+  FROM documents
+), pt AS (
+  SELECT doc_id, pos, tk[pos] AS t
+  FROM toks, unnest(range(1, len(tk) + 1)) AS r(pos)
+), ns AS (
+  SELECT doc_id, pos, t,
+         pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+  FROM pt WHERE t NOT IN ('the','and','of','to','is','in','a')
+), ph AS (
+  SELECT doc_id, grp, CAST(count(*) AS BIGINT) AS plen,
+         string_agg(t, ' ' ORDER BY pos) AS phrase
+  FROM ns GROUP BY 1, 2
+), ws AS (
+  SELECT t, CAST(count(*) AS BIGINT) AS freq,
+         CAST(sum(plen) AS BIGINT) AS deg
+  FROM ns JOIN ph USING (doc_id, grp) GROUP BY t
+), pscore AS (
+  SELECT ns.doc_id, ns.grp,
+         CAST(sum(deg * 10000 // freq) AS BIGINT) AS score_e4
+  FROM ns JOIN ws ON ns.t = ws.t GROUP BY 1, 2)
+SELECT phrase, CAST(max(plen) AS BIGINT) AS n_words,
+       CAST(count(*) AS BIGINT) AS n_occ,
+       CAST(max(score_e4) AS BIGINT) AS score_e4
+FROM ph JOIN pscore USING (doc_id, grp)
+GROUP BY phrase
+ORDER BY score_e4 DESC, phrase LIMIT 30""",
   )
 }

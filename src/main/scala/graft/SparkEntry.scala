@@ -3524,6 +3524,67 @@ object SparkEntry {
         col("chi2_e4"), col("max_contrib_e4"))
   }
 
+  /** Longest consecutive-day activity streak per user — the classic
+    * gaps-and-islands engagement metric. Distinct active days shrink
+    * the frame first; islands come from the day − dense_rank trick
+    * under a PER-USER window (no global sort anywhere), and the best
+    * streak picks deterministically via a lexicographic struct max
+    * (longest, then earliest start — encoded as max(len, −start)), so
+    * the whole query is two partial-agg shuffles on user_id. At
+    * 100 TB the distinct-day projection is the big win: the window
+    * only ever sees one row per user-day. */
+  private def aStreaks(s: SparkSession, dir: String): DataFrame = {
+    val days = T(s, dir, "events").select(col("user_id"),
+      expr("unix_micros(ts) div 86400000000").as("day")).distinct()
+    val w = Window.partitionBy("user_id").orderBy("day")
+    val st = days.withColumn("grp", col("day") - dense_rank().over(w))
+      .groupBy("user_id", "grp")
+      .agg(count(lit(1)).as("len"), min("day").as("start_day"))
+    st.groupBy("user_id")
+      .agg(sum("len").as("n_active_days"), count(lit(1)).as("n_streaks"),
+        max(struct(col("len"), (-col("start_day")).as("ns"))).as("b"))
+      .select(col("user_id"), col("n_active_days"), col("n_streaks"),
+        col("b.len").as("best_len"), (-col("b.ns")).as("best_start_day"))
+  }
+
+  /** RAKE keyword extraction (Rose et al. 2010) over the document
+    * corpus: candidate phrases are maximal runs of non-stopword
+    * tokens (the tiny shared en stopword list — the corpus's own
+    * lang-id convention), word degree/frequency accumulate over
+    * phrase members, word score = deg·10⁴ div freq (exact), and a
+    * phrase scores as the sum of its members' scores. Islands come
+    * from pos − row_number under a PER-DOC window; phrase text
+    * re-assembles order-deterministically via array_sort over
+    * (pos, token) structs. The global top-30 is orderBy+limit —
+    * Spark plans TakeOrderedAndProject (per-partition heads, one
+    * merge), never a full sort. Word-score join is a broadcast (the
+    * vocabulary aggregate). */
+  private def tRake(s: SparkSession, dir: String): DataFrame = {
+    val stop = Seq("the", "and", "of", "to", "is", "in", "a")
+    val toks = T(s, dir, "documents").select(col("doc_id"),
+      filter(split(lower(trim(col("text"))), "\\s+"),
+        t => length(t) > 0).as("tk"))
+    val pt = toks.select(col("doc_id"),
+      posexplode(col("tk")).as(Seq("pos0", "t")))
+      .select(col("doc_id"), (col("pos0") + 1).as("pos"), col("t"))
+    val ns = pt.filter(!col("t").isin(stop: _*))
+      .withColumn("grp", col("pos") -
+        row_number().over(Window.partitionBy("doc_id").orderBy("pos")))
+    val ph = ns.groupBy("doc_id", "grp").agg(count(lit(1)).as("plen"),
+      concat_ws(" ", transform(
+        array_sort(collect_list(struct(col("pos"), col("t")))),
+        x => x.getField("t"))).as("phrase"))
+    val ws = ns.join(ph.select("doc_id", "grp", "plen"), Seq("doc_id", "grp"))
+      .groupBy("t").agg(count(lit(1)).as("freq"), sum("plen").as("deg"))
+      .withColumn("wscore_e4", expr("deg * 10000 div freq"))
+    val pscore = ns.join(broadcast(ws.select("t", "wscore_e4")), "t")
+      .groupBy("doc_id", "grp").agg(sum("wscore_e4").as("score_e4"))
+    ph.join(pscore, Seq("doc_id", "grp"))
+      .groupBy("phrase").agg(max("plen").as("n_words"),
+        count(lit(1)).as("n_occ"), max("score_e4").as("score_e4"))
+      .orderBy(col("score_e4").desc, col("phrase")).limit(30)
+  }
+
   /** CUSUM changepoint statistics over the per-type daily value
     * series — the classical drift detector (Page 1954) in its
     * CLOSED-FORM prefix expression: S⁺ₜ = max(0, S⁺ₜ₋₁ + xₜ − μ − κ)
@@ -4156,6 +4217,8 @@ object SparkEntry {
     "s_pr_curve" -> (sPrCurve _),
     "s_rank_eval" -> (sRankEval _),
     "a_chi2" -> (aChi2 _),
+    "a_streaks" -> (aStreaks _),
+    "t_rake" -> (tRake _),
     "m_asset_meta" -> (mAssetMeta _),
     "m_audio_meta" -> (mAudioMeta _),
     "m_frame_sample" -> (mFrameSample _),
