@@ -4284,5 +4284,42 @@ SELECT phrase, CAST(max(plen) AS BIGINT) AS n_words,
 FROM ph JOIN pscore USING (doc_id, grp)
 GROUP BY phrase
 ORDER BY score_e4 DESC, phrase LIMIT 30""",
+
+    // data-contract audit: one conditional-aggregate pass per table,
+    // unpivoted to per-rule rows, plus the FK anti-join count
+    "p_contract_audit" -> """WITH li AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CASE WHEN l_quantity < 1 OR l_quantity > 50 THEN 1 ELSE 0 END) AS BIGINT) AS v1,
+         CAST(sum(CASE WHEN l_discount < 0 OR l_discount > 0.1 THEN 1 ELSE 0 END) AS BIGINT) AS v2,
+         CAST(sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v3
+  FROM lineitem
+), ord AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS v1,
+         CAST(sum(CASE WHEN o_orderstatus NOT IN ('O','F','P') THEN 1 ELSE 0 END) AS BIGINT) AS v2,
+         CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT) AS v3
+  FROM orders
+), ev AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v1,
+         CAST(sum(CASE WHEN user_id < 0 THEN 1 ELSE 0 END) AS BIGINT) AS v2,
+         CAST(sum(CASE WHEN event_type IS NULL OR len(event_type) = 0 THEN 1 ELSE 0 END) AS BIGINT) AS v3
+  FROM events
+), fk AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_violations
+  FROM lineitem WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+), rows_ AS (
+  SELECT 'lineitem' AS table_name, n, 'qty_in_1_50' AS rule, v1 AS n_violations FROM li
+  UNION ALL SELECT 'lineitem', n, 'discount_in_0_01', v2 FROM li
+  UNION ALL SELECT 'lineitem', n, 'shipdate_not_null', v3 FROM li
+  UNION ALL SELECT 'orders', n, 'totalprice_positive', v1 FROM ord
+  UNION ALL SELECT 'orders', n, 'status_enum', v2 FROM ord
+  UNION ALL SELECT 'orders', n, 'orderkey_unique', v3 FROM ord
+  UNION ALL SELECT 'events', n, 'value_not_null', v1 FROM ev
+  UNION ALL SELECT 'events', n, 'user_id_nonneg', v2 FROM ev
+  UNION ALL SELECT 'events', n, 'event_type_nonempty', v3 FROM ev
+  UNION ALL SELECT 'lineitem', CAST(NULL AS BIGINT), 'orderkey_fk', n_violations FROM fk)
+SELECT table_name, n, rule, n_violations, n_violations = 0 AS pass
+FROM rows_""",
   )
 }

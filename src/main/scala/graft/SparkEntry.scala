@@ -3585,6 +3585,53 @@ object SparkEntry {
       .orderBy(col("score_e4").desc, col("phrase")).limit(30)
   }
 
+  /** Data-contract audit — the declarative "assert before you train"
+    * gate: every ingest contract rule (range, enum membership,
+    * non-null, key uniqueness, referential integrity) evaluates to a
+    * violation count. The plan is the point: all rules of one table
+    * fold into ONE conditional-aggregate scan of that table
+    * (sum(CASE) per rule), the per-table vectors unpivot with stack(),
+    * and the single cross-table rule (lineitem→orders FK) is a
+    * broadcast-able anti-join count — so the audit costs exactly one
+    * pass per audited table at 100 TB, not one pass per rule. */
+  private def pContractAudit(s: SparkSession, dir: String): DataFrame = {
+    def viol(c: Column) = sum(c.cast("long"))
+    val li = T(s, dir, "lineitem").agg(
+      count(lit(1)).as("n"),
+      viol(col("l_quantity") < 1 || col("l_quantity") > 50).as("v1"),
+      viol(col("l_discount") < 0 || col("l_discount") > 0.1).as("v2"),
+      viol(col("l_shipdate").isNull).as("v3"))
+      .select(lit("lineitem").as("table_name"), col("n"), expr(
+        "stack(3, 'qty_in_1_50', v1, 'discount_in_0_01', v2," +
+          " 'shipdate_not_null', v3) AS (rule, n_violations)"))
+    val ord = T(s, dir, "orders").agg(
+      count(lit(1)).as("n"),
+      viol(col("o_totalprice") <= 0).as("v1"),
+      viol(!col("o_orderstatus").isin("O", "F", "P")).as("v2"),
+      (count(lit(1)) - countDistinct(col("o_orderkey"))).as("v3"))
+      .select(lit("orders").as("table_name"), col("n"), expr(
+        "stack(3, 'totalprice_positive', v1, 'status_enum', v2," +
+          " 'orderkey_unique', v3) AS (rule, n_violations)"))
+    val ev = T(s, dir, "events").agg(
+      count(lit(1)).as("n"),
+      viol(col("value").isNull).as("v1"),
+      viol(col("user_id") < 0).as("v2"),
+      viol(length(col("event_type")) === 0 || col("event_type").isNull).as("v3"))
+      .select(lit("events").as("table_name"), col("n"), expr(
+        "stack(3, 'value_not_null', v1, 'user_id_nonneg', v2," +
+          " 'event_type_nonempty', v3) AS (rule, n_violations)"))
+    val fk = T(s, dir, "lineitem").select(col("l_orderkey"))
+      .join(T(s, dir, "orders").select(col("o_orderkey")),
+        col("l_orderkey") === col("o_orderkey"), "left_anti")
+      .agg(count(lit(1)).as("n_violations"))
+      .select(lit("lineitem").as("table_name"), lit(null).cast("long").as("n"),
+        lit("orderkey_fk").as("rule"), col("n_violations"))
+    li.unionByName(ord).unionByName(ev)
+      .select(col("table_name"), col("n"), col("rule"), col("n_violations"))
+      .unionByName(fk)
+      .withColumn("pass", col("n_violations") === 0)
+  }
+
   /** CUSUM changepoint statistics over the per-type daily value
     * series — the classical drift detector (Page 1954) in its
     * CLOSED-FORM prefix expression: S⁺ₜ = max(0, S⁺ₜ₋₁ + xₜ − μ − κ)
@@ -4219,6 +4266,7 @@ object SparkEntry {
     "a_chi2" -> (aChi2 _),
     "a_streaks" -> (aStreaks _),
     "t_rake" -> (tRake _),
+    "p_contract_audit" -> (pContractAudit _),
     "m_asset_meta" -> (mAssetMeta _),
     "m_audio_meta" -> (mAudioMeta _),
     "m_frame_sample" -> (mFrameSample _),
