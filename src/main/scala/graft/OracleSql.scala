@@ -4321,5 +4321,76 @@ ORDER BY score_e4 DESC, phrase LIMIT 30""",
   UNION ALL SELECT 'lineitem', CAST(NULL AS BIGINT), 'orderkey_fk', n_violations FROM fk)
 SELECT table_name, n, rule, n_violations, n_violations = 0 AS pass
 FROM rows_""",
+
+    // exact average precision over ALL operating points of the score
+    // histogram, plus the best-F1 point (highest F1, then threshold)
+    "s_pr_auc" -> s"""WITH scored AS (
+  SELECT CAST(label < 5 AS BIGINT) AS pos,
+         CAST(round((1.0 / (1.0 + exp(-(list_dot_product(
+    list_transform(embedding, x -> CAST(x AS DOUBLE)),
+    [${graft.SparkEntry.ModelWeights.mkString(", ")}]) + 0.1)))) * 10000) AS BIGINT) AS s_e4
+  FROM embeddings
+), hist AS (SELECT s_e4, CAST(count(*) AS BIGINT) AS c,
+                   CAST(sum(pos) AS BIGINT) AS cp
+            FROM scored GROUP BY 1
+), tot AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                  CAST(sum(pos) AS BIGINT) AS n_pos FROM scored
+), cum AS (
+  SELECT s_e4, cp,
+         CAST(sum(cp) OVER (ORDER BY s_e4 DESC) AS BIGINT) AS tp,
+         CAST(sum(c) OVER (ORDER BY s_e4 DESC) AS BIGINT) AS n_pred
+  FROM hist
+), terms AS (
+  SELECT n, n_pos, s_e4,
+         cp * (tp * 1000000 // n_pred) AS term_e6,
+         2 * tp * 10000 // (n_pred + n_pos) AS f1_e4
+  FROM cum CROSS JOIN tot
+), best AS (
+  SELECT n, n_pos, s_e4 AS best_f1_thr_e4, f1_e4 AS best_f1_e4
+  FROM (SELECT *, row_number() OVER (ORDER BY f1_e4 DESC, s_e4 DESC) AS rk
+        FROM terms)
+  WHERE rk = 1)
+SELECT t.n, t.n_pos,
+       CAST(count(*) AS BIGINT) AS n_thresholds,
+       CAST(sum(term_e6) // max(t.n_pos) AS BIGINT) AS ap_e6,
+       max(best_f1_e4) AS best_f1_e4, max(best_f1_thr_e4) AS best_f1_thr_e4
+FROM terms t CROSS JOIN best GROUP BY t.n, t.n_pos""",
+
+    // cluster-quality in exact integer geometry: e4-quantized
+    // embeddings, truncating-mean centroids, squared distances only
+    "s_cluster_quality" -> """WITH e AS (
+  SELECT vec_id, label,
+         list_transform(embedding,
+           x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS ve4
+  FROM embeddings
+), nl AS (SELECT label, CAST(count(*) AS BIGINT) AS n FROM e GROUP BY 1
+), s AS (
+  SELECT label, dim, CAST(sum(ve4[dim]) AS BIGINT) AS sv
+  FROM e, unnest(range(1, 65)) AS r(dim) GROUP BY 1, 2
+), c AS (
+  SELECT s.label, n, list(sv // n ORDER BY dim) AS ce4
+  FROM s JOIN nl USING (label) GROUP BY s.label, n
+), d AS (
+  SELECT e.label,
+         CAST(list_sum(list_transform(range(1, 65),
+           i -> (ve4[i] - ce4[i]) * (ve4[i] - ce4[i]))) AS BIGINT) AS d2
+  FROM e JOIN c USING (label)
+), coh AS (
+  SELECT label, CAST(sum(d2) // count(*) AS BIGINT) AS cohesion_d2_mean
+  FROM d GROUP BY 1
+), sep AS (
+  SELECT label, sd2 AS sep_d2, other_label AS nearest_label FROM (
+    SELECT a.label, b.label AS other_label,
+           CAST(list_sum(list_transform(range(1, 65),
+             i -> (a.ce4[i] - b.ce4[i]) * (a.ce4[i] - b.ce4[i]))) AS BIGINT) AS sd2,
+           row_number() OVER (PARTITION BY a.label
+             ORDER BY list_sum(list_transform(range(1, 65),
+               i -> (a.ce4[i] - b.ce4[i]) * (a.ce4[i] - b.ce4[i]))), b.label) AS rk
+    FROM c a JOIN c b ON a.label <> b.label)
+  WHERE rk = 1)
+SELECT c.label, n, cohesion_d2_mean, nearest_label, sep_d2,
+       CASE WHEN sep_d2 = 0 THEN NULL
+            ELSE cohesion_d2_mean * 10000 // sep_d2 END AS ratio_e4
+FROM c JOIN coh USING (label) JOIN sep USING (label)""",
   )
 }

@@ -4031,6 +4031,79 @@ object SparkEntry {
         expr("2 * tp * 10000 div (n_pred + n_pos)").as("f1_e4"))
   }
 
+  /** Area under the precision–recall curve — EXACT average precision
+    * over ALL distinct operating points, not the 21-threshold table
+    * of [[sPrCurve]]: AP = Σ ΔTP·(TP/n_pred) over the score
+    * histogram's cumulative sweep, every term an integer (e6 per-term
+    * truncation mirrored in the oracle). The only window orders the
+    * BOUNDED histogram (≤ 10001 rows by the e4 score domain — the
+    * s_auc convention: windows above aggregates, never above the
+    * data), so the plan is scan → partial agg → tiny sweep at any
+    * scale. Also reports the best-F1 operating point via a
+    * lexicographic struct max (highest F1, then highest threshold). */
+  private def sPrAuc(s: SparkSession, dir: String): DataFrame = {
+    val scored = modelScoreE4(s, dir)
+      .select(col("s_e4"), (col("label") < 5).cast("long").as("pos"))
+    val hist = scored.groupBy("s_e4")
+      .agg(count(lit(1)).as("c"), sum("pos").as("cp"))
+    val tot = scored.agg(count(lit(1)).as("n"), sum("pos").as("n_pos"))
+    val w = Window.orderBy(col("s_e4").desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    hist.withColumn("tp", sum("cp").over(w))
+      .withColumn("n_pred", sum("c").over(w))
+      .crossJoin(broadcast(tot))
+      .withColumn("term_e6", col("cp") * expr("tp * 1000000 div n_pred"))
+      .withColumn("f1_e4", expr("2 * tp * 10000 div (n_pred + n_pos)"))
+      .groupBy("n", "n_pos")
+      .agg(count(lit(1)).as("n_thresholds"),
+        expr("sum(term_e6) div max(n_pos)").as("ap_e6"),
+        max(struct(col("f1_e4"), col("s_e4"))).as("b"))
+      .select(col("n"), col("n_pos"), col("n_thresholds"), col("ap_e6"),
+        col("b.f1_e4").as("best_f1_e4"), col("b.s_e4").as("best_f1_thr_e4"))
+  }
+
+  /** Cluster-quality report over the label clustering in EXACT
+    * integer geometry: embeddings quantize to e4 longs (translation-
+    * free squared distances stay exact), per-label centroids are
+    * truncating-mean vectors, cohesion is the mean member→centroid
+    * squared distance and separation the nearest other-centroid
+    * squared distance — a Davies–Bouldin-style ratio with no sqrt and
+    * no floating accumulation anywhere, so the row hash-matches the
+    * oracle bit-for-bit. Plan: one scan → (label, dim) partial aggs →
+    * k-row centroid frame broadcast back for the distance pass; the
+    * k² separation table is a broadcast cross join of k rows. */
+  private def sClusterQuality(s: SparkSession, dir: String): DataFrame = {
+    val emb = T(s, dir, "embeddings").select(col("vec_id"), col("label"),
+      transform(col("embedding"),
+        x => round(x.cast("double") * 10000).cast("long")).as("ve4"))
+    val counts = emb.groupBy("label").agg(count(lit(1)).as("n"))
+    val cents = emb.select(col("label"), posexplode(col("ve4")).as(Seq("dim", "v")))
+      .groupBy("label", "dim").agg(sum("v").as("sv"))
+      .join(broadcast(counts), "label")
+      .groupBy("label").agg(max("n").as("n"),
+        transform(array_sort(collect_list(struct(col("dim"),
+          expr("sv div n").as("cv")))), x => x.getField("cv")).as("ce4"))
+    val d2 = (a: Column, b: Column) => aggregate(
+      zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0L), _ + _)
+    val coh = emb.join(broadcast(cents.select("label", "ce4")), "label")
+      .withColumn("d2own", d2(col("ve4"), col("ce4")))
+      .groupBy("label").agg(expr("sum(d2own) div count(1)").as("cohesion_d2_mean"))
+    val sep = cents.select(col("label"), col("ce4"))
+      .crossJoin(broadcast(cents.select(col("label").as("other_label"),
+        col("ce4").as("oe4"))))
+      .filter(col("label") =!= col("other_label"))
+      .withColumn("sd2", d2(col("ce4"), col("oe4")))
+      .groupBy("label")
+      .agg(min(struct(col("sd2"), col("other_label"))).as("b"))
+      .select(col("label"), col("b.sd2").as("sep_d2"),
+        col("b.other_label").as("nearest_label"))
+    cents.select("label", "n").join(coh, "label").join(sep, "label")
+      .select(col("label"), col("n"), col("cohesion_d2_mean"),
+        col("nearest_label"), col("sep_d2"),
+        expr("CASE WHEN sep_d2 = 0 THEN NULL" +
+          " ELSE cohesion_d2_mean * 10000 div sep_d2 END").as("ratio_e4"))
+  }
+
   // =====================================================================
   // Registry
   // =====================================================================
@@ -4267,6 +4340,8 @@ object SparkEntry {
     "a_streaks" -> (aStreaks _),
     "t_rake" -> (tRake _),
     "p_contract_audit" -> (pContractAudit _),
+    "s_pr_auc" -> (sPrAuc _),
+    "s_cluster_quality" -> (sClusterQuality _),
     "m_asset_meta" -> (mAssetMeta _),
     "m_audio_meta" -> (mAudioMeta _),
     "m_frame_sample" -> (mFrameSample _),
