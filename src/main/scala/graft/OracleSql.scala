@@ -4392,5 +4392,77 @@ SELECT c.label, n, cohesion_d2_mean, nearest_label, sep_d2,
        CASE WHEN sep_d2 = 0 THEN NULL
             ELSE cohesion_d2_mean * 10000 // sep_d2 END AS ratio_e4
 FROM c JOIN coh USING (label) JOIN sep USING (label)""",
+
+    // integer Bollinger: (n·x − Σx)² > k²·(n·Σx² − (Σx)²) on the
+    // trailing 7 observed days, breaches only
+    "a_bollinger_breach" -> """WITH daily AS (
+  SELECT event_type,
+         epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+         CAST(sum(CAST(round(value * 10000) AS BIGINT)) AS BIGINT)
+           // CAST(count(*) AS BIGINT) AS x
+  FROM events GROUP BY 1, 2
+), w AS (
+  SELECT event_type, day, x,
+         CAST(count(*) OVER tw AS BIGINT) AS nw,
+         CAST(sum(x) OVER tw AS BIGINT) AS sx,
+         CAST(sum(x * x) OVER tw AS BIGINT) AS sxx
+  FROM daily
+  WINDOW tw AS (PARTITION BY event_type ORDER BY day
+                ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))
+SELECT event_type, day, x AS x_fx,
+       (7 * x - sx) * (7 * x - sx) AS dev2,
+       7 * sxx - sx * sx AS var7,
+       7 * x - sx > 0 AS hi
+FROM w
+WHERE nw = 7 AND (7 * x - sx) * (7 * x - sx) > 4 * (7 * sxx - sx * sx)""",
+
+    // exact two-sample KS on cent-quantized values: D clears its
+    // denominators, argmax reports the earliest threshold
+    "a_ks_test" -> """WITH vals AS (
+  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS v_e2
+  FROM events WHERE event_type IN ('click', 'view')
+), hist AS (
+  SELECT v_e2,
+         CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+         CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS c2
+  FROM vals GROUP BY 1
+), tot AS (SELECT CAST(sum(c1) AS BIGINT) AS n1,
+                  CAST(sum(c2) AS BIGINT) AS n2 FROM hist
+), cum AS (
+  SELECT v_e2,
+         CAST(sum(c1) OVER (ORDER BY v_e2) AS BIGINT) AS f1,
+         CAST(sum(c2) OVER (ORDER BY v_e2) AS BIGINT) AS f2
+  FROM hist
+), d AS (
+  SELECT v_e2, abs(f1 * n2 - f2 * n1) AS d_num, n1, n2
+  FROM cum CROSS JOIN tot
+), best AS (
+  SELECT n1, n2, d_num, v_e2 FROM (
+    SELECT *, row_number() OVER (ORDER BY d_num DESC, v_e2) AS rk FROM d)
+  WHERE rk = 1)
+SELECT n1, n2, (SELECT CAST(count(*) AS BIGINT) FROM hist) AS n_support,
+       d_num * 1000000 // (n1 * n2) AS d_e6, v_e2 AS at_v_e2
+FROM best""",
+
+    // per-dimension mean shift between the vec_id-parity halves of
+    // the embedding corpus, exact e4 integers
+    "s_embed_drift" -> """WITH e AS (
+  SELECT vec_id % 2 = 0 AS is_a,
+         list_transform(embedding,
+           x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS ve4
+  FROM embeddings)
+SELECT CAST(dim AS INT) AS dim,
+       CAST(sum(CASE WHEN is_a THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+       CAST(sum(CASE WHEN is_a THEN 0 ELSE 1 END) AS BIGINT) AS n_b,
+       CAST(sum(CASE WHEN is_a THEN ve4[dim + 1] ELSE 0 END) AS BIGINT)
+         // CAST(sum(CASE WHEN is_a THEN 1 ELSE 0 END) AS BIGINT) AS mean_a_e4,
+       CAST(sum(CASE WHEN is_a THEN 0 ELSE ve4[dim + 1] END) AS BIGINT)
+         // CAST(sum(CASE WHEN is_a THEN 0 ELSE 1 END) AS BIGINT) AS mean_b_e4,
+       abs(CAST(sum(CASE WHEN is_a THEN ve4[dim + 1] ELSE 0 END) AS BIGINT)
+             // CAST(sum(CASE WHEN is_a THEN 1 ELSE 0 END) AS BIGINT)
+           - CAST(sum(CASE WHEN is_a THEN 0 ELSE ve4[dim + 1] END) AS BIGINT)
+             // CAST(sum(CASE WHEN is_a THEN 0 ELSE 1 END) AS BIGINT)) AS drift_e4
+FROM e, unnest(range(0, 64)) AS r(dim)
+GROUP BY dim""",
   )
 }

@@ -4104,6 +4104,87 @@ object SparkEntry {
           " ELSE cohesion_d2_mean * 10000 div sep_d2 END").as("ratio_e4"))
   }
 
+  /** Bollinger-band breach detection with NO square root and NO
+    * floating point: over each type's daily-mean series (e4 longs), a
+    * trailing 7-row window carries Σx and Σx², and the k=2σ breach
+    * test (x−μ)² > k²σ² multiplies through by n² to the all-integer
+    * form (n·x − Σx)² > k²·(n·Σx² − (Σx)²) — exact band detection
+    * with zero rounding anywhere. Windows partition on the series
+    * key; only breach rows emit. The trailing window spans the last
+    * 7 OBSERVED days (calendar densification is a_gap_fill's job). */
+  private def aBollingerBreach(s: SparkSession, dir: String): DataFrame = {
+    val daily = T(s, dir, "events")
+      .select(col("event_type"),
+        expr("unix_micros(ts) div 86400000000").as("day"),
+        expr("CAST(round(value * 10000) AS BIGINT)").as("v_fx"))
+      .groupBy("event_type", "day")
+      .agg(expr("sum(v_fx) div count(1)").as("x"))
+    val w = Window.partitionBy("event_type").orderBy("day").rowsBetween(-6, 0)
+    daily.withColumn("nw", count(lit(1)).over(w))
+      .withColumn("sx", sum("x").over(w))
+      .withColumn("sxx", sum(expr("x * x")).over(w))
+      .filter(col("nw") === 7)
+      .withColumn("dev", expr("7 * x - sx"))
+      .withColumn("var7", expr("7 * sxx - sx * sx"))
+      .filter(expr("dev * dev > 4 * var7"))
+      .select(col("event_type"), col("day"), col("x").as("x_fx"),
+        expr("dev * dev").as("dev2"), col("var7"), (col("dev") > 0).as("hi"))
+  }
+
+  /** Two-sample Kolmogorov–Smirnov distance between the click and
+    * view value distributions, exact: values quantize to cents (a
+    * BOUNDED support of ≤ ~49k buckets — the histogram-rank
+    * convention), one conditional-aggregate pass builds both
+    * histograms at once, and D = max|F₁−F₂| clears its denominators
+    * (max|c₁·n₂ − c₂·n₁| over the cumulative sweep) so the statistic
+    * is an integer ratio, reported in e6 with the earliest argmax
+    * threshold via a lexicographic struct max. The only window orders
+    * the bounded merged histogram. */
+  private def aKsTest(s: SparkSession, dir: String): DataFrame = {
+    val vals = T(s, dir, "events")
+      .filter(col("event_type").isin("click", "view"))
+      .select(col("event_type"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("v_e2"))
+    val hist = vals.groupBy("v_e2").agg(
+      sum((col("event_type") === "click").cast("long")).as("c1"),
+      sum((col("event_type") === "view").cast("long")).as("c2"))
+    val tot = hist.agg(sum("c1").as("n1"), sum("c2").as("n2"))
+    val w = Window.orderBy("v_e2").rowsBetween(Window.unboundedPreceding, 0)
+    hist.withColumn("f1", sum("c1").over(w))
+      .withColumn("f2", sum("c2").over(w))
+      .crossJoin(broadcast(tot))
+      .withColumn("d_num", abs(col("f1") * col("n2") - col("f2") * col("n1")))
+      .groupBy("n1", "n2")
+      .agg(count(lit(1)).as("n_support"),
+        max(struct(col("d_num"), (-col("v_e2")).as("nv"))).as("b"))
+      .select(col("n1"), col("n2"), col("n_support"),
+        expr("b.d_num * 1000000 div (n1 * n2)").as("d_e6"),
+        (-col("b.nv")).as("at_v_e2"))
+  }
+
+  /** Embedding-distribution drift monitor between the two corpus
+    * halves (vec_id parity stands in for the before/after snapshots a
+    * production pipeline compares): per-dimension truncating means of
+    * the e4-quantized vectors, their absolute shift, and the halves'
+    * sizes — 64 exact rows from ONE conditional-aggregate pass over
+    * (dim, value) pairs. The canary a retraining pipeline watches for
+    * upstream featurizer changes; all integer, no tolerance needed. */
+  private def sEmbedDrift(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "embeddings")
+      .select((col("vec_id") % 2 === 0).as("is_a"),
+        posexplode(transform(col("embedding"),
+          x => round(x.cast("double") * 10000).cast("long")))
+          .as(Seq("dim", "v")))
+      .groupBy("dim")
+      .agg(sum(col("is_a").cast("long")).as("n_a"),
+        sum((!col("is_a")).cast("long")).as("n_b"),
+        sum(when(col("is_a"), col("v")).otherwise(0L)).as("sa"),
+        sum(when(!col("is_a"), col("v")).otherwise(0L)).as("sb"))
+      .select(col("dim"), col("n_a"), col("n_b"),
+        expr("sa div n_a").as("mean_a_e4"),
+        expr("sb div n_b").as("mean_b_e4"),
+        expr("abs(sa div n_a - sb div n_b)").as("drift_e4"))
+
   // =====================================================================
   // Registry
   // =====================================================================
@@ -4342,6 +4423,9 @@ object SparkEntry {
     "p_contract_audit" -> (pContractAudit _),
     "s_pr_auc" -> (sPrAuc _),
     "s_cluster_quality" -> (sClusterQuality _),
+    "a_bollinger_breach" -> (aBollingerBreach _),
+    "a_ks_test" -> (aKsTest _),
+    "s_embed_drift" -> (sEmbedDrift _),
     "m_asset_meta" -> (mAssetMeta _),
     "m_audio_meta" -> (mAudioMeta _),
     "m_frame_sample" -> (mFrameSample _),

@@ -555,4 +555,43 @@ class PlanShapeSpec extends SparkSpec {
     val p = plan("a_mv_join_delta")
     assert(!p.contains("Window") && !p.contains("CartesianProduct"))
   }
+
+  test("PR-AUC and KS sweep windows sit above bounded histogram aggregates") {
+    Seq("s_pr_auc", "a_ks_test").foreach { name =>
+      val lines = plan(name).linesIterator.toList
+      val wIdx = lines.indexWhere(_.contains("Window"))
+      assert(wIdx >= 0, s"$name: expected the cumulative sweep window")
+      assert(lines.drop(wIdx).exists(_.contains("HashAggregate")),
+        s"$name: the sweep window must consume the histogram aggregate, not raw rows")
+    }
+  }
+
+  test("streak, Bollinger and rank-eval windows are key-partitioned, never global") {
+    Seq("a_streaks", "a_bollinger_breach", "s_rank_eval").foreach { name =>
+      assert(unpartitionedWindows(plan(name)).isEmpty,
+        s"$name: every window must partition on its series/query key")
+    }
+  }
+
+  test("RAKE never plans a cartesian product and ranks with TakeOrdered") {
+    val p = plan("t_rake")
+    assert(!p.contains("CartesianProduct"),
+      s"phrase/word joins must stay equi- or broadcast joins:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"global top-30 must ride per-partition heads, not a full sort:\n$p")
+  }
+
+  test("cluster quality stays broadcast-shaped: no cartesian product, no window") {
+    val p = plan("s_cluster_quality")
+    assert(!p.contains("CartesianProduct") && !p.contains("Window"), p)
+  }
+
+  test("the contract audit's only cross-table rule is an anti-join") {
+    assert(plan("p_contract_audit").contains("LeftAnti"))
+  }
+
+  test("embedding drift is a join-free partial-agg chain") {
+    val p = plan("s_embed_drift")
+    assert(!p.contains("Join") && !p.contains("Window"), p)
+  }
 }
