@@ -4464,5 +4464,66 @@ SELECT CAST(dim AS INT) AS dim,
              // CAST(sum(CASE WHEN is_a THEN 0 ELSE 1 END) AS BIGINT)) AS drift_e4
 FROM e, unnest(range(0, 64)) AS r(dim)
 GROUP BY dim""",
+
+    // lag-1 autocorrelation of the daily-mean series: exact moments,
+    // one mirrored double chain (the g_assortativity convention)
+    "a_autocorr" -> """WITH daily AS (
+  SELECT event_type,
+         epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+         CAST(sum(CAST(round(value * 10000) AS BIGINT)) AS BIGINT)
+           // CAST(count(*) AS BIGINT) AS x
+  FROM events GROUP BY 1, 2
+), p AS (
+  SELECT event_type, x,
+         lead(x) OVER (PARTITION BY event_type ORDER BY day) AS y
+  FROM daily
+), m AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * y) AS BIGINT) AS sxy,
+         CAST(sum(x * x) AS BIGINT) AS sxx,
+         CAST(sum(y * y) AS BIGINT) AS syy
+  FROM p WHERE y IS NOT NULL GROUP BY 1)
+SELECT event_type, n AS n_pairs,
+       round((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy) /
+          sqrt((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) *
+               (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)), 6) AS r1
+FROM m""",
+
+    // sqrt-free point-biserial feature ranking: exact scaled
+    // covariance per embedding dim against the label < 5 target
+    "s_feature_cov" -> """WITH e AS (
+  SELECT CAST(label < 5 AS BIGINT) AS y,
+         list_transform(embedding,
+           x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS ve4
+  FROM embeddings
+), m AS (
+  SELECT dim, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(ve4[dim + 1]) AS BIGINT) AS sx,
+         CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(ve4[dim + 1] * y) AS BIGINT) AS sxy
+  FROM e, unnest(range(0, 64)) AS r(dim)
+  GROUP BY dim)
+SELECT CAST(dim AS INT) AS dim, n, sx, sy,
+       n * sxy - sx * sy AS cov_scaled,
+       abs(n * sxy - sx * sy) AS abs_cov
+FROM m ORDER BY abs_cov DESC, dim LIMIT 10""",
+
+    // vocabulary novelty per ingestion batch: distinct types, first-
+    // seen types, and the e4 novelty ratio
+    "t_vocab_novelty" -> """WITH occ AS (
+  SELECT doc_id // 100 AS batch, unnest(
+    list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+                t -> len(t) > 0)) AS t
+  FROM documents
+), pbt AS (
+  SELECT batch, t, CAST(count(*) AS BIGINT) AS c FROM occ GROUP BY 1, 2
+), fb AS (SELECT t, min(batch) AS fb FROM pbt GROUP BY 1)
+SELECT batch, CAST(sum(c) AS BIGINT) AS n_tokens,
+       CAST(count(*) AS BIGINT) AS n_types,
+       CAST(sum(CASE WHEN fb = batch THEN 1 ELSE 0 END) AS BIGINT) AS n_new_types,
+       CAST(sum(CASE WHEN fb = batch THEN 1 ELSE 0 END) AS BIGINT) * 10000
+         // CAST(count(*) AS BIGINT) AS novelty_e4
+FROM pbt JOIN fb USING (t) GROUP BY 1""",
   )
 }

@@ -4185,6 +4185,76 @@ object SparkEntry {
         expr("sb div n_b").as("mean_b_e4"),
         expr("abs(sa div n_a - sb div n_b)").as("drift_e4"))
 
+  /** Lag-1 autocorrelation of each type's daily-mean series: exact
+    * integer moments over (xₜ, xₜ₊₁) pairs from a series-partitioned
+    * lead, then ONE mirrored double chain for the Pearson ratio (the
+    * g_assortativity convention — both engines evaluate the identical
+    * expression text, round 6). The smell test a forecasting pipeline
+    * runs before trusting a seasonal-naive baseline. */
+  private def aAutocorr(s: SparkSession, dir: String): DataFrame = {
+    val daily = T(s, dir, "events")
+      .select(col("event_type"),
+        expr("unix_micros(ts) div 86400000000").as("day"),
+        expr("CAST(round(value * 10000) AS BIGINT)").as("v_fx"))
+      .groupBy("event_type", "day")
+      .agg(expr("sum(v_fx) div count(1)").as("x"))
+    val w = Window.partitionBy("event_type").orderBy("day")
+    daily.withColumn("y", lead(col("x"), 1).over(w))
+      .filter(col("y").isNotNull)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+      .select(col("event_type"), col("n").as("n_pairs"),
+        expr("""round((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy) /
+          sqrt((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) *
+               (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)), 6)""")
+          .as("r1"))
+  }
+
+  /** Feature ranking by point-biserial association, sqrt-free: for
+    * y = (label < 5) the scaled covariance n·Σxy − Σx·Σy over the
+    * e4-quantized embedding dims is EXACT, and ranking by |cov|
+    * (which shares y's variance term across dims, so the order
+    * matches point-biserial r) needs no division at all. One
+    * (dim)-keyed partial-agg pass, TakeOrdered top-10 — the cheap
+    * first cut of feature selection over a 100 TB feature store. */
+  private def sFeatureCov(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "embeddings")
+      .select((col("label") < 5).cast("long").as("y"),
+        posexplode(transform(col("embedding"),
+          x => round(x.cast("double") * 10000).cast("long")))
+          .as(Seq("dim", "v")))
+      .groupBy("dim")
+      .agg(count(lit(1)).as("n"), sum("v").as("sx"), sum("y").as("sy"),
+        sum(col("v") * col("y")).as("sxy"))
+      .select(col("dim"), col("n"), col("sx"), col("sy"),
+        expr("n * sxy - sx * sy").as("cov_scaled"),
+        expr("abs(n * sxy - sx * sy)").as("abs_cov"))
+      .orderBy(col("abs_cov").desc, col("dim")).limit(10)
+
+  /** Vocabulary novelty per ingestion batch (doc_id div 100 stands in
+    * for the arrival manifest): each batch reports its distinct token
+    * types, how many are FIRST seen in that batch, and the novelty
+    * ratio — the curve a curation pipeline watches to decide when
+    * more of the same source stops adding vocabulary. Token-keyed
+    * partial aggs only; the first-batch frame joins back on the token
+    * key (shuffle-colocated, never collected). */
+  private def tVocabNovelty(s: SparkSession, dir: String): DataFrame = {
+    val occ = T(s, dir, "documents")
+      .select(expr("doc_id div 100").as("batch"),
+        explode(filter(split(lower(trim(col("text"))), "\\s+"),
+          t => length(t) > 0)).as("t"))
+    val pbt = occ.groupBy("batch", "t").agg(count(lit(1)).as("c"))
+    val firstB = pbt.groupBy("t").agg(min("batch").as("fb"))
+    pbt.join(firstB, "t")
+      .groupBy("batch")
+      .agg(sum("c").as("n_tokens"), count(lit(1)).as("n_types"),
+        sum((col("fb") === col("batch")).cast("long")).as("n_new_types"))
+      .withColumn("novelty_e4", expr("n_new_types * 10000 div n_types"))
+  }
+
   // =====================================================================
   // Registry
   // =====================================================================
@@ -4426,6 +4496,9 @@ object SparkEntry {
     "a_bollinger_breach" -> (aBollingerBreach _),
     "a_ks_test" -> (aKsTest _),
     "s_embed_drift" -> (sEmbedDrift _),
+    "a_autocorr" -> (aAutocorr _),
+    "s_feature_cov" -> (sFeatureCov _),
+    "t_vocab_novelty" -> (tVocabNovelty _),
     "m_asset_meta" -> (mAssetMeta _),
     "m_audio_meta" -> (mAudioMeta _),
     "m_frame_sample" -> (mFrameSample _),
