@@ -4525,5 +4525,44 @@ SELECT batch, CAST(sum(c) AS BIGINT) AS n_tokens,
        CAST(sum(CASE WHEN fb = batch THEN 1 ELSE 0 END) AS BIGINT) * 10000
          // CAST(count(*) AS BIGINT) AS novelty_e4
 FROM pbt JOIN fb USING (t) GROUP BY 1""",
+
+    // discrete churn hazard by streak age: risk/event counts exact,
+    // last-day streaks censored
+    "a_streak_hazard" -> """WITH days AS (
+  SELECT DISTINCT user_id,
+         epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day
+  FROM events
+), mx AS (SELECT max(day) AS max_day FROM days
+), isl AS (
+  SELECT user_id, day,
+         day - dense_rank() OVER (PARTITION BY user_id ORDER BY day) AS grp
+  FROM days
+), st AS (
+  SELECT user_id, grp, CAST(count(*) AS BIGINT) AS len, max(day) AS end_day
+  FROM isl GROUP BY 1, 2
+), hist AS (
+  SELECT len, CAST(count(*) AS BIGINT) AS n_total,
+         CAST(sum(CASE WHEN end_day < max_day THEN 1 ELSE 0 END) AS BIGINT) AS n_events
+  FROM st CROSS JOIN mx GROUP BY 1)
+SELECT len AS k,
+       CAST(sum(n_total) OVER (ORDER BY len DESC) AS BIGINT) AS n_risk,
+       n_events,
+       n_events * 1000000
+         // CAST(sum(n_total) OVER (ORDER BY len DESC) AS BIGINT) AS hazard_e6
+FROM hist""",
+
+    // ViT patch planning: stub dimensions from byte length, 128x128
+    // tile fan-out with clipped edge tiles
+    "m_tile_grid" -> """WITH dims AS (
+  SELECT doc_id AS asset_id,
+         64 + CAST(strlen(text) AS BIGINT) % 512 AS width,
+         64 + (CAST(strlen(text) AS BIGINT) // 7) % 512 AS height
+  FROM documents)
+SELECT asset_id, tx, ty, tx * 128 AS x0, ty * 128 AS y0,
+       least(128, width - tx * 128) AS w,
+       least(128, height - ty * 128) AS h
+FROM dims,
+     unnest(range(0, (width - 1) // 128 + 1)) AS rx(tx),
+     unnest(range(0, (height - 1) // 128 + 1)) AS ry(ty)""",
   )
 }

@@ -4255,6 +4255,62 @@ object SparkEntry {
       .withColumn("novelty_e4", expr("n_new_types * 10000 div n_types"))
   }
 
+  /** Discrete churn-hazard table over activity streaks — the
+    * survival-analysis view of [[aStreaks]]: for each streak age k,
+    * n_risk counts streaks that REACHED length k and n_events the
+    * uncensored streaks that ended exactly there, so hazard(k) =
+    * events·10⁶ div risk is the day-over-day churn probability, all
+    * exact integers (no cumulative product — the Kaplan–Meier curve's
+    * nonexact part stays out; the hazard table is what a retention
+    * model consumes anyway). A streak touching the dataset's last day
+    * is censored (it may continue). The cumulative-risk window runs
+    * over the BOUNDED length histogram (≤ calendar-span rows). */
+  private def aStreakHazard(s: SparkSession, dir: String): DataFrame = {
+    val days = T(s, dir, "events").select(col("user_id"),
+      expr("unix_micros(ts) div 86400000000").as("day")).distinct()
+    val maxDay = days.agg(max("day").as("max_day"))
+    val w = Window.partitionBy("user_id").orderBy("day")
+    val st = days.withColumn("grp", col("day") - dense_rank().over(w))
+      .groupBy("user_id", "grp")
+      .agg(count(lit(1)).as("len"), max("day").as("end_day"))
+    val hist = st.crossJoin(broadcast(maxDay))
+      .groupBy("len").agg(count(lit(1)).as("n_total"),
+        sum((col("end_day") < col("max_day")).cast("long")).as("n_events"))
+    val cw = Window.orderBy(col("len").desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    hist.withColumn("n_risk", sum("n_total").over(cw))
+      .select(col("len").as("k"), col("n_risk"), col("n_events"),
+        expr("n_events * 1000000 div n_risk").as("hazard_e6"))
+  }
+
+  /** Patch-grid planning for vision preprocessing: the stub decode
+    * derives deterministic image dimensions from the payload length
+    * (the [[graft.ext.Multimodal]] convention — real codecs are
+    * environment-blocked, the Spark-side batch shape is the product),
+    * then fans each asset out to its 128×128 tile grid with edge
+    * tiles clipped — the rows→patches explosion a ViT pipeline feeds
+    * to the encoder, sized BEFORE any pixel is decoded so the
+    * scheduler can pack batches by tile count. Pure sequence/explode
+    * fan-out; no shuffle at all until a downstream grouping. */
+  private def mTileGrid(s: SparkSession, dir: String): DataFrame = {
+    val assets = Multimodal.toAssets(
+      T(s, dir, "documents").select(col("doc_id").as("asset_id"),
+        col("text").cast("binary").as("payload")), "image")
+    val dims = assets.select(col("asset_id"),
+      col("byte_len").cast("long").as("byte_len"))
+      .withColumn("width", expr("64 + byte_len % 512"))
+      .withColumn("height", expr("64 + (byte_len div 7) % 512"))
+    dims
+      .select(col("asset_id"), col("width"), col("height"),
+        explode(sequence(lit(0L), expr("(width - 1) div 128"))).as("tx"))
+      .select(col("asset_id"), col("width"), col("height"), col("tx"),
+        explode(sequence(lit(0L), expr("(height - 1) div 128"))).as("ty"))
+      .select(col("asset_id"), col("tx"), col("ty"),
+        (col("tx") * 128).as("x0"), (col("ty") * 128).as("y0"),
+        least(lit(128L), col("width") - col("tx") * 128).as("w"),
+        least(lit(128L), col("height") - col("ty") * 128).as("h"))
+  }
+
   // =====================================================================
   // Registry
   // =====================================================================
@@ -4499,6 +4555,8 @@ object SparkEntry {
     "a_autocorr" -> (aAutocorr _),
     "s_feature_cov" -> (sFeatureCov _),
     "t_vocab_novelty" -> (tVocabNovelty _),
+    "a_streak_hazard" -> (aStreakHazard _),
+    "m_tile_grid" -> (mTileGrid _),
     "m_asset_meta" -> (mAssetMeta _),
     "m_audio_meta" -> (mAudioMeta _),
     "m_frame_sample" -> (mFrameSample _),
