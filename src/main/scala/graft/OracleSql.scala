@@ -4564,5 +4564,95 @@ SELECT asset_id, tx, ty, tx * 128 AS x0, ty * 128 AS y0,
 FROM dims,
      unnest(range(0, (width - 1) // 128 + 1)) AS rx(tx),
      unnest(range(0, (height - 1) // 128 + 1)) AS ry(ty)""",
+
+    // Markov stationary distribution: eight exact e6 power steps over
+    // the a_transitions matrix, replayed in a recursive CTE
+    "a_markov_stationary" -> """WITH RECURSIVE tr AS (
+  SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n FROM (
+    SELECT event_type AS from_type,
+           lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+             AS to_type
+    FROM events)
+  WHERE to_type IS NOT NULL GROUP BY 1, 2
+), p AS (
+  SELECT from_type, to_type,
+         n * 1000000 // sum(n) OVER (PARTITION BY from_type) AS p_e6
+  FROM tr
+), it AS (
+  SELECT 0 AS k, t, CAST(1000000 AS BIGINT) AS v FROM (
+    SELECT from_type AS t FROM p UNION SELECT to_type FROM p)
+  UNION ALL
+  SELECT k + 1, to_type AS t, CAST(sv AS BIGINT) AS v FROM (
+    SELECT it.k AS k, p.to_type AS to_type,
+           sum((it.v * p.p_e6) // 1000000) AS sv
+    FROM it JOIN p ON p.from_type = it.t
+    WHERE it.k < 8 GROUP BY 1, 2)
+)
+SELECT t AS event_type, v AS v_e6 FROM it WHERE k = 8""",
+
+    // aspect-ratio bucketing: nine-step ladder, nearest bucket by the
+    // fixed-pointed rational |w/h - bw/bh|, ties to the lower id
+    "m_aspect_bucket" -> """WITH dims AS (
+  SELECT doc_id AS asset_id,
+         64 + CAST(strlen(text) AS BIGINT) % 512 AS width,
+         64 + (CAST(strlen(text) AS BIGINT) // 7) % 512 AS height
+  FROM documents
+), buckets AS (
+  SELECT CAST(bucket_id AS BIGINT) AS bucket_id, CAST(bw AS BIGINT) AS bw,
+         CAST(bh AS BIGINT) AS bh
+  FROM (VALUES (1, 256, 1024), (2, 320, 832), (3, 384, 704),
+    (4, 448, 576), (5, 512, 512), (6, 576, 448), (7, 704, 384),
+    (8, 832, 320), (9, 1024, 256)) AS b(bucket_id, bw, bh)
+), scored AS (
+  SELECT asset_id, bucket_id, bw, bh,
+         abs(width * bh - height * bw) * 1048576 // bh AS score,
+         row_number() OVER (PARTITION BY asset_id
+           ORDER BY abs(width * bh - height * bw) * 1048576 // bh, bucket_id)
+           AS rn
+  FROM dims CROSS JOIN buckets)
+SELECT bucket_id, bw, bh, CAST(count(*) AS BIGINT) AS n_assets,
+       CAST(sum(score) AS BIGINT) AS score_sum
+FROM scored WHERE rn = 1 GROUP BY 1, 2, 3""",
+
+    // ABC / Pareto classification on the 4096-bucket quantized revenue
+    // histogram; boundaries by integer cross-multiplication
+    "a_pareto" -> """WITH rev AS (
+  SELECT l_partkey,
+         sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
+             (100 - CAST(round(l_discount * 100) AS BIGINT))) AS x
+  FROM lineitem GROUP BY 1
+), mx AS (SELECT max(x) AS mx FROM rev
+), bucketed AS (
+  SELECT x * 4096 // (mx + 1) AS b, CAST(count(*) AS BIGINT) AS c,
+         sum(x) AS bx
+  FROM rev CROSS JOIN mx GROUP BY 1
+), cum AS (
+  SELECT b, c, bx,
+         COALESCE(sum(bx) OVER (ORDER BY b DESC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_prev,
+         sum(bx) OVER () AS t
+  FROM bucketed)
+SELECT CASE WHEN cum_prev * 100 < t * 80 THEN 'A'
+            WHEN cum_prev * 100 < t * 95 THEN 'B' ELSE 'C' END AS abc,
+       CAST(sum(c) AS BIGINT) AS n_parts, CAST(sum(bx) AS BIGINT) AS rev_fx,
+       round(CAST(sum(bx) AS DOUBLE) / max(t), 6) AS share
+FROM cum GROUP BY 1""",
+
+    // inter-purchase gap-days histogram with exact e6 CDF
+    "a_interpurchase" -> """WITH d AS (
+  SELECT o_custkey, o_orderkey,
+         epoch_us(CAST(o_orderdate AS TIMESTAMP)) // 86400000000 AS day
+  FROM orders
+), gaps AS (
+  SELECT day - lag(day, 1) OVER (PARTITION BY o_custkey
+           ORDER BY day, o_orderkey) AS gap_days
+  FROM d
+), hist AS (
+  SELECT gap_days, CAST(count(*) AS BIGINT) AS n FROM gaps
+  WHERE gap_days IS NOT NULL GROUP BY 1)
+SELECT gap_days, n,
+       CAST(sum(n) OVER (ORDER BY gap_days) AS BIGINT) * 1000000
+         // CAST(sum(n) OVER () AS BIGINT) AS cdf_e6
+FROM hist""",
   )
 }

@@ -4311,6 +4311,144 @@ object SparkEntry {
         least(lit(128L), col("height") - col("ty") * 128).as("h"))
   }
 
+  /** Stationary distribution of the per-user event-type Markov chain:
+    * the long-run fraction of time a user journey spends in each
+    * event type. Composes [[aTransitions]]' matrix (row-stochastic in
+    * e6 fixed-point via truncating division) with eight exact power
+    * steps — the [[graft.ops.Graph]] bounded-unroll convention at
+    * matrix scale. Each step is v'[j] = Σᵢ (v[i]·p_e6[i→j]) div 1e6,
+    * all-long arithmetic, so the DuckDB recursive CTE replays it
+    * bit-for-bit. Scale shape: the matrix is |event_type|² rows
+    * (bounded by the type vocabulary, not the data), so every join
+    * AQE-broadcasts; the only data-sized pass is the one lead window,
+    * partitioned by user. States that never receive mass drop out of
+    * the vector — the substochastic-sink semantics are shared with
+    * the oracle, and the mass-conservation caveat is the documented
+    * [[graft.ops.Graph.pageRankFixed]] dangling discussion. */
+  private def aMarkovStationary(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val trans = T(s, dir, "events")
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("next_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val tot = trans.groupBy("from_type").agg(sum("n").as("tot"))
+    val p = trans.join(tot, "from_type")
+      .select(col("from_type"), col("to_type"),
+        expr("n * 1000000 div tot").as("p_e6"))
+    val states = p.select(col("from_type").as("t"))
+      .union(p.select(col("to_type"))).distinct()
+    val v0 = states.select(col("t"), lit(1000000L).as("v"))
+    val vK = (1 to 8).foldLeft(v0) { (v, _) =>
+      v.join(p, v("t") === p("from_type"))
+        .groupBy(col("to_type"))
+        .agg(sum(expr("v * p_e6 div 1000000")).as("v2"))
+        .select(col("to_type").as("t"), col("v2").as("v"))
+    }
+    vK.select(col("t").as("event_type"), col("v").as("v_e6"))
+  }
+
+  /** Aspect-ratio bucketing for image-training batches (the SDXL
+    * bucketed-training shape): every asset lands in the ladder bucket
+    * whose aspect ratio is nearest, so a batch sampler can draw
+    * fixed-shape batches without destructive square crops. Dims come
+    * from the [[mTileGrid]] stub-decode convention; the ladder is the
+    * standard nine-step 512²-pixel-budget ladder. Nearness is the
+    * integer statistic |w·bh − h·bw|·2²⁰ div bh (the |w/h − bw/bh|
+    * rational scaled by the per-asset constant h, fixed-pointed so a
+    * single sort key exists), ties to the lower bucket id — fully
+    * deterministic, replayed by DuckDB bit-for-bit. Scale shape: the
+    * ladder is a 9-row broadcast literal, the fan-out is 9× map-side,
+    * and the per-asset argmin window runs over exactly 9 rows; the
+    * output is the 9-row bucket plan a batch scheduler consumes. */
+  private def mAspectBucket(s: SparkSession, dir: String): DataFrame = {
+    val assets = Multimodal.toAssets(
+      T(s, dir, "documents").select(col("doc_id").as("asset_id"),
+        col("text").cast("binary").as("payload")), "image")
+    val dims = assets.select(col("asset_id"),
+      col("byte_len").cast("long").as("byte_len"))
+      .withColumn("width", expr("64 + byte_len % 512"))
+      .withColumn("height", expr("64 + (byte_len div 7) % 512"))
+      .select("asset_id", "width", "height")
+    val buckets = s.createDataFrame(Seq(
+      (1L, 256L, 1024L), (2L, 320L, 832L), (3L, 384L, 704L),
+      (4L, 448L, 576L), (5L, 512L, 512L), (6L, 576L, 448L),
+      (7L, 704L, 384L), (8L, 832L, 320L), (9L, 1024L, 256L)))
+      .toDF("bucket_id", "bw", "bh")
+    val scored = dims.crossJoin(broadcast(buckets))
+      .withColumn("score",
+        expr("abs(width * bh - height * bw) * 1048576 div bh"))
+    val w = Window.partitionBy("asset_id")
+      .orderBy(col("score"), col("bucket_id"))
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .groupBy("bucket_id", "bw", "bh")
+      .agg(count(lit(1)).as("n_assets"), sum("score").as("score_sum"))
+  }
+
+  /** Pareto / ABC inventory classification of parts by revenue: class
+    * A is every revenue bucket that starts before the cumulative-80%
+    * line, B before 95%, C the tail — the classic purchasing-analytics
+    * cut, computed on the [[aGini]] 4096-bucket quantized distribution
+    * so the cumulative window runs over a FIXED 4096-row frame, never
+    * the parts table. Class boundaries are exact integer
+    * cross-multiplications (cum_prev·100 < t·80); the only double is
+    * the final per-class revenue share (sum·10⁶ would overflow longs
+    * where the sums themselves do not — the a_gini precedent). At
+    * 100 TB the per-part aggregate is the one shuffle; everything
+    * after is 4096 rows. */
+  private def aPareto(s: SparkSession, dir: String): DataFrame = {
+    val rev = T(s, dir, "lineitem")
+      .select(col("l_partkey"),
+        (expr("CAST(round(l_extendedprice * 100) AS BIGINT)") *
+          (lit(100L) - expr("CAST(round(l_discount * 100) AS BIGINT)"))).as("rev_fx"))
+      .groupBy("l_partkey").agg(sum("rev_fx").as("x"))
+    val mx = rev.agg(max(col("x")).as("mx"))
+    val bucketed = rev.crossJoin(broadcast(mx))
+      .select(expr("x * 4096 div (mx + 1)").as("b"), col("x"))
+      .groupBy("b").agg(count(lit(1)).as("c"), sum("x").as("bx"))
+    val cum = bucketed
+      .withColumn("cum_prev", coalesce(sum(col("bx")).over(
+        Window.orderBy(col("b").desc)
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("t", sum(col("bx")).over(
+        Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+    cum.withColumn("abc",
+        when(col("cum_prev") * 100 < col("t") * 80, "A")
+          .when(col("cum_prev") * 100 < col("t") * 95, "B")
+          .otherwise("C"))
+      .groupBy("abc")
+      .agg(sum(col("c")).as("n_parts"), sum(col("bx")).as("rev_fx"),
+        max(col("t")).as("t"))
+      .select(col("abc"), col("n_parts"), col("rev_fx"),
+        round(col("rev_fx").cast("double") / col("t"), 6).as("share"))
+  }
+
+  /** Inter-purchase-interval distribution: the day gaps between each
+    * customer's consecutive orders, rolled into a gap-days histogram
+    * with an exact e6 CDF — the repeat-purchase-cadence curve a
+    * retention model calibrates against. One per-customer lag window
+    * (partitioned — never global), then a histogram bounded by the
+    * calendar span (a few thousand rows at any data scale), so the
+    * CDF window runs over the bounded histogram, not the data. All
+    * integer arithmetic; days from the shared unix_micros div
+    * convention. */
+  private def aInterpurchase(s: SparkSession, dir: String): DataFrame = {
+    val d = T(s, dir, "orders").select(col("o_custkey"), col("o_orderkey"),
+      expr("unix_micros(CAST(o_orderdate AS TIMESTAMP)) div 86400000000").as("day"))
+    val w = Window.partitionBy("o_custkey").orderBy(col("day"), col("o_orderkey"))
+    val hist = d.withColumn("prev", lag(col("day"), 1).over(w))
+      .filter(col("prev").isNotNull)
+      .select((col("day") - col("prev")).as("gap_days"))
+      .groupBy("gap_days").agg(count(lit(1)).as("n"))
+    hist
+      .withColumn("cum_n", sum(col("n")).over(
+        Window.orderBy("gap_days").rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("t", sum(col("n")).over(
+        Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .select(col("gap_days"), col("n"),
+        expr("cum_n * 1000000 div t").as("cdf_e6"))
+  }
+
   // =====================================================================
   // Registry
   // =====================================================================
@@ -4557,6 +4695,10 @@ object SparkEntry {
     "t_vocab_novelty" -> (tVocabNovelty _),
     "a_streak_hazard" -> (aStreakHazard _),
     "m_tile_grid" -> (mTileGrid _),
+    "a_markov_stationary" -> (aMarkovStationary _),
+    "m_aspect_bucket" -> (mAspectBucket _),
+    "a_pareto" -> (aPareto _),
+    "a_interpurchase" -> (aInterpurchase _),
     "m_asset_meta" -> (mAssetMeta _),
     "m_audio_meta" -> (mAudioMeta _),
     "m_frame_sample" -> (mFrameSample _),
