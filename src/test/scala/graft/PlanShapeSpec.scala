@@ -594,4 +594,29 @@ class PlanShapeSpec extends SparkSpec {
     val p = plan("s_embed_drift")
     assert(!p.contains("Join") && !p.contains("Window"), p)
   }
+
+  test("markov power steps: the only data-sized window is user-partitioned") {
+    val p = plan("a_markov_stationary")
+    assert(unpartitionedWindows(p).isEmpty,
+      s"the transition lead window must partition on user_id:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("aspect bucketing broadcasts the 9-row ladder and windows per asset") {
+    val p = plan("m_aspect_bucket")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"the ladder fan-out must be a broadcast, never a shuffle:\n$p")
+    assert(unpartitionedWindows(p).isEmpty,
+      s"the argmin window must partition on asset_id:\n$p")
+  }
+
+  test("pareto and inter-purchase CDF windows sit above bounded histograms") {
+    Seq("a_pareto", "a_interpurchase").foreach { name =>
+      val lines = plan(name).linesIterator.toList
+      val wIdx = lines.indexWhere(_.contains("Window"))
+      assert(wIdx >= 0, s"$name: expected the cumulative window")
+      assert(lines.drop(wIdx).exists(_.contains("HashAggregate")),
+        s"$name: the CDF window must consume the histogram aggregate, not raw rows")
+    }
+  }
 }
