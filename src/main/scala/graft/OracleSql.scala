@@ -4654,5 +4654,29 @@ SELECT gap_days, n,
        CAST(sum(n) OVER (ORDER BY gap_days) AS BIGINT) * 1000000
          // CAST(sum(n) OVER () AS BIGINT) AS cdf_e6
 FROM hist""",
+
+    // pairwise Jensen-Shannon divergence between source unigram
+    // distributions, entropy form H(M) - (H(P)+H(Q))/2
+    "t_js_divergence" -> s"""WITH occ AS (
+  SELECT source,
+         unnest(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), t -> len(t) > 0)) AS t
+  FROM documents
+), st AS (SELECT source, t, count(*) AS c_st FROM occ GROUP BY 1, 2),
+ns AS (SELECT source, sum(c_st) AS n_s FROM st GROUP BY 1),
+sp AS (
+  SELECT source, t, CAST(c_st AS DOUBLE) / n_s AS p
+  FROM st JOIN ns USING (source)
+), pairs AS (
+  SELECT a.source AS s1, b.source AS s2
+  FROM ns a, ns b WHERE a.source < b.source
+), pertok AS (
+  SELECT s1, s2, t, sum(p) / 2.0 AS m,
+         sum(CASE WHEN source = s1 THEN -p * ln(p) ELSE 0 END) AS h1t,
+         sum(CASE WHEN source = s2 THEN -p * ln(p) ELSE 0 END) AS h2t
+  FROM sp JOIN pairs ON source = s1 OR source = s2
+  GROUP BY 1, 2, 3)
+SELECT s1, s2,
+       round(sum(-m * ln(m)) - (sum(h1t) + sum(h2t)) / 2.0, 4) AS jsd
+FROM pertok GROUP BY 1, 2""",
   )
 }

@@ -2273,6 +2273,9 @@ object SparkEntry {
   private def tSourceKl(s: SparkSession, dir: String): DataFrame =
     TextOps.sourceUnigramKl(T(s, dir, "documents"))
 
+  private def tJsDivergence(s: SparkSession, dir: String): DataFrame =
+    TextOps.sourceJsDivergence(T(s, dir, "documents"))
+
   private def sEmbedOutliers(s: SparkSession, dir: String): DataFrame =
     Similarity.labelOutliers(T(s, dir, "embeddings"), 64, 2.0)
 
@@ -4699,6 +4702,7 @@ object SparkEntry {
     "m_aspect_bucket" -> (mAspectBucket _),
     "a_pareto" -> (aPareto _),
     "a_interpurchase" -> (aInterpurchase _),
+    "t_js_divergence" -> (tJsDivergence _),
     "m_asset_meta" -> (mAssetMeta _),
     "m_audio_meta" -> (mAudioMeta _),
     "m_frame_sample" -> (mFrameSample _),

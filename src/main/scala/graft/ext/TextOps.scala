@@ -360,6 +360,50 @@ object TextOps {
       .agg(first(col("n_s")).as("n_tok"), round(sum(term), 4).as("kl"))
   }
 
+  /** Pairwise Jensen–Shannon divergence between source unigram
+    * distributions — the SYMMETRIC, bounded ([0, ln 2]) companion of
+    * [[sourceUnigramKl]], the standard "how interchangeable are these
+    * two corpus slices" distance a mixture planner reads before
+    * merging sources. Computed in the entropy form JSD(P,Q) =
+    * H((P+Q)/2) − (H(P)+H(Q))/2, which needs NO smoothing and no
+    * full-outer vocabulary join: each (source, token) probability row
+    * contributes to every pair the source belongs to, and H(M) falls
+    * out of one (pair, token) aggregate.
+    *
+    * Scale shape: reuses the cached (source, token) count substrate;
+    * the pair frame is k(k−1)/2 rows (k = #sources) and broadcasts,
+    * so the fan-out is map-side ×(k−1) — linear in the vocabulary,
+    * never quadratic. Counts stay exact integers; doubles appear only
+    * in the log terms, rounded at 4 (the sourceUnigramKl convention,
+    * ~1e-12 summation noise against a 1e-4 grid). */
+  def sourceJsDivergence(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.broadcast
+    val st = graft.ops.PlanCache.cachedBy("src-tok-counts",
+        docs.queryExecution.logical.semanticHash(), docs.sparkSession) {
+      docs.select(col("source"), explode(tokens(col("text"))).as("t"))
+        .groupBy("source", "t").agg(count(lit(1)).as("c_st"))
+    }
+    val nS = st.groupBy("source").agg(sum(col("c_st")).as("n_s"))
+    val sp = st.join(broadcast(nS), "source")
+      .select(col("source"), col("t"),
+        (col("c_st").cast("double") / col("n_s")).as("p"))
+    val pairs = broadcast(nS.select(col("source").as("s1"))
+      .crossJoin(nS.select(col("source").as("s2")))
+      .filter(col("s1") < col("s2")))
+    val perTok = sp
+      .join(pairs, col("source") === col("s1") || col("source") === col("s2"))
+      .groupBy("s1", "s2", "t")
+      .agg((sum(col("p")) / 2.0).as("m"),
+        sum(when(col("source") === col("s1"), -col("p") * log(col("p")))
+          .otherwise(0.0)).as("h1t"),
+        sum(when(col("source") === col("s2"), -col("p") * log(col("p")))
+          .otherwise(0.0)).as("h2t"))
+    perTok.groupBy("s1", "s2")
+      .agg(round(
+        sum(-col("m") * log(col("m"))) -
+          (sum(col("h1t")) + sum(col("h2t"))) / 2.0, 4).as("jsd"))
+  }
+
   /** DSIR-style importance weights (Xie et al. 2023, "Data Selection
     * via Importance Resampling"): per-document log importance ratio
     * log p_target(doc)/p_corpus(doc) under hashed-bigram bag models —
