@@ -4678,5 +4678,47 @@ sp AS (
 SELECT s1, s2,
        round(sum(-m * ln(m)) - (sum(h1t) + sum(h2t)) / 2.0, 4) AS jsd
 FROM pertok GROUP BY 1, 2""",
+
+    // top-20 revenue leaderboard churn between calendar halves;
+    // absent ranks coalesce to 21
+    "a_rank_churn" -> """WITH rev AS (
+  SELECT CASE WHEN o_orderdate >= TIMESTAMP '1995-06-01' THEN 1 ELSE 0 END
+           AS period,
+         l_partkey,
+         sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
+             (100 - CAST(round(l_discount * 100) AS BIGINT))) AS rev
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  GROUP BY 1, 2
+), ranked AS (
+  SELECT period, l_partkey,
+         CAST(row_number() OVER (PARTITION BY period
+           ORDER BY rev DESC, l_partkey) AS INT) AS r
+  FROM rev
+), t AS (SELECT * FROM ranked WHERE r <= 20),
+p0 AS (SELECT l_partkey, r AS r0 FROM t WHERE period = 0),
+p1 AS (SELECT l_partkey, r AS r1 FROM t WHERE period = 1)
+SELECT COALESCE(p0.l_partkey, p1.l_partkey) AS l_partkey, r0, r1,
+       CASE WHEN r0 IS NOT NULL AND r1 IS NOT NULL THEN 'stayed'
+            WHEN r0 IS NOT NULL THEN 'exited' ELSE 'entered' END AS status,
+       COALESCE(r0, 21) - COALESCE(r1, 21) AS rank_delta
+FROM p0 FULL OUTER JOIN p1 ON p0.l_partkey = p1.l_partkey""",
+
+    // scene cuts: 8 stub frames per asset, 56-bit fingerprints, cut
+    // where consecutive hashes differ in >= 24 bits
+    "m_scene_cut" -> s"""WITH fr AS (
+  SELECT doc_id AS asset_id, CAST(i AS BIGINT) AS frame_idx,
+         ${dh("substr(text, CAST((i * CAST(length(text) AS BIGINT)) // 8 AS INT) + 1, 8)")} AS h
+  FROM documents, range(0, 8) t(i)
+), d AS (
+  SELECT asset_id, frame_idx,
+         xor(h, lag(h, 1) OVER (PARTITION BY asset_id ORDER BY frame_idx)) AS x
+  FROM fr
+), dd AS (
+  SELECT asset_id, frame_idx, bit_count(x) AS dist FROM d WHERE x IS NOT NULL)
+SELECT asset_id, CAST(count(*) AS BIGINT) AS n_trans,
+       CAST(sum(CASE WHEN dist >= 24 THEN 1 ELSE 0 END) AS BIGINT) AS n_cuts,
+       CAST(max(dist) AS INT) AS max_dist,
+       min(CASE WHEN dist >= 24 THEN frame_idx END) AS first_cut_idx
+FROM dd GROUP BY 1""",
   )
 }

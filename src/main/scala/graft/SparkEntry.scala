@@ -4452,6 +4452,70 @@ object SparkEntry {
         expr("cum_n * 1000000 div t").as("cdf_e6"))
   }
 
+  /** Leaderboard churn: the top-20 parts by revenue in the first vs
+    * second half of the calendar, full-outer-joined into entered /
+    * exited / stayed rows with rank deltas — the "what moved on the
+    * leaderboard" digest every BI rollout ships. Each period's top-20
+    * rides TakeOrderedAndProject (per-partition heads + one 20-row
+    * driver merge — never a full sort; the [[dSampleBottomk]]
+    * convention), ranks are assigned by a window over the two 20-row
+    * frames, and absent ranks coalesce to 21 so deltas stay integers.
+    * Ties break by part key — fully deterministic. */
+  private def aRankChurn(s: SparkSession, dir: String): DataFrame = {
+    val rev = T(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey"),
+        (expr("CAST(round(l_extendedprice * 100) AS BIGINT)") *
+          (lit(100L) - expr("CAST(round(l_discount * 100) AS BIGINT)"))).as("rev_fx"))
+      .join(T(s, dir, "orders").select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .withColumn("period",
+        (col("o_orderdate") >= lit("1995-06-01").cast("timestamp")).cast("int"))
+      .groupBy("period", "l_partkey").agg(sum("rev_fx").as("rev"))
+    def top(p: Int) = rev.filter(col("period") === p)
+      .orderBy(col("rev").desc, col("l_partkey")).limit(20)
+    val ranked = top(0).union(top(1))
+      .withColumn("r", row_number().over(
+        Window.partitionBy("period").orderBy(col("rev").desc, col("l_partkey"))))
+    val p0 = ranked.filter(col("period") === 0)
+      .select(col("l_partkey"), col("r").as("r0"))
+    val p1 = ranked.filter(col("period") === 1)
+      .select(col("l_partkey").as("pk1"), col("r").as("r1"))
+    p0.join(p1, col("l_partkey") === col("pk1"), "full_outer")
+      .select(coalesce(col("l_partkey"), col("pk1")).as("l_partkey"),
+        col("r0"), col("r1"),
+        when(col("r0").isNotNull && col("r1").isNotNull, "stayed")
+          .when(col("r0").isNotNull, "exited").otherwise("entered").as("status"),
+        (coalesce(col("r0"), lit(21)) - coalesce(col("r1"), lit(21))).as("rank_delta"))
+  }
+
+  /** Shot-boundary (scene-cut) detection for video preprocessing: 8
+    * frames sampled per asset (the [[mFrameSample]] stub-decode
+    * convention — character slices standing in for decoded frames),
+    * each fingerprinted with the portable 56-bit hash, and a cut
+    * declared wherever consecutive fingerprints differ in ≥ 24 bits —
+    * the XOR+popcount frame-difference detector a clip-mining pipeline
+    * runs before captioning. Per-asset summary: transitions, cuts,
+    * max inter-frame distance, first cut index. Shape: fixed 8× frame
+    * fan-out (map-side), one asset-partitioned lag window, one
+    * partial-agg'd groupBy — no joins, nothing global. */
+  private def mSceneCut(s: SparkSession, dir: String): DataFrame = {
+    val assets = Multimodal.toAssets(
+      T(s, dir, "documents").select(col("doc_id").as("asset_id"),
+        col("text").cast("binary").as("payload")), "video")
+    val frames = Multimodal.sampleFrames(assets, 8, 8, sliceChars = true)
+      .select(col("asset_id"), col("frame_idx").cast("long").as("frame_idx"),
+        Codecs.portableHash(col("frame")).as("h"))
+    val w = Window.partitionBy("asset_id").orderBy("frame_idx")
+    frames.withColumn("prev", lag(col("h"), 1).over(w))
+      .filter(col("prev").isNotNull)
+      .withColumn("dist", expr("bit_count(h ^ prev)"))
+      .groupBy("asset_id").agg(
+        count(lit(1)).as("n_trans"),
+        sum((col("dist") >= 24).cast("long")).as("n_cuts"),
+        max("dist").as("max_dist"),
+        min(when(col("dist") >= 24, col("frame_idx"))).as("first_cut_idx"))
+  }
+
   // =====================================================================
   // Registry
   // =====================================================================
@@ -4703,6 +4767,8 @@ object SparkEntry {
     "a_pareto" -> (aPareto _),
     "a_interpurchase" -> (aInterpurchase _),
     "t_js_divergence" -> (tJsDivergence _),
+    "a_rank_churn" -> (aRankChurn _),
+    "m_scene_cut" -> (mSceneCut _),
     "m_asset_meta" -> (mAssetMeta _),
     "m_audio_meta" -> (mAudioMeta _),
     "m_frame_sample" -> (mFrameSample _),
