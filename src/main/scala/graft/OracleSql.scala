@@ -4720,5 +4720,45 @@ SELECT asset_id, CAST(count(*) AS BIGINT) AS n_trans,
        CAST(max(dist) AS INT) AS max_dist,
        min(CASE WHEN dist >= 24 THEN frame_idx END) AS first_cut_idx
 FROM dd GROUP BY 1""",
+
+    // monthly new-vs-returning revenue: "new" = order inside the
+    // customer's first-ever month
+    "a_repeat_revenue" -> """WITH ord AS (
+  SELECT o_custkey, date_trunc('month', CAST(o_orderdate AS TIMESTAMP)) AS mon,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS rev_fx
+  FROM orders
+), fm AS (SELECT o_custkey, min(mon) AS first_mon FROM ord GROUP BY 1)
+SELECT epoch_us(mon) AS mon_us,
+       CAST(sum(CASE WHEN mon = first_mon THEN rev_fx ELSE 0 END) AS BIGINT)
+         AS new_rev_fx,
+       CAST(sum(CASE WHEN mon = first_mon THEN 0 ELSE rev_fx END) AS BIGINT)
+         AS repeat_rev_fx,
+       CAST(sum(CASE WHEN mon = first_mon THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+       CAST(sum(CASE WHEN mon = first_mon THEN 0 ELSE 1 END) AS BIGINT) AS n_repeat,
+       round(CAST(sum(CASE WHEN mon = first_mon THEN 0 ELSE rev_fx END) AS DOUBLE)
+             / sum(rev_fx), 6) AS repeat_share
+FROM ord JOIN fm USING (o_custkey)
+GROUP BY 1""",
+
+    // cohort LTV curve: cumulative cohort revenue over week offsets,
+    // truncating per-customer cent division
+    "a_cohort_ltv" -> """WITH ord AS (
+  SELECT o_custkey, date_trunc('week', CAST(o_orderdate AS TIMESTAMP)) AS wk,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS rev_fx
+  FROM orders
+), cohorts AS (SELECT o_custkey, min(wk) AS cw FROM ord GROUP BY 1
+), sizes AS (SELECT cw, CAST(count(*) AS BIGINT) AS n_c FROM cohorts GROUP BY 1
+), rev AS (
+  SELECT cw, CAST(date_diff('day', cw, wk) // 7 AS BIGINT) AS week_offset,
+         sum(rev_fx) AS rev_fx
+  FROM ord JOIN cohorts USING (o_custkey)
+  GROUP BY 1, 2)
+SELECT epoch_us(cw) AS cohort_week_us, week_offset, n_c,
+       CAST(rev_fx AS BIGINT) AS rev_fx,
+       CAST(sum(rev_fx) OVER (PARTITION BY cw ORDER BY week_offset) AS BIGINT)
+         AS cum_rev_fx,
+       CAST(sum(rev_fx) OVER (PARTITION BY cw ORDER BY week_offset) AS BIGINT)
+         // n_c AS ltv_pc_fx
+FROM rev JOIN sizes USING (cw)""",
   )
 }

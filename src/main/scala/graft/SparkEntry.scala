@@ -4516,6 +4516,57 @@ object SparkEntry {
         min(when(col("dist") >= 24, col("frame_idx"))).as("first_cut_idx"))
   }
 
+  /** New-vs-returning revenue split per month: an order is "new" when
+    * it lands in its customer's first-ever month — the acquisition-vs-
+    * retention revenue mix every growth dashboard leads with. One
+    * per-customer min aggregate (partial-agg'd), one equi-join back,
+    * one monthly rollup; revenue stays exact cents and the repeat
+    * share is the one mirrored double (sum·10⁶ would overflow longs at
+    * large SF — the a_pareto precedent). */
+  private def aRepeatRevenue(s: SparkSession, dir: String): DataFrame = {
+    val ord = T(s, dir, "orders").select(col("o_custkey"),
+      date_trunc("month", col("o_orderdate")).as("mon"),
+      expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("rev_fx"))
+    val firstMon = ord.groupBy("o_custkey").agg(min("mon").as("first_mon"))
+    ord.join(firstMon, "o_custkey")
+      .withColumn("is_new", (col("mon") === col("first_mon")).cast("long"))
+      .groupBy(unix_micros(col("mon").cast("timestamp")).as("mon_us"))
+      .agg(
+        sum(when(col("is_new") === 1, col("rev_fx")).otherwise(0L)).as("new_rev_fx"),
+        sum(when(col("is_new") === 0, col("rev_fx")).otherwise(0L)).as("repeat_rev_fx"),
+        sum(col("is_new")).as("n_new"),
+        sum(lit(1L) - col("is_new")).as("n_repeat"))
+      .withColumn("repeat_share", round(
+        col("repeat_rev_fx").cast("double") /
+          (col("new_rev_fx") + col("repeat_rev_fx")), 6))
+  }
+
+  /** Cohort lifetime-value curve: cumulative revenue per acquisition
+    * cohort divided by cohort size at each week of age — the LTV
+    * payback curve. Cohorts from the [[aCohort]] first-week
+    * convention on ORDERS; the cumulative window partitions by cohort
+    * and runs over week offsets (bounded by the calendar, a few
+    * hundred rows per cohort at any data scale). All exact longs —
+    * per-customer LTV is a truncating cent division. */
+  private def aCohortLtv(s: SparkSession, dir: String): DataFrame = {
+    val ord = T(s, dir, "orders").select(col("o_custkey"),
+      date_trunc("week", col("o_orderdate")).as("wk"),
+      expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("rev_fx"))
+    val cohorts = ord.groupBy("o_custkey").agg(min("wk").as("cw"))
+    val sizes = cohorts.groupBy("cw").agg(count(lit(1)).as("n_c"))
+    val rev = ord.join(cohorts, "o_custkey")
+      .groupBy(col("cw"),
+        (datediff(to_date(col("wk")), to_date(col("cw"))) / 7).cast("long").as("week_offset"))
+      .agg(sum("rev_fx").as("rev_fx"))
+    val w = Window.partitionBy("cw").orderBy("week_offset")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    rev.join(sizes, "cw")
+      .withColumn("cum_rev_fx", sum(col("rev_fx")).over(w))
+      .select(unix_micros(col("cw").cast("timestamp")).as("cohort_week_us"),
+        col("week_offset"), col("n_c"), col("rev_fx"), col("cum_rev_fx"),
+        expr("cum_rev_fx div n_c").as("ltv_pc_fx"))
+  }
+
   // =====================================================================
   // Registry
   // =====================================================================
@@ -4769,6 +4820,8 @@ object SparkEntry {
     "t_js_divergence" -> (tJsDivergence _),
     "a_rank_churn" -> (aRankChurn _),
     "m_scene_cut" -> (mSceneCut _),
+    "a_repeat_revenue" -> (aRepeatRevenue _),
+    "a_cohort_ltv" -> (aCohortLtv _),
     "m_asset_meta" -> (mAssetMeta _),
     "m_audio_meta" -> (mAudioMeta _),
     "m_frame_sample" -> (mFrameSample _),
