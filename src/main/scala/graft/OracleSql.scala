@@ -4760,5 +4760,22 @@ SELECT epoch_us(cw) AS cohort_week_us, week_offset, n_c,
        CAST(sum(rev_fx) OVER (PARTITION BY cw ORDER BY week_offset) AS BIGINT)
          // n_c AS ltv_pc_fx
 FROM rev JOIN sizes USING (cw)""",
+
+    // seasonal-naive backtest: forecast = value 7 calendar days ago
+    // (self-join, gap-safe), exact fixed-point error rollup
+    "a_seasonal_naive" -> """WITH daily AS (
+  SELECT event_type, epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+         sum(CAST(round(value * 10000) AS BIGINT)) AS x
+  FROM events GROUP BY 1, 2
+), j AS (
+  SELECT a.event_type, a.x - f.x AS err
+  FROM daily a JOIN daily f
+    ON a.event_type = f.event_type AND f.day = a.day - 7)
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_backtest,
+       CAST(sum(abs(err)) AS BIGINT) AS sum_abs_err,
+       CAST(max(abs(err)) AS BIGINT) AS max_abs_err,
+       CAST(sum(err) AS BIGINT) AS bias,
+       CAST(sum(abs(err)) AS BIGINT) // count(*) AS mae_fx
+FROM j GROUP BY 1""",
   )
 }

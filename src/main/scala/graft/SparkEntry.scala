@@ -4567,6 +4567,33 @@ object SparkEntry {
         expr("cum_rev_fx div n_c").as("ltv_pc_fx"))
   }
 
+  /** Seasonal-naive forecast backtest: predict each day's per-type
+    * value with the value seven CALENDAR days earlier (a self-join on
+    * day−7, not lag(7) — gap days must not slide the season) and
+    * report per-type MAE / max error / bias in exact fixed point —
+    * the baseline every forecasting deployment must beat before it
+    * ships, over the [[aRollingMedian]] daily substrate. Shape: one
+    * partial-agg'd daily rollup, one equi-join of the series against
+    * its own 7-day shift (both sides day-partitioned, co-located on
+    * the same keys), one final rollup. All longs. */
+  private def aSeasonalNaive(s: SparkSession, dir: String): DataFrame = {
+    val daily = T(s, dir, "events")
+      .select(col("event_type"),
+        expr("unix_micros(ts) div 86400000000").as("day"),
+        expr("CAST(round(value * 10000) AS BIGINT)").as("v_fx"))
+      .groupBy("event_type", "day").agg(sum("v_fx").as("x"))
+    val f = daily.select(col("event_type"), (col("day") + 7).as("day"),
+      col("x").as("fx"))
+    daily.join(f, Seq("event_type", "day"))
+      .withColumn("err", col("x") - col("fx"))
+      .groupBy("event_type").agg(
+        count(lit(1)).as("n_backtest"),
+        sum(abs(col("err"))).as("sum_abs_err"),
+        max(abs(col("err"))).as("max_abs_err"),
+        sum(col("err")).as("bias"),
+        expr("sum(abs(err)) div count(1)").as("mae_fx"))
+  }
+
   // =====================================================================
   // Registry
   // =====================================================================
@@ -4822,6 +4849,7 @@ object SparkEntry {
     "m_scene_cut" -> (mSceneCut _),
     "a_repeat_revenue" -> (aRepeatRevenue _),
     "a_cohort_ltv" -> (aCohortLtv _),
+    "a_seasonal_naive" -> (aSeasonalNaive _),
     "m_asset_meta" -> (mAssetMeta _),
     "m_audio_meta" -> (mAudioMeta _),
     "m_frame_sample" -> (mFrameSample _),
