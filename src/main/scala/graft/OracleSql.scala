@@ -4777,5 +4777,59 @@ SELECT event_type, CAST(count(*) AS BIGINT) AS n_backtest,
        CAST(sum(err) AS BIGINT) AS bias,
        CAST(sum(abs(err)) AS BIGINT) // count(*) AS mae_fx
 FROM j GROUP BY 1""",
+
+    // PSI model-drift audit: parity split, e4-integer decile buckets,
+    // add-one smoothing, per-bucket (pa-pe)*ln(pa/pe) terms
+    "s_psi" -> s"""WITH scored AS (
+  SELECT vec_id,
+         CAST(round(10000.0 / (1.0 + exp(-(list_dot_product(
+           list_transform(embedding, x -> CAST(x AS DOUBLE)),
+           [${graft.SparkEntry.ModelWeights.mkString(", ")}]) + 0.1)))) AS BIGINT)
+           AS p4
+  FROM embeddings
+), b AS (
+  SELECT CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END AS is_exp,
+         least(p4 // 1000, 9) AS bucket
+  FROM scored
+), agg AS (
+  SELECT bucket, CAST(sum(is_exp) AS BIGINT) AS c_exp,
+         CAST(sum(1 - is_exp) AS BIGINT) AS c_act
+  FROM b GROUP BY 1
+), t AS (
+  SELECT bucket, c_exp, c_act,
+         CAST(sum(c_exp) OVER () AS BIGINT) AS n_exp,
+         CAST(sum(c_act) OVER () AS BIGINT) AS n_act
+  FROM agg)
+SELECT bucket, c_exp, c_act,
+       round((CAST(c_act + 1 AS DOUBLE) / (n_act + 10) -
+              CAST(c_exp + 1 AS DOUBLE) / (n_exp + 10)) *
+             ln((CAST(c_act + 1 AS DOUBLE) / (n_act + 10)) /
+                (CAST(c_exp + 1 AS DOUBLE) / (n_exp + 10))), 6) AS term
+FROM t""",
+
+    // 128 MiB output-layout advisor under declared row-size formulas
+    "p_file_plan" -> """WITH e AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_rows,
+         CAST(sum(32 + length(event_type) + length(props)) AS BIGINT)
+           AS est_bytes
+  FROM events
+), d AS (
+  SELECT CAST(count(*) AS BIGINT),
+         CAST(sum(16 + length(text) + length(lang) + length(source)) AS BIGINT)
+  FROM documents
+), l AS (
+  SELECT CAST(count(*) AS BIGINT),
+         CAST(sum(72 + length(l_returnflag) + length(l_linestatus)) AS BIGINT)
+  FROM lineitem
+), u AS (
+  SELECT 'events' AS table_name, * FROM e
+  UNION ALL SELECT 'documents', * FROM d
+  UNION ALL SELECT 'lineitem', * FROM l)
+SELECT table_name, n_rows, est_bytes,
+       CAST(greatest(1, (est_bytes + 134217727) // 134217728) AS BIGINT)
+         AS n_files,
+       n_rows // CAST(greatest(1, (est_bytes + 134217727) // 134217728) AS BIGINT)
+         AS rows_per_file
+FROM u""",
   )
 }

@@ -4594,6 +4594,63 @@ object SparkEntry {
         expr("sum(abs(err)) div count(1)").as("mae_fx"))
   }
 
+  /** Population stability index over the [[sModelScore]] linear-head
+    * scores — THE model-monitoring drift metric: expected population =
+    * even vec_ids, actual = odd (the a_abtest parity-split
+    * convention), scores bucketed into 10 fixed deciles FROM THE e4
+    * INTEGER score (no float boundary ambiguity), per-bucket add-one
+    * smoothing, term = (p_a − p_e)·ln(p_a/p_e) rounded at 6 — the
+    * consumer sums terms to the headline PSI. Shape: one scan with a
+    * codegen'd dot per row, one 10-row aggregate; the totals window
+    * runs over the 10-row frame. */
+  private def sPsi(s: SparkSession, dir: String): DataFrame = {
+    val w = array(ModelWeights.map(lit): _*)
+    val scored = T(s, dir, "embeddings")
+      .select(col("vec_id"), Similarity.asDouble(col("embedding")).as("v"))
+      .select(col("vec_id"),
+        round(lit(10000.0) / (lit(1.0) +
+          exp(-(Similarity.dot(col("v"), w) + lit(0.1))))).cast("long").as("p4"))
+    val agg = scored
+      .select((col("vec_id") % 2 === 0).as("is_exp"),
+        expr("least(p4 div 1000, 9)").as("bucket"))
+      .groupBy("bucket").agg(
+        sum(when(col("is_exp"), 1L).otherwise(0L)).as("c_exp"),
+        sum(when(col("is_exp"), 0L).otherwise(1L)).as("c_act"))
+    val tot = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val pe = (col("c_exp") + 1).cast("double") / (col("n_exp") + 10)
+    val pa = (col("c_act") + 1).cast("double") / (col("n_act") + 10)
+    agg
+      .withColumn("n_exp", sum(col("c_exp")).over(tot))
+      .withColumn("n_act", sum(col("c_act")).over(tot))
+      .select(col("bucket"), col("c_exp"), col("c_act"),
+        round((pa - pe) * log(pa / pe), 6).as("term"))
+  }
+
+  /** Output-layout advisor: per table, row count, estimated bytes
+    * under a DECLARED per-table row-size formula (fixed numeric
+    * widths + string lengths — the formula is the contract, shared
+    * with the oracle), and the 128 MiB-target file count with rows
+    * per file — what a writer passes to repartition(n) so the lake
+    * gets neither small-files soup nor 2 GB monoliths. One
+    * partial-agg scan per table, three-row output. */
+  private def pFilePlan(s: SparkSession, dir: String): DataFrame = {
+    def plan(df: DataFrame, table: String, rowBytes: Column) =
+      df.agg(count(lit(1)).as("n_rows"), sum(rowBytes).as("est_bytes"))
+        .select(lit(table).as("table_name"), col("n_rows"), col("est_bytes"),
+          greatest(lit(1L),
+            expr("(est_bytes + 134217727) div 134217728")).as("n_files"))
+        .withColumn("rows_per_file", expr("n_rows div n_files"))
+    plan(T(s, dir, "events"), "events",
+        lit(32L) + length(col("event_type")).cast("long") +
+          length(col("props")).cast("long"))
+      .unionAll(plan(T(s, dir, "documents"), "documents",
+        lit(16L) + length(col("text")).cast("long") +
+          length(col("lang")).cast("long") + length(col("source")).cast("long")))
+      .unionAll(plan(T(s, dir, "lineitem"), "lineitem",
+        lit(72L) + length(col("l_returnflag")).cast("long") +
+          length(col("l_linestatus")).cast("long")))
+  }
+
   // =====================================================================
   // Registry
   // =====================================================================
@@ -4850,6 +4907,8 @@ object SparkEntry {
     "a_repeat_revenue" -> (aRepeatRevenue _),
     "a_cohort_ltv" -> (aCohortLtv _),
     "a_seasonal_naive" -> (aSeasonalNaive _),
+    "s_psi" -> (sPsi _),
+    "p_file_plan" -> (pFilePlan _),
     "m_asset_meta" -> (mAssetMeta _),
     "m_audio_meta" -> (mAudioMeta _),
     "m_frame_sample" -> (mFrameSample _),
