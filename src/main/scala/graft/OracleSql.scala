@@ -4831,5 +4831,46 @@ SELECT table_name, n_rows, est_bytes,
        n_rows // CAST(greatest(1, (est_bytes + 134217727) // 134217728) AS BIGINT)
          AS rows_per_file
 FROM u""",
+
+    // centroid-classifier confusion matrix; diagonal rows carry exact
+    // e4 recall (row marginal) and precision (column marginal)
+    "s_confusion" -> s"""WITH vecs AS (
+  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings
+), cent AS (
+  SELECT label AS c_label, $CENT_ARR AS c FROM vecs GROUP BY label
+), scored AS (
+  SELECT vec_id, label, c_label,
+         list_dot_product(v, c) /
+           (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(c, c))) AS cos
+  FROM vecs CROSS JOIN cent
+), p AS (
+  SELECT label, c_label AS pred FROM (
+    SELECT vec_id, label, c_label,
+           row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, c_label) AS rnk
+    FROM scored)
+  WHERE rnk = 1
+), cm AS (
+  SELECT label, pred, CAST(count(*) AS BIGINT) AS n FROM p GROUP BY 1, 2)
+SELECT label, pred, n,
+       CASE WHEN label = pred THEN
+         n * 10000 // CAST(sum(n) OVER (PARTITION BY label) AS BIGINT) END
+         AS recall_e4,
+       CASE WHEN label = pred THEN
+         n * 10000 // CAST(sum(n) OVER (PARTITION BY pred) AS BIGINT) END
+         AS precision_e4
+FROM cm""",
+
+    // n-gram diversity curve: the type/token ratio swept over n=1..5
+    "t_diversity_curve" -> (s"""WITH toks AS (
+  SELECT source,
+         list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), t -> len(t) > 0) AS tk
+  FROM documents
+)
+""" + (1 to 5).map(n => s"""SELECT CAST($n AS BIGINT) AS n, source,
+       CAST(count(*) AS BIGINT) AS n_grams,
+       CAST(count(DISTINCT g) AS BIGINT) AS n_distinct,
+       round(CAST(count(DISTINCT g) AS DOUBLE) / count(*), 4) AS diversity
+FROM (SELECT source, unnest(${shinglesN(n)}) AS g FROM toks) GROUP BY 2""")
+      .mkString("\nUNION ALL\n")),
   )
 }

@@ -4651,6 +4651,27 @@ object SparkEntry {
           length(col("l_linestatus")).cast("long")))
   }
 
+  /** Confusion matrix of the centroid classifier with exact e4
+    * diagonal recall/precision ([[graft.ext.Similarity
+    * .centroidConfusion]]) — completes the Eval family's class-level
+    * view next to AUC / PR / calibration's score-level views. */
+  private def sConfusion(s: SparkSession, dir: String): DataFrame =
+    Similarity.centroidConfusion(T(s, dir, "embeddings"), 64)
+
+  /** N-gram diversity CURVE: the [[tNgramDiversity]] type/token ratio
+    * swept over n = 1..5 — how fast distinctness rises with gram
+    * length is the repetition-structure fingerprint of a corpus slice
+    * (near-1.0 at n=5 with low n=1 diversity ⇒ natural text;
+    * flat-low ⇒ templated spam). Five shingle passes over the shared
+    * token projection, each a partial-agg'd distinct count per
+    * source. */
+  private def tDiversityCurve(s: SparkSession, dir: String): DataFrame = {
+    val docs = T(s, dir, "documents")
+    (1 to 5).map(n =>
+      TextOps.ngramDiversity(docs, n).withColumn("n", lit(n.toLong)))
+      .reduce(_ unionAll _)
+  }
+
   // =====================================================================
   // Registry
   // =====================================================================
@@ -4909,6 +4930,8 @@ object SparkEntry {
     "a_seasonal_naive" -> (aSeasonalNaive _),
     "s_psi" -> (sPsi _),
     "p_file_plan" -> (pFilePlan _),
+    "s_confusion" -> (sConfusion _),
+    "t_diversity_curve" -> (tDiversityCurve _),
     "m_asset_meta" -> (mAssetMeta _),
     "m_audio_meta" -> (mAudioMeta _),
     "m_frame_sample" -> (mFrameSample _),

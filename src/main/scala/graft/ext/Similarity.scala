@@ -450,6 +450,31 @@ object Similarity {
       .withColumn("accuracy", round(col("n_correct").cast("double") / col("n_vecs"), 4))
   }
 
+  /** Full confusion matrix of [[centroidClassify]]: (true label,
+    * predicted label, count), with diagonal rows carrying per-class
+    * recall (n / row total) and precision (n / column total) in exact
+    * e4 — the class-level error breakdown an accuracy scalar hides.
+    * Same classification rule as centroidClassify (max cos, tie →
+    * smaller label), so the two rows never disagree. The marginal
+    * windows run over the k×k confusion frame — label-vocabulary-
+    * bounded, never data-sized. */
+  def centroidConfusion(emb: DataFrame, dims: Int): DataFrame = {
+    val cents = labelCentroids(emb, dims)
+      .select(col("label").as("c_label"), col("centroid"))
+      .withColumn("cn", norm(col("centroid")))
+    val best = withNorm(emb).crossJoin(broadcast(cents))
+      .withColumn("cos", safeDiv(dot(col("v"), col("centroid")), col("nrm") * col("cn")))
+      .groupBy(col("vec_id"), col("label"))
+      .agg(max(struct(col("cos"), (-col("c_label")).as("neg"))).as("b"))
+      .select(col("label"), (-col("b.neg")).as("pred"))
+    best.groupBy("label", "pred").agg(count(lit(1)).as("n"))
+      .withColumn("n_true", sum(col("n")).over(Window.partitionBy("label")))
+      .withColumn("n_pred", sum(col("n")).over(Window.partitionBy("pred")))
+      .select(col("label"), col("pred"), col("n"),
+        expr("CASE WHEN label = pred THEN n * 10000 div n_true END").as("recall_e4"),
+        expr("CASE WHEN label = pred THEN n * 10000 div n_pred END").as("precision_e4"))
+  }
+
   /** Pairwise label-centroid cosine (k·(k−1)/2 rows) — the inter-class
     * confusion/affinity matrix: which classes sit close in embedding
     * space. Both sides are the k-row centroid frame, so the join is a
