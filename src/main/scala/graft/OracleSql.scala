@@ -4872,5 +4872,75 @@ FROM cm""",
        round(CAST(count(DISTINCT g) AS DOUBLE) / count(*), 4) AS diversity
 FROM (SELECT source, unnest(${shinglesN(n)}) AS g FROM toks) GROUP BY 2""")
       .mkString("\nUNION ALL\n")),
+
+    // token-weighted dedup impact: non-keeper copies charge their
+    // token count to their own source
+    "d_dup_weight" -> s"""WITH docs AS (
+  SELECT doc_id, source,
+         regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS norm,
+         CAST(len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+           t -> len(t) > 0)) AS BIGINT) AS n_tok
+  FROM documents
+), d2 AS (
+  SELECT doc_id, source, n_tok, ${dh("norm")} AS h,
+         CAST(length(norm) AS BIGINT) AS ln
+  FROM docs
+), k AS (SELECT h, ln, min(doc_id) AS keeper FROM d2 GROUP BY 1, 2)
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN doc_id <> keeper THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dup_docs,
+       CAST(sum(n_tok) AS BIGINT) AS tokens_total,
+       CAST(sum(CASE WHEN doc_id <> keeper THEN n_tok ELSE 0 END) AS BIGINT)
+         AS tokens_wasted,
+       CAST(sum(CASE WHEN doc_id <> keeper THEN n_tok ELSE 0 END) AS BIGINT)
+         * 1000000 // CAST(sum(n_tok) AS BIGINT) AS waste_e6
+FROM d2 JOIN k USING (h, ln)
+GROUP BY 1""",
+
+    // Gini-Simpson token diversity per source, exact e6
+    "t_simpson" -> s"""WITH occ AS (
+  SELECT source,
+         unnest(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), t -> len(t) > 0)) AS t
+  FROM documents
+), st AS (SELECT source, t, CAST(count(*) AS BIGINT) AS c_st FROM occ GROUP BY 1, 2)
+SELECT source, CAST(sum(c_st) AS BIGINT) AS n_tok,
+       1000000 - CAST(sum(c_st * (c_st - 1)) AS BIGINT) * 1000000
+         // (CAST(sum(c_st) AS BIGINT) * (CAST(sum(c_st) AS BIGINT) - 1))
+         AS simpson_e6
+FROM st GROUP BY 1""",
+
+    // Wald-Wolfowitz runs test over daily-delta signs per event type;
+    // zero deltas drop, z is one mirrored double chain
+    "a_runs_test" -> """WITH daily AS (
+  SELECT event_type, epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+         sum(CAST(round(value * 10000) AS BIGINT)) AS x
+  FROM events GROUP BY 1, 2
+), sg AS (
+  SELECT event_type, day,
+         CASE WHEN d > 0 THEN 1 ELSE -1 END AS sgn
+  FROM (
+    SELECT event_type, day,
+           x - lag(x, 1) OVER (PARTITION BY event_type ORDER BY day) AS d
+    FROM daily)
+  WHERE d IS NOT NULL AND d <> 0
+), r AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS n_signs,
+         CAST(sum(CASE WHEN sgn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_plus,
+         CAST(sum(CASE WHEN sgn = -1 THEN 1 ELSE 0 END) AS BIGINT) AS n_minus,
+         CAST(sum(CASE WHEN prev_sgn IS NULL OR prev_sgn <> sgn THEN 1 ELSE 0 END)
+           AS BIGINT) AS n_runs
+  FROM (
+    SELECT event_type, sgn,
+           lag(sgn, 1) OVER (PARTITION BY event_type ORDER BY day) AS prev_sgn
+    FROM sg)
+  GROUP BY 1)
+SELECT event_type, n_signs, n_plus, n_minus, n_runs,
+       round((n_runs - (1.0 + 2.0 * n_plus * n_minus / (n_plus + n_minus))) /
+             sqrt((2.0 * n_plus * n_minus *
+                   (2.0 * n_plus * n_minus - n_plus - n_minus)) /
+                  ((n_plus + n_minus) * (n_plus + n_minus) *
+                   (n_plus + n_minus - 1))), 4) AS z
+FROM r""",
   )
 }

@@ -4672,6 +4672,93 @@ object SparkEntry {
       .reduce(_ unionAll _)
   }
 
+  /** Token-weighted dedup impact per source: how many TRAINING TOKENS
+    * exact-normalized dedup reclaims, not just how many documents —
+    * the number that actually moves a pretraining budget. Every
+    * non-keeper copy (keeper = min doc_id per normalized
+    * (hash, length) group, the d_exact rule) charges its token count
+    * to ITS OWN source, so a source that plagiarizes another pays,
+    * not the victim. One hash-group aggregate + one join back + one
+    * source rollup, exact longs throughout. */
+  private def dDupWeight(s: SparkSession, dir: String): DataFrame = {
+    val docs = T(s, dir, "documents")
+      .withColumn("norm", regexp_replace(lower(trim(col("text"))), "\\s+", " "))
+      .select(col("doc_id"), col("source"),
+        Codecs.portableHash(col("norm")).as("h"),
+        length(col("norm")).cast("long").as("ln"),
+        size(Codecs.tokens(col("text"))).cast("long").as("n_tok"))
+    val keeper = docs.groupBy("h", "ln").agg(min("doc_id").as("keeper"))
+    docs.join(keeper, Seq("h", "ln"))
+      .withColumn("is_dup", (col("doc_id") =!= col("keeper")).cast("long"))
+      .groupBy("source").agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("is_dup")).as("n_dup_docs"),
+        sum(col("n_tok")).as("tokens_total"),
+        sum(col("is_dup") * col("n_tok")).as("tokens_wasted"))
+      .withColumn("waste_e6", expr("tokens_wasted * 1000000 div tokens_total"))
+  }
+
+  /** Gini–Simpson token diversity per source: 1 − Σc(c−1)/N(N−1), the
+    * probability two tokens drawn without replacement differ — the
+    * unbiased companion of [[tDiversityCurve]]'s type/token ratio,
+    * exact in e6 integers (numerator and denominator stay inside
+    * longs through ~10⁹ tokens per source; past that the statistic
+    * moves to the mirrored-double convention). One (source, token)
+    * partial agg — the cached KL substrate — then a source rollup. */
+  private def tSimpson(s: SparkSession, dir: String): DataFrame = {
+    val st = graft.ops.PlanCache.cachedBy("src-tok-counts",
+        T(s, dir, "documents").queryExecution.logical.semanticHash(),
+        s) {
+      T(s, dir, "documents")
+        .select(col("source"), explode(Codecs.tokens(col("text"))).as("t"))
+        .groupBy("source", "t").agg(count(lit(1)).as("c_st"))
+    }
+    st.groupBy("source").agg(
+        sum(col("c_st")).as("n_tok"),
+        sum(col("c_st") * (col("c_st") - 1)).as("coll"))
+      .select(col("source"), col("n_tok"),
+        (lit(1000000L) - expr("coll * 1000000 div (n_tok * (n_tok - 1))"))
+          .as("simpson_e6"))
+  }
+
+  /** Wald–Wolfowitz runs test on each event type's daily-delta sign
+    * sequence: too FEW runs ⇒ trending/sticky, too MANY ⇒
+    * oscillating; the z-score against the n₊n₋ null is the randomness
+    * audit a forecasting pipeline runs before trusting residuals.
+    * Counts are exact via one series-partitioned lag window over the
+    * daily frame; zero deltas drop (the standard two-sign form); the
+    * z emission is one mirrored double chain. */
+  private def aRunsTest(s: SparkSession, dir: String): DataFrame = {
+    val daily = T(s, dir, "events")
+      .select(col("event_type"),
+        expr("unix_micros(ts) div 86400000000").as("day"),
+        expr("CAST(round(value * 10000) AS BIGINT)").as("v_fx"))
+      .groupBy("event_type", "day").agg(sum("v_fx").as("x"))
+    val w = Window.partitionBy("event_type").orderBy("day")
+    val signs = daily
+      .withColumn("d", col("x") - lag(col("x"), 1).over(w))
+      .filter(col("d").isNotNull && col("d") =!= 0)
+      .withColumn("sgn", when(col("d") > 0, 1L).otherwise(-1L))
+    val runs = signs
+      .withColumn("prev_sgn", lag(col("sgn"), 1).over(w))
+      .groupBy("event_type").agg(
+        count(lit(1)).as("n_signs"),
+        sum(when(col("sgn") === 1, 1L).otherwise(0L)).as("n_plus"),
+        sum(when(col("sgn") === -1, 1L).otherwise(0L)).as("n_minus"),
+        (sum(when(col("prev_sgn").isNull || col("prev_sgn") =!= col("sgn"), 1L)
+          .otherwise(0L))).as("n_runs"))
+    // null mean/variance of the runs count given n+ / n-
+    val mu = lit(1.0) + lit(2.0) * col("n_plus") * col("n_minus") /
+      (col("n_plus") + col("n_minus"))
+    val va = (lit(2.0) * col("n_plus") * col("n_minus") *
+      (lit(2.0) * col("n_plus") * col("n_minus") - col("n_plus") - col("n_minus"))) /
+      ((col("n_plus") + col("n_minus")) * (col("n_plus") + col("n_minus")) *
+        (col("n_plus") + col("n_minus") - 1))
+    runs.select(col("event_type"), col("n_signs"), col("n_plus"),
+      col("n_minus"), col("n_runs"),
+      round((col("n_runs") - mu) / sqrt(va), 4).as("z"))
+  }
+
   // =====================================================================
   // Registry
   // =====================================================================
@@ -4932,6 +5019,9 @@ object SparkEntry {
     "p_file_plan" -> (pFilePlan _),
     "s_confusion" -> (sConfusion _),
     "t_diversity_curve" -> (tDiversityCurve _),
+    "d_dup_weight" -> (dDupWeight _),
+    "t_simpson" -> (tSimpson _),
+    "a_runs_test" -> (aRunsTest _),
     "m_asset_meta" -> (mAssetMeta _),
     "m_audio_meta" -> (mAudioMeta _),
     "m_frame_sample" -> (mFrameSample _),
