@@ -166,6 +166,39 @@ object Pipeline {
         })
   }
 
+  /** Windowed PSI drift monitor over a model-score stream — the live
+    * face of the batch s_psi audit ([[graft.SparkEntry]]): per
+    * tumbling window, the decile histogram of e4-integer scores
+    * against a STATIC reference distribution, rolled into the PSI
+    * Σ(p_w − p_ref)·ln(p_w/p_ref) with per-bucket add-one smoothing
+    * on the window side. The reference rides as TEN LITERALS (a
+    * trained model's validation-set distribution — a constant, not a
+    * stream), so the whole monitor is one windowed aggregate with 10
+    * conditional sums: codegen end-to-end, no join, no UDF, state =
+    * 11 longs per open window. Append mode — a window's PSI is final
+    * once the watermark passes; alert when it exceeds `maxPsi`
+    * (industry rule of thumb: 0.1 investigate, 0.25 act). */
+  def psiMonitor(scores: DataFrame, refProbs: Seq[Double],
+      watermarkDelay: String, windowLen: String, maxPsi: Double): DataFrame = {
+    require(refProbs.length == 10, s"need 10 decile probs, got ${refProbs.length}")
+    require(refProbs.forall(_ > 0.0),
+      "reference deciles must be positive (smooth the reference first — " +
+        "a zero cell makes ln(p_w/p_ref) unbounded)")
+    require(math.abs(refProbs.sum - 1.0) < 1e-9,
+      s"reference must sum to 1, got ${refProbs.sum}")
+    val cs = (0 to 9).map(b =>
+      sum(when(expr("least(p4 div 1000, 9)") === b, 1L).otherwise(0L)).as(s"c$b"))
+    val agged = scores.withWatermark("ts", watermarkDelay)
+      .groupBy(window(col("ts"), windowLen).as("w"))
+      .agg(cs.head, (cs.tail :+ count(lit(1)).as("n")): _*)
+    val psi = (0 to 9).map { b =>
+      val pa = (col(s"c$b") + 1).cast("double") / (col("n") + 10)
+      (pa - lit(refProbs(b))) * log(pa / lit(refProbs(b)))
+    }.reduce(_ + _)
+    agged.select(unix_micros(col("w.start")).as("window_start_us"), col("n"),
+      round(psi, 6).as("psi"), (psi > maxPsi).as("alert"))
+  }
+
   /** Streaming exact deduplication: drop records whose dedup key was
     * already seen, with state bounded by the watermark (keys older
     * than the delay are forgotten — the standard unbounded-stream
