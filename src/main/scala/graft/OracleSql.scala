@@ -4942,5 +4942,28 @@ SELECT event_type, n_signs, n_plus, n_minus, n_runs,
                   ((n_plus + n_minus) * (n_plus + n_minus) *
                    (n_plus + n_minus - 1))), 4) AS z
 FROM r""",
+
+    // at-most-one-change localization: argmax |n*S_t - t*S_n| over the
+    // daily series, ties to the earliest day
+    "a_changepoint" -> """WITH daily AS (
+  SELECT event_type, epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+         sum(CAST(round(value * 10000) AS BIGINT)) AS x
+  FROM events GROUP BY 1, 2
+), c AS (
+  SELECT event_type, day,
+         CAST(sum(x) OVER (PARTITION BY event_type ORDER BY day) AS BIGINT) AS st,
+         CAST(count(*) OVER (PARTITION BY event_type ORDER BY day) AS BIGINT) AS t,
+         CAST(sum(x) OVER (PARTITION BY event_type) AS BIGINT) AS sn,
+         CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+  FROM daily
+), d AS (
+  SELECT event_type, day, n, n * st - t * sn AS dev,
+         row_number() OVER (PARTITION BY event_type
+           ORDER BY abs(n * st - t * sn) DESC, day) AS rn
+  FROM c)
+SELECT event_type, day AS tau_day, abs(dev) AS dev_abs,
+       CASE WHEN dev > 0 THEN 'down' ELSE 'up' END AS shift_dir,
+       n AS n_days
+FROM d WHERE rn = 1""",
   )
 }

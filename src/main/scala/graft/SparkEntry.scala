@@ -4759,6 +4759,40 @@ object SparkEntry {
       round((col("n_runs") - mu) / sqrt(va), 4).as("z"))
   }
 
+  /** Changepoint LOCALIZATION for each event type's daily series —
+    * the companion of [[aCusum]]'s detection: τ̂ = the day maximizing
+    * the scaled CUSUM deviation |n·S_t − t·S_n| (the classic
+    * at-most-one-change estimator), kept exact by scaling with n
+    * instead of dividing by it (n·S stays far inside longs at any
+    * calendar length), ties to the earliest day via the lexicographic
+    * struct-max. Windows are series-partitioned over the
+    * calendar-bounded daily frame; the argmax is one partial-agg'd
+    * struct-max, no rank window. Emits the shift direction read off
+    * the deviation's sign at τ̂. */
+  private def aChangepoint(s: SparkSession, dir: String): DataFrame = {
+    val daily = T(s, dir, "events")
+      .select(col("event_type"),
+        expr("unix_micros(ts) div 86400000000").as("day"),
+        expr("CAST(round(value * 10000) AS BIGINT)").as("v_fx"))
+      .groupBy("event_type", "day").agg(sum("v_fx").as("x"))
+    val wc = Window.partitionBy("event_type").orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val tot = Window.partitionBy("event_type")
+    daily
+      .withColumn("st", sum(col("x")).over(wc))
+      .withColumn("t", count(lit(1)).over(wc))
+      .withColumn("sn", sum(col("x")).over(tot))
+      .withColumn("n", count(lit(1)).over(tot))
+      .withColumn("dev", col("n") * col("st") - col("t") * col("sn"))
+      .groupBy("event_type").agg(
+        max(struct(abs(col("dev")).as("a"), (-col("day")).as("negd"),
+          col("dev").as("dev"), col("n").as("n"))).as("b"))
+      .select(col("event_type"), (-col("b.negd")).as("tau_day"),
+        col("b.a").as("dev_abs"),
+        when(col("b.dev") > 0, "down").otherwise("up").as("shift_dir"),
+        col("b.n").as("n_days"))
+  }
+
   // =====================================================================
   // Registry
   // =====================================================================
@@ -5022,6 +5056,7 @@ object SparkEntry {
     "d_dup_weight" -> (dDupWeight _),
     "t_simpson" -> (tSimpson _),
     "a_runs_test" -> (aRunsTest _),
+    "a_changepoint" -> (aChangepoint _),
     "m_asset_meta" -> (mAssetMeta _),
     "m_audio_meta" -> (mAudioMeta _),
     "m_frame_sample" -> (mFrameSample _),
