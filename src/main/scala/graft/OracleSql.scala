@@ -4965,5 +4965,27 @@ SELECT event_type, day AS tau_day, abs(dev) AS dev_abs,
        CASE WHEN dev > 0 THEN 'down' ELSE 'up' END AS shift_dir,
        n AS n_days
 FROM d WHERE rn = 1""",
+
+    // HITS: four exact e6 rounds over the DIRECTED purchase graph,
+    // max-rescaled each phase, unrolled (the engine's own loop shape).
+    // Rescale via max() OVER () so every CTE is referenced exactly
+    // once — a scalar-subquery max would make DuckDB's CTE inlining
+    // re-evaluate the whole chain exponentially.
+    "g_hits" -> ("""WITH e AS (
+  SELECT o_custkey AS c, l_suppkey AS p, CAST(count(*) AS BIGINT) AS w
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey GROUP BY 1, 2
+), h0 AS (SELECT DISTINCT c, CAST(1000000 AS BIGINT) AS h FROM e)""" +
+      (1 to 4).map(i => s""",
+a$i AS (SELECT p, ar * 1000000 // max(ar) OVER () AS a FROM (
+  SELECT p, CAST(sum(w * h) AS BIGINT) AS ar
+  FROM e JOIN h${i - 1} USING (c) GROUP BY 1)),
+h$i AS (SELECT c, hr * 1000000 // max(hr) OVER () AS h FROM (
+  SELECT c, CAST(sum(w * a) AS BIGINT) AS hr
+  FROM e JOIN a$i USING (p) GROUP BY 1))""")
+        .mkString + """
+SELECT 's' || CAST(p AS VARCHAR) AS node, a AS score_e6, 'authority' AS kind
+FROM a4
+UNION ALL
+SELECT 'c' || CAST(c AS VARCHAR), h, 'hub' FROM h4"""),
   )
 }

@@ -4793,6 +4793,43 @@ object SparkEntry {
         col("b.n").as("n_days"))
   }
 
+  /** HITS hubs & authorities over the DIRECTED customer→supplier
+    * purchase graph (Kleinberg 1999): four exact e6 mutual-
+    * reinforcement rounds — a = Eᵀh then h = E·a, each rescaled by
+    * its max via truncating division (the integer stand-in for the
+    * norm, deterministic in both engines) — so big buyers surface as
+    * hubs and widely-bought-from suppliers as authorities, a
+    * DIFFERENT ranking than [[gPagerank]]'s symmetrized random walk.
+    * Bounded unroll over the cached directed edge frame (the
+    * purchaseEdges convention, un-symmetrized); per-round maxes are
+    * 1-row broadcasts; all longs (Σw·10⁶ ≤ ~10¹², ×10⁶ still inside
+    * 2⁶³). The oracle replays the identical four rounds unrolled. */
+  private def gHits(s: SparkSession, dir: String): DataFrame = {
+    val e = graft.ops.PlanCache.cached("purchase-edges-directed", {
+      val li = T(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+      val ord = T(s, dir, "orders")
+        .select(col("o_orderkey").as("l_orderkey"), col("o_custkey"))
+      li.join(ord, "l_orderkey")
+        .groupBy(col("o_custkey").as("c"), col("l_suppkey").as("p"))
+        .agg(count(lit(1)).as("w"))
+    })
+    var h = e.select(col("c")).distinct()
+      .select(col("c"), lit(1000000L).as("h"))
+    var a: DataFrame = null
+    for (_ <- 1 to 4) {
+      val araw = e.join(h, "c").groupBy("p").agg(sum(expr("w * h")).as("ar"))
+      a = araw.crossJoin(broadcast(araw.agg(max("ar").as("m"))))
+        .select(col("p"), expr("ar * 1000000 div m").as("a"))
+      val hraw = e.join(a, "p").groupBy("c").agg(sum(expr("w * a")).as("hr"))
+      h = hraw.crossJoin(broadcast(hraw.agg(max("hr").as("m"))))
+        .select(col("c"), expr("hr * 1000000 div m").as("h"))
+    }
+    a.select(concat(lit("s"), col("p").cast("string")).as("node"),
+        col("a").as("score_e6"), lit("authority").as("kind"))
+      .unionAll(h.select(concat(lit("c"), col("c").cast("string")),
+        col("h"), lit("hub")))
+  }
+
   // =====================================================================
   // Registry
   // =====================================================================
@@ -5057,6 +5094,7 @@ object SparkEntry {
     "t_simpson" -> (tSimpson _),
     "a_runs_test" -> (aRunsTest _),
     "a_changepoint" -> (aChangepoint _),
+    "g_hits" -> (gHits _),
     "m_asset_meta" -> (mAssetMeta _),
     "m_audio_meta" -> (mAudioMeta _),
     "m_frame_sample" -> (mFrameSample _),
