@@ -4987,5 +4987,63 @@ SELECT 's' || CAST(p AS VARCHAR) AS node, a AS score_e6, 'authority' AS kind
 FROM a4
 UNION ALL
 SELECT 'c' || CAST(c AS VARCHAR), h, 'hub' FROM h4"""),
+
+    // Mass-conserving Markov stationary: eight unrolled e6 power
+    // steps; each step's leak (sink outflow + truncation) is derived
+    // from the conserved-total invariant ns*1e6 and redistributed
+    // uniformly with the remainder pinned to min(t). Unrolled (not
+    // recursive) because each step needs a full-frame window total
+    // and a left join against the state dimension.
+    "a_markov_conserve" -> ("""WITH tr AS (
+  SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n FROM (
+    SELECT event_type AS from_type,
+           lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+             AS to_type
+    FROM events)
+  WHERE to_type IS NOT NULL GROUP BY 1, 2
+), p AS (
+  SELECT from_type, to_type,
+         n * 1000000 // sum(n) OVER (PARTITION BY from_type) AS p_e6
+  FROM tr
+), st AS (
+  SELECT t, min(t) OVER () AS t0, CAST(count(*) OVER () AS BIGINT) AS ns
+  FROM (SELECT from_type AS t FROM p UNION SELECT to_type FROM p)
+), v0 AS (SELECT t, CAST(1000000 AS BIGINT) AS v FROM st)""" +
+      (1 to 8).map(i => s""",
+r$i AS (
+  SELECT s.t, s.t0, s.ns, coalesce(x.vr, 0) AS vr,
+         CAST(sum(coalesce(x.vr, 0)) OVER () AS BIGINT) AS tot1
+  FROM st s LEFT JOIN (
+    SELECT p.to_type AS t, CAST(sum(v * p_e6 // 1000000) AS BIGINT) AS vr
+    FROM v${i - 1} JOIN p ON v${i - 1}.t = p.from_type GROUP BY 1) x
+  ON s.t = x.t),
+v$i AS (
+  SELECT t, CAST(vr + (ns * 1000000 - tot1) // ns
+           + CASE WHEN t = t0 THEN (ns * 1000000 - tot1) % ns ELSE 0 END
+           AS BIGINT) AS v
+  FROM r$i)""").mkString + """
+SELECT t AS event_type, v AS v_e6 FROM v8"""),
+
+    // trigram LM cross-entropy: add-one-smoothed p(w3|w1 w2), context
+    // key sliced from the shingle string (mirror of
+    // TextOps.trigramCrossEntropy)
+    "t_trigram_ppl" -> s"""$TOKS, occ AS (
+  SELECT doc_id, unnest(${shinglesN(3)}) AS s FROM toks
+), c3 AS (SELECT s, count(*) AS c3 FROM occ GROUP BY s
+), c12 AS (
+  SELECT array_to_string(string_split(s, ' ')[1:2], ' ') AS w12,
+         sum(c3) AS c12
+  FROM c3 GROUP BY 1
+), v AS (SELECT count(DISTINCT t) AS v FROM (SELECT unnest(tk) AS t FROM toks)
+), model AS (
+  SELECT c3.s, ln(CAST(c3.c3 + 1 AS DOUBLE) / (c12.c12 + v.v)) AS logp
+  FROM c3 JOIN c12
+    ON array_to_string(string_split(c3.s, ' ')[1:2], ' ') = c12.w12
+  CROSS JOIN v
+)
+SELECT occ.doc_id, CAST(count(*) AS BIGINT) AS n_trigrams,
+       round(-sum(m.logp) / count(*), 4) AS xent_nats
+FROM occ JOIN model m USING (s)
+GROUP BY occ.doc_id""",
   )
 }

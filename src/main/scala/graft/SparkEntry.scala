@@ -1182,6 +1182,12 @@ object SparkEntry {
   private def tBigramPpl(s: SparkSession, dir: String): DataFrame =
     TextOps.bigramCrossEntropy(T(s, dir, "documents"))
 
+  /** Order-3 step of the LM-filter ladder: per-doc cross-entropy
+    * under the add-one-smoothed conditional trigram LM
+    * (see [[graft.ext.TextOps.trigramCrossEntropy]]). */
+  private def tTrigramPpl(s: SparkSession, dir: String): DataFrame =
+    TextOps.trigramCrossEntropy(T(s, dir, "documents"))
+
   /** Two-phase EXACT heavy hitters over the corpus bigram stream:
     * mergeable Misra–Gries candidates (m=1024), then an exact count
     * of candidates only — `cnt·(m+1) > N` in integer arithmetic
@@ -4329,16 +4335,7 @@ object SparkEntry {
     * the oracle, and the mass-conservation caveat is the documented
     * [[graft.ops.Graph.pageRankFixed]] dangling discussion. */
   private def aMarkovStationary(s: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
-    val trans = T(s, dir, "events")
-      .withColumn("next_type", lead(col("event_type"), 1).over(w))
-      .filter(col("next_type").isNotNull)
-      .groupBy(col("event_type").as("from_type"), col("next_type").as("to_type"))
-      .agg(count(lit(1)).as("n"))
-    val tot = trans.groupBy("from_type").agg(sum("n").as("tot"))
-    val p = trans.join(tot, "from_type")
-      .select(col("from_type"), col("to_type"),
-        expr("n * 1000000 div tot").as("p_e6"))
+    val p = markovMatrix(s, dir)
     val states = p.select(col("from_type").as("t"))
       .union(p.select(col("to_type"))).distinct()
     val v0 = states.select(col("t"), lit(1000000L).as("v"))
@@ -4347,6 +4344,67 @@ object SparkEntry {
         .groupBy(col("to_type"))
         .agg(sum(expr("v * p_e6 div 1000000")).as("v2"))
         .select(col("to_type").as("t"), col("v2").as("v"))
+    }
+    vK.select(col("t").as("event_type"), col("v").as("v_e6"))
+  }
+
+  /** The row-stochastic (e6 fixed-point, truncating) per-user
+    * event-type transition matrix — one lead window partitioned by
+    * user, then a vocabulary-bounded aggregate; PlanCache'd because
+    * both stationary-distribution queries power-iterate over it. */
+  private def markovMatrix(s: SparkSession, dir: String): DataFrame =
+    graft.ops.PlanCache.cached("markov-matrix-e6", {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val trans = T(s, dir, "events")
+        .withColumn("next_type", lead(col("event_type"), 1).over(w))
+        .filter(col("next_type").isNotNull)
+        .groupBy(col("event_type").as("from_type"), col("next_type").as("to_type"))
+        .agg(count(lit(1)).as("n"))
+      val tot = trans.groupBy("from_type").agg(sum("n").as("tot"))
+      trans.join(tot, "from_type")
+        .select(col("from_type"), col("to_type"),
+          expr("n * 1000000 div tot").as("p_e6"))
+    })
+
+  /** MASS-CONSERVING stationary distribution — closes the documented
+    * [[aMarkovStationary]] caveat (sink states and e6 truncation both
+    * leak mass there, so its vector is substochastic). Each of the
+    * eight power steps here measures the step's total leak — sinks'
+    * outflow plus every truncated division — as one 1-row aggregate
+    * and redistributes it uniformly (remainder to the
+    * lexicographically first state, the PageRank-dangling
+    * redistribution shape in exact integers), so Σv = |states|·10⁶
+    * holds bit-exactly after every step and the result is a true
+    * distribution. States with no outgoing edges stay in the vector
+    * via the left join against the state dimension instead of
+    * dropping out. Scale: the matrix and state frames are
+    * vocabulary-bounded (AQE-broadcast joins), the leak totals are
+    * 1-row broadcasts, and the only data-sized pass is
+    * [[markovMatrix]]'s shared lead window. The oracle replays the
+    * identical eight rounds unrolled, deriving the leak from the
+    * conserved-total invariant so no CTE is referenced twice. */
+  private def aMarkovConserve(s: SparkSession, dir: String): DataFrame = {
+    val p = markovMatrix(s, dir)
+    val states = p.select(col("from_type").as("t"))
+      .union(p.select(col("to_type"))).distinct()
+    val st = states.crossJoin(broadcast(
+      states.agg(count(lit(1)).as("ns"), min("t").as("t0"))))
+    val v0 = st.select(col("t"), lit(1000000L).as("v"))
+    // the step total comes from a single-partition global window
+    // (vocabulary-sized frame), NOT a second aggregate over `raw` —
+    // referencing the iterate twice would double the logical plan per
+    // step (2^8 subtree copies by step 8)
+    val wAll = Window.partitionBy()
+    val vK = (1 to 8).foldLeft(v0) { (v, _) =>
+      val raw = v.join(p, v("t") === p("from_type"))
+        .groupBy(col("to_type").as("t"))
+        .agg(sum(expr("v * p_e6 div 1000000")).as("vr"))
+      st.join(raw, Seq("t"), "left").na.fill(0L, Seq("vr"))
+        .withColumn("tot1", sum("vr").over(wAll))
+        .select(col("t"),
+          (col("vr") + expr("(ns * 1000000 - tot1) div ns") +
+            when(col("t") === col("t0"),
+              expr("(ns * 1000000 - tot1) % ns")).otherwise(lit(0L))).as("v"))
     }
     vK.select(col("t").as("event_type"), col("v").as("v_e6"))
   }
@@ -5077,6 +5135,8 @@ object SparkEntry {
     "a_streak_hazard" -> (aStreakHazard _),
     "m_tile_grid" -> (mTileGrid _),
     "a_markov_stationary" -> (aMarkovStationary _),
+    "a_markov_conserve" -> (aMarkovConserve _),
+    "t_trigram_ppl" -> (tTrigramPpl _),
     "m_aspect_bucket" -> (mAspectBucket _),
     "a_pareto" -> (aPareto _),
     "a_interpurchase" -> (aInterpurchase _),

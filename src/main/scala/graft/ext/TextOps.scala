@@ -375,8 +375,14 @@ object TextOps {
     * so the fan-out is map-side ×(k−1) — linear in the vocabulary,
     * never quadratic. Counts stay exact integers; doubles appear only
     * in the log terms, rounded at 4 (the sourceUnigramKl convention,
-    * ~1e-12 summation noise against a 1e-4 grid). */
-  def sourceJsDivergence(docs: DataFrame): DataFrame = {
+    * ~1e-12 summation noise against a 1e-4 grid).
+    *
+    * The ×(k−1) fan-out is the one term that grows quadratically in
+    * the SOURCE count, so the pair frame is gated by `maxPairs`
+    * (loud failure, the require convention): past the gate the right
+    * tool is a sketch (per-source KMV profiles) or a pre-clustering
+    * pass, not a bigger join. */
+  def sourceJsDivergence(docs: DataFrame, maxPairs: Long = 4096L): DataFrame = {
     import org.apache.spark.sql.functions.broadcast
     val st = graft.ops.PlanCache.cachedBy("src-tok-counts",
         docs.queryExecution.logical.semanticHash(), docs.sparkSession) {
@@ -384,6 +390,10 @@ object TextOps {
         .groupBy("source", "t").agg(count(lit(1)).as("c_st"))
     }
     val nS = st.groupBy("source").agg(sum(col("c_st")).as("n_s"))
+    val k = nS.count()
+    require(k * (k - 1) / 2 <= maxPairs,
+      s"sourceJsDivergence: $k sources -> ${k * (k - 1) / 2} pairs " +
+        s"exceeds maxPairs=$maxPairs; sketch or pre-cluster instead")
     val sp = st.join(broadcast(nS), "source")
       .select(col("source"), col("t"),
         (col("c_st").cast("double") / col("n_s")).as("p"))
@@ -678,6 +688,53 @@ object TextOps {
     occ.join(model, "s")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_bigrams"),
+        round(-sum(col("logp")) / count(lit(1)), 4).as("xent_nats"))
+  }
+
+  /** Per-document trigram occurrences (doc_id, s) — the order-3 twin
+    * of [[bigramOccurrences]], PlanCache'd so the perplexity scorer
+    * and any future trigram consumer share one tokenize+shingle
+    * substrate. */
+  def trigramOccurrences(docs: DataFrame): DataFrame =
+    graft.ops.PlanCache.cachedBy("trigram-occ",
+        docs.queryExecution.logical.semanticHash(), docs.sparkSession) {
+      docs.select(col("doc_id"), tokens(col("text")).as("tk"))
+        .select(col("doc_id"), explode(shingles(col("tk"), 3)).as("s"))
+    }
+
+  /** Per-document cross-entropy under the corpus's add-one-smoothed
+    * conditional TRIGRAM LM — the order-3 step of the
+    * [[bigramCrossEntropy]] ladder a quality-filter sweep compares
+    * against the bigram score (a doc whose trigram xent drops well
+    * below its bigram xent is locally predictable — boilerplate or
+    * template text). p(w3|w1 w2) = (c(w1w2w3) + 1) / (c(w1w2 ·) + V)
+    * with V the corpus unigram vocabulary; xent = mean −ln p over the
+    * document's trigram occurrences, rounded to 4 (the per-doc
+    * log-sum convention). Documents with < 3 tokens emit no row.
+    *
+    * Scale shape identical to the bigram form: trigram and context
+    * counts are partial-agg'd (bounded by distinct trigrams /
+    * bigram-contexts, not corpus size), V is a 1-row literal, and
+    * scoring is one occurrences→model join keyed on the trigram —
+    * no window, no all-pairs. The context key is sliced from the
+    * shingle string itself, so no re-tokenization happens after the
+    * shared substrate. */
+  def trigramCrossEntropy(docs: DataFrame): DataFrame = {
+    val ctx = concat_ws(" ", slice(split(col("s"), " "), 1, 2))
+    val occ = trigramOccurrences(docs) // (doc_id, s) one row per position
+    val c3 = occ.groupBy("s").agg(count(lit(1)).as("c3"))
+    val c12 = c3.select(ctx.as("w12"), col("c3"))
+      .groupBy("w12").agg(sum(col("c3")).as("c12"))
+    val v = docs.select(explode(tokens(col("text"))).as("t"))
+      .agg(countDistinct(col("t"))).head().getLong(0)
+    val model = c3.withColumn("w12", ctx)
+      .join(c12, "w12")
+      .select(col("s"),
+        log((col("c3") + 1L).cast("double") / (col("c12") + v).cast("double"))
+          .as("logp"))
+    occ.join(model, "s")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_trigrams"),
         round(-sum(col("logp")) / count(lit(1)), 4).as("xent_nats"))
   }
 

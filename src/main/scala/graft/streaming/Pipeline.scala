@@ -933,4 +933,72 @@ object Pipeline {
       .filter(col("n_terms_hit") > 0)
       .select(col("doc_id"), round(col("score"), 4).as("score"), col("n_terms_hit"))
   }
+
+  // --- Live leaderboard serve (StreamingTopK × per-batch lookup)
+
+  /** Publisher leg of the live-leaderboard serve path: foreachBatch
+    * over [[StreamingTopK.leaderboards]]' update stream folds each
+    * batch's board emissions into a latest-per-shard map held on the
+    * driver (≤ shards boards of k pairs — driver-sized by
+    * construction, the codebook-literal argument) and re-registers
+    * `viewName` as the merged (key, total, rank) global top-k.
+    * Re-publishing between micro-batches is what makes the lookup leg
+    * live: its join runs inside foreachBatch, where every micro-batch
+    * is a fresh batch query that re-resolves the view by name — the
+    * [[annStream]] stream-static serve shape with the static side
+    * maintained by a second stream instead of a PlanCached store.
+    * (A plain stream-static join would NOT see republications: the
+    * streaming plan resolves the view once at start.) */
+  def topkPublisher(k: Int, viewName: String)
+      : (org.apache.spark.sql.Dataset[StreamingTopK.Board], Long) => Unit = {
+    val latest =
+      scala.collection.concurrent.TrieMap.empty[Int, StreamingTopK.Board]
+    (batch, _) => {
+      val spark = batch.sparkSession
+      batch.collect().foreach { b =>
+        latest.updateWith(b.shard) {
+          case Some(old) if old.ver >= b.ver => Some(old)
+          case _                             => Some(b)
+        }
+      }
+      val rows = StreamingTopK.merged(latest.values.toSeq, k).zipWithIndex
+        .map { case ((key, total), i) => (key, total, (i + 1).toLong) }
+      // GLOBAL temp view: each streaming query's foreachBatch runs in
+      // its own cloned session, so a session-local view published here
+      // would be invisible to the serve query's clone
+      spark.createDataFrame(rows).toDF("key", "total", "rank")
+        .createOrReplaceGlobalTempView(viewName)
+      ()
+    }
+  }
+
+  /** Lookup leg, pure batch so the wiring and the spec share it:
+    * requests join the published ≤ k-row board (broadcast); misses
+    * emit in_topk = false with null rank/total. */
+  def topkLookup(requests: DataFrame, board: DataFrame): DataFrame =
+    requests.join(broadcast(board), Seq("key"), "left")
+      .withColumn("in_topk", col("rank").isNotNull)
+
+  /** Wire both legs: increments feed the sharded exact leaderboard
+    * whose boards publish through [[topkPublisher]]; the request
+    * stream scores per micro-batch via [[topkLookup]] against the
+    * freshest published view and hands each scored batch to `sink`.
+    * The view starts empty so cold-start requests answer
+    * in_topk = false instead of failing resolution. Returns
+    * (publisher, server); stop the server first. */
+  def topkServe(incs: org.apache.spark.sql.Dataset[StreamingTopK.Inc],
+      requests: DataFrame, k: Int, shards: Int, viewName: String)(sink: Sink)
+      : (StreamingQuery, StreamingQuery) = {
+    incs.sparkSession.createDataFrame(Seq.empty[(String, Long, Long)])
+      .toDF("key", "total", "rank").createOrReplaceGlobalTempView(viewName)
+    val pub = StreamingTopK.leaderboards(incs, k, shards)
+      .writeStream.outputMode("update")
+      .foreachBatch(topkPublisher(k, viewName)).start()
+    val serve = requests.writeStream.outputMode("append")
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        sink(id, topkLookup(b, b.sparkSession.table("global_temp." + viewName)))
+        ()
+      }.start()
+    (pub, serve)
+  }
 }

@@ -942,6 +942,32 @@ class ExtSpec extends SparkSpec {
     assert(got === Array((1L, 1L, lnB), (2L, 1L, lnB), (3L, 1L, lnC)))
   }
 
+  test("trigram cross-entropy conditions on the two-token context") {
+    // corpus: "a b c" ×2, "a b d", "xy" — c(a b ·)=3, V=5;
+    // p(c|a b) = (2+1)/(3+5) = 3/8, p(d|a b) = (1+1)/8 = 1/4
+    val docs = Seq((1L, "a b c"), (2L, "a b c"), (3L, "a b d"), (4L, "xy"))
+      .toDF("doc_id", "text")
+    val got = TextOps.trigramCrossEntropy(docs)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val lnC = math.rint(math.log(8.0 / 3.0) * 1e4) / 1e4
+    val lnD = math.rint(math.log(4.0) * 1e4) / 1e4
+    // two-token doc 4 has no trigram occurrences and no row
+    assert(got === Array((1L, 1L, lnC), (2L, 1L, lnC), (3L, 1L, lnD)))
+  }
+
+  test("JS divergence refuses a source count past the pair gate") {
+    val docs = Seq(
+      (1L, "a b", "s1"), (2L, "b c", "s2"), (3L, "c d", "s3"))
+      .toDF("doc_id", "text", "source")
+    // 3 sources -> 3 pairs: fine at the default gate, loud at 2
+    assert(TextOps.sourceJsDivergence(docs).count() === 3L)
+    val e = intercept[IllegalArgumentException] {
+      TextOps.sourceJsDivergence(docs, maxPairs = 2L)
+    }
+    assert(e.getMessage.contains("maxPairs"))
+  }
+
   test("char-level fraction and apply cover the island union, cutting mid-word") {
     val docs = Seq(
       (1L, "xhello worlds apart entirely"),

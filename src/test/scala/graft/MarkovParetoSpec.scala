@@ -24,6 +24,22 @@ class MarkovParetoSpec extends SparkSpec {
     assert(v.map(_._2).sum <= 1000000L * types.size)
   }
 
+  test("conserving markov keeps the exact total and covers every state") {
+    val types = SparkEntry.T(spark, dir, "events")
+      .select("event_type").distinct().as[String].collect().toSet
+    val v = SparkEntry.queries("a_markov_conserve")(spark, dir)
+      .as[(String, Long)].collect()
+    // the redistribution term makes conservation EXACT: sum = |S|*1e6
+    // bit-for-bit, and no state ever drops out of the vector
+    assert(v.map(_._2).sum === 1000000L * v.length)
+    assert(v.map(_._1).toSet === types.intersect(v.map(_._1).toSet))
+    assert(v.forall(_._2 >= 0L))
+    // it is a genuinely different answer than the leaky sibling
+    val leaky = SparkEntry.queries("a_markov_stationary")(spark, dir)
+      .as[(String, Long)].collect().toMap
+    assert(v.map(_._2).sum > leaky.values.sum)
+  }
+
   test("aspect buckets partition the corpus over the declared ladder") {
     val ladder = Map(1L -> (256L, 1024L), 2L -> (320L, 832L),
       3L -> (384L, 704L), 4L -> (448L, 576L), 5L -> (512L, 512L),

@@ -81,6 +81,50 @@ class StreamingTopKSpec extends SparkSpec {
     }
   }
 
+  test("live serve: requests score against the freshest published board") {
+    withRocksDB {
+      implicit val sqlCtx = spark.sqlContext
+      val incs = MemoryStream[Inc]
+      val reqs = MemoryStream[String]
+      val got = scala.collection.mutable.ArrayBuffer
+        .empty[(String, Option[Long], Option[Long], Boolean)]
+      val sink: graft.streaming.Pipeline.Sink = (_, df) =>
+        got.synchronized {
+          got ++= df.collect().map { r =>
+            (r.getAs[String]("key"),
+              Option(r.getAs[java.lang.Long]("total")).map(_.longValue),
+              Option(r.getAs[java.lang.Long]("rank")).map(_.longValue),
+              r.getAs[Boolean]("in_topk"))
+          }
+        }
+      val (pub, serve) = graft.streaming.Pipeline.topkServe(
+        incs.toDS(), reqs.toDS().toDF("key"), k = 2, shards = 2,
+        "topk_serve_view")(sink)
+      try {
+        // cold start: nothing published yet -> in_topk = false
+        reqs.addData("a"); serve.processAllAvailable()
+        assert(got.toSeq === Seq(("a", None, None, false)))
+        got.clear()
+        // batch 1: a=5 b=3 c=1 -> board (a,5),(b,3)
+        incs.addData(Seq(Inc("a", 5L), Inc("b", 3L), Inc("c", 1L)))
+        pub.processAllAvailable()
+        reqs.addData("a", "c"); serve.processAllAvailable()
+        assert(got.toSet === Set(
+          ("a", Some(5L), Some(1L), true), ("c", None, None, false)))
+        got.clear()
+        // batch 2 flips the leader: c += 9 -> board (c,10),(a,5);
+        // the SAME request keys now answer differently
+        incs.addData(Seq(Inc("c", 9L)))
+        pub.processAllAvailable()
+        reqs.addData("a", "c", "b"); serve.processAllAvailable()
+        assert(got.toSet === Set(
+          ("a", Some(5L), Some(2L), true),
+          ("c", Some(10L), Some(1L), true),
+          ("b", None, None, false)))
+      } finally { serve.stop(); pub.stop() }
+    }
+  }
+
   test("a negative increment refuses loudly") {
     withRocksDB {
       implicit val sqlCtx = spark.sqlContext
