@@ -5024,6 +5024,138 @@ v$i AS (
   FROM r$i)""").mkString + """
 SELECT t AS event_type, v AS v_e6 FROM v8"""),
 
+    // landmark harmonic centrality: per-seed BFS labels carried
+    // through the same recursive iterate as g_bfs, then one rollup
+    "g_harmonic" -> """WITH RECURSIVE cs AS (
+  SELECT 'c' || CAST(o.o_custkey AS VARCHAR) AS cnode,
+         's' || CAST(l.l_suppkey AS VARCHAR) AS snode
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  GROUP BY 1, 2
+), e AS (
+  SELECT cnode AS src, snode AS dst FROM cs
+  UNION ALL SELECT snode AS src, cnode AS dst FROM cs
+), e2 AS (
+  SELECT src, dst, CAST(1 AS BIGINT) AS delta FROM e
+  UNION ALL SELECT src AS src, src AS dst, CAST(0 AS BIGINT) AS delta
+  FROM (SELECT DISTINCT src FROM e)
+), sd AS (
+  SELECT DISTINCT 's' || CAST(s_suppkey AS VARCHAR) AS node
+  FROM supplier WHERE s_nationkey = 0
+), st AS (
+  SELECT 0 AS t, node AS seed, node, CAST(0 AS BIGINT) AS dist FROM sd
+  UNION ALL
+  SELECT t + 1, seed, dst AS node, d AS dist FROM (
+    SELECT st.t AS t, st.seed AS seed, e2.dst AS dst,
+           min(st.dist + e2.delta) AS d
+    FROM st JOIN e2 ON e2.src = st.node
+    WHERE st.t < 3 GROUP BY 1, 2, 3)
+)
+SELECT seed, CAST(count(*) AS BIGINT) AS n_reached,
+       CAST(sum(1000000 // dist) AS BIGINT) AS harmonic_e6,
+       max(dist) AS ecc_ball
+FROM st WHERE t = 3 AND dist >= 1
+GROUP BY seed""",
+
+    // perceptual-hash dedup: the oracle is the all-pairs join the
+    // pigeonhole banding provably equals at the declared radius
+    "m_ahash_dedup" -> """WITH px AS (
+  SELECT doc_id,
+         list_transform(range(0, 60), i ->
+           CAST(ascii(substr(text,
+             CAST(1 + (i * length(text)) // 60 AS INT), 1)) AS BIGINT)) AS p
+  FROM documents WHERE length(text) >= 1
+), ps AS (
+  SELECT doc_id, p, list_aggregate(p, 'sum') AS sp FROM px
+), fp AS (
+  SELECT doc_id, CAST(list_aggregate(list_transform(range(0, 60), i ->
+    CASE WHEN p[CAST(i + 1 AS INT)] * 60 > sp
+         THEN (CAST(1 AS BIGINT) << CAST(i AS INT))
+         ELSE CAST(0 AS BIGINT) END), 'sum') AS BIGINT) AS h
+  FROM ps
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.h, b.h)) AS INT) AS hamming
+FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.h, b.h)) <= 6""",
+
+    // bucket advisor: exact per-key stats, smallest power of two with
+    // >= 64Ki rows per bucket via the 31-row ladder, 5% hot-key flag
+    "p_bucket_advisor" -> """WITH k1 AS (
+  SELECT count(*) AS n FROM lineitem GROUP BY l_partkey
+), k2 AS (SELECT count(*) AS n FROM lineitem GROUP BY l_suppkey
+), k3 AS (SELECT count(*) AS n FROM orders GROUP BY o_custkey
+), k4 AS (SELECT count(*) AS n FROM events GROUP BY user_id
+), st AS (
+  SELECT 'lineitem' AS tbl, 'l_partkey' AS join_key,
+         CAST(sum(n) AS BIGINT) AS n_rows, CAST(count(*) AS BIGINT) AS ndv,
+         CAST(max(n) AS BIGINT) AS max_freq FROM k1
+  UNION ALL
+  SELECT 'lineitem', 'l_suppkey', CAST(sum(n) AS BIGINT),
+         CAST(count(*) AS BIGINT), CAST(max(n) AS BIGINT) FROM k2
+  UNION ALL
+  SELECT 'orders', 'o_custkey', CAST(sum(n) AS BIGINT),
+         CAST(count(*) AS BIGINT), CAST(max(n) AS BIGINT) FROM k3
+  UNION ALL
+  SELECT 'events', 'user_id', CAST(sum(n) AS BIGINT),
+         CAST(count(*) AS BIGINT), CAST(max(n) AS BIGINT) FROM k4
+), ladder AS (
+  SELECT CAST(1 AS BIGINT) << CAST(i AS INT) AS p FROM range(0, 31) t(i)
+)
+SELECT tbl, join_key, n_rows, ndv, max_freq,
+       CAST(min(p) AS BIGINT) AS buckets,
+       max_freq * 20 > n_rows AS hot_key
+FROM st JOIN ladder ON p >= (n_rows + 65535) // 65536
+GROUP BY tbl, join_key, n_rows, ndv, max_freq""",
+
+    // Theil–Sen: doubled median of all pairwise e6 slopes per series;
+    // // and div both truncate toward zero so negatives replay
+    "a_theil_sen" -> """WITH daily AS (
+  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+         sum(CAST(round(value * 10000) AS BIGINT)) AS x
+  FROM events GROUP BY 1, 2
+), pr AS (
+  SELECT a.event_type AS event_type,
+         (b.x - a.x) * 1000000 // (b.day - a.day) AS slope_e6
+  FROM daily a JOIN daily b
+    ON a.event_type = b.event_type AND a.day < b.day
+), g AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n_pairs,
+         list_sort(list(slope_e6)) AS sl
+  FROM pr GROUP BY 1)
+SELECT event_type, n_pairs,
+       CAST(sl[CAST((len(sl) + 1) // 2 AS INT)] +
+            sl[CAST((len(sl) + 2) // 2 AS INT)] AS BIGINT) AS slope_med2_e6
+FROM g""",
+
+    // TextRank: the g_pagerank recursive replay over the symmetrized
+    // co-occurrence graph (combined weight >= 3), top 20 by rank.
+    // RECURSIVE must ride the one WITH, hence the rewrite of TOKS.
+    "t_textrank" -> s"""${TOKS.replaceFirst("WITH ", "WITH RECURSIVE ")}, occ AS (
+  SELECT unnest(${shinglesN(2)}) AS s FROM toks
+), pw AS (
+  SELECT string_split(s, ' ')[1] AS u1, string_split(s, ' ')[2] AS u2
+  FROM occ
+), und AS (
+  SELECT least(u1, u2) AS a, greatest(u1, u2) AS b,
+         CAST(count(*) AS BIGINT) AS w
+  FROM pw WHERE u1 <> u2 GROUP BY 1, 2 HAVING count(*) >= 3
+), e AS (
+  SELECT a AS src, b AS dst, w FROM und
+  UNION ALL SELECT b AS src, a AS dst, w FROM und
+), ow AS (SELECT src, sum(w) AS wout FROM e GROUP BY src
+), pr AS (
+  SELECT 0 AS t, src AS node, CAST(1000000 AS BIGINT) AS p
+  FROM (SELECT DISTINCT src FROM e)
+  UNION ALL
+  SELECT t+1, dst AS node, CAST(150000 + (85 * sm) // 100 AS BIGINT) AS p
+  FROM (
+    SELECT pr.t AS t, e.dst AS dst, sum((pr.p * e.w) // ow.wout) AS sm
+    FROM pr JOIN e ON e.src = pr.node JOIN ow ON ow.src = pr.node
+    WHERE pr.t < 4 GROUP BY 1, 2)
+)
+SELECT node AS token, p AS pr_fx FROM pr WHERE t = 4
+ORDER BY p DESC, node LIMIT 20""",
+
     // trigram LM cross-entropy: add-one-smoothed p(w3|w1 w2), context
     // key sliced from the shingle string (mirror of
     // TextOps.trigramCrossEntropy)

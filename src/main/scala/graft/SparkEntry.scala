@@ -3122,6 +3122,25 @@ object SparkEntry {
     graft.ops.Graph.bfsHops(purchaseEdges(s, dir), seeds, 3)
   }
 
+  /** Landmark harmonic centrality of the nation-0 supplier seeds
+    * ([[graft.ops.Graph.bfsHopsPerSeed]], depth 3): per landmark,
+    * Σ 1/d(seed, v) over its 3-hop ball in e6 truncating fixed point,
+    * plus the reached count and the ball eccentricity — the standard
+    * "how central is this entity in the trade network" probe
+    * (harmonic, not closeness, so disconnection costs nothing instead
+    * of ∞). The per-seed frame is |seeds| × ball, gated by the
+    * landmark require; the centrality rollup is one seed-keyed agg. */
+  private def gHarmonic(s: SparkSession, dir: String): DataFrame = {
+    val seeds = T(s, dir, "supplier").filter(col("s_nationkey") === 0)
+      .select(concat(lit("s"), col("s_suppkey").cast("string")).as("node"))
+    graft.ops.Graph.bfsHopsPerSeed(purchaseEdges(s, dir), seeds, 3)
+      .filter(col("dist") >= 1L)
+      .groupBy(col("seed"))
+      .agg(count(lit(1)).as("n_reached"),
+        sum(expr("1000000 div dist")).as("harmonic_e6"),
+        max("dist").as("ecc_ball"))
+  }
+
   /** Cheapest trade-cost path from the nation-0 supplier seeds
     * ([[graft.ops.Graph.minPlus]], 4 relaxation rounds): edge cost
     * `1000000 div w` — inverse trade volume, so the label measures
@@ -4292,6 +4311,111 @@ object SparkEntry {
         expr("n_events * 1000000 div n_risk").as("hazard_e6"))
   }
 
+  /** Bucket-layout advisor for the co-location join keys — the
+    * pre-ETL sizing read before writing bucketed staging tables (the
+    * PlanCache scale note's "bucketed intermediate"): per candidate
+    * key, exact rows / NDV / hottest-key frequency from ONE
+    * partial-agg pass per table, then the recommended bucket count =
+    * the smallest power of two holding ≥ 64 Ki rows per bucket
+    * (powers ladder is a 31-row broadcast literal — no log2 doubles),
+    * and a hot-key flag (top key > 5% of rows, integer
+    * cross-multiplication) marking keys that need the salting path
+    * ([[graft.ops.SkewJoin]]) instead of plain bucketing. At 100 TB
+    * each key's stats are the same two aggregates; nothing here is
+    * data-order dependent. */
+  private def pBucketAdvisor(s: SparkSession, dir: String): DataFrame = {
+    def keyStats(df: DataFrame, tbl: String, key: String): DataFrame =
+      df.groupBy(col(key).as("k")).agg(count(lit(1)).as("n"))
+        .agg(sum("n").as("n_rows"), count(lit(1)).as("ndv"),
+          max("n").as("max_freq"))
+        .select(lit(tbl).as("tbl"), lit(key).as("join_key"),
+          col("n_rows"), col("ndv"), col("max_freq"))
+    val stats = keyStats(T(s, dir, "lineitem"), "lineitem", "l_partkey")
+      .unionAll(keyStats(T(s, dir, "lineitem"), "lineitem", "l_suppkey"))
+      .unionAll(keyStats(T(s, dir, "orders"), "orders", "o_custkey"))
+      .unionAll(keyStats(T(s, dir, "events"), "events", "user_id"))
+    val ladder = s.createDataFrame((0 to 30).map(i => Tuple1(1L << i)))
+      .toDF("p")
+    stats
+      .withColumn("raw", expr("(n_rows + 65535) div 65536"))
+      .join(broadcast(ladder), col("p") >= col("raw"))
+      .groupBy("tbl", "join_key", "n_rows", "ndv", "max_freq")
+      .agg(min("p").as("buckets"))
+      .withColumn("hot_key", expr("max_freq * 20 > n_rows"))
+      .select(col("tbl"), col("join_key"), col("n_rows"), col("ndv"),
+        col("max_freq"), col("buckets"), col("hot_key"))
+  }
+
+  /** TextRank keyword extraction (Mihalcea & Tarau 2004): PageRank
+    * over the corpus token co-occurrence graph — the graph-centrality
+    * complement of [[tRake]]'s degree heuristic and [[tTfidfTopK]]'s
+    * frequency weighting. Adjacent-token pairs (the shared
+    * bigram-occurrence substrate) symmetrize into an undirected
+    * weighted graph, noise edges prune at combined weight < 3, and
+    * [[graft.ops.Graph.pageRankFixed]] runs its exact e6 bounded
+    * unroll (4 steps, 0.85 damping) — symmetric edges mean no sink
+    * refusal fires. Top 20 tokens by (rank desc, token) is the
+    * keyword list. Scale: the graph is vocabulary²-bounded with the
+    * weight floor, not corpus-sized; the one data-sized pass is the
+    * shared shingle explode. */
+  private def tTextrank(s: SparkSession, dir: String): DataFrame = {
+    val bi = TextOps.bigramOccurrences(T(s, dir, "documents"))
+    val und = bi
+      .select(split(col("s"), " ").getItem(0).as("u1"),
+        split(col("s"), " ").getItem(1).as("u2"))
+      .filter(col("u1") =!= col("u2")) // self-loops add no ranking signal
+      .select(least(col("u1"), col("u2")).as("a"),
+        greatest(col("u1"), col("u2")).as("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("w"))
+      .filter(col("w") >= 3)
+    val edges = und.select(col("a").as("src"), col("b").as("dst"), col("w"))
+      .unionAll(und.select(col("b").as("src"), col("a").as("dst"), col("w")))
+    graft.ops.Graph.pageRankFixed(edges, 4)
+      .orderBy(col("pr_fx").desc, col("node"))
+      .limit(20)
+      .select(col("node").as("token"), col("pr_fx"))
+  }
+
+  /** Theil–Sen robust trend slope per event-type daily series: the
+    * doubled median (med2 convention — two middle order statistics
+    * summed, no half-steps materialize) of all pairwise slopes
+    * (x_j − x_i)·10⁶ div (d_j − d_i), i < j — the slope estimator
+    * that shrugs off the outlier days a_trend's least-squares line
+    * chases (29% breakdown point). Slopes are e6 truncating fixed
+    * point; Spark `div` and DuckDB `//` both truncate toward zero, so
+    * negative slopes replay exactly. The pair fan-out is O(n²) in
+    * SERIES LENGTH, not data size — n = days per type, gated by a
+    * loud require (256 days → ≤ 32 640 pairs per type); the median
+    * reads from a sorted collect bounded by the same gate (the
+    * a_rolling_median frame convention). At 100 TB the daily rollup
+    * is the one data-sized shuffle; the pair join runs on the
+    * type-day aggregate. Overflow budget: |Δx|·10⁶ needs |x| ≲ 9·10¹²
+    * (x is the e4 daily sum), the a_gini long-budget convention. */
+  private def aTheilSen(s: SparkSession, dir: String): DataFrame = {
+    val daily = T(s, dir, "events")
+      .select(col("event_type"),
+        expr("unix_micros(ts) div 86400000000").as("day"),
+        expr("CAST(round(value * 10000) AS BIGINT)").as("v_fx"))
+      .groupBy("event_type", "day").agg(sum("v_fx").as("x"))
+    val nMax = daily.groupBy("event_type").count()
+      .agg(coalesce(max("count"), lit(0L))).head().getLong(0)
+    require(nMax <= 256L,
+      s"aTheilSen: longest series has $nMax days; the O(n²) pair frame " +
+        "is gated at 256 — window the series or sample days instead")
+    daily.as("a").join(daily.as("b"),
+        col("a.event_type") === col("b.event_type") &&
+          col("a.day") < col("b.day"))
+      .select(col("a.event_type").as("event_type"),
+        expr("(b.x - a.x) * 1000000 div (b.day - a.day)").as("slope_e6"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_pairs"),
+        sort_array(collect_list(col("slope_e6"))).as("sl"))
+      .select(col("event_type"), col("n_pairs"),
+        (element_at(col("sl"), expr("CAST((size(sl) + 1) div 2 AS INT)")) +
+          element_at(col("sl"), expr("CAST((size(sl) + 2) div 2 AS INT)")))
+          .as("slope_med2_e6"))
+  }
+
   /** Patch-grid planning for vision preprocessing: the stub decode
     * derives deterministic image dimensions from the payload length
     * (the [[graft.ext.Multimodal]] convention — real codecs are
@@ -4319,6 +4443,19 @@ object SparkEntry {
         least(lit(128L), col("width") - col("tx") * 128).as("w"),
         least(lit(128L), col("height") - col("ty") * 128).as("h"))
   }
+
+  /** Perceptual-hash near-dup pairs over the asset corpus: 60-bit
+    * average-hash fingerprints
+    * ([[graft.ext.Multimodal.ahashFingerprints]], stub decode) fed to
+    * the pigeonhole-banded hamming join
+    * ([[graft.ext.Dedup.simhashPairs]], ≤ 6 of 60 bits) — the
+    * standard image-dedup pipeline shape with the codec stubbed.
+    * Banding guarantees recall at the declared radius, so the oracle
+    * verifies with the all-pairs join the banded form provably
+    * equals. */
+  private def mAhashDedup(s: SparkSession, dir: String): DataFrame =
+    Dedup.simhashPairs(
+      Multimodal.ahashFingerprints(T(s, dir, "documents")), 6, 60)
 
   /** Stationary distribution of the per-user event-type Markov chain:
     * the long-run fraction of time a user journey spends in each
@@ -5155,6 +5292,11 @@ object SparkEntry {
     "a_runs_test" -> (aRunsTest _),
     "a_changepoint" -> (aChangepoint _),
     "g_hits" -> (gHits _),
+    "g_harmonic" -> (gHarmonic _),
+    "m_ahash_dedup" -> (mAhashDedup _),
+    "a_theil_sen" -> (aTheilSen _),
+    "t_textrank" -> (tTextrank _),
+    "p_bucket_advisor" -> (pBucketAdvisor _),
     "m_asset_meta" -> (mAssetMeta _),
     "m_audio_meta" -> (mAudioMeta _),
     "m_frame_sample" -> (mFrameSample _),

@@ -52,6 +52,41 @@ object Multimodal {
         length(col("payload")).cast("long").as("byte_len"))
       .agg(count(lit(1)).as("n_copies"), min(col("asset_id")).as("keeper"))
 
+  /** 60-bit average-hash ("aHash") perceptual fingerprint per asset —
+    * the classic perceptual-dedup front end (sample the image to a
+    * small gray grid, threshold at the mean, pack the bits),
+    * stub-decoded: the 60 "pixels" are character samples at evenly
+    * spaced payload offsets (the [[MediaDecoder]] stub convention —
+    * real decode is environment-blocked, the Spark-side shape is the
+    * product; a real decoder swaps in the 8×8 luma grid and nothing
+    * downstream changes). Thresholding is exact-integer
+    * (p·60 > Σp, strict — no mean division ever materializes), so the
+    * fingerprint is bit-deterministic and DuckDB replays it. 60 bits,
+    * not 64: the top nibble stays clear so every shift and sum is
+    * positive long/BIGINT arithmetic in both engines (DuckDB checks
+    * BIGINT overflow where a JVM long would silently wrap to the sign
+    * bit). Emits (doc_id, simhash) — the fingerprint column is named
+    * for [[Dedup.simhashPairs]], whose pigeonhole banding then finds
+    * near-dup pairs with guaranteed recall, never all-pairs.
+    *
+    * Scale: one narrow map over the corpus (codegen'd higher-order
+    * functions, no UDF, no shuffle); pair generation downstream is
+    * the banded equi-join. */
+  def ahashFingerprints(docs: DataFrame): DataFrame =
+    docs.filter(length(col("text")) >= 1)
+      .select(col("doc_id"),
+        expr("""transform(sequence(0, 59), i ->
+          CAST(ascii(substring(text,
+            CAST(1 + (i * length(text)) DIV 60 AS INT), 1)) AS BIGINT))""")
+          .as("px"))
+      .select(col("doc_id"), col("px"),
+        expr("aggregate(px, CAST(0 AS BIGINT), (acc, x) -> acc + x)").as("sp"))
+      .select(col("doc_id"),
+        expr("""aggregate(sequence(0, 59), CAST(0 AS BIGINT), (acc, i) ->
+          acc + IF(element_at(px, CAST(i + 1 AS INT)) * 60 > sp,
+            shiftleft(CAST(1 AS BIGINT), CAST(i AS INT)),
+            CAST(0 AS BIGINT)))""").as("simhash"))
+
   /** Wrap any DataFrame with a binary `payload` column into the typed
     * asset shape. Metadata that is derivable without a codec
     * (byte_len) is computed as columns; codec-dependent fields start 0. */

@@ -220,6 +220,46 @@ object Graph {
     st
   }
 
+  /** Per-seed bounded BFS labels — the landmark generalization of
+    * [[bfsHops]]: every (seed, node) pair within `depth` hops carries
+    * its exact hop distance, so landmark statistics (harmonic
+    * centrality, eccentricity-within-ball) read off one frame. Same
+    * single-reference iterate with the zero-delta self edge, one join
+    * + one (seed, dst)-keyed MIN per round; state is keyed
+    * (seed, node) and grows with |seeds| × ball size, so seeds are
+    * LANDMARKS by contract — a handful of probe vertices, gated by
+    * `maxSeeds` (loud failure; sample landmarks past it, the JS
+    * pair-gate convention). Unreached pairs are simply absent (no
+    * NULL padding — [[bfsHops]]' vertex frame is the contract there,
+    * the reached ball is the contract here).
+    *
+    * Input: symmetric edges (src, dst, *), seeds (node). Returns
+    * (seed, node, dist). */
+  def bfsHopsPerSeed(edges: DataFrame, seeds: DataFrame, depth: Int,
+      maxSeeds: Long = 64L): DataFrame = {
+    require(depth >= 1, s"depth must be >= 1, got $depth")
+    val sd = seeds.select(col("node")).distinct()
+    val nSeeds = sd.count()
+    require(nSeeds <= maxSeeds,
+      s"bfsHopsPerSeed: $nSeeds seeds exceeds maxSeeds=$maxSeeds — " +
+        "landmark-BFS state is |seeds| x ball; sample landmarks instead")
+    val verts = edges.select(col("src").as("node"))
+      .union(edges.select(col("dst").as("node")))
+      .distinct()
+    val e2 = edges.select(col("src"), col("dst"), lit(1L).as("delta"))
+      .union(verts.select(col("node").as("src"), col("node").as("dst"),
+        lit(0L).as("delta")))
+      .repartition(col("src"))
+      .localCheckpoint()
+    var st = sd.select(col("node").as("seed"), col("node"), lit(0L).as("dist"))
+    for (_ <- 1 to depth) {
+      st = e2.join(st.withColumnRenamed("node", "src"), "src")
+        .groupBy(col("seed"), col("dst").as("node"))
+        .agg(min(col("dist") + col("delta")).as("dist"))
+    }
+    st
+  }
+
   /** Bounded min-plus (Bellman–Ford) relaxation: cheapest-path cost
     * from a seed set under a per-edge long cost, `rounds` relaxation
     * rounds — [[bfsHops]] is the special case cost ≡ 1. Same
