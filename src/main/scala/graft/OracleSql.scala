@@ -4993,36 +4993,39 @@ SELECT 'c' || CAST(c AS VARCHAR), h, 'hub' FROM h4"""),
     // from the conserved-total invariant ns*1e6 and redistributed
     // uniformly with the remainder pinned to min(t). Unrolled (not
     // recursive) because each step needs a full-frame window total
-    // and a left join against the state dimension.
-    "a_markov_conserve" -> ("""WITH tr AS (
-  SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n FROM (
-    SELECT event_type AS from_type,
-           lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id)
-             AS to_type
-    FROM events)
-  WHERE to_type IS NOT NULL GROUP BY 1, 2
-), p AS (
-  SELECT from_type, to_type,
-         n * 1000000 // sum(n) OVER (PARTITION BY from_type) AS p_e6
-  FROM tr
-), st AS (
-  SELECT t, min(t) OVER () AS t0, CAST(count(*) OVER () AS BIGINT) AS ns
-  FROM (SELECT from_type AS t FROM p UNION SELECT to_type FROM p)
-), v0 AS (SELECT t, CAST(1000000 AS BIGINT) AS v FROM st)""" +
-      (1 to 8).map(i => s""",
-r$i AS (
-  SELECT s.t, s.t0, s.ns, coalesce(x.vr, 0) AS vr,
-         CAST(sum(coalesce(x.vr, 0)) OVER () AS BIGINT) AS tot1
-  FROM st s LEFT JOIN (
-    SELECT p.to_type AS t, CAST(sum(v * p_e6 // 1000000) AS BIGINT) AS vr
-    FROM v${i - 1} JOIN p ON v${i - 1}.t = p.from_type GROUP BY 1) x
-  ON s.t = x.t),
-v$i AS (
-  SELECT t, CAST(vr + (ns * 1000000 - tot1) // ns
-           + CASE WHEN t = t0 THEN (ns * 1000000 - tot1) % ns ELSE 0 END
-           AS BIGINT) AS v
-  FROM r$i)""").mkString + """
+    // and a left join against the state dimension. The chain is
+    // shared with a_markov_entropy via MARKOV_V8.
+    "a_markov_conserve" -> (MARKOV_V8 + """
 SELECT t AS event_type, v AS v_e6 FROM v8"""),
+
+    // entropy rate of the journey chain: per-state conditional
+    // entropy of the quantized e6 matrix (p_e6 > 0 support, shared
+    // with the engine), weighted by the CONSERVED stationary vector;
+    // sinks carry h = 0 by convention
+    "a_markov_entropy" -> (MARKOV_V8 + """,
+h AS (
+  SELECT from_type AS event_type,
+         -sum((p_e6 / 1e6) * ln(p_e6 / 1e6)) AS h_raw
+  FROM p WHERE p_e6 > 0 GROUP BY 1
+), vt AS (
+  SELECT t AS event_type, v, CAST(sum(v) OVER () AS BIGINT) AS v_tot
+  FROM v8)
+SELECT vt.event_type, v AS pi_e6,
+       round(coalesce(h_raw, 0), 4) AS h_cond_nats,
+       round(coalesce(h_raw, 0) * v / v_tot, 4) AS contrib_nats
+FROM vt LEFT JOIN h USING (event_type)"""),
+
+    // cross-source duplicate flow: the LSH-verified pair frame rolled
+    // up to (source, source) cells, ordered pairs folded
+    "e_dup_flow" -> (LSH_PAIRS + """,
+f AS (
+  SELECT least(da.source, db.source) AS source_a,
+         greatest(da.source, db.source) AS source_b
+  FROM pairs
+  JOIN documents da ON pairs.doc_a = da.doc_id
+  JOIN documents db ON pairs.doc_b = db.doc_id)
+SELECT source_a, source_b, CAST(count(*) AS BIGINT) AS n_pairs
+FROM f GROUP BY 1, 2"""),
 
     // landmark harmonic centrality: per-seed BFS labels carried
     // through the same recursive iterate as g_bfs, then one rollup
@@ -5178,4 +5181,38 @@ SELECT occ.doc_id, CAST(count(*) AS BIGINT) AS n_trigrams,
 FROM occ JOIN model m USING (s)
 GROUP BY occ.doc_id""",
   )
+
+  /** Shared CTE chain of the mass-conserving Markov power iteration
+    * (matrix build + eight unrolled conserving steps, ending at the
+    * v8 CTE) — consumed by a_markov_conserve (final SELECT) and
+    * a_markov_entropy (further CTEs). A def, not a val: it is
+    * referenced from the map initializer above. */
+  private def MARKOV_V8: String = """WITH tr AS (
+  SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n FROM (
+    SELECT event_type AS from_type,
+           lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+             AS to_type
+    FROM events)
+  WHERE to_type IS NOT NULL GROUP BY 1, 2
+), p AS (
+  SELECT from_type, to_type,
+         n * 1000000 // sum(n) OVER (PARTITION BY from_type) AS p_e6
+  FROM tr
+), st AS (
+  SELECT t, min(t) OVER () AS t0, CAST(count(*) OVER () AS BIGINT) AS ns
+  FROM (SELECT from_type AS t FROM p UNION SELECT to_type FROM p)
+), v0 AS (SELECT t, CAST(1000000 AS BIGINT) AS v FROM st)""" +
+    (1 to 8).map(i => s""",
+r$i AS (
+  SELECT s.t, s.t0, s.ns, coalesce(x.vr, 0) AS vr,
+         CAST(sum(coalesce(x.vr, 0)) OVER () AS BIGINT) AS tot1
+  FROM st s LEFT JOIN (
+    SELECT p.to_type AS t, CAST(sum(v * p_e6 // 1000000) AS BIGINT) AS vr
+    FROM v${i - 1} JOIN p ON v${i - 1}.t = p.from_type GROUP BY 1) x
+  ON s.t = x.t),
+v$i AS (
+  SELECT t, CAST(vr + (ns * 1000000 - tot1) // ns
+           + CASE WHEN t = t0 THEN (ns * 1000000 - tot1) % ns ELSE 0 END
+           AS BIGINT) AS v
+  FROM r$i)""").mkString
 }

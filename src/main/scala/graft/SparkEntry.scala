@@ -4311,6 +4311,52 @@ object SparkEntry {
         expr("n_events * 1000000 div n_risk").as("hazard_e6"))
   }
 
+  /** Entropy rate of the per-user journey chain: each state's
+    * conditional next-step entropy −Σⱼ p̂ᵢⱼ ln p̂ᵢⱼ over the QUANTIZED
+    * e6 matrix (support p_e6 > 0 — the quantization is the shared
+    * contract, so both engines measure the same distribution),
+    * weighted by the CONSERVED stationary vector ([[aMarkovConserve]]
+    * — a true distribution, which the leaky sibling is not). The
+    * contribution column sums to the chain's entropy rate in
+    * nats/step — the "how predictable are user journeys" number a
+    * personalization team tracks. Sink states carry h = 0 by
+    * convention (no next step to be uncertain about). All frames are
+    * vocabulary-bounded; doubles appear only in the log terms,
+    * rounded at 4. */
+  private def aMarkovEntropy(s: SparkSession, dir: String): DataFrame = {
+    val h = markovMatrix(s, dir).filter(col("p_e6") > 0)
+      .groupBy(col("from_type").as("event_type"))
+      .agg((-sum(expr("(p_e6 / 1e6) * ln(p_e6 / 1e6)"))).as("h_raw"))
+    aMarkovConserve(s, dir)
+      .withColumn("v_tot", sum("v_e6").over(Window.partitionBy()))
+      .join(h, Seq("event_type"), "left")
+      .select(col("event_type"), col("v_e6").as("pi_e6"),
+        round(coalesce(col("h_raw"), lit(0.0)), 4).as("h_cond_nats"),
+        round(coalesce(col("h_raw"), lit(0.0)) * col("v_e6") / col("v_tot"), 4)
+          .as("contrib_nats"))
+  }
+
+  /** Cross-source duplicate FLOW — the governance rollup of the LSH
+    * near-dup pairs ([[dLshJaccard]]'s shared cached frame): how many
+    * verified near-dup pairs connect each (source, source) slice,
+    * ordered pairs folded by least/greatest. The matrix a curation
+    * team reads to decide source precedence (a slice that is largely
+    * a mirror of another shows up as a heavy off-diagonal cell;
+    * boilerplate-heavy slices light the diagonal). Pair generation is
+    * the banded join, never all-pairs; the rollup adds one
+    * source-keyed agg over the pair frame. */
+  private def eDupFlow(s: SparkSession, dir: String): DataFrame = {
+    val docs = T(s, dir, "documents")
+    val src = docs.select(col("doc_id"), col("source"))
+    Dedup.lshVerifiedJaccard(docs, 3, 16, 4, 4, 0.5)
+      .select(col("doc_a"), col("doc_b"))
+      .join(src.select(col("doc_id").as("doc_a"), col("source").as("sa")), "doc_a")
+      .join(src.select(col("doc_id").as("doc_b"), col("source").as("sb")), "doc_b")
+      .select(least(col("sa"), col("sb")).as("source_a"),
+        greatest(col("sa"), col("sb")).as("source_b"))
+      .groupBy("source_a", "source_b").agg(count(lit(1)).as("n_pairs"))
+  }
+
   /** Bucket-layout advisor for the co-location join keys — the
     * pre-ETL sizing read before writing bucketed staging tables (the
     * PlanCache scale note's "bucketed intermediate"): per candidate
@@ -5297,6 +5343,8 @@ object SparkEntry {
     "a_theil_sen" -> (aTheilSen _),
     "t_textrank" -> (tTextrank _),
     "p_bucket_advisor" -> (pBucketAdvisor _),
+    "a_markov_entropy" -> (aMarkovEntropy _),
+    "e_dup_flow" -> (eDupFlow _),
     "m_asset_meta" -> (mAssetMeta _),
     "m_audio_meta" -> (mAudioMeta _),
     "m_frame_sample" -> (mFrameSample _),

@@ -1,0 +1,114 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ext.{Dedup, Multimodal}
+
+/** Behavioral pins for the round's widening rows beyond the DuckDB
+  * oracle: banded-equals-exhaustive for the perceptual hash,
+  * per-seed-BFS consistency with the multi-source shells, pair-count
+  * and bound identities for Theil–Sen, advisor power-of-two
+  * tightness, and the entropy-rate/conservation identities. */
+class WideningPinsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("ahash banded pairs equal the exhaustive join at the declared radius") {
+    val fps = Multimodal.ahashFingerprints(
+      SparkEntry.T(spark, dir, "documents"))
+    val banded = Dedup.simhashPairs(fps, 6, 60)
+      .select("doc_a", "doc_b", "hamming").as[(Long, Long, Int)]
+      .collect().toSet
+    val exhaustive = Dedup.simhashPairsExhaustive(fps, 6)
+      .select("doc_a", "doc_b", "hamming").as[(Long, Long, Int)]
+      .collect().toSet
+    assert(banded === exhaustive)
+    // 60-bit fingerprints stay sign-safe
+    assert(fps.agg(min("simhash")).head().getLong(0) >= 0L)
+  }
+
+  test("per-seed BFS labels fold to the multi-source shells") {
+    val seeds = SparkEntry.T(spark, dir, "supplier")
+      .filter(col("s_nationkey") === 0)
+      .select(concat(lit("s"), col("s_suppkey").cast("string")).as("node"))
+    val li = SparkEntry.T(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_suppkey"))
+    val ord = SparkEntry.T(spark, dir, "orders")
+      .select(col("o_orderkey").as("l_orderkey"), col("o_custkey"))
+    val und = li.join(ord, "l_orderkey")
+      .groupBy(col("o_custkey"), col("l_suppkey")).agg(count(lit(1)).as("w"))
+      .select(concat(lit("c"), col("o_custkey").cast("string")).as("cn"),
+        concat(lit("s"), col("l_suppkey").cast("string")).as("sn"), col("w"))
+    val sym = und.select(col("cn").as("src"), col("sn").as("dst"), col("w"))
+      .union(und.select(col("sn").as("src"), col("cn").as("dst"), col("w")))
+    val perSeed = graft.ops.Graph.bfsHopsPerSeed(sym, seeds, 3)
+    val folded = perSeed.groupBy("node").agg(min("dist").as("dist"))
+      .as[(String, Long)].collect().toMap
+    val multi = graft.ops.Graph.bfsHops(sym, seeds, 3)
+      .filter(col("dist").isNotNull)
+      .as[(String, Long)].collect().toMap
+    // min over per-seed labels IS the multi-source distance, and the
+    // reached sets coincide
+    assert(folded === multi)
+  }
+
+  test("per-seed BFS refuses a seed set past the landmark gate") {
+    val e = Seq(("a", "b", 1L), ("b", "a", 1L)).toDF("src", "dst", "w")
+    val seeds = Seq("a", "b").toDF("node")
+    val ex = intercept[IllegalArgumentException] {
+      graft.ops.Graph.bfsHopsPerSeed(e, seeds, 1, maxSeeds = 1L)
+    }
+    assert(ex.getMessage.contains("maxSeeds"))
+  }
+
+  test("theil-sen pair counts and median bounds hold") {
+    val daily = SparkEntry.T(spark, dir, "events")
+      .select(col("event_type"),
+        expr("unix_micros(ts) div 86400000000").as("day"))
+      .groupBy("event_type", "day").count()
+      .groupBy("event_type").agg(count(lit(1)).as("n_days"))
+      .as[(String, Long)].collect().toMap
+    val rows = SparkEntry.queries("a_theil_sen")(spark, dir)
+      .as[(String, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (t, nPairs, _) =>
+      val n = daily(t)
+      assert(nPairs === n * (n - 1) / 2,
+        s"$t: pairs $nPairs vs n=$n")
+    }
+  }
+
+  test("textrank emits at most 20 ranked keywords with positive mass") {
+    val rows = SparkEntry.queries("t_textrank")(spark, dir)
+      .as[(String, Long)].collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    assert(rows.forall(_._2 > 0L))
+    // the cut is (rank desc, token): re-sorting changes nothing
+    assert(rows.sortBy { case (tok, p) => (-p, tok) }.toSeq === rows.toSeq)
+  }
+
+  test("bucket advisor recommends the TIGHT power of two") {
+    val rows = SparkEntry.queries("p_bucket_advisor")(spark, dir)
+      .select("n_rows", "buckets").as[(Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (n, b) =>
+      assert((b & (b - 1)) === 0L, s"buckets $b not a power of two")
+      assert(b * 65536 >= n, s"buckets $b too small for $n rows")
+      if (b > 1) assert((b / 2) * 65536 < n, s"buckets $b not tight for $n")
+    }
+  }
+
+  test("entropy rate rides the conserved vector and stays in bounds") {
+    val v = SparkEntry.queries("a_markov_conserve")(spark, dir)
+      .as[(String, Long)].collect().toMap
+    val rows = SparkEntry.queries("a_markov_entropy")(spark, dir)
+      .as[(String, Long, Double, Double)].collect()
+    assert(rows.map(r => r._1 -> r._2).toMap === v)
+    rows.foreach { case (_, _, h, c) =>
+      assert(h >= 0.0 && c >= 0.0 && c <= h + 1e-9)
+    }
+    // the rate (sum of contributions) never exceeds the largest
+    // conditional entropy
+    assert(rows.map(_._4).sum <= rows.map(_._3).max + 1e-9)
+  }
+}
