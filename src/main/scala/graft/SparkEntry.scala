@@ -5057,11 +5057,22 @@ object SparkEntry {
     var h = e.select(col("c")).distinct()
       .select(col("c"), lit(1000000L).as("h"))
     var a: DataFrame = null
+    // each phase MATERIALIZES its raw scores (eager localCheckpoint)
+    // before taking the max: the rescale needs the same frame twice
+    // (once for the 1-row max broadcast, once as the data path), and
+    // referencing the live iterate twice doubles the logical plan per
+    // phase — 2^8 subtree copies by round 4, measured 333 s vs ~4 s
+    // at sf0.1. A global-window max would also be single-reference
+    // but funnels the entity-sized frame through one task; the
+    // checkpoint + distributed agg is the 100 TB shape (8 small
+    // staging jobs over the cached edge frame).
     for (_ <- 1 to 4) {
       val araw = e.join(h, "c").groupBy("p").agg(sum(expr("w * h")).as("ar"))
+        .localCheckpoint()
       a = araw.crossJoin(broadcast(araw.agg(max("ar").as("m"))))
         .select(col("p"), expr("ar * 1000000 div m").as("a"))
       val hraw = e.join(a, "p").groupBy("c").agg(sum(expr("w * a")).as("hr"))
+        .localCheckpoint()
       h = hraw.crossJoin(broadcast(hraw.agg(max("hr").as("m"))))
         .select(col("c"), expr("hr * 1000000 div m").as("h"))
     }

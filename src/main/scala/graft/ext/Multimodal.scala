@@ -70,10 +70,15 @@ object Multimodal {
     * near-dup pairs with guaranteed recall, never all-pairs.
     *
     * Scale: one narrow map over the corpus (codegen'd higher-order
-    * functions, no UDF, no shuffle); pair generation downstream is
-    * the banded equi-join. */
-  def ahashFingerprints(docs: DataFrame): DataFrame =
-    docs.filter(length(col("text")) >= 1)
+    * functions, no UDF, no shuffle). The batch frame is PlanCached
+    * (the [[Dedup.simhash]] convention) because the banded self-join
+    * downstream references it on BOTH sides — un-materialized, the
+    * collapsed HOF chain re-evaluates through the join (measured
+    * 185 s vs 1.6 s at sf0.1 for the pair step). Streaming frames
+    * cannot persist, and the gate's probe side is per-micro-batch
+    * anyway, so they pass through uncached. */
+  def ahashFingerprints(docs: DataFrame): DataFrame = {
+    val fp = docs.filter(length(col("text")) >= 1)
       .select(col("doc_id"),
         expr("""transform(sequence(0, 59), i ->
           CAST(ascii(substring(text,
@@ -86,6 +91,10 @@ object Multimodal {
           acc + IF(element_at(px, CAST(i + 1 AS INT)) * 60 > sp,
             shiftleft(CAST(1 AS BIGINT), CAST(i AS INT)),
             CAST(0 AS BIGINT)))""").as("simhash"))
+    if (docs.isStreaming) fp
+    else graft.ops.PlanCache.cachedBy("ahash-60",
+      docs.queryExecution.logical.semanticHash(), docs.sparkSession)(fp)
+  }
 
   /** Wrap any DataFrame with a binary `payload` column into the typed
     * asset shape. Metadata that is derivable without a codec

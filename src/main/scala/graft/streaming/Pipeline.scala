@@ -478,6 +478,61 @@ object Pipeline {
       .select(col("doc_id"), col("corpus_doc"), col("n_shared"))
   }
 
+  /** Streaming perceptual-hash admission gate — the online form of
+    * the m_ahash_dedup registry row, the [[winnowGate]] pattern at
+    * the pixel level: each arriving asset's 60-bit average-hash
+    * fingerprint is computed row-locally
+    * ([[graft.ext.Multimodal.ahashFingerprints]] is a pure narrow
+    * select, so it runs unchanged on a stream), split into its
+    * maxHamming+1 pigeonhole segments, and probed against the cached
+    * corpus segment index; the exact bit_count verify then keeps
+    * pairs within the radius. Pigeonhole recall as in
+    * [[graft.ext.Dedup.simhashPairs]]: a within-radius pair agrees on
+    * at least one segment, so the gate cannot miss a stored near-dup.
+    * Duplicate suppression without state: a candidate pair emits only
+    * on the FIRST segment index where the two hashes agree — both
+    * hashes ride the joined row, so "first" is row-local arithmetic
+    * (the winnowGate first-match trick). Matches are against the
+    * CORPUS only — intra-batch duplicates are the batch operator's
+    * job at compaction time. Append-safe, zero streaming state; in
+    * production the index is the persisted fingerprint staging
+    * table. */
+  def ahashGate(docs: DataFrame, corpusDocs: DataFrame,
+      maxHamming: Int = 6): DataFrame = {
+    val nSeg = maxHamming + 1
+    val bits = 60
+    def segOf(h: String, s: String): String =
+      s"""(shiftright($h, CAST(($s * $bits) DIV $nSeg AS INT)) &
+         (shiftleft(CAST(1 AS BIGINT),
+           CAST((($s + 1) * $bits) DIV $nSeg - ($s * $bits) DIV $nSeg AS INT))
+          - 1))"""
+    def segsOf(h: String): Column = expr(
+      s"""transform(sequence(0, ${nSeg - 1}), s ->
+          named_struct('seg', s, 'segval', ${segOf(h, "s")}))""")
+    val corpusIdx = graft.ops.PlanCache.cachedBy("ahash-gate-idx",
+        corpusDocs.queryExecution.logical.semanticHash(),
+        corpusDocs.sparkSession) {
+      graft.ext.Multimodal.ahashFingerprints(corpusDocs)
+        .select(col("doc_id").as("corpus_doc"), col("simhash").as("c_hash"),
+          explode(segsOf("simhash")).as("b"))
+        .select(col("corpus_doc"), col("c_hash"),
+          col("b.seg").as("seg"), col("b.segval").as("segval"))
+    }
+    val probes = graft.ext.Multimodal.ahashFingerprints(docs)
+      .select(col("doc_id"), col("simhash").as("p_hash"),
+        explode(segsOf("simhash")).as("b"))
+      .select(col("doc_id"), col("p_hash"),
+        col("b.seg").as("seg"), col("b.segval").as("segval"))
+    val firstMatch = expr(
+      s"""element_at(filter(sequence(0, ${nSeg - 1}), s ->
+          ${segOf("p_hash", "s")} = ${segOf("c_hash", "s")}), 1)""")
+    probes.join(corpusIdx, Seq("seg", "segval"))
+      .filter(col("seg") === firstMatch)
+      .withColumn("hamming", expr("bit_count(p_hash ^ c_hash)").cast("int"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("doc_id"), col("corpus_doc"), col("hamming"))
+  }
+
   /** One matched gram position of an arriving document (gate-internal). */
   case class SubstrPos(doc_id: Long, n_tok: Long, pos: Long)
   /** Substring-gate verdict row. */

@@ -46,6 +46,40 @@ class StreamingGovernanceSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("ahash gate equals the exhaustive probe-vs-corpus join on a replay") {
+    val corpus = SparkEntry.T(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("doc_id"), col("text"))
+    // probes: the same texts under shifted ids, so every probe has at
+    // least its exact twin in the corpus
+    val probeRows = corpus.as[(Long, String)].collect()
+      .map { case (id, t) => (id + 1000000L, t) }
+    val pf = graft.ext.Multimodal.ahashFingerprints(
+      probeRows.toSeq.toDF("doc_id", "text"))
+      .as[(Long, Long)].collect()
+    val cf = graft.ext.Multimodal.ahashFingerprints(corpus)
+      .as[(Long, Long)].collect()
+    val expect = (for {
+      (p, ph) <- pf; (c, ch) <- cf
+      h = java.lang.Long.bitCount(ph ^ ch) if h <= 6
+    } yield (p, c, h)).toSet
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val out = Pipeline.ahashGate(input.toDF().toDF("doc_id", "text"), corpus)
+    val q = out.writeStream.format("memory").queryName("ahash_gate")
+      .outputMode("append").start()
+    try {
+      val (h1, h2) = probeRows.splitAt(probeRows.length / 2)
+      input.addData(h1.toSeq); q.processAllAvailable()
+      input.addData(h2.toSeq); q.processAllAvailable()
+      val got = spark.table("ahash_gate")
+        .as[(Long, Long, Int)].collect()
+      // first-match-wins emits each qualifying pair exactly once
+      assert(got.length === got.distinct.length)
+      assert(got.toSet === expect)
+      assert(expect.size >= probeRows.length, "every probe finds its twin")
+    } finally q.stop()
+  }
+
   test("forget gate and its audit partition the stream exactly") {
     val tomb = Seq(3L, 7L, 11L).toDF("user_id")
     val rows = (0 until 30).map(i => (i.toLong, (i % 13).toLong))
