@@ -619,4 +619,43 @@ class PlanShapeSpec extends SparkSpec {
         s"$name: the CDF window must consume the histogram aggregate, not raw rows")
     }
   }
+
+  test("ahash dedup pairs ride an equi-join on the band, never a cartesian") {
+    val p = plan("m_ahash_dedup")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"banded candidates must be an equi-join:\n$p")
+    // the fingerprint frame is materialized (PlanCached): the HOF
+    // chain must not re-evaluate through the self-join
+    assert(p.contains("InMemoryTableScan") || p.contains("Scan ExistingRDD"),
+      s"fingerprints must come from the cache, not be recomputed:\n$p")
+  }
+
+  test("hits phases read the materialized score frames, not a doubled iterate") {
+    val p = plan("g_hits")
+    // each of the 8 rescales references its phase frame twice; the
+    // eager localCheckpoint turns those into ExistingRDD scans
+    assert(p.contains("Scan ExistingRDD"),
+      s"phase frames must be checkpointed:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("conserving markov steps carry the leak via one bounded global window") {
+    val p = plan("a_markov_conserve")
+    // the per-step leak totals are order-free global windows over the
+    // vocabulary-sized state frame (a SinglePartition exchange of a
+    // bounded frame — NOT a second aggregate over the live iterate,
+    // which would double the plan per step)
+    assert(p.contains("Exchange SinglePartition") && p.contains("Window"),
+      s"expected the bounded leak windows:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("theil-sen pairs join inside the event-type key, never all-days") {
+    val p = plan("a_theil_sen")
+    assert(p.contains("SortMergeJoin") || p.contains("BroadcastHashJoin") ||
+      p.contains("ShuffledHashJoin"),
+      s"the pair frame must be an equi-join on event_type:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }
