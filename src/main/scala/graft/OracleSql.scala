@@ -5112,23 +5112,36 @@ GROUP BY tbl, join_key, n_rows, ndv, max_freq""",
 
     // Theil–Sen: doubled median of all pairwise e6 slopes per series;
     // // and div both truncate toward zero so negatives replay
-    "a_theil_sen" -> """WITH daily AS (
+    "a_theil_sen" -> """WITH daily0 AS (
   SELECT event_type, epoch_us(ts) // 86400000000 AS day,
          sum(CAST(round(value * 10000) AS BIGINT)) AS x
   FROM events GROUP BY 1, 2
+), daily AS (
+  SELECT event_type, day - min(day) OVER (PARTITION BY event_type) AS d, x
+  FROM daily0
 ), pr AS (
   SELECT a.event_type AS event_type,
-         (b.x - a.x) * 1000000 // (b.day - a.day) AS slope_e6
+         (b.x - a.x) * 1000000 // (b.d - a.d) AS slope_e6
   FROM daily a JOIN daily b
-    ON a.event_type = b.event_type AND a.day < b.day
+    ON a.event_type = b.event_type AND a.d < b.d
 ), g AS (
   SELECT event_type, CAST(count(*) AS BIGINT) AS n_pairs,
          list_sort(list(slope_e6)) AS sl
-  FROM pr GROUP BY 1)
-SELECT event_type, n_pairs,
-       CAST(sl[CAST((len(sl) + 1) // 2 AS INT)] +
-            sl[CAST((len(sl) + 2) // 2 AS INT)] AS BIGINT) AS slope_med2_e6
-FROM g""",
+  FROM pr GROUP BY 1
+), sm AS (
+  SELECT event_type, n_pairs,
+         CAST(sl[CAST((len(sl) + 1) // 2 AS INT)] +
+              sl[CAST((len(sl) + 2) // 2 AS INT)] AS BIGINT) AS s2
+  FROM g
+), iv AS (
+  SELECT d.event_type, sm.n_pairs, sm.s2,
+         list_sort(list(2 * 1000000 * d.x - sm.s2 * d.d)) AS wl
+  FROM daily d JOIN sm ON d.event_type = sm.event_type
+  GROUP BY 1, 2, 3)
+SELECT event_type, n_pairs, s2 AS slope_med2_e6,
+       CAST(wl[CAST((len(wl) + 1) // 2 AS INT)] +
+            wl[CAST((len(wl) + 2) // 2 AS INT)] AS BIGINT) AS icept_med4_e6
+FROM iv""",
 
     // TextRank: the g_pagerank recursive replay over the symmetrized
     // co-occurrence graph (combined weight >= 3), top 20 by rank.
@@ -5158,6 +5171,40 @@ FROM g""",
 )
 SELECT node AS token, p AS pr_fx FROM pr WHERE t = 4
 ORDER BY p DESC, node LIMIT 20""",
+
+    // per-doc TextRank: the g_pagerank recursion keyed (doc_id, tok),
+    // top 3 per doc by (rank desc, token)
+    "t_textrank_doc" -> s"""${TOKS.replaceFirst("WITH ", "WITH RECURSIVE ")}, occ AS (
+  SELECT doc_id, unnest(${shinglesN(2)}) AS s FROM toks
+), pw AS (
+  SELECT doc_id, string_split(s, ' ')[1] AS u1, string_split(s, ' ')[2] AS u2
+  FROM occ
+), und AS (
+  SELECT doc_id, least(u1, u2) AS a, greatest(u1, u2) AS b,
+         CAST(count(*) AS BIGINT) AS w
+  FROM pw WHERE u1 <> u2 GROUP BY 1, 2, 3
+), e AS (
+  SELECT doc_id, a AS src, b AS dst, w FROM und
+  UNION ALL SELECT doc_id, b AS src, a AS dst, w FROM und
+), ow AS (SELECT doc_id, src, sum(w) AS wout FROM e GROUP BY 1, 2
+), pr AS (
+  SELECT 0 AS t, doc_id, src AS tok, CAST(1000000 AS BIGINT) AS p
+  FROM (SELECT DISTINCT doc_id, src FROM e)
+  UNION ALL
+  SELECT t + 1, doc_id, dst AS tok,
+         CAST(150000 + (85 * sm) // 100 AS BIGINT) AS p
+  FROM (
+    SELECT pr.t AS t, e.doc_id AS doc_id, e.dst AS dst,
+           sum((pr.p * e.w) // ow.wout) AS sm
+    FROM pr JOIN e ON e.doc_id = pr.doc_id AND e.src = pr.tok
+    JOIN ow ON ow.doc_id = e.doc_id AND ow.src = e.src
+    WHERE pr.t < 4 GROUP BY 1, 2, 3)
+), fin AS (
+  SELECT doc_id, tok, p,
+         row_number() OVER (PARTITION BY doc_id ORDER BY p DESC, tok) AS rnk
+  FROM pr WHERE t = 4)
+SELECT doc_id, CAST(rnk AS BIGINT) AS rnk, tok AS token, p AS pr_fx
+FROM fin WHERE rnk <= 3""",
 
     // trigram LM cross-entropy: add-one-smoothed p(w3|w1 w2), context
     // key sliced from the shingle string (mirror of

@@ -4422,6 +4422,51 @@ object SparkEntry {
       .select(col("node").as("token"), col("pr_fx"))
   }
 
+  /** PER-DOCUMENT TextRank — the form a keyword-extraction pipeline
+    * actually ships (keywords for each document, [[tTextrank]]'s
+    * corpus ranking is the vocabulary-level diagnostic): the same
+    * exact e6 PageRank unroll, keyed (doc_id, token) so every
+    * document's co-occurrence graph iterates independently in one
+    * plan. Per-doc graphs are token-count-bounded; the iterate joins
+    * shuffle on the composite key, so a 100 TB corpus spreads by
+    * document with no skew beyond document length (cap outliers with
+    * the declared doc-length quality filters upstream). Top-3 per doc
+    * cuts via the rank window — WindowGroupLimit prunes map-side
+    * (pinned convention). Docs with no two distinct adjacent tokens
+    * have no graph and no row. */
+  private def tTextrankDoc(s: SparkSession, dir: String): DataFrame = {
+    val bi = TextOps.bigramOccurrences(T(s, dir, "documents"))
+    val und = bi
+      .select(col("doc_id"), split(col("s"), " ").getItem(0).as("u1"),
+        split(col("s"), " ").getItem(1).as("u2"))
+      .filter(col("u1") =!= col("u2"))
+      .select(col("doc_id"), least(col("u1"), col("u2")).as("a"),
+        greatest(col("u1"), col("u2")).as("b"))
+      .groupBy("doc_id", "a", "b").agg(count(lit(1)).as("w"))
+    val e = graft.ops.PlanCache.cached("textrank-doc-edges",
+      und.select(col("doc_id"), col("a").as("src"), col("b").as("dst"), col("w"))
+        .unionAll(und.select(col("doc_id"), col("b").as("src"),
+          col("a").as("dst"), col("w"))))
+    val ow = e.groupBy("doc_id", "src").agg(sum("w").as("wout"))
+    val e2 = e.join(ow, Seq("doc_id", "src"))
+    var pr = e.select(col("doc_id"), col("src").as("t")).distinct()
+      .select(col("doc_id"), col("t"), lit(1000000L).as("p"))
+    // symmetric per-doc graphs: every vertex keeps an out-edge and a
+    // positive-mass neighbor, so the contribution join loses no
+    // vertex and the verts-left-join form is unnecessary
+    for (_ <- 1 to 4) {
+      pr = e2.join(pr.withColumnRenamed("t", "src"), Seq("doc_id", "src"))
+        .groupBy(col("doc_id"), col("dst").as("t"))
+        .agg(sum(expr("(p * w) div wout")).as("c"))
+        .select(col("doc_id"), col("t"),
+          expr("150000 + (85 * c) div 100").as("p"))
+    }
+    val wd = Window.partitionBy("doc_id").orderBy(col("p").desc, col("t"))
+    pr.withColumn("rnk", row_number().over(wd)).filter(col("rnk") <= 3)
+      .select(col("doc_id"), col("rnk").cast("long").as("rnk"),
+        col("t").as("token"), col("p").as("pr_fx"))
+  }
+
   /** Theil–Sen robust trend slope per event-type daily series: the
     * doubled median (med2 convention — two middle order statistics
     * summed, no half-steps materialize) of all pairwise slopes
@@ -4435,31 +4480,54 @@ object SparkEntry {
     * reads from a sorted collect bounded by the same gate (the
     * a_rolling_median frame convention). At 100 TB the daily rollup
     * is the one data-sized shuffle; the pair join runs on the
-    * type-day aggregate. Overflow budget: |Δx|·10⁶ needs |x| ≲ 9·10¹²
-    * (x is the e4 daily sum), the a_gini long-budget convention. */
+    * type-day aggregate. The Siegel-style intercept (doubled median
+    * of 2·10⁶·x − s2·d over the rebased days) anchors the robust
+    * line at the series origin, completing the slope into a usable
+    * forecast. Overflow budget: 2·10⁶·x needs |x| ≲ 4.6·10¹² (x is
+    * the e4 daily sum — drop the value quantum at larger SF, the
+    * a_gini long-budget convention). */
   private def aTheilSen(s: SparkSession, dir: String): DataFrame = {
+    val wt = Window.partitionBy("event_type")
+    // days REBASE to the series origin (d = day − min day): slopes
+    // are shift-invariant, the intercept becomes the level AT the
+    // series' first observed day (the useful forecast anchor), and
+    // s2·d stays inside the long budget because d ≤ the 256-day gate
     val daily = T(s, dir, "events")
       .select(col("event_type"),
         expr("unix_micros(ts) div 86400000000").as("day"),
         expr("CAST(round(value * 10000) AS BIGINT)").as("v_fx"))
       .groupBy("event_type", "day").agg(sum("v_fx").as("x"))
+      .withColumn("d", col("day") - min("day").over(wt))
     val nMax = daily.groupBy("event_type").count()
       .agg(coalesce(max("count"), lit(0L))).head().getLong(0)
     require(nMax <= 256L,
       s"aTheilSen: longest series has $nMax days; the O(n²) pair frame " +
         "is gated at 256 — window the series or sample days instead")
-    daily.as("a").join(daily.as("b"),
+    val slope = daily.as("a").join(daily.as("b"),
         col("a.event_type") === col("b.event_type") &&
-          col("a.day") < col("b.day"))
+          col("a.d") < col("b.d"))
       .select(col("a.event_type").as("event_type"),
-        expr("(b.x - a.x) * 1000000 div (b.day - a.day)").as("slope_e6"))
+        expr("(b.x - a.x) * 1000000 div (b.d - a.d)").as("slope_e6"))
       .groupBy("event_type")
       .agg(count(lit(1)).as("n_pairs"),
         sort_array(collect_list(col("slope_e6"))).as("sl"))
       .select(col("event_type"), col("n_pairs"),
         (element_at(col("sl"), expr("CAST((size(sl) + 1) div 2 AS INT)")) +
           element_at(col("sl"), expr("CAST((size(sl) + 2) div 2 AS INT)")))
-          .as("slope_med2_e6"))
+          .as("s2"))
+    // Siegel-style intercept: doubled median of the per-day levels
+    // 2e6·x − s2·d (s2 is the DOUBLED e6 slope, so each term is the
+    // doubled e6 intercept estimate; med2 of those is 4× e6)
+    daily.join(slope, "event_type")
+      .select(col("event_type"), col("n_pairs"), col("s2"),
+        expr("2 * 1000000 * x - s2 * d").as("wv"))
+      .groupBy("event_type", "n_pairs", "s2")
+      .agg(sort_array(collect_list(col("wv"))).as("wl"))
+      .select(col("event_type"), col("n_pairs"),
+        col("s2").as("slope_med2_e6"),
+        (element_at(col("wl"), expr("CAST((size(wl) + 1) div 2 AS INT)")) +
+          element_at(col("wl"), expr("CAST((size(wl) + 2) div 2 AS INT)")))
+          .as("icept_med4_e6"))
   }
 
   /** Patch-grid planning for vision preprocessing: the stub decode
@@ -5356,6 +5424,7 @@ object SparkEntry {
     "p_bucket_advisor" -> (pBucketAdvisor _),
     "a_markov_entropy" -> (aMarkovEntropy _),
     "e_dup_flow" -> (eDupFlow _),
+    "t_textrank_doc" -> (tTextrankDoc _),
     "m_asset_meta" -> (mAssetMeta _),
     "m_audio_meta" -> (mAudioMeta _),
     "m_frame_sample" -> (mFrameSample _),

@@ -55,7 +55,29 @@ object StreamingTopK {
     implicit val outEnc = Encoders.product[Board]
     implicit val keyEnc = Encoders.scalaInt
     incs.groupByKey(r => shardOf(r.key, shards))
-      .transformWithState(new BoardProcessor(k), TimeMode.None(), OutputMode.Update())
+      .transformWithState(new BoardProcessor(k, allowDecrements = false),
+        TimeMode.None(), OutputMode.Update())
+  }
+
+  /** Decrement-tolerant variant — the documented trade behind
+    * [[leaderboards]]' increment-only require. Deltas may be negative
+    * (refunds, corrections, retractions); per-key TOTALS must stay
+    * ≥ 0 (a negative total is a ledger bug and refuses loudly, the
+    * disorder convention). A micro-batch that applies any negative
+    * delta to a shard invalidates the O(k) containment argument — a
+    * shrunk board entry can be overtaken by ANY untouched ledger key
+    * — so exactly those shard-batches rebuild their board with a full
+    * ledger rescan (O(ledger), LAZY: only when a decrement actually
+    * arrives); increment-only batches keep the O(touched·log k)
+    * incremental path. */
+  def leaderboardsDelta(incs: Dataset[Inc], k: Int, shards: Int): Dataset[Board] = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(shards >= 1, s"shards must be >= 1, got $shards")
+    implicit val outEnc = Encoders.product[Board]
+    implicit val keyEnc = Encoders.scalaInt
+    incs.groupByKey(r => shardOf(r.key, shards))
+      .transformWithState(new BoardProcessor(k, allowDecrements = true),
+        TimeMode.None(), OutputMode.Update())
   }
 
   /** Fold the latest per-shard boards into the exact global top-k. */
@@ -63,7 +85,7 @@ object StreamingTopK {
     boards.flatMap(b => b.keys.zip(b.totals))
       .sortBy { case (key, t) => (-t, key) }.take(k)
 
-  private class BoardProcessor(k: Int)
+  private class BoardProcessor(k: Int, allowDecrements: Boolean)
       extends StatefulProcessor[Int, Inc, Board] {
     @transient private var ledger: MapState[String, Long] = _
     @transient private var board: ValueState[Board] = _
@@ -79,21 +101,35 @@ object StreamingTopK {
         tv: TimerValues): Iterator[Board] = {
       val touched = scala.collection.mutable.Map.empty[String, Long]
       rows.foreach { r =>
-        require(r.delta >= 0L,
+        if (!allowDecrements) require(r.delta >= 0L,
           s"StreamingTopK is increment-only; got delta ${r.delta} for key " +
-            s"${r.key} — decrements would invalidate the O(k) cached board")
+            s"${r.key} — decrements would invalidate the O(k) cached board " +
+            "(leaderboardsDelta is the decrement-tolerant entry point)")
         touched(r.key) = touched.getOrElse(r.key, 0L) + r.delta
       }
       val newTotals = touched.map { case (key, d) =>
         val nt = (if (ledger.containsKey(key)) ledger.getValue(key) else 0L) + d
+        require(nt >= 0L,
+          s"StreamingTopK: total for key $key went negative ($nt) — a " +
+            "retraction exceeded the recorded total; the ledger is corrupt")
         ledger.updateValue(key, nt)
         key -> nt
       }
       val prev = if (board.exists()) board.get() else Board(shard, 0L, Nil, Nil)
-      val keep = prev.keys.zip(prev.totals)
-        .filterNot { case (key, _) => newTotals.contains(key) }
-      val next = (keep ++ newTotals).toSeq
-        .sortBy { case (key, t) => (-t, key) }.take(k)
+      val next =
+        if (touched.valuesIterator.exists(_ < 0L)) {
+          // a decrement breaks containment (any untouched key may now
+          // overtake a shrunk board entry): rebuild from the ledger —
+          // the lazy full-rescan path, paid only on decrement batches
+          val all = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+          ledger.iterator().foreach { case (key, t) => all += (key -> t) }
+          all.sortBy { case (key, t) => (-t, key) }.take(k).toSeq
+        } else {
+          val keep = prev.keys.zip(prev.totals)
+            .filterNot { case (key, _) => newTotals.contains(key) }
+          (keep ++ newTotals).toSeq
+            .sortBy { case (key, t) => (-t, key) }.take(k)
+        }
       val nb = Board(shard, prev.ver + 1L, next.map(_._1), next.map(_._2))
       board.update(nb)
       Iterator.single(nb)

@@ -69,9 +69,9 @@ class WideningPinsSpec extends SparkSpec {
       .groupBy("event_type").agg(count(lit(1)).as("n_days"))
       .as[(String, Long)].collect().toMap
     val rows = SparkEntry.queries("a_theil_sen")(spark, dir)
-      .as[(String, Long, Long)].collect()
+      .as[(String, Long, Long, Long)].collect()
     assert(rows.nonEmpty)
-    rows.foreach { case (t, nPairs, _) =>
+    rows.foreach { case (t, nPairs, _, _) =>
       val n = daily(t)
       assert(nPairs === n * (n - 1) / 2,
         s"$t: pairs $nPairs vs n=$n")
