@@ -164,6 +164,15 @@ object Bench {
     val extras: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
       "d_lsh_jaccard_xx_cold" -> (lshXx _),
       "d_lsh_jaccard_xx_warm" -> (lshXx _),
+      // 120-bit perceptual-hash dedup — the band-width scale path for
+      // m_ahash_dedup (15-bit segments; sf0.01/0.1 corpora have no
+      // true near-dups at the wide radius, so the oracle gate would
+      // be trivially empty — recall is pinned by WideningPinsSpec on
+      // a planted fixture instead, hence bench-only)
+      "m_ahash_wide" -> ((s, dir) =>
+        graft.ext.Dedup.simhashPairsWide(
+          graft.ext.Multimodal.ahashFingerprintsWide(
+            s.read.parquet(s"$dir/documents.parquet")), 6)),
       // span dedup on the production hash: includes its own positional
       // gram index build (compare against d_span_dedup, whose md5
       // index is likewise built inside its timing)

@@ -432,6 +432,47 @@ object Dedup {
         expr("bit_count(a.simhash ^ b.simhash)").cast("int").as("hamming"))
       .filter(col("hamming") <= maxHamming)
 
+  /** Two-word (120-bit) twin of [[simhashPairs]] for
+    * (doc_id, h0, h1) fingerprints — the band-width scale path: 8
+    * fixed segments of 15 bits (4 per word), so the band space is
+    * 32 768 values and bucket sizes stay sub-linear where the narrow
+    * hash's 8–9-bit segments collide. Pigeonhole over 8 segments
+    * guarantees recall for maxHamming ≤ 7: a within-radius pair
+    * differs in ≤ 7 bits, so some segment matches exactly. Same
+    * equi-join-then-exact-verify shape; never all-pairs. */
+  def simhashPairsWide(fps: DataFrame, maxHamming: Int): DataFrame = {
+    require(maxHamming <= 7,
+      s"simhashPairsWide: 8 segments guarantee recall only to radius 7, " +
+        s"got $maxHamming")
+    val segs = (0 until 8).map { s =>
+      val w = if (s < 4) col("h0") else col("h1")
+      struct(lit(s).as("seg"),
+        shiftright(w, (s % 4) * 15).bitwiseAND(lit((1L << 15) - 1))
+          .as("segval"))
+    }
+    val banded = fps
+      .select(col("doc_id"), col("h0"), col("h1"),
+        explode(array(segs: _*)).as("b"))
+      .select(col("doc_id"), col("h0"), col("h1"),
+        col("b.seg").as("seg"), col("b.segval").as("segval"))
+    banded.as("a").join(banded.as("b"),
+        col("a.seg") === col("b.seg") && col("a.segval") === col("b.segval") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        expr("bit_count(a.h0 ^ b.h0) + bit_count(a.h1 ^ b.h1)")
+          .cast("int").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
+  /** All-pairs twin of [[simhashPairsWide]] — fixtures only. */
+  def simhashPairsWideExhaustive(fps: DataFrame, maxHamming: Int): DataFrame =
+    fps.as("a").join(fps.as("b"), col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        expr("bit_count(a.h0 ^ b.h0) + bit_count(a.h1 ^ b.h1)")
+          .cast("int").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+
   /** Maximal duplicated token spans — exact-substring deduplication in
     * the sense of Lee et al. 2022 ("Deduplicating Training Data Makes
     * Language Models Better"), re-expressed Spark-shaped. The paper

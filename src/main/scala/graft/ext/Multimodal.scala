@@ -96,6 +96,36 @@ object Multimodal {
       docs.queryExecution.logical.semanticHash(), docs.sparkSession)(fp)
   }
 
+  /** 120-bit wide twin of [[ahashFingerprints]] — the BAND-WIDTH
+    * scale path: at corpus scale the 60-bit hash's 8–9-bit pigeonhole
+    * segments collide heavily (candidates grow ~N²/2^w), while two
+    * 60-bit words give 8 segments of 15 bits — a 32 768-value band
+    * space — with guaranteed recall up to Hamming radius 7. Same
+    * stub-decode sampling at twice the grid density; same exact
+    * integer thresholding (p·120 > Σp); both words stay sign-safe.
+    * Emits (doc_id, h0, h1) for [[Dedup.simhashPairsWide]].
+    * PlanCached on the batch path like the narrow twin. */
+  def ahashFingerprintsWide(docs: DataFrame): DataFrame = {
+    def word(off: Int): String =
+      s"""aggregate(sequence(0, 59), CAST(0 AS BIGINT), (acc, i) ->
+          acc + IF(element_at(px, CAST(i + $off + 1 AS INT)) * 120 > sp,
+            shiftleft(CAST(1 AS BIGINT), CAST(i AS INT)),
+            CAST(0 AS BIGINT)))"""
+    val fp = docs.filter(length(col("text")) >= 1)
+      .select(col("doc_id"),
+        expr("""transform(sequence(0, 119), i ->
+          CAST(ascii(substring(text,
+            CAST(1 + (i * length(text)) DIV 120 AS INT), 1)) AS BIGINT))""")
+          .as("px"))
+      .select(col("doc_id"), col("px"),
+        expr("aggregate(px, CAST(0 AS BIGINT), (acc, x) -> acc + x)").as("sp"))
+      .select(col("doc_id"),
+        expr(word(0)).as("h0"), expr(word(60)).as("h1"))
+    if (docs.isStreaming) fp
+    else graft.ops.PlanCache.cachedBy("ahash-120",
+      docs.queryExecution.logical.semanticHash(), docs.sparkSession)(fp)
+  }
+
   /** Wrap any DataFrame with a binary `payload` column into the typed
     * asset shape. Metadata that is derivable without a codec
     * (byte_len) is computed as columns; codec-dependent fields start 0. */

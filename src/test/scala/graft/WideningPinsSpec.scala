@@ -27,6 +27,34 @@ class WideningPinsSpec extends SparkSpec {
     assert(fps.agg(min("simhash")).head().getLong(0) >= 0L)
   }
 
+  test("wide ahash banded pairs equal the exhaustive join on planted near-dups") {
+    val rnd = new scala.util.Random(42)
+    val base = (0 until 60).map { i =>
+      (i.toLong, (0 until 400).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString)
+    }
+    // exact copies (hamming 0) plus lightly mutated twins (a few
+    // sampled pixels shift, borderline threshold bits may flip)
+    val copies = base.take(5).map { case (id, t) => (id + 1000L, t) }
+    val mutated = base.slice(5, 25).map { case (id, t) =>
+      val arr = t.toCharArray
+      Seq(13, 157, 311).foreach { p =>
+        arr(p) = if (arr(p) == 'z') 'a' else (arr(p) + 1).toChar
+      }
+      (id + 2000L, new String(arr))
+    }
+    val docs = (base ++ copies ++ mutated).toDF("doc_id", "text")
+    val fps = ext.Multimodal.ahashFingerprintsWide(docs)
+    val banded = ext.Dedup.simhashPairsWide(fps, 6)
+      .as[(Long, Long, Int)].collect().toSet
+    val exhaustive = ext.Dedup.simhashPairsWideExhaustive(fps, 6)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(banded === exhaustive)
+    assert(exhaustive.nonEmpty, "planted twins must land within the radius")
+    // both words sign-safe
+    val m = fps.agg(min("h0"), min("h1")).head()
+    assert(m.getLong(0) >= 0L && m.getLong(1) >= 0L)
+  }
+
   test("per-seed BFS labels fold to the multi-source shells") {
     val seeds = SparkEntry.T(spark, dir, "supplier")
       .filter(col("s_nationkey") === 0)
