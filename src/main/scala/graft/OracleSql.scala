@@ -5015,6 +5015,27 @@ SELECT vt.event_type, v AS pi_e6,
        round(coalesce(h_raw, 0) * v / v_tot, 4) AS contrib_nats
 FROM vt LEFT JOIN h USING (event_type)"""),
 
+    // PII exposure report: one scan, ten aggregates, stacked per
+    // class; patterns shared with the engine as constants
+    "e_pii_report" -> {
+      val classes = Seq(
+        "email" -> graft.ext.TextOps.EmailPat,
+        "url" -> graft.ext.TextOps.UrlPat,
+        "phone" -> graft.ext.TextOps.PhonePat,
+        "ssn" -> graft.ext.TextOps.SsnPat,
+        "ipv4" -> graft.ext.TextOps.Ipv4Pat)
+      val aggCols = classes.map { case (n, p) =>
+        s"""CAST(sum(CASE WHEN len(regexp_extract_all(text, '$p')) > 0
+           THEN 1 ELSE 0 END) AS BIGINT) AS ${n}_docs,
+    CAST(sum(len(regexp_extract_all(text, '$p'))) AS BIGINT) AS ${n}_hits"""
+      }.mkString(",\n    ")
+      val arms = classes.map { case (n, _) =>
+        s"SELECT source, '$n' AS pii_class, ${n}_docs AS n_docs_hit, " +
+          s"${n}_hits AS n_hits FROM agg"
+      }.mkString("\nUNION ALL\n")
+      s"WITH agg AS (\n  SELECT source,\n    $aggCols\n  FROM documents GROUP BY source)\n$arms"
+    },
+
     // cross-source duplicate flow: the LSH-verified pair frame rolled
     // up to (source, source) cells, ordered pairs folded
     "e_dup_flow" -> (LSH_PAIRS + """,

@@ -4336,6 +4336,35 @@ object SparkEntry {
           .as("contrib_nats"))
   }
 
+  /** PII exposure report per source — the governance rollup a privacy
+    * review reads BEFORE deciding redaction policy ([[tRedact]] is
+    * the apply step for two of these classes): per (source, class),
+    * how many documents hit and how many total matches, for five
+    * classes (email, url, phone, ssn-like, ipv4; patterns parse
+    * identically under Java regex and RE2 so both engines count the
+    * same matches). ONE corpus scan computes all ten aggregates
+    * (per-class doc-hit + match counts), then a 5-way literal-struct
+    * explode stacks the report — no second pass, no join. */
+  private def ePiiReport(s: SparkSession, dir: String): DataFrame = {
+    val classes = Seq(
+      "email" -> TextOps.EmailPat, "url" -> TextOps.UrlPat,
+      "phone" -> TextOps.PhonePat, "ssn" -> TextOps.SsnPat,
+      "ipv4" -> TextOps.Ipv4Pat)
+    val aggs = classes.flatMap { case (n, p) =>
+      val cnt = regexp_count(col("text"), lit(p))
+      Seq(sum((cnt > 0).cast("long")).as(s"${n}_docs"),
+        sum(cnt.cast("long")).as(s"${n}_hits"))
+    }
+    T(s, dir, "documents")
+      .groupBy("source").agg(aggs.head, aggs.tail: _*)
+      .select(col("source"), explode(array(classes.map { case (n, _) =>
+        struct(lit(n).as("pii_class"), col(s"${n}_docs").as("n_docs_hit"),
+          col(s"${n}_hits").as("n_hits"))
+      }: _*)).as("r"))
+      .select(col("source"), col("r.pii_class").as("pii_class"),
+        col("r.n_docs_hit").as("n_docs_hit"), col("r.n_hits").as("n_hits"))
+  }
+
   /** Cross-source duplicate FLOW — the governance rollup of the LSH
     * near-dup pairs ([[dLshJaccard]]'s shared cached frame): how many
     * verified near-dup pairs connect each (source, source) slice,
@@ -5425,6 +5454,7 @@ object SparkEntry {
     "a_markov_entropy" -> (aMarkovEntropy _),
     "e_dup_flow" -> (eDupFlow _),
     "t_textrank_doc" -> (tTextrankDoc _),
+    "e_pii_report" -> (ePiiReport _),
     "m_asset_meta" -> (mAssetMeta _),
     "m_audio_meta" -> (mAudioMeta _),
     "m_frame_sample" -> (mFrameSample _),

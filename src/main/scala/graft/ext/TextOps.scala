@@ -62,6 +62,11 @@ object TextOps {
     * runs in Spark (Java regex) and the DuckDB oracle unchanged. */
   val EmailPat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   val UrlPat = "https?://[^\\s]+"
+  // governance-report classes beyond the redactor's two: all three
+  // parse identically under Java regex and RE2 (\b, \d, char classes)
+  val PhonePat = "\\b\\d{3}[-. ]\\d{3}[-. ]\\d{4}\\b"
+  val SsnPat = "\\b\\d{3}-\\d{2}-\\d{4}\\b"
+  val Ipv4Pat = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
 
   /** PII redaction: replace emails and URLs with typed placeholders —
     * the standard text-cleaning step before training-data use. Pure
