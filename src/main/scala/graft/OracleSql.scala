@@ -5015,6 +5015,26 @@ SELECT vt.event_type, v AS pi_e6,
        round(coalesce(h_raw, 0) * v / v_tot, 4) AS contrib_nats
 FROM vt LEFT JOIN h USING (event_type)"""),
 
+    // FD audit: A -> B holds iff ndv(A) = ndv(A,B); one grouped
+    // countDistinct pass per declared pair
+    "p_fd_audit" -> {
+      def fd(tbl: String, a: String, b: String): String =
+        s"""SELECT '$tbl' AS tbl, '$a' AS lhs, '$b' AS rhs,
+  CAST(count(*) AS BIGINT) AS ndv_lhs,
+  CAST(sum(k) AS BIGINT) AS ndv_pair,
+  sum(k) = count(*) AS fd_holds
+FROM (SELECT $a, count(DISTINCT $b) AS k FROM $tbl GROUP BY $a)"""
+      Seq(
+        fd("nation", "n_name", "n_regionkey"),
+        fd("orders", "o_orderkey", "o_custkey"),
+        fd("part", "p_brand", "p_type"),
+        fd("part", "p_name", "p_brand"),
+        fd("documents", "source", "lang"),
+        fd("customer", "c_mktsegment", "c_nationkey"),
+        fd("lineitem", "l_returnflag", "l_linestatus"))
+        .mkString("\nUNION ALL\n")
+    },
+
     // PII exposure report: one scan, ten aggregates, stacked per
     // class; patterns shared with the engine as constants
     "e_pii_report" -> {

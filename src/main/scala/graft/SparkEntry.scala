@@ -4386,6 +4386,38 @@ object SparkEntry {
       .groupBy("source_a", "source_b").agg(count(lit(1)).as("n_pairs"))
   }
 
+  /** Functional-dependency audit over declared column pairs — the
+    * data-profiling step that discovers real constraints a contract
+    * should pin (and catches denormalization drift when a supposed
+    * FD starts failing): A → B holds iff ndv(A) = ndv(A,B), and the
+    * per-pair violation budget ndv_pair − ndv_lhs counts how many
+    * extra B values break it. One partial-agg pass per declared pair
+    * (groupBy A, countDistinct B: ndv_lhs = group count, ndv_pair =
+    * Σ per-group distinct), no joins; the pair list is the declared
+    * profiling scope, not discovery over all column pairs. The
+    * fixture plants two holding FDs (n_name and o_orderkey are keys
+    * the audit DISCOVERS rather than assumes) among five failing
+    * controls — including p_name → p_brand, which a human would
+    * guess holds and the data refutes (part names are reused across
+    * brands). */
+  private def pFdAudit(s: SparkSession, dir: String): DataFrame = {
+    def fd(tbl: String, a: String, b: String): DataFrame =
+      T(s, dir, tbl).groupBy(col(a)).agg(countDistinct(col(b)).as("k"))
+        .agg(count(lit(1)).as("ndv_lhs"), sum("k").as("ndv_pair"))
+        .select(lit(tbl).as("tbl"), lit(a).as("lhs"), lit(b).as("rhs"),
+          col("ndv_lhs"), col("ndv_pair"),
+          (col("ndv_pair") === col("ndv_lhs")).as("fd_holds"))
+    Seq(
+      fd("nation", "n_name", "n_regionkey"),
+      fd("orders", "o_orderkey", "o_custkey"),
+      fd("part", "p_brand", "p_type"),
+      fd("part", "p_name", "p_brand"),
+      fd("documents", "source", "lang"),
+      fd("customer", "c_mktsegment", "c_nationkey"),
+      fd("lineitem", "l_returnflag", "l_linestatus"))
+      .reduce(_ unionAll _)
+  }
+
   /** Bucket-layout advisor for the co-location join keys — the
     * pre-ETL sizing read before writing bucketed staging tables (the
     * PlanCache scale note's "bucketed intermediate"): per candidate
@@ -5455,6 +5487,7 @@ object SparkEntry {
     "e_dup_flow" -> (eDupFlow _),
     "t_textrank_doc" -> (tTextrankDoc _),
     "e_pii_report" -> (ePiiReport _),
+    "p_fd_audit" -> (pFdAudit _),
     "m_asset_meta" -> (mAssetMeta _),
     "m_audio_meta" -> (mAudioMeta _),
     "m_frame_sample" -> (mFrameSample _),
