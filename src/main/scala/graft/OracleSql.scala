@@ -5151,6 +5151,43 @@ SELECT tbl, join_key, n_rows, ndv, max_freq,
 FROM st JOIN ladder ON p >= (n_rows + 65535) // 65536
 GROUP BY tbl, join_key, n_rows, ndv, max_freq""",
 
+    // Mann-Kendall: exact S and tie-corrected var18, one rounded z;
+    // the verdict compares the ROUNDED z so both engines cut alike
+    "a_mann_kendall" -> """WITH daily AS (
+  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+         sum(CAST(round(value * 10000) AS BIGINT)) AS x
+  FROM events GROUP BY 1, 2
+), sp AS (
+  SELECT a.event_type AS event_type,
+         CAST(sum(CASE WHEN b.x > a.x THEN 1
+                       WHEN b.x < a.x THEN -1 ELSE 0 END) AS BIGINT) AS s_stat
+  FROM daily a JOIN daily b
+    ON a.event_type = b.event_type AND a.day < b.day
+  GROUP BY 1
+), nd AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM daily GROUP BY 1
+), tt AS (
+  SELECT event_type,
+         CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie_term
+  FROM (SELECT event_type, x, count(*) AS t FROM daily GROUP BY 1, 2)
+  WHERE t > 1 GROUP BY 1
+), m AS (
+  SELECT nd.event_type, nd.n, sp.s_stat,
+         nd.n * (nd.n - 1) * (2 * nd.n + 5) - coalesce(tt.tie_term, 0)
+           AS var18
+  FROM nd JOIN sp ON nd.event_type = sp.event_type
+  LEFT JOIN tt ON nd.event_type = tt.event_type
+), z AS (
+  SELECT event_type, n, s_stat, CAST(var18 AS BIGINT) AS var18,
+         round(CASE WHEN s_stat > 0 THEN (s_stat - 1) / sqrt(var18 / 18.0)
+                    WHEN s_stat < 0 THEN (s_stat + 1) / sqrt(var18 / 18.0)
+                    ELSE 0.0 END, 4) AS z
+  FROM m)
+SELECT event_type, n AS n_days, s_stat, var18, z,
+       CASE WHEN z > 1.96 THEN 'up'
+            WHEN z < -1.96 THEN 'down' ELSE 'none' END AS trend
+FROM z""",
+
     // Theil–Sen: doubled median of all pairwise e6 slopes per series;
     // // and div both truncate toward zero so negatives replay
     "a_theil_sen" -> """WITH daily0 AS (

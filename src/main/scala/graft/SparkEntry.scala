@@ -4483,6 +4483,50 @@ object SparkEntry {
       .select(col("node").as("token"), col("pr_fx"))
   }
 
+  /** Mann–Kendall trend test per event-type daily series — the
+    * significance companion of [[aTheilSen]]'s slope (the standard
+    * pairing in environmental/ops time-series practice: MK says
+    * WHETHER a monotone trend exists, Theil–Sen says how steep):
+    * S = Σ_{i<j} sign(x_j − x_i) over the same gated pair frame,
+    * tie-corrected variance 18·Var(S) = n(n−1)(2n+5) − Σ t(t−1)(2t+5)
+    * kept ×18 in exact longs, and the continuity-corrected
+    * z = (S ∓ 1)/√(var18/18) as the one rounded double. The verdict
+    * compares the ROUNDED z against ±1.96 so both engines cut
+    * identically. Pair fan-out rides the aTheilSen 256-day gate
+    * argument; ties come from one (type, value) aggregate. */
+  private def aMannKendall(s: SparkSession, dir: String): DataFrame = {
+    val daily = T(s, dir, "events")
+      .select(col("event_type"),
+        expr("unix_micros(ts) div 86400000000").as("day"),
+        expr("CAST(round(value * 10000) AS BIGINT)").as("v_fx"))
+      .groupBy("event_type", "day").agg(sum("v_fx").as("x"))
+    val sStat = daily.as("a").join(daily.as("b"),
+        col("a.event_type") === col("b.event_type") &&
+          col("a.day") < col("b.day"))
+      .select(col("a.event_type").as("event_type"),
+        signum(col("b.x") - col("a.x")).cast("long").as("sg"))
+      .groupBy("event_type").agg(sum("sg").as("s_stat"))
+    val nDays = daily.groupBy("event_type").agg(count(lit(1)).as("n"))
+    val ties = daily.groupBy(col("event_type"), col("x"))
+      .agg(count(lit(1)).as("t")).filter(col("t") > 1)
+      .groupBy("event_type")
+      .agg(sum(expr("t * (t - 1) * (2 * t + 5)")).as("tie_term"))
+    nDays.join(sStat, "event_type").join(ties, Seq("event_type"), "left")
+      .na.fill(0L, Seq("tie_term"))
+      .withColumn("var18",
+        expr("n * (n - 1) * (2 * n + 5) - tie_term"))
+      .withColumn("z", round(
+        when(col("s_stat") > 0, (col("s_stat") - 1) /
+          sqrt(col("var18") / 18.0))
+          .when(col("s_stat") < 0, (col("s_stat") + 1) /
+            sqrt(col("var18") / 18.0))
+          .otherwise(lit(0.0)), 4))
+      .select(col("event_type"), col("n").as("n_days"), col("s_stat"),
+        col("var18"), col("z"),
+        when(col("z") > 1.96, "up").when(col("z") < -1.96, "down")
+          .otherwise("none").as("trend"))
+  }
+
   /** PER-DOCUMENT TextRank — the form a keyword-extraction pipeline
     * actually ships (keywords for each document, [[tTextrank]]'s
     * corpus ranking is the vocabulary-level diagnostic): the same
@@ -5488,6 +5532,7 @@ object SparkEntry {
     "t_textrank_doc" -> (tTextrankDoc _),
     "e_pii_report" -> (ePiiReport _),
     "p_fd_audit" -> (pFdAudit _),
+    "a_mann_kendall" -> (aMannKendall _),
     "m_asset_meta" -> (mAssetMeta _),
     "m_audio_meta" -> (mAudioMeta _),
     "m_frame_sample" -> (mFrameSample _),
