@@ -5151,6 +5151,39 @@ SELECT tbl, join_key, n_rows, ndv, max_freq,
 FROM st JOIN ladder ON p >= (n_rows + 65535) // 65536
 GROUP BY tbl, join_key, n_rows, ndv, max_freq""",
 
+    // Poisson bootstrap: multiplicities from portable-hash thresholds,
+    // replicate means in exact cents*100, order-statistic CI
+    "a_bootstrap_ci" -> s"""WITH ord AS (
+  SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+), draws AS (
+  SELECT cents,
+         CASE WHEN h < 3679 THEN 0 WHEN h < 7358 THEN 1
+              WHEN h < 9197 THEN 2 WHEN h < 9810 THEN 3
+              WHEN h < 9963 THEN 4 ELSE 5 END AS mult, b
+  FROM (
+    SELECT cents, b,
+           ${dh("CAST(o_orderkey AS VARCHAR) || '#' || CAST(b AS VARCHAR)")}
+             % 10000 AS h
+    FROM ord, range(1, 33) r(b))
+), m AS (
+  SELECT b, sum(mult) AS n_b, sum(mult * cents) AS sum_b
+  FROM draws GROUP BY b
+), mm AS (
+  SELECT CAST(sum_b * 100 // n_b AS BIGINT) AS mean_c100 FROM m WHERE n_b > 0
+), g AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_resamples,
+         list_sort(list(mean_c100)) AS ms
+  FROM mm
+), f AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_orders,
+         CAST(sum(cents) * 100 // count(*) AS BIGINT) AS mean_full_c100
+  FROM ord)
+SELECT f.n_orders, f.mean_full_c100, g.n_resamples,
+       CAST(ms[2] AS BIGINT) AS ci_lo_c100,
+       CAST(ms[CAST(len(ms) - 1 AS INT)] AS BIGINT) AS ci_hi_c100
+FROM g CROSS JOIN f""",
+
     // Mann-Kendall: exact S and tie-corrected var18, one rounded z;
     // the verdict compares the ROUNDED z so both engines cut alike
     "a_mann_kendall" -> """WITH daily AS (

@@ -4483,6 +4483,47 @@ object SparkEntry {
       .select(col("node").as("token"), col("pr_fx"))
   }
 
+  /** Deterministic Poisson-bootstrap confidence interval for the mean
+    * order value — resampling at corpus scale without a second pass
+    * per replicate (Chamandy et al.'s Poisson bootstrap, the form
+    * that streams): each row's multiplicity in replicate b is an
+    * integer drawn from the Poisson(1) pmf via thresholds on the
+    * portable hash of (order, b), so all 32 replicates are one ×32
+    * map-side fan-out + one partial-agg shuffle of 32 groups — no
+    * row-level shuffle per replicate, no RNG state, bit-reproducible
+    * in both engines. Replicate means in exact cents×100; the CI is
+    * the 2nd-smallest..2nd-largest replicate mean (a ~94% interval
+    * at B=32, the order-statistic form — no interpolation, no
+    * doubles). */
+  private def aBootstrapCi(s: SparkSession, dir: String): DataFrame = {
+    val ord = T(s, dir, "orders")
+      .select(col("o_orderkey"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+    val draws = ord
+      .select(col("o_orderkey"), col("cents"),
+        explode(sequence(lit(1), lit(32))).as("b"))
+      .withColumn("h", pmod(Codecs.portableHash(
+        concat(col("o_orderkey").cast("string"), lit("#"),
+          col("b").cast("string"))), lit(10000L)))
+      .withColumn("mult",
+        when(col("h") < 3679, 0L).when(col("h") < 7358, 1L)
+          .when(col("h") < 9197, 2L).when(col("h") < 9810, 3L)
+          .when(col("h") < 9963, 4L).otherwise(5L))
+    val means = draws.groupBy("b")
+      .agg(sum("mult").as("n_b"), sum(expr("mult * cents")).as("sum_b"))
+      .filter(col("n_b") > 0)
+      .select(expr("sum_b * 100 div n_b").as("mean_c100"))
+    val full = ord.agg(count(lit(1)).as("n_orders"), sum("cents").as("sc"))
+      .select(col("n_orders"), expr("sc * 100 div n_orders").as("mean_full_c100"))
+    means.agg(count(lit(1)).as("n_resamples"),
+        sort_array(collect_list(col("mean_c100"))).as("ms"))
+      .crossJoin(broadcast(full))
+      .select(col("n_orders"), col("mean_full_c100"), col("n_resamples"),
+        element_at(col("ms"), 2).as("ci_lo_c100"),
+        element_at(col("ms"), expr("CAST(size(ms) - 1 AS INT)"))
+          .as("ci_hi_c100"))
+  }
+
   /** Mann–Kendall trend test per event-type daily series — the
     * significance companion of [[aTheilSen]]'s slope (the standard
     * pairing in environmental/ops time-series practice: MK says
@@ -5533,6 +5574,7 @@ object SparkEntry {
     "e_pii_report" -> (ePiiReport _),
     "p_fd_audit" -> (pFdAudit _),
     "a_mann_kendall" -> (aMannKendall _),
+    "a_bootstrap_ci" -> (aBootstrapCi _),
     "m_asset_meta" -> (mAssetMeta _),
     "m_audio_meta" -> (mAudioMeta _),
     "m_frame_sample" -> (mFrameSample _),
