@@ -5338,6 +5338,147 @@ SELECT occ.doc_id, CAST(count(*) AS BIGINT) AS n_trigrams,
        round(-sum(m.logp) / count(*), 4) AS xent_nats
 FROM occ JOIN model m USING (s)
 GROUP BY occ.doc_id""",
+
+    // local clustering coefficient over the LSH near-dup pair graph:
+    // the oracle enumerates each triangle once id-oriented (a<b<c) and
+    // explodes its three corners — a different apex per triangle than
+    // the engine's degree orientation, the same corner multiset
+    "g_clustering_coeff" -> s"""$LSH_PAIRS, ed AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+), deg AS (
+  SELECT node, count(*) AS degree FROM (
+    SELECT a AS node FROM ed UNION ALL SELECT b FROM ed)
+  GROUP BY 1
+), tri AS (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM ed e1 JOIN ed e2 ON e2.a = e1.b
+  JOIN ed e3 ON e3.a = e1.a AND e3.b = e2.b
+), pn AS (
+  SELECT node, count(*) AS n_tri FROM (
+    SELECT x AS node FROM tri
+    UNION ALL SELECT y FROM tri
+    UNION ALL SELECT z FROM tri)
+  GROUP BY 1
+)
+SELECT d.node, CAST(d.degree AS BIGINT) AS degree,
+       CAST(coalesce(pn.n_tri, 0) AS BIGINT) AS n_tri,
+       CAST((coalesce(pn.n_tri, 0) * 20000) // (d.degree * (d.degree - 1))
+            AS BIGINT) AS cc_e4
+FROM deg d LEFT JOIN pn ON pn.node = d.node
+WHERE d.degree >= 2""",
+
+    // Newman modularity of the label-propagation communities: the
+    // g_communities recursive iterate replayed, then two joins + one
+    // community agg + the 1-row total, all truncating integer
+    // arithmetic in e6
+    "g_modularity" -> """WITH RECURSIVE cs AS (
+  SELECT 'c' || CAST(o.o_custkey AS VARCHAR) AS cnode,
+         's' || CAST(l.l_suppkey AS VARCHAR) AS snode, count(*) AS w
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  GROUP BY 1, 2
+), e AS (
+  SELECT cnode AS src, snode AS dst, w FROM cs
+  UNION ALL SELECT snode AS src, cnode AS dst, w FROM cs
+), lp AS (
+  SELECT 0 AS t, node, node AS label FROM (
+    SELECT DISTINCT src AS node FROM e
+    UNION SELECT DISTINCT dst FROM e)
+  UNION ALL
+  SELECT t+1, dst AS node, label FROM (
+    SELECT t, dst, label,
+           row_number() OVER (PARTITION BY t, dst ORDER BY cnt DESC, label) AS rn
+    FROM (
+      SELECT lp.t AS t, e.dst AS dst, lp.label AS label, sum(e.w) AS cnt
+      FROM lp JOIN e ON e.src = lp.node
+      WHERE lp.t < 4 GROUP BY 1, 2, 3))
+  WHERE rn = 1
+), c4 AS (SELECT node, label AS community FROM lp WHERE t = 4
+), mw AS (SELECT CAST(sum(w) AS BIGINT) AS m_w FROM e
+), lab AS (
+  SELECT e.w, c1.community AS c_src, c2.community AS c_dst
+  FROM e JOIN c4 c1 ON c1.node = e.src JOIN c4 c2 ON c2.node = e.dst
+), byc AS (
+  SELECT c_src AS community, CAST(sum(w) AS BIGINT) AS k_w,
+         CAST(sum(CASE WHEN c_src = c_dst THEN w ELSE 0 END) AS BIGINT)
+           AS intra_w
+  FROM lab GROUP BY 1
+), nn AS (SELECT community, count(*) AS n_nodes FROM c4 GROUP BY 1)
+SELECT byc.community, CAST(nn.n_nodes AS BIGINT) AS n_nodes,
+       intra_w, k_w,
+       CAST((intra_w * 1000000) // m_w
+            - ((k_w * 1000000) // m_w) * ((k_w * 1000000) // m_w) // 1000000
+            AS BIGINT) AS q_e6
+FROM byc JOIN nn ON nn.community = byc.community CROSS JOIN mw""",
+
+    // per-type freshness: global max as a 1-row cross join folded
+    // through the per-type aggregate, exact microseconds
+    "p_freshness" -> """WITH ev AS (
+  SELECT event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events
+), g AS (SELECT max(us) AS g_us FROM ev)
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_total,
+       CAST(max(us) AS BIGINT) AS last_us,
+       CAST(g_us - max(us) AS BIGINT) AS lag_us,
+       CAST(sum(CASE WHEN us >= g_us - 86400000000 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_last_day,
+       (g_us - max(us)) <= 21600000000 AS fresh_6h
+FROM ev CROSS JOIN g
+GROUP BY event_type, g_us""",
+
+    // Flesch scores in e2: words from the shared token split,
+    // sentences as [.!?]+ runs (min 1), syllables as per-token vowel
+    // runs floored at 1; every score a sum of truncating divisions
+    "t_readability" -> s"""$TOKS, c AS (
+  SELECT doc_id, CAST(len(tk) AS BIGINT) AS w,
+         CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS BIGINT)
+           AS sn,
+         CAST(list_sum(list_transform(tk, t ->
+           greatest(len(regexp_extract_all(t, '[aeiouy]+')), 1))) AS BIGINT)
+           AS y
+  FROM toks WHERE len(tk) >= 1)
+SELECT doc_id, w AS n_words, sn AS n_sentences, y AS n_syllables,
+       CAST((100 * w) // sn AS BIGINT) AS wps_e2,
+       CAST((100 * y) // w AS BIGINT) AS spw_e2,
+       CAST((39 * w) // sn + (1180 * y) // w - 1559 AS BIGINT) AS fk_e2,
+       CAST(20684 - (1015 * w) // (10 * sn) - (8460 * y) // w AS BIGINT)
+         AS fre_e2
+FROM c""",
+
+    // capped perceptual banding: the m_ahash_dedup fingerprints banded
+    // into 7 pigeonhole segments, buckets over the 32-cap dropped
+    // BEFORE the self-join — the oracle replays the capped contract
+    "m_ahash_capped" -> {
+      val bounds = (0 to 7).map(i => i * 60 / 7)
+      val segs = (0 until 7).map { i =>
+        val lo = bounds(i); val w = bounds(i + 1) - lo
+        s"SELECT doc_id, h, $i AS seg, (h >> $lo) & ${(1L << w) - 1} AS segval FROM fp"
+      }.mkString("\n  UNION ALL ")
+      s"""WITH px AS (
+  SELECT doc_id,
+         list_transform(range(0, 60), i ->
+           CAST(ascii(substr(text,
+             CAST(1 + (i * length(text)) // 60 AS INT), 1)) AS BIGINT)) AS p
+  FROM documents WHERE length(text) >= 1
+), ps AS (
+  SELECT doc_id, p, list_aggregate(p, 'sum') AS sp FROM px
+), fp AS (
+  SELECT doc_id, CAST(list_aggregate(list_transform(range(0, 60), i ->
+    CASE WHEN p[CAST(i + 1 AS INT)] * 60 > sp
+         THEN (CAST(1 AS BIGINT) << CAST(i AS INT))
+         ELSE CAST(0 AS BIGINT) END), 'sum') AS BIGINT) AS h
+  FROM ps
+), banded AS (
+  $segs
+), kept AS (
+  SELECT banded.* FROM banded
+  JOIN (SELECT seg, segval FROM banded GROUP BY 1, 2 HAVING count(*) <= 32) k
+    USING (seg, segval)
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.h, b.h)) AS INT) AS hamming
+FROM kept a JOIN kept b
+  ON a.seg = b.seg AND a.segval = b.segval AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.h, b.h)) <= 6"""
+    },
   )
 
   /** Shared CTE chain of the mass-conserving Markov power iteration

@@ -424,6 +424,49 @@ object Dedup {
       .distinct() // a close pair may agree on several segments
   }
 
+  /** [[simhashPairs]] with a BUCKET CAP — the gram-join df-cap dial
+    * applied to the pigeonhole bands: (segment, value) buckets holding
+    * more than `maxBucket` fingerprints are DROPPED before the
+    * self-join, so the candidate fan-out per bucket is bounded at
+    * maxBucket² regardless of how the corpus piles onto a popular
+    * segment value (boilerplate media assets all sharing a byte
+    * pattern). The trade is explicit and the contract changes: recall
+    * is guaranteed only for pairs that agree on at least one UNCAPPED
+    * segment — a near-dup pair living entirely inside hot buckets is
+    * missed, which is exactly the skew-vs-recall dial a 100 TB dedup
+    * run turns (the [[nGramJaccardCapped]] convention). The oracle
+    * mirrors the cap, so the gate pins the capped semantics, not an
+    * approximation of the uncapped ones. One extra bucket-sized
+    * aggregate + semi-join shaped filter; never all-pairs. */
+  def simhashPairsCapped(fps: DataFrame, maxHamming: Int, bits: Int,
+      maxBucket: Long): DataFrame = {
+    require(maxBucket >= 2, s"maxBucket must be >= 2, got $maxBucket")
+    val nSeg = maxHamming + 1
+    require(nSeg <= bits, s"need at least one bit per segment ($nSeg segments, $bits bits)")
+    val bounds = (0 to nSeg).map(i => i * bits / nSeg)
+    val segs = (0 until nSeg).map { s =>
+      val lo = bounds(s); val w = bounds(s + 1) - lo
+      val mask = if (w >= 64) -1L else (1L << w) - 1
+      struct(lit(s).as("seg"),
+        shiftright(col("simhash"), lo).bitwiseAND(lit(mask)).as("segval"))
+    }
+    val banded = fps.select(col("doc_id"), col("simhash"), explode(array(segs: _*)).as("b"))
+      .select(col("doc_id"), col("simhash"), col("b.seg").as("seg"), col("b.segval").as("segval"))
+    val kept = banded.join(
+      banded.groupBy(col("seg"), col("segval"))
+        .agg(count(lit(1)).as("df"))
+        .filter(col("df") <= maxBucket)
+        .select(col("seg"), col("segval")),
+      Seq("seg", "segval"))
+    kept.as("a").join(kept.as("b"),
+        col("a.seg") === col("b.seg") && col("a.segval") === col("b.segval") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        expr("bit_count(a.simhash ^ b.simhash)").cast("int").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct() // a close pair may agree on several uncapped segments
+  }
+
   /** All-pairs twin of [[simhashPairs]] — O(N²), for verifying the
     * banded form's guaranteed-recall claim on fixtures only. */
   def simhashPairsExhaustive(fps: DataFrame, maxHamming: Int): DataFrame =

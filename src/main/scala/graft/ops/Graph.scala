@@ -385,6 +385,89 @@ object Graph {
     e.agg(count(lit(1)).as("n_edges")).crossJoin(broadcast(tri))
   }
 
+  /** Local clustering coefficient per vertex — [[triangleCount]]'s
+    * degree-ordered wedge enumeration kept per-triangle instead of
+    * folded to a scalar: each closed wedge (u, v1, v2) is one
+    * triangle found exactly once (at its unique orientation apex, the
+    * vertex with two out-edges in the degree-ordered DAG), so
+    * exploding its three corners and counting per vertex gives the
+    * exact incident-triangle count, and
+    * cc = 2·tri / (d·(d−1)) follows in e4 fixed point via the shared
+    * truncating division (mirrored by the oracle's id-oriented
+    * enumeration — a different apex per triangle, the same one-row-
+    * per-triangle multiset after the corner explode). Same
+    * degeneracy-bounded wedge fan-out and the same three keyed
+    * shuffles as the count, plus one corner agg; nothing is
+    * collected. Vertices of degree 1 have no defined coefficient and
+    * are excluded (the d·(d−1) denominator is zero).
+    *
+    * Input: undirected pairs (doc_a < doc_b).
+    * Returns (node, degree, n_tri, cc_e4). */
+  def localClustering(pairs: DataFrame): DataFrame = {
+    val e = pairs.select(col("doc_a").as("a"), col("doc_b").as("b")).distinct()
+    val deg = e.select(explode(array(col("a"), col("b"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("degree"))
+    val withDeg = e
+      .join(deg.select(col("node").as("a"), col("degree").as("da")), "a")
+      .join(deg.select(col("node").as("b"), col("degree").as("db")), "b")
+    val oriented = withDeg.select(
+      when(col("da") < col("db") || (col("da") === col("db") && col("a") < col("b")),
+        col("a")).otherwise(col("b")).as("u"),
+      when(col("da") < col("db") || (col("da") === col("db") && col("a") < col("b")),
+        col("b")).otherwise(col("a")).as("v"))
+    val wedges = oriented.select(col("u"), col("v").as("v1"))
+      .join(oriented.select(col("u"), col("v").as("v2")), "u")
+      .filter(col("v1") < col("v2"))
+    val corners = wedges
+      .join(e, wedges("v1") === e("a") && wedges("v2") === e("b"))
+      .select(explode(array(col("u"), col("v1"), col("v2"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("n_tri"))
+    deg.filter(col("degree") >= 2)
+      .join(corners, Seq("node"), "left")
+      .select(col("node"), col("degree"),
+        coalesce(col("n_tri"), lit(0L)).as("n_tri"),
+        expr("(coalesce(n_tri, 0L) * 20000L) div (degree * (degree - 1))")
+          .as("cc_e4"))
+  }
+
+  /** Newman modularity (Newman & Girvan 2004, eq. 5) of a vertex
+    * partition over a SYMMETRIZED weighted edge list, per community,
+    * in e6 fixed point: q_c = (intra_c·10⁶) div M −
+    * ((k_c·10⁶ div M)²) div 10⁶ with M = Σw over directed edges,
+    * intra_c the within-community directed weight and k_c the
+    * community's total strength. Both divisions truncate on
+    * non-negative longs, so an oracle replays them bit-for-bit; the
+    * nested-quotient form keeps every intermediate ≤ max(k_c·10⁶,
+    * 10¹²) — k_c < 9.2·10¹² before overflow, against k_c² · 10⁶
+    * overflowing already at k_c ≈ 3·10⁶ in the naive form. Σ q_e6
+    * over the output is the partition's Q (−0.5 ≤ Q ≤ 1).
+    *
+    * Shape: two vertex-keyed joins of the edge frame against the
+    * community map, one community-keyed partial agg, one 1-row total
+    * broadcast — no window, nothing collected.
+    *
+    * Input: edges (src, dst, w) symmetrized, communities
+    * (node, community). Returns (community, n_nodes, intra_w, k_w,
+    * q_e6). */
+  def modularity(edges: DataFrame, communities: DataFrame): DataFrame = {
+    val e = edges.select(col("src"), col("dst"), col("w").cast("long").as("w"))
+    val mw = e.agg(sum(col("w")).as("m_w"))
+    val lab = e
+      .join(communities.select(col("node").as("src"), col("community").as("c_src")), "src")
+      .join(communities.select(col("node").as("dst"), col("community").as("c_dst")), "dst")
+    val byC = lab.groupBy(col("c_src").as("community"))
+      .agg(sum(col("w")).as("k_w"),
+        sum(when(col("c_src") === col("c_dst"), col("w")).otherwise(lit(0L)))
+          .as("intra_w"))
+    byC.join(communities.groupBy("community").agg(count(lit(1)).as("n_nodes")),
+        "community")
+      .crossJoin(broadcast(mw))
+      .select(col("community"), col("n_nodes"), col("intra_w"), col("k_w"),
+        expr("""(intra_w * 1000000L) div m_w
+          - ((k_w * 1000000L) div m_w) * ((k_w * 1000000L) div m_w) div 1000000L""")
+          .as("q_e6"))
+  }
+
   /** Synchronous label-propagation communities over a weighted edge
     * list — the last graph closer: every vertex starts as its own
     * label and, each round, adopts the label with the greatest

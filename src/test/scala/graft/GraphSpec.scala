@@ -196,4 +196,44 @@ class GraphSpec extends SparkSpec {
     assert(total <= 4L * 1000000L && total > 4L * 1000000L - 1000L,
       s"mass not conserved: $total")
   }
+
+  test("localClustering: K4 corners fully clustered, a pendant apex halves") {
+    val k4 = (for { a <- 1L to 4L; b <- (a + 1) to 4L } yield (a, b)) :+ ((4L, 5L))
+    val got = Graph.localClustering(k4.toDF("doc_a", "doc_b"))
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // K4 corners: every vertex sits in 3 triangles over C(3,2)=3
+    // wedges → cc 1.0; vertex 4 gains the pendant edge (degree 4,
+    // still 3 triangles over 6 wedges → 0.5); the degree-1 pendant
+    // has no defined coefficient and must be absent
+    assert(got === Map(
+      1L -> ((3L, 3L, 10000L)), 2L -> ((3L, 3L, 10000L)),
+      3L -> ((3L, 3L, 10000L)), 4L -> ((4L, 3L, 5000L))))
+    val path = Graph.localClustering(
+        Seq((1L, 2L), (2L, 3L)).toDF("doc_a", "doc_b"))
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(path === Set((2L, 2L, 0L, 0L)),
+      "a triangle-free wedge center must score exactly zero")
+  }
+
+  test("modularity: the two-triangle partition scores 0.5; one blob scores 0") {
+    val tris = Seq(("a", "b"), ("b", "c"), ("a", "c"),
+      ("d", "e"), ("e", "f"), ("d", "f"))
+    val edges = tris.flatMap { case (x, y) => Seq((x, y, 1L), (y, x, 1L)) }
+      .toDF("src", "dst", "w")
+    val parts = Seq("a" -> "t1", "b" -> "t1", "c" -> "t1",
+      "d" -> "t2", "e" -> "t2", "f" -> "t2").toDF("node", "community")
+    val got = Graph.modularity(edges, parts)
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    // M=12, intra=k=6 per community: q = 1e6/2 − (1e6/2)²/1e6 = 0.25
+    assert(got === Map(
+      "t1" -> ((3L, 6L, 6L, 250000L)),
+      "t2" -> ((3L, 6L, 6L, 250000L))))
+    val blob = Seq("a", "b", "c", "d", "e", "f").map(_ -> "all")
+      .toDF("node", "community")
+    val q = Graph.modularity(edges, blob)
+      .as[(String, Long, Long, Long, Long)].collect()
+    assert(q.map(_._5).sum === 0L, "a single community always has Q = 0")
+  }
 }

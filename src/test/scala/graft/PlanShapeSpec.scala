@@ -658,4 +658,40 @@ class PlanShapeSpec extends SparkSpec {
       s"the pair frame must be an equi-join on event_type:\n$p")
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("readability is one row-local scan: no exchange, no join, no window") {
+    val p = plan("t_readability")
+    assert(!p.contains("Exchange") && !p.contains("Join") &&
+      !p.contains("Window"),
+      s"readability must stay entirely row-local:\n$p")
+  }
+
+  test("clustering coefficient rides keyed equi-joins, never a cartesian") {
+    val p = plan("g_clustering_coeff")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"wedge generation and closing must be equi-joins:\n$p")
+    assert(!p.contains("Window"), s"no global ranks anywhere:\n$p")
+  }
+
+  test("modularity and freshness broadcast only their 1-row totals") {
+    // the single BroadcastNestedLoopJoin in each plan is the 1-row
+    // total frame (M / global max); everything else stays keyed
+    for (name <- Seq("g_modularity", "p_freshness")) {
+      val p = plan(name)
+      assert(!p.contains("CartesianProduct"), s"$name:\n$p")
+      assert(!p.contains("Window"), s"$name must not window:\n$p")
+      val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(p).length
+      assert(bnlj <= 1, s"$name: only the 1-row total may nested-loop:\n$p")
+    }
+  }
+
+  test("capped ahash banding keeps the equi-join and the cached fingerprints") {
+    val p = plan("m_ahash_capped")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"capped candidates must be an equi-join:\n$p")
+    assert(p.contains("InMemoryTableScan") || p.contains("Scan ExistingRDD"),
+      s"fingerprints must come from the cache, not be recomputed:\n$p")
+  }
 }

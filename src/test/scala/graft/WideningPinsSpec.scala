@@ -55,6 +55,26 @@ class WideningPinsSpec extends SparkSpec {
     assert(m.getLong(0) >= 0L && m.getLong(1) >= 0L)
   }
 
+  test("capped banding drops hot-bucket-only pairs and keeps the rest") {
+    // bits=8, radius 1 → two 4-bit segments. Docs 1-5 pile onto
+    // segment-0 value 0 (the hot bucket); the (1,2) near-dup pair
+    // agrees ONLY there, while (6,7) agrees on an uncapped segment.
+    val fps = Seq(1L -> 0L, 2L -> 16L, 3L -> 96L, 4L -> 160L, 5L -> 192L,
+      6L -> 255L, 7L -> 254L).toDF("doc_id", "simhash")
+    val uncapped = Dedup.simhashPairs(fps, 1, 8)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(uncapped === Set((1L, 2L, 1), (6L, 7L, 1)))
+    // cap 4 drops the 5-doc bucket: the hot-bucket-only pair is the
+    // documented recall trade; the uncapped-segment pair survives
+    val capped = Dedup.simhashPairsCapped(fps, 1, 8, 4L)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(capped === Set((6L, 7L, 1)))
+    // a cap nothing exceeds IS the uncapped join
+    val loose = Dedup.simhashPairsCapped(fps, 1, 8, 100L)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(loose === uncapped)
+  }
+
   test("per-seed BFS labels fold to the multi-source shells") {
     // suppkey-based seeds, NOT nation-0: the smoke fixture has no
     // nation-0 supplier, which would make this pin vacuous
