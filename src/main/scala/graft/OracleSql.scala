@@ -5443,6 +5443,46 @@ SELECT doc_id, w AS n_words, sn AS n_sentences, y AS n_syllables,
          AS fre_e2
 FROM c""",
 
+    // reciprocity of the directed transition graph: weighted form is
+    // Σ min(n_ab, n_ba) / Σ n; self-transitions excluded
+    "g_reciprocity" -> """WITH tr AS (
+  SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n FROM (
+    SELECT event_type AS from_type,
+           lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+             AS to_type
+    FROM events)
+  WHERE to_type IS NOT NULL AND to_type <> from_type GROUP BY 1, 2
+), j AS (
+  SELECT a.n, b.n AS n_rev FROM tr a LEFT JOIN tr b
+    ON b.from_type = a.to_type AND b.to_type = a.from_type)
+SELECT CAST(count(*) AS BIGINT) AS n_edges,
+       CAST(sum(CASE WHEN n_rev IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_recip_edges,
+       CAST(sum(n) AS BIGINT) AS w_total,
+       CAST(sum(coalesce(least(n, n_rev), 0)) AS BIGINT) AS w_recip,
+       CAST((sum(CASE WHEN n_rev IS NOT NULL THEN 1 ELSE 0 END) * 10000)
+            // count(*) AS BIGINT) AS edge_recip_e4,
+       CAST((sum(coalesce(least(n, n_rev), 0)) * 10000) // sum(n) AS BIGINT)
+         AS w_recip_e4
+FROM j""",
+
+    // per-asset symbol-entropy screen: exact histogram counts, one
+    // double chain rounded once (the xent_nats convention)
+    "m_payload_entropy" -> """WITH px AS (
+  SELECT doc_id AS asset_id, length(text) AS n, text
+  FROM documents WHERE length(text) >= 1
+), b AS (
+  SELECT asset_id,
+         unnest(list_transform(range(1, n + 1),
+           i -> ascii(substr(text, CAST(i AS INT), 1)))) AS b
+  FROM px
+), h AS (SELECT asset_id, b, count(*) AS c FROM b GROUP BY 1, 2)
+SELECT asset_id, CAST(sum(c) AS BIGINT) AS n_chars,
+       CAST(count(*) AS BIGINT) AS n_distinct,
+       round(ln(CAST(sum(c) AS DOUBLE)) - sum(c * ln(c)) / sum(c), 4)
+         AS entropy_nats
+FROM h GROUP BY asset_id""",
+
     // capped perceptual banding: the m_ahash_dedup fingerprints banded
     // into 7 pigeonhole segments, buckets over the 32-cap dropped
     // BEFORE the self-join — the oracle replays the capped contract

@@ -5405,6 +5405,62 @@ object SparkEntry {
     Dedup.simhashPairsCapped(
       Multimodal.ahashFingerprints(T(s, dir, "documents")), 6, 60, 32L)
 
+  /** Reciprocity of the DIRECTED event-type transition graph — how
+    * symmetric user journeys are (view⇄click loops vs one-way
+    * funnels). Self-transitions are excluded (they are trivially
+    * reciprocal and would inflate the score). Two dials in e4 via the
+    * shared truncating division: edge reciprocity (fraction of
+    * ordered type pairs whose reverse edge exists) and the weighted
+    * form Σ min(n_ab, n_ba) / Σ n_ab (Garlaschelli & Loffredo 2004).
+    * Shape: the one data-sized pass is the markovMatrix-shaped lead
+    * window (user-partitioned); the edge frame is type²-bounded, so
+    * the reverse self-join AQE-broadcasts and the final fold is one
+    * 1-row aggregate. */
+  private def gReciprocity(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val tr = T(s, dir, "events")
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .filter(col("next_type").isNotNull && col("next_type") =!= col("event_type"))
+      .groupBy(col("event_type").as("from_type"), col("next_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val rev = tr.select(col("to_type").as("from_type"),
+      col("from_type").as("to_type"), col("n").as("n_rev"))
+    tr.join(rev, Seq("from_type", "to_type"), "left")
+      .agg(count(lit(1)).as("n_edges"),
+        sum(when(col("n_rev").isNotNull, 1L).otherwise(0L)).as("n_recip_edges"),
+        sum(col("n")).as("w_total"),
+        sum(coalesce(least(col("n"), col("n_rev")), lit(0L))).as("w_recip"))
+      .select(col("n_edges"), col("n_recip_edges"), col("w_total"), col("w_recip"),
+        expr("(n_recip_edges * 10000L) div n_edges").as("edge_recip_e4"),
+        expr("(w_recip * 10000L) div w_total").as("w_recip_e4"))
+  }
+
+  /** Byte-entropy screen per media asset — the standard
+    * corrupt/compressed/encrypted payload detector an ingest pipeline
+    * runs before wasting decode time (near-8-bits/byte means already
+    * compressed or ciphertext; very low means padding or a stuck
+    * sensor). Character codes stand in for payload bytes (the
+    * [[graft.ext.Multimodal]] stub-decode convention — real codecs
+    * are environment-blocked; the Spark-side shape is the product).
+    * Entropy = ln(n) − Σ c·ln(c) / n over the per-asset symbol
+    * histogram: counts are exact longs, and the one double chain sums
+    * ≤ |alphabet| terms before a single round-4 (the xent_nats
+    * convention — far inside hash tolerance). Shape: one explode
+    * fan-out (row-local), two keyed partial aggs; the histogram is
+    * ≤ alphabet-sized per asset, so the second agg is tiny. */
+  private def mPayloadEntropy(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "documents")
+      .filter(length(col("text")) >= 1)
+      .select(col("doc_id").as("asset_id"), col("text"),
+        explode(expr("sequence(1L, length(text))")).as("i"))
+      .select(col("asset_id"), expr("ascii(substring(text, i, 1))").as("b"))
+      .groupBy("asset_id", "b").agg(count(lit(1)).as("c"))
+      .groupBy("asset_id")
+      .agg(sum("c").as("n_chars"), count(lit(1)).as("n_distinct"),
+        sum(expr("c * ln(c)")).as("clnc"))
+      .select(col("asset_id"), col("n_chars"), col("n_distinct"),
+        round(expr("ln(n_chars) - clnc / n_chars"), 4).as("entropy_nats"))
+
   // =====================================================================
   // Registry
   // =====================================================================
@@ -5692,6 +5748,8 @@ object SparkEntry {
     "p_freshness" -> (pFreshness _),
     "t_readability" -> (tReadability _),
     "m_ahash_capped" -> (mAhashCapped _),
+    "g_reciprocity" -> (gReciprocity _),
+    "m_payload_entropy" -> (mPayloadEntropy _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -686,6 +686,19 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("reciprocity: the only data-sized window is user-partitioned") {
+    val p = plan("g_reciprocity")
+    assert(unpartitionedWindows(p).isEmpty,
+      s"transition window must be user-partitioned:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("payload entropy is a join-free explode + partial-agg chain") {
+    val p = plan("m_payload_entropy")
+    assert(!p.contains("Join") && !p.contains("Window"),
+      s"entropy must be generate → agg → agg, nothing else:\n$p")
+  }
+
   test("capped ahash banding keeps the equi-join and the cached fingerprints") {
     val p = plan("m_ahash_capped")
     assert(!p.contains("CartesianProduct") &&
