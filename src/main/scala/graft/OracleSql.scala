@@ -5483,6 +5483,71 @@ SELECT asset_id, CAST(sum(c) AS BIGINT) AS n_chars,
          AS entropy_nats
 FROM h GROUP BY asset_id""",
 
+    // Kaplan-Meier time-to-first-purchase: exact counts, one double
+    // chain (ln -> ordered cumsum -> exp) rounded once at 4
+    "a_survival" -> """WITH ev AS (
+  SELECT user_id, event_type,
+         epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day
+  FROM events
+), per AS (
+  SELECT user_id, min(day) AS d0,
+         min(CASE WHEN event_type = 'purchase' THEN day END) AS dp
+  FROM ev GROUP BY 1
+), g AS (SELECT max(day) AS dmax FROM ev),
+byt AS (
+  SELECT CASE WHEN dp IS NOT NULL THEN dp - d0 ELSE dmax - d0 END AS t,
+         count(*) AS n_at_t,
+         sum(CASE WHEN dp IS NOT NULL THEN 1 ELSE 0 END) AS d_events
+  FROM per CROSS JOIN g GROUP BY 1
+), r AS (
+  SELECT t, n_at_t, d_events,
+         CAST(sum(n_at_t) OVER (ORDER BY t
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS BIGINT)
+           AS n_risk
+  FROM byt
+), s AS (
+  SELECT t, n_risk, d_events, n_at_t,
+         sum(CASE WHEN d_events < n_risk
+                  THEN ln(CAST(n_risk - d_events AS DOUBLE) / n_risk)
+                  ELSE 0.0 END)
+           OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS lnsum,
+         sum(CASE WHEN d_events = n_risk THEN 1 ELSE 0 END)
+           OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS anydead
+  FROM r)
+SELECT t, n_risk, CAST(d_events AS BIGINT) AS d_events,
+       CAST(n_at_t - d_events AS BIGINT) AS c_censored,
+       CASE WHEN anydead > 0 THEN 0.0 ELSE round(exp(lnsum), 4) END AS s_km
+FROM s""",
+
+    // Lorenz deciles on the a_gini quantized histogram: poorest-m
+    // prefix takes a proportional slice of its bucket's mass
+    "a_lorenz" -> """WITH rev AS (
+  SELECT o.o_custkey,
+         CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT) *
+           (100 - CAST(round(l.l_discount * 100) AS BIGINT))) AS BIGINT) AS x
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  GROUP BY 1
+), mx AS (SELECT max(x) AS mx FROM rev),
+bucketed AS (
+  SELECT x * 4096 // (mx + 1) AS b, count(*) AS c, CAST(sum(x) AS BIGINT) AS bx
+  FROM rev CROSS JOIN mx GROUP BY 1
+), cum AS (
+  SELECT b, c, bx,
+         CAST(coalesce(sum(c) OVER (ORDER BY b
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + 1 AS BIGINT)
+           AS start,
+         CAST(coalesce(sum(bx) OVER (ORDER BY b
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS cum_before,
+         CAST(sum(c) OVER () AS BIGINT) AS n,
+         CAST(sum(bx) OVER () AS BIGINT) AS t
+  FROM bucketed)
+SELECT k, CAST((k * n) // 10 AS BIGINT) AS n_members,
+       round((CAST(cum_before AS DOUBLE) * c + CAST(bx AS DOUBLE)
+         * ((k * n) // 10 - start + 1)) / c / t, 6) AS cum_share
+FROM (SELECT unnest(range(1, 11)) AS k) d
+JOIN cum ON (k * n) // 10 >= start AND (k * n) // 10 < start + c""",
+
     // capped perceptual banding: the m_ahash_dedup fingerprints banded
     // into 7 pigeonhole segments, buckets over the 32-cap dropped
     // BEFORE the self-join — the oracle replays the capped contract

@@ -5461,6 +5461,96 @@ object SparkEntry {
       .select(col("asset_id"), col("n_chars"), col("n_distinct"),
         round(expr("ln(n_chars) - clnc / n_chars"), 4).as("entropy_nats"))
 
+  /** Kaplan–Meier survival curve for time-to-first-purchase (Kaplan &
+    * Meier 1958): per user, duration = days from first event to first
+    * purchase; users who never purchase are right-censored at the
+    * corpus horizon. At each distinct duration t: n_risk (reverse
+    * cumulative count), d_events, c_censored, and
+    * S(t) = Π (1 − dᵢ/nᵢ) computed as exp(Σ ln(1 − dᵢ/nᵢ)) — counts
+    * stay exact longs; the one double chain (ln, ordered cumsum, exp)
+    * rounds once at 4 (the xent_nats convention; a step where every
+    * at-risk user converts sends ln → −∞ and S → 0 exactly, in both
+    * engines). Shape: one user-keyed partial agg over the corpus, a
+    * 1-row horizon broadcast, then everything rides the
+    * duration-histogram frame — bounded by the calendar span, so the
+    * two global windows run over days, never data (the CDF-above-
+    * bounded-histogram convention). */
+  private def aSurvival(s: SparkSession, dir: String): DataFrame = {
+    val ev = T(s, dir, "events").select(col("user_id"), col("event_type"),
+      expr("unix_micros(ts) div 86400000000").as("day"))
+    val per = ev.groupBy("user_id").agg(
+      min("day").as("d0"),
+      min(when(col("event_type") === "purchase", col("day"))).as("dp"))
+    val gmax = ev.agg(max("day").as("dmax"))
+    val byT = per.crossJoin(broadcast(gmax))
+      .select(
+        when(col("dp").isNotNull, col("dp") - col("d0"))
+          .otherwise(col("dmax") - col("d0")).as("t"),
+        col("dp").isNotNull.cast("long").as("ev"))
+      .groupBy("t").agg(count(lit(1)).as("n_at_t"), sum("ev").as("d_events"))
+    val wRisk = Window.orderBy(col("t"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val wCum = Window.orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // a step where EVERY at-risk user converts has factor 0: ln is
+    // undefined there (Spark ln(0) is NULL — silently dropped from
+    // the window sum — and DuckDB errors), so the zero is carried
+    // explicitly: S = 0 from the first such step onward
+    byT.withColumn("n_risk", sum("n_at_t").over(wRisk))
+      .withColumn("dead",
+        (col("d_events") === col("n_risk")).cast("long"))
+      .withColumn("anydead", sum("dead").over(wCum))
+      .withColumn("lnterm", when(col("d_events") < col("n_risk"),
+        expr("ln(CAST(n_risk - d_events AS DOUBLE) / n_risk)"))
+        .otherwise(lit(0.0)))
+      .withColumn("s_km", when(col("anydead") > 0, lit(0.0))
+        .otherwise(round(exp(sum("lnterm").over(wCum)), 4)))
+      .select(col("t"), col("n_risk"), col("d_events"),
+        (col("n_at_t") - col("d_events")).as("c_censored"), col("s_km"))
+  }
+
+  /** Lorenz curve of customer revenue at the deciles — the
+    * distribution curve behind [[aGini]]'s scalar, on the same
+    * 4096-bucket quantized histogram (members of a bucket carry the
+    * bucket mean, so the poorest-m prefix inside a bucket takes a
+    * proportional slice of its mass). For k = 1..10:
+    * m_k = (k·n) div 10 poorest customers, their revenue share =
+    * (cum_before·c + bx·(m_k − start + 1)) / c / t — exact longs into
+    * two mirrored double divisions rounded once at 6 (the gini
+    * convention). Shape: the histogram is value-bounded (≤ 4096
+    * rows), the decile probe is a 10-row broadcast range-join against
+    * it, and the only windows are histogram-sized. */
+  private def aLorenz(s: SparkSession, dir: String): DataFrame = {
+    val rev = T(s, dir, "lineitem")
+      .select(col("l_orderkey"),
+        (expr("CAST(round(l_extendedprice * 100) AS BIGINT)") *
+          (lit(100L) - expr("CAST(round(l_discount * 100) AS BIGINT)"))).as("rev_fx"))
+      .join(T(s, dir, "orders").select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_custkey").agg(sum("rev_fx").as("x"))
+    val mx = rev.agg(max(col("x")).as("mx"))
+    val bucketed = rev.crossJoin(broadcast(mx))
+      .select(expr("x * 4096 div (mx + 1)").as("b"), col("x"))
+      .groupBy("b").agg(count(lit(1)).as("c"), sum("x").as("bx"))
+    val cum = bucketed
+      .withColumn("start", coalesce(sum(col("c")).over(
+        Window.orderBy("b").rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)) + lit(1L))
+      .withColumn("cum_before", coalesce(sum(col("bx")).over(
+        Window.orderBy("b").rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .withColumn("n", sum(col("c")).over(
+        Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .withColumn("t", sum(col("bx")).over(
+        Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+    val deciles = s.range(1, 11).select(col("id").as("k"))
+    broadcast(deciles)
+      .join(cum, expr("(k * n) div 10 >= start AND (k * n) div 10 < start + c"))
+      .select(col("k"), expr("(k * n) div 10").as("n_members"),
+        round(expr("""(CAST(cum_before AS DOUBLE) * c + CAST(bx AS DOUBLE)
+          * ((k * n) div 10 - start + 1)) / c / t"""), 6).as("cum_share"))
+  }
+
   // =====================================================================
   // Registry
   // =====================================================================
@@ -5750,6 +5840,8 @@ object SparkEntry {
     "m_ahash_capped" -> (mAhashCapped _),
     "g_reciprocity" -> (gReciprocity _),
     "m_payload_entropy" -> (mPayloadEntropy _),
+    "a_survival" -> (aSurvival _),
+    "a_lorenz" -> (aLorenz _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

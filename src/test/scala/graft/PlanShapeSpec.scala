@@ -686,6 +686,17 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("survival and lorenz windows sit above bounded histograms") {
+    Seq("a_survival", "a_lorenz").foreach { name =>
+      val lines = plan(name).linesIterator.toList
+      val wIdx = lines.indexWhere(_.contains("Window"))
+      assert(wIdx >= 0, s"$name: expected the cumulative window")
+      assert(lines.drop(wIdx).exists(_.contains("HashAggregate")),
+        s"$name: the window must consume the histogram aggregate, not raw rows")
+      assert(!plan(name).contains("CartesianProduct"), name)
+    }
+  }
+
   test("reciprocity: the only data-sized window is user-partitioned") {
     val p = plan("g_reciprocity")
     assert(unpartitionedWindows(p).isEmpty,
