@@ -5303,11 +5303,19 @@ object SparkEntry {
 
   /** Label-propagation communities over the purchase graph, PlanCached:
     * [[gCommunities]] returns the frame and [[gModularity]] scores it,
-    * so the 4-round iterate runs once per session (the purchaseEdges
-    * convention one level up). */
+    * so the 4-round iterate runs once per session. MUST be the lazy
+    * [[graft.ops.PlanCache.cachedBy]] form keyed on the edge frame:
+    * labelPropagation localCheckpoints its edge input EAGERLY at
+    * construction, so the by-value `cached(tag, df)` overload would
+    * re-run that job — and mint a fresh RDD scan, hence a fresh
+    * semanticHash and a guaranteed cache MISS — on every call
+    * (measured: g_modularity 6.99 s rebuilding vs reading the shared
+    * frame). */
   private def purchaseCommunities(s: SparkSession, dir: String): DataFrame =
-    graft.ops.PlanCache.cached("purchase-communities",
-      graft.ops.Graph.labelPropagation(purchaseEdges(s, dir), 4))
+    graft.ops.PlanCache.cachedBy("purchase-communities",
+        purchaseEdges(s, dir).queryExecution.logical.semanticHash(), s) {
+      graft.ops.Graph.labelPropagation(purchaseEdges(s, dir), 4)
+    }
 
   /** Per-node local clustering coefficient of the LSH near-dup graph
     * ([[graft.ops.Graph.localClustering]] over the shared verified
