@@ -164,6 +164,18 @@ object Bench {
     val extras: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
       "d_lsh_jaccard_xx_cold" -> (lshXx _),
       "d_lsh_jaccard_xx_warm" -> (lshXx _),
+      // the mergeable-sketch twin of a_percentiles (approx_percentile,
+      // Spark's built-in GK-style digest): the 100 TB swap-in when the
+      // exact sort-based percentile's per-group collect is too wide —
+      // approximate, hence bench-only (the a_distinct_hll convention)
+      "a_percentiles_approx" -> ((s, dir) =>
+        s.read.parquet(s"$dir/lineitem.parquet")
+          .groupBy(org.apache.spark.sql.functions.col("l_returnflag"))
+          .agg(
+            org.apache.spark.sql.functions.expr(
+              "approx_percentile(l_extendedprice, 0.5, 1000)").as("p50"),
+            org.apache.spark.sql.functions.expr(
+              "approx_percentile(l_extendedprice, 0.95, 1000)").as("p95"))),
       // 120-bit perceptual-hash dedup — the band-width scale path for
       // m_ahash_dedup (15-bit segments; sf0.01/0.1 corpora have no
       // true near-dups at the wide radius, so the oracle gate would

@@ -5548,6 +5548,25 @@ SELECT k, CAST((k * n) // 10 AS BIGINT) AS n_members,
 FROM (SELECT unnest(range(1, 11)) AS k) d
 JOIN cum ON (k * n) // 10 >= start AND (k * n) // 10 < start + c""",
 
+    // code-vs-prose router: symbol density + keyword hit rate, both
+    // exact integer thresholds; keyword set is a shared literal
+    "t_code_detect" -> s"""$TOKS, c AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(text, '[{}()\\[\\];=<>]')) AS BIGINT)
+           AS n_sym,
+         CAST(len(list_filter(tk, t -> t IN ('def','class','return',
+           'import','function','var','const','int','void','public','if',
+           'else','for','while'))) AS BIGINT) AS n_kw,
+         CAST(len(tk) AS BIGINT) AS n_words,
+         CAST(length(text) AS BIGINT) AS n_chars
+  FROM toks WHERE len(tk) >= 1)
+SELECT doc_id, n_sym, n_kw,
+       CAST((n_sym * 10000) // n_chars AS BIGINT) AS sym_e4,
+       CAST((n_kw * 10000) // n_words AS BIGINT) AS kw_e4,
+       (n_sym * 10000) // n_chars >= 300
+         OR (n_kw * 10000) // n_words >= 500 AS is_code
+FROM c""",
+
     // capped perceptual banding: the m_ahash_dedup fingerprints banded
     // into 7 pigeonhole segments, buckets over the 32-cap dropped
     // BEFORE the self-join — the oracle replays the capped contract

@@ -5559,6 +5559,32 @@ object SparkEntry {
           * ((k * n) div 10 - start + 1)) / c / t"""), 6).as("cum_share"))
   }
 
+  /** Code-vs-prose detector — the pretraining-mix router that decides
+    * whether a document flows to the code or the text pipeline. Two
+    * exact integer features per doc: code-symbol density (braces,
+    * brackets, semicolons, comparison/assignment glyphs per char) and
+    * code-keyword hit rate over the shared token split (a literal
+    * keyword set — portable across engines unlike any tokenizer
+    * model); verdict by integer-threshold OR. Entirely row-local:
+    * one regexp count + one higher-order token fold, no shuffle. */
+  private def tCodeDetect(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "documents")
+      .select(col("doc_id"), col("text"), Codecs.tokens(col("text")).as("tk"))
+      .filter(size(col("tk")) >= 1)
+      .select(col("doc_id"),
+        regexp_count(col("text"), lit("[{}()\\[\\];=<>]"))
+          .cast("long").as("n_sym"),
+        expr("""CAST(size(filter(tk, t -> t IN ('def','class','return',
+          'import','function','var','const','int','void','public','if',
+          'else','for','while'))) AS BIGINT)""").as("n_kw"),
+        size(col("tk")).cast("long").as("n_words"),
+        length(col("text")).cast("long").as("n_chars"))
+      .select(col("doc_id"), col("n_sym"), col("n_kw"),
+        expr("(n_sym * 10000L) div n_chars").as("sym_e4"),
+        expr("(n_kw * 10000L) div n_words").as("kw_e4"),
+        expr("""(n_sym * 10000L) div n_chars >= 300L
+          OR (n_kw * 10000L) div n_words >= 500L""").as("is_code"))
+
   // =====================================================================
   // Registry
   // =====================================================================
@@ -5850,6 +5876,7 @@ object SparkEntry {
     "m_payload_entropy" -> (mPayloadEntropy _),
     "a_survival" -> (aSurvival _),
     "a_lorenz" -> (aLorenz _),
+    "t_code_detect" -> (tCodeDetect _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

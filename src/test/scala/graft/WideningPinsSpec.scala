@@ -75,6 +75,26 @@ class WideningPinsSpec extends SparkSpec {
     assert(loose === uncapped)
   }
 
+  test("code detector routes planted code and leaves prose alone") {
+    // the synthetic corpus holds no code symbols at all (the oracle
+    // row pins the arithmetic on exact zeros), so the classification
+    // behavior itself is pinned on a planted fixture — the
+    // m_ahash_wide convention
+    val dir = java.nio.file.Files.createTempDirectory("codedet").toString
+    Seq(
+      (1L, "def route(x): return x { } [ ] ; if x == 0 { return } " +
+        "import os ; void main ( ) { int y = 0 ; }"),
+      (2L, "the quiet harbor town woke slowly as fishermen hauled " +
+        "their morning nets across the weathered docks and gulls cried"),
+      (3L, "x = y ; { a = b } ; ( c < d ) ; [ e > f ] ;"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = SparkEntry.queries("t_code_detect")(spark, dir)
+      .select("doc_id", "is_code").as[(Long, Boolean)].collect().toMap
+    assert(got === Map(1L -> true, 2L -> false, 3L -> true),
+      "keyword-dense and symbol-dense docs route to code; prose does not")
+  }
+
   test("per-seed BFS labels fold to the multi-source shells") {
     // suppkey-based seeds, NOT nation-0: the smoke fixture has no
     // nation-0 supplier, which would make this pin vacuous
