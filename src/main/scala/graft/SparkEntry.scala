@@ -1004,14 +1004,20 @@ object SparkEntry {
     * recursive-CTE transitive closure — an independent algorithm). */
   /** The components frame shared by groups / apply / size-histogram —
     * PlanCache-materialized so the union-find (an eager pair collect)
-    * runs once per corpus, not once per consumer. */
-  private def nearDupComps(s: SparkSession, dir: String): DataFrame =
-    graft.ops.PlanCache.cached("neardup-comps", {
-      val docs = T(s, dir, "documents")
+    * runs once per corpus, not once per consumer. MUST be the lazy
+    * [[graft.ops.PlanCache.cachedBy]] form (the purchaseCommunities
+    * lesson): nearDupComponents collects the pair graph eagerly at
+    * construction, so the by-value overload re-ran the collect on
+    * every consumer before even consulting the cache. */
+  private def nearDupComps(s: SparkSession, dir: String): DataFrame = {
+    val docs = T(s, dir, "documents")
+    graft.ops.PlanCache.cachedBy("neardup-comps",
+        docs.queryExecution.logical.semanticHash(), s) {
       val pairs = Dedup.lshVerifiedJaccard(docs, 3, 16, 4, 4, 0.5)
         .select("doc_a", "doc_b")
       Dedup.nearDupComponents(docs.select("doc_id"), pairs)
-    })
+    }
+  }
 
   private def dNearDupGroups(s: SparkSession, dir: String): DataFrame =
     nearDupComps(s, dir)
@@ -4589,13 +4595,19 @@ object SparkEntry {
       .select(col("doc_id"), least(col("u1"), col("u2")).as("a"),
         greatest(col("u1"), col("u2")).as("b"))
       .groupBy("doc_id", "a", "b").agg(count(lit(1)).as("w"))
-    val e = graft.ops.PlanCache.cached("textrank-doc-edges",
-      und.select(col("doc_id"), col("a").as("src"), col("b").as("dst"), col("w"))
+    // cache the DEGREE-ANNOTATED edge frame (the pageRankFixed
+    // discipline), not the raw one: every unrolled iteration joins
+    // e2, so caching e alone left four copies of the wout agg+join in
+    // the plan (measured 7.6 s warm → 4.4 s at sf0.1)
+    val e2 = graft.ops.PlanCache.cached("textrank-doc-edges", {
+      val e = und
+        .select(col("doc_id"), col("a").as("src"), col("b").as("dst"), col("w"))
         .unionAll(und.select(col("doc_id"), col("b").as("src"),
-          col("a").as("dst"), col("w"))))
-    val ow = e.groupBy("doc_id", "src").agg(sum("w").as("wout"))
-    val e2 = e.join(ow, Seq("doc_id", "src"))
-    var pr = e.select(col("doc_id"), col("src").as("t")).distinct()
+          col("a").as("dst"), col("w")))
+      e.join(e.groupBy("doc_id", "src").agg(sum("w").as("wout")),
+        Seq("doc_id", "src"))
+    })
+    var pr = e2.select(col("doc_id"), col("src").as("t")).distinct()
       .select(col("doc_id"), col("t"), lit(1000000L).as("p"))
     // symmetric per-doc graphs: every vertex keeps an out-edge and a
     // positive-mass neighbor, so the contribution join loses no
