@@ -216,6 +216,23 @@ class PropertySpec extends SparkSpec {
     }, "pigeonhole recall")
   }
 
+  test("capped banding is a subset of the uncapped join; an unexceeded cap is exact") {
+    val rows = Gen.nonEmptyListOf(Gen.choose(0L, (1L << 32) - 1))
+      .map(_.zipWithIndex.map { case (fp, i) => (i.toLong, fp) })
+    val caps = Gen.choose(2L, 8L)
+    check(Prop.forAll(rows, caps) { (cases, cap) =>
+      val fps = cases.toDF("doc_id", "simhash")
+      val uncapped = Dedup.simhashPairs(fps, 3)
+        .select(col("doc_a"), col("doc_b")).as[(Long, Long)].collect().toSet
+      val capped = Dedup.simhashPairsCapped(fps, 3, 32, cap)
+        .select(col("doc_a"), col("doc_b")).as[(Long, Long)].collect().toSet
+      val loose = Dedup.simhashPairsCapped(fps, 3, 32,
+          math.max(cases.length.toLong, 2L))
+        .select(col("doc_a"), col("doc_b")).as[(Long, Long)].collect().toSet
+      capped.subsetOf(uncapped) && loose == uncapped
+    }, "capped banding containment")
+  }
+
   test("Misra-Gries retention and error bounds hold on random streams and splits") {
     import graft.functions.MisraGries.MGAgg
     // random skewed streams (small alphabet so some item is heavy),
