@@ -5567,6 +5567,27 @@ SELECT doc_id, n_sym, n_kw,
          OR (n_kw * 10000) // n_words >= 500 AS is_code
 FROM c""",
 
+    // dedup-threshold calibration sweep over the shared pair frame:
+    // e4-requantized jaccard against five literal dials
+    "d_threshold_sweep" -> s"""$LSH_PAIRS, pe AS (
+  SELECT doc_a, doc_b, CAST(round(jaccard * 10000) AS BIGINT) AS j_e4
+  FROM pairs
+), swept AS (
+  SELECT doc_a, doc_b, j_e4, t.threshold_e4
+  FROM pe, (SELECT unnest([5000, 6000, 7000, 8000, 9000]) AS threshold_e4) t
+  WHERE j_e4 >= t.threshold_e4
+), np AS (
+  SELECT threshold_e4, count(*) AS n_pairs FROM swept GROUP BY 1
+), nd AS (
+  SELECT threshold_e4, count(DISTINCT doc_id) AS n_docs FROM (
+    SELECT threshold_e4, doc_a AS doc_id FROM swept
+    UNION ALL SELECT threshold_e4, doc_b FROM swept)
+  GROUP BY 1
+)
+SELECT np.threshold_e4, CAST(np.n_pairs AS BIGINT) AS n_pairs,
+       CAST(nd.n_docs AS BIGINT) AS n_docs
+FROM np JOIN nd ON nd.threshold_e4 = np.threshold_e4""",
+
     // capped perceptual banding: the m_ahash_dedup fingerprints banded
     // into 7 pigeonhole segments, buckets over the 32-cap dropped
     // BEFORE the self-join — the oracle replays the capped contract

@@ -5597,6 +5597,36 @@ object SparkEntry {
         expr("""(n_sym * 10000L) div n_chars >= 300L
           OR (n_kw * 10000L) div n_words >= 500L""").as("is_code"))
 
+  /** Dedup-threshold calibration sweep — the table an operator reads
+    * before committing a Jaccard cutoff to a 100 TB dedup run: for
+    * each candidate threshold, how many pairs fire and how many
+    * documents get touched. Derived entirely from the shared
+    * LSH-verified pair frame (one literal-array explode, two keyed
+    * aggs — no new candidate generation), so the sweep costs a scan
+    * of the pair list, not a re-run of the index. Thresholds compare
+    * in e4 integers (the round-4 jaccard re-quantized once) so the
+    * cut is engine-exact at every dial. Floor: the pair frame is
+    * generated at 0.5, so the sweep calibrates the tightening
+    * direction — sweeping below the generation threshold would need a
+    * looser index, which is a different (and priced) index build. */
+  private def dThresholdSweep(s: SparkSession, dir: String): DataFrame = {
+    val pairs = Dedup.lshVerifiedJaccard(T(s, dir, "documents"), 3, 16, 4, 4, 0.5)
+      .select(col("doc_a"), col("doc_b"),
+        expr("CAST(round(jaccard * 10000) AS BIGINT)").as("j_e4"))
+    val swept = pairs.select(col("doc_a"), col("doc_b"), col("j_e4"),
+        explode(array(Seq(5000L, 6000L, 7000L, 8000L, 9000L).map(lit): _*))
+          .as("threshold_e4"))
+      .filter(col("j_e4") >= col("threshold_e4"))
+    swept.groupBy("threshold_e4")
+      .agg(count(lit(1)).as("n_pairs"))
+      .join(
+        swept.select(col("threshold_e4"),
+            explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
+          .groupBy("threshold_e4")
+          .agg(countDistinct(col("doc_id")).as("n_docs")),
+        Seq("threshold_e4"))
+  }
+
   // =====================================================================
   // Registry
   // =====================================================================
@@ -5889,6 +5919,7 @@ object SparkEntry {
     "a_survival" -> (aSurvival _),
     "a_lorenz" -> (aLorenz _),
     "t_code_detect" -> (tCodeDetect _),
+    "d_threshold_sweep" -> (dThresholdSweep _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all
