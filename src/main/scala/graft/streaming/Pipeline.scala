@@ -918,6 +918,33 @@ object Pipeline {
         rows(rowKey) === col("__tomb_key"), "left_semi")
       .withColumn("rule", lit(rule))
 
+  /** Live per-type freshness gauge — the streaming half of the batch
+    * `p_freshness` row: a plain UPDATE-mode aggregation (built-ins
+    * win when they express the semantics — a custom processor here
+    * would re-implement max+count) whose state is bounded by the
+    * event-type vocabulary: two longs per type, forever. Consume with
+    * [[freshnessReport]] inside foreachBatch (the topkServe
+    * publish-per-micro-batch shape). */
+  def freshnessGauge(events: DataFrame): DataFrame =
+    events.select(col("event_type"), expr("unix_micros(ts)").as("us"))
+      .groupBy("event_type")
+      .agg(max(col("us")).as("last_us"), count(lit(1)).as("n_total"))
+
+  /** Fold the current gauge table to the operator-facing freshness
+    * report: per type, lag behind the freshest type and the 6-hour
+    * staleness flag — the p_freshness projection DERIVABLE from the
+    * gauge's two longs (n_last_day needs microsecond history no
+    * bounded gauge can carry; the batch row keeps it, the live twin
+    * documents the trade). Batch-equality on replay is spec-pinned
+    * against p_freshness on the same data. */
+  def freshnessReport(gauge: DataFrame): DataFrame = {
+    val g = gauge.agg(max(col("last_us")).as("g_us"))
+    gauge.crossJoin(broadcast(g))
+      .select(col("event_type"), col("n_total"), col("last_us"),
+        (col("g_us") - col("last_us")).as("lag_us"),
+        (col("g_us") - col("last_us") <= 21600000000L).as("fresh_6h"))
+  }
+
   /** Streaming per-day distinct users — the online form of the batch
     * `a_daily_distinct_kmv` row, and the reason [[graft.functions
     * .KmvSketch]] is a MERGEABLE aggregate: the same k-long buffer

@@ -110,6 +110,62 @@ class StreamingGovernanceSpec extends SparkSpec {
     } finally { qG.stop(); qA.stop() }
   }
 
+  test("freshness gauge + report equals the batch p_freshness projection on replay") {
+    withRocksDB {
+      val t0 = 1700000000000L
+      // purchase goes stale (10 h behind), click is 5 h behind
+      // (fresh), view is the freshest type
+      val rows: Seq[(Long, java.sql.Timestamp, Long, String, Double, String)] =
+        Seq[(String, Long)](
+          ("view", 0L), ("view", 3L), ("view", 10L),
+          ("click", 0L), ("click", 5L),
+          ("purchase", 0L)).zipWithIndex.map { case ((tpe, hrs), i) =>
+          ((100 + i).toLong, new java.sql.Timestamp(t0 + hrs * 3600000L),
+            (i % 3).toLong, tpe, 1.0, "{}")
+        }
+      val dir = java.nio.file.Files.createTempDirectory("fresh-fixture").toString
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .write.mode("overwrite").parquet(s"$dir/events.parquet")
+      val batch = SparkEntry.queries("p_freshness")(spark, dir)
+        .select("event_type", "n_total", "last_us", "lag_us", "fresh_6h")
+        .as[(String, Long, Long, Long, Boolean)].collect().toSet
+
+      implicit val sqlCtx = spark.sqlContext
+      val input = MemoryStream[(Long, java.sql.Timestamp, String)]
+      val gauge = Pipeline.freshnessGauge(input.toDF()
+        .toDF("event_id", "ts", "event_type"))
+      // the topkServe consumption shape: upsert the update-mode rows
+      // into a driver map per micro-batch, report over the live table
+      val state = scala.collection.mutable.Map.empty[String, (Long, Long)]
+      val q = gauge.writeStream.outputMode("update")
+        .foreachBatch { (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          df.collect().foreach { r =>
+            state.synchronized {
+              state(r.getString(0)) = (r.getLong(1), r.getLong(2))
+            }
+          }
+          ()
+        }
+        .start()
+      try {
+        val slices = rows.map(r => (r._1, r._2, r._4)).grouped(3).toSeq
+        slices.foreach { s => input.addData(s); q.processAllAvailable() }
+      } finally q.stop()
+
+      val live = state.synchronized { state.toSeq }
+        .map { case (tpe, (last, n)) => (tpe, last, n) }
+        .toDF("event_type", "last_us", "n_total")
+      val got = Pipeline.freshnessReport(live)
+        .as[(String, Long, Long, Long, Boolean)].collect().toSet
+      assert(got === batch,
+        "the live gauge must reproduce the batch freshness projection " +
+          "(purchase stale, click fresh) on a full replay")
+      assert(got.exists(r => r._1 == "purchase" && !r._5) &&
+        got.exists(r => r._1 == "click" && r._5),
+        "the fixture must exercise both sides of the 6 h flag")
+    }
+  }
+
   test("transition rows aggregate to the batch matrix on an ordered replay") {
     val rows: Seq[(Long, java.sql.Timestamp, Long, String)] =
       (0 until 60).map { i =>
