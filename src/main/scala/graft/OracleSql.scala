@@ -5588,6 +5588,22 @@ SELECT np.threshold_e4, CAST(np.n_pairs AS BIGINT) AS n_pairs,
        CAST(nd.n_docs AS BIGINT) AS n_docs
 FROM np JOIN nd ON nd.threshold_e4 = np.threshold_e4""",
 
+    // embedding-norm hygiene: squared norms as exact longs (e3
+    // quantized before squaring, the GramMatrixFixed convention)
+    "s_norm_audit" -> """WITH n AS (
+  SELECT label,
+         list_aggregate(list_transform(embedding,
+           x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)
+              * CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)),
+           'sum') AS n2
+  FROM embeddings)
+SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+       CAST(sum(CASE WHEN n2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
+       CAST(min(n2) AS BIGINT) AS min_n2_fx,
+       CAST(max(n2) AS BIGINT) AS max_n2_fx,
+       CAST(sum(n2) // count(*) AS BIGINT) AS mean_n2_fx
+FROM n GROUP BY label""",
+
     // capped perceptual banding: the m_ahash_dedup fingerprints banded
     // into 7 pigeonhole segments, buckets over the 32-cap dropped
     // BEFORE the self-join — the oracle replays the capped contract

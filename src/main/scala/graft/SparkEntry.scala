@@ -5627,6 +5627,33 @@ object SparkEntry {
         Seq("threshold_e4"))
   }
 
+  /** Embedding-norm hygiene audit — the first check run on a vector
+    * corpus before ANY similarity work: per label, how many vectors,
+    * how many are (quantized-)zero, and the squared-norm range/mean.
+    * Degenerate norms mean an upstream encoder bug (zero rows,
+    * un-normalized mixtures) that silently poisons every cosine
+    * downstream. Norms are exact longs via the GramMatrixFixed
+    * convention (components quantized at e3 BEFORE squaring, so the
+    * per-vector fold and the aggregate are order-independent and the
+    * oracle replays them bit-for-bit); the mean is one truncating
+    * division. One row-local fold + one label-keyed partial agg. */
+  private def sNormAudit(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "embeddings")
+      .select(col("label"),
+        expr("""aggregate(transform(embedding,
+          x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)
+             * CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)),
+          CAST(0 AS BIGINT), (a, b) -> a + b)""").as("n2"))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(when(col("n2") === 0L, 1L).otherwise(0L)).as("n_zero"),
+        min(col("n2")).as("min_n2_fx"),
+        max(col("n2")).as("max_n2_fx"),
+        sum(col("n2")).as("sum_n2_fx"))
+      .select(col("label"), col("n_vecs"), col("n_zero"),
+        col("min_n2_fx"), col("max_n2_fx"),
+        expr("sum_n2_fx div n_vecs").as("mean_n2_fx"))
+
   // =====================================================================
   // Registry
   // =====================================================================
@@ -5920,6 +5947,7 @@ object SparkEntry {
     "a_lorenz" -> (aLorenz _),
     "t_code_detect" -> (tCodeDetect _),
     "d_threshold_sweep" -> (dThresholdSweep _),
+    "s_norm_audit" -> (sNormAudit _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -710,6 +710,19 @@ class PlanShapeSpec extends SparkSpec {
       s"entropy must be generate → agg → agg, nothing else:\n$p")
   }
 
+  test("norm audit is a join-free fold + partial-agg chain") {
+    val p = plan("s_norm_audit")
+    assert(!p.contains("Join") && !p.contains("Window"),
+      s"norm audit must be projection → agg, nothing else:\n$p")
+  }
+
+  test("threshold sweep rides the cached pair frame, never regenerates") {
+    val p = plan("d_threshold_sweep")
+    assert(p.contains("InMemoryTableScan") || p.contains("Scan ExistingRDD"),
+      s"the sweep must read the cached pairs, not re-run LSH:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("capped ahash banding keeps the equi-join and the cached fingerprints") {
     val p = plan("m_ahash_capped")
     assert(!p.contains("CartesianProduct") &&
