@@ -5604,6 +5604,37 @@ SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
        CAST(sum(n2) // count(*) AS BIGINT) AS mean_n2_fx
 FROM n GROUP BY label""",
 
+    // difference-in-differences: parity treatment, calendar-midpoint
+    // cut, exact e4 cell sums, one mirrored double chain
+    "a_did" -> """WITH ev AS (
+  SELECT user_id % 2 = 0 AS treated,
+         epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+         CAST(round(value * 10000) AS BIGINT) AS v_fx
+  FROM events
+), c AS (SELECT (min(day) + max(day) + 1) // 2 AS cut FROM ev),
+cells AS (
+  SELECT treated, day >= cut AS post, count(*) AS n,
+         CAST(sum(v_fx) AS BIGINT) AS s_fx
+  FROM ev CROSS JOIN c GROUP BY 1, 2)
+SELECT CAST(sum(CASE WHEN treated AND post THEN n END) AS BIGINT) AS n_tp,
+       CAST(sum(CASE WHEN treated AND post THEN s_fx END) AS BIGINT) AS s_tp,
+       CAST(sum(CASE WHEN treated AND NOT post THEN n END) AS BIGINT) AS n_t0,
+       CAST(sum(CASE WHEN treated AND NOT post THEN s_fx END) AS BIGINT) AS s_t0,
+       CAST(sum(CASE WHEN NOT treated AND post THEN n END) AS BIGINT) AS n_cp,
+       CAST(sum(CASE WHEN NOT treated AND post THEN s_fx END) AS BIGINT) AS s_cp,
+       CAST(sum(CASE WHEN NOT treated AND NOT post THEN n END) AS BIGINT) AS n_c0,
+       CAST(sum(CASE WHEN NOT treated AND NOT post THEN s_fx END) AS BIGINT) AS s_c0,
+       round((CAST(sum(CASE WHEN treated AND post THEN s_fx END) AS DOUBLE)
+                / sum(CASE WHEN treated AND post THEN n END)
+              - CAST(sum(CASE WHEN treated AND NOT post THEN s_fx END) AS DOUBLE)
+                / sum(CASE WHEN treated AND NOT post THEN n END)
+              - (CAST(sum(CASE WHEN NOT treated AND post THEN s_fx END) AS DOUBLE)
+                   / sum(CASE WHEN NOT treated AND post THEN n END)
+                 - CAST(sum(CASE WHEN NOT treated AND NOT post THEN s_fx END) AS DOUBLE)
+                   / sum(CASE WHEN NOT treated AND NOT post THEN n END)))
+             / 10000.0, 6) AS did_effect
+FROM cells""",
+
     // capped perceptual banding: the m_ahash_dedup fingerprints banded
     // into 7 pigeonhole segments, buckets over the 32-cap dropped
     // BEFORE the self-join — the oracle replays the capped contract

@@ -5654,6 +5654,42 @@ object SparkEntry {
         col("min_n2_fx"), col("max_n2_fx"),
         expr("sum_n2_fx div n_vecs").as("mean_n2_fx"))
 
+  /** Difference-in-differences estimator — the a_abtest companion for
+    * designs where treatment lands mid-stream: parity-split treatment
+    * (the shared convention), the calendar midpoint as the
+    * deterministic pre/post cut (1-row broadcast), per-cell exact
+    * sums/counts in e4 fixed point, and the DiD effect
+    * (Δtreat − Δcontrol of cell means) as ONE mirrored double chain
+    * rounded at 6 (the a_abtest convention — every input to the chain
+    * is an exact long, so both engines walk identical doubles). One
+    * corpus scan, one 4-cell aggregate; nothing data-sized after the
+    * scan. */
+  private def aDid(s: SparkSession, dir: String): DataFrame = {
+    val ev = T(s, dir, "events").select(
+      (col("user_id") % 2 === 0).as("treated"),
+      expr("unix_micros(ts) div 86400000000").as("day"),
+      expr("CAST(round(value * 10000) AS BIGINT)").as("v_fx"))
+    val cut = ev.agg(expr("(min(day) + max(day) + 1) div 2").as("cut"))
+    val cells = ev.crossJoin(broadcast(cut))
+      .select(col("treated"), (col("day") >= col("cut")).as("post"), col("v_fx"))
+      .groupBy("treated", "post")
+      .agg(count(lit(1)).as("n"), sum("v_fx").as("s_fx"))
+    cells.agg(
+        sum(when(col("treated") && col("post"), col("n"))).as("n_tp"),
+        sum(when(col("treated") && col("post"), col("s_fx"))).as("s_tp"),
+        sum(when(col("treated") && !col("post"), col("n"))).as("n_t0"),
+        sum(when(col("treated") && !col("post"), col("s_fx"))).as("s_t0"),
+        sum(when(!col("treated") && col("post"), col("n"))).as("n_cp"),
+        sum(when(!col("treated") && col("post"), col("s_fx"))).as("s_cp"),
+        sum(when(!col("treated") && !col("post"), col("n"))).as("n_c0"),
+        sum(when(!col("treated") && !col("post"), col("s_fx"))).as("s_c0"))
+      .select(col("n_tp"), col("s_tp"), col("n_t0"), col("s_t0"),
+        col("n_cp"), col("s_cp"), col("n_c0"), col("s_c0"),
+        round(expr("""(CAST(s_tp AS DOUBLE) / n_tp - CAST(s_t0 AS DOUBLE) / n_t0
+           - (CAST(s_cp AS DOUBLE) / n_cp - CAST(s_c0 AS DOUBLE) / n_c0))
+           / 10000.0"""), 6).as("did_effect"))
+  }
+
   // =====================================================================
   // Registry
   // =====================================================================
@@ -5948,6 +5984,7 @@ object SparkEntry {
     "t_code_detect" -> (tCodeDetect _),
     "d_threshold_sweep" -> (dThresholdSweep _),
     "s_norm_audit" -> (sNormAudit _),
+    "a_did" -> (aDid _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all
