@@ -5635,6 +5635,48 @@ SELECT CAST(sum(CASE WHEN treated AND post THEN n END) AS BIGINT) AS n_tp,
              / 10000.0, 6) AS did_effect
 FROM cells""",
 
+    // winsorized revenue mean on the a_gini quantized histogram:
+    // clamp below-p5 / above-p95 members to their threshold buckets'
+    // means; exact longs into one mirrored double chain
+    "a_winsorized" -> """WITH rev AS (
+  SELECT o.o_custkey,
+         CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT) *
+           (100 - CAST(round(l.l_discount * 100) AS BIGINT))) AS BIGINT) AS x
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  GROUP BY 1
+), mx AS (SELECT max(x) AS mx FROM rev),
+cum AS (
+  SELECT b, c, bx,
+         CAST(coalesce(sum(c) OVER (ORDER BY b
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + 1 AS BIGINT)
+           AS start,
+         CAST(sum(c) OVER () AS BIGINT) AS n
+  FROM (
+    SELECT x * 4096 // (mx + 1) AS b, count(*) AS c,
+           CAST(sum(x) AS BIGINT) AS bx
+    FROM rev CROSS JOIN mx GROUP BY 1)
+), lob AS (
+  SELECT b AS b_lo, c AS c_lo, bx AS bx_lo FROM cum
+  WHERE start <= greatest((5 * n) // 100, 1)
+    AND greatest((5 * n) // 100, 1) < start + c
+), hib AS (
+  SELECT b AS b_hi, c AS c_hi, bx AS bx_hi FROM cum
+  WHERE start <= greatest((95 * n) // 100, 1)
+    AND greatest((95 * n) // 100, 1) < start + c
+)
+SELECT CAST(max(n) AS BIGINT) AS n,
+       CAST(max(b_lo) AS BIGINT) AS b_lo, CAST(max(b_hi) AS BIGINT) AS b_hi,
+       CAST(sum(CASE WHEN b < b_lo THEN c ELSE 0 END) AS BIGINT) AS n_below,
+       CAST(sum(CASE WHEN b > b_hi THEN c ELSE 0 END) AS BIGINT) AS n_above,
+       round(CAST(sum(bx) AS DOUBLE) / max(n), 4) AS mean_fx,
+       round((sum(CASE WHEN b < b_lo THEN c ELSE 0 END)
+                * (CAST(max(bx_lo) AS DOUBLE) / max(c_lo))
+              + sum(CASE WHEN b >= b_lo AND b <= b_hi THEN bx ELSE 0 END)
+              + sum(CASE WHEN b > b_hi THEN c ELSE 0 END)
+                * (CAST(max(bx_hi) AS DOUBLE) / max(c_hi))) / max(n), 4)
+         AS winsor_mean_fx
+FROM cum CROSS JOIN lob CROSS JOIN hib""",
+
     // capped perceptual banding: the m_ahash_dedup fingerprints banded
     // into 7 pigeonhole segments, buckets over the 32-cap dropped
     // BEFORE the self-join — the oracle replays the capped contract

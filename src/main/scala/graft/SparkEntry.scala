@@ -5690,6 +5690,58 @@ object SparkEntry {
            / 10000.0"""), 6).as("did_effect"))
   }
 
+  /** Winsorized mean of customer revenue — the robust headline number
+    * a report shows when whale customers would otherwise own the
+    * plain mean. Same 4096-bucket quantized histogram as
+    * [[aGini]]/[[aLorenz]] (members carry their bucket mean): members
+    * below the p5 bucket clamp UP to its mean, above the p95 bucket
+    * clamp DOWN to its mean, everything between keeps its mass. All
+    * counts and masses are exact longs; the mean is one mirrored
+    * double chain rounded at 4 (the cross-multiplied exact form
+    * overflows at bx·c_lo·c_hi ≈ 10²⁰ — the documented long-budget
+    * trade). Shape: everything after the customer rollup rides the
+    * ≤ 4096-row histogram; the clamp buckets are 1-row broadcasts. */
+  private def aWinsorized(s: SparkSession, dir: String): DataFrame = {
+    val rev = T(s, dir, "lineitem")
+      .select(col("l_orderkey"),
+        (expr("CAST(round(l_extendedprice * 100) AS BIGINT)") *
+          (lit(100L) - expr("CAST(round(l_discount * 100) AS BIGINT)"))).as("rev_fx"))
+      .join(T(s, dir, "orders").select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_custkey").agg(sum("rev_fx").as("x"))
+    val mx = rev.agg(max(col("x")).as("mx"))
+    val cum = rev.crossJoin(broadcast(mx))
+      .select(expr("x * 4096 div (mx + 1)").as("b"), col("x"))
+      .groupBy("b").agg(count(lit(1)).as("c"), sum("x").as("bx"))
+      .withColumn("start", coalesce(sum(col("c")).over(
+        Window.orderBy("b").rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)) + lit(1L))
+      .withColumn("n", sum(col("c")).over(
+        Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+    val loB = cum.filter(expr(
+        "start <= greatest((5 * n) div 100, 1L) AND greatest((5 * n) div 100, 1L) < start + c"))
+      .select(col("b").as("b_lo"), col("c").as("c_lo"), col("bx").as("bx_lo"))
+    val hiB = cum.filter(expr(
+        "start <= greatest((95 * n) div 100, 1L) AND greatest((95 * n) div 100, 1L) < start + c"))
+      .select(col("b").as("b_hi"), col("c").as("c_hi"), col("bx").as("bx_hi"))
+    cum.crossJoin(broadcast(loB)).crossJoin(broadcast(hiB))
+      .agg(max(col("n")).as("n"),
+        max(col("b_lo")).as("b_lo"), max(col("b_hi")).as("b_hi"),
+        max(col("c_lo")).as("c_lo"), max(col("bx_lo")).as("bx_lo"),
+        max(col("c_hi")).as("c_hi"), max(col("bx_hi")).as("bx_hi"),
+        sum(when(col("b") < col("b_lo"), col("c")).otherwise(0L)).as("n_below"),
+        sum(when(col("b") > col("b_hi"), col("c")).otherwise(0L)).as("n_above"),
+        sum(when(col("b") >= col("b_lo") && col("b") <= col("b_hi"), col("bx"))
+          .otherwise(0L)).as("mid_bx"),
+        sum(col("bx")).as("t"))
+      .select(col("n"), col("b_lo"), col("b_hi"),
+        col("n_below"), col("n_above"),
+        round(expr("CAST(t AS DOUBLE) / n"), 4).as("mean_fx"),
+        round(expr("""(n_below * (CAST(bx_lo AS DOUBLE) / c_lo) + mid_bx
+          + n_above * (CAST(bx_hi AS DOUBLE) / c_hi)) / n"""), 4)
+          .as("winsor_mean_fx"))
+  }
+
   // =====================================================================
   // Registry
   // =====================================================================
@@ -5985,6 +6037,7 @@ object SparkEntry {
     "d_threshold_sweep" -> (dThresholdSweep _),
     "s_norm_audit" -> (sNormAudit _),
     "a_did" -> (aDid _),
+    "a_winsorized" -> (aWinsorized _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all
