@@ -805,6 +805,20 @@ WHERE rnk <= 3"""
   FROM c JOIN b1 USING (w1) JOIN b2 USING (w2) CROSS JOIN nb)"""
 
   val all: Map[String, String] = Map(
+    // injected-SQL-surface twin: the Spark side runs through spark.sql
+    // with GraftExtensions-registered expressions; the be_int round
+    // trip is the identity, and the logit/norm ride the e3
+    // floor-quantized embedding (integer-valued doubles — exact)
+    "q_sql_surface" -> s"""SELECT vec_id,
+  CAST(vec_id AS BIGINT) AS rt_id,
+  CAST(list_dot_product(
+    list_transform(embedding, x -> floor(CAST(x AS DOUBLE) * 1000.0 + 0.5)),
+    [${graft.SparkEntry.ModelWeightsX10.mkString(", ")}]) AS BIGINT) + 1000 AS logit_fx,
+  CAST(list_dot_product(
+    list_transform(embedding, x -> floor(CAST(x AS DOUBLE) * 1000.0 + 0.5)),
+    list_transform(embedding, x -> floor(CAST(x AS DOUBLE) * 1000.0 + 0.5)))
+    AS BIGINT) AS norm2_fx
+FROM embeddings""",
     "q_branch_even" -> s"$REC SELECT event_id, user_id, value_int FROM evens",
 
     "q_branch_odd" -> s"$REC SELECT event_id, user_id, value_int FROM odds",
@@ -3822,8 +3836,8 @@ SELECT table_name, n_rows, n_removed, n_rows - n_removed AS n_kept FROM a""",
     // join-view delta rule proved on the gate
     "a_mv_join_delta" -> """SELECT o_orderpriority, l_returnflag,
   count(*) AS n_items,
-  sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
-      (100 - CAST(round(l_discount * 100) AS BIGINT))) AS rev_fx
+  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
+      (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT) AS rev_fx
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 GROUP BY 1, 2""",
 
@@ -3882,8 +3896,8 @@ FROM j""",
 ), tot AS (SELECT count(*) AS n_tot FROM scored
 ), agg AS (
   SELECT label,
-         sum(n_ls * (2 * start + c - 1)) AS sum_r2,
-         sum(n_ls) AS npos
+         CAST(sum(n_ls * (2 * start + c - 1)) AS BIGINT) AS sum_r2,
+         CAST(sum(n_ls) AS BIGINT) AS npos
   FROM perls JOIN starts USING (s_e4) GROUP BY 1)
 SELECT label, npos, n_tot - npos AS nneg,
        (sum_r2 - npos * (npos + 1)) * 500000 // (npos * (n_tot - npos)) AS auc_e6
@@ -3996,7 +4010,7 @@ FROM p GROUP BY 1""",
     // bounded window frame list
     "a_rolling_median" -> """WITH daily AS (
   SELECT event_type, epoch_us(ts) // 86400000000 AS day,
-         sum(CAST(round(value * 10000) AS BIGINT)) AS x
+         CAST(sum(CAST(round(value * 10000) AS BIGINT)) AS BIGINT) AS x
   FROM events GROUP BY 1, 2
 ), f AS (
   SELECT event_type, day, x,
@@ -4013,7 +4027,7 @@ FROM f""",
     // order stats summed, mad4 = doubled median of |2x - med2|
     "a_anomaly_mad" -> """WITH daily AS (
   SELECT event_type, epoch_us(ts) // 86400000000 AS day,
-         sum(CAST(round(value * 10000) AS BIGINT)) AS x
+         CAST(sum(CAST(round(value * 10000) AS BIGINT)) AS BIGINT) AS x
   FROM events GROUP BY 1, 2
 ), rx AS (
   SELECT event_type, day, x,
@@ -4046,7 +4060,7 @@ FROM dev JOIN mad USING (event_type)""",
     // exact longs; mu/kappa/h from truncating divisions
     "a_cusum" -> """WITH daily AS (
   SELECT event_type, epoch_us(ts) // 86400000000 AS day,
-         sum(CAST(round(value * 10000) AS BIGINT)) AS x
+         CAST(sum(CAST(round(value * 10000) AS BIGINT)) AS BIGINT) AS x
   FROM events GROUP BY 1, 2
 ), mu AS (
   SELECT event_type, CAST(sum(x) AS BIGINT) // count(*) AS mu
@@ -4070,7 +4084,7 @@ FROM dev JOIN mad USING (event_type)""",
     q - least(min(q) OVER (PARTITION BY event_type ORDER BY day
       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0) AS sn
   FROM pfx)
-SELECT event_type, day, x, sp AS sp_fx, sn AS sn_fx,
+SELECT event_type, day, x, CAST(sp AS BIGINT) AS sp_fx, CAST(sn AS BIGINT) AS sn_fx,
        (sp > mu // 10) AS alarm_up, (sn > mu // 10) AS alarm_down
 FROM st""",
 
@@ -4150,8 +4164,9 @@ FROM agg CROSS JOIN tot""",
     [${graft.SparkEntry.ModelWeights.mkString(", ")}]) + 0.1)))) * 10000) AS BIGINT) AS s_e4
   FROM embeddings)
 SELECT least(s_e4 // 1000, 9) AS bin, count(*) AS n,
-       sum(s_e4) // count(*) AS mean_pred_e4,
-       sum(CASE WHEN label < 5 THEN 1 ELSE 0 END) * 10000 // count(*) AS frac_pos_e4
+       CAST(sum(s_e4) // count(*) AS BIGINT) AS mean_pred_e4,
+       CAST(sum(CASE WHEN label < 5 THEN 1 ELSE 0 END) * 10000 // count(*)
+            AS BIGINT) AS frac_pos_e4
 FROM scored GROUP BY 1""",
 
     // NDCG@10 + AP@10 per query over the exact cosine top-10;
@@ -5547,6 +5562,35 @@ SELECT k, CAST((k * n) // 10 AS BIGINT) AS n_members,
          * ((k * n) // 10 - start + 1)) / c / t, 6) AS cum_share
 FROM (SELECT unnest(range(1, 11)) AS k) d
 JOIN cum ON (k * n) // 10 >= start AND (k * n) // 10 < start + c""",
+
+    // densified Lorenz twin: LEFT probe + mirrored coalesce keeps the
+    // degenerate (member-count-zero) deciles as explicit rows
+    "a_lorenz_dense" -> """WITH rev AS (
+  SELECT o.o_custkey,
+         CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT) *
+           (100 - CAST(round(l.l_discount * 100) AS BIGINT))) AS BIGINT) AS x
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  GROUP BY 1
+), mx AS (SELECT max(x) AS mx FROM rev),
+bucketed AS (
+  SELECT x * 4096 // (mx + 1) AS b, count(*) AS c, CAST(sum(x) AS BIGINT) AS bx
+  FROM rev CROSS JOIN mx GROUP BY 1
+), cum AS (
+  SELECT b, c, bx,
+         CAST(coalesce(sum(c) OVER (ORDER BY b
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + 1 AS BIGINT)
+           AS start,
+         CAST(coalesce(sum(bx) OVER (ORDER BY b
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS cum_before,
+         CAST(sum(c) OVER () AS BIGINT) AS n,
+         CAST(sum(bx) OVER () AS BIGINT) AS t
+  FROM bucketed)
+SELECT k, CAST(coalesce((k * n) // 10, 0) AS BIGINT) AS n_members,
+       coalesce(round((CAST(cum_before AS DOUBLE) * c + CAST(bx AS DOUBLE)
+         * ((k * n) // 10 - start + 1)) / c / t, 6), 0.0) AS cum_share
+FROM (SELECT unnest(range(1, 11)) AS k) d
+LEFT JOIN cum ON (k * n) // 10 >= start AND (k * n) // 10 < start + c""",
 
     // code-vs-prose router: symbol density + keyword hit rate, both
     // exact integer thresholds; keyword set is a shared literal

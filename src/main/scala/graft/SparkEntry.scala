@@ -5540,14 +5540,36 @@ object SparkEntry {
     * convention). Shape: the histogram is value-bounded (≤ 4096
     * rows), the decile probe is a 10-row broadcast range-join against
     * it, and the only windows are histogram-sized. */
-  private def aLorenz(s: SparkSession, dir: String): DataFrame = {
-    val rev = T(s, dir, "lineitem")
+  private def aLorenz(s: SparkSession, dir: String): DataFrame =
+    lorenzDeciles(s, custRevenue(s, dir), dense = false)
+
+  /** Densified twin of [[aLorenz]]: emits ALL ten decile rows even on
+    * n < 10 corpora where a decile's member count (k·n) div 10 floors
+    * to zero and the range probe finds no bucket — those rows carry
+    * n_members = 0 and cum_share = 0.0 explicitly instead of being
+    * dropped (the round-10 documented edge, now closed on the gate).
+    * Identical histogram algebra; the probe join turns left_outer with
+    * a mirrored coalesce, so on any n ≥ 10 corpus the two twins are
+    * row-identical (LorenzDenseSpec pins both regimes by hand). */
+  private def aLorenzDense(s: SparkSession, dir: String): DataFrame =
+    lorenzDeciles(s, custRevenue(s, dir), dense = true)
+
+  /** Per-customer revenue in exact fixed point — the shared input of
+    * [[aGini]]'s curve family. */
+  private def custRevenue(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "lineitem")
       .select(col("l_orderkey"),
         (expr("CAST(round(l_extendedprice * 100) AS BIGINT)") *
           (lit(100L) - expr("CAST(round(l_discount * 100) AS BIGINT)"))).as("rev_fx"))
       .join(T(s, dir, "orders").select(col("o_orderkey"), col("o_custkey")),
         col("l_orderkey") === col("o_orderkey"))
       .groupBy("o_custkey").agg(sum("rev_fx").as("x"))
+
+  /** Lorenz decile engine over a (key, x) revenue frame — see
+    * [[aLorenz]] for the algebra. `dense = true` keeps deciles whose
+    * member count floors to zero. */
+  private[graft] def lorenzDeciles(s: SparkSession, rev: DataFrame,
+      dense: Boolean): DataFrame = {
     val mx = rev.agg(max(col("x")).as("mx"))
     val bucketed = rev.crossJoin(broadcast(mx))
       .select(expr("x * 4096 div (mx + 1)").as("b"), col("x"))
@@ -5564,11 +5586,18 @@ object SparkEntry {
       .withColumn("t", sum(col("bx")).over(
         Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
     val deciles = s.range(1, 11).select(col("id").as("k"))
-    broadcast(deciles)
-      .join(cum, expr("(k * n) div 10 >= start AND (k * n) div 10 < start + c"))
-      .select(col("k"), expr("(k * n) div 10").as("n_members"),
-        round(expr("""(CAST(cum_before AS DOUBLE) * c + CAST(bx AS DOUBLE)
-          * ((k * n) div 10 - start + 1)) / c / t"""), 6).as("cum_share"))
+    val probe = expr("(k * n) div 10 >= start AND (k * n) div 10 < start + c")
+    val share = round(expr("""(CAST(cum_before AS DOUBLE) * c + CAST(bx AS DOUBLE)
+          * ((k * n) div 10 - start + 1)) / c / t"""), 6)
+    if (dense)
+      broadcast(deciles).join(cum, probe, "left_outer")
+        .select(col("k"),
+          coalesce(expr("(k * n) div 10"), lit(0L)).as("n_members"),
+          coalesce(share, lit(0.0)).as("cum_share"))
+    else
+      broadcast(deciles).join(cum, probe)
+        .select(col("k"), expr("(k * n) div 10").as("n_members"),
+          share.as("cum_share"))
   }
 
   /** Code-vs-prose detector — the pretraining-mix router that decides
@@ -5742,11 +5771,44 @@ object SparkEntry {
           .as("winsor_mean_fx"))
   }
 
+  /** The injected SQL surface end-to-end: [[GraftExtensions]] registers
+    * the native expressions (be_int / vec_dot / vec_l2sq) and the whole
+    * query then runs through `spark.sql` — parser, analyzer and
+    * FunctionRegistry included — instead of the Scala column DSL, so
+    * the oracle gate covers the path a SQL-only user takes. The three
+    * computed columns are each exact: a 4-byte big-endian round trip
+    * (vec_id → binary → be_int), the linear head's logit on the e3
+    * floor-quantized embedding dotted with the ×10 integer weights
+    * (integer-valued doubles, |Σ| ≪ 2⁵³ — bit-exact in both engines,
+    * no transcendental anywhere), and the quantized squared norm via
+    * vec_l2sq against the zero vector. Row-local, one scan, codegen'd
+    * like every DSL twin. */
+  private def qSqlSurface(s: SparkSession, dir: String): DataFrame = {
+    GraftExtensions.registerAll(s)
+    T(s, dir, "embeddings")
+      .withColumn("vbin", graft.codec.BigEndianInt32.beIntEncode(col("vec_id").cast("int")))
+      .createOrReplaceTempView("graft_sql_surface")
+    val w = ModelWeightsX10.map(v => s"${v}D").mkString(", ")
+    val q = "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000.0D + 0.5D) AS DOUBLE))"
+    s.sql(s"""SELECT vec_id,
+      CAST(be_int(vbin) AS BIGINT) AS rt_id,
+      CAST(vec_dot($q, array($w)) AS BIGINT) + 1000 AS logit_fx,
+      CAST(vec_l2sq($q, transform(embedding, x -> 0.0D)) AS BIGINT) AS norm2_fx
+    FROM graft_sql_surface""")
+  }
+
+  /** [[ModelWeights]] ×10 — the exact integer weights (as doubles) the
+    * fixed-point logit convention dots against e3-quantized embeddings:
+    * e3·e1 = e4 scale with every product and sum an integer-valued
+    * double, so no rounding exists for engines to disagree on. */
+  val ModelWeightsX10: Seq[Double] = (1 to 64).map(i => ((i * 37 % 19) - 9).toDouble)
+
   // =====================================================================
   // Registry
   // =====================================================================
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_sql_surface" -> (qSqlSurface _),
     "q_branch_even" -> (qBranchEven _),
     "q_branch_odd" -> (qBranchOdd _),
     "q_derive_context" -> (qDeriveContext _),
@@ -6033,6 +6095,7 @@ object SparkEntry {
     "m_payload_entropy" -> (mPayloadEntropy _),
     "a_survival" -> (aSurvival _),
     "a_lorenz" -> (aLorenz _),
+    "a_lorenz_dense" -> (aLorenzDense _),
     "t_code_detect" -> (tCodeDetect _),
     "d_threshold_sweep" -> (dThresholdSweep _),
     "s_norm_audit" -> (sNormAudit _),

@@ -39,6 +39,21 @@ def main(sf_dir, out_dir):
         except Exception as e:
             print(f"FAIL {name}: spark output unreadable: {e}"); n_bad += 1; continue
         try:
+            # Emission-type gate: the driver hashes DuckDB output through
+            # Arrow/pandas, where HUGEINT (an uncast sum(BIGINT)) becomes
+            # decimal128/float and hash-mismatches Spark's long even when
+            # every value is equal (the round-10 lesson: exactly the six
+            # rows emitting HUGEINT failed the driver while local
+            # fetchall() masked it). Flag any non-canonical output type.
+            rel = con.sql(sql)
+            okt = {"BIGINT", "DOUBLE", "VARCHAR", "BOOLEAN", "DATE",
+                   "TIMESTAMP", "INTEGER"}
+            oddt = [(c, str(t)) for c, t in zip(rel.columns, rel.types)
+                    if str(t) not in okt]
+            if oddt:
+                print(f"FAIL {name}: non-canonical oracle output types {oddt}")
+                n_bad += 1
+                continue
             exp = con.execute(sql)
             ecols = [d[0] for d in exp.description]
             erows = exp.fetchall()
