@@ -18,11 +18,36 @@ object StagingTables {
     * JVM's in-memory catalog forgets the table but leaves the files,
     * and saveAsTable refuses to reuse the location. */
   def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int): Unit = {
+    dropWithLocation(df.sparkSession, table)
+    df.write
+      .mode(SaveMode.Overwrite)
+      .bucketBy(buckets, key)
+      .sortBy(key)
+      .format("parquet")
+      .saveAsTable(table)
+  }
+
+  /** Overwrite a SMALL unbucketed managed table — the publication form
+    * for driver-bounded artifacts that must outlive one driver (a
+    * served leaderboard, a gauge snapshot): any Spark application
+    * sharing the warehouse/metastore resolves it by name, where a
+    * global temp view dies with its session state. First write from a
+    * fresh JVM sweeps an orphaned location; steady-state republication
+    * is a plain overwrite. */
+  def writeSmall(df: DataFrame, table: String): Unit = {
+    val spark = df.sparkSession
+    if (!spark.catalog.tableExists(table)) dropWithLocation(spark, table)
+    df.write.mode(SaveMode.Overwrite).format("parquet").saveAsTable(table)
+  }
+
+  /** Drop `table` AND its orphaned warehouse directory — a previous
+    * JVM's in-memory catalog forgets the table but leaves the files,
+    * and saveAsTable refuses to reuse the location. */
+  private def dropWithLocation(spark: SparkSession, table: String): Unit = {
     // the identifier feeds both a SQL statement and a recursive warehouse
     // delete — restrict it to plain [db.]name so neither can escape
     require(table.matches("[A-Za-z0-9_]+(\\.[A-Za-z0-9_]+)?"),
       s"table identifier must be [A-Za-z0-9_]+ with at most one dot: '$table'")
-    val spark = df.sparkSession
     spark.sql(s"DROP TABLE IF EXISTS $table")
     // Managed locations lowercase the identifier and nest qualified
     // names under <db>.db/; only a local-file warehouse can be swept.
@@ -39,12 +64,6 @@ object StagingTables {
       }
       rm(new java.io.File(wh, rel))
     }
-    df.write
-      .mode(SaveMode.Overwrite)
-      .bucketBy(buckets, key)
-      .sortBy(key)
-      .format("parquet")
-      .saveAsTable(table)
   }
 
   def read(spark: SparkSession, table: String): DataFrame = spark.table(table)

@@ -933,15 +933,52 @@ object Pipeline {
   /** Fold the current gauge table to the operator-facing freshness
     * report: per type, lag behind the freshest type and the 6-hour
     * staleness flag — the p_freshness projection DERIVABLE from the
-    * gauge's two longs (n_last_day needs microsecond history no
-    * bounded gauge can carry; the batch row keeps it, the live twin
-    * documents the trade). Batch-equality on replay is spec-pinned
-    * against p_freshness on the same data. */
+    * gauge's two longs (the microsecond-exact n_last_day needs history
+    * this gauge cannot carry; [[freshnessDayGauge]]/[[freshnessDayReport]]
+    * carry the day-granular answer). Batch-equality on replay is
+    * spec-pinned against p_freshness on the same data. */
   def freshnessReport(gauge: DataFrame): DataFrame = {
     val g = gauge.agg(max(col("last_us")).as("g_us"))
     gauge.crossJoin(broadcast(g))
       .select(col("event_type"), col("n_total"), col("last_us"),
         (col("g_us") - col("last_us")).as("lag_us"),
+        (col("g_us") - col("last_us") <= 21600000000L).as("fresh_6h"))
+  }
+
+  /** Day-bucketed freshness gauge — the second aggregation that
+    * carries what [[freshnessGauge]]'s two longs cannot: per
+    * (event_type, day) arrival counts, so the live report can answer
+    * "how much landed recently" at day granularity. Still a plain
+    * UPDATE-mode aggregation (built-ins win: state = one (n, last_us)
+    * pair per type×day); in production a watermark on ts bounds the
+    * open buckets and closed days compact into the batch table. */
+  def freshnessDayGauge(events: DataFrame): DataFrame =
+    events.select(col("event_type"),
+        expr("unix_micros(ts) div 86400000000").as("day"),
+        expr("unix_micros(ts)").as("us"))
+      .groupBy("event_type", "day")
+      .agg(count(lit(1)).as("n_day"), max(col("us")).as("last_us"))
+
+  /** Report over the day gauge: everything [[freshnessReport]] emits
+    * plus `n_last_day_approx` — the trailing-24 h arrival count at DAY
+    * resolution (all buckets whose day index reaches the window).
+    * Exactly the batch p_freshness `n_last_day` whenever the window
+    * cut lands on a bucket boundary; otherwise an overcount bounded by
+    * the partial first bucket (the microsecond-exact count needs
+    * per-event history no bounded gauge can carry — spec-pinned
+    * bracket in StreamingGovernanceSpec). */
+  def freshnessDayReport(dayGauge: DataFrame): DataFrame = {
+    val g = dayGauge.agg(max(col("last_us")).as("g_us"))
+    dayGauge.crossJoin(broadcast(g))
+      .groupBy(col("event_type"))
+      .agg(sum(col("n_day")).as("n_total"),
+        max(col("last_us")).as("last_us"),
+        max(col("g_us")).as("g_us"),
+        sum(when(expr("day >= (g_us - 86400000000) div 86400000000"),
+          col("n_day")).otherwise(0L)).as("n_last_day_approx"))
+      .select(col("event_type"), col("n_total"), col("last_us"),
+        (col("g_us") - col("last_us")).as("lag_us"),
+        col("n_last_day_approx"),
         (col("g_us") - col("last_us") <= 21600000000L).as("fresh_6h"))
   }
 
@@ -1032,6 +1069,33 @@ object Pipeline {
     * (A plain stream-static join would NOT see republications: the
     * streaming plan resolves the view once at start.) */
   def topkPublisher(k: Int, viewName: String)
+      : (org.apache.spark.sql.Dataset[StreamingTopK.Board], Long) => Unit =
+    // GLOBAL temp view: each streaming query's foreachBatch runs in
+    // its own cloned session, so a session-local view published here
+    // would be invisible to the serve query's clone
+    topkFold(k, (spark, board) =>
+      board(spark).createOrReplaceGlobalTempView(viewName))
+
+  /** Table-backed twin of [[topkPublisher]]: each republication
+    * OVERWRITES a managed parquet table via
+    * [[graft.sources.StagingTables.writeSmall]] instead of swapping a
+    * global temp view, so the board survives the publishing driver and
+    * any Spark application sharing the warehouse/metastore serves from
+    * it — the multi-driver deployment a temp view (one driver's shared
+    * session state) cannot reach. The write is a ≤ k-row parquet
+    * commit per micro-batch; on a production lake the same call
+    * targets a transactional table format for atomic swaps. */
+  def topkPublisherTable(k: Int, table: String)
+      : (org.apache.spark.sql.Dataset[StreamingTopK.Board], Long) => Unit =
+    topkFold(k, (spark, board) =>
+      graft.sources.StagingTables.writeSmall(board(spark), table))
+
+  /** Shared publisher fold: latest board per shard (≤ shards entries
+    * of k pairs — driver-sized by construction, the codebook-literal
+    * argument), merged to the global top-k and handed to `publish` as
+    * a (key, total, rank) frame builder. */
+  private def topkFold(k: Int,
+      publish: (SparkSession, SparkSession => DataFrame) => Unit)
       : (org.apache.spark.sql.Dataset[StreamingTopK.Board], Long) => Unit = {
     val latest =
       scala.collection.concurrent.TrieMap.empty[Int, StreamingTopK.Board]
@@ -1045,11 +1109,8 @@ object Pipeline {
       }
       val rows = StreamingTopK.merged(latest.values.toSeq, k).zipWithIndex
         .map { case ((key, total), i) => (key, total, (i + 1).toLong) }
-      // GLOBAL temp view: each streaming query's foreachBatch runs in
-      // its own cloned session, so a session-local view published here
-      // would be invisible to the serve query's clone
-      spark.createDataFrame(rows).toDF("key", "total", "rank")
-        .createOrReplaceGlobalTempView(viewName)
+      publish(spark,
+        s => s.createDataFrame(rows).toDF("key", "total", "rank"))
       ()
     }
   }
@@ -1079,6 +1140,35 @@ object Pipeline {
     val serve = requests.writeStream.outputMode("append")
       .foreachBatch { (b: DataFrame, id: Long) =>
         sink(id, topkLookup(b, b.sparkSession.table("global_temp." + viewName)))
+        ()
+      }.start()
+    (pub, serve)
+  }
+
+  /** [[topkServe]] with the board published to a managed TABLE
+    * ([[topkPublisherTable]]) instead of a global temp view: identical
+    * serve semantics in one driver (StreamingTopKSpec pins replay
+    * equality against the view form), but the publication outlives the
+    * driver and is resolvable by any application on the shared
+    * catalog. The table is initialised empty so cold-start requests
+    * answer in_topk = false instead of failing resolution. */
+  def topkServeTable(incs: org.apache.spark.sql.Dataset[StreamingTopK.Inc],
+      requests: DataFrame, k: Int, shards: Int, table: String)(sink: Sink)
+      : (StreamingQuery, StreamingQuery) = {
+    graft.sources.StagingTables.writeSmall(
+      incs.sparkSession.createDataFrame(Seq.empty[(String, Long, Long)])
+        .toDF("key", "total", "rank"), table)
+    val pub = StreamingTopK.leaderboards(incs, k, shards)
+      .writeStream.outputMode("update")
+      .foreachBatch(topkPublisherTable(k, table)).start()
+    val serve = requests.writeStream.outputMode("append")
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        // the republication happened in ANOTHER session's write: this
+        // reader's shared file-status cache still lists the replaced
+        // parquet parts, so refresh before resolving (a separate
+        // application re-lists per query and needs no refresh)
+        b.sparkSession.catalog.refreshTable(table)
+        sink(id, topkLookup(b, b.sparkSession.table(table)))
         ()
       }.start()
     (pub, serve)

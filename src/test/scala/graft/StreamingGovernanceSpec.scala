@@ -166,6 +166,76 @@ class StreamingGovernanceSpec extends SparkSpec {
     }
   }
 
+  test("day gauge replays to the batch projection; n_last_day bracketed, exact on aligned cuts") {
+    withRocksDB {
+      val dayUs = 86400000000L
+      // day-ALIGNED timestamps: every ts sits on an exact day boundary,
+      // so the trailing-24h cut (g_us - 24h) is also a bucket boundary
+      // and the day-resolution count must equal the exact one. view's
+      // last arrival is the global max at day 12.
+      val aligned: Seq[(Long, java.sql.Timestamp, String)] =
+        Seq(("view", 9L), ("view", 11L), ("view", 12L),
+          ("click", 10L), ("click", 11L), ("click", 12L),
+          ("purchase", 9L)).zipWithIndex.map { case ((tpe, day), i) =>
+          ((200 + i).toLong, new java.sql.Timestamp(day * dayUs / 1000L), tpe)
+        }
+      implicit val sqlCtx = spark.sqlContext
+      val input = MemoryStream[(Long, java.sql.Timestamp, String)]
+      val gauge = Pipeline.freshnessDayGauge(input.toDF()
+        .toDF("event_id", "ts", "event_type"))
+      val state = scala.collection.mutable.Map.empty[(String, Long), (Long, Long)]
+      val q = gauge.writeStream.outputMode("update")
+        .foreachBatch { (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          df.collect().foreach { r =>
+            state.synchronized {
+              state((r.getString(0), r.getLong(1))) = (r.getLong(2), r.getLong(3))
+            }
+          }
+          ()
+        }.start()
+      try {
+        aligned.grouped(3).foreach { s => input.addData(s); q.processAllAvailable() }
+      } finally q.stop()
+
+      val live = state.synchronized { state.toSeq }
+        .map { case ((tpe, day), (n, last)) => (tpe, day, n, last) }
+        .toDF("event_type", "day", "n_day", "last_us")
+      val got = Pipeline.freshnessDayReport(live)
+        .as[(String, Long, Long, Long, Long, Boolean)].collect()
+        .map(r => r._1 -> r).toMap
+
+      // replay equality: the live gauge equals the same aggregation
+      // run in one batch over the full fixture
+      val batchGauge = Pipeline.freshnessDayGauge(
+        aligned.toDF("event_id", "ts", "event_type"))
+        .as[(String, Long, Long, Long)].collect().toSet
+      assert(live.as[(String, Long, Long, Long)].collect().toSet === batchGauge)
+
+      // aligned cut: trailing-24h window is [day 11, day 12] exactly —
+      // day-resolution counts match the microsecond-exact ones
+      assert(got("view")._5 === 2L)     // days 11, 12
+      assert(got("click")._5 === 2L)    // days 11, 12
+      assert(got("purchase")._5 === 0L) // day 9 only
+      assert(got("purchase")._4 === 3L * dayUs && !got("purchase")._6)
+      assert(got("view")._4 === 0L && got("view")._6)
+
+      // UNALIGNED cut: shift the global max half a day forward; the
+      // cut now lands mid-bucket and the day-resolution count may only
+      // OVERCOUNT, bounded by the partial first bucket's n_day
+      val shifted = Pipeline.freshnessDayReport(
+        Pipeline.freshnessDayGauge(
+          (aligned :+ ((299L, new java.sql.Timestamp((12L * dayUs + dayUs / 2) / 1000L), "view")))
+            .toDF("event_id", "ts", "event_type")))
+        .as[(String, Long, Long, Long, Long, Boolean)].collect()
+        .map(r => r._1 -> r).toMap
+      // exact trailing-24h for view from g = day 12.5: events at 12.5
+      // and 12 -> 2; the day gauge includes all of bucket 11 -> 3
+      assert(shifted("view")._5 === 3L)
+      // bracket: approx >= exact, excess <= bucket-11 count (1)
+      assert(shifted("view")._5 >= 2L && shifted("view")._5 - 2L <= 1L)
+    }
+  }
+
   test("transition rows aggregate to the batch matrix on an ordered replay") {
     val rows: Seq[(Long, java.sql.Timestamp, Long, String)] =
       (0 until 60).map { i =>

@@ -125,6 +125,53 @@ class StreamingTopKSpec extends SparkSpec {
     }
   }
 
+  test("table-backed serve replays equal to the view form; board outlives the streams") {
+    withRocksDB {
+      implicit val sqlCtx = spark.sqlContext
+      val incs = MemoryStream[Inc]
+      val reqs = MemoryStream[String]
+      val got = scala.collection.mutable.ArrayBuffer
+        .empty[(String, Option[Long], Option[Long], Boolean)]
+      val sink: graft.streaming.Pipeline.Sink = (_, df) =>
+        got.synchronized {
+          got ++= df.collect().map { r =>
+            (r.getAs[String]("key"),
+              Option(r.getAs[java.lang.Long]("total")).map(_.longValue),
+              Option(r.getAs[java.lang.Long]("rank")).map(_.longValue),
+              r.getAs[Boolean]("in_topk"))
+          }
+        }
+      val (pub, serve) = graft.streaming.Pipeline.topkServeTable(
+        incs.toDS(), reqs.toDS().toDF("key"), k = 2, shards = 2,
+        "topk_serve_table")(sink)
+      try {
+        // identical script to the view-backed test; identical answers
+        reqs.addData("a"); serve.processAllAvailable()
+        assert(got.toSeq === Seq(("a", None, None, false)))
+        got.clear()
+        incs.addData(Seq(Inc("a", 5L), Inc("b", 3L), Inc("c", 1L)))
+        pub.processAllAvailable()
+        reqs.addData("a", "c"); serve.processAllAvailable()
+        assert(got.toSet === Set(
+          ("a", Some(5L), Some(1L), true), ("c", None, None, false)))
+        got.clear()
+        incs.addData(Seq(Inc("c", 9L)))
+        pub.processAllAvailable()
+        reqs.addData("a", "c", "b"); serve.processAllAvailable()
+        assert(got.toSet === Set(
+          ("a", Some(5L), Some(2L), true),
+          ("c", Some(10L), Some(1L), true),
+          ("b", None, None, false)))
+      } finally { serve.stop(); pub.stop() }
+      // the publication SURVIVES the streams (and would survive the
+      // driver: it is a managed parquet table, not session state)
+      val after = spark.table("topk_serve_table")
+        .orderBy("rank").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+      assert(after === Seq(("c", 10L, 1L), ("a", 5L, 2L)))
+    }
+  }
+
   private def replayDelta(slices: Seq[Seq[Inc]], k: Int, shards: Int,
       name: String): Seq[Board] = {
     implicit val sqlCtx = spark.sqlContext
