@@ -5439,6 +5439,96 @@ SELECT event_type, CAST(count(*) AS BIGINT) AS n_total,
 FROM ev CROSS JOIN g
 GROUP BY event_type, g_us""",
 
+    // partition-skew advisor: fattest daily partition vs the mean in
+    // exact e4, hot flag at 2x mean, ceil salt factor — all longs
+    "p_partition_skew" -> """WITH files AS (
+  SELECT event_type, epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+         count(*) AS n_part_rows
+  FROM events GROUP BY 1, 2
+), agg AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n_parts,
+         CAST(sum(n_part_rows) AS BIGINT) AS n_rows,
+         CAST(max(n_part_rows) AS BIGINT) AS max_part_rows
+  FROM files GROUP BY 1)
+SELECT event_type, n_parts, n_rows, max_part_rows,
+       max_part_rows * n_parts * 10000 // n_rows AS skew_x_mean_e4,
+       max_part_rows * n_parts > 2 * n_rows AS hot,
+       CASE WHEN max_part_rows * n_parts > 2 * n_rows
+            THEN (max_part_rows * n_parts + n_rows - 1) // n_rows
+            ELSE 1 END AS salt_factor
+FROM agg""",
+
+    // compaction planner over the daily file model: small-file census
+    // under 1 MiB + the 128 MiB-target rewrite, exact integers
+    "p_compaction_plan" -> """WITH files AS (
+  SELECT event_type, epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+         count(*) AS n_rows,
+         CAST(sum(32 + length(event_type) + length(props)) AS BIGINT)
+           AS est_bytes
+  FROM events GROUP BY 1, 2
+), agg AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n_files,
+         CAST(sum(n_rows) AS BIGINT) AS n_rows,
+         CAST(sum(est_bytes) AS BIGINT) AS est_bytes,
+         CAST(sum(CASE WHEN est_bytes < 1048576 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_small
+  FROM files GROUP BY 1)
+SELECT event_type, n_files, n_rows, est_bytes, n_small,
+       greatest(1, (est_bytes + 134217727) // 134217728) AS n_files_target,
+       n_files // greatest(1, (est_bytes + 134217727) // 134217728)
+         AS merge_factor
+FROM agg""",
+
+    // ANALYZE-style column stats in one scan: exact ndv/null/min/max
+    // per declared column, stacked as a catalog table
+    "p_stats_profile" -> """WITH a AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn_id,
+         CAST(count(DISTINCT event_id) AS BIGINT) AS ndv_id,
+         CAST(min(event_id) AS BIGINT) AS mn_id,
+         CAST(max(event_id) AS BIGINT) AS mx_id,
+         CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn_uid,
+         CAST(count(DISTINCT user_id) AS BIGINT) AS ndv_uid,
+         CAST(min(user_id) AS BIGINT) AS mn_uid,
+         CAST(max(user_id) AS BIGINT) AS mx_uid,
+         CAST(sum(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn_ty,
+         CAST(count(DISTINCT event_type) AS BIGINT) AS ndv_ty,
+         min(event_type) AS mn_ty, max(event_type) AS mx_ty,
+         CAST(sum(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn_pr,
+         CAST(count(DISTINCT props) AS BIGINT) AS ndv_pr,
+         min(props) AS mn_pr, max(props) AS mx_pr
+  FROM events)
+SELECT 'event_id' AS col_name, n, nn_id AS n_null, ndv_id AS ndv,
+       mn_id AS min_long, mx_id AS max_long,
+       CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str
+FROM a
+UNION ALL
+SELECT 'user_id', n, nn_uid, ndv_uid, mn_uid, mx_uid,
+       CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR) FROM a
+UNION ALL
+SELECT 'event_type', n, nn_ty, ndv_ty, CAST(NULL AS BIGINT),
+       CAST(NULL AS BIGINT), mn_ty, mx_ty FROM a
+UNION ALL
+SELECT 'props', n, nn_pr, ndv_pr, CAST(NULL AS BIGINT),
+       CAST(NULL AS BIGINT), mn_pr, mx_pr FROM a""",
+
+    // retention planner: rows/bytes each type reclaims under the
+    // declared 14-day policy measured from the freshest day
+    "p_retention_plan" -> """WITH ev AS (
+  SELECT event_type, epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+         32 + length(event_type) + length(props) AS row_bytes
+  FROM events
+), g AS (SELECT max(day) AS g_day FROM ev)
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CASE WHEN day <= g_day - 14 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_expired,
+       CAST(sum(CASE WHEN day <= g_day - 14 THEN row_bytes ELSE 0 END)
+         AS BIGINT) AS bytes_reclaimed,
+       CAST(count(*) - sum(CASE WHEN day <= g_day - 14 THEN 1 ELSE 0 END)
+         AS BIGINT) AS n_kept
+FROM ev CROSS JOIN g
+GROUP BY event_type""",
+
     // Flesch scores in e2: words from the shared token split,
     // sentences as [.!?]+ runs (min 1), syllables as per-token vowel
     // runs floored at 1; every score a sum of truncating divisions

@@ -5381,6 +5381,108 @@ object SparkEntry {
         (col("g_us") - col("last_us") <= 21600000000L).as("fresh_6h"))
   }
 
+  /** The (event_type, day) physical-file model of the events feed —
+    * one row per file a daily-partitioned writer would have produced,
+    * with the p_file_plan declared row-size formula. Shared input of
+    * the layout-advisor family below. */
+  private def eventFiles(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "events")
+      .select(col("event_type").as("grp"),
+        expr("unix_micros(ts) div 86400000000").as("day"),
+        (lit(32L) + length(col("event_type")).cast("long") +
+          length(col("props")).cast("long")).as("row_bytes"))
+      .groupBy("grp", "day")
+      .agg(count(lit(1)).as("n_rows"), sum(col("row_bytes")).as("est_bytes"))
+
+  /** Partition-skew advisor ([[graft.ops.Layout.partitionSkew]]) over
+    * the daily event partitions: per type, the fattest day versus the
+    * mean in exact e4 plus the salt factor a writer would shard a hot
+    * key by. The advisor an operator reads before keying a 100 TB
+    * shuffle; the hot/salting arm is exercised on a planted frame in
+    * WideningPinsSpec (the fixture feed is deliberately uniform). */
+  private def pPartitionSkew(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Layout.partitionSkew(
+      eventFiles(s, dir).select(col("grp"), col("n_rows").as("n_part_rows")))
+      .withColumnRenamed("grp", "event_type")
+
+  /** Compaction planner ([[graft.ops.Layout.compactionPlan]]) over the
+    * same daily files: small-file census under a 1 MiB threshold and
+    * the 128 MiB-target rewrite (file count + merge factor) per type —
+    * the anti-small-files pass a 100 TB lake schedules nightly. */
+  private def pCompactionPlan(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Layout.compactionPlan(eventFiles(s, dir),
+      targetBytes = 134217728L, smallBytes = 1048576L)
+      .withColumnRenamed("grp", "event_type")
+
+  /** ANALYZE-style column-statistics catalog over the events table in
+    * ONE scan: exact row count, null count, exact NDV and min/max per
+    * declared column, emitted as a (col_name, stats) table — the
+    * stats a cost-based optimizer or a data-contract checker reads.
+    * Long columns carry min/max as longs, string columns as strings
+    * (binary collation in both engines), with the other pair null.
+    * Shape: one aggregate pass (Spark plans the multi-distinct via
+    * expand — the exact, oracle-checkable form; at 100 TB the KMV
+    * sketch rows are the cheap twin) + a literal-struct explode (the
+    * e_pii_report shape). */
+  private def pStatsProfile(s: SparkSession, dir: String): DataFrame = {
+    val a = T(s, dir, "events").agg(
+      count(lit(1)).as("n"),
+      sum(col("event_id").isNull.cast("long")).as("nn_id"),
+      countDistinct(col("event_id")).as("ndv_id"),
+      min(col("event_id")).as("mn_id"), max(col("event_id")).as("mx_id"),
+      sum(col("user_id").isNull.cast("long")).as("nn_uid"),
+      countDistinct(col("user_id")).as("ndv_uid"),
+      min(col("user_id")).as("mn_uid"), max(col("user_id")).as("mx_uid"),
+      sum(col("event_type").isNull.cast("long")).as("nn_ty"),
+      countDistinct(col("event_type")).as("ndv_ty"),
+      min(col("event_type")).as("mn_ty"), max(col("event_type")).as("mx_ty"),
+      sum(col("props").isNull.cast("long")).as("nn_pr"),
+      countDistinct(col("props")).as("ndv_pr"),
+      min(col("props")).as("mn_pr"), max(col("props")).as("mx_pr"))
+    val nullL = lit(null).cast("long")
+    val nullS = lit(null).cast("string")
+    a.select(explode(array(
+      struct(lit("event_id").as("col_name"), col("n"),
+        col("nn_id").as("n_null"), col("ndv_id").as("ndv"),
+        col("mn_id").as("min_long"), col("mx_id").as("max_long"),
+        nullS.as("min_str"), nullS.as("max_str")),
+      struct(lit("user_id").as("col_name"), col("n"),
+        col("nn_uid").as("n_null"), col("ndv_uid").as("ndv"),
+        col("mn_uid").as("min_long"), col("mx_uid").as("max_long"),
+        nullS.as("min_str"), nullS.as("max_str")),
+      struct(lit("event_type").as("col_name"), col("n"),
+        col("nn_ty").as("n_null"), col("ndv_ty").as("ndv"),
+        nullL.as("min_long"), nullL.as("max_long"),
+        col("mn_ty").as("min_str"), col("mx_ty").as("max_str")),
+      struct(lit("props").as("col_name"), col("n"),
+        col("nn_pr").as("n_null"), col("ndv_pr").as("ndv"),
+        nullL.as("min_long"), nullL.as("max_long"),
+        col("mn_pr").as("min_str"), col("mx_pr").as("max_str")))).as("r"))
+      .select(col("r.*"))
+  }
+
+  /** Retention planner: against a declared 14-day policy measured
+    * from the feed's freshest day (1-row broadcast fold, the
+    * p_freshness convention), how many rows and bytes each type
+    * would reclaim — the table a lifecycle job reads before issuing
+    * partition drops. Exact longs; one partial-agg scan. */
+  private def pRetentionPlan(s: SparkSession, dir: String): DataFrame = {
+    val ev = T(s, dir, "events")
+      .select(col("event_type"),
+        expr("unix_micros(ts) div 86400000000").as("day"),
+        (lit(32L) + length(col("event_type")).cast("long") +
+          length(col("props")).cast("long")).as("row_bytes"))
+    val gmax = ev.agg(max(col("day")).as("g_day"))
+    ev.crossJoin(broadcast(gmax))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(col("day") <= col("g_day") - 14L, 1L).otherwise(0L))
+          .as("n_expired"),
+        sum(when(col("day") <= col("g_day") - 14L, col("row_bytes"))
+          .otherwise(0L)).as("bytes_reclaimed"))
+      .withColumn("n_kept", col("n_rows") - col("n_expired"))
+  }
+
   /** Flesch readability per document in e2 fixed point — the
     * classic quality-filter feature computed without a single UDF:
     * words from the shared token split, sentences as `[.!?]+` runs
@@ -6089,6 +6191,10 @@ object SparkEntry {
     "g_clustering_coeff" -> (gClusteringCoeff _),
     "g_modularity" -> (gModularity _),
     "p_freshness" -> (pFreshness _),
+    "p_partition_skew" -> (pPartitionSkew _),
+    "p_compaction_plan" -> (pCompactionPlan _),
+    "p_stats_profile" -> (pStatsProfile _),
+    "p_retention_plan" -> (pRetentionPlan _),
     "t_readability" -> (tReadability _),
     "m_ahash_capped" -> (mAhashCapped _),
     "g_reciprocity" -> (gReciprocity _),

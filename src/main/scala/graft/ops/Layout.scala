@@ -263,4 +263,51 @@ object Layout {
         .unionByName(layoutStats("orderkey", col("l_orderkey")))
     priceBuckets(perBucket)
   }
+
+  /** Partition-skew advisor over per-partition row counts (`grp`,
+    * `n_part_rows` — one row per physical partition of a declared
+    * partitioning scheme): per group, partition count, total rows, the
+    * fattest partition, its skew versus the group mean in exact e4
+    * (max·n_parts·10⁴ div n_rows — mean-based so no order statistics,
+    * every term a long), a hot flag at the 2×-mean cut, and the salt
+    * factor a writer would shard the hot key by (⌈max·n_parts /
+    * n_rows⌉, the smallest split count that brings the fattest
+    * partition back to the mean). Shape: one partial-agg pass over the
+    * partition-count frame, output bounded by the group vocabulary —
+    * exactly what an operator reads before keying a 100 TB shuffle. */
+  def partitionSkew(partCounts: DataFrame): DataFrame =
+    partCounts.groupBy(col("grp"))
+      .agg(count(lit(1)).as("n_parts"),
+        sum(col("n_part_rows")).as("n_rows"),
+        max(col("n_part_rows")).as("max_part_rows"))
+      .select(col("grp"), col("n_parts"), col("n_rows"), col("max_part_rows"),
+        expr("max_part_rows * n_parts * 10000 div n_rows").as("skew_x_mean_e4"),
+        expr("max_part_rows * n_parts > 2 * n_rows").as("hot"),
+        when(expr("max_part_rows * n_parts > 2 * n_rows"),
+          expr("(max_part_rows * n_parts + n_rows - 1) div n_rows"))
+          .otherwise(lit(1L)).as("salt_factor"))
+
+  /** Compaction planner over a per-file frame (`grp`, `n_rows`,
+    * `est_bytes` — one row per current file of a declared layout): per
+    * group, the file census (count, rows, bytes, how many fall under
+    * the small-file threshold) and the rewrite target — the
+    * ⌈bytes/targetBytes⌉ file count (min 1) a compactor passes to
+    * repartition(n), with the resulting merge factor. All exact
+    * integer arithmetic; one partial-agg pass, group-bounded output.
+    * The small-files soup this plans away is THE dominant metadata
+    * tax on a 100 TB lake (every query pays listing + footer reads per
+    * file). */
+  def compactionPlan(files: DataFrame, targetBytes: Long,
+      smallBytes: Long): DataFrame =
+    files.groupBy(col("grp"))
+      .agg(count(lit(1)).as("n_files"),
+        sum(col("n_rows")).as("n_rows"),
+        sum(col("est_bytes")).as("est_bytes"),
+        sum(when(col("est_bytes") < smallBytes, 1L).otherwise(0L))
+          .as("n_small"))
+      .select(col("grp"), col("n_files"), col("n_rows"), col("est_bytes"),
+        col("n_small"),
+        greatest(lit(1L), expr(s"(est_bytes + ${targetBytes - 1}L) div ${targetBytes}L"))
+          .as("n_files_target"))
+      .withColumn("merge_factor", expr("n_files div n_files_target"))
 }

@@ -114,4 +114,36 @@ class LayoutSpec extends SparkSpec {
     assert(bySk("zorder") <= bySk("orderkey"),
       s"z-order should never scan more than natural order: $bySk")
   }
+
+  test("partition-skew advisor: hot key flagged with the ceil salt factor") {
+    // planted: 'hot' has one 80-row partition among four 5-row ones
+    // (mean 19, max/mean ~4.2x); 'even' is perfectly uniform
+    val parts = (Seq(("hot", 80L)) ++ Seq.fill(4)(("hot", 5L)) ++
+      Seq.fill(5)(("even", 10L))).toDF("grp", "n_part_rows")
+    val got = Layout.partitionSkew(parts)
+      .as[(String, Long, Long, Long, Long, Boolean, Long)]
+      .collect().map(r => r._1 -> r).toMap
+    val hot = got("hot")
+    assert(hot._2 === 5L && hot._3 === 100L && hot._4 === 80L)
+    assert(hot._5 === 40000L) // 80*5*1e4/100 = 4x the mean
+    assert(hot._6 && hot._7 === 4L) // ceil(80*5/100): 4 salts rebalance
+    val even = got("even")
+    assert(even._5 === 10000L && !even._6 && even._7 === 1L)
+  }
+
+  test("compaction planner: small files counted, multi-file target uses ceil") {
+    // planted bytes: 'big' needs ceil(300/128)=3 target files from 6;
+    // 'tiny' collapses 4 small files into 1
+    val mib = 1048576L
+    val files = (Seq.fill(6)(("big", 1000L, 50L * mib)) ++
+      Seq.fill(4)(("tiny", 10L, mib / 2))).toDF("grp", "n_rows", "est_bytes")
+    val got = Layout.compactionPlan(files, targetBytes = 128L * mib,
+      smallBytes = mib)
+      .as[(String, Long, Long, Long, Long, Long, Long)]
+      .collect().map(r => r._1 -> r).toMap
+    val big = got("big")
+    assert(big._2 === 6L && big._5 === 0L && big._6 === 3L && big._7 === 2L)
+    val tiny = got("tiny")
+    assert(tiny._2 === 4L && tiny._5 === 4L && tiny._6 === 1L && tiny._7 === 4L)
+  }
 }
