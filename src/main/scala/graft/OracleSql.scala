@@ -3761,6 +3761,22 @@ FROM j GROUP BY 1""",
 
     // every graduated quality dial's recall@3 replayed END-TO-END:
     // each variant's full ranking re-derived, hit counts exact
+    // recall@k curve: matched neighbors first count at
+    // k = max(rnk_b, rnk_h); one cumulative probe over that histogram
+    "s_recall_curve" -> s"""WITH b AS (
+  SELECT q_id, neighbor_id, CAST(rnk AS BIGINT) AS rnk_b FROM ($S_ANN_BRUTE)
+), h AS (
+  SELECT q_id, neighbor_id, CAST(rnk AS BIGINT) AS rnk_h FROM ($S_ANN_HAMMING)
+), mm AS (
+  SELECT greatest(rnk_b, rnk_h) AS m FROM b JOIN h USING (q_id, neighbor_id)
+), hist AS (SELECT m, count(*) AS c FROM mm GROUP BY 1
+), nq AS (SELECT CAST(count(DISTINCT q_id) AS BIGINT) AS n_q FROM b
+), ks AS (SELECT CAST(unnest(range(1, 6)) AS BIGINT) AS k)
+SELECT k, CAST(coalesce(sum(c), 0) AS BIGINT) AS hits,
+       CAST(coalesce(sum(c), 0) * 10000 // (k * n_q) AS BIGINT) AS recall_e4
+FROM ks LEFT JOIN hist ON m <= k CROSS JOIN nq
+GROUP BY k, n_q""",
+
     "s_ann_recall_audit" -> {
       def one(name: String, sql: String) = s"""SELECT '$name' AS variant, b.q_id,
        CAST(count(h.neighbor_id) AS BIGINT) AS hits,
@@ -3965,6 +3981,35 @@ ORDER BY c123 DESC, t.w1, t.w2, t.w3 LIMIT 50""",
 
     // Zipf fit over the count-of-counts histogram: e4-fixed logs,
     // exact weighted moments, the a_trend double projection
+    // vocabulary-coverage curve on the count-of-counts histogram:
+    // tie-group algebra makes coverage at N engine-exact with no
+    // token-level ranking; budgets past the vocab coalesce to full
+    "t_ngram_coverage" -> s"""$TOKS, tf AS (
+  SELECT t AS token, count(*) AS cnt FROM toks, unnest(tk) AS u(t) GROUP BY 1
+), hist AS (SELECT cnt, count(*) AS c FROM tf GROUP BY 1
+), starts AS (
+  SELECT cnt, c,
+         CAST(coalesce(sum(c) OVER (ORDER BY cnt DESC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + 1
+           AS BIGINT) AS start,
+         CAST(coalesce(sum(cnt * c) OVER (ORDER BY cnt DESC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS BIGINT) AS mass_before
+  FROM hist
+), tot AS (
+  SELECT CAST(sum(cnt * c) AS BIGINT) AS m_tot,
+         CAST(sum(c) AS BIGINT) AS v_tot
+  FROM hist
+), ns AS (SELECT CAST(1000 * (1 << CAST(unnest(range(0, 6)) AS INT))
+            AS BIGINT) AS n_vocab)
+SELECT n_vocab, least(n_vocab, v_tot) AS n_kept,
+       CAST(coalesce(mass_before + cnt * (n_vocab - start + 1), m_tot)
+            AS BIGINT) AS mass,
+       CAST(coalesce(mass_before + cnt * (n_vocab - start + 1), m_tot)
+            * 1000000 // m_tot AS BIGINT) AS coverage_e6
+FROM ns LEFT JOIN starts ON n_vocab >= start AND n_vocab < start + c
+CROSS JOIN tot""",
+
     "t_zipf" -> s"""$TOKS, tf AS (
   SELECT token, count(*) AS cnt FROM (SELECT unnest(tk) AS token FROM toks)
   GROUP BY 1
@@ -4087,6 +4132,7 @@ FROM dev JOIN mad USING (event_type)""",
 SELECT event_type, day, x, CAST(sp AS BIGINT) AS sp_fx, CAST(sn AS BIGINT) AS sn_fx,
        (sp > mu // 10) AS alarm_up, (sn > mu // 10) AS alarm_down
 FROM st""",
+
 
     // 4096-bucket quantized Gini: per-bucket tie groups via the
     // doubled rank-sum identity, all integers
@@ -5071,6 +5117,21 @@ FROM (SELECT $a, count(DISTINCT $b) AS k FROM $tbl GROUP BY $a)"""
       s"WITH agg AS (\n  SELECT source,\n    $aggCols\n  FROM documents GROUP BY source)\n$arms"
     },
 
+    // license-marker audit: shared literal patterns over lowercased
+    // text, ten aggregates in one scan then the per-class stack
+    "e_license_audit" -> {
+      val aggCols = graft.SparkEntry.LicensePats.map { case (n, p) =>
+        s"""CAST(sum(CASE WHEN len(regexp_extract_all(lower(text), '$p')) > 0
+           THEN 1 ELSE 0 END) AS BIGINT) AS ${n}_docs,
+    CAST(sum(len(regexp_extract_all(lower(text), '$p'))) AS BIGINT) AS ${n}_hits"""
+      }.mkString(",\n    ")
+      val arms = graft.SparkEntry.LicensePats.map { case (n, _) =>
+        s"SELECT source, '$n' AS license_class, ${n}_docs AS n_docs_hit, " +
+          s"${n}_hits AS n_hits FROM agg"
+      }.mkString("\nUNION ALL\n")
+      s"WITH agg AS (\n  SELECT source,\n    $aggCols\n  FROM documents GROUP BY source)\n$arms"
+    },
+
     // cross-source duplicate flow: the LSH-verified pair frame rolled
     // up to (source, source) cells, ordered pairs folded
     "e_dup_flow" -> (LSH_PAIRS + """,
@@ -5550,6 +5611,22 @@ FROM c""",
 
     // reciprocity of the directed transition graph: weighted form is
     // Σ min(n_ab, n_ba) / Σ n; self-transitions excluded
+    // degree histogram of the bipartite purchase graph with exact
+    // cumulative node share; windows over the bounded histogram only
+    "g_degree_dist" -> """WITH deg AS (
+  SELECT o_custkey, CAST(count(*) AS BIGINT) AS degree
+  FROM (SELECT DISTINCT o.o_custkey, l.l_partkey
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey)
+  GROUP BY 1
+), hist AS (SELECT degree, CAST(count(*) AS BIGINT) AS n_nodes FROM deg GROUP BY 1)
+SELECT degree, n_nodes,
+       CAST(sum(n_nodes) OVER (ORDER BY degree
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_nodes,
+       CAST(sum(n_nodes) OVER (ORDER BY degree
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * 10000
+         // sum(n_nodes) OVER () AS BIGINT) AS cum_share_e4
+FROM hist""",
+
     "g_reciprocity" -> """WITH tr AS (
   SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n FROM (
     SELECT event_type AS from_type,

@@ -3701,6 +3701,7 @@ object SparkEntry {
         (col("sn") > expr("mu div 10")).as("alarm_down"))
   }
 
+
   /** Zipf-law fit of the term-frequency distribution — the corpus
     * health check ("does this scrape look like natural language?")
     * read before mixing a source in. OLS of ln(freq) on ln(midrank)
@@ -3714,6 +3715,44 @@ object SparkEntry {
     * longs and the slope/intercept projection is the a_trend double
     * order. Natural text → slope ≈ −1. Long bound: n·x̄·ȳ < 2⁶³
     * holds to ~10⁸ vocabulary at e4 scale. */
+  /** Vocabulary-coverage curve — the tokenizer-budget table: what
+    * fraction of all token OCCURRENCES the top-N vocabulary covers,
+    * probed at six literal budgets. Rides the count-of-counts
+    * histogram (the t_zipf frame): a frequency tie-group occupies
+    * ranks [start, start+c) with mass cnt·c, so coverage at N is
+    * cum-mass-before + cnt·(N−start+1) for the one group containing
+    * rank N — well-defined regardless of which tied tokens are kept,
+    * hence engine-exact with no token-level ranking anywhere. Budgets
+    * past the vocabulary coalesce to full mass. The probe is a 6-row
+    * broadcast range-join against the bounded histogram (the a_lorenz
+    * shape). Long budget: total occurrences ·10⁶ < 2⁶³ (~9·10¹²
+    * tokens); past that drop the coverage scale to e4. */
+  private def tNgramCoverage(s: SparkSession, dir: String): DataFrame = {
+    val tf = T(s, dir, "documents")
+      .select(explode(Codecs.tokens(col("text"))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+    val hist = tf.groupBy("cnt").agg(count(lit(1)).as("c"))
+    val wPrev = Window.orderBy(col("cnt").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val starts = hist
+      .withColumn("start", coalesce(sum(col("c")).over(wPrev), lit(0L)) + lit(1L))
+      .withColumn("mass_before", coalesce(sum(col("cnt") * col("c")).over(wPrev), lit(0L)))
+    val tot = hist.agg(sum(col("cnt") * col("c")).as("m_tot"),
+      sum(col("c")).as("v_tot"))
+    val ns = s.range(0, 6)
+      .select(expr("CAST(1000 * (1 << CAST(id AS INT)) AS BIGINT)").as("n_vocab"))
+    broadcast(ns)
+      .join(starts, expr("n_vocab >= start AND n_vocab < start + c"), "left_outer")
+      .crossJoin(broadcast(tot))
+      .select(col("n_vocab"),
+        least(col("n_vocab"), col("v_tot")).as("n_kept"),
+        coalesce(col("mass_before") + col("cnt") * (col("n_vocab") - col("start") + 1),
+          col("m_tot")).as("mass"),
+        col("m_tot"))
+      .select(col("n_vocab"), col("n_kept"), col("mass"),
+        expr("mass * 1000000 div m_tot").as("coverage_e6"))
+  }
+
   private def tZipf(s: SparkSession, dir: String): DataFrame = {
     val tf = T(s, dir, "documents")
       .select(explode(Codecs.tokens(col("text"))).as("token"))
@@ -3828,6 +3867,31 @@ object SparkEntry {
       audit("s_ann_pq_rerank64", sAnnPqRerank64(s, dir)),
       audit("s_ann_sq8", sAnnSq8(s, dir)))
       .reduce(_ unionAll _)
+  }
+
+  /** Recall@k curve (k = 1..5) of the binary sign-code ANN against
+    * the exact cosine top-5 — the dial-calibration TABLE behind the
+    * scalar recall@3 audit: an operator picks k by reading this, not
+    * by re-running the index. A matched (brute, hamming) neighbor
+    * first counts at k = max(rnk_b, rnk_h), so the whole curve is one
+    * cumulative probe over the ≤ 5-row histogram of that max — the
+    * two top-5 frames join ONCE, never re-ranked per k. Hits and the
+    * e4 recalls are exact integers (denominator k·n_q). */
+  private def sRecallCurve(s: SparkSession, dir: String): DataFrame = {
+    val brute = sAnnBrute(s, dir).filter(col("rnk") <= 5)
+      .select(col("q_id"), col("neighbor_id"), col("rnk").cast("long").as("rnk_b"))
+    val ham = sAnnHamming(s, dir).filter(col("rnk") <= 5)
+      .select(col("q_id"), col("neighbor_id"), col("rnk").cast("long").as("rnk_h"))
+    val hist = brute.join(ham, Seq("q_id", "neighbor_id"))
+      .select(greatest(col("rnk_b"), col("rnk_h")).as("m"))
+      .groupBy("m").agg(count(lit(1)).as("c"))
+    val nq = brute.agg(countDistinct(col("q_id")).as("n_q"))
+    val ks = s.range(1, 6).select(col("id").as("k"))
+    broadcast(ks).join(hist, col("m") <= col("k"), "left_outer")
+      .groupBy("k").agg(sum(col("c")).as("h0"))
+      .crossJoin(broadcast(nq))
+      .select(col("k"), expr("coalesce(h0, 0L)").as("hits"),
+        expr("coalesce(h0, 0L) * 10000 div (k * n_q)").as("recall_e4"))
   }
 
   /** Expected Benford first-digit frequencies in e6 fixed point —
@@ -4368,6 +4432,43 @@ object SparkEntry {
           col(s"${n}_hits").as("n_hits"))
       }: _*)).as("r"))
       .select(col("source"), col("r.pii_class").as("pii_class"),
+        col("r.n_docs_hit").as("n_docs_hit"), col("r.n_hits").as("n_hits"))
+  }
+
+  /** License-marker classes — shared literal patterns (plain
+    * lowercase words, identical under Java regex and RE2) applied to
+    * lowercased text, the ModelWeights convention. */
+  val LicensePats: Seq[(String, String)] = Seq(
+    "apache" -> "apache license",
+    "mit" -> "mit license",
+    "gpl" -> "general public license",
+    "cc" -> "creative commons",
+    "arr" -> "all rights reserved")
+
+  /** License-marker audit per source — the provenance screen a
+    * pretraining corpus gets before a source is mixed in: five marker
+    * classes counted in ONE corpus scan (docs hit + total hits per
+    * class — ten aggregates then a literal-struct explode, the
+    * e_pii_report shape; row-local until the source-keyed partial
+    * agg). The synthetic corpus carries no license boilerplate, so
+    * the oracle row pins exact zeros end-to-end and the planted
+    * WideningPinsSpec fixture pins the actual routing (the
+    * t_code_detect convention). */
+  private def eLicenseAudit(s: SparkSession, dir: String): DataFrame =
+    licenseAudit(T(s, dir, "documents"))
+
+  private[graft] def licenseAudit(docs: DataFrame): DataFrame = {
+    val aggs = LicensePats.flatMap { case (n, p) =>
+      val cnt = regexp_count(lower(col("text")), lit(p))
+      Seq(sum((cnt > 0).cast("long")).as(s"${n}_docs"),
+        sum(cnt.cast("long")).as(s"${n}_hits"))
+    }
+    docs.groupBy("source").agg(aggs.head, aggs.tail: _*)
+      .select(col("source"), explode(array(LicensePats.map { case (n, _) =>
+        struct(lit(n).as("license_class"), col(s"${n}_docs").as("n_docs_hit"),
+          col(s"${n}_hits").as("n_hits"))
+      }: _*)).as("r"))
+      .select(col("source"), col("r.license_class").as("license_class"),
         col("r.n_docs_hit").as("n_docs_hit"), col("r.n_hits").as("n_hits"))
   }
 
@@ -5335,6 +5436,28 @@ object SparkEntry {
     * "is this duplicate a clique member or a chain link" dial a dedup
     * report ranks by. Same degeneracy-bounded wedge plan; cc in e4
     * fixed point via the shared truncating division. */
+  /** Degree distribution of the bipartite purchase graph (customer
+    * side) — the first structural health check a graph gets: distinct
+    * parts per customer folded to a degree histogram with cumulative
+    * node share in exact e4. The data-sized work is one distinct +
+    * one keyed agg; both windows then run over the degree-BOUNDED
+    * histogram (the s_auc convention — windows above aggregates,
+    * never above data). */
+  private def gDegreeDist(s: SparkSession, dir: String): DataFrame = {
+    val deg = T(s, dir, "lineitem")
+      .join(T(s, dir, "orders").select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey"), col("l_partkey")).distinct()
+      .groupBy("o_custkey").agg(count(lit(1)).as("degree"))
+    val hist = deg.groupBy("degree").agg(count(lit(1)).as("n_nodes"))
+    val wc = Window.orderBy("degree").rowsBetween(Window.unboundedPreceding, 0)
+    val wa = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    hist.withColumn("cum_nodes", sum(col("n_nodes")).over(wc))
+      .withColumn("n_total", sum(col("n_nodes")).over(wa))
+      .select(col("degree"), col("n_nodes"), col("cum_nodes"),
+        expr("cum_nodes * 10000 div n_total").as("cum_share_e4"))
+  }
+
   private def gClusteringCoeff(s: SparkSession, dir: String): DataFrame = {
     val pairs = Dedup.lshVerifiedJaccard(T(s, dir, "documents"), 3, 16, 4, 4, 0.5)
       .select("doc_a", "doc_b")
@@ -6123,7 +6246,9 @@ object SparkEntry {
     "a_benford" -> (aBenford _),
     "g_assortativity" -> (gAssortativity _),
     "s_ann_recall_audit" -> (sAnnRecallAudit _),
+    "s_recall_curve" -> (sRecallCurve _),
     "t_zipf" -> (tZipf _),
+    "t_ngram_coverage" -> (tNgramCoverage _),
     "t_bigram_kn" -> (tBigramKn _),
     "t_trigram_kn" -> (tTrigramKn _),
     "d_blocking_join" -> (dBlockingJoin _),
@@ -6182,6 +6307,7 @@ object SparkEntry {
     "e_dup_flow" -> (eDupFlow _),
     "t_textrank_doc" -> (tTextrankDoc _),
     "e_pii_report" -> (ePiiReport _),
+    "e_license_audit" -> (eLicenseAudit _),
     "p_fd_audit" -> (pFdAudit _),
     "a_mann_kendall" -> (aMannKendall _),
     "a_bootstrap_ci" -> (aBootstrapCi _),
@@ -6198,6 +6324,7 @@ object SparkEntry {
     "t_readability" -> (tReadability _),
     "m_ahash_capped" -> (mAhashCapped _),
     "g_reciprocity" -> (gReciprocity _),
+    "g_degree_dist" -> (gDegreeDist _),
     "m_payload_entropy" -> (mPayloadEntropy _),
     "a_survival" -> (aSurvival _),
     "a_lorenz" -> (aLorenz _),

@@ -731,4 +731,47 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("InMemoryTableScan") || p.contains("Scan ExistingRDD"),
       s"fingerprints must come from the cache, not be recomputed:\n$p")
   }
+
+  test("the injected-SQL row plans the native expressions, row-local") {
+    val p = plan("q_sql_surface")
+    // the FunctionRegistry path must resolve to the SAME native
+    // Expressions the DSL uses — codegen'd scalar ops, not UDFs
+    assert(p.toLowerCase.contains("bigendianint32") ||
+      p.toLowerCase.contains("be_int"), s"be_int must plan natively:\n$p")
+    assert(p.toLowerCase.contains("vectordot") ||
+      p.toLowerCase.contains("vec_dot"), s"vec_dot must plan natively:\n$p")
+    assert(!p.contains("Exchange") && !p.contains("Join") &&
+      !p.contains("Window"), s"one scan, zero shuffles:\n$p")
+  }
+
+  test("layout advisors are partial-agg chains; retention folds one broadcast row") {
+    for (name <- Seq("p_partition_skew", "p_compaction_plan")) {
+      val p = plan(name)
+      assert(!p.contains("Join") && !p.contains("Window"),
+        s"$name must be two keyed aggregates, nothing else:\n$p")
+      assert(p.contains("HashAggregate"), name)
+    }
+    val r = plan("p_retention_plan")
+    assert(!r.contains("CartesianProduct") && !r.contains("Window"), r)
+    assert("BroadcastNestedLoopJoin".r.findAllIn(r).length <= 1,
+      s"only the 1-row max-day frame may nested-loop:\n$r")
+  }
+
+  test("stats profile is one scan: expand-distinct, no join, no window") {
+    val p = plan("p_stats_profile")
+    assert(p.contains("Expand"),
+      s"the multi-distinct must plan via expand, not repeated scans:\n$p")
+    assert(!p.contains("Join") && !p.contains("Window"), p)
+    val scans = "Scan parquet".r.findAllIn(p).length
+    assert(scans == 1, s"expected one events scan, got $scans:\n$p")
+  }
+
+  test("dense lorenz keeps the bounded-histogram window shape") {
+    val lines = plan("a_lorenz_dense").linesIterator.toList
+    val wIdx = lines.indexWhere(_.contains("Window"))
+    assert(wIdx >= 0, "expected the cumulative window")
+    assert(lines.drop(wIdx).exists(_.contains("HashAggregate")),
+      "the window must consume the histogram aggregate, not raw rows")
+    assert(!plan("a_lorenz_dense").contains("CartesianProduct"))
+  }
 }

@@ -182,4 +182,30 @@ class WideningPinsSpec extends SparkSpec {
     // conditional entropy
     assert(rows.map(_._4).sum <= rows.map(_._3).max + 1e-9)
   }
+
+  test("license audit routes planted markers; clean corpus pins zeros") {
+    // planted: srcA carries two Apache docs (one mentioning the
+    // license twice) and a dual-licensed MIT/GPL doc; srcB is clean
+    val docs = Seq(
+      (1L, "Licensed under the Apache License, Version 2.0.", "srcA"),
+      (2L, "apache license header; see the APACHE LICENSE file", "srcA"),
+      (3L, "MIT License or the GNU General Public License v3", "srcA"),
+      (4L, "just prose, nothing reserved here", "srcB"))
+      .toDF("doc_id", "text", "source")
+    val got = SparkEntry.licenseAudit(docs)
+      .as[(String, String, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    assert(got(("srcA", "apache")) === ((2L, 3L)))
+    assert(got(("srcA", "mit")) === ((1L, 1L)))
+    assert(got(("srcA", "gpl")) === ((1L, 1L)))
+    assert(got(("srcA", "cc")) === ((0L, 0L)))
+    assert(got(("srcB", "apache")) === ((0L, 0L)))
+    assert(got(("srcB", "arr")) === ((0L, 0L)))
+    assert(got.size === 10) // 2 sources x 5 classes, dense
+    // the fixture corpus is license-free: the oracle row's zeros are
+    // the real routing result, not a vacuous truth about the patterns
+    val real = SparkEntry.queries("e_license_audit")(spark, dir)
+      .agg(sum("n_hits")).head().getLong(0)
+    assert(real === 0L)
+  }
 }
