@@ -959,6 +959,26 @@ object Pipeline {
       .groupBy("event_type", "day")
       .agg(count(lit(1)).as("n_day"), max(col("us")).as("last_us"))
 
+  /** The production form of [[freshnessDayGauge]]: the same per-day
+    * counts keyed on a 1-day event-time WINDOW with a watermark, so
+    * Spark EVICTS closed-day state instead of holding one row per
+    * type×day forever (eviction requires the event-time window in the
+    * grouping key — a derived day column never ages out). Emits the
+    * identical (event_type, day, n_day, last_us) schema, day from the
+    * window start; events older than the watermark are dropped as
+    * late (spec-pinned). Closed days land once in the sink and
+    * compact into the batch table. */
+  def freshnessDayGaugeWatermarked(events: DataFrame,
+      lateness: String = "2 days"): DataFrame =
+    events.select(col("event_type"), col("ts"),
+        expr("unix_micros(ts)").as("us"))
+      .withWatermark("ts", lateness)
+      .groupBy(col("event_type"), window(col("ts"), "1 day").as("w"))
+      .agg(count(lit(1)).as("n_day"), max(col("us")).as("last_us"))
+      .select(col("event_type"),
+        expr("unix_micros(w.start) div 86400000000").as("day"),
+        col("n_day"), col("last_us"))
+
   /** Report over the day gauge: everything [[freshnessReport]] emits
     * plus `n_last_day_approx` — the trailing-24 h arrival count at DAY
     * resolution (all buckets whose day index reaches the window).

@@ -236,6 +236,53 @@ class StreamingGovernanceSpec extends SparkSpec {
     }
   }
 
+  test("watermarked day gauge equals the unbounded form; late days evict") {
+    withRocksDB {
+      val dayUs = 86400000000L
+      implicit val sqlCtx = spark.sqlContext
+      val input = MemoryStream[(Long, java.sql.Timestamp, String)]
+      val gauge = Pipeline.freshnessDayGaugeWatermarked(input.toDF()
+        .toDF("event_id", "ts", "event_type"), lateness = "2 days")
+      val state = scala.collection.mutable.Map.empty[(String, Long), (Long, Long)]
+      val q = gauge.writeStream.outputMode("update")
+        .foreachBatch { (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          df.collect().foreach { r =>
+            state.synchronized {
+              state((r.getString(0), r.getLong(1))) = (r.getLong(2), r.getLong(3))
+            }
+          }
+          ()
+        }.start()
+      def ev(id: Long, day: Long, frac: Long, tpe: String) =
+        (id, new java.sql.Timestamp((day * dayUs + frac) / 1000L), tpe)
+      try {
+        // batch 1: days 10..12 -> watermark advances to day 12 - 2d
+        input.addData(Seq(ev(1, 10, 0, "view"), ev(2, 11, 0, "view"),
+          ev(3, 12, dayUs / 2, "click")))
+        q.processAllAvailable()
+        // batch 2: a day-5 straggler is OLDER than the watermark and
+        // must be DROPPED; a fresh day-12 view still lands
+        input.addData(Seq(ev(4, 5, 0, "view"), ev(5, 12, 0, "view")))
+        q.processAllAvailable()
+      } finally q.stop()
+      val got = state.synchronized { state.toMap }
+      assert(!got.contains(("view", 5L)),
+        "an event older than the watermark must be dropped, not create state")
+      assert(got(("view", 10L)) === ((1L, 10L * dayUs)))
+      assert(got(("view", 12L)) === ((1L, 12L * dayUs)))
+      assert(got(("click", 12L)) === ((1L, 12L * dayUs + dayUs / 2)))
+      // schema-equality with the unbounded gauge on the SAME rows
+      // (minus the dropped straggler): batch replay agrees cell-wise
+      val batch = Pipeline.freshnessDayGauge(
+        Seq(ev(1, 10, 0, "view"), ev(2, 11, 0, "view"),
+          ev(3, 12, dayUs / 2, "click"), ev(5, 12, 0, "view"))
+          .toDF("event_id", "ts", "event_type"))
+        .as[(String, Long, Long, Long)].collect()
+        .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+      assert(got === batch)
+    }
+  }
+
   test("transition rows aggregate to the batch matrix on an ordered replay") {
     val rows: Seq[(Long, java.sql.Timestamp, Long, String)] =
       (0 until 60).map { i =>
