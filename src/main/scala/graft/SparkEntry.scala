@@ -4678,15 +4678,20 @@ object SparkEntry {
   /** PER-DOCUMENT TextRank — the form a keyword-extraction pipeline
     * actually ships (keywords for each document, [[tTextrank]]'s
     * corpus ranking is the vocabulary-level diagnostic): the same
-    * exact e6 PageRank unroll, keyed (doc_id, token) so every
-    * document's co-occurrence graph iterates independently in one
-    * plan. Per-doc graphs are token-count-bounded; the iterate joins
-    * shuffle on the composite key, so a 100 TB corpus spreads by
-    * document with no skew beyond document length (cap outliers with
-    * the declared doc-length quality filters upstream). Top-3 per doc
-    * cuts via the rank window — WindowGroupLimit prunes map-side
-    * (pinned convention). Docs with no two distinct adjacent tokens
-    * have no graph and no row. */
+    * exact e6 PageRank update as the corpus form, but fused per
+    * document ([[graft.functions.TextRankFixed]]): each document's
+    * symmetric co-occurrence edge list groups ONCE (a single
+    * doc_id-keyed shuffle) and the four power rounds run in place
+    * over the collected array — the iterate is embarrassingly
+    * parallel per key, so unrolling it as corpus-wide joins moved
+    * every document's tiny graph through four data-sized shuffles for
+    * nothing (measured 5.4 s warm → ~2 s at sf0.1). Per-doc arrays
+    * are document-length-bounded — the same per-key batch contract as
+    * the media decode path (cap outliers with the declared doc-length
+    * quality filters upstream). Top-3 per doc cuts via the rank
+    * window — WindowGroupLimit prunes map-side (pinned convention).
+    * Docs with no two distinct adjacent tokens have no graph and no
+    * row. */
   private def tTextrankDoc(s: SparkSession, dir: String): DataFrame = {
     val bi = TextOps.bigramOccurrences(T(s, dir, "documents"))
     val und = bi
@@ -4696,10 +4701,9 @@ object SparkEntry {
       .select(col("doc_id"), least(col("u1"), col("u2")).as("a"),
         greatest(col("u1"), col("u2")).as("b"))
       .groupBy("doc_id", "a", "b").agg(count(lit(1)).as("w"))
-    // cache the DEGREE-ANNOTATED edge frame (the pageRankFixed
-    // discipline), not the raw one: every unrolled iteration joins
-    // e2, so caching e alone left four copies of the wout agg+join in
-    // the plan (measured 7.6 s warm → 4.4 s at sf0.1)
+    // degree-annotate both directions, then ONE group per document;
+    // wout joins on (doc_id, src) before the collect so the array
+    // carries everything the fold needs
     val e2 = graft.ops.PlanCache.cached("textrank-doc-edges", {
       val e = und
         .select(col("doc_id"), col("a").as("src"), col("b").as("dst"), col("w"))
@@ -4708,20 +4712,15 @@ object SparkEntry {
       e.join(e.groupBy("doc_id", "src").agg(sum("w").as("wout")),
         Seq("doc_id", "src"))
     })
-    var pr = e2.select(col("doc_id"), col("src").as("t")).distinct()
-      .select(col("doc_id"), col("t"), lit(1000000L).as("p"))
-    // symmetric per-doc graphs: every vertex keeps an out-edge and a
-    // positive-mass neighbor, so the contribution join loses no
-    // vertex and the verts-left-join form is unnecessary
-    for (_ <- 1 to 4) {
-      pr = e2.join(pr.withColumnRenamed("t", "src"), Seq("doc_id", "src"))
-        .groupBy(col("doc_id"), col("dst").as("t"))
-        .agg(sum(expr("(p * w) div wout")).as("c"))
-        .select(col("doc_id"), col("t"),
-          expr("150000 + (85 * c) div 100").as("p"))
-    }
+    val ranked = e2
+      .groupBy("doc_id")
+      .agg(collect_list(struct(col("src"), col("dst"), col("w"), col("wout")))
+        .as("edges"))
+      .select(col("doc_id"),
+        explode(graft.functions.TextRankFixed.textrankFixed(col("edges"), 4)).as("r"))
+      .select(col("doc_id"), col("r.token").as("t"), col("r.p").as("p"))
     val wd = Window.partitionBy("doc_id").orderBy(col("p").desc, col("t"))
-    pr.withColumn("rnk", row_number().over(wd)).filter(col("rnk") <= 3)
+    ranked.withColumn("rnk", row_number().over(wd)).filter(col("rnk") <= 3)
       .select(col("doc_id"), col("rnk").cast("long").as("rnk"),
         col("t").as("token"), col("p").as("pr_fx"))
   }
@@ -4886,37 +4885,51 @@ object SparkEntry {
     * redistribution shape in exact integers), so Σv = |states|·10⁶
     * holds bit-exactly after every step and the result is a true
     * distribution. States with no outgoing edges stay in the vector
-    * via the left join against the state dimension instead of
-    * dropping out. Scale: the matrix and state frames are
-    * vocabulary-bounded (AQE-broadcast joins), the leak totals are
-    * 1-row broadcasts, and the only data-sized pass is
-    * [[markovMatrix]]'s shared lead window. The oracle replays the
-    * identical eight rounds unrolled, deriving the leak from the
-    * conserved-total invariant so no CTE is referenced twice. */
+    * (every state gets its leak share even with zero inflow) instead
+    * of dropping out. Scale: the matrix is vocabulary²-bounded
+    * metadata, so the rounds fold on the driver (gated collect); the
+    * only data-sized pass is [[markovMatrix]]'s shared lead window.
+    * The oracle replays the identical eight rounds unrolled, deriving
+    * the leak from the conserved-total invariant so no CTE is
+    * referenced twice. */
   private def aMarkovConserve(s: SparkSession, dir: String): DataFrame = {
-    val p = markovMatrix(s, dir)
-    val states = p.select(col("from_type").as("t"))
-      .union(p.select(col("to_type"))).distinct()
-    val st = states.crossJoin(broadcast(
-      states.agg(count(lit(1)).as("ns"), min("t").as("t0"))))
-    val v0 = st.select(col("t"), lit(1000000L).as("v"))
-    // the step total comes from a single-partition global window
-    // (vocabulary-sized frame), NOT a second aggregate over `raw` —
-    // referencing the iterate twice would double the logical plan per
-    // step (2^8 subtree copies by step 8)
-    val wAll = Window.partitionBy()
-    val vK = (1 to 8).foldLeft(v0) { (v, _) =>
-      val raw = v.join(p, v("t") === p("from_type"))
-        .groupBy(col("to_type").as("t"))
-        .agg(sum(expr("v * p_e6 div 1000000")).as("vr"))
-      st.join(raw, Seq("t"), "left").na.fill(0L, Seq("vr"))
-        .withColumn("tot1", sum("vr").over(wAll))
-        .select(col("t"),
-          (col("vr") + expr("(ns * 1000000 - tot1) div ns") +
-            when(col("t") === col("t0"),
-              expr("(ns * 1000000 - tot1) % ns")).otherwise(lit(0L))).as("v"))
+    // The transition matrix is VOCABULARY²-bounded metadata (event
+    // types, not events) — the data-sized pass is markovMatrix's
+    // shared lead window, which stays distributed and cached. So the
+    // eight conserving rounds fold on the driver in exact longs (the
+    // s_embed_pc1 Gram power-iteration / codebookLiteral convention:
+    // a loud gate bounds the collect, constant-size state iterates
+    // locally) instead of unrolling 8 × (join + agg + global window)
+    // over a 5-row frame — which was pure serial-stage latency,
+    // measured 4.9 s warm at sf0.1 vs ~0.3 s folded. Arithmetic is
+    // IDENTICAL to the previous in-plan unroll (v·p div 10⁶ and the
+    // leak redistribution all truncate on non-negative longs), so the
+    // oracle's recursive CTE still replays it bit-for-bit.
+    val rows = markovMatrix(s, dir)
+      .select(col("from_type"), col("to_type"), col("p_e6")).collect()
+    require(rows.length <= 65536,
+      s"aMarkovConserve: ${rows.length} transition rows exceed the " +
+        "vocabulary² gate (65536 = 256 states) — this matrix is not " +
+        "event-type metadata; keep the distributed unroll instead")
+    val states = rows.iterator
+      .flatMap(r => Iterator(r.getString(0), r.getString(1)))
+      .toSeq.distinct.sorted
+    val ns = states.length.toLong
+    val t0 = states.head // sorted, so head == min
+    var v: Map[String, Long] = states.map(_ -> 1000000L).toMap
+    for (_ <- 1 to 8) {
+      val raw = scala.collection.mutable.Map.empty[String, Long]
+      rows.foreach { r =>
+        val c = v(r.getString(0)) * r.getLong(2) / 1000000L
+        raw.updateWith(r.getString(1))(o => Some(o.getOrElse(0L) + c))
+      }
+      val tot1 = states.iterator.map(t => raw.getOrElse(t, 0L)).sum
+      val leak = ns * 1000000L - tot1 // ≥ 0: rows are substochastic
+      v = states.map(t => t -> (raw.getOrElse(t, 0L) + leak / ns +
+        (if (t == t0) leak % ns else 0L))).toMap
     }
-    vK.select(col("t").as("event_type"), col("v").as("v_e6"))
+    import s.implicits._
+    states.map(t => (t, v(t))).toDF("event_type", "v_e6")
   }
 
   /** Aspect-ratio bucketing for image-training batches (the SDXL
@@ -5392,7 +5405,12 @@ object SparkEntry {
     // at sf0.1. A global-window max would also be single-reference
     // but funnels the entity-sized frame through one task; the
     // checkpoint + distributed agg is the 100 TB shape (8 small
-    // staging jobs over the cached edge frame).
+    // staging jobs over the cached edge frame). r12 re-measured the
+    // once-per-round alternative (checkpoint only hraw, let
+    // ReuseExchange dedupe the double-referenced araw): 6.4 s vs
+    // 5.1 s warm at sf0.1 — AQE does NOT reuse the agg exchange
+    // across the broadcast boundary, so araw computed twice per
+    // round and the per-phase form stays the fastest shape.
     for (_ <- 1 to 4) {
       val araw = e.join(h, "c").groupBy("p").agg(sum(expr("w * h")).as("ar"))
         .localCheckpoint()

@@ -10,6 +10,34 @@ import org.apache.spark.sql.functions._
   */
 object Graph {
 
+  /** The plain vertex list of an edge frame, materialized once per
+    * (session, edge plan) via [[PlanCache.checkpointed]] — kCorePeel,
+    * bfsHops, bfsHopsPerSeed and minPlus all start from it, and
+    * before the registry share each rebuilt the same distinct per
+    * query. */
+  private def vertsOf(edges: DataFrame): DataFrame =
+    PlanCache.checkpointed("graph-verts",
+        edges.queryExecution.logical.semanticHash(), edges.sparkSession) {
+      edges.select(col("src").as("node"))
+        .union(edges.select(col("dst").as("node")))
+        .distinct()
+        .repartition(col("node"))
+    }
+
+  /** The unit-augmented edge list (real edges delta=1 plus one
+    * delta=0 self edge per vertex) behind the single-reference
+    * iterates: kCorePeel reads delta as the is-real marker, bfsHops /
+    * bfsHopsPerSeed as the hop increment — same values, one shared
+    * materialization per (session, edge plan). */
+  private def unitAugEdges(edges: DataFrame): DataFrame =
+    PlanCache.checkpointed("graph-aug-unit",
+        edges.queryExecution.logical.semanticHash(), edges.sparkSession) {
+      edges.select(col("src"), col("dst"), lit(1L).as("delta"))
+        .union(vertsOf(edges).select(col("node").as("src"),
+          col("node").as("dst"), lit(0L).as("delta")))
+        .repartition(col("src"))
+    }
+
   /** Weighted PageRank in EXACT fixed-point arithmetic, bounded
     * iterations (Brin & Page 1998, the power-iteration form).
     *
@@ -73,36 +101,43 @@ object Graph {
     require(iters >= 1, s"iters must be >= 1, got $iters")
     require(dampNum > 0 && dampNum < dampDen, s"damping $dampNum/$dampDen not in (0,1)")
     val teleport = (scale * (dampDen - dampNum)) / dampDen
+    val eKey = edges.queryExecution.logical.semanticHash()
+    val spark = edges.sparkSession
     val outw = edges.groupBy(col("src")).agg(sum(col("w")).as("wout"))
-    // Materialize the STATIC frames once: every iteration references
-    // them, and uncheckpointed they would recompute per reference.
-    // The pre-repartition's role (r9 measurement, BASELINE.md): under
-    // AQE a checkpoint scan reports UNKNOWN partitioning, so the
-    // PLANNER never reuses it — what keeps the edge side
-    // exchange-free per step is that the rank frame is vertex-sized
-    // and AQE broadcasts it. But the repartition still pays for the
-    // PHYSICAL layout of the materialized RDD: without it the
-    // checkpoint inherits the (few, skewed) join-output partitions
-    // and every per-step map stage runs under-parallel — measured
-    // 3.7 → 6.6 s warm at sf0.1 when removed. For graphs whose
-    // vertex frame outgrows broadcast, stage the edge list as a
+    // Materialize the STATIC frames once per (session, edge plan):
+    // every iteration references them, and uncheckpointed they would
+    // recompute per reference — and before the registry share,
+    // g_pagerank and g_ppr_suppliers each rebuilt the same two frames
+    // per QUERY. The pre-repartition's role (r9 measurement,
+    // BASELINE.md): under AQE a checkpoint scan reports UNKNOWN
+    // partitioning, so the PLANNER never reuses it — what keeps the
+    // edge side exchange-free per step is that the rank frame is
+    // vertex-sized and AQE broadcasts it. But the repartition still
+    // pays for the PHYSICAL layout of the materialized RDD: without
+    // it the checkpoint inherits the (few, skewed) join-output
+    // partitions and every per-step map stage runs under-parallel —
+    // measured 3.7 → 6.6 s warm at sf0.1 when removed. For graphs
+    // whose vertex frame outgrows broadcast, stage the edge list as a
     // bucketed table instead (the PlanCache scale note).
-    val e = edges.join(outw, "src")
-      .select(col("src"), col("dst"), col("w").cast("long").as("w"),
-        col("wout").cast("long").as("wout"))
-      .repartition(col("src"))
-      .localCheckpoint()
-    val verts0 = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node")))
-      .distinct()
-      // dangling-mass guard: a sink vertex would silently leak rank
-      // mass every step; refuse it loudly at vertex-build time
-      .join(outw.select(col("src").as("node"), lit(true).as("_has_out")),
-        Seq("node"), "left")
-      .filter(assert_true(col("_has_out").isNotNull,
-        lit("pageRankFixed: vertex with no out-edges (dangling mass " +
-          "would leak; symmetrize the edge list or add self-loops)")).isNull)
-      .select(col("node"))
+    val e = PlanCache.checkpointed("graph-pr-edges", eKey, spark) {
+      edges.join(outw, "src")
+        .select(col("src"), col("dst"), col("w").cast("long").as("w"),
+          col("wout").cast("long").as("wout"))
+        .repartition(col("src"))
+    }
+    val verts0 = PlanCache.checkpointed("graph-pr-verts", eKey, spark) {
+      e.select(col("src").as("node"))
+        .union(e.select(col("dst").as("node")))
+        .distinct()
+        // dangling-mass guard: a sink vertex would silently leak rank
+        // mass every step; refuse it loudly at vertex-build time
+        .join(outw.select(col("src").as("node"), lit(true).as("_has_out")),
+          Seq("node"), "left")
+        .filter(assert_true(col("_has_out").isNotNull,
+          lit("pageRankFixed: vertex with no out-edges (dangling mass " +
+            "would leak; symmetrize the edge list or add self-loops)")).isNull)
+        .select(col("node"))
+    }
     val verts = (seeds match {
       case Some(sd) => verts0.join(
           sd.select(col("node")).distinct().withColumn("s", lit(true)),
@@ -160,21 +195,17 @@ object Graph {
     * 0 = survived all rounds). */
   def kCorePeel(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
     require(k >= 1 && rounds >= 1, s"need k>=1, rounds>=1; got k=$k rounds=$rounds")
-    val verts = edges.select(col("src").as("node"))
-      .union(edges.select(col("dst").as("node")))
-      .distinct()
-    val e2 = edges.select(col("src"), col("dst"), lit(1L).as("real"))
-      .union(verts.select(col("node").as("src"), col("node").as("dst"),
-        lit(0L).as("real")))
-      .repartition(col("src"))
-      .localCheckpoint()
+    // delta doubles as the is-real marker here (1 = real edge,
+    // 0 = the self edge) — the shared [[unitAugEdges]] frame
+    val verts = vertsOf(edges)
+    val e2 = unitAugEdges(edges)
     var st = verts.select(col("node"), lit(1L).as("alive"), lit(0L).as("peeled"))
     for (t <- 1 to rounds) {
       st = e2.join(st.withColumnRenamed("node", "src"), "src")
         .groupBy(col("dst").as("node"))
-        .agg(sum(when(col("real") === 1L, col("alive")).otherwise(0L)).as("deg"),
-          max(when(col("real") === 0L, col("alive"))).as("ca"),
-          max(when(col("real") === 0L, col("peeled"))).as("cp"))
+        .agg(sum(when(col("delta") === 1L, col("alive")).otherwise(0L)).as("deg"),
+          max(when(col("delta") === 0L, col("alive"))).as("ca"),
+          max(when(col("delta") === 0L, col("peeled"))).as("cp"))
         .select(col("node"),
           when(col("ca") === 1L && col("deg") >= k, 1L).otherwise(0L).as("alive"),
           when(col("ca") === 1L && col("deg") < k, lit(t.toLong))
@@ -199,14 +230,8 @@ object Graph {
     * (node, dist: nullable long). */
   def bfsHops(edges: DataFrame, seeds: DataFrame, depth: Int): DataFrame = {
     require(depth >= 1, s"depth must be >= 1, got $depth")
-    val verts = edges.select(col("src").as("node"))
-      .union(edges.select(col("dst").as("node")))
-      .distinct()
-    val e2 = edges.select(col("src"), col("dst"), lit(1L).as("delta"))
-      .union(verts.select(col("node").as("src"), col("node").as("dst"),
-        lit(0L).as("delta")))
-      .repartition(col("src"))
-      .localCheckpoint()
+    val verts = vertsOf(edges)
+    val e2 = unitAugEdges(edges)
     var st = verts
       .join(seeds.select(col("node")).distinct().withColumn("s", lit(true)),
         Seq("node"), "left")
@@ -243,14 +268,7 @@ object Graph {
     require(nSeeds <= maxSeeds,
       s"bfsHopsPerSeed: $nSeeds seeds exceeds maxSeeds=$maxSeeds — " +
         "landmark-BFS state is |seeds| x ball; sample landmarks instead")
-    val verts = edges.select(col("src").as("node"))
-      .union(edges.select(col("dst").as("node")))
-      .distinct()
-    val e2 = edges.select(col("src"), col("dst"), lit(1L).as("delta"))
-      .union(verts.select(col("node").as("src"), col("node").as("dst"),
-        lit(0L).as("delta")))
-      .repartition(col("src"))
-      .localCheckpoint()
+    val e2 = unitAugEdges(edges)
     var st = sd.select(col("node").as("seed"), col("node"), lit(0L).as("dist"))
     for (_ <- 1 to depth) {
       st = e2.join(st.withColumnRenamed("node", "src"), "src")
@@ -277,14 +295,14 @@ object Graph {
     * Returns (node, cost: nullable long). */
   def minPlus(edges: DataFrame, seeds: DataFrame, rounds: Int): DataFrame = {
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
-    val verts = edges.select(col("src").as("node"))
-      .union(edges.select(col("dst").as("node")))
-      .distinct()
-    val e2 = edges.select(col("src"), col("dst"), col("cost").cast("long").as("delta"))
-      .union(verts.select(col("node").as("src"), col("node").as("dst"),
-        lit(0L).as("delta")))
-      .repartition(col("src"))
-      .localCheckpoint()
+    val verts = vertsOf(edges)
+    val e2 = PlanCache.checkpointed("graph-aug-cost",
+        edges.queryExecution.logical.semanticHash(), edges.sparkSession) {
+      edges.select(col("src"), col("dst"), col("cost").cast("long").as("delta"))
+        .union(verts.select(col("node").as("src"), col("node").as("dst"),
+          lit(0L).as("delta")))
+        .repartition(col("src"))
+    }
     var st = verts
       .join(seeds.select(col("node")).distinct().withColumn("s", lit(true)),
         Seq("node"), "left")
@@ -484,9 +502,13 @@ object Graph {
     * struct-min argmax). The bounded unroll is ONE job. */
   def labelPropagation(edges: DataFrame, iters: Int): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
-    val e = edges.select(col("src"), col("dst"), col("w").cast("long").as("w"))
-      .repartition(col("src"))
-      .localCheckpoint()
+    // registry-shared (and no longer eager per CONSTRUCTION — the
+    // footgun purchaseCommunities' cachedBy form documents)
+    val e = PlanCache.checkpointed("graph-lpa-edges",
+        edges.queryExecution.logical.semanticHash(), edges.sparkSession) {
+      edges.select(col("src"), col("dst"), col("w").cast("long").as("w"))
+        .repartition(col("src"))
+    }
     var labels = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node")))
       .distinct()

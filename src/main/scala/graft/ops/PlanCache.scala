@@ -50,7 +50,27 @@ object PlanCache {
     * firing — either way persisted frames cannot accumulate past their
     * SparkContext's lifetime. */
   def cachedBy(tag: String, key: Int, spark: org.apache.spark.sql.SparkSession)(
-      build: => DataFrame): DataFrame = {
+      build: => DataFrame): DataFrame =
+    entry(tag, key, spark)(build.persist(StorageLevel.MEMORY_AND_DISK))
+
+  /** localCheckpoint-backed sibling of [[cachedBy]], for frames a
+    * bounded unroll references EVERY iteration: persist() pays a
+    * columnar decode per reference (measured 8× slower cold on the
+    * common-neighbors incidence frame, BASELINE.md r9), while a
+    * localCheckpoint scan replays raw rows. Registry-shared so two
+    * queries over the same input (g_bfs / g_harmonic's augmented edge
+    * list, g_pagerank / g_ppr_suppliers' degree-annotated one)
+    * materialize it ONCE per session instead of once per query.
+    * Same staleness/eviction contract as [[cachedBy]]; the build is
+    * materialized eagerly (localCheckpoint default), so a loud
+    * validation inside it (pageRankFixed's dangling-mass guard) fires
+    * at first-build time exactly as before. */
+  def checkpointed(tag: String, key: Int, spark: org.apache.spark.sql.SparkSession)(
+      build: => DataFrame): DataFrame =
+    entry("ck:" + tag, key, spark)(build.localCheckpoint())
+
+  private def entry(tag: String, key: Int, spark: org.apache.spark.sql.SparkSession)(
+      materialize: => DataFrame): DataFrame = {
     cache.filterInPlace((_, df) => !df.sparkSession.sparkContext.isStopped)
     val appId = spark.sparkContext.applicationId
     hooked.getOrElseUpdate(appId, {
@@ -64,8 +84,7 @@ object PlanCache {
       true
     })
     cache.getOrElseUpdate(
-      (appId + "/" + System.identityHashCode(spark), key, tag),
-      build.persist(StorageLevel.MEMORY_AND_DISK))
+      (appId + "/" + System.identityHashCode(spark), key, tag), materialize)
   }
 
   def clear(): Unit = {

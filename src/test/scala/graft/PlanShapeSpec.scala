@@ -640,15 +640,32 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
-  test("conserving markov steps carry the leak via one bounded global window") {
+  test("conserving markov folds on the driver: the plan is one local scan") {
     val p = plan("a_markov_conserve")
-    // the per-step leak totals are order-free global windows over the
-    // vocabulary-sized state frame (a SinglePartition exchange of a
-    // bounded frame — NOT a second aggregate over the live iterate,
-    // which would double the plan per step)
-    assert(p.contains("Exchange SinglePartition") && p.contains("Window"),
-      s"expected the bounded leak windows:\n$p")
-    assert(!p.contains("CartesianProduct"), p)
+    // the transition matrix is vocabulary²-bounded metadata behind a
+    // loud collect gate, so the eight conserving rounds fold in driver
+    // longs (the s_embed_pc1 Gram power-iteration convention) and the
+    // result frame is a LITERAL — no exchange, no join, no window; the
+    // data-sized pass lives in the shared (cached) markovMatrix build
+    assert(p.contains("LocalTableScan") || p.contains("LocalRelation"),
+      s"expected a literal result frame:\n$p")
+    assert(!p.contains("Exchange") && !p.contains("Join") &&
+      !p.contains("Window"), s"the fold must leave no distributed steps:\n$p")
+  }
+
+  test("per-doc textrank groups each document once and iterates in place") {
+    val p = plan("t_textrank_doc")
+    // the per-document iterate is fused into TextRankFixed over ONE
+    // collect_list group per doc — the plan must carry the fold
+    // (ObjectHashAggregate for collect_list + the explode Generate),
+    // and must NOT re-join the edge frame per round (the pre-r12
+    // unroll had 4 per-round joins; only the wout degree-annotate
+    // join inside the cached substrate remains, and the cache hides
+    // even that behind an InMemoryTableScan)
+    assert(p.contains("ObjectHashAggregate") && p.contains("Generate"),
+      s"expected the collect_list + explode fold:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"no per-round edge joins may remain:\n$p")
   }
 
   test("theil-sen pairs join inside the event-type key, never all-days") {

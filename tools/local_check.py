@@ -45,6 +45,9 @@ def main(sf_dir, out_dir):
             # every value is equal (the round-10 lesson: exactly the six
             # rows emitting HUGEINT failed the driver while local
             # fetchall() masked it). Flag any non-canonical output type.
+            # one relation serves both the type gate and the row fetch
+            # (con.execute(sql) after con.sql(sql) would materialize the
+            # query twice, doubling DuckDB time for the 301-row gate)
             rel = con.sql(sql)
             okt = {"BIGINT", "DOUBLE", "VARCHAR", "BOOLEAN", "DATE",
                    "TIMESTAMP", "INTEGER"}
@@ -54,9 +57,8 @@ def main(sf_dir, out_dir):
                 print(f"FAIL {name}: non-canonical oracle output types {oddt}")
                 n_bad += 1
                 continue
-            exp = con.execute(sql)
-            ecols = [d[0] for d in exp.description]
-            erows = exp.fetchall()
+            ecols = list(rel.columns)
+            erows = rel.fetchall()
         except Exception as e:
             print(f"FAIL {name}: oracle sql error: {str(e).splitlines()[0]}"); n_bad += 1; continue
         if sorted(gcols) != sorted(ecols):
