@@ -157,7 +157,20 @@ object SparkEntry {
     // is eager at query CONSTRUCTION, so without this step it would
     // run inside whichever consumer times first)
     "bpe_vocab" ->
-      ((s, dir) => { val (occ, enc) = bpeEncoded(s, dir); occ.count(); enc.count(); () }))
+      ((s, dir) => { val (occ, enc) = bpeEncoded(s, dir); occ.count(); enc.count(); () }),
+    // kept-corpus DSIR weight tables: the curation DAGs train K=3
+    // weights over their OWN kept corpora, which are plan-keyed cache
+    // entries DISTINCT from dsir_multi3's full-corpus one — without
+    // these steps the whole per-DAG shingle+bucket build lands inside
+    // the query timing, and under ambient load that family inflated
+    // 4-8x in the round-11 official run (the decontam/DSIR
+    // prepare-materialization task). The final ES top-k re-runs at
+    // query time over the cached weights — the query still measures
+    // its own closing step, the staging build is attributed here.
+    "decontam_curation" ->
+      ((s, dir) => { eDecontamCuration(s, dir).count(); () }),
+    "multi_curation" ->
+      ((s, dir) => { eMultiCuration(s, dir).count(); () }))
 
   // =====================================================================
   // Spark-side query implementations

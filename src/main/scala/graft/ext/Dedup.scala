@@ -1084,7 +1084,13 @@ object Dedup {
         if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb) // min-id root
       }
       val verts = parent.keySet ++ parent.values
-      val labels = verts.toSeq.map(v => (v, find(v))).toDF("doc_id", "cc")
+      // sorted so the literal label frame is ROW-ORDER deterministic:
+      // find(v) is the component min whatever the collect order, but a
+      // hash-set iteration order would leak into the LocalRelation and
+      // change downstream plan hashes per call — which would turn every
+      // PlanCache entry keyed on a consumer's plan (the kept-corpus
+      // DSIR weight tables) into a guaranteed miss
+      val labels = verts.toSeq.sorted.map(v => (v, find(v))).toDF("doc_id", "cc")
       return docs.select(col("doc_id"))
         .join(broadcast(labels), Seq("doc_id"), "left")
         .select(col("doc_id"), coalesce(col("cc"), col("doc_id")).as("group_id"))
