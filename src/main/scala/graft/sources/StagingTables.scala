@@ -18,6 +18,7 @@ object StagingTables {
     * JVM's in-memory catalog forgets the table but leaves the files,
     * and saveAsTable refuses to reuse the location. */
   def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int): Unit = {
+    validId(table)
     dropWithLocation(df.sparkSession, table)
     df.write
       .mode(SaveMode.Overwrite)
@@ -35,19 +36,37 @@ object StagingTables {
     * fresh JVM sweeps an orphaned location; steady-state republication
     * is a plain overwrite. */
   def writeSmall(df: DataFrame, table: String): Unit = {
+    validId(table) // every catalog entry point validates, not only the
+    // not-exists path — steady-state republication must not pass an
+    // unvetted identifier straight to saveAsTable
     val spark = df.sparkSession
     if (!spark.catalog.tableExists(table)) dropWithLocation(spark, table)
     df.write.mode(SaveMode.Overwrite).format("parquet").saveAsTable(table)
   }
 
+  /** Create `table` EMPTY with `df`'s schema only when it does not
+    * already exist — the cold-start initializer for published
+    * artifacts that must SURVIVE a driver restart (a board that
+    * outlived the previous driver is the whole point of the
+    * table-backed publication; overwriting it with an empty frame at
+    * startup would serve an empty board to every other application
+    * until the first republication). */
+  def initSmallIfAbsent(df: DataFrame, table: String): Unit = {
+    validId(table)
+    if (!df.sparkSession.catalog.tableExists(table)) writeSmall(df, table)
+  }
+
+  /** The identifier feeds SQL statements and a recursive warehouse
+    * delete — restrict it to plain [db.]name so neither can escape. */
+  private def validId(table: String): Unit =
+    require(table.matches("[A-Za-z0-9_]+(\\.[A-Za-z0-9_]+)?"),
+      s"table identifier must be [A-Za-z0-9_]+ with at most one dot: '$table'")
+
   /** Drop `table` AND its orphaned warehouse directory — a previous
     * JVM's in-memory catalog forgets the table but leaves the files,
     * and saveAsTable refuses to reuse the location. */
   private def dropWithLocation(spark: SparkSession, table: String): Unit = {
-    // the identifier feeds both a SQL statement and a recursive warehouse
-    // delete — restrict it to plain [db.]name so neither can escape
-    require(table.matches("[A-Za-z0-9_]+(\\.[A-Za-z0-9_]+)?"),
-      s"table identifier must be [A-Za-z0-9_]+ with at most one dot: '$table'")
+    validId(table)
     spark.sql(s"DROP TABLE IF EXISTS $table")
     // Managed locations lowercase the identifier and nest qualified
     // names under <db>.db/; only a local-file warehouse can be swept.

@@ -1170,27 +1170,64 @@ object Pipeline {
     * serve semantics in one driver (StreamingTopKSpec pins replay
     * equality against the view form), but the publication outlives the
     * driver and is resolvable by any application on the shared
-    * catalog. The table is initialised empty so cold-start requests
-    * answer in_topk = false instead of failing resolution. */
+    * catalog. Cold start CREATES the table empty only when absent
+    * (create-if-absent, not overwrite — a board that survived the
+    * previous driver is the survivability the table form exists for,
+    * and must not be erased at restart), so first requests answer
+    * in_topk = false instead of failing resolution.
+    *
+    * Publication is a plain-parquet saveAsTable overwrite — a
+    * NON-ATOMIC drop+recreate, so a concurrent reader can catch the
+    * table mid-swap (resolution failure or an empty listing). The
+    * serve leg therefore snapshots the ≤ k-row board per micro-batch
+    * (bounded collect — the topkFold leaderboard argument) and keeps
+    * the LAST GOOD snapshot: a read that fails or comes back empty
+    * mid-swap serves the previous board instead of killing the query
+    * or answering every key in_topk = false. On a production lake the
+    * publisher targets a transactional table format and the swap is
+    * atomic; the fallback then never fires but still guards reader
+    * restarts racing the first publication. */
   def topkServeTable(incs: org.apache.spark.sql.Dataset[StreamingTopK.Inc],
       requests: DataFrame, k: Int, shards: Int, table: String)(sink: Sink)
       : (StreamingQuery, StreamingQuery) = {
-    graft.sources.StagingTables.writeSmall(
+    graft.sources.StagingTables.initSmallIfAbsent(
       incs.sparkSession.createDataFrame(Seq.empty[(String, Long, Long)])
         .toDF("key", "total", "rank"), table)
     val pub = StreamingTopK.leaderboards(incs, k, shards)
       .writeStream.outputMode("update")
       .foreachBatch(topkPublisherTable(k, table)).start()
+    val lastGood = new java.util.concurrent.atomic.AtomicReference[
+      Seq[(String, Long, Long)]](Seq.empty)
     val serve = requests.writeStream.outputMode("append")
       .foreachBatch { (b: DataFrame, id: Long) =>
-        // the republication happened in ANOTHER session's write: this
-        // reader's shared file-status cache still lists the replaced
-        // parquet parts, so refresh before resolving (a separate
-        // application re-lists per query and needs no refresh)
-        b.sparkSession.catalog.refreshTable(table)
-        sink(id, topkLookup(b, b.sparkSession.table(table)))
+        sink(id, topkLookup(b, boardSnapshot(b.sparkSession, table, lastGood)))
         ()
       }.start()
     (pub, serve)
+  }
+
+  /** One serve-side board read with the last-good fallback (shared
+    * with the spec so the mid-swap path is pinned): refresh the
+    * reader's file-status cache (the republication happened in
+    * ANOTHER session's write — stale listings raise FILE_NOT_EXIST),
+    * read the ≤ k-row board, and keep it; any failure serves the
+    * previous snapshot. An EMPTY read only overwrites the snapshot
+    * when no board was ever seen — post-publication, an empty listing
+    * is the drop+recreate window, not a published empty board (the
+    * publisher always writes the full merged top-k). */
+  private[graft] def boardSnapshot(spark: SparkSession, table: String,
+      lastGood: java.util.concurrent.atomic.AtomicReference[Seq[(String, Long, Long)]])
+      : DataFrame = {
+    import spark.implicits._
+    val rows =
+      try {
+        spark.catalog.refreshTable(table)
+        val got = spark.table(table)
+          .select(col("key"), col("total"), col("rank"))
+          .as[(String, Long, Long)].collect().toSeq
+        if (got.nonEmpty || lastGood.get().isEmpty) { lastGood.set(got); got }
+        else lastGood.get()
+      } catch { case scala.util.control.NonFatal(_) => lastGood.get() }
+    rows.toDF("key", "total", "rank")
   }
 }

@@ -172,6 +172,60 @@ class StreamingTopKSpec extends SparkSpec {
     }
   }
 
+  test("table serve survives a driver restart: init is create-if-absent") {
+    withRocksDB {
+      implicit val sqlCtx = spark.sqlContext
+      // "previous driver" publishes a board
+      graft.sources.StagingTables.writeSmall(
+        Seq(("x", 9L, 1L)).toDF("key", "total", "rank"), "topk_restart_table")
+      val incs = MemoryStream[Inc]
+      val reqs = MemoryStream[String]
+      val got = scala.collection.mutable.ArrayBuffer.empty[(String, Boolean)]
+      val sink: graft.streaming.Pipeline.Sink = (_, df) =>
+        got.synchronized {
+          got ++= df.collect().map(r =>
+            (r.getAs[String]("key"), r.getAs[Boolean]("in_topk")))
+        }
+      // "restarted driver" wires the same table; before ANY new
+      // publication the surviving board must answer — startup must not
+      // overwrite it with an empty frame
+      val (pub, serve) = graft.streaming.Pipeline.topkServeTable(
+        incs.toDS(), reqs.toDS().toDF("key"), k = 2, shards = 2,
+        "topk_restart_table")(sink)
+      try {
+        reqs.addData("x", "y"); serve.processAllAvailable()
+        assert(got.toSet === Set(("x", true), ("y", false)),
+          s"surviving board erased at restart: ${got.toSeq}")
+      } finally { serve.stop(); pub.stop() }
+    }
+  }
+
+  test("mid-swap reads serve the last good board instead of failing") {
+    val lastGood = new java.util.concurrent.atomic.AtomicReference[
+      Seq[(String, Long, Long)]](Seq.empty)
+    graft.sources.StagingTables.writeSmall(
+      Seq(("a", 7L, 1L)).toDF("key", "total", "rank"), "topk_swap_table")
+    val first = graft.streaming.Pipeline
+      .boardSnapshot(spark, "topk_swap_table", lastGood).collect()
+    assert(first.map(_.getString(0)).toSeq === Seq("a"))
+    // the drop+recreate window of a non-transactional overwrite:
+    // resolution fails — the snapshot must keep serving the last board
+    spark.sql("DROP TABLE topk_swap_table")
+    val dropped = graft.streaming.Pipeline
+      .boardSnapshot(spark, "topk_swap_table", lastGood).collect()
+    assert(dropped.map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+      === Seq(("a", 7L, 1L)), "mid-swap read must serve the last good board")
+    // an EMPTY listing after a board was seen is the same window (the
+    // publisher never publishes an empty board) — also last-good
+    graft.sources.StagingTables.writeSmall(
+      Seq.empty[(String, Long, Long)].toDF("key", "total", "rank"),
+      "topk_swap_table")
+    val empty = graft.streaming.Pipeline
+      .boardSnapshot(spark, "topk_swap_table", lastGood).collect()
+    assert(empty.map(_.getString(0)).toSeq === Seq("a"),
+      "post-publication empty listing must serve the last good board")
+  }
+
   private def replayDelta(slices: Seq[Seq[Inc]], k: Int, shards: Int,
       name: String): Seq[Board] = {
     implicit val sqlCtx = spark.sqlContext
