@@ -298,7 +298,8 @@ object Bench {
         Seq("s_ann_lsh", "s_ann_lsh_mp", "s_ann_lsh_mp4", "s_ann_ivf",
           "s_ann_ivf_mp", "s_ann_ivf_mp4", "s_ann_ivf_km", "s_ann_ivfpq",
           "s_ann_ivfpq64", "s_ann_sq8", "s_ann_pq", "s_ann_pq64",
-          "s_ann_pq_rerank", "s_ann_pq_rerank64", "s_ann_hamming")
+          "s_ann_pq_rerank", "s_ann_pq_rerank64", "s_ann_hamming",
+          "s_ann_hamming128")
           .map(n => recallOf(n, SparkEntry.queries(n)(spark, sfDir)))
       } catch { case e: Throwable =>
         System.err.println(s"[bench] recall baseline FAILED: ${e.getMessage}"); Nil

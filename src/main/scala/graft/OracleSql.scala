@@ -686,37 +686,59 @@ WHERE rnk <= 5"""
 
   /** Binary sign-code ANN SQL (shared by s_ann_hamming and the
     * s_ann_recall_audit composition). */
-  private val S_ANN_HAMMING: String = {
-      def word(w: Int) = (0 until 32).map(i =>
-        s"(CASE WHEN v[${w * 32 + i + 1}] > 0 THEN (1::BIGINT << $i) ELSE 0 END)")
-        .mkString(" + ")
-      s"""WITH vecs AS (
+  /** Shared Hamming-ANN SQL builder: `words` renders each code word,
+    * `nCand` is the rerank budget — the 64-bit registry dial and the
+    * 128-bit graduated one differ only here. */
+  private def annHammingSql(words: Seq[String], nCand: Int): String = {
+    val names = words.indices.map(i => s"c$i")
+    val defs = words.zip(names).map { case (w, n) => s"$w AS $n" }.mkString(",\n         ")
+    val qsel = names.map(n => s"$n AS q$n").mkString(", ")
+    val hd = names.map(n => s"bit_count(xor(q$n, $n))").mkString(" + ")
+    s"""WITH vecs AS (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings
 ), nv AS (
   SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm,
-         ${word(0)} AS c0,
-         ${word(1)} AS c1
+         $defs
   FROM vecs
-), q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn, c0 AS qc0, c1 AS qc1
+), q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn, $qsel
          FROM nv WHERE vec_id < 8
-), st AS (SELECT vec_id, v, nrm, c0, c1 FROM nv WHERE vec_id >= 8
+), st AS (SELECT * FROM nv WHERE vec_id >= 8
 ), cand AS (
   SELECT q_id, vec_id,
          row_number() OVER (PARTITION BY q_id ORDER BY hd, vec_id) AS hrnk
-  FROM (SELECT q_id, vec_id,
-               bit_count(xor(qc0, c0)) + bit_count(xor(qc1, c1)) AS hd
+  FROM (SELECT q_id, vec_id, $hd AS hd
         FROM q JOIN st ON q_id <> vec_id)
 ), rr AS (
   SELECT c.q_id, c.vec_id,
          list_dot_product(q.qv, s.v) / (q.qn * s.nrm) AS cos
   FROM cand c JOIN st s USING (vec_id) JOIN q ON c.q_id = q.q_id
-  WHERE c.hrnk <= 32)
+  WHERE c.hrnk <= $nCand)
 SELECT q_id, vec_id AS neighbor_id, CAST(rnk AS INT) AS rnk, round(cos, 4) AS cos
 FROM (SELECT q_id, vec_id, cos,
         row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rnk
       FROM rr)
 WHERE rnk <= 5"""
-    }
+  }
+
+  /** Sign word w (mirror of Similarity.binaryCodeWord). */
+  private def signWord(w: Int): String = (0 until 32).map(i =>
+    s"(CASE WHEN v[${w * 32 + i + 1}] > 0 THEN (1::BIGINT << $i) ELSE 0 END)")
+    .mkString(" + ")
+
+  /** Difference-sign word w at offset `off` (mirror of
+    * Similarity.diffCodeWord). */
+  private def diffWord(w: Int, off: Int): String = (0 until 32).map { i =>
+    val d = w * 32 + i
+    s"(CASE WHEN v[${d + 1}] > v[${(d + off) % 64 + 1}] THEN (1::BIGINT << $i) ELSE 0 END)"
+  }.mkString(" + ")
+
+  private val S_ANN_HAMMING: String =
+    annHammingSql(Seq(signWord(0), signWord(1)), 32)
+
+  /** The graduated 128-bit dial (sign + offset-7 difference-sign
+    * words, 64-candidate rerank — Similarity.hammingTopKWide). */
+  private val S_ANN_HAMMING128: String =
+    annHammingSql(Seq(signWord(0), signWord(1), diffWord(0, 7), diffWord(1, 7)), 64)
 
   /** s_ann_lsh_mp4 SQL (shared with the s_ann_recall_audit composition). */
   private val S_ANN_LSH_MP4: String = s"""${vecs(4)}, q0 AS (
@@ -819,6 +841,24 @@ WHERE rnk <= 3"""
     list_transform(embedding, x -> floor(CAST(x AS DOUBLE) * 1000.0 + 0.5)))
     AS BIGINT) AS norm2_fx
 FROM embeddings""",
+    // the SQL-only parity chain: identical rows to q_log_correlation
+    // (the Spark side's be_int decode is a big-endian round trip over
+    // int-range values — the identity, like q_sql_surface's rt_id)
+    "q_sql_pipeline" -> """WITH rec AS (
+  SELECT event_id, CAST(floor(value) AS BIGINT) AS value_int,
+         substr(md5(CAST(event_id AS VARCHAR)), 1, 16) AS trace_id
+  FROM events
+), ctx AS (
+  SELECT *, 'messageid_' || CAST(value_int AS VARCHAR) AS messageid FROM rec
+), evens AS (SELECT * FROM ctx WHERE value_int % 2 = 0
+), odds AS (SELECT * FROM ctx WHERE value_int % 2 <> 0 OR value_int IS NULL
+), logs AS (
+  SELECT trace_id, 'Got number: ' || CAST(value_int AS VARCHAR) AS line FROM ctx
+  UNION ALL SELECT trace_id, 'Even number: ' || CAST(value_int AS VARCHAR) FROM evens
+  UNION ALL SELECT CAST(NULL AS VARCHAR), 'Odd number: ' || CAST(value_int AS VARCHAR) FROM odds)
+SELECT e.event_id, e.trace_id, e.messageid, l.line
+FROM evens e JOIN logs l ON e.trace_id = l.trace_id""",
+
     "q_branch_even" -> s"$REC SELECT event_id, user_id, value_int FROM evens",
 
     "q_branch_odd" -> s"$REC SELECT event_id, user_id, value_int FROM odds",
@@ -3694,6 +3734,8 @@ FROM documents, range(0, 4) t(i)""",
     // the BIGINT sign bit), XOR+popcount Hamming candidates (32),
     // exact cosine rerank with the shared (cos DESC, vec_id) rule
     "s_ann_hamming" -> S_ANN_HAMMING,
+
+    "s_ann_hamming128" -> S_ANN_HAMMING128,
 
     // Benford first-digit audit: exact cents -> string head digit,
     // e6 fixed point, expected constants shared with the engine

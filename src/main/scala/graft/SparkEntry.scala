@@ -3207,6 +3207,15 @@ object SparkEntry {
   private def sAnnHamming(s: SparkSession, dir: String): DataFrame =
     Similarity.hammingTopK(T(s, dir, "embeddings"), col("vec_id") < 8, 5, 32)
 
+  /** The graduated Hamming dial ([[graft.ext.Similarity.hammingTopKWide]]):
+    * 128-bit code (sign bits + offset-7 difference-sign bits) and a
+    * 64-candidate rerank — recall@3 0.750 vs the 64-bit/32-candidate
+    * row's 0.417 at sf0.1 (the lsh_mp4/pq64 graduation line; measured
+    * per-round in bench_details recall_at_3). Candidate pass streams
+    * 32 bytes/row; rank rules unchanged. */
+  private def sAnnHamming128(s: SparkSession, dir: String): DataFrame =
+    Similarity.hammingTopKWide(T(s, dir, "embeddings"), col("vec_id") < 8, 5, 64)
+
   /** Association rules over order baskets (support / confidence /
     * lift): pair co-occurrence via a basket-keyed self-join — fan-out
     * bounded by basket size squared (TPC-H baskets ≤ ~13 items), never
@@ -6059,12 +6068,65 @@ object SparkEntry {
     * double, so no rounding exists for engines to disagree on. */
   val ModelWeightsX10: Seq[Double] = (1 to 64).map(i => ((i * 37 % 19) - 9).toDouble)
 
+  /** The FULL parity chain as `spark.sql` over a temp view — decode
+    * (be_int over the big-endian value bytes, the registered native
+    * expression) → context derivation (trace id, messageid baggage,
+    * minted set-span) → first-match-wins branching (null predicates to
+    * the default branch, the [[graft.ops.ContextOps.branch]] contract)
+    * → the three-way log fan-out → the trace-id correlation join.
+    * Hash-equal to [[qLogCorrelation]]'s DataFrame rows by
+    * construction: every formula is the same md5-prefix / concat /
+    * pmod built-in the column DSL compiles to, so the parser +
+    * analyzer + FunctionRegistry path is a first-class entry point to
+    * the SAME plan (the reference's declarative topology,
+    * StreamsConfig.java:30-52, driven from SQL instead of the DSL).
+    * The view prep encodes value_int as 4-byte big-endian binary so
+    * the SQL side performs a REAL decode; the DuckDB oracle replays
+    * the round-trip as the identity (int-range values — the
+    * q_sql_surface convention). */
+  private def qSqlPipeline(s: SparkSession, dir: String): DataFrame = {
+    GraftExtensions.registerAll(s)
+    T(s, dir, "events")
+      .select(col("event_id"),
+        graft.codec.BigEndianInt32.beIntEncode(
+          floor(col("value")).cast("int")).as("vbin"))
+      .createOrReplaceTempView("graft_sql_pipeline")
+    s.sql("""
+      WITH rec AS (
+        SELECT event_id,
+               CAST(be_int(vbin) AS BIGINT) AS value_int,
+               substr(md5(CAST(event_id AS STRING)), 1, 16) AS trace_id
+        FROM graft_sql_pipeline
+      ), ctx AS (
+        SELECT *,
+               concat('messageid_', CAST(value_int AS STRING)) AS messageid
+        FROM rec
+      ), evens AS (
+        SELECT * FROM ctx WHERE coalesce(pmod(value_int, 2) = 0, false)
+      ), odds AS (
+        SELECT * FROM ctx WHERE NOT coalesce(pmod(value_int, 2) = 0, false)
+      ), logs AS (
+        SELECT trace_id,
+               concat('Got number: ', CAST(value_int AS STRING)) AS line
+        FROM ctx
+        UNION ALL
+        SELECT trace_id, concat('Even number: ', CAST(value_int AS STRING))
+        FROM evens
+        UNION ALL
+        SELECT CAST(NULL AS STRING), concat('Odd number: ', CAST(value_int AS STRING))
+        FROM odds
+      )
+      SELECT e.event_id, e.trace_id, e.messageid, l.line
+      FROM evens e JOIN logs l ON e.trace_id = l.trace_id""")
+  }
+
   // =====================================================================
   // Registry
   // =====================================================================
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_sql_surface" -> (qSqlSurface _),
+    "q_sql_pipeline" -> (qSqlPipeline _),
     "q_branch_even" -> (qBranchEven _),
     "q_branch_odd" -> (qBranchOdd _),
     "q_derive_context" -> (qDeriveContext _),
@@ -6268,6 +6330,7 @@ object SparkEntry {
     "s_ann_filtered" -> (sAnnFiltered _),
     "d_semantic_dedup" -> (dSemanticDedup _),
     "s_ann_hamming" -> (sAnnHamming _),
+    "s_ann_hamming128" -> (sAnnHamming128 _),
     "a_abtest" -> (aAbtest _),
     "a_cusum" -> (aCusum _),
     "a_anomaly_mad" -> (aAnomalyMad _),

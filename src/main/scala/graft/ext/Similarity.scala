@@ -145,6 +145,50 @@ object Similarity {
         .join(broadcast(q.select(col("q_id"), col("qv"), col("qn"))), "q_id"), k)
   }
 
+  /** One 32-bit word of the DIFFERENCE-sign extension code: bit i of
+    * word `w` is sign(v[d] − v[(d+off) mod 64]) for d = 32w+i
+    * (0-based) — the axis-PAIR hyperplane e_d − e_{d+off}, as
+    * deterministic and oracle-reproducible as the axis-aligned sign
+    * bits but carrying information the plain signs cannot (relative
+    * magnitude between coordinates), which is what lifts Hamming
+    * recall without touching the candidate budget. Same two-word
+    * packing discipline as [[binaryCodeWord]] (no BIGINT sign bit). */
+  def diffCodeWord(v: Column, word: Int, off: Int): Column =
+    (0 until 32).map { i =>
+      val d = word * 32 + i
+      when(element_at(v, d + 1) > element_at(v, (d + off) % 64 + 1),
+        lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** [[hammingTopK]] graduated to a 128-BIT code: the two sign words
+    * plus two difference-sign words (offset 7 — any fixed offset
+    * coprime to 64 pairs every coordinate once). Candidate pass
+    * streams 32 bytes/row (4 XOR+popcount per pair); rank/tie rules
+    * identical to brute-force, so recall@3 is directly comparable to
+    * the 64-bit dial on the same candidate budget. */
+  def hammingTopKWide(emb: DataFrame, queryPred: Column, k: Int, nCand: Int): DataFrame = {
+    val code = Seq(
+      "c0" -> binaryCodeWord(col("v"), 0), "c1" -> binaryCodeWord(col("v"), 1),
+      "c2" -> diffCodeWord(col("v"), 0, 7), "c3" -> diffCodeWord(col("v"), 1, 7))
+    val vecs = code.foldLeft(withNorm(emb)) { case (df, (n, c)) => df.withColumn(n, c) }
+    val store = vecs.filter(!queryPred)
+    val q = vecs.filter(queryPred)
+      .select(col("vec_id").as("q_id") +: col("v").as("qv") +: col("nrm").as("qn") +:
+        code.map { case (n, _) => col(n).as(s"q$n") }: _*)
+    val cand = broadcast(q.select(col("q_id") +: code.map(c => col(s"q${c._1}")): _*))
+      .join(store.select(col("vec_id") +: code.map(c => col(c._1)): _*),
+        col("q_id") =!= col("vec_id"))
+      .withColumn("hd", expr(code.map { case (n, _) => s"bit_count(q$n ^ $n)" }
+        .mkString(" + ")))
+      .withColumn("hrnk", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("hd"), col("vec_id"))))
+      .filter(col("hrnk") <= nCand)
+      .select(col("q_id"), col("vec_id"))
+    rankTopK(
+      cand.join(store.select(col("vec_id"), col("v"), col("nrm")), "vec_id")
+        .join(broadcast(q.select(col("q_id"), col("qv"), col("qn"))), "q_id"), k)
+  }
+
   /** Sign-bit LSH bucket id from the first `nBits` dimensions
     * (axis-aligned random-hyperplane LSH; deterministic and
     * oracle-reproducible). Bucket join turns the quadratic candidate

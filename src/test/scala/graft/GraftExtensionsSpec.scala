@@ -17,6 +17,17 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(err.getMessage.contains("INT literal"))
   }
 
+  test("the SQL parity pipeline replays the DSL correlation rows exactly") {
+    val dir = "/root/testdata/sf0.001"
+    val sql = SparkEntry.queries("q_sql_pipeline")(spark, dir)
+      .as[(Long, String, String, String)].collect().sorted.toSeq
+    val dsl = SparkEntry.queries("q_log_correlation")(spark, dir)
+      .select("event_id", "trace_id", "messageid", "line")
+      .as[(Long, String, String, String)].collect().sorted.toSeq
+    assert(sql.nonEmpty && sql === dsl,
+      "parser+FunctionRegistry path diverged from the column DSL")
+  }
+
   test("be_int is callable from SQL after registration") {
     GraftExtensions.registerAll(spark)
     val got = spark.sql(

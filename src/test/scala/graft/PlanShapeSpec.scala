@@ -761,6 +761,24 @@ class PlanShapeSpec extends SparkSpec {
       !p.contains("Window"), s"one scan, zero shuffles:\n$p")
   }
 
+  test("the SQL parity pipeline plans like the DSL form: native decode, one equi-join") {
+    val p = plan("q_sql_pipeline")
+    assert(p.toLowerCase.contains("bigendianint32") ||
+      p.toLowerCase.contains("be_int"), s"be_int must plan natively:\n$p")
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin") ||
+      p.contains("ShuffledHashJoin"),
+      s"the correlation must be an equi-join on trace_id:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("Window"),
+      s"no cartesian, no window — the q_log_correlation shape:\n$p")
+    // same join strategy as the DSL twin at this scale
+    val dsl = plan("q_log_correlation")
+    def joinKind(s: String): String =
+      Seq("BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin")
+        .find(s.contains).getOrElse("none")
+    assert(joinKind(p) === joinKind(dsl),
+      s"SQL form must pick the DSL twin's join strategy: ${joinKind(p)} vs ${joinKind(dsl)}")
+  }
+
   test("layout advisors are partial-agg chains; retention folds one broadcast row") {
     for (name <- Seq("p_partition_skew", "p_compaction_plan")) {
       val p = plan(name)
