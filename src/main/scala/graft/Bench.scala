@@ -250,7 +250,13 @@ object Bench {
             approx_count_distinct(col("l_suppkey")).as("n_supps"),
             approx_count_distinct(col("l_orderkey")).as("n_orders"),
             count(lit(1)).as("n_rows"))
-      }))
+      }),
+      // the 100 TB swap-in for p_stats_profile: the exact
+      // multi-countDistinct plans as ONE Expand (scan multiplied per
+      // distinct aggregate — oracle-exact, the registry row), while a
+      // production profiler runs HLL sketches in one un-expanded pass;
+      // approximate ndv, hence bench-only (same convention as above)
+      "p_stats_profile_hll" -> (SparkEntry.pStatsProfileHll _))
     val extraResults = extras.map { case (name, fn) =>
       var ok = true
       val sec = timed {

@@ -5624,6 +5624,51 @@ object SparkEntry {
       .select(col("r.*"))
   }
 
+  /** The approximate twin of [[pStatsProfile]] (bench extra, not a
+    * registry row — ndv is estimated): identical report shape with
+    * `approx_count_distinct` HLL sketches instead of exact
+    * countDistinct. The exact form compiles to one Expand (the scan
+    * multiplied per distinct aggregate — 4× here); the sketches merge
+    * in a single un-expanded pass, which is what a stats profiler
+    * actually runs at 100 TB. Measured delta rides
+    * bench_details.json's extras (the a_distinct_hll convention). */
+  private[graft] def pStatsProfileHll(s: SparkSession, dir: String): DataFrame = {
+    val a = T(s, dir, "events").agg(
+      count(lit(1)).as("n"),
+      sum(col("event_id").isNull.cast("long")).as("nn_id"),
+      approx_count_distinct(col("event_id")).as("ndv_id"),
+      min(col("event_id")).as("mn_id"), max(col("event_id")).as("mx_id"),
+      sum(col("user_id").isNull.cast("long")).as("nn_uid"),
+      approx_count_distinct(col("user_id")).as("ndv_uid"),
+      min(col("user_id")).as("mn_uid"), max(col("user_id")).as("mx_uid"),
+      sum(col("event_type").isNull.cast("long")).as("nn_ty"),
+      approx_count_distinct(col("event_type")).as("ndv_ty"),
+      min(col("event_type")).as("mn_ty"), max(col("event_type")).as("mx_ty"),
+      sum(col("props").isNull.cast("long")).as("nn_pr"),
+      approx_count_distinct(col("props")).as("ndv_pr"),
+      min(col("props")).as("mn_pr"), max(col("props")).as("mx_pr"))
+    val nullL = lit(null).cast("long")
+    val nullS = lit(null).cast("string")
+    a.select(explode(array(
+      struct(lit("event_id").as("col_name"), col("n"),
+        col("nn_id").as("n_null"), col("ndv_id").as("ndv"),
+        col("mn_id").as("min_long"), col("mx_id").as("max_long"),
+        nullS.as("min_str"), nullS.as("max_str")),
+      struct(lit("user_id").as("col_name"), col("n"),
+        col("nn_uid").as("n_null"), col("ndv_uid").as("ndv"),
+        col("mn_uid").as("min_long"), col("mx_uid").as("max_long"),
+        nullS.as("min_str"), nullS.as("max_str")),
+      struct(lit("event_type").as("col_name"), col("n"),
+        col("nn_ty").as("n_null"), col("ndv_ty").as("ndv"),
+        nullL.as("min_long"), nullL.as("max_long"),
+        col("mn_ty").as("min_str"), col("mx_ty").as("max_str")),
+      struct(lit("props").as("col_name"), col("n"),
+        col("nn_pr").as("n_null"), col("ndv_pr").as("ndv"),
+        nullL.as("min_long"), nullL.as("max_long"),
+        col("mn_pr").as("min_str"), col("mx_pr").as("max_str")))).as("r"))
+      .select(col("r.*"))
+  }
+
   /** Retention planner: against a declared 14-day policy measured
     * from the feed's freshest day (1-row broadcast fold, the
     * p_freshness convention), how many rows and bytes each type

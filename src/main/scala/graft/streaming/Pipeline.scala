@@ -979,6 +979,37 @@ object Pipeline {
         expr("unix_micros(w.start) div 86400000000").as("day"),
         col("n_day"), col("last_us"))
 
+  /** Closed-day COMPACTION leg of [[freshnessDayGaugeWatermarked]] —
+    * the wiring its docstring promised: the same watermarked window
+    * aggregation run in APPEND mode, where Spark emits a (type, day)
+    * row exactly ONCE, when the watermark passes the day window plus
+    * lateness, i.e. exactly when the day CLOSES. Each emission appends
+    * into a managed batch table (create-if-absent, the board-init
+    * discipline), so compacted history accumulates where the batch
+    * freshness queries read while the live UPDATE-mode gauge carries
+    * only open days. Replay contract (spec-pinned,
+    * StreamingGovernanceSpec): after any prefix of the stream the
+    * table equals the BATCH [[freshnessDayGauge]] restricted to the
+    * closed days, each row present once — and on bucket-aligned cuts
+    * [[freshnessDayReport]] over the table reproduces the
+    * microsecond-exact p_freshness projection of those days. On a
+    * production lake the append targets a transactional format; plain
+    * parquet appends are atomic enough here because each closed day
+    * arrives in exactly one micro-batch. */
+  def freshnessDayCompactor(events: DataFrame, table: String,
+      lateness: String = "2 days"): StreamingQuery = {
+    import org.apache.spark.sql.SaveMode
+    graft.sources.StagingTables.initSmallIfAbsent(
+      events.sparkSession.createDataFrame(Seq.empty[(String, Long, Long, Long)])
+        .toDF("event_type", "day", "n_day", "last_us"), table)
+    freshnessDayGaugeWatermarked(events, lateness)
+      .writeStream.outputMode("append")
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        b.write.mode(SaveMode.Append).format("parquet").saveAsTable(table)
+        ()
+      }.start()
+  }
+
   /** Report over the day gauge: everything [[freshnessReport]] emits
     * plus `n_last_day_approx` — the trailing-24 h arrival count at DAY
     * resolution (all buckets whose day index reaches the window).

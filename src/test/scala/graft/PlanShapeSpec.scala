@@ -779,6 +779,17 @@ class PlanShapeSpec extends SparkSpec {
       s"SQL form must pick the DSL twin's join strategy: ${joinKind(p)} vs ${joinKind(dsl)}")
   }
 
+  test("stats profile: the exact form expands, the HLL twin is one pass") {
+    val exact = plan("p_stats_profile")
+    assert(exact.contains("Expand"),
+      s"exact multi-countDistinct must plan as Expand (the oracle-exact form):\n$exact")
+    val hll = SparkEntry.pStatsProfileHll(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!hll.contains("Expand"),
+      s"the HLL twin must merge sketches in one un-expanded pass:\n$hll")
+    assert(!hll.contains("Join") && !hll.contains("Window"), hll)
+  }
+
   test("layout advisors are partial-agg chains; retention folds one broadcast row") {
     for (name <- Seq("p_partition_skew", "p_compaction_plan")) {
       val p = plan(name)

@@ -283,6 +283,67 @@ class StreamingGovernanceSpec extends SparkSpec {
     }
   }
 
+  test("closed days compact into the batch table once; report equals p_freshness on the aligned cut") {
+    withRocksDB {
+      val dayUs = 86400000000L
+      implicit val sqlCtx = spark.sqlContext
+      val input = MemoryStream[(Long, java.sql.Timestamp, String)]
+      def ev(id: Long, day: Long, tpe: String) =
+        (id, new java.sql.Timestamp(day * dayUs / 1000L), tpe)
+      // day-ALIGNED fixture (exact bucket boundaries, so the
+      // trailing-24h cut of the day report is exact): days 9..11 plus
+      // a day-14 sentinel whose only job is to advance the watermark
+      // to 12 and CLOSE days 9..11
+      val closing = Seq(
+        ev(1, 9, "view"), ev(2, 10, "view"), ev(3, 11, "view"),
+        ev(4, 10, "click"), ev(5, 11, "click"), ev(6, 9, "purchase"))
+      val q = graft.streaming.Pipeline.freshnessDayCompactor(
+        input.toDF().toDF("event_id", "ts", "event_type"),
+        "freshness_days", lateness = "1 day")
+      try {
+        // all of days 9..11 in ONE batch (a day-9 row arriving after
+        // the watermark passed it would be a late DROP, which the
+        // eviction test pins — this test pins compaction)
+        input.addData(closing); q.processAllAvailable()
+        // day-14 sentinel advances the watermark to 13 and closes 9..11
+        input.addData(Seq(ev(7, 14, "view"))); q.processAllAvailable()
+        // idempotence probe: an open-day event and an empty-progress
+        // batch must not re-emit any closed day
+        input.addData(Seq(ev(8, 14, "click"))); q.processAllAvailable()
+      } finally q.stop()
+      val table = spark.table("freshness_days")
+        .as[(String, Long, Long, Long)].collect().toSeq
+      // exactly the batch day gauge over the CLOSED days (< watermark
+      // 13 - 1d lateness => window end <= 12 => days 9..11), once each
+      val closedBatch = graft.streaming.Pipeline.freshnessDayGauge(
+        closing.toDF("event_id", "ts", "event_type"))
+        .as[(String, Long, Long, Long)].collect().toSeq
+      assert(table.sorted === closedBatch.sorted,
+        s"compacted table must equal the batch gauge over closed days: $table")
+      assert(table.size === table.distinct.size, "closed days must land once")
+      // aligned-cut replay equality with the microsecond-exact
+      // p_freshness projection over the same closed-day events
+      val report = graft.streaming.Pipeline
+        .freshnessDayReport(spark.table("freshness_days"))
+        .as[(String, Long, Long, Long, Long, Boolean)].collect().toSet
+      val evs = closing.toDF("event_id", "ts", "event_type")
+        .select(col("event_type"), expr("unix_micros(ts)").as("us"))
+      val gmax = evs.agg(max(col("us")).as("g_us"))
+      val exact = evs.crossJoin(broadcast(gmax))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_total"), max(col("us")).as("last_us"),
+          max(col("g_us")).as("g_us"),
+          sum(when(col("us") >= col("g_us") - dayUs, 1L).otherwise(0L))
+            .as("n_last_day"))
+        .select(col("event_type"), col("n_total"), col("last_us"),
+          (col("g_us") - col("last_us")).as("lag_us"), col("n_last_day"),
+          (col("g_us") - col("last_us") <= 21600000000L).as("fresh_6h"))
+        .as[(String, Long, Long, Long, Long, Boolean)].collect().toSet
+      assert(report === exact,
+        "day report over compacted history must equal p_freshness on the aligned cut")
+    }
+  }
+
   test("transition rows aggregate to the batch matrix on an ordered replay") {
     val rows: Seq[(Long, java.sql.Timestamp, Long, String)] =
       (0 until 60).map { i =>

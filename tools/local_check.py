@@ -24,6 +24,18 @@ def canon(rows, cols):
     out.sort()
     return out
 
+# The canonical emission types (both sides): the driver hashes results
+# through Arrow/pandas, where anything outside this set degrades
+# (HUGEINT -> decimal128/float was the round-10 lesson on the oracle
+# side; a DecimalType slipping into a Spark dump would be the mirror
+# failure) — so BOTH the oracle output and the Spark parquet dump are
+# gated, not just compared.
+OK_TYPES = {"BIGINT", "DOUBLE", "VARCHAR", "BOOLEAN", "DATE",
+            "TIMESTAMP", "INTEGER"}
+
+def odd_types(cols, types):
+    return [(c, str(t)) for c, t in zip(cols, types) if str(t) not in OK_TYPES]
+
 def main(sf_dir, out_dir):
     con = duckdb.connect()
     for t in TABLES:
@@ -32,10 +44,18 @@ def main(sf_dir, out_dir):
     n_ok = n_bad = 0
     for name, sql in sorted(oracle.items()):
         try:
-            got = con.execute(
+            grel = con.sql(
                 f"SELECT * FROM parquet_scan('{out_dir}/{name}/*.parquet')")
-            gcols = [d[0] for d in got.description]
-            grows = got.fetchall()
+            # Spark-side emission-type gate (mirror of the oracle one
+            # below): a non-canonical column in the dump must fail HERE,
+            # before the driver's Arrow/pandas hash path degrades it
+            goddt = odd_types(grel.columns, grel.types)
+            if goddt:
+                print(f"FAIL {name}: non-canonical spark dump types {goddt}")
+                n_bad += 1
+                continue
+            gcols = list(grel.columns)
+            grows = grel.fetchall()
         except Exception as e:
             print(f"FAIL {name}: spark output unreadable: {e}"); n_bad += 1; continue
         try:
@@ -49,10 +69,7 @@ def main(sf_dir, out_dir):
             # (con.execute(sql) after con.sql(sql) would materialize the
             # query twice, doubling DuckDB time for the 301-row gate)
             rel = con.sql(sql)
-            okt = {"BIGINT", "DOUBLE", "VARCHAR", "BOOLEAN", "DATE",
-                   "TIMESTAMP", "INTEGER"}
-            oddt = [(c, str(t)) for c, t in zip(rel.columns, rel.types)
-                    if str(t) not in okt]
+            oddt = odd_types(rel.columns, rel.types)
             if oddt:
                 print(f"FAIL {name}: non-canonical oracle output types {oddt}")
                 n_bad += 1
@@ -77,5 +94,21 @@ def main(sf_dir, out_dir):
     print(f"\n{n_ok} ok, {n_bad} failed")
     return 1 if n_bad else 0
 
+def selftest():
+    """The Spark-dump gate must reject a planted decimal column."""
+    import tempfile
+    con = duckdb.connect()
+    d = tempfile.mkdtemp(prefix="gate_selftest_")
+    con.execute(f"""COPY (SELECT CAST(1 AS BIGINT) AS ok_col,
+        CAST(1.5 AS DECIMAL(20, 4)) AS planted)
+        TO '{d}/part-0.parquet' (FORMAT PARQUET)""")
+    rel = con.sql(f"SELECT * FROM parquet_scan('{d}/*.parquet')")
+    bad = odd_types(rel.columns, rel.types)
+    assert bad and bad[0][0] == "planted", f"gate missed the decimal: {bad}"
+    print(f"selftest OK: planted decimal rejected as {bad}")
+    return 0
+
 if __name__ == "__main__":
+    if len(sys.argv) == 2 and sys.argv[1] == "--selftest":
+        sys.exit(selftest())
     sys.exit(main(sys.argv[1], sys.argv[2]))
