@@ -1262,6 +1262,20 @@ FROM orders JOIN lineitem ON o_orderkey = l_orderkey
   AND l_shipdate >= o_orderdate AND l_shipdate < o_orderdate + INTERVAL 30 DAY
 GROUP BY o_orderkey""",
 
+    // interval-overlap join: the oracle replays the NAIVE inequality
+    // join; the Spark side's bucketed equi-join + anchor-bucket
+    // uniqueness must agree row-for-row, which pins the rewrite's
+    // exactly-once algebra
+    "a_interval_join" -> s"""$SESSIONS, err AS (
+  SELECT us // 86400000000 AS err_day,
+         min(us) AS err_start_us, max(us) AS err_end_us
+  FROM ev WHERE event_type = 'error' GROUP BY 1)
+SELECT s.user_id, CAST(s.sess_idx AS BIGINT) AS sess_idx, e.err_day,
+       least(s.end_us, e.err_end_us) - greatest(s.start_us, e.err_start_us)
+         AS overlap_us
+FROM sess s JOIN err e
+  ON s.start_us <= e.err_end_us AND e.err_start_us <= s.end_us""",
+
     // daily sums are exact integer cents => the 7-row frame sum is
     // order-independent; DuckDB's sum() OVER widens BIGINT to HUGEINT,
     // hence the casts around the window expressions

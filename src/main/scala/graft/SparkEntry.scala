@@ -671,6 +671,31 @@ object SparkEntry {
       .agg(count(lit(1)).as("n_shipped_30d"))
   }
 
+  /** Interval-OVERLAP join ([[graft.ops.IntervalJoin.overlap]]) — the
+    * no-equi-key member of the join family: which user sessions
+    * overlapped an incident window ("was this session affected").
+    * Left = gap-sessionized user sessions; right = per-day error
+    * windows ([first error, last error] of each day with errors).
+    * The naive form is a cartesian; the operator rewrites it as a
+    * 1-hour-bucket equi-join with anchor-bucket uniqueness (each
+    * overlapping pair kept exactly once, no dedup shuffle) — the
+    * DuckDB oracle replays the naive inequality join and must agree
+    * row-for-row, which is what pins the rewrite's exactly-once
+    * algebra. */
+  private def aIntervalJoin(s: SparkSession, dir: String): DataFrame = {
+    val sess = graft.ops.Sessionize.sessions(T(s, dir, "events"), 1800L * 1000000L)
+      .select(col("user_id"), col("sess_idx"), col("start_us"), col("end_us"))
+    val err = T(s, dir, "events").filter(col("event_type") === "error")
+      .select(unix_micros(col("ts")).as("us"))
+      .groupBy(expr("us div 86400000000").as("err_day"))
+      .agg(min(col("us")).as("err_start_us"), max(col("us")).as("err_end_us"))
+    graft.ops.IntervalJoin.overlap(sess, "start_us", "end_us",
+        err, "err_start_us", "err_end_us", 3600L * 1000000L)
+      .select(col("user_id"), col("sess_idx"), col("err_day"),
+        graft.ops.IntervalJoin.overlapLen(col("start_us"), col("end_us"),
+          col("err_start_us"), col("err_end_us")).as("overlap_us"))
+  }
+
   // ----------------------------------------------------------------- text
 
   private def tTextStats(s: SparkSession, dir: String): DataFrame = {
@@ -6206,6 +6231,7 @@ object SparkEntry {
     "a_hopping_window" -> (aHoppingWindow _),
     "a_session_window" -> (aSessionWindow _),
     "a_range_join" -> (aRangeJoin _),
+    "a_interval_join" -> (aIntervalJoin _),
     "a_asof_join" -> (aAsofJoin _),
     "a_skew_salted" -> (aSkewSalted _),
     "a_distinct_counts" -> (aDistinctCounts _),

@@ -668,6 +668,18 @@ class PlanShapeSpec extends SparkSpec {
       s"no per-round edge joins may remain:\n$p")
   }
 
+  test("interval-overlap join rides the bucket equi-join, never a cartesian") {
+    val p = plan("a_interval_join")
+    assert(p.contains("Generate"),
+      s"bucket fan-out must be the explode, not a range condition:\n$p")
+    assert(p.contains("SortMergeJoin") || p.contains("BroadcastHashJoin") ||
+      p.contains("ShuffledHashJoin"),
+      s"candidates must come from a bucket EQUI-join:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"the naive inequality join must never plan:\n$p")
+  }
+
   test("theil-sen pairs join inside the event-type key, never all-days") {
     val p = plan("a_theil_sen")
     assert(p.contains("SortMergeJoin") || p.contains("BroadcastHashJoin") ||
