@@ -2028,6 +2028,32 @@ WHERE d.doc_id % 10 = 0
 
     // mixture rebalance toward half the equal token share: floor-pct
     // rates in exact integer arithmetic, hash-split apply
+    // temperature-T=2 epoch schedule: sqrt is IEEE-correctly-rounded
+    // in both engines, floor() makes it a safe integer weight; all
+    // downstream arithmetic is exact integer division
+    "e_epoch_schedule" -> s"""WITH d AS (
+  SELECT source,
+         CAST(len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                              t -> len(t) > 0)) AS BIGINT) AS nt
+  FROM documents
+), bysrc AS (
+  SELECT source, CAST(sum(nt) AS BIGINT) AS src_tokens FROM d GROUP BY 1
+), w AS (
+  SELECT source, src_tokens,
+         CAST(floor(sqrt(CAST(src_tokens AS DOUBLE))) AS BIGINT) AS w
+  FROM bysrc
+), tot AS (SELECT CAST(sum(w) AS BIGINT) AS w_tot FROM w)
+SELECT source, src_tokens, w,
+       w * 1000000 // w_tot AS share_e6,
+       (100000 * w) // w_tot AS draw_tokens,
+       CASE WHEN src_tokens > 0
+            THEN ((100000 * w) // w_tot) * 10000 // src_tokens
+            ELSE 0 END AS epochs_e4,
+       (CASE WHEN src_tokens > 0
+             THEN ((100000 * w) // w_tot) * 10000 // src_tokens
+             ELSE 0 END) > 40000 AS over_cap
+FROM w CROSS JOIN tot""",
+
     "e_mix_apply" -> s"""WITH d AS (
   SELECT doc_id, source,
          CAST(len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),

@@ -916,6 +916,39 @@ object SparkEntry {
         coalesce(col("sampled_tokens"), lit(0L)).as("sampled_tokens"))
   }
 
+  /** Temperature-mixed epoch schedule — the table a pretraining run
+    * derives BEFORE touching data: per source, the temperature-T=2
+    * sampling weight (∝ √tokens — the multilingual mixing rule that
+    * upsamples small sources without letting a giant one dominate),
+    * its share of a declared token budget, and the EPOCH factor that
+    * draw implies (how many passes over the source), flagged where it
+    * exceeds the 4-epoch repetition cap (the data-constrained scaling
+    * discipline: past ~4 epochs repeated data stops helping). Exact
+    * integer arithmetic except the √ (IEEE-correctly-rounded double
+    * sqrt is bit-identical in both engines; floor() makes it a safe
+    * integer weight). Scale shape: one partial-agg token census (the
+    * shared mix-bysource frame), a 1-row broadcast fold — the output
+    * is source-vocabulary-sized metadata. */
+  private def eEpochSchedule(s: SparkSession, dir: String): DataFrame = {
+    val budget = 100000L // declared token budget for the schedule
+    val docs = T(s, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        TextOps.tokenCount(col("text")).cast("long").as("nt"))
+    val bySource = graft.ops.PlanCache.cached("mix-bysource",
+      docs.groupBy("source").agg(sum(col("nt")).as("src_tokens")))
+    val w = bySource
+      .withColumn("w", floor(sqrt(col("src_tokens").cast("double"))).cast("long"))
+    val tot = w.agg(sum(col("w")).as("w_tot"))
+    w.crossJoin(broadcast(tot))
+      .select(col("source"), col("src_tokens"), col("w"),
+        expr("w * 1000000L div w_tot").as("share_e6"),
+        expr(s"($budget * w) div w_tot").as("draw_tokens"))
+      .withColumn("epochs_e4",
+        when(col("src_tokens") > 0L,
+          expr("draw_tokens * 10000L div src_tokens")).otherwise(lit(0L)))
+      .withColumn("over_cap", col("epochs_e4") > 40000L)
+  }
+
   /** BPE merge candidates — ONE round of byte-pair-encoding training:
     * the corpus-wide frequency of every adjacent character pair inside
     * tokens, top-20 by count (the pair a BPE trainer would merge
@@ -2669,8 +2702,17 @@ object SparkEntry {
     val tPairs = pairs
       .join(trainIds.select(col("doc_id").as("doc_a")), "doc_a")
       .join(trainIds.select(col("doc_id").as("doc_b")), "doc_b")
-    val keepers = Dedup.nearDupComponents(trainIds, tPairs)
-      .filter(col("doc_id") === col("group_id")).select("doc_id")
+    // cachedBy (lazy build): nearDupComponents runs its pair
+    // checkpoint + union-find collect at CONSTRUCTION, so the
+    // by-value form would re-run them on every call — with the
+    // registry share, the prepare step builds once and the query call
+    // only reads (the purchaseCommunities discipline)
+    val keepers = graft.ops.PlanCache.cachedBy("decontam-keepers",
+        trainIds.queryExecution.logical.semanticHash() * 31 +
+          tPairs.queryExecution.logical.semanticHash(), s) {
+      Dedup.nearDupComponents(trainIds, tPairs)
+        .filter(col("doc_id") === col("group_id")).select("doc_id")
+    }
     val kept = train.join(keepers, "doc_id")
     esTopKPerTarget(TextOps.dsirWeightsMulti(kept,
       Seq("src0" -> (col("source") === "src0"),
@@ -6329,6 +6371,7 @@ object SparkEntry {
     "e_curation_pipeline" -> (eCurationPipeline _),
     "e_source_report" -> (eSourceReport _),
     "e_mix_apply" -> (eMixApply _),
+    "e_epoch_schedule" -> (eEpochSchedule _),
     "t_lang_agreement" -> (tLangAgreement _),
     "t_cdc_chunks" -> (tCdcChunks _),
     "t_bpe_merges" -> (tBpeMerges _),
