@@ -1677,6 +1677,32 @@ SELECT occ.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
 FROM occ JOIN model m USING (s)
 GROUP BY occ.doc_id""",
 
+    // perplexity-filter gate: per-doc xent replayed from the bigram-LM
+    // chain, per-lang median via quantile_cont (the ExactPercentiles
+    // lerp), keep = xent <= cutoff
+    "e_ppl_filter" -> s"""$TOKS, occ AS (
+  SELECT doc_id, unnest(${shinglesN(2)}) AS s FROM toks
+), c2 AS (SELECT s, count(*) AS c2 FROM occ GROUP BY s
+), c1 AS (SELECT string_split(s, ' ')[1] AS w1, sum(c2) AS c1 FROM c2 GROUP BY 1
+), v AS (SELECT count(DISTINCT t) AS v FROM (SELECT unnest(tk) AS t FROM toks)
+), model AS (
+  SELECT c2.s, ln(CAST(c2.c2 + 1 AS DOUBLE) / (c1.c1 + v.v)) AS logp
+  FROM c2 JOIN c1 ON string_split(c2.s, ' ')[1] = c1.w1 CROSS JOIN v
+), x AS (
+  SELECT occ.doc_id, round(-sum(m.logp) / count(*), 4) AS xent
+  FROM occ JOIN model m USING (s) GROUP BY occ.doc_id
+), xl AS (
+  SELECT d.lang, x.xent FROM x JOIN documents d USING (doc_id)
+), cut AS (
+  SELECT lang, quantile_cont(xent, 0.5) AS cutoff FROM xl GROUP BY lang)
+SELECT xl.lang, count(*) AS n_scored,
+       CAST(sum(CASE WHEN xent <= cutoff THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       round(cut.cutoff, 4) AS cutoff_nats,
+       CAST(sum(CASE WHEN xent <= cutoff THEN 1 ELSE 0 END) AS BIGINT)
+         * 10000 // count(*) AS kept_frac_e4
+FROM xl JOIN cut USING (lang)
+GROUP BY xl.lang, cut.cutoff""",
+
     // exact heavy hitters: the oracle is the sketch-free GROUP BY +
     // integer-arithmetic HAVING — phase 2 of the engine's two-phase
     // Misra–Gries form must erase every surplus candidate to match

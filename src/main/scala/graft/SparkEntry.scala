@@ -1265,6 +1265,36 @@ object SparkEntry {
   private def tTrigramPpl(s: SparkSession, dir: String): DataFrame =
     TextOps.trigramCrossEntropy(T(s, dir, "documents"))
 
+  /** Perplexity-filter gate (the CCNet discipline: score every
+    * document under a corpus LM, keep the well-modeled head per
+    * language): per-doc bigram cross-entropy ([[tBigramPpl]]'s shared
+    * chain), a per-lang EXACT median cutoff via the shared
+    * [[graft.ops.ExactPercentiles]] histogram machinery (never a
+    * per-lang value buffer or a lang-partitioned data window — a
+    * vocabulary-sized key over corpus rows is the hot-task shape this
+    * repo refuses), and the keep decision `xent <= cutoff`. Cutoffs
+    * are lerps of 4dp-rounded doubles, bit-identical in both engines
+    * (the oracle is the same quantile_cont). Docs with < 2 tokens
+    * have no bigram score and sit outside the scored universe — a
+    * length gate upstream owns them. Output: per lang, scored/kept
+    * counts, the cutoff, kept fraction in e4. */
+  private def ePplFilter(s: SparkSession, dir: String): DataFrame = {
+    val docs = T(s, dir, "documents")
+    val x = TextOps.bigramCrossEntropy(docs)
+      .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+      .select(col("lang"), col("xent_nats"))
+    val cut = graft.ops.ExactPercentiles.of(
+        x.select(col("lang").as("k"), col("xent_nats").as("x")),
+        Seq(("p50", 0.5)), "ppl-cut", fewGroups = true)
+      .select(col("k").as("lang"), col("v").as("cutoff"))
+    x.join(broadcast(cut), "lang")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_scored"),
+        sum((col("xent_nats") <= col("cutoff")).cast("long")).as("n_kept"),
+        round(max(col("cutoff")), 4).as("cutoff_nats"))
+      .withColumn("kept_frac_e4", expr("n_kept * 10000L div n_scored"))
+  }
+
   /** Two-phase EXACT heavy hitters over the corpus bigram stream:
     * mergeable Misra–Gries candidates (m=1024), then an exact count
     * of candidates only — `cnt·(m+1) > N` in integer arithmetic
@@ -6338,6 +6368,7 @@ object SparkEntry {
     "d_incremental_apply" -> (dIncrementalApply _),
     "t_bigram_lm" -> (tBigramLm _),
     "t_bigram_ppl" -> (tBigramPpl _),
+    "e_ppl_filter" -> (ePplFilter _),
     "t_heavy_hitters" -> (tHeavyHitters _),
     "t_bm25_topk" -> (tBm25TopK _),
     "t_pmi_topk" -> (tPmiTopK _),
