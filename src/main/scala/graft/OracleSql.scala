@@ -1340,6 +1340,18 @@ SELECT doc_id,
              ELSE 0.0 END, 4) AS avg_tok_len
 FROM toks""",
 
+    // tokenizer fertility per lang: subword / whitespace token ratio
+    // in e4 truncating fixed point over exact integer counts
+    "t_fertility" -> s"""$TOKS
+SELECT lang, count(*) AS n_docs,
+  CAST(sum(len(tk)) AS BIGINT) AS tok_total,
+  CAST(sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))) AS BIGINT) AS bpe_total,
+  CASE WHEN sum(len(tk)) > 0
+       THEN CAST(sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))) AS BIGINT)
+              * 10000 // CAST(sum(len(tk)) AS BIGINT)
+       ELSE 0 END AS fertility_e4
+FROM toks GROUP BY lang""",
+
     "t_lang_id" -> s"""$TOKS
 SELECT doc_id, lang,
   CASE WHEN zh > 0 THEN 'zh'

@@ -1265,6 +1265,25 @@ object SparkEntry {
   private def tTrigramPpl(s: SparkSession, dir: String): DataFrame =
     TextOps.trigramCrossEntropy(T(s, dir, "documents"))
 
+  /** Tokenizer fertility per language — BPE-ish subword tokens per
+    * whitespace word, the "how expensive is this language under the
+    * tokenizer" dial a multilingual budget planner reads next to
+    * [[eEpochSchedule]] (a lang at fertility 2.5 consumes 2.5× the
+    * context of one at 1.1 for the same text). Exact integer counts
+    * per doc (the t_text_stats columns), one lang-keyed partial agg,
+    * fertility in e4 truncating fixed point. */
+  private def tFertility(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "documents")
+      .select(col("lang"),
+        TextOps.tokenCount(col("text")).cast("long").as("n_tok"),
+        TextOps.bpeTokenCount(col("text")).cast("long").as("n_bpe"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("tok_total"), sum(col("n_bpe")).as("bpe_total"))
+      .withColumn("fertility_e4",
+        when(col("tok_total") > 0L,
+          expr("bpe_total * 10000L div tok_total")).otherwise(lit(0L)))
+
   /** Perplexity-filter gate (the CCNet discipline: score every
     * document under a corpus LM, keep the well-modeled head per
     * language): per-doc bigram cross-entropy ([[tBigramPpl]]'s shared
@@ -6369,6 +6388,7 @@ object SparkEntry {
     "t_bigram_lm" -> (tBigramLm _),
     "t_bigram_ppl" -> (tBigramPpl _),
     "e_ppl_filter" -> (ePplFilter _),
+    "t_fertility" -> (tFertility _),
     "t_heavy_hitters" -> (tHeavyHitters _),
     "t_bm25_topk" -> (tBm25TopK _),
     "t_pmi_topk" -> (tPmiTopK _),
