@@ -99,6 +99,18 @@ object SparkEntry {
     // the staging table — same attribution rule as the gram indexes)
     "purchase_edges" ->
       ((s, dir) => { purchaseEdges(s, dir).count(); () }),
+    // the DERIVED graph staging frames (vertex list, unit-augmented
+    // and degree-annotated edge lists) the round-12 registry share
+    // introduced — shared by g_bfs/g_harmonic/g_kcore and
+    // g_pagerank/g_ppr_suppliers; without this step whichever graph
+    // query runs first is charged the whole family's staging
+    "graph_statics" ->
+      ((s, dir) => graft.ops.Graph.stageStatics(purchaseEdges(s, dir))),
+    // the 4-round label-propagation build shared by g_communities and
+    // g_modularity (the crit_hops attribution rule: the iterate the
+    // queries READ is the staging build, the rollups are the queries)
+    "purchase_communities" ->
+      ((s, dir) => { purchaseCommunities(s, dir).count(); () }),
     "ivf_assign" ->
       ((s, dir) => { Similarity.ivfAssign(T(s, dir, "embeddings"), IvfK).count(); () }),
     // PQ code/reconstruction frame: the corpus encode shared by

@@ -38,6 +38,57 @@ object Graph {
         .repartition(col("src"))
     }
 
+  /** PageRank's two static frames, registry-shared per (session, edge
+    * plan) — see the discipline note in [[pageRankFixed]]. The
+    * pre-repartition's role (r9 measurement, BASELINE.md): under AQE
+    * a checkpoint scan reports UNKNOWN partitioning, so the PLANNER
+    * never reuses it — what keeps the edge side exchange-free per
+    * step is that the rank frame is vertex-sized and AQE broadcasts
+    * it. But the repartition still pays for the PHYSICAL layout of
+    * the materialized RDD: without it the checkpoint inherits the
+    * (few, skewed) join-output partitions and every per-step map
+    * stage runs under-parallel — measured 3.7 → 6.6 s warm at sf0.1
+    * when removed. For graphs whose vertex frame outgrows broadcast,
+    * stage the edge list as a bucketed table instead (the PlanCache
+    * scale note). */
+  private def prStatics(edges: DataFrame): (DataFrame, DataFrame) = {
+    val eKey = edges.queryExecution.logical.semanticHash()
+    val spark = edges.sparkSession
+    val outw = edges.groupBy(col("src")).agg(sum(col("w")).as("wout"))
+    val e = PlanCache.checkpointed("graph-pr-edges", eKey, spark) {
+      edges.join(outw, "src")
+        .select(col("src"), col("dst"), col("w").cast("long").as("w"),
+          col("wout").cast("long").as("wout"))
+        .repartition(col("src"))
+    }
+    val verts0 = PlanCache.checkpointed("graph-pr-verts", eKey, spark) {
+      e.select(col("src").as("node"))
+        .union(e.select(col("dst").as("node")))
+        .distinct()
+        // dangling-mass guard: a sink vertex would silently leak rank
+        // mass every step; refuse it loudly at vertex-build time
+        .join(outw.select(col("src").as("node"), lit(true).as("_has_out")),
+          Seq("node"), "left")
+        .filter(assert_true(col("_has_out").isNotNull,
+          lit("pageRankFixed: vertex with no out-edges (dangling mass " +
+            "would leak; symmetrize the edge list or add self-loops)")).isNull)
+        .select(col("node"))
+    }
+    (e, verts0)
+  }
+
+  /** Materialize every registry-shared static frame for `edges` — the
+    * graph family's staging-table build, callable from a bench
+    * prepare step so per-query timings measure ITERATES, not staging
+    * (the purchase_edges attribution rule, extended to the derived
+    * frames the round-12 registry share introduced). */
+  def stageStatics(edges: DataFrame): Unit = {
+    vertsOf(edges)
+    unitAugEdges(edges)
+    prStatics(edges)
+    ()
+  }
+
   /** Weighted PageRank in EXACT fixed-point arithmetic, bounded
     * iterations (Brin & Page 1998, the power-iteration form).
     *
@@ -101,43 +152,7 @@ object Graph {
     require(iters >= 1, s"iters must be >= 1, got $iters")
     require(dampNum > 0 && dampNum < dampDen, s"damping $dampNum/$dampDen not in (0,1)")
     val teleport = (scale * (dampDen - dampNum)) / dampDen
-    val eKey = edges.queryExecution.logical.semanticHash()
-    val spark = edges.sparkSession
-    val outw = edges.groupBy(col("src")).agg(sum(col("w")).as("wout"))
-    // Materialize the STATIC frames once per (session, edge plan):
-    // every iteration references them, and uncheckpointed they would
-    // recompute per reference — and before the registry share,
-    // g_pagerank and g_ppr_suppliers each rebuilt the same two frames
-    // per QUERY. The pre-repartition's role (r9 measurement,
-    // BASELINE.md): under AQE a checkpoint scan reports UNKNOWN
-    // partitioning, so the PLANNER never reuses it — what keeps the
-    // edge side exchange-free per step is that the rank frame is
-    // vertex-sized and AQE broadcasts it. But the repartition still
-    // pays for the PHYSICAL layout of the materialized RDD: without
-    // it the checkpoint inherits the (few, skewed) join-output
-    // partitions and every per-step map stage runs under-parallel —
-    // measured 3.7 → 6.6 s warm at sf0.1 when removed. For graphs
-    // whose vertex frame outgrows broadcast, stage the edge list as a
-    // bucketed table instead (the PlanCache scale note).
-    val e = PlanCache.checkpointed("graph-pr-edges", eKey, spark) {
-      edges.join(outw, "src")
-        .select(col("src"), col("dst"), col("w").cast("long").as("w"),
-          col("wout").cast("long").as("wout"))
-        .repartition(col("src"))
-    }
-    val verts0 = PlanCache.checkpointed("graph-pr-verts", eKey, spark) {
-      e.select(col("src").as("node"))
-        .union(e.select(col("dst").as("node")))
-        .distinct()
-        // dangling-mass guard: a sink vertex would silently leak rank
-        // mass every step; refuse it loudly at vertex-build time
-        .join(outw.select(col("src").as("node"), lit(true).as("_has_out")),
-          Seq("node"), "left")
-        .filter(assert_true(col("_has_out").isNotNull,
-          lit("pageRankFixed: vertex with no out-edges (dangling mass " +
-            "would leak; symmetrize the edge list or add self-loops)")).isNull)
-        .select(col("node"))
-    }
+    val (e, verts0) = prStatics(edges)
     val verts = (seeds match {
       case Some(sd) => verts0.join(
           sd.select(col("node")).distinct().withColumn("s", lit(true)),
