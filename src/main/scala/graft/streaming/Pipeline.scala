@@ -654,6 +654,55 @@ object Pipeline {
       .drop("l_trace_id")
   }
 
+  /** Streaming twin of [[graft.ops.IntervalJoin.overlap]] for
+    * BOUNDED-duration intervals, as a stream-stream inner join.
+    * Structured Streaming refuses a join with no equality predicate,
+    * so the operator's own bucket trick carries over: with every
+    * interval's duration declared ≤ `maxDurUs`, overlap IMPLIES
+    * |l.start − r.start| ≤ maxDurUs, so at bucket width = maxDurUs
+    * the right start's bucket is within ±1 of the left start's — the
+    * left side probes its three neighbor buckets (multiplicity-3
+    * map-side explode, the multiprobe convention) and the join is an
+    * EQUI-join on the bucket with the exact overlap as residual. A
+    * pair matches exactly once (one right bucket, three DISTINCT left
+    * probes). The start-to-start range bound on the two WATERMARKED
+    * event-time columns rides along, which is what lets the engine
+    * evict per-side join state as the watermark advances (the
+    * correlateStreams discipline, generalized from a trace key to an
+    * interval). The duration bound is enforced LOUDLY per row (the
+    * IntervalJoin cap convention): a longer-than-declared interval
+    * fails the query instead of silently missing the matches its
+    * start-range excluded.
+    *
+    * Column contract: left (l_start_ts: timestamp, l_start_us,
+    * l_end_us: long, …), right (r_start_ts, r_start_us, r_end_us, …);
+    * the `_ts`/`_us` pairs carry the same instant (the ts drives
+    * watermarks, the us drives exact long arithmetic). */
+  def intervalOverlapStream(left: DataFrame, right: DataFrame,
+      maxDurUs: Long, watermarkDelay: String): DataFrame = {
+    require(maxDurUs > 0, s"maxDurUs must be > 0, got $maxDurUs")
+    def guarded(df: DataFrame, s: String, e: String): DataFrame =
+      df.filter(assert_true(col(e) - col(s) <= maxDurUs,
+        lit(s"intervalOverlapStream: interval longer than the declared " +
+          s"$maxDurUs us duration bound — matches beyond the start-range " +
+          "would be silently missed; raise maxDurUs")).isNull)
+    val l = guarded(left, "l_start_us", "l_end_us")
+      .withWatermark("l_start_ts", watermarkDelay)
+      .withColumn("_probe",
+        explode(expr(s"array(l_start_us div ${maxDurUs}L - 1L, " +
+          s"l_start_us div ${maxDurUs}L, l_start_us div ${maxDurUs}L + 1L)")))
+    val r = guarded(right, "r_start_us", "r_end_us")
+      .withWatermark("r_start_ts", watermarkDelay)
+      .withColumn("_rbucket", expr(s"r_start_us div ${maxDurUs}L"))
+    l.join(r,
+        col("_probe") === col("_rbucket") &&
+          col("r_start_ts") >= col("l_start_ts") - expr(s"INTERVAL $maxDurUs MICROSECOND") &&
+          col("r_start_ts") <= col("l_start_ts") + expr(s"INTERVAL $maxDurUs MICROSECOND") &&
+          col("l_start_us") <= col("r_end_us") &&
+          col("r_start_us") <= col("l_end_us"))
+      .drop("_probe", "_rbucket")
+  }
+
   /** Streaming DSIR admission gate — the curation twin of
     * [[graft.ext.TextOps.dsirWeights]]: each arriving document is
     * scored against the FROZEN bucket model (built from the static

@@ -344,6 +344,47 @@ class StreamingGovernanceSpec extends SparkSpec {
     }
   }
 
+  test("streaming interval overlap equals the batch bucketed join on replay") {
+    withRocksDB {
+      implicit val sqlCtx = spark.sqlContext
+      val base = 1700000000000000L // epoch micros
+      def iv(id: Long, s: Long, e: Long) =
+        (id, new java.sql.Timestamp((base + s) / 1000L), base + s, base + e)
+      // durations well under the 1-hour bound; overlaps include
+      // touching endpoints, nested, disjoint, and a cross-batch match
+      val lRows = Seq(iv(1, 0, 600000000L), iv(2, 1200000000L, 1800000000L),
+        iv(3, 3000000000L, 3300000000L))
+      val rRows = Seq(iv(101, 600000000L, 900000000L), // touches l1
+        iv(102, 1300000000L, 1400000000L),             // nested in l2
+        iv(103, 9000000000L, 9100000000L))             // disjoint
+      val lIn = MemoryStream[(Long, java.sql.Timestamp, Long, Long)]
+      val rIn = MemoryStream[(Long, java.sql.Timestamp, Long, Long)]
+      val out = graft.streaming.Pipeline.intervalOverlapStream(
+        lIn.toDF().toDF("lid", "l_start_ts", "l_start_us", "l_end_us"),
+        rIn.toDF().toDF("rid", "r_start_ts", "r_start_us", "r_end_us"),
+        maxDurUs = 3600000000L, watermarkDelay = "6 hours")
+      val q = out.writeStream.format("memory").queryName("ivj_stream")
+        .outputMode("append").start()
+      try {
+        lIn.addData(lRows.take(2)); rIn.addData(rRows.take(1))
+        q.processAllAvailable()
+        // the cross-batch leg: l3 and r102/r103 arrive later
+        lIn.addData(lRows.drop(2)); rIn.addData(rRows.drop(1))
+        q.processAllAvailable()
+      } finally q.stop()
+      val got = spark.table("ivj_stream").select("lid", "rid")
+        .as[(Long, Long)].collect().sorted.toSeq
+      val want = graft.ops.IntervalJoin.overlap(
+          lRows.toDF("lid", "l_start_ts", "l_start_us", "l_end_us"),
+          "l_start_us", "l_end_us",
+          rRows.toDF("rid", "r_start_ts", "r_start_us", "r_end_us"),
+          "r_start_us", "r_end_us", 600000000L)
+        .select("lid", "rid").as[(Long, Long)].collect().sorted.toSeq
+      assert(got.nonEmpty && got === want,
+        s"stream-stream overlap diverged from the batch operator: $got vs $want")
+    }
+  }
+
   test("transition rows aggregate to the batch matrix on an ordered replay") {
     val rows: Seq[(Long, java.sql.Timestamp, Long, String)] =
       (0 until 60).map { i =>
