@@ -474,4 +474,30 @@ class PropertySpec extends SparkSpec {
       got == ((pairs.size.toLong, brute))
     }, "triangle brute force")
   }
+
+  test("interval overlap equals the all-pairs replica on random bounded intervals") {
+    val ivGen = for {
+      s <- Gen.choose(0L, 500L)
+      len <- Gen.choose(0L, 80L)
+    } yield (s, s + len)
+    val caseGen = for {
+      ls <- Gen.nonEmptyListOf(ivGen).map(_.take(12))
+      rs <- Gen.nonEmptyListOf(ivGen).map(_.take(12))
+      w <- Gen.oneOf(1L, 13L, 100L)
+    } yield (ls, rs, w)
+    check(Prop.forAll(caseGen) { case (ls, rs, w) =>
+      val l = ls.zipWithIndex.map { case ((s, e), i) => (i.toLong, s, e) }
+        .toDF("lid", "ls", "le")
+      val r = rs.zipWithIndex.map { case ((s, e), i) => (i.toLong, s, e) }
+        .toDF("rid", "rs", "re")
+      val got = graft.ops.IntervalJoin.overlap(l, "ls", "le", r, "rs", "re", w)
+        .select("lid", "rid").as[(Long, Long)].collect().sorted.toSeq
+      val brute = (for {
+        ((s1, e1), i) <- ls.zipWithIndex
+        ((s2, e2), j) <- rs.zipWithIndex
+        if s1 <= e2 && s2 <= e1
+      } yield (i.toLong, j.toLong)).sorted
+      got == brute
+    }, "interval overlap brute force")
+  }
 }
