@@ -686,6 +686,44 @@ WHERE rnk <= 5"""
 
   /** Binary sign-code ANN SQL (shared by s_ann_hamming and the
     * s_ann_recall_audit composition). */
+  /** DCT perceptual-hash CTE chain (mirror of
+    * Multimodal.dctFingerprints): the 8×8 sampled grid, two integer
+    * matrix multiplies against the SAME e6 basis literals the engine
+    * compiled in, med2 threshold over the 63 AC coefficients. Ends at
+    * `fp(doc_id, h)`. */
+  private val DCT_FP: String = {
+    val a = graft.ext.Multimodal.DctBasisE6.mkString("[", ", ", "]")
+    s"""WITH px AS (
+  SELECT doc_id,
+         list_transform(range(0, 64), i ->
+           CAST(ascii(substr(text,
+             CAST(1 + (i * length(text)) // 64 AS INT), 1)) AS BIGINT)) AS p
+  FROM documents WHERE length(text) >= 1
+), y AS (
+  SELECT doc_id,
+         list_transform(range(0, 64), t ->
+           list_aggregate(list_transform(range(0, 8), k ->
+             ($a)[CAST((t // 8) * 8 + k + 1 AS INT)] *
+             p[CAST(k * 8 + t % 8 + 1 AS INT)]), 'sum')) AS y
+  FROM px
+), c AS (
+  SELECT doc_id,
+         (list_transform(range(0, 64), t ->
+           list_aggregate(list_transform(range(0, 8), j ->
+             ($a)[CAST((t % 8) * 8 + j + 1 AS INT)] *
+             y[CAST((t // 8) * 8 + j + 1 AS INT)]), 'sum')))[2:64] AS ac
+  FROM y
+), m AS (
+  SELECT doc_id, ac, list_sort(ac)[32] * 2 AS med2 FROM c
+), fp AS (
+  SELECT doc_id, CAST(list_aggregate(list_transform(range(0, 63), i ->
+    CASE WHEN ac[CAST(i + 1 AS INT)] * 2 > med2
+         THEN (CAST(1 AS BIGINT) << CAST(i AS INT))
+         ELSE CAST(0 AS BIGINT) END), 'sum') AS BIGINT) AS h
+  FROM m
+)"""
+  }
+
   /** Shared Hamming-ANN SQL builder: `words` renders each code word,
     * `nCand` is the rerank budget — the 64-bit registry dial and the
     * 128-bit graduated one differ only here. */
@@ -5298,6 +5336,20 @@ GROUP BY seed""",
 
     // perceptual-hash dedup: the oracle is the all-pairs join the
     // pigeonhole banding provably equals at the declared radius
+    // 63-bit DCT perceptual hash: the SAME e6 basis literals the
+    // engine compiled in (no transcendental is evaluated by either
+    // engine), two integer matrix multiplies, med2 threshold over the
+    // 63 AC coefficients
+    "m_dct_hash" -> s"$DCT_FP\nSELECT doc_id, h AS dct_hash FROM fp",
+
+    // banded-join twin checked against the naive all-pairs Hamming
+    // filter (the m_ahash_dedup oracle convention)
+    "m_dct_neardup" -> s"""$DCT_FP
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.h, b.h)) AS INT) AS hamming
+FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.h, b.h)) <= 6""",
+
     "m_ahash_dedup" -> """WITH px AS (
   SELECT doc_id,
          list_transform(range(0, 60), i ->

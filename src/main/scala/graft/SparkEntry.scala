@@ -4979,6 +4979,21 @@ object SparkEntry {
     Dedup.simhashPairs(
       Multimodal.ahashFingerprints(T(s, dir, "documents")), 6, 60)
 
+  /** The 63-bit DCT perceptual hash table
+    * ([[graft.ext.Multimodal.dctFingerprints]] — the frequency-domain
+    * pHash upgrade of m_ahash's mean threshold). */
+  private def mDctHash(s: SparkSession, dir: String): DataFrame =
+    Multimodal.dctFingerprints(T(s, dir, "documents"))
+      .select(col("doc_id"), col("simhash").as("dct_hash"))
+
+  /** DCT-hash near-dup pairs via the same pigeonhole banding as
+    * m_ahash_dedup (radius 6 over 63 bits = 7 segments of ~9 bits —
+    * guaranteed recall, never all-pairs; the oracle replays the naive
+    * all-pairs Hamming filter and must agree). */
+  private def mDctNeardup(s: SparkSession, dir: String): DataFrame =
+    Dedup.simhashPairs(
+      Multimodal.dctFingerprints(T(s, dir, "documents")), 6, 63)
+
   /** Stationary distribution of the per-user event-type Markov chain:
     * the long-run fraction of time a user journey spends in each
     * event type. Composes [[aTransitions]]' matrix (row-stochastic in
@@ -6571,6 +6586,8 @@ object SparkEntry {
     "g_hits" -> (gHits _),
     "g_harmonic" -> (gHarmonic _),
     "m_ahash_dedup" -> (mAhashDedup _),
+    "m_dct_hash" -> (mDctHash _),
+    "m_dct_neardup" -> (mDctNeardup _),
     "a_theil_sen" -> (aTheilSen _),
     "t_textrank" -> (tTextrank _),
     "p_bucket_advisor" -> (pBucketAdvisor _),

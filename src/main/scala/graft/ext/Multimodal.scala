@@ -126,6 +126,51 @@ object Multimodal {
       docs.queryExecution.logical.semanticHash(), docs.sparkSession)(fp)
   }
 
+  /** e6-quantized 8-point DCT-II basis, row-major A[u·8+k] =
+    * round(c(u)·cos(π(2k+1)u/16)·10⁶) with c(0)=√(1/8), c(u>0)=1/2 —
+    * computed ONCE at build time in Scala and pasted as the same
+    * integer literals into both the Spark plan and the oracle SQL, so
+    * no engine ever evaluates a transcendental (the ModelWeights
+    * convention: quantize the constants, keep the data math exact). */
+  private[graft] val DctBasisE6: Seq[Long] =
+    (for (u <- 0 until 8; k <- 0 until 8) yield {
+      val c = if (u == 0) math.sqrt(1.0 / 8.0) else 0.5
+      math.round(c * math.cos(math.Pi * (2 * k + 1) * u / 16.0) * 1e6)
+    }).toSeq
+
+  /** 63-bit DCT perceptual hash ("pHash", the frequency-domain
+    * upgrade of [[ahashFingerprints]]): an 8×8 gray grid (the stub
+    * samples payload characters at evenly spaced offsets — a real
+    * decoder swaps in the downsampled luma grid and nothing
+    * downstream changes), then the exact 2-D DCT + med2-threshold +
+    * bit-pack fused into the native
+    * [[graft.functions.DctHash63]] expression. The grid sampling
+    * stays a column HOF (one transform per row — the single
+    * expression reference means CollapseProject inlining evaluates it
+    * once); everything past it is imperative in the expression, which
+    * is what makes it tractable — the composed HOF chain inlined
+    * stage-into-lambda and multiplied to ~10⁹ interpreted evals per
+    * document (see the expression's doc). Where aHash only sees the
+    * global mean, the DCT separates coarse structure from texture — a
+    * brightness-shifted or noise-dusted copy keeps its low-frequency
+    * signs, which is why production perceptual dedup is DCT-based.
+    * Bit-deterministic; DuckDB replays the identical integer algebra
+    * from the same [[DctBasisE6]] literals. Emits (doc_id, simhash)
+    * for [[Dedup.simhashPairs]] banding; PlanCached on the batch path
+    * like the aHash twins. */
+  def dctFingerprints(docs: DataFrame): DataFrame = {
+    val fp = docs.filter(length(col("text")) >= 1)
+      .select(col("doc_id"),
+        graft.functions.DctHash63.dctHash63(
+          expr("""transform(sequence(0, 63), i ->
+            CAST(ascii(substring(text,
+              CAST(1 + (i * length(text)) DIV 64 AS INT), 1)) AS BIGINT))"""))
+          .as("simhash"))
+    if (docs.isStreaming) fp
+    else graft.ops.PlanCache.cachedBy("dct-63",
+      docs.queryExecution.logical.semanticHash(), docs.sparkSession)(fp)
+  }
+
   /** Wrap any DataFrame with a binary `payload` column into the typed
     * asset shape. Metadata that is derivable without a codec
     * (byte_len) is computed as columns; codec-dependent fields start 0. */
