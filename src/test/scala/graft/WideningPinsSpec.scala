@@ -55,6 +55,33 @@ class WideningPinsSpec extends SparkSpec {
     assert(m.getLong(0) >= 0L && m.getLong(1) >= 0L)
   }
 
+  test("DCT banded pairs equal the exhaustive join on planted near-dups") {
+    // the m_dct_neardup registry row is 0 rows on the clean synthetic
+    // corpus (no true near-dups at radius 6), so the banding's recall
+    // is pinned here on planted twins — the m_ahash_wide convention
+    val rnd = new scala.util.Random(7)
+    val base = (0 until 40).map { i =>
+      (i.toLong, (0 until 400).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString)
+    }
+    val copies = base.take(5).map { case (id, t) => (id + 1000L, t) }
+    val mutated = base.slice(5, 20).map { case (id, t) =>
+      val arr = t.toCharArray
+      Seq(13, 157, 311).foreach { p =>
+        arr(p) = if (arr(p) == 'z') 'a' else (arr(p) + 1).toChar
+      }
+      (id + 2000L, new String(arr))
+    }
+    val docs = (base ++ copies ++ mutated).toDF("doc_id", "text")
+    val fps = Multimodal.dctFingerprints(docs)
+    val banded = Dedup.simhashPairs(fps, 6, 63)
+      .as[(Long, Long, Int)].collect().toSet
+    val exhaustive = Dedup.simhashPairsExhaustive(fps, 6)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(banded === exhaustive)
+    assert(exhaustive.nonEmpty, "planted twins must land within the radius")
+    assert(fps.agg(min("simhash")).head().getLong(0) >= 0L, "63 bits stay sign-safe")
+  }
+
   test("capped banding drops hot-bucket-only pairs and keeps the rest") {
     // bits=8, radius 1 → two 4-bit segments. Docs 1-5 pile onto
     // segment-0 value 0 (the hot bucket); the (1,2) near-dup pair
