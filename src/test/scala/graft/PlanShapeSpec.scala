@@ -668,6 +668,37 @@ class PlanShapeSpec extends SparkSpec {
       s"no per-round edge joins may remain:\n$p")
   }
 
+  test("DCT near-dup pairs ride the banded equi-join over the cached fingerprints") {
+    val p = plan("m_dct_neardup")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"banded candidates must be an equi-join:\n$p")
+    assert(p.contains("InMemoryTableScan") || p.contains("Scan ExistingRDD"),
+      s"fingerprints must come from the cache, not be recomputed:\n$p")
+  }
+
+  test("perplexity filter: cutoffs fold over the bounded histogram, no data window") {
+    val p = plan("e_ppl_filter")
+    assert(!p.contains("CartesianProduct"), p)
+    // the only windows allowed are ExactPercentiles' cumulative pass
+    // over the per-(lang, value) HISTOGRAM aggregate — a window
+    // directly over corpus rows would funnel a language through one task
+    val lines = p.linesIterator.toList
+    val wIdx = lines.indexWhere(_.contains("Window"))
+    assert(wIdx < 0 || lines.drop(wIdx).exists(_.contains("HashAggregate")),
+      s"windows must sit above the value histogram, never raw rows:\n$p")
+  }
+
+  test("epoch schedule and fertility are partial-agg folds, no data-sized joins") {
+    val es = plan("e_epoch_schedule")
+    assert(!es.contains("CartesianProduct") && !es.contains("Window"), es)
+    assert("BroadcastNestedLoopJoin".r.findAllIn(es).length <= 1,
+      s"only the 1-row weight-total frame may nested-loop:\n$es")
+    val tf = plan("t_fertility")
+    assert(!tf.contains("Join") && !tf.contains("Window") &&
+      tf.contains("HashAggregate"), s"one keyed aggregate, nothing else:\n$tf")
+  }
+
   test("interval-overlap join rides the bucket equi-join, never a cartesian") {
     val p = plan("a_interval_join")
     assert(p.contains("Generate"),
