@@ -182,7 +182,12 @@ object SparkEntry {
     "decontam_curation" ->
       ((s, dir) => { eDecontamCuration(s, dir).count(); () }),
     "multi_curation" ->
-      ((s, dir) => { eMultiCuration(s, dir).count(); () }))
+      ((s, dir) => { eMultiCuration(s, dir).count(); () }),
+    // per-doc bigram cross-entropy score frame: shared by
+    // t_bigram_ppl and e_ppl_filter (alphabetically the FILTER would
+    // otherwise be charged the LM scoring join)
+    "bigram_xent" ->
+      ((s, dir) => { tBigramPpl(s, dir).count(); () }))
 
   // =====================================================================
   // Spark-side query implementations

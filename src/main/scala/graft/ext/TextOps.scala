@@ -678,23 +678,29 @@ object TextOps {
     * and scoring is one join of occurrences to the model on the
     * bigram key — no window, no all-pairs, every shuffle keyed on
     * grams or doc_id. */
-  def bigramCrossEntropy(docs: DataFrame): DataFrame = {
-    val occ = bigramOccurrences(docs) // (doc_id, s) one row per position
-    val c2 = occ.groupBy("s").agg(count(lit(1)).as("c2"))
-    val c1 = c2.select(split(col("s"), " ").getItem(0).as("w1"), col("c2"))
-      .groupBy("w1").agg(sum(col("c2")).as("c1"))
-    val v = docs.select(explode(tokens(col("text"))).as("t"))
-      .agg(countDistinct(col("t"))).head().getLong(0)
-    val model = c2.withColumn("w1", split(col("s"), " ").getItem(0))
-      .join(c1, "w1")
-      .select(col("s"),
-        log((col("c2") + 1L).cast("double") / (col("c1") + v).cast("double"))
-          .as("logp"))
-    occ.join(model, "s")
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_bigrams"),
-        round(-sum(col("logp")) / count(lit(1)), 4).as("xent_nats"))
-  }
+  def bigramCrossEntropy(docs: DataFrame): DataFrame =
+    // cached like the LM substrates it composes: t_bigram_ppl and
+    // e_ppl_filter both read the per-doc score frame, and the
+    // vocabulary count is a COLLECT at construction — the lazy
+    // cachedBy form runs both once per (session, corpus plan)
+    graft.ops.PlanCache.cachedBy("bigram-xent",
+        docs.queryExecution.logical.semanticHash(), docs.sparkSession) {
+      val occ = bigramOccurrences(docs) // (doc_id, s) one row per position
+      val c2 = occ.groupBy("s").agg(count(lit(1)).as("c2"))
+      val c1 = c2.select(split(col("s"), " ").getItem(0).as("w1"), col("c2"))
+        .groupBy("w1").agg(sum(col("c2")).as("c1"))
+      val v = docs.select(explode(tokens(col("text"))).as("t"))
+        .agg(countDistinct(col("t"))).head().getLong(0)
+      val model = c2.withColumn("w1", split(col("s"), " ").getItem(0))
+        .join(c1, "w1")
+        .select(col("s"),
+          log((col("c2") + 1L).cast("double") / (col("c1") + v).cast("double"))
+            .as("logp"))
+      occ.join(model, "s")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"),
+          round(-sum(col("logp")) / count(lit(1)), 4).as("xent_nats"))
+    }
 
   /** Per-document trigram occurrences (doc_id, s) — the order-3 twin
     * of [[bigramOccurrences]], PlanCache'd so the perplexity scorer
