@@ -730,24 +730,28 @@ object TextOps {
     * no window, no all-pairs. The context key is sliced from the
     * shingle string itself, so no re-tokenization happens after the
     * shared substrate. */
-  def trigramCrossEntropy(docs: DataFrame): DataFrame = {
-    val ctx = concat_ws(" ", slice(split(col("s"), " "), 1, 2))
-    val occ = trigramOccurrences(docs) // (doc_id, s) one row per position
-    val c3 = occ.groupBy("s").agg(count(lit(1)).as("c3"))
-    val c12 = c3.select(ctx.as("w12"), col("c3"))
-      .groupBy("w12").agg(sum(col("c3")).as("c12"))
-    val v = docs.select(explode(tokens(col("text"))).as("t"))
-      .agg(countDistinct(col("t"))).head().getLong(0)
-    val model = c3.withColumn("w12", ctx)
-      .join(c12, "w12")
-      .select(col("s"),
-        log((col("c3") + 1L).cast("double") / (col("c12") + v).cast("double"))
-          .as("logp"))
-    occ.join(model, "s")
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_trigrams"),
-        round(-sum(col("logp")) / count(lit(1)), 4).as("xent_nats"))
-  }
+  def trigramCrossEntropy(docs: DataFrame): DataFrame =
+    // lazy-cached like the bigram twin: the vocabulary count is a
+    // collect at CONSTRUCTION, which must run once per corpus plan
+    graft.ops.PlanCache.cachedBy("trigram-xent",
+        docs.queryExecution.logical.semanticHash(), docs.sparkSession) {
+      val ctx = concat_ws(" ", slice(split(col("s"), " "), 1, 2))
+      val occ = trigramOccurrences(docs) // (doc_id, s) one row per position
+      val c3 = occ.groupBy("s").agg(count(lit(1)).as("c3"))
+      val c12 = c3.select(ctx.as("w12"), col("c3"))
+        .groupBy("w12").agg(sum(col("c3")).as("c12"))
+      val v = docs.select(explode(tokens(col("text"))).as("t"))
+        .agg(countDistinct(col("t"))).head().getLong(0)
+      val model = c3.withColumn("w12", ctx)
+        .join(c12, "w12")
+        .select(col("s"),
+          log((col("c3") + 1L).cast("double") / (col("c12") + v).cast("double"))
+            .as("logp"))
+      occ.join(model, "s")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_trigrams"),
+          round(-sum(col("logp")) / count(lit(1)), 4).as("xent_nats"))
+    }
 
   // --- Ranked retrieval and collocations
 
