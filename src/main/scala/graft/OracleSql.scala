@@ -1338,6 +1338,35 @@ SELECT doc_id,
        array_to_string(tk[i*48+1 : i*48+64], ' ') AS chunk_text
 FROM ex""",
 
+    // intra-doc repeated-span removal: first 5-gram occurrence wins,
+    // later occurrences cover their five positions, ordered rebuild
+    "t_repetition_apply" -> s"""$TOKS, tp AS (
+  SELECT doc_id, unnest(range(0, len(tk))) AS pos, tk FROM toks
+), tok AS (SELECT doc_id, pos, tk[CAST(pos + 1 AS INT)] AS tok FROM tp
+), gp AS (
+  SELECT doc_id, unnest(range(0, greatest(len(tk) - 4, 0))) AS p, tk FROM toks
+), g AS (
+  SELECT doc_id, p,
+         array_to_string(tk[CAST(p + 1 AS INT):CAST(p + 5 AS INT)], ' ') AS g
+  FROM gp
+), firsts AS (SELECT doc_id, g, min(p) AS p0 FROM g GROUP BY 1, 2
+), cov0 AS (
+  SELECT g.doc_id, unnest(range(g.p, g.p + 5)) AS pos
+  FROM g JOIN firsts f ON f.doc_id = g.doc_id AND f.g = g.g
+  WHERE g.p > f.p0
+), covered AS (SELECT DISTINCT doc_id, pos FROM cov0
+), rb AS (
+  SELECT t.doc_id, count(*) AS n_kept,
+         string_agg(t.tok, ' ' ORDER BY t.pos) AS dedup_text
+  FROM tok t LEFT JOIN covered c ON c.doc_id = t.doc_id AND c.pos = t.pos
+  WHERE c.pos IS NULL
+  GROUP BY t.doc_id)
+SELECT toks.doc_id, CAST(len(tk) AS BIGINT) AS n_tok,
+       CAST(coalesce(rb.n_kept, 0) AS BIGINT) AS n_kept,
+       CAST(len(tk) - coalesce(rb.n_kept, 0) AS BIGINT) AS n_removed,
+       coalesce(rb.dedup_text, '') AS dedup_text
+FROM toks LEFT JOIN rb ON rb.doc_id = toks.doc_id""",
+
     "t_repetition" -> s"""$TOKS, dup AS (
   SELECT doc_id,
          round(CASE WHEN len(${shinglesN(3)}) > 0

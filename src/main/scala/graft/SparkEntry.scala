@@ -877,6 +877,48 @@ object SparkEntry {
         coalesce(col("top_tok_frac"), lit(0.0)).as("top_tok_frac"))
   }
 
+  /** Intra-document repeated-span REMOVAL — the APPLY step behind
+    * [[tRepetition]]'s scores (the within-doc half of the Lee et al.
+    * 2022 dedup discipline; the d_span_* family owns the CROSS-doc
+    * half): every later occurrence of a 5-gram already seen earlier
+    * in the SAME document marks its five token positions covered, and
+    * the document rebuilds from the uncovered tokens in order.
+    * First-occurrence-wins is exact and deterministic (min start per
+    * (doc, gram)); overlapping repeats union their cover. Rebuild is
+    * an ordered re-aggregation (sort_array over (pos, tok) structs —
+    * pos is unique, so the order is total); shuffles stay keyed on
+    * (doc, gram) and doc_id, and per-doc state is the document itself
+    * — the per-key batch contract. Docs under 5 tokens have no grams
+    * and pass through unchanged. */
+  private def tRepetitionApply(s: SparkSession, dir: String): DataFrame =
+    repetitionApply(T(s, dir, "documents"))
+
+  private[graft] def repetitionApply(docs: DataFrame): DataFrame = {
+    val base = docs.select(col("doc_id"), Codecs.tokens(col("text")).as("tk"))
+    val toks = base.select(col("doc_id"),
+      posexplode(col("tk")).as(Seq("pos", "tok")))
+    val grams = base.select(col("doc_id"),
+      posexplode(Codecs.shingles(col("tk"), 5)).as(Seq("p", "g")))
+    val firsts = grams.groupBy(col("doc_id"), col("g"))
+      .agg(min(col("p")).as("p0"))
+    val covered = grams.join(firsts, Seq("doc_id", "g"))
+      .filter(col("p") > col("p0"))
+      .select(col("doc_id"), explode(expr("sequence(p, p + 4)")).as("pos"))
+      .distinct()
+    val rebuilt = toks.join(covered, Seq("doc_id", "pos"), "left_anti")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("tok")))),
+          e => e.getField("tok")), " ").as("dedup_text"))
+    base.select(col("doc_id"), size(col("tk")).cast("long").as("n_tok"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tok"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        (col("n_tok") - coalesce(col("n_kept"), lit(0L))).as("n_removed"),
+        coalesce(col("dedup_text"), lit("")).as("dedup_text"))
+  }
+
   /** Training-mixture weights: per (source, lang) document and token
     * mass plus each stratum's share of corpus tokens — the sampling-
     * weight table a mixture-balanced training run consumes. The corpus
@@ -6361,6 +6403,7 @@ object SparkEntry {
     "a_pivot" -> (aPivot _),
     "a_moving_avg" -> (aMovingAvg _),
     "t_repetition" -> (tRepetition _),
+    "t_repetition_apply" -> (tRepetitionApply _),
     "t_mix_weights" -> (tMixWeights _),
     "t_chunk" -> (tChunk _),
     "t_text_stats" -> (tTextStats _),

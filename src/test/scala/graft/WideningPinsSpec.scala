@@ -82,6 +82,28 @@ class WideningPinsSpec extends SparkSpec {
     assert(fps.agg(min("simhash")).head().getLong(0) >= 0L, "63 bits stay sign-safe")
   }
 
+  test("repetition apply removes planted repeated spans, first occurrence wins") {
+    // the registry row removes 0 tokens on the clean corpus (no
+    // intra-doc 5-gram repeats), so the routing is pinned here
+    val docs = Seq(
+      // "a b c d e" repeats verbatim: the SECOND occurrence's five
+      // positions go; the unique middle and tail survive
+      (1L, "a b c d e x y a b c d e z"),
+      // run of one token: grams all equal, first occurrence keeps
+      // tokens 0..4... minus every later gram start's cover [1..]
+      (2L, "t t t t t t t t"),
+      // under 5 tokens: no grams, unchanged
+      (3L, "short doc here")).toDF("doc_id", "text")
+    val got = SparkEntry.repetitionApply(docs)
+      .as[(Long, Long, Long, Long, String)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got(1L) === ((1L, 13L, 8L, 5L, "a b c d e x y z")),
+      s"second span must go, first and unique text survive: ${got(1L)}")
+    // doc 2: gram starts 1..3 are repeats -> positions 1..7 covered
+    assert(got(2L) === ((2L, 8L, 1L, 7L, "t")), got(2L).toString)
+    assert(got(3L) === ((3L, 3L, 3L, 0L, "short doc here")), got(3L).toString)
+  }
+
   test("capped banding drops hot-bucket-only pairs and keeps the rest") {
     // bits=8, radius 1 → two 4-bit segments. Docs 1-5 pile onto
     // segment-0 value 0 (the hot bucket); the (1,2) near-dup pair
