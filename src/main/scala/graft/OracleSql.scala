@@ -1338,6 +1338,20 @@ SELECT doc_id,
        array_to_string(tk[i*48+1 : i*48+64], ' ') AS chunk_text
 FROM ex""",
 
+    // split-assignment census: the same stratum|id hash keying the
+    // decontam family's eval holdout uses, so the censuses agree
+    "e_split_assign" -> s"""WITH d AS (
+  SELECT lang,
+         CAST(len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                              t -> len(t) > 0)) AS BIGINT) AS nt,
+         ${dh("lang || '|' || CAST(doc_id AS VARCHAR)")} % 100 AS h
+  FROM documents)
+SELECT lang,
+       CASE WHEN h < 20 THEN 'eval' WHEN h < 30 THEN 'val'
+            ELSE 'train' END AS split,
+       count(*) AS n_docs, CAST(sum(nt) AS BIGINT) AS n_tokens
+FROM d GROUP BY 1, 2""",
+
     // intra-doc repeated-span removal: first 5-gram occurrence wins,
     // later occurrences cover their five positions, ordered rebuild
     "t_repetition_apply" -> s"""$TOKS, tp AS (

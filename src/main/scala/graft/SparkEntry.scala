@@ -877,6 +877,27 @@ object SparkEntry {
         coalesce(col("top_tok_frac"), lit(0.0)).as("top_tok_frac"))
   }
 
+  /** Split-assignment census — the table that DOCUMENTS the
+    * deterministic hash split every other governance row assumes:
+    * eval is EXACTLY the [[graft.ext.TextOps.hashSample]] 20% slice
+    * the decontamination family holds out (same stratum|id keying, so
+    * this census and e_decontam_* / e_split_leakage agree row-set for
+    * row-set), val the next 10 points, train the rest. Per
+    * (lang, split): docs and token mass — the first table a training
+    * run pins in its config. One scan, one keyed partial agg. */
+  private def eSplitAssign(s: SparkSession, dir: String): DataFrame = {
+    val docs = T(s, dir, "documents")
+    val h = pmod(Codecs.portableHash(
+      concat(col("lang"), lit("|"), col("doc_id").cast("string"))), lit(100))
+    docs.select(col("lang"),
+        TextOps.tokenCount(col("text")).cast("long").as("nt"), h.as("h"))
+      .withColumn("split",
+        when(col("h") < 20, "eval").when(col("h") < 30, "val")
+          .otherwise("train"))
+      .groupBy("lang", "split")
+      .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("n_tokens"))
+  }
+
   /** Intra-document repeated-span REMOVAL — the APPLY step behind
     * [[tRepetition]]'s scores (the within-doc half of the Lee et al.
     * 2022 dedup discipline; the d_span_* family owns the CROSS-doc
@@ -6404,6 +6425,7 @@ object SparkEntry {
     "a_moving_avg" -> (aMovingAvg _),
     "t_repetition" -> (tRepetition _),
     "t_repetition_apply" -> (tRepetitionApply _),
+    "e_split_assign" -> (eSplitAssign _),
     "t_mix_weights" -> (tMixWeights _),
     "t_chunk" -> (tChunk _),
     "t_text_stats" -> (tTextStats _),
