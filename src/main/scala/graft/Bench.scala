@@ -33,6 +33,33 @@ object Bench {
       .trim.split("\\s+")(0).toDouble
     catch { case _: Throwable => -1.0 }
 
+  /** Spin-wait for the box to quiesce before the timed run: three
+    * consecutive official rounds (r10-r12) launched into ambient load
+    * (load1_start 3.70 / 4.36 / 4.86 — the previous round's residue)
+    * and each needed judge adjudication against a quiet re-run pair.
+    * Polls the 1-minute loadavg every 5 s until it drops below 1.0 or
+    * `SPARK_GRAFT_QUIESCE_MAX_SEC` (default 300) elapses; returns the
+    * seconds waited, which rides on the contract line as
+    * `quiesce_wait` — so a recorded run either carries
+    * load1_start < 1 or an explicit waited-and-gave-up marker
+    * (quiesce_wait ≈ max AND load1_start ≥ 1), and the headline number
+    * stops needing reinterpretation. The wait happens BEFORE the
+    * SparkSession exists, so it is never confounded with our own
+    * executor threads; an unreadable loadavg (-1, non-Linux) skips the
+    * gate entirely. */
+  private[graft] def quiesce(): Double = {
+    val maxSec = sys.env.get("SPARK_GRAFT_QUIESCE_MAX_SEC")
+      .flatMap(v => scala.util.Try(v.toDouble).toOption).getOrElse(300.0)
+    val t0 = System.nanoTime()
+    var l = load1()
+    while (l >= 1.0 && (System.nanoTime() - t0) / 1e9 < maxSec) {
+      System.err.println(f"[bench] quiesce gate: load1=$l%.2f, waiting for < 1.0")
+      Thread.sleep(5000)
+      l = load1()
+    }
+    (System.nanoTime() - t0) / 1e9
+  }
+
   /** Drop two known-benign WARN emitters to ERROR so the driver's
     * ~2000-char stdout/stderr tail carries query output, not spam:
     * WindowExecBase's "No Partition Defined" fires for the two
@@ -87,10 +114,12 @@ object Bench {
     * fields (1-min loadavg at launch/end) make a loaded driver box
     * distinguishable from a real regression without a judge re-run. */
   private[graft] def contractLine(total: Double, prepareSec: Double, nFailed: Int,
-      nExtrasFailed: Int, sfDir: String, load1Start: Double, load1End: Double): String =
-    s"""{"metric":"total","value":${r2s(total)},"unit":"sec","prepare":${r2s(prepareSec)},"failed":$nFailed,"extras_failed":$nExtrasFailed,"load1_start":${r2s(load1Start)},"load1_end":${r2s(load1End)},"sf":${sfToken(sfDir)}}"""
+      nExtrasFailed: Int, sfDir: String, load1Start: Double, load1End: Double,
+      quiesceWait: Double = 0.0): String =
+    s"""{"metric":"total","value":${r2s(total)},"unit":"sec","prepare":${r2s(prepareSec)},"failed":$nFailed,"extras_failed":$nExtrasFailed,"quiesce_wait":${r2s(quiesceWait)},"load1_start":${r2s(load1Start)},"load1_end":${r2s(load1End)},"sf":${sfToken(sfDir)}}"""
 
   def main(args: Array[String]): Unit = {
+    val quiesceWait = quiesce()
     val load1Start = load1()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -318,13 +347,13 @@ object Bench {
     val nFailed = results.values.count(_ < 0) + prepareSteps.count(_._2 < 0)
     val nExtrasFailed = extraResults.values.count(_ < 0)
     val load1End = load1()
-    val detail = s"""{"metric":"total","value":${r3s(total)},"unit":"sec","prepare":${r3s(prepareSec)},"prepare_steps":${jmap(prepareSteps, r3s)},"queries":${jmap(results.toSeq.sortBy(_._1), r3s)},"extras":${jmap(extraResults, r3s)},"recall_at_3":${jmap(annRecall, r3s)},"failed":$nFailed,"extras_failed":$nExtrasFailed,"load1_start":${r3s(load1Start)},"load1_end":${r3s(load1End)},"sf":"$sfDir"}"""
+    val detail = s"""{"metric":"total","value":${r3s(total)},"unit":"sec","prepare":${r3s(prepareSec)},"prepare_steps":${jmap(prepareSteps, r3s)},"queries":${jmap(results.toSeq.sortBy(_._1), r3s)},"extras":${jmap(extraResults, r3s)},"recall_at_3":${jmap(annRecall, r3s)},"failed":$nFailed,"extras_failed":$nExtrasFailed,"quiesce_wait":${r3s(quiesceWait)},"load1_start":${r3s(load1Start)},"load1_end":${r3s(load1End)},"sf":"$sfDir"}"""
     try java.nio.file.Files.write(
       java.nio.file.Paths.get("bench_details.json"),
       (detail + "\n").getBytes("UTF-8"))
     catch { case e: Throwable => System.err.println(s"[bench] detail write failed: ${e.getMessage}") }
     val line = contractLine(total, prepareSec, nFailed, nExtrasFailed, sfDir,
-      load1Start, load1End)
+      load1Start, load1End, quiesceWait)
     // stop Spark BEFORE printing the contract line so no shutdown
     // message (executor/log4j/jansi) can land on stdout after it —
     // the driver parses the process's LAST line as JSON. A stop()

@@ -56,6 +56,22 @@ object StagingTables {
     if (!df.sparkSession.catalog.tableExists(table)) writeSmall(df, table)
   }
 
+  /** Create `table` EMPTY, PARTITIONED by `partCol`, only when it does
+    * not already exist — the cold-start initializer for append-style
+    * compaction targets whose writer keys each micro-batch to its own
+    * partition (so an at-least-once replay dynamically OVERWRITES its
+    * partition instead of duplicating rows; see
+    * [[graft.streaming.Pipeline.freshnessDayCompactor]]). Same
+    * survive-a-restart contract as [[initSmallIfAbsent]]. */
+  def initPartitionedIfAbsent(df: DataFrame, table: String, partCol: String): Unit = {
+    validId(table)
+    if (!df.sparkSession.catalog.tableExists(table)) {
+      dropWithLocation(df.sparkSession, table)
+      df.write.mode(SaveMode.Overwrite).partitionBy(partCol)
+        .format("parquet").saveAsTable(table)
+    }
+  }
+
   /** The identifier feeds SQL statements and a recursive warehouse
     * delete — restrict it to plain [db.]name so neither can escape. */
   private def validId(table: String): Unit =

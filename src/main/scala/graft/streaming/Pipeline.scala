@@ -1041,23 +1041,65 @@ object Pipeline {
     * table equals the BATCH [[freshnessDayGauge]] restricted to the
     * closed days, each row present once — and on bucket-aligned cuts
     * [[freshnessDayReport]] over the table reproduces the
-    * microsecond-exact p_freshness projection of those days. On a
-    * production lake the append targets a transactional format; plain
-    * parquet appends are atomic enough here because each closed day
-    * arrives in exactly one micro-batch. */
+    * microsecond-exact p_freshness projection of those days.
+    *
+    * Delivery: foreachBatch is AT-LEAST-ONCE — a crash between the
+    * table write and the checkpoint commit re-executes the batch — so
+    * the write is keyed to a `batch_id` partition and dynamically
+    * OVERWRITES it ([[compactBatch]]): a replay is a byte-identical
+    * partition rewrite, never a duplicate append (the replayed batch
+    * reads the same source offsets from the checkpoint, so its content
+    * is identical). Readers take the 4-column day-gauge view via
+    * [[freshnessDayHistory]]; the partition column is write-side
+    * lineage, exactly the role a transactional lake format's commit id
+    * plays. */
   def freshnessDayCompactor(events: DataFrame, table: String,
       lateness: String = "2 days"): StreamingQuery = {
-    import org.apache.spark.sql.SaveMode
-    graft.sources.StagingTables.initSmallIfAbsent(
+    graft.sources.StagingTables.initPartitionedIfAbsent(
       events.sparkSession.createDataFrame(Seq.empty[(String, Long, Long, Long)])
-        .toDF("event_type", "day", "n_day", "last_us"), table)
+        .toDF("event_type", "day", "n_day", "last_us")
+        .withColumn("batch_id", lit(0L)), table, "batch_id")
     freshnessDayGaugeWatermarked(events, lateness)
       .writeStream.outputMode("append")
-      .foreachBatch { (b: DataFrame, _: Long) =>
-        b.write.mode(SaveMode.Append).format("parquet").saveAsTable(table)
-        ()
+      .foreachBatch { (b: DataFrame, batchId: Long) =>
+        compactBatch(b, table, batchId)
       }.start()
   }
+
+  /** The idempotent per-batch append behind [[freshnessDayCompactor]]:
+    * rows land in their OWN `batch_id=<id>` partition under dynamic
+    * partition-overwrite, so re-executing a batch (the at-least-once
+    * replay window) overwrites that partition with the same bytes
+    * instead of appending a second copy. insertInto is positional —
+    * the partition column must come last, matching the
+    * [[graft.sources.StagingTables.initPartitionedIfAbsent]] layout.
+    * Spec-pinned (StreamingGovernanceSpec): re-running a committed
+    * batch leaves the table row-identical. */
+  private[graft] def compactBatch(b: DataFrame, table: String, batchId: Long): Unit = {
+    import org.apache.spark.sql.SaveMode
+    // The session CONF, not the per-write option: insertInto ignores
+    // the writer option, and in the default STATIC mode an overwrite
+    // with an EMPTY batch (any batch with no newly-closed day) would
+    // wipe every partition — measured, not hypothetical. Set on the
+    // frame's own session (inside foreachBatch that is the micro-batch
+    // clone, so nothing leaks to the main session) and restored after.
+    val conf = b.sparkSession.conf
+    val key = "spark.sql.sources.partitionOverwriteMode"
+    val prev = conf.getOption(key)
+    conf.set(key, "dynamic")
+    try b.withColumn("batch_id", lit(batchId))
+      .write.mode(SaveMode.Overwrite)
+      .insertInto(table)
+    finally prev match {
+      case Some(v) => conf.set(key, v)
+      case None    => conf.unset(key)
+    }
+  }
+
+  /** Reader view of the compacted day-gauge table: the 4 gauge columns
+    * without the writer's `batch_id` lineage partition. */
+  def freshnessDayHistory(spark: SparkSession, table: String): DataFrame =
+    spark.table(table).select("event_type", "day", "n_day", "last_us")
 
   /** Report over the day gauge: everything [[freshnessReport]] emits
     * plus `n_last_day_approx` — the trailing-24 h arrival count at DAY

@@ -311,7 +311,7 @@ class StreamingGovernanceSpec extends SparkSpec {
         // batch must not re-emit any closed day
         input.addData(Seq(ev(8, 14, "click"))); q.processAllAvailable()
       } finally q.stop()
-      val table = spark.table("freshness_days")
+      val table = Pipeline.freshnessDayHistory(spark, "freshness_days")
         .as[(String, Long, Long, Long)].collect().toSeq
       // exactly the batch day gauge over the CLOSED days (< watermark
       // 13 - 1d lateness => window end <= 12 => days 9..11), once each
@@ -323,8 +323,25 @@ class StreamingGovernanceSpec extends SparkSpec {
       assert(table.size === table.distinct.size, "closed days must land once")
       // aligned-cut replay equality with the microsecond-exact
       // p_freshness projection over the same closed-day events
+      // at-least-once replay probe: foreachBatch re-executes a batch
+      // whose table write landed but whose checkpoint commit did not;
+      // the batch_id-partitioned dynamic overwrite must make that
+      // re-execution a byte-identical rewrite, never a duplicate append
+      val raw = spark.table("freshness_days")
+      val before = raw.collect().map(_.toString).sorted.toSeq
+      val lastBatch = raw.agg(max(col("batch_id"))).as[Long].head()
+      val replayRows = raw.filter(col("batch_id") === lastBatch)
+        .select("event_type", "day", "n_day", "last_us")
+        .as[(String, Long, Long, Long)].collect().toSeq
+      assert(replayRows.nonEmpty, "probe needs a non-empty committed batch")
+      Pipeline.compactBatch(
+        replayRows.toDF("event_type", "day", "n_day", "last_us"),
+        "freshness_days", lastBatch)
+      val after = spark.table("freshness_days").collect().map(_.toString).sorted.toSeq
+      assert(after === before,
+        "a replayed batch must overwrite its own partition, not duplicate rows")
       val report = graft.streaming.Pipeline
-        .freshnessDayReport(spark.table("freshness_days"))
+        .freshnessDayReport(Pipeline.freshnessDayHistory(spark, "freshness_days"))
         .as[(String, Long, Long, Long, Long, Boolean)].collect().toSet
       val evs = closing.toDF("event_id", "ts", "event_type")
         .select(col("event_type"), expr("unix_micros(ts)").as("us"))
