@@ -380,6 +380,21 @@ object OracleSql {
          CAST(sum(v_fx) AS BIGINT) AS value_fx
   FROM sx GROUP BY 1, 2)"""
 
+  /** Naive inequality-join replay of the interval-overlap operator —
+    * shared verbatim by a_interval_join (DSL) and q_sql_interval (the
+    * spark.sql twin): both engine forms must reduce to this exact
+    * pair set, which is what pins the bucketed rewrite's exactly-once
+    * algebra from two independent entry points. */
+  private val IntervalJoinSql = s"""$SESSIONS, err AS (
+  SELECT us // 86400000000 AS err_day,
+         min(us) AS err_start_us, max(us) AS err_end_us
+  FROM ev WHERE event_type = 'error' GROUP BY 1)
+SELECT s.user_id, CAST(s.sess_idx AS BIGINT) AS sess_idx, e.err_day,
+       least(s.end_us, e.err_end_us) - greatest(s.start_us, e.err_start_us)
+         AS overlap_us
+FROM sess s JOIN err e
+  ON s.start_us <= e.err_end_us AND e.err_start_us <= s.end_us"""
+
   /** Per-group OLS trend from exact integer moments — shared by the
     * from-scratch a_trend row AND the partials-merged
     * a_trend_incremental row (same output contract, independent
@@ -1304,15 +1319,10 @@ GROUP BY o_orderkey""",
     // join; the Spark side's bucketed equi-join + anchor-bucket
     // uniqueness must agree row-for-row, which pins the rewrite's
     // exactly-once algebra
-    "a_interval_join" -> s"""$SESSIONS, err AS (
-  SELECT us // 86400000000 AS err_day,
-         min(us) AS err_start_us, max(us) AS err_end_us
-  FROM ev WHERE event_type = 'error' GROUP BY 1)
-SELECT s.user_id, CAST(s.sess_idx AS BIGINT) AS sess_idx, e.err_day,
-       least(s.end_us, e.err_end_us) - greatest(s.start_us, e.err_start_us)
-         AS overlap_us
-FROM sess s JOIN err e
-  ON s.start_us <= e.err_end_us AND e.err_start_us <= s.end_us""",
+    "a_interval_join" -> IntervalJoinSql,
+    // the spark.sql twin computes the identical pair set through the
+    // parser + analyzer, so it shares the naive-replay oracle verbatim
+    "q_sql_interval" -> IntervalJoinSql,
 
     // daily sums are exact integer cents => the 7-row frame sum is
     // order-independent; DuckDB's sum() OVER widens BIGINT to HUGEINT,
@@ -2919,6 +2929,73 @@ GROUP BY 1, 2""",
 SELECT doc_id, lang, quality, n_tok, tok_start, tok_start // 2048 AS chunk_id FROM (
   SELECT *, CAST(sum(n_tok) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n_tok AS BIGINT) AS tok_start
   FROM gated)""",
+
+    // the ALL-gates composition: intra-doc repeated-span removal
+    // (the t_repetition_apply chain) -> exact-dedup keepers on the
+    // normalized REBUILT text -> quality/length gate scored on the
+    // rebuilt text -> CCNet perplexity gate under the corpus bigram LM
+    // (per-lang quantile_cont median, the e_ppl_filter chain) ->
+    // eval-split holdout. rt carries (text, tk) of the REBUILT doc so
+    // the shared QUALITY fragment scores the cleaned form; the xent
+    // chain scores the ORIGINAL corpus (the LM substrate is corpus-
+    // level, not per-stage)
+    "e_curation_full" -> s"""$TOKS, tp AS (
+  SELECT doc_id, unnest(range(0, len(tk))) AS pos, tk FROM toks
+), tok AS (SELECT doc_id, pos, tk[CAST(pos + 1 AS INT)] AS tok FROM tp
+), gp AS (
+  SELECT doc_id, unnest(range(0, greatest(len(tk) - 4, 0))) AS p, tk FROM toks
+), g AS (
+  SELECT doc_id, p,
+         array_to_string(tk[CAST(p + 1 AS INT):CAST(p + 5 AS INT)], ' ') AS g
+  FROM gp
+), firsts AS (SELECT doc_id, g, min(p) AS p0 FROM g GROUP BY 1, 2
+), cov0 AS (
+  SELECT g.doc_id, unnest(range(g.p, g.p + 5)) AS pos
+  FROM g JOIN firsts f ON f.doc_id = g.doc_id AND f.g = g.g
+  WHERE g.p > f.p0
+), covered AS (SELECT DISTINCT doc_id, pos FROM cov0
+), rb AS (
+  SELECT t.doc_id, count(*) AS n_kept,
+         string_agg(t.tok, ' ' ORDER BY t.pos) AS dedup_text
+  FROM tok t LEFT JOIN covered c ON c.doc_id = t.doc_id AND c.pos = t.pos
+  WHERE c.pos IS NULL
+  GROUP BY t.doc_id
+), rt AS (
+  SELECT toks.doc_id,
+         CAST(coalesce(rb.n_kept, 0) AS BIGINT) AS n_kept,
+         coalesce(rb.dedup_text, '') AS text,
+         list_filter(regexp_split_to_array(lower(trim(coalesce(rb.dedup_text, ''))), '\\s+'),
+                     t -> len(t) > 0) AS tk
+  FROM toks LEFT JOIN rb ON rb.doc_id = toks.doc_id
+), norm AS (
+  SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS ntext FROM rt
+), grp AS (
+  SELECT ${dh("ntext")} AS th, CAST(length(ntext) AS BIGINT) AS tl, min(doc_id) AS keeper
+  FROM norm GROUP BY 1, 2
+), occ AS (
+  SELECT doc_id, unnest(${shinglesN(2)}) AS s FROM toks
+), c2 AS (SELECT s, count(*) AS c2 FROM occ GROUP BY s
+), c1 AS (SELECT string_split(s, ' ')[1] AS w1, sum(c2) AS c1 FROM c2 GROUP BY 1
+), v AS (SELECT count(DISTINCT t) AS v FROM (SELECT unnest(tk) AS t FROM toks)
+), model AS (
+  SELECT c2.s, ln(CAST(c2.c2 + 1 AS DOUBLE) / (c1.c1 + v.v)) AS logp
+  FROM c2 JOIN c1 ON string_split(c2.s, ' ')[1] = c1.w1 CROSS JOIN v
+), x AS (
+  SELECT occ.doc_id, round(-sum(m.logp) / count(*), 4) AS xent
+  FROM occ JOIN model m USING (s) GROUP BY occ.doc_id
+), cut AS (
+  SELECT d.lang, quantile_cont(x.xent, 0.5) AS cutoff
+  FROM x JOIN documents d USING (doc_id) GROUP BY d.lang)
+SELECT rt.doc_id, d.lang, round($QUALITY, 4) AS quality,
+       rt.n_kept, x.xent AS xent_nats
+FROM rt
+JOIN grp ON rt.doc_id = grp.keeper
+JOIN (SELECT doc_id, lang FROM documents) d ON d.doc_id = rt.doc_id
+JOIN x ON x.doc_id = rt.doc_id
+JOIN cut ON cut.lang = d.lang
+WHERE round($QUALITY, 4) >= 0.5 AND rt.n_kept BETWEEN 10 AND 200
+  AND x.xent <= cut.cutoff
+  AND NOT (${dh("d.lang || '|' || CAST(rt.doc_id AS VARCHAR)")} % 100 < 20)""",
 
     "d_exact" -> s"""SELECT ${dh("text")} AS text_hash,
   CAST(length(text) AS BIGINT) AS text_len,

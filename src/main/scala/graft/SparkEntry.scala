@@ -190,10 +190,15 @@ object SparkEntry {
     "multi_curation" ->
       ((s, dir) => { eMultiCuration(s, dir).count(); () }),
     // per-doc bigram cross-entropy score frame: shared by
-    // t_bigram_ppl and e_ppl_filter (alphabetically the FILTER would
-    // otherwise be charged the LM scoring join)
+    // t_bigram_ppl, e_ppl_filter and e_curation_full (alphabetically
+    // the FULL row would otherwise be charged the LM scoring join)
     "bigram_xent" ->
-      ((s, dir) => { tBigramPpl(s, dir).count(); () }))
+      ((s, dir) => { tBigramPpl(s, dir).count(); () }),
+    // intra-doc-repetition-cleaned corpus: the posexplode + cover +
+    // ordered-rebuild build e_curation_full's gates all read (the
+    // media_components attribution rule)
+    "curation_rebuilt" ->
+      ((s, dir) => { rebuiltDocs(s, dir).count(); () }))
 
   // =====================================================================
   // Spark-side query implementations
@@ -2140,6 +2145,57 @@ object SparkEntry {
         "doc_id")
       .select(col("doc_id"), col("lang"), col("quality"), col("n_tok"),
         col("tok_start"), col("chunk_id"))
+  }
+
+  /** The intra-doc-repetition-cleaned corpus (doc_id, n_kept,
+    * dedup_text), PlanCache-materialized: [[eCurationFull]]'s stages
+    * all read the rebuilt text, and the prepare phase attributes the
+    * posexplode+cover build to the curation_rebuilt line instead of
+    * whichever consumer times first. */
+  private def rebuiltDocs(s: SparkSession, dir: String): DataFrame =
+    graft.ops.PlanCache.cached("curation-rebuilt",
+      repetitionApply(T(s, dir, "documents"))
+        .select(col("doc_id"), col("n_kept"), col("dedup_text")))
+
+  /** The kept-corpus-with-ALL-gates row — [[eCurationPipeline]] plus
+    * the two round-12 gates composed in the order a real run chains
+    * them: intra-document repeated-span REMOVAL first (so every later
+    * judgment sees the cleaned text), exact-dedup keepers on the
+    * normalized REBUILT text (repeat removal can make near-copies
+    * exactly equal — deduping before it would miss them), the
+    * quality+length gate scored ON the rebuilt text, the CCNet
+    * perplexity gate under the CORPUS bigram LM (the shared
+    * bigram_xent substrate — CCNet scores with a pre-existing LM, not
+    * one re-trained per filter stage; per-lang EXACT median cutoff,
+    * the e_ppl_filter machinery verbatim), and the eval-split holdout.
+    * Docs under 2 tokens have no bigram score and sit outside the
+    * scored universe (the e_ppl_filter contract — the length gate
+    * already removed them anyway). Substrates are prepare-attributed:
+    * bigram_xent (LM scores) and curation_rebuilt (span removal); the
+    * query itself measures gates and joins, all keyed shuffles. */
+  private def eCurationFull(s: SparkSession, dir: String): DataFrame = {
+    val docs = T(s, dir, "documents")
+    val rebuilt = rebuiltDocs(s, dir)
+    val keepers = Dedup.exactGroups(rebuilt.select(col("doc_id"),
+        regexp_replace(lower(trim(col("dedup_text"))), "\\s+", " ").as("text")))
+      .select(col("keeper").as("doc_id"))
+    val xent = TextOps.bigramCrossEntropy(docs)
+      .select(col("doc_id"), col("xent_nats"))
+    val cut = graft.ops.ExactPercentiles.of(
+        xent.join(docs.select(col("doc_id"), col("lang")), "doc_id")
+          .select(col("lang").as("k"), col("xent_nats").as("x")),
+        Seq(("p50", 0.5)), "ppl-cut", fewGroups = true)
+      .select(col("k").as("lang"), col("v").as("cutoff"))
+    rebuilt.join(keepers, "doc_id")
+      .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+      .withColumn("quality", round(TextOps.qualityScore(col("dedup_text")), 4))
+      .filter(col("quality") >= 0.5 && col("n_kept").between(10L, 200L))
+      .join(xent, "doc_id")
+      .join(broadcast(cut), "lang")
+      .filter(col("xent_nats") <= col("cutoff"))
+      .filter(!TextOps.hashSample(col("lang"), col("doc_id"), 20))
+      .select(col("doc_id"), col("lang"), col("quality"),
+        col("n_kept"), col("xent_nats"))
   }
 
   /** Per-source curation report — the dataset-card table a training
@@ -6401,6 +6457,56 @@ object SparkEntry {
       FROM evens e JOIN logs l ON e.trace_id = l.trace_id""")
   }
 
+  /** The interval-overlap join driven from `spark.sql` — the newest
+    * join family member reachable through the parser + analyzer the
+    * way be_int is (the q_sql_pipeline precedent). The bucketed
+    * rewrite is pure built-in SQL, so the WHOLE operator — fan-out
+    * cap, bucket explode, bucket equi-join, overlap verify,
+    * anchor-bucket uniqueness — expresses as one statement a SQL-only
+    * user can copy: `sequence(start div W, end div W)` + `explode` is
+    * [[graft.ops.IntervalJoin.overlap]]'s bucket generator,
+    * `assert_true(size(..) <= cap)` is its loud runaway-interval
+    * guard, and the final `bk = greatest(starts) div W` keeps each
+    * overlapping pair exactly once (the anchor instant lies in both
+    * intervals, so both sides generated its bucket). View prep (gap
+    * sessionization, per-day error windows) mirrors [[aIntervalJoin]]
+    * verbatim; plan-pinned to the same Generate + equi-join physical
+    * shape and row-pinned equal to the DSL twin (GraftExtensionsSpec).
+    * Oracle: the same naive inequality join a_interval_join replays. */
+  private def qSqlInterval(s: SparkSession, dir: String): DataFrame = {
+    GraftExtensions.registerAll(s)
+    graft.ops.Sessionize.sessions(T(s, dir, "events"), 1800L * 1000000L)
+      .select(col("user_id"), col("sess_idx"), col("start_us"), col("end_us"))
+      .createOrReplaceTempView("graft_sql_sessions")
+    T(s, dir, "events").filter(col("event_type") === "error")
+      .select(unix_micros(col("ts")).as("us"))
+      .groupBy(expr("us div 86400000000").as("err_day"))
+      .agg(min(col("us")).as("err_start_us"), max(col("us")).as("err_end_us"))
+      .createOrReplaceTempView("graft_sql_errwin")
+    s.sql("""
+      WITH lb AS (
+        SELECT user_id, sess_idx, start_us, end_us, explode(bks) AS bk
+        FROM (SELECT *,
+                sequence(start_us div 3600000000L, end_us div 3600000000L) AS bks
+              FROM graft_sql_sessions)
+        WHERE assert_true(size(bks) <= 4096,
+          'q_sql_interval: an interval spans more than 4096 buckets') IS NULL
+      ), rb AS (
+        SELECT err_day, err_start_us, err_end_us, explode(bks) AS bk
+        FROM (SELECT *,
+                sequence(err_start_us div 3600000000L, err_end_us div 3600000000L) AS bks
+              FROM graft_sql_errwin)
+        WHERE assert_true(size(bks) <= 4096,
+          'q_sql_interval: an interval spans more than 4096 buckets') IS NULL
+      )
+      SELECT l.user_id, l.sess_idx, r.err_day,
+             least(l.end_us, r.err_end_us) - greatest(l.start_us, r.err_start_us)
+               AS overlap_us
+      FROM lb l JOIN rb r ON l.bk = r.bk
+      WHERE l.start_us <= r.err_end_us AND r.err_start_us <= l.end_us
+        AND l.bk = greatest(l.start_us, r.err_start_us) div 3600000000L""")
+  }
+
   // =====================================================================
   // Registry
   // =====================================================================
@@ -6408,6 +6514,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_sql_surface" -> (qSqlSurface _),
     "q_sql_pipeline" -> (qSqlPipeline _),
+    "q_sql_interval" -> (qSqlInterval _),
     "q_branch_even" -> (qBranchEven _),
     "q_branch_odd" -> (qBranchOdd _),
     "q_derive_context" -> (qDeriveContext _),
@@ -6542,6 +6649,7 @@ object SparkEntry {
     "a_windowed_percentiles" -> (aWindowedPercentiles _),
     "t_quality_buckets" -> (tQualityBuckets _),
     "e_curation_pipeline" -> (eCurationPipeline _),
+    "e_curation_full" -> (eCurationFull _),
     "e_source_report" -> (eSourceReport _),
     "e_mix_apply" -> (eMixApply _),
     "e_epoch_schedule" -> (eEpochSchedule _),

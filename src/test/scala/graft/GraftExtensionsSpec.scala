@@ -28,6 +28,16 @@ class GraftExtensionsSpec extends SparkSpec {
       "parser+FunctionRegistry path diverged from the column DSL")
   }
 
+  test("the SQL interval join replays the DSL bucketed overlap rows exactly") {
+    val dir = "/root/testdata/sf0.001"
+    val sql = SparkEntry.queries("q_sql_interval")(spark, dir)
+      .as[(String, Long, Long, Long)].collect().sorted.toSeq
+    val dsl = SparkEntry.queries("a_interval_join")(spark, dir)
+      .as[(String, Long, Long, Long)].collect().sorted.toSeq
+    assert(sql.nonEmpty && sql === dsl,
+      "parser-path interval join diverged from the DSL operator")
+  }
+
   test("be_int is callable from SQL after registration") {
     GraftExtensions.registerAll(spark)
     val got = spark.sql(

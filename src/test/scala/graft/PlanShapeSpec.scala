@@ -689,6 +689,23 @@ class PlanShapeSpec extends SparkSpec {
       s"windows must sit above the value histogram, never raw rows:\n$p")
   }
 
+  test("all-gates curation row: keyed equi-joins, cutoff folds over the histogram") {
+    val p = plan("e_curation_full")
+    assert(!p.contains("CartesianProduct"), p)
+    // the one nested-loop allowed is ExactPercentiles' bounded
+    // quantile-position attach (per-lang count frame × the 1-row
+    // quantile literal — an aggregate-sized cross, the documented
+    // attach-a-global shape); every DATA-sized join must be keyed
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).length <= 1,
+      s"only the histogram's quantile-position attach may nested-loop:\n$p")
+    // windows only above the ExactPercentiles histogram aggregate,
+    // never over corpus rows (the e_ppl_filter rule)
+    val lines = p.linesIterator.toList
+    val wIdx = lines.indexWhere(_.contains("Window"))
+    assert(wIdx < 0 || lines.drop(wIdx).exists(_.contains("HashAggregate")),
+      s"windows must sit above the value histogram, never raw rows:\n$p")
+  }
+
   test("epoch schedule and fertility are partial-agg folds, no data-sized joins") {
     val es = plan("e_epoch_schedule")
     assert(!es.contains("CartesianProduct") && !es.contains("Window"), es)
@@ -700,15 +717,26 @@ class PlanShapeSpec extends SparkSpec {
   }
 
   test("interval-overlap join rides the bucket equi-join, never a cartesian") {
-    val p = plan("a_interval_join")
-    assert(p.contains("Generate"),
-      s"bucket fan-out must be the explode, not a range condition:\n$p")
-    assert(p.contains("SortMergeJoin") || p.contains("BroadcastHashJoin") ||
-      p.contains("ShuffledHashJoin"),
-      s"candidates must come from a bucket EQUI-join:\n$p")
-    assert(!p.contains("CartesianProduct") &&
-      !p.contains("BroadcastNestedLoopJoin"),
-      s"the naive inequality join must never plan:\n$p")
+    // both entry points — the DSL operator and its spark.sql twin —
+    // must plan the SAME bucketed shape: the parser path expressing
+    // the rewrite is the point of q_sql_interval
+    for (name <- Seq("a_interval_join", "q_sql_interval")) {
+      val p = plan(name)
+      assert(p.contains("Generate"),
+        s"$name: bucket fan-out must be the explode, not a range condition:\n$p")
+      assert(p.contains("SortMergeJoin") || p.contains("BroadcastHashJoin") ||
+        p.contains("ShuffledHashJoin"),
+        s"$name: candidates must come from a bucket EQUI-join:\n$p")
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"),
+        s"$name: the naive inequality join must never plan:\n$p")
+    }
+    // same join strategy from both entry points at this scale
+    def joinKind(s: String): String =
+      Seq("BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin")
+        .find(s.contains).getOrElse("none")
+    assert(joinKind(plan("q_sql_interval")) === joinKind(plan("a_interval_join")),
+      "SQL form must pick the DSL twin's join strategy")
   }
 
   test("theil-sen pairs join inside the event-type key, never all-days") {
