@@ -280,6 +280,29 @@ object Bench {
             approx_count_distinct(col("l_orderkey")).as("n_orders"),
             count(lit(1)).as("n_rows"))
       }),
+      // the persisted-substrate tier measured (PlanCache.persisted):
+      // COLD deletes any prior tier, builds a fresh 4-gram shingle
+      // index (no registry query uses n=4, so nothing is pre-warmed)
+      // and writes it hash-clustered to disk; WARM is what a
+      // RESTARTED driver pays — a scan of the stored bytes instead of
+      // the prepare-phase rebuild. The pair is the measured case for
+      // durable substrates across driver sessions.
+      "substrate_persist_cold" -> ((s, dir) => {
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+          f.delete(); ()
+        }
+        rm(new java.io.File("target/substrates/shingles4"))
+        rm(new java.io.File("target/substrates/shingles4.fingerprint"))
+        graft.ops.PlanCache.persisted("target/substrates", "shingles4",
+            graft.ops.PlanCache.sourceFingerprint(Seq(s"$dir/documents.parquet")),
+            s, "h", 32) {
+          graft.ext.Dedup.shingleHashes(
+            s.read.parquet(s"$dir/documents.parquet"), 4)
+        }
+      }),
+      "substrate_persist_warm" -> ((s, dir) =>
+        s.read.parquet("target/substrates/shingles4")),
       // the 100 TB swap-in for p_stats_profile: the exact
       // multi-countDistinct plans as ONE Expand (scan multiplied per
       // distinct aggregate — oracle-exact, the registry row), while a

@@ -53,7 +53,12 @@ object DctHash63 {
       s"dct_hash63 needs a 64-element grid, got ${px.numElements()}")
     val x = new Array[Long](64)
     var i = 0
-    while (i < 64) { x(i) = px.getLong(i); i += 1 }
+    while (i < 64) {
+      // as loud as the 64-element require: getLong on a null slot
+      // would silently fold an undefined value into every coefficient
+      require(!px.isNullAt(i), s"dct_hash63: null grid element at $i")
+      x(i) = px.getLong(i); i += 1
+    }
     // Y = A·X
     val y = new Array[Long](64)
     var u = 0

@@ -89,7 +89,13 @@ object TextRankFixed {
     val wouts = new Array[Long](n)
     var i = 0
     while (i < n) {
+      // loud on null structs/fields (the DctHash63 convention):
+      // getUTF8String/getLong on a null slot would silently corrupt
+      // the vertex table or divide by an undefined wout
+      require(!edges.isNullAt(i), s"textrank_fixed: null edge struct at $i")
       val e = edges.getStruct(i, 4)
+      require(!e.isNullAt(0) && !e.isNullAt(1) && !e.isNullAt(2) && !e.isNullAt(3),
+        s"textrank_fixed: null field in edge struct at $i")
       srcs(i) = id(e.getUTF8String(0).clone())
       dsts(i) = id(e.getUTF8String(1).clone())
       ws(i) = e.getLong(2)

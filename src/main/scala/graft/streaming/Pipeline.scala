@@ -1228,9 +1228,28 @@ object Pipeline {
     * commit per micro-batch; on a production lake the same call
     * targets a transactional table format for atomic swaps. */
   def topkPublisherTable(k: Int, table: String)
-      : (org.apache.spark.sql.Dataset[StreamingTopK.Board], Long) => Unit =
+      : (org.apache.spark.sql.Dataset[StreamingTopK.Board], Long) => Unit = {
+    // Every publication carries a rank-0 HEARTBEAT row, so the table
+    // is never legitimately 0 rows — which is what lets the serve leg
+    // tell a published EMPTY board (heartbeat present, no data rows)
+    // from the non-atomic overwrite's drop+recreate window (nothing
+    // listed). The version value is informational (a per-publisher
+    // publication counter; restarts reset it) — rank 0 alone is the
+    // discriminator. coalesce(1) keeps heartbeat + board in ONE
+    // parquet file, so a reader can never list the heartbeat without
+    // the data rows it was committed with.
+    val ver = new java.util.concurrent.atomic.AtomicLong(0L)
     topkFold(k, (spark, board) =>
-      graft.sources.StagingTables.writeSmall(board(spark), table))
+      graft.sources.StagingTables.writeSmall(
+        board(spark).union(
+          spark.createDataFrame(Seq((BoardVersionKey, ver.incrementAndGet(), 0L)))
+            .toDF("key", "total", "rank")).coalesce(1), table))
+  }
+
+  /** Key of the rank-0 heartbeat row [[topkPublisherTable]] publishes
+    * alongside every board (and [[topkServeTable]]'s cold-start init
+    * writes at version 0). Never served: [[boardSnapshot]] strips it. */
+  private[graft] val BoardVersionKey = "__graft_board_version__"
 
   /** Shared publisher fold: latest board per shard (≤ shards entries
     * of k pairs — driver-sized by construction, the codebook-literal
@@ -1308,12 +1327,17 @@ object Pipeline {
     * or answering every key in_topk = false. On a production lake the
     * publisher targets a transactional table format and the swap is
     * atomic; the fallback then never fires but still guards reader
-    * restarts racing the first publication. */
+    * restarts racing the first publication. A published EMPTY board
+    * is NOT the fallback case: every publication (and the cold-start
+    * init) carries the rank-0 heartbeat row, so the table is never
+    * legitimately 0 rows and an empty listing is unambiguously the
+    * swap window — a heartbeat-only read serves the genuinely empty
+    * board instead of pinning the stale one forever. */
   def topkServeTable(incs: org.apache.spark.sql.Dataset[StreamingTopK.Inc],
       requests: DataFrame, k: Int, shards: Int, table: String)(sink: Sink)
       : (StreamingQuery, StreamingQuery) = {
     graft.sources.StagingTables.initSmallIfAbsent(
-      incs.sparkSession.createDataFrame(Seq.empty[(String, Long, Long)])
+      incs.sparkSession.createDataFrame(Seq((BoardVersionKey, 0L, 0L)))
         .toDF("key", "total", "rank"), table)
     val pub = StreamingTopK.leaderboards(incs, k, shards)
       .writeStream.outputMode("update")
@@ -1332,11 +1356,15 @@ object Pipeline {
     * with the spec so the mid-swap path is pinned): refresh the
     * reader's file-status cache (the republication happened in
     * ANOTHER session's write — stale listings raise FILE_NOT_EXIST),
-    * read the ≤ k-row board, and keep it; any failure serves the
-    * previous snapshot. An EMPTY read only overwrites the snapshot
-    * when no board was ever seen — post-publication, an empty listing
-    * is the drop+recreate window, not a published empty board (the
-    * publisher always writes the full merged top-k). */
+    * read the board, strip the rank-0 heartbeat, and keep the data
+    * rows; a FAILED or 0-row read serves the previous snapshot.
+    * The heartbeat is what makes the 0-row branch sound: every
+    * publication carries it in the same single parquet file, so an
+    * empty listing can only be the drop+recreate window — a
+    * legitimately empty board reads back as heartbeat-only (1 row)
+    * and is SERVED empty, never shadowed by the stale last-good.
+    * A non-empty read without a heartbeat (a hand-loaded or legacy
+    * table) is accepted as-is. */
   private[graft] def boardSnapshot(spark: SparkSession, table: String,
       lastGood: java.util.concurrent.atomic.AtomicReference[Seq[(String, Long, Long)]])
       : DataFrame = {
@@ -1347,8 +1375,11 @@ object Pipeline {
         val got = spark.table(table)
           .select(col("key"), col("total"), col("rank"))
           .as[(String, Long, Long)].collect().toSeq
-        if (got.nonEmpty || lastGood.get().isEmpty) { lastGood.set(got); got }
-        else lastGood.get()
+        if (got.isEmpty) lastGood.get() // the swap window — nothing committed lists 0 rows
+        else {
+          val data = got.filterNot(r => r._1 == BoardVersionKey && r._3 == 0L)
+          lastGood.set(data); data
+        }
       } catch { case scala.util.control.NonFatal(_) => lastGood.get() }
     rows.toDF("key", "total", "rank")
   }

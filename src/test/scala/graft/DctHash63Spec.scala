@@ -60,5 +60,13 @@ class DctHash63Spec extends SparkSpec {
     val got = Seq((1L, Option.empty[Seq[Long]])).toDF("id", "px")
       .select(DctHash63.dctHash63(col("px")).as("h")).collect()
     assert(got(0).isNullAt(0))
+    // a null ELEMENT must be as loud as a short grid, never a silent 0
+    val ne = intercept[Exception] {
+      Seq((1L, Seq.fill(63)(Option(1L)) :+ Option.empty[Long])).toDF("id", "px")
+        .select(DctHash63.dctHash63(col("px"))).collect()
+    }
+    assert(ne.getMessage.contains("null grid element") ||
+      Option(ne.getCause).exists(_.getMessage.contains("null grid element")),
+      s"expected the loud null-element contract error, got: ${ne.getMessage}")
   }
 }

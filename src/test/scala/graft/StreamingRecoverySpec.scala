@@ -200,4 +200,67 @@ class StreamingRecoverySpec extends SparkSpec {
         "a lost anchor admits the sub-gap event 2 as a first arrival")
     }
   }
+
+  test("interval-overlap join state survives a checkpoint restart") {
+    // the stream-stream join restore path: a left interval buffered in
+    // run 1 must still match a right interval that only ARRIVES after
+    // the restart — lost join state silently drops the cross-restart
+    // pair, which is exactly what the batch-equality assert catches.
+    withRocksDB {
+      implicit val sqlCtx = spark.sqlContext
+      val base = 1700000000000000L // epoch micros
+      def iv(id: Long, s: Long, e: Long) =
+        (id, new java.sql.Timestamp((base + s) / 1000L), base + s, base + e)
+      val lRows = Seq(iv(1, 0, 600000000L), iv(2, 1200000000L, 1800000000L),
+        iv(3, 3000000000L, 3300000000L))
+      val rRows = Seq(iv(101, 600000000L, 900000000L), // touches l1
+        iv(102, 1300000000L, 1400000000L),             // nested in l2 — ARRIVES POST-RESTART
+        iv(103, 9000000000L, 9100000000L))             // disjoint
+      val lIn = MemoryStream[(Long, java.sql.Timestamp, Long, Long)]
+      val rIn = MemoryStream[(Long, java.sql.Timestamp, Long, Long)]
+      val out = graft.streaming.Pipeline.intervalOverlapStream(
+        lIn.toDF().toDF("lid", "l_start_ts", "l_start_us", "l_end_us"),
+        rIn.toDF().toDF("rid", "r_start_ts", "r_start_us", "r_end_us"),
+        maxDurUs = 3600000000L, watermarkDelay = "6 hours")
+      val cp = java.nio.file.Files.createTempDirectory("ivj-cp").toString
+      val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+      def start() = out.writeStream
+        .outputMode("append")
+        .option("checkpointLocation", cp)
+        .foreachBatch { (df: DataFrame, _: Long) =>
+          val got = df.select("lid", "rid").as[(Long, Long)].collect()
+          buf.synchronized { buf ++= got }
+          ()
+        }
+        .start()
+
+      // run 1: both early left intervals + the touching right; stop
+      // with l2 sitting unmatched in the left join state
+      val q1 = start()
+      try {
+        lIn.addData(lRows.take(2)); rIn.addData(rRows.take(1))
+        q1.processAllAvailable()
+      } finally q1.stop()
+
+      // while DOWN: r102 (whose only match is the run-1-buffered l2),
+      // the disjoint r103, and the late left l3
+      lIn.addData(lRows.drop(2)); rIn.addData(rRows.drop(1))
+      val q2 = start()
+      try q2.processAllAvailable()
+      finally q2.stop()
+
+      val got = buf.synchronized { buf.toVector }.sorted.toSeq
+      val want = graft.ops.IntervalJoin.overlap(
+          lRows.toDF("lid", "l_start_ts", "l_start_us", "l_end_us"),
+          "l_start_us", "l_end_us",
+          rRows.toDF("rid", "r_start_ts", "r_start_us", "r_end_us"),
+          "r_start_us", "r_end_us", 600000000L)
+        .select("lid", "rid").as[(Long, Long)].collect().sorted.toSeq
+      assert(got.nonEmpty && got === want,
+        "post-restart pair set must equal the uninterrupted batch join: " +
+          s"$got vs $want — a lost left buffer drops the cross-restart pair (2,102)")
+      assert(got.contains((2L, 102L)),
+        "the pair spanning the restart is the one that pins restored join state")
+    }
+  }
 }

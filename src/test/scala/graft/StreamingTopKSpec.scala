@@ -164,11 +164,14 @@ class StreamingTopKSpec extends SparkSpec {
           ("b", None, None, false)))
       } finally { serve.stop(); pub.stop() }
       // the publication SURVIVES the streams (and would survive the
-      // driver: it is a managed parquet table, not session state)
+      // driver: it is a managed parquet table, not session state);
+      // every publication carries the rank-0 heartbeat row
       val after = spark.table("topk_serve_table")
         .orderBy("rank").collect()
         .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
-      assert(after === Seq(("c", 10L, 1L), ("a", 5L, 2L)))
+      assert(after.exists(_._3 === 0L),
+        s"publications must carry the rank-0 heartbeat row: $after")
+      assert(after.filter(_._3 >= 1L) === Seq(("c", 10L, 1L), ("a", 5L, 2L)))
     }
   }
 
@@ -215,8 +218,9 @@ class StreamingTopKSpec extends SparkSpec {
       .boardSnapshot(spark, "topk_swap_table", lastGood).collect()
     assert(dropped.map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
       === Seq(("a", 7L, 1L)), "mid-swap read must serve the last good board")
-    // an EMPTY listing after a board was seen is the same window (the
-    // publisher never publishes an empty board) — also last-good
+    // an EMPTY listing (0 rows) after a board was seen is the same
+    // window — every committed publication carries the rank-0
+    // heartbeat, so nothing legitimate ever lists 0 rows
     graft.sources.StagingTables.writeSmall(
       Seq.empty[(String, Long, Long)].toDF("key", "total", "rank"),
       "topk_swap_table")
@@ -224,6 +228,21 @@ class StreamingTopKSpec extends SparkSpec {
       .boardSnapshot(spark, "topk_swap_table", lastGood).collect()
     assert(empty.map(_.getString(0)).toSeq === Seq("a"),
       "post-publication empty listing must serve the last good board")
+    // a published EMPTY board — heartbeat row, no data rows — is a
+    // COMMITTED publication and must be served empty, not shadowed by
+    // the stale last-good forever (the round-12 advice case)
+    graft.sources.StagingTables.writeSmall(
+      Seq((graft.streaming.Pipeline.BoardVersionKey, 3L, 0L))
+        .toDF("key", "total", "rank"), "topk_swap_table")
+    val publishedEmpty = graft.streaming.Pipeline
+      .boardSnapshot(spark, "topk_swap_table", lastGood).collect()
+    assert(publishedEmpty.isEmpty,
+      "a heartbeat-only publication is a real empty board, serve it empty")
+    // and the snapshot moved on: a subsequent swap window now falls
+    // back to the EMPTY board, not the long-gone ("a") one
+    spark.sql("DROP TABLE topk_swap_table")
+    assert(graft.streaming.Pipeline
+      .boardSnapshot(spark, "topk_swap_table", lastGood).collect().isEmpty)
   }
 
   private def replayDelta(slices: Seq[Seq[Inc]], k: Int, shards: Int,

@@ -85,4 +85,31 @@ class TextRankFixedSpec extends SparkSpec {
     assert(got(1).getSeq[Any](1).isEmpty)
     assert(got(2).isNullAt(1))
   }
+
+  test("a null edge struct or field fails loudly, never a silent corrupt rank") {
+    import spark.implicits._
+    // null STRUCT inside the array
+    val nullStruct = Seq((1L, Seq(Option(("a", "b", 1L, 1L)), Option.empty[(String, String, Long, Long)])))
+      .toDF("doc_id", "raw")
+      .select(transform(col("raw"), e => when(e.isNotNull,
+        struct(e.getField("_1").as("src"), e.getField("_2").as("dst"),
+          e.getField("_3").as("w"), e.getField("_4").as("wout")))).as("edges"))
+    val e1 = intercept[Exception] {
+      nullStruct.select(textrankFixed(col("edges"), 4)).collect()
+    }
+    assert(e1.getMessage.contains("null edge struct") ||
+      Option(e1.getCause).exists(_.getMessage.contains("null edge struct")),
+      s"expected the loud null-struct contract error, got: ${e1.getMessage}")
+    // null FIELD inside a struct
+    val nullField = Seq((1L, Seq(("a", "b", 1L)))).toDF("doc_id", "raw")
+      .select(transform(col("raw"), e => struct(e.getField("_1").as("src"),
+        e.getField("_2").as("dst"), e.getField("_3").as("w"),
+        lit(null).cast("long").as("wout"))).as("edges"))
+    val e2 = intercept[Exception] {
+      nullField.select(textrankFixed(col("edges"), 4)).collect()
+    }
+    assert(e2.getMessage.contains("null field in edge struct") ||
+      Option(e2.getCause).exists(_.getMessage.contains("null field in edge struct")),
+      s"expected the loud null-field contract error, got: ${e2.getMessage}")
+  }
 }
