@@ -5724,7 +5724,13 @@ object SparkEntry {
     // ReuseExchange dedupe the double-referenced araw): 6.4 s vs
     // 5.1 s warm at sf0.1 — AQE does NOT reuse the agg exchange
     // across the broadcast boundary, so araw computed twice per
-    // round and the per-phase form stays the fastest shape.
+    // round and the per-phase form stays the fastest shape. r13
+    // closed the cadence question (tools/ProbeIterate.scala,
+    // hash-equal variants, interleaved 2-rep MINs): once-per-round
+    // fold 5.47 s vs per-phase 3.75 s (the k=2 negative, now measured
+    // directly), per-phase NON-EAGER checkpoints 3.68 s — a wash, so
+    // eager stays (it also fires in-build validations
+    // deterministically).
     for (_ <- 1 to 4) {
       val araw = e.join(h, "c").groupBy("p").agg(sum(expr("w * h")).as("ar"))
         .localCheckpoint()

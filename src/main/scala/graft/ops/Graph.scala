@@ -119,7 +119,11 @@ object Graph {
     * ONE job — per-step checkpoints measured 6.65 s vs ~2 s at
     * sf0.1/local[32] purely from `iters` serial job barriers. Set
     * `checkpointEvery` > 0 for iteration counts large enough that
-    * plan size itself becomes the problem (~dozens).
+    * plan size itself becomes the problem (~dozens); the r13 cadence
+    * probe (tools/ProbeIterate.scala) measured checkpointEvery=2 at
+    * 2.60 s vs 1.94 s for the single deep job at 5 steps — the
+    * intermediate materialization is a pure loss until plan size
+    * dominates.
     *
     * Overflow budget (documented, not guarded — column arithmetic has
     * no addExact): total mass stays ~|V|·scale under the damped
