@@ -380,6 +380,19 @@ object OracleSql {
          CAST(sum(v_fx) AS BIGINT) AS value_fx
   FROM sx GROUP BY 1, 2)"""
 
+  /** DuckDB-native ASOF JOIN replay of the as-of operator — an
+    * INDEPENDENT algorithm from the engine's union+running-window
+    * rewrite; shared verbatim by a_asof_join (DSL) and q_sql_asof
+    * (the spark.sql twin). */
+  private val AsOfJoinSql = """WITH p AS (
+  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events WHERE event_type = 'purchase'
+), c AS (
+  SELECT event_id AS click_event_id, user_id, CAST(ts AS TIMESTAMP) AS c_ts
+  FROM events WHERE event_type = 'click')
+SELECT p.event_id, p.user_id, epoch_us(p.ts) AS ts_us,
+       c.click_event_id, epoch_us(c.c_ts) AS click_ts_us
+FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND c.c_ts <= p.ts"""
+
   /** Naive inequality-join replay of the interval-overlap operator —
     * shared verbatim by a_interval_join (DSL) and q_sql_interval (the
     * spark.sql twin): both engine forms must reduce to this exact
@@ -1275,14 +1288,10 @@ SELECT user_id, epoch_us(min(ts)) AS session_start_us,
        epoch_us(max(ts) + INTERVAL 30 MINUTE) AS session_end_us, count(*) AS n_events
 FROM sid GROUP BY user_id, sid""",
 
-    "a_asof_join" -> """WITH p AS (
-  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events WHERE event_type = 'purchase'
-), c AS (
-  SELECT event_id AS click_event_id, user_id, CAST(ts AS TIMESTAMP) AS c_ts
-  FROM events WHERE event_type = 'click')
-SELECT p.event_id, p.user_id, epoch_us(p.ts) AS ts_us,
-       c.click_event_id, epoch_us(c.c_ts) AS click_ts_us
-FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND c.c_ts <= p.ts""",
+    "a_asof_join" -> AsOfJoinSql,
+    // the spark.sql twin runs the same union+running-window rewrite
+    // through the parser; it shares the native ASOF JOIN oracle
+    "q_sql_asof" -> AsOfJoinSql,
 
     // the engine runs this as a two-phase SALTED aggregation; exact
     // integer-cent sums make the result independent of the salt split,
@@ -3958,6 +3967,26 @@ FROM documents""",
 
     // character-based on BOTH sides (engine: sliceChars mode; DuckDB
     // length/substr are character-based) — consistent beyond ASCII
+    // tile-level partial-dup pairs: 16 char-offset tiles per asset
+    // (the m_frame_sample offset convention — division by 16 is a
+    // power of two, so Spark's double path and // agree), full tiles
+    // only, exact md5-prefix tile hash, df <= 8 boilerplate cap,
+    // pairs sharing >= 4 tiles
+    "m_tile_neardup" -> s"""WITH tl AS (
+  SELECT doc_id AS asset_id,
+         substr(text, CAST((i * CAST(length(text) AS BIGINT)) // 16 AS INT) + 1, 64) AS frame
+  FROM documents, range(0, 16) t(i)
+), th AS (
+  SELECT DISTINCT asset_id, ${dh("frame")} AS th
+  FROM tl WHERE length(frame) >= 64
+), keepable AS (
+  SELECT th FROM th GROUP BY th HAVING count(*) <= 8
+), k AS (SELECT th.asset_id, th.th FROM th JOIN keepable USING (th))
+SELECT a.asset_id AS asset_a, b.asset_id AS asset_b, count(*) AS n_shared_tiles
+FROM k a JOIN k b ON a.th = b.th AND a.asset_id < b.asset_id
+GROUP BY 1, 2
+HAVING count(*) >= 4""",
+
     "m_frame_sample" -> """SELECT doc_id AS asset_id,
   CAST(i AS BIGINT) AS frame_idx,
   CAST((i * CAST(length(text) AS BIGINT)) // 4 AS BIGINT) AS frame_off,

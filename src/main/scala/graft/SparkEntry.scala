@@ -5115,6 +5115,41 @@ object SparkEntry {
         least(lit(128L), col("height") - col("ty") * 128).as("h"))
   }
 
+  /** Tile-level PARTIAL-duplicate pairs — the crop/composite case the
+    * whole-asset hashes (m_ahash_dedup, m_dct_neardup) cannot see: an
+    * asset pasted into a larger canvas keeps most of its TILES even
+    * though every global fingerprint changes. Each asset samples 16
+    * fixed tiles ([[graft.ext.Multimodal.sampleFrames]], the
+    * m_frame_sample stub-decode convention — a real codec swaps in
+    * pixel tiles and nothing downstream changes), partial edge tiles
+    * are dropped (geometry, not content), each full tile is EXACTLY
+    * hashed, and pairs sharing ≥ 4 tile hashes emit with their count.
+    * Scale shape: the candidate generator is the tile-hash equi-join
+    * over the distinct (asset, tile-hash) index with a declared df ≤ 8
+    * cap — a boilerplate tile (letterbox bars, solid fills) shared by
+    * d assets would contribute d²/2 join rows, so it is EXCLUDED up
+    * front (the DfCap / winnow-pairs convention), never discovered as
+    * a hot key at 100 TB. Oracle replays tiles, hashes, cap and pair
+    * join exactly — tile hashing is exact md5-prefix, nothing banded
+    * to argue about. */
+  private def mTileNearDup(s: SparkSession, dir: String): DataFrame = {
+    val assets = Multimodal.toAssets(
+      T(s, dir, "documents").select(col("doc_id").as("asset_id"),
+        col("text").cast("binary").as("payload")), "image")
+    val tiles = Multimodal.sampleFrames(assets, 16, 64, sliceChars = true)
+      .filter(length(col("frame")) >= 64)
+      .select(col("asset_id"), Codecs.portableHash(col("frame")).as("th"))
+      .distinct()
+    val kept = tiles.join(
+      tiles.groupBy("th").agg(count(lit(1)).as("df"))
+        .filter(col("df") <= 8).select("th"), "th")
+    kept.as("a").join(kept.as("b"),
+        col("a.th") === col("b.th") && col("a.asset_id") < col("b.asset_id"))
+      .groupBy(col("a.asset_id").as("asset_a"), col("b.asset_id").as("asset_b"))
+      .agg(count(lit(1)).as("n_shared_tiles"))
+      .filter(col("n_shared_tiles") >= 4)
+  }
+
   /** Perceptual-hash near-dup pairs over the asset corpus: 60-bit
     * average-hash fingerprints
     * ([[graft.ext.Multimodal.ahashFingerprints]], stub decode) fed to
@@ -6513,6 +6548,47 @@ object SparkEntry {
         AND l.bk = greatest(l.start_us, r.err_start_us) div 3600000000L""")
   }
 
+  /** The as-of join driven from `spark.sql` — the third join-family
+    * member through the parser (after q_sql_pipeline's correlation
+    * equi-join and q_sql_interval's bucketed overlap): the
+    * union-and-running-window rewrite ([[graft.ops.AsOfJoin]]) is pure
+    * built-in SQL, so the whole operator — side tagging, the single
+    * struct carry (last(…, true) must skip missing ROWS, never a null
+    * FIELD of the matching row), the (time, side, tiebreak) order that
+    * lets an equal-time right row win — expresses as one statement.
+    * Same single key-sort-exchange plan as the DSL form (never the
+    * O(L×R) range join); row-pinned equal to a_asof_join and sharing
+    * its DuckDB ASOF JOIN oracle. */
+  private def qSqlAsof(s: SparkSession, dir: String): DataFrame = {
+    GraftExtensions.registerAll(s)
+    val ev = T(s, dir, "events")
+    ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+      .createOrReplaceTempView("graft_sql_purch")
+    ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"))
+      .createOrReplaceTempView("graft_sql_click")
+    s.sql("""
+      WITH u AS (
+        SELECT event_id, user_id, ts, 1 AS side,
+               CAST(NULL AS STRUCT<event_id: BIGINT, ts: TIMESTAMP>) AS asof_row
+        FROM graft_sql_purch
+        UNION ALL
+        SELECT event_id, user_id, ts, 0 AS side,
+               named_struct('event_id', event_id, 'ts', ts) AS asof_row
+        FROM graft_sql_click
+      ), carried AS (
+        SELECT *, last(asof_row, true) OVER (
+          PARTITION BY user_id ORDER BY ts, side, event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS asof_carried
+        FROM u
+      )
+      SELECT event_id, user_id, unix_micros(ts) AS ts_us,
+             asof_carried.event_id AS click_event_id,
+             unix_micros(asof_carried.ts) AS click_ts_us
+      FROM carried WHERE side = 1""")
+  }
+
   // =====================================================================
   // Registry
   // =====================================================================
@@ -6521,6 +6597,7 @@ object SparkEntry {
     "q_sql_surface" -> (qSqlSurface _),
     "q_sql_pipeline" -> (qSqlPipeline _),
     "q_sql_interval" -> (qSqlInterval _),
+    "q_sql_asof" -> (qSqlAsof _),
     "q_branch_even" -> (qBranchEven _),
     "q_branch_odd" -> (qBranchOdd _),
     "q_derive_context" -> (qDeriveContext _),
@@ -6772,6 +6849,7 @@ object SparkEntry {
     "t_vocab_novelty" -> (tVocabNovelty _),
     "a_streak_hazard" -> (aStreakHazard _),
     "m_tile_grid" -> (mTileGrid _),
+    "m_tile_neardup" -> (mTileNearDup _),
     "a_markov_stationary" -> (aMarkovStationary _),
     "a_markov_conserve" -> (aMarkovConserve _),
     "t_trigram_ppl" -> (tTrigramPpl _),

@@ -38,6 +38,16 @@ class GraftExtensionsSpec extends SparkSpec {
       "parser-path interval join diverged from the DSL operator")
   }
 
+  test("the SQL as-of join replays the DSL union+window rows exactly") {
+    val dir = "/root/testdata/sf0.001"
+    val sql = SparkEntry.queries("q_sql_asof")(spark, dir)
+      .as[(Long, Long, Long, Option[Long], Option[Long])].collect().sorted.toSeq
+    val dsl = SparkEntry.queries("a_asof_join")(spark, dir)
+      .as[(Long, Long, Long, Option[Long], Option[Long])].collect().sorted.toSeq
+    assert(sql.nonEmpty && sql === dsl,
+      "parser-path as-of join diverged from the DSL operator")
+  }
+
   test("be_int is callable from SQL after registration") {
     GraftExtensions.registerAll(spark)
     val got = spark.sql(

@@ -739,6 +739,26 @@ class PlanShapeSpec extends SparkSpec {
       "SQL form must pick the DSL twin's join strategy")
   }
 
+  test("as-of join is one key-sorted window from both entry points, never a range join") {
+    for (name <- Seq("a_asof_join", "q_sql_asof")) {
+      val p = plan(name)
+      assert(p.contains("Window"),
+        s"$name: the carry must be the running window:\n$p")
+      assert(!p.contains("CartesianProduct") && !p.contains("Join"),
+        s"$name: never the O(LxR) range join — the union+window rewrite is the operator:\n$p")
+    }
+  }
+
+  test("tile near-dup candidates ride the tile-hash equi-join, never a cartesian") {
+    val p = plan("m_tile_neardup")
+    assert(p.contains("SortMergeJoin") || p.contains("BroadcastHashJoin") ||
+      p.contains("ShuffledHashJoin"),
+      s"pair candidates must come from the tile-hash EQUI-join:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"no all-pairs anywhere (the df cap exists so this never plans):\n$p")
+  }
+
   test("theil-sen pairs join inside the event-type key, never all-days") {
     val p = plan("a_theil_sen")
     assert(p.contains("SortMergeJoin") || p.contains("BroadcastHashJoin") ||
