@@ -380,6 +380,76 @@ object OracleSql {
          CAST(sum(v_fx) AS BIGINT) AS value_fx
   FROM sx GROUP BY 1, 2)"""
 
+  /** The all-gates curation chain, shared by e_curation_full (the
+    * kept corpus) and e_curation_funnel (the per-stage yield counts):
+    * intra-doc repeated-span removal (the t_repetition_apply chain,
+    * `rt` carries the REBUILT text/tk so the shared QUALITY fragment
+    * scores the cleaned form), exact-dedup keepers on the normalized
+    * rebuilt text (`kd`), the quality/length gate (`gated`), the
+    * per-lang median perplexity gate under the corpus bigram LM
+    * (`pplkept` — the e_ppl_filter chain), and the eval holdout
+    * (`held`). */
+  private lazy val CurationGatesCtes: String = s"""$TOKS, tp AS (
+  SELECT doc_id, unnest(range(0, len(tk))) AS pos, tk FROM toks
+), tok AS (SELECT doc_id, pos, tk[CAST(pos + 1 AS INT)] AS tok FROM tp
+), gp AS (
+  SELECT doc_id, unnest(range(0, greatest(len(tk) - 4, 0))) AS p, tk FROM toks
+), g AS (
+  SELECT doc_id, p,
+         array_to_string(tk[CAST(p + 1 AS INT):CAST(p + 5 AS INT)], ' ') AS g
+  FROM gp
+), firsts AS (SELECT doc_id, g, min(p) AS p0 FROM g GROUP BY 1, 2
+), cov0 AS (
+  SELECT g.doc_id, unnest(range(g.p, g.p + 5)) AS pos
+  FROM g JOIN firsts f ON f.doc_id = g.doc_id AND f.g = g.g
+  WHERE g.p > f.p0
+), covered AS (SELECT DISTINCT doc_id, pos FROM cov0
+), rb AS (
+  SELECT t.doc_id, count(*) AS n_kept,
+         string_agg(t.tok, ' ' ORDER BY t.pos) AS dedup_text
+  FROM tok t LEFT JOIN covered c ON c.doc_id = t.doc_id AND c.pos = t.pos
+  WHERE c.pos IS NULL
+  GROUP BY t.doc_id
+), rt AS (
+  SELECT toks.doc_id,
+         CAST(coalesce(rb.n_kept, 0) AS BIGINT) AS n_kept,
+         coalesce(rb.dedup_text, '') AS text,
+         list_filter(regexp_split_to_array(lower(trim(coalesce(rb.dedup_text, ''))), '\\s+'),
+                     t -> len(t) > 0) AS tk
+  FROM toks LEFT JOIN rb ON rb.doc_id = toks.doc_id
+), norm AS (
+  SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS ntext FROM rt
+), grp AS (
+  SELECT ${dh("ntext")} AS th, CAST(length(ntext) AS BIGINT) AS tl, min(doc_id) AS keeper
+  FROM norm GROUP BY 1, 2
+), kd AS (
+  SELECT rt.* FROM rt JOIN grp ON rt.doc_id = grp.keeper
+), gated AS (
+  SELECT kd.doc_id, d.lang, round($QUALITY, 4) AS quality, kd.n_kept
+  FROM kd JOIN (SELECT doc_id, lang FROM documents) d ON d.doc_id = kd.doc_id
+  WHERE round($QUALITY, 4) >= 0.5 AND kd.n_kept BETWEEN 10 AND 200
+), occ AS (
+  SELECT doc_id, unnest(${shinglesN(2)}) AS s FROM toks
+), c2 AS (SELECT s, count(*) AS c2 FROM occ GROUP BY s
+), c1 AS (SELECT string_split(s, ' ')[1] AS w1, sum(c2) AS c1 FROM c2 GROUP BY 1
+), v AS (SELECT count(DISTINCT t) AS v FROM (SELECT unnest(tk) AS t FROM toks)
+), model AS (
+  SELECT c2.s, ln(CAST(c2.c2 + 1 AS DOUBLE) / (c1.c1 + v.v)) AS logp
+  FROM c2 JOIN c1 ON string_split(c2.s, ' ')[1] = c1.w1 CROSS JOIN v
+), x AS (
+  SELECT occ.doc_id, round(-sum(m.logp) / count(*), 4) AS xent
+  FROM occ JOIN model m USING (s) GROUP BY occ.doc_id
+), cut AS (
+  SELECT d.lang, quantile_cont(x.xent, 0.5) AS cutoff
+  FROM x JOIN documents d USING (doc_id) GROUP BY d.lang
+), pplkept AS (
+  SELECT gt.doc_id, gt.lang, gt.quality, gt.n_kept, x.xent AS xent_nats
+  FROM gated gt JOIN x ON x.doc_id = gt.doc_id JOIN cut ON cut.lang = gt.lang
+  WHERE x.xent <= cut.cutoff
+), held AS (
+  SELECT * FROM pplkept
+  WHERE NOT (${dh("lang || '|' || CAST(doc_id AS VARCHAR)")} % 100 < 20))"""
+
   /** DuckDB-native ASOF JOIN replay of the as-of operator — an
     * INDEPENDENT algorithm from the engine's union+running-window
     * rewrite; shared verbatim by a_asof_join (DSL) and q_sql_asof
@@ -2948,63 +3018,17 @@ SELECT doc_id, lang, quality, n_tok, tok_start, tok_start // 2048 AS chunk_id FR
     // the shared QUALITY fragment scores the cleaned form; the xent
     // chain scores the ORIGINAL corpus (the LM substrate is corpus-
     // level, not per-stage)
-    "e_curation_full" -> s"""$TOKS, tp AS (
-  SELECT doc_id, unnest(range(0, len(tk))) AS pos, tk FROM toks
-), tok AS (SELECT doc_id, pos, tk[CAST(pos + 1 AS INT)] AS tok FROM tp
-), gp AS (
-  SELECT doc_id, unnest(range(0, greatest(len(tk) - 4, 0))) AS p, tk FROM toks
-), g AS (
-  SELECT doc_id, p,
-         array_to_string(tk[CAST(p + 1 AS INT):CAST(p + 5 AS INT)], ' ') AS g
-  FROM gp
-), firsts AS (SELECT doc_id, g, min(p) AS p0 FROM g GROUP BY 1, 2
-), cov0 AS (
-  SELECT g.doc_id, unnest(range(g.p, g.p + 5)) AS pos
-  FROM g JOIN firsts f ON f.doc_id = g.doc_id AND f.g = g.g
-  WHERE g.p > f.p0
-), covered AS (SELECT DISTINCT doc_id, pos FROM cov0
-), rb AS (
-  SELECT t.doc_id, count(*) AS n_kept,
-         string_agg(t.tok, ' ' ORDER BY t.pos) AS dedup_text
-  FROM tok t LEFT JOIN covered c ON c.doc_id = t.doc_id AND c.pos = t.pos
-  WHERE c.pos IS NULL
-  GROUP BY t.doc_id
-), rt AS (
-  SELECT toks.doc_id,
-         CAST(coalesce(rb.n_kept, 0) AS BIGINT) AS n_kept,
-         coalesce(rb.dedup_text, '') AS text,
-         list_filter(regexp_split_to_array(lower(trim(coalesce(rb.dedup_text, ''))), '\\s+'),
-                     t -> len(t) > 0) AS tk
-  FROM toks LEFT JOIN rb ON rb.doc_id = toks.doc_id
-), norm AS (
-  SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS ntext FROM rt
-), grp AS (
-  SELECT ${dh("ntext")} AS th, CAST(length(ntext) AS BIGINT) AS tl, min(doc_id) AS keeper
-  FROM norm GROUP BY 1, 2
-), occ AS (
-  SELECT doc_id, unnest(${shinglesN(2)}) AS s FROM toks
-), c2 AS (SELECT s, count(*) AS c2 FROM occ GROUP BY s
-), c1 AS (SELECT string_split(s, ' ')[1] AS w1, sum(c2) AS c1 FROM c2 GROUP BY 1
-), v AS (SELECT count(DISTINCT t) AS v FROM (SELECT unnest(tk) AS t FROM toks)
-), model AS (
-  SELECT c2.s, ln(CAST(c2.c2 + 1 AS DOUBLE) / (c1.c1 + v.v)) AS logp
-  FROM c2 JOIN c1 ON string_split(c2.s, ' ')[1] = c1.w1 CROSS JOIN v
-), x AS (
-  SELECT occ.doc_id, round(-sum(m.logp) / count(*), 4) AS xent
-  FROM occ JOIN model m USING (s) GROUP BY occ.doc_id
-), cut AS (
-  SELECT d.lang, quantile_cont(x.xent, 0.5) AS cutoff
-  FROM x JOIN documents d USING (doc_id) GROUP BY d.lang)
-SELECT rt.doc_id, d.lang, round($QUALITY, 4) AS quality,
-       rt.n_kept, x.xent AS xent_nats
-FROM rt
-JOIN grp ON rt.doc_id = grp.keeper
-JOIN (SELECT doc_id, lang FROM documents) d ON d.doc_id = rt.doc_id
-JOIN x ON x.doc_id = rt.doc_id
-JOIN cut ON cut.lang = d.lang
-WHERE round($QUALITY, 4) >= 0.5 AND rt.n_kept BETWEEN 10 AND 200
-  AND x.xent <= cut.cutoff
-  AND NOT (${dh("d.lang || '|' || CAST(rt.doc_id AS VARCHAR)")} % 100 < 20)""",
+    "e_curation_full" -> s"""$CurationGatesCtes
+SELECT doc_id, lang, quality, n_kept, xent_nats FROM held""",
+
+    // per-stage yield funnel over the same gate CTEs — the observable
+    // twin of the kept corpus
+    "e_curation_funnel" -> s"""$CurationGatesCtes
+SELECT CAST(0 AS BIGINT) AS stage_idx, 'corpus' AS stage, count(*) AS n_docs FROM documents
+UNION ALL SELECT CAST(1 AS BIGINT), 'exact_dedup', count(*) FROM kd
+UNION ALL SELECT CAST(2 AS BIGINT), 'quality_gate', count(*) FROM gated
+UNION ALL SELECT CAST(3 AS BIGINT), 'ppl_gate', count(*) FROM pplkept
+UNION ALL SELECT CAST(4 AS BIGINT), 'train_holdout', count(*) FROM held""",
 
     "d_exact" -> s"""SELECT ${dh("text")} AS text_hash,
   CAST(length(text) AS BIGINT) AS text_len,

@@ -2198,6 +2198,49 @@ object SparkEntry {
         col("n_kept"), col("xent_nats"))
   }
 
+  /** Per-stage yield FUNNEL of [[eCurationFull]] — the dataset-card
+    * number a curation run publishes next to its kept corpus: how
+    * many documents survive each gate, in gate order (corpus →
+    * exact-dedup keepers on the rebuilt text → quality/length gate →
+    * ppl gate → train holdout). Every stage is the SAME frame
+    * e_curation_full composes (substrates shared through PlanCache:
+    * curation_rebuilt, bigram_xent), so the funnel is the observable
+    * twin of the kept corpus, not a re-derivation; each count is one
+    * partial-agg fold and the five 1-row frames union. */
+  private def eCurationFunnel(s: SparkSession, dir: String): DataFrame = {
+    val docs = T(s, dir, "documents")
+    val rebuilt = rebuiltDocs(s, dir)
+    val keepers = Dedup.exactGroups(rebuilt.select(col("doc_id"),
+        regexp_replace(lower(trim(col("dedup_text"))), "\\s+", " ").as("text")))
+      .select(col("keeper").as("doc_id"))
+    val afterDedup = rebuilt.join(keepers, "doc_id")
+    val afterQuality = afterDedup
+      .withColumn("quality", round(TextOps.qualityScore(col("dedup_text")), 4))
+      .filter(col("quality") >= 0.5 && col("n_kept").between(10L, 200L))
+    val xent = TextOps.bigramCrossEntropy(docs)
+      .select(col("doc_id"), col("xent_nats"))
+    val cut = graft.ops.ExactPercentiles.of(
+        xent.join(docs.select(col("doc_id"), col("lang")), "doc_id")
+          .select(col("lang").as("k"), col("xent_nats").as("x")),
+        Seq(("p50", 0.5)), "ppl-cut", fewGroups = true)
+      .select(col("k").as("lang"), col("v").as("cutoff"))
+    val afterPpl = afterQuality
+      .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+      .join(xent, "doc_id")
+      .join(broadcast(cut), "lang")
+      .filter(col("xent_nats") <= col("cutoff"))
+    val afterHoldout = afterPpl
+      .filter(!TextOps.hashSample(col("lang"), col("doc_id"), 20))
+    def stage(df: DataFrame, idx: Long, name: String): DataFrame =
+      df.agg(count(lit(1)).as("n_docs"))
+        .select(lit(idx).as("stage_idx"), lit(name).as("stage"), col("n_docs"))
+    stage(docs, 0L, "corpus")
+      .unionAll(stage(afterDedup, 1L, "exact_dedup"))
+      .unionAll(stage(afterQuality, 2L, "quality_gate"))
+      .unionAll(stage(afterPpl, 3L, "ppl_gate"))
+      .unionAll(stage(afterHoldout, 4L, "train_holdout"))
+  }
+
   /** Per-source curation report — the dataset-card table a training
     * run publishes per provenance source: volume, token mass, mean
     * quality, PII density, and how much of the source survives the
@@ -6733,6 +6776,7 @@ object SparkEntry {
     "t_quality_buckets" -> (tQualityBuckets _),
     "e_curation_pipeline" -> (eCurationPipeline _),
     "e_curation_full" -> (eCurationFull _),
+    "e_curation_funnel" -> (eCurationFunnel _),
     "e_source_report" -> (eSourceReport _),
     "e_mix_apply" -> (eMixApply _),
     "e_epoch_schedule" -> (eEpochSchedule _),
