@@ -27,6 +27,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction(GraftExtensions.vecDotDescriptor)
     e.injectFunction(GraftExtensions.vecL2SqDescriptor)
     e.injectFunction(GraftExtensions.pqEncodeDescriptor)
+    e.injectFunction(GraftExtensions.minhashSketchDescriptor)
   }
 }
 
@@ -59,6 +60,20 @@ object GraftExtensions {
       intLit(exprs(2), "m"), intLit(exprs(3), "sub"), intLit(exprs(4), "kCodes"))
   }
 
+  private def minhashSketchBuilder(exprs: Seq[Expression]): Expression = {
+    require(exprs.length == 2, "minhash_sketch takes (h BIGINT, k INT literal)")
+    val k = exprs(1) match {
+      case org.apache.spark.sql.catalyst.expressions.Literal(v: Int,
+          org.apache.spark.sql.types.IntegerType) => v
+      case _ => throw new IllegalArgumentException(
+        "minhash_sketch: k must be an INT literal (sketch width is plan-time)")
+    }
+    // returned UNWRAPPED: the analyzer wraps an AggregateFunction
+    // resolved from the registry in its AggregateExpression, exactly
+    // as for the built-in aggregates
+    graft.functions.MinHashSketch(exprs.head, k)
+  }
+
   private[graft] val beIntDescriptor =
     (FunctionIdentifier("be_int"),
       new ExpressionInfo(classOf[BigEndianInt32].getName, "be_int"),
@@ -79,6 +94,11 @@ object GraftExtensions {
       new ExpressionInfo(classOf[graft.functions.PqEncode].getName, "pq_encode"),
       (exprs: Seq[Expression]) => pqEncodeBuilder(exprs))
 
+  private[graft] val minhashSketchDescriptor =
+    (FunctionIdentifier("minhash_sketch"),
+      new ExpressionInfo(classOf[graft.functions.MinHashSketch].getName, "minhash_sketch"),
+      (exprs: Seq[Expression]) => minhashSketchBuilder(exprs))
+
   /** Register on an already-built session (temp-function scope). */
   def registerAll(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
@@ -89,5 +109,7 @@ object GraftExtensions {
       "vec_l2sq", vecL2SqBuilder, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "pq_encode", pqEncodeBuilder, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "minhash_sketch", minhashSketchBuilder, "built-in")
   }
 }

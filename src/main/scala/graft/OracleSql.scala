@@ -3076,6 +3076,9 @@ FROM bands x JOIN bands y
 GROUP BY 1, 2""",
 
     "d_lsh_jaccard" -> s"$LSH_PAIRS SELECT doc_a, doc_b, jaccard FROM pairs",
+    // the spark.sql twin (registered minhash_sketch aggregate + pure
+    // built-ins) computes the identical pipeline through the parser
+    "q_sql_lsh" -> s"$LSH_PAIRS SELECT doc_a, doc_b, jaccard FROM pairs",
 
     // one-row corpus overview; the quality mean sums fixed-point
     // per-doc scores so it is order-independent

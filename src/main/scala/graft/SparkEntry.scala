@@ -6632,6 +6632,75 @@ object SparkEntry {
       FROM carried WHERE side = 1""")
   }
 
+  /** The MinHash-LSH near-dup pipeline driven from `spark.sql` — the
+    * first AGGREGATE through the FunctionRegistry surface
+    * (`minhash_sketch`, the [[graft.functions.MinHashSketch]]
+    * TypedImperativeAggregate with its plan-time INT-literal width,
+    * the pq_encode convention): tokenize → distinct 3-gram shingles →
+    * portable 56-bit hash → the k=16 sketch per doc → 4×4 band keys →
+    * the band-cell equi-join candidate generator (doc_a < doc_b,
+    * counted once per pair) → exact Jaccard verified ONLY on
+    * candidates — every stage a built-in except the one registered
+    * aggregate, all in one SQL statement a SQL-only user can copy.
+    * The arithmetic mirrors [[graft.ext.Dedup.lshVerifiedJaccard]]'s
+    * dials (n=3, k=16, 4 bands × 4 rows, J ≥ 0.5) term for term, so
+    * the row is pinned equal to d_lsh_jaccard and shares its LSH_PAIRS
+    * oracle. Candidate generation stays the banded equi-join — never
+    * all-pairs — from the parser path too (plan-pinned). */
+  private def qSqlLsh(s: SparkSession, dir: String): DataFrame = {
+    GraftExtensions.registerAll(s)
+    T(s, dir, "documents").select(col("doc_id"), col("text"))
+      .createOrReplaceTempView("graft_sql_docs")
+    def ph(e: String): String =
+      s"CAST(conv(substring(md5(CAST($e AS BINARY)), 1, 14), 16, 10) AS BIGINT)"
+    val bandExprs = (0 until 4).map { j =>
+      val cols = (j * 4 until (j + 1) * 4)
+        .map(i => s"element_at(mh, ${i + 1})").mkString(", ")
+      s"named_struct('band', $j, 'bkey', ${ph(s"concat_ws(',', $cols)")})"
+    }.mkString(",\n          ")
+    s.sql(s"""
+      WITH tk AS (
+        SELECT doc_id, filter(split(lower(trim(text)), '\\\\s+'), t -> length(t) > 0) AS tk
+        FROM graft_sql_docs
+      ), sh AS (
+        SELECT doc_id, ${ph("s")} AS h
+        FROM (
+          SELECT doc_id, explode(array_distinct(
+            CASE WHEN size(tk) >= 3
+                 THEN transform(sequence(1, size(tk) - 2), i ->
+                   concat_ws(' ', tk[i - 1], tk[i], tk[i + 1]))
+                 ELSE CAST(array() AS ARRAY<STRING>) END)) AS s
+          FROM tk)
+      ), sig AS (
+        SELECT doc_id, minhash_sketch(h, 16) AS mh FROM sh GROUP BY doc_id
+      ), banded AS (
+        SELECT doc_id, b.band AS band, b.bkey AS bkey
+        FROM (SELECT doc_id, explode(array(
+          $bandExprs)) AS b FROM sig)
+      ), cand AS (
+        SELECT x.doc_id AS doc_a, y.doc_id AS doc_b
+        FROM banded x JOIN banded y
+          ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id
+        GROUP BY 1, 2
+      ), sz AS (
+        SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
+      ), inter AS (
+        SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+        FROM cand c
+        JOIN sh a ON a.doc_id = c.doc_a
+        JOIN sh b ON b.doc_id = c.doc_b AND b.h = a.h
+        GROUP BY 1, 2
+      )
+      SELECT i.doc_a, i.doc_b,
+             round(CAST(n_inter AS DOUBLE)
+               / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE), 4) AS jaccard
+      FROM inter i
+      JOIN sz sa ON sa.doc_id = i.doc_a
+      JOIN sz sb ON sb.doc_id = i.doc_b
+      WHERE round(CAST(n_inter AS DOUBLE)
+        / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE), 4) >= 0.5""")
+  }
+
   // =====================================================================
   // Registry
   // =====================================================================
@@ -6641,6 +6710,7 @@ object SparkEntry {
     "q_sql_pipeline" -> (qSqlPipeline _),
     "q_sql_interval" -> (qSqlInterval _),
     "q_sql_asof" -> (qSqlAsof _),
+    "q_sql_lsh" -> (qSqlLsh _),
     "q_branch_even" -> (qBranchEven _),
     "q_branch_odd" -> (qBranchOdd _),
     "q_derive_context" -> (qDeriveContext _),

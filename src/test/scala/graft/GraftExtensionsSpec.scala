@@ -48,6 +48,36 @@ class GraftExtensionsSpec extends SparkSpec {
       "parser-path as-of join diverged from the DSL operator")
   }
 
+  test("the SQL minhash-LSH pipeline replays the DSL near-dup pairs exactly") {
+    val dir = "/root/testdata/sf0.001"
+    val sql = SparkEntry.queries("q_sql_lsh")(spark, dir)
+      .as[(Long, Long, Double)].collect().sorted.toSeq
+    val dsl = SparkEntry.queries("d_lsh_jaccard")(spark, dir)
+      .as[(Long, Long, Double)].collect().sorted.toSeq
+    assert(sql.nonEmpty && sql === dsl,
+      "parser-path LSH pipeline diverged from the DSL operator")
+  }
+
+  test("minhash_sketch is callable from SQL with a literal width") {
+    GraftExtensions.registerAll(spark)
+    val got = spark.sql(
+      """SELECT g, minhash_sketch(h, 4) AS mh FROM VALUES
+        |(1, CAST(100 AS BIGINT)), (1, CAST(7 AS BIGINT)), (2, CAST(NULL AS BIGINT))
+        |AS t(g, h) GROUP BY g""".stripMargin)
+      .as[(Int, Option[Seq[Long]])].collect().toMap
+    // group 1: elementwise min over the two hashes' permutations
+    val expect = (0 until 4).map { i =>
+      Seq(100L, 7L).map(h => (h * (2L * i + 1) + (10007L * i + 1)) %
+        graft.functions.MinHashSketch.P).min
+    }
+    assert(got(1) === Some(expect))
+    assert(got(2) === None, "an all-null group must sketch to null")
+    val err = intercept[Exception] {
+      spark.sql("SELECT minhash_sketch(CAST(1 AS BIGINT), 1 + 3)").collect()
+    }
+    assert(err.getMessage.contains("INT literal"))
+  }
+
   test("be_int is callable from SQL after registration") {
     GraftExtensions.registerAll(spark)
     val got = spark.sql(

@@ -749,6 +749,16 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("the SQL LSH pipeline generates candidates from the band equi-join, never all-pairs") {
+    val p = plan("q_sql_lsh")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"candidate generation must stay the banded equi-join from the parser path too:\n$p")
+    assert(p.toLowerCase.contains("minhashsketch") ||
+      p.toLowerCase.contains("minhash_sketch"),
+      s"the registered aggregate must plan natively:\n$p")
+  }
+
   test("tile near-dup candidates ride the tile-hash equi-join, never a cartesian") {
     val p = plan("m_tile_neardup")
     assert(p.contains("SortMergeJoin") || p.contains("BroadcastHashJoin") ||
