@@ -17,9 +17,14 @@ import graft.codec.BigEndianInt32
   * spark.sql("SELECT be_int(value) FROM kafka_records")
   * }}}
   *
-  * Only `be_int` needs a native Expression (binary big-endian decode,
-  * SURVEY.md §7.3); everything else in the codec layer is composed
-  * from built-ins and needs no registration.
+  * Registered surface: `be_int` (the one parity-mandated native
+  * Expression — binary big-endian decode, SURVEY.md §7.3), the vector
+  * scalars `vec_dot` / `vec_l2sq`, the plan-time-geometry `pq_encode`,
+  * and the `minhash_sketch` AGGREGATE (width is an INT literal; the
+  * analyzer wraps the resolved AggregateFunction). Everything else in
+  * the codec layer is composed from built-ins and needs no
+  * registration — the q_sql_* registry rows drive whole operator
+  * pipelines through this surface.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
