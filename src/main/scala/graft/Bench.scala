@@ -56,6 +56,27 @@ object Bench {
     if (start._1 < 0 || end._1 < 0 || end._1 <= start._1) -1.0
     else math.rint((end._2 - start._2) * 10000.0 / (end._1 - start._1)) / 100.0
 
+  /** Fixed single-thread CPU probe: 2²⁶ xorshift steps, returning
+    * milliseconds. The r13 closing runs measured the SAME code at
+    * 301 → 426 s with load1_start < 1 throughout and host steal
+    * 0.33-13% — the box's effective per-core speed itself swings
+    * between runs in ways neither loadavg nor steal fully captures
+    * (host frequency/elasticity). This probe is a Spark-independent
+    * normalizer: identical work every run, so `spin_ms` ratios
+    * between two runs bound how much of a total delta is box speed
+    * rather than code. */
+  private[graft] def spinProbeMs(): Double = {
+    var x = 0x9E3779B97F4A7C15L
+    var i = 0
+    val t0 = System.nanoTime()
+    while (i < (1 << 26)) {
+      x ^= x << 13; x ^= x >>> 7; x ^= x << 17; i += 1
+    }
+    val dt = (System.nanoTime() - t0) / 1e6
+    if (x == 42L) System.err.println("") // defeat dead-code elimination
+    math.rint(dt * 100) / 100
+  }
+
   /** Spin-wait for the box to quiesce before the timed run: three
     * consecutive official rounds (r10-r12) launched into ambient load
     * (load1_start 3.70 / 4.36 / 4.86 — the previous round's residue)
@@ -138,13 +159,17 @@ object Bench {
     * distinguishable from a real regression without a judge re-run. */
   private[graft] def contractLine(total: Double, prepareSec: Double, nFailed: Int,
       nExtrasFailed: Int, sfDir: String, load1Start: Double, load1End: Double,
-      quiesceWait: Double = 0.0, stealPct: Double = -1.0): String =
-    s"""{"metric":"total","value":${r2s(total)},"unit":"sec","prepare":${r2s(prepareSec)},"failed":$nFailed,"extras_failed":$nExtrasFailed,"quiesce_wait":${r2s(quiesceWait)},"steal_pct":${r2s(stealPct)},"load1_start":${r2s(load1Start)},"load1_end":${r2s(load1End)},"sf":${sfToken(sfDir)}}"""
+      quiesceWait: Double = 0.0, stealPct: Double = -1.0,
+      spinMs: Double = -1.0): String =
+    s"""{"metric":"total","value":${r2s(total)},"unit":"sec","prepare":${r2s(prepareSec)},"failed":$nFailed,"extras_failed":$nExtrasFailed,"quiesce_wait":${r2s(quiesceWait)},"steal_pct":${r2s(stealPct)},"spin_ms":${r2s(spinMs)},"load1_start":${r2s(load1Start)},"load1_end":${r2s(load1End)},"sf":${sfToken(sfDir)}}"""
 
   def main(args: Array[String]): Unit = {
     val quiesceWait = quiesce()
     val load1Start = load1()
     val cpuStart = cpuStat()
+    // warm once (JIT the loop itself), then measure
+    spinProbeMs()
+    val spinMs = spinProbeMs()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
@@ -395,13 +420,14 @@ object Bench {
     val nExtrasFailed = extraResults.values.count(_ < 0)
     val load1End = load1()
     val steal = stealPct(cpuStart, cpuStat())
-    val detail = s"""{"metric":"total","value":${r3s(total)},"unit":"sec","prepare":${r3s(prepareSec)},"prepare_steps":${jmap(prepareSteps, r3s)},"queries":${jmap(results.toSeq.sortBy(_._1), r3s)},"extras":${jmap(extraResults, r3s)},"recall_at_3":${jmap(annRecall, r3s)},"failed":$nFailed,"extras_failed":$nExtrasFailed,"quiesce_wait":${r3s(quiesceWait)},"steal_pct":${r3s(steal)},"load1_start":${r3s(load1Start)},"load1_end":${r3s(load1End)},"sf":"$sfDir"}"""
+    val spinEndMs = spinProbeMs()
+    val detail = s"""{"metric":"total","value":${r3s(total)},"unit":"sec","prepare":${r3s(prepareSec)},"prepare_steps":${jmap(prepareSteps, r3s)},"queries":${jmap(results.toSeq.sortBy(_._1), r3s)},"extras":${jmap(extraResults, r3s)},"recall_at_3":${jmap(annRecall, r3s)},"failed":$nFailed,"extras_failed":$nExtrasFailed,"quiesce_wait":${r3s(quiesceWait)},"steal_pct":${r3s(steal)},"spin_ms":${r3s(spinMs)},"spin_ms_end":${r3s(spinEndMs)},"load1_start":${r3s(load1Start)},"load1_end":${r3s(load1End)},"sf":"$sfDir"}"""
     try java.nio.file.Files.write(
       java.nio.file.Paths.get("bench_details.json"),
       (detail + "\n").getBytes("UTF-8"))
     catch { case e: Throwable => System.err.println(s"[bench] detail write failed: ${e.getMessage}") }
     val line = contractLine(total, prepareSec, nFailed, nExtrasFailed, sfDir,
-      load1Start, load1End, quiesceWait, steal)
+      load1Start, load1End, quiesceWait, steal, spinMs)
     // stop Spark BEFORE printing the contract line so no shutdown
     // message (executor/log4j/jansi) can land on stdout after it —
     // the driver parses the process's LAST line as JSON. A stop()

@@ -51,11 +51,11 @@ class RegistrySpec extends SparkSpec {
     // fixed fields and no per-query map; pin it at worst-case field
     // widths so registry growth can never regress it.
     val line = Bench.contractLine(86399.999, 9999.999, 114, 14, "/root/testdata/sf0.123",
-      512.25, 512.25, 599.99, 99.99)
+      512.25, 512.25, 599.99, 99.99, 9999.99)
     assert(line.length < 1500, s"contract line ${line.length} chars: $line")
-    assert(line.length < 320, s"contract line should be ~160 chars, got ${line.length}: $line")
+    assert(line.length < 340, s"contract line should be ~170 chars, got ${line.length}: $line")
     assert(line.startsWith("""{"metric":"total","value":"""))
-    assert(line.contains(""""quiesce_wait":599.99,"steal_pct":99.99,"load1_start":512.25,"load1_end":512.25"""))
+    assert(line.contains(""""quiesce_wait":599.99,"steal_pct":99.99,"spin_ms":9999.99,"load1_start":512.25"""))
     assert(line.endsWith(""""sf":0.123}"""))
     // an unmatched dir must emit quoted, keeping the line valid JSON
     assert(Bench.contractLine(1.0, 0.5, 0, 0, "/tmp/custom", -1.0, -1.0)
@@ -72,6 +72,12 @@ class RegistrySpec extends SparkSpec {
     // degenerate brackets report -1, never NaN/Infinity (the JSON line)
     assert(Bench.stealPct(a, a) === -1.0)
     assert(Bench.stealPct((-1L, 0L), b) === -1.0)
+  }
+
+  test("the spin probe is a plausible fixed-work timing") {
+    Bench.spinProbeMs() // JIT warm
+    val ms = Bench.spinProbeMs()
+    assert(ms > 1.0 && ms < 30000.0, s"spinProbeMs = $ms")
   }
 
   test("load1 reads a plausible 1-minute loadavg on this platform") {
