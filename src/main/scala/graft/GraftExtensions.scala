@@ -33,6 +33,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction(GraftExtensions.vecL2SqDescriptor)
     e.injectFunction(GraftExtensions.pqEncodeDescriptor)
     e.injectFunction(GraftExtensions.minhashSketchDescriptor)
+    e.injectFunction(GraftExtensions.kmvSketchDescriptor)
   }
 }
 
@@ -99,6 +100,22 @@ object GraftExtensions {
       new ExpressionInfo(classOf[graft.functions.PqEncode].getName, "pq_encode"),
       (exprs: Seq[Expression]) => pqEncodeBuilder(exprs))
 
+  private def kmvSketchBuilder(exprs: Seq[Expression]): Expression = {
+    require(exprs.length == 2, "kmv_sketch takes (h BIGINT, k INT literal)")
+    val k = exprs(1) match {
+      case org.apache.spark.sql.catalyst.expressions.Literal(v: Int,
+          org.apache.spark.sql.types.IntegerType) => v
+      case _ => throw new IllegalArgumentException(
+        "kmv_sketch: k must be an INT literal (sketch width is plan-time)")
+    }
+    graft.functions.KmvSketch(exprs.head, k)
+  }
+
+  private[graft] val kmvSketchDescriptor =
+    (FunctionIdentifier("kmv_sketch"),
+      new ExpressionInfo(classOf[graft.functions.KmvSketch].getName, "kmv_sketch"),
+      (exprs: Seq[Expression]) => kmvSketchBuilder(exprs))
+
   private[graft] val minhashSketchDescriptor =
     (FunctionIdentifier("minhash_sketch"),
       new ExpressionInfo(classOf[graft.functions.MinHashSketch].getName, "minhash_sketch"),
@@ -116,5 +133,7 @@ object GraftExtensions {
       "pq_encode", pqEncodeBuilder, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "minhash_sketch", minhashSketchBuilder, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "kmv_sketch", kmvSketchBuilder, "built-in")
   }
 }

@@ -450,6 +450,26 @@ object OracleSql {
   SELECT * FROM pplkept
   WHERE NOT (${dh("lang || '|' || CAST(doc_id AS VARCHAR)")} % 100 < 20))"""
 
+  /** row_number replay of the KMV daily-distinct estimator — the
+    * deterministic value-set form (k smallest distinct hashes per
+    * day), shared by a_daily_distinct_kmv (DSL aggregate) and
+    * q_sql_kmv (the registered-aggregate spark.sql twin). */
+  private val KmvDailySql = s"""WITH ev AS (
+  SELECT DISTINCT epoch_us(ts) // 86400000000 AS day,
+         ${dh("CAST(user_id AS VARCHAR)")} AS h
+  FROM events
+), r AS (
+  SELECT day, h, row_number() OVER (PARTITION BY day ORDER BY h) AS rn FROM ev
+), sk AS (
+  SELECT day, count(*) AS n_in_sketch,
+         max(CASE WHEN rn = 16 THEN h END) AS h_k
+  FROM r WHERE rn <= 16 GROUP BY day)
+SELECT day,
+       CASE WHEN n_in_sketch < 16 THEN n_in_sketch
+            ELSE CAST(round(15.0 * 72057594037927936 / h_k) AS BIGINT) END
+         AS est_distinct
+FROM sk"""
+
   /** DuckDB-native ASOF JOIN replay of the as-of operator — an
     * INDEPENDENT algorithm from the engine's union+running-window
     * rewrite; shared verbatim by a_asof_join (DSL) and q_sql_asof
@@ -2042,21 +2062,10 @@ FROM ex LEFT JOIN kth USING (day)""",
 
     // one-pass KMV form: the oracle rebuilds the sketch's k-min set
     // with a rank window — identical set, identical estimator
-    "a_daily_distinct_kmv" -> s"""WITH ev AS (
-  SELECT DISTINCT epoch_us(ts) // 86400000000 AS day,
-         ${dh("CAST(user_id AS VARCHAR)")} AS h
-  FROM events
-), r AS (
-  SELECT day, h, row_number() OVER (PARTITION BY day ORDER BY h) AS rn FROM ev
-), sk AS (
-  SELECT day, count(*) AS n_in_sketch,
-         max(CASE WHEN rn = 16 THEN h END) AS h_k
-  FROM r WHERE rn <= 16 GROUP BY day)
-SELECT day,
-       CASE WHEN n_in_sketch < 16 THEN n_in_sketch
-            ELSE CAST(round(15.0 * 72057594037927936 / h_k) AS BIGINT) END
-         AS est_distinct
-FROM sk""",
+    "a_daily_distinct_kmv" -> KmvDailySql,
+    // the spark.sql twin (registered kmv_sketch aggregate + built-in
+    // estimator) computes the identical estimate through the parser
+    "q_sql_kmv" -> KmvDailySql,
 
     // quartile binning + weight of evidence vs the return flag; the
     // engine's exact interpolated percentiles are bit-compatible with

@@ -6701,6 +6701,36 @@ object SparkEntry {
         / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE), 4) >= 0.5""")
   }
 
+  /** The KMV distinct-count sketch driven from `spark.sql` — the
+    * second registered aggregate (`kmv_sketch`, the
+    * [[graft.functions.KmvSketch]] k-minimum-values buffer; width is
+    * a plan-time INT literal): per-day distinct users as sketch →
+    * estimate, where the (k−1)·2⁵⁶/h_k estimator with its exact-count
+    * fallback is pure built-ins (size / element_at / round) — the
+    * whole a_daily_distinct_kmv row in one statement. Row-pinned
+    * equal to the DSL twin and sharing its exact row_number-replay
+    * oracle (the estimator is deterministic in the VALUE SET, so
+    * DuckDB replays it from the k smallest hashes). */
+  private def qSqlKmv(s: SparkSession, dir: String): DataFrame = {
+    GraftExtensions.registerAll(s)
+    T(s, dir, "events").select(col("ts"), col("user_id"))
+      .createOrReplaceTempView("graft_sql_events")
+    s.sql("""
+      WITH ev AS (
+        SELECT CAST(unix_micros(ts) / 86400000000 AS BIGINT) AS day,
+               CAST(conv(substring(md5(CAST(CAST(user_id AS STRING) AS BINARY)),
+                 1, 14), 16, 10) AS BIGINT) AS h
+        FROM graft_sql_events
+      ), sk AS (
+        SELECT day, kmv_sketch(h, 16) AS sk FROM ev GROUP BY day
+      )
+      SELECT day,
+             CASE WHEN size(sk) < 16 THEN CAST(size(sk) AS BIGINT)
+                  ELSE CAST(round(15.0D * 7.2057594037927936E16
+                    / element_at(sk, 16)) AS BIGINT) END AS est_distinct
+      FROM sk""")
+  }
+
   // =====================================================================
   // Registry
   // =====================================================================
@@ -6711,6 +6741,7 @@ object SparkEntry {
     "q_sql_interval" -> (qSqlInterval _),
     "q_sql_asof" -> (qSqlAsof _),
     "q_sql_lsh" -> (qSqlLsh _),
+    "q_sql_kmv" -> (qSqlKmv _),
     "q_branch_even" -> (qBranchEven _),
     "q_branch_odd" -> (qBranchOdd _),
     "q_derive_context" -> (qDeriveContext _),

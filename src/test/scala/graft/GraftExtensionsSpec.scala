@@ -58,6 +58,16 @@ class GraftExtensionsSpec extends SparkSpec {
       "parser-path LSH pipeline diverged from the DSL operator")
   }
 
+  test("the SQL KMV estimate replays the DSL sketch rows exactly") {
+    val dir = "/root/testdata/sf0.001"
+    val sql = SparkEntry.queries("q_sql_kmv")(spark, dir)
+      .as[(Long, Long)].collect().sorted.toSeq
+    val dsl = SparkEntry.queries("a_daily_distinct_kmv")(spark, dir)
+      .as[(Long, Long)].collect().sorted.toSeq
+    assert(sql.nonEmpty && sql === dsl,
+      "parser-path KMV estimate diverged from the DSL aggregate")
+  }
+
   test("minhash_sketch is callable from SQL with a literal width") {
     GraftExtensions.registerAll(spark)
     val got = spark.sql(
