@@ -337,12 +337,10 @@ object Bench {
       // the prepare-phase rebuild. The pair is the measured case for
       // durable substrates across driver sessions.
       "substrate_persist_cold" -> ((s, dir) => {
-        def rm(f: java.io.File): Unit = {
-          if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
-          f.delete(); ()
-        }
-        rm(new java.io.File("target/substrates/shingles4"))
-        rm(new java.io.File("target/substrates/shingles4.fingerprint"))
+        graft.sources.StagingTables.deleteRecursively(
+          new java.io.File("target/substrates/shingles4"))
+        graft.sources.StagingTables.deleteRecursively(
+          new java.io.File("target/substrates/shingles4.fingerprint"))
         graft.ops.PlanCache.persisted("target/substrates", "shingles4",
             graft.ops.PlanCache.sourceFingerprint(Seq(s"$dir/documents.parquet")),
             s, "h", 32) {
@@ -350,8 +348,19 @@ object Bench {
             s.read.parquet(s"$dir/documents.parquet"), 4)
         }
       }),
+      // WARM goes through persisted() on a FRESH session (the restart
+      // identity), so the measured number includes what a restarted
+      // driver actually pays — the sidecar read + the source
+      // fingerprint walk + the stored-bytes scan. The build thunk
+      // throws: a warm run that rebuilds is a broken tier, and the
+      // extra's -1 makes that loud in the record.
       "substrate_persist_warm" -> ((s, dir) =>
-        s.read.parquet("target/substrates/shingles4")),
+        graft.ops.PlanCache.persisted("target/substrates", "shingles4",
+            graft.ops.PlanCache.sourceFingerprint(Seq(s"$dir/documents.parquet")),
+            s.newSession(), "h", 32) {
+          throw new IllegalStateException(
+            "substrate_persist_warm must REUSE the cold run's substrate, not rebuild")
+        }),
       // the 100 TB swap-in for p_stats_profile: the exact
       // multi-countDistinct plans as ONE Expand (scan multiplied per
       // distinct aggregate — oracle-exact, the registry row), while a

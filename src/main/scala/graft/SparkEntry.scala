@@ -2173,41 +2173,14 @@ object SparkEntry {
     * already removed them anyway). Substrates are prepare-attributed:
     * bigram_xent (LM scores) and curation_rebuilt (span removal); the
     * query itself measures gates and joins, all keyed shuffles. */
-  private def eCurationFull(s: SparkSession, dir: String): DataFrame = {
-    val docs = T(s, dir, "documents")
-    val rebuilt = rebuiltDocs(s, dir)
-    val keepers = Dedup.exactGroups(rebuilt.select(col("doc_id"),
-        regexp_replace(lower(trim(col("dedup_text"))), "\\s+", " ").as("text")))
-      .select(col("keeper").as("doc_id"))
-    val xent = TextOps.bigramCrossEntropy(docs)
-      .select(col("doc_id"), col("xent_nats"))
-    val cut = graft.ops.ExactPercentiles.of(
-        xent.join(docs.select(col("doc_id"), col("lang")), "doc_id")
-          .select(col("lang").as("k"), col("xent_nats").as("x")),
-        Seq(("p50", 0.5)), "ppl-cut", fewGroups = true)
-      .select(col("k").as("lang"), col("v").as("cutoff"))
-    rebuilt.join(keepers, "doc_id")
-      .join(docs.select(col("doc_id"), col("lang")), "doc_id")
-      .withColumn("quality", round(TextOps.qualityScore(col("dedup_text")), 4))
-      .filter(col("quality") >= 0.5 && col("n_kept").between(10L, 200L))
-      .join(xent, "doc_id")
-      .join(broadcast(cut), "lang")
-      .filter(col("xent_nats") <= col("cutoff"))
-      .filter(!TextOps.hashSample(col("lang"), col("doc_id"), 20))
-      .select(col("doc_id"), col("lang"), col("quality"),
-        col("n_kept"), col("xent_nats"))
-  }
-
-  /** Per-stage yield FUNNEL of [[eCurationFull]] — the dataset-card
-    * number a curation run publishes next to its kept corpus: how
-    * many documents survive each gate, in gate order (corpus →
-    * exact-dedup keepers on the rebuilt text → quality/length gate →
-    * ppl gate → train holdout). Every stage is the SAME frame
-    * e_curation_full composes (substrates shared through PlanCache:
-    * curation_rebuilt, bigram_xent), so the funnel is the observable
-    * twin of the kept corpus, not a re-derivation; each count is one
-    * partial-agg fold and the five 1-row frames union. */
-  private def eCurationFunnel(s: SparkSession, dir: String): DataFrame = {
+  /** The staged gate frames of the all-gates chain, shared by
+    * [[eCurationFull]] and [[eCurationFunnel]] — ONE definition of the
+    * normalization expression, thresholds, cutoff machinery and
+    * holdout predicate, so the published funnel counts can never
+    * drift from the kept corpus they claim to describe. Returns
+    * (corpus, afterDedup, afterQuality, afterPpl, afterHoldout). */
+  private def curationGates(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame, DataFrame, DataFrame) = {
     val docs = T(s, dir, "documents")
     val rebuilt = rebuiltDocs(s, dir)
     val keepers = Dedup.exactGroups(rebuilt.select(col("doc_id"),
@@ -2231,6 +2204,27 @@ object SparkEntry {
       .filter(col("xent_nats") <= col("cutoff"))
     val afterHoldout = afterPpl
       .filter(!TextOps.hashSample(col("lang"), col("doc_id"), 20))
+    (docs, afterDedup, afterQuality, afterPpl, afterHoldout)
+  }
+
+  private def eCurationFull(s: SparkSession, dir: String): DataFrame = {
+    val (_, _, _, _, afterHoldout) = curationGates(s, dir)
+    afterHoldout.select(col("doc_id"), col("lang"), col("quality"),
+      col("n_kept"), col("xent_nats"))
+  }
+
+  /** Per-stage yield FUNNEL of [[eCurationFull]] — the dataset-card
+    * number a curation run publishes next to its kept corpus: how
+    * many documents survive each gate, in gate order (corpus →
+    * exact-dedup keepers on the rebuilt text → quality/length gate →
+    * ppl gate → train holdout). Every stage is the SAME frame
+    * e_curation_full composes (substrates shared through PlanCache:
+    * curation_rebuilt, bigram_xent), so the funnel is the observable
+    * twin of the kept corpus, not a re-derivation; each count is one
+    * partial-agg fold and the five 1-row frames union. */
+  private def eCurationFunnel(s: SparkSession, dir: String): DataFrame = {
+    val (docs, afterDedup, afterQuality, afterPpl, afterHoldout) =
+      curationGates(s, dir)
     def stage(df: DataFrame, idx: Long, name: String): DataFrame =
       df.agg(count(lit(1)).as("n_docs"))
         .select(lit(idx).as("stage_idx"), lit(name).as("stage"), col("n_docs"))

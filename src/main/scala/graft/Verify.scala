@@ -28,15 +28,9 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
         // a failed query must not leave a STALE dump from a previous
-        // run behind — that would let the compare pass on old results.
-        // Recursive + null-safe: dumps can contain _temporary subtrees
-        // from a killed run, and listFiles() may return null.
-        def rm(f: java.io.File): Unit = {
-          if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
-          if (!f.delete() && f.exists())
-            System.err.println(s"[verify] WARNING: could not delete $f")
-        }
-        rm(new java.io.File(s"$outDir/$name"))
+        // run behind — that would let the compare pass on old results
+        graft.sources.StagingTables.deleteRecursively(
+          new java.io.File(s"$outDir/$name"))
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

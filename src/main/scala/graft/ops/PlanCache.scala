@@ -93,7 +93,18 @@ object PlanCache {
     * two sessions over the same sources serve byte-identical rows
     * (spec-pinned, PersistedTierSpec). Within one session the scan
     * frame is memoized through the same [[entry]] map as the memory
-    * tiers. */
+    * tiers.
+    *
+    * Writer exclusion: the check-and-build runs under a per-(dir,
+    * tag) JVM monitor with the sidecar RE-checked inside the lock
+    * (double-checked), so two sessions in one driver that race a
+    * missing/stale substrate serialize — the second finds the first's
+    * sidecar and reuses instead of overwriting its files mid-scan.
+    * ACROSS drivers the contract is single-writer-per-substrate-dir
+    * (the deployment that builds substrates owns the dir; readers are
+    * always safe) — plain parquet has no cross-process commit
+    * protocol, which is exactly what a transactional lake format adds
+    * at 100 TB. */
   def persisted(dirRoot: String, tag: String, fingerprint: String,
       spark: org.apache.spark.sql.SparkSession, bucketCol: String, buckets: Int)(
       build: => DataFrame): DataFrame = {
@@ -104,27 +115,36 @@ object PlanCache {
     entry("pq:" + tag, fp.hashCode, spark) {
       val dataDir = new java.io.File(dirRoot, tag)
       val metaFile = new java.io.File(dirRoot, tag + ".fingerprint")
-      val stored =
+      def stored: Option[String] =
         try Some(new String(java.nio.file.Files.readAllBytes(metaFile.toPath), "UTF-8").trim)
         catch { case _: Throwable => None }
-      if (!stored.contains(fp) || !dataDir.isDirectory) {
-        stored.filter(_ != fp).foreach(old => System.err.println(
-          s"[PlanCache] STALE persisted substrate '$tag': stored fingerprint $old != " +
-            s"source $fp — rebuilding from the current sources"))
-        new java.io.File(dirRoot).mkdirs()
-        build.repartition(buckets, org.apache.spark.sql.functions.col(bucketCol))
-          .sortWithinPartitions(bucketCol)
-          .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-          .parquet(dataDir.getPath)
-        // sidecar written AFTER the data commit: a crash mid-write
-        // leaves a missing/old fingerprint, which reads as stale and
-        // rebuilds — never a fresh-looking half-written substrate
-        java.nio.file.Files.write(metaFile.toPath, fp.getBytes("UTF-8"))
-        ()
+      buildLocks.getOrElseUpdate(
+          new java.io.File(dirRoot, tag).getAbsolutePath, new Object).synchronized {
+        // re-check INSIDE the lock: a concurrent session may have just
+        // finished the identical build while this one was blocked
+        val st = stored
+        if (!st.contains(fp) || !dataDir.isDirectory) {
+          st.filter(_ != fp).foreach(old => System.err.println(
+            s"[PlanCache] STALE persisted substrate '$tag': stored fingerprint $old != " +
+              s"source $fp — rebuilding from the current sources"))
+          new java.io.File(dirRoot).mkdirs()
+          build.repartition(buckets, org.apache.spark.sql.functions.col(bucketCol))
+            .sortWithinPartitions(bucketCol)
+            .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+            .parquet(dataDir.getPath)
+          // sidecar written AFTER the data commit: a crash mid-write
+          // leaves a missing/old fingerprint, which reads as stale and
+          // rebuilds — never a fresh-looking half-written substrate
+          java.nio.file.Files.write(metaFile.toPath, fp.getBytes("UTF-8"))
+          ()
+        }
       }
       spark.read.parquet(dataDir.getPath)
     }
   }
+
+  /** Per-substrate-path build monitors for [[persisted]]. */
+  private val buildLocks = TrieMap.empty[String, Object]
 
   /** Source fingerprint for [[persisted]]: name+size+mtime of every
     * file under `paths` (recursing into directories), order-stable.

@@ -65,10 +65,34 @@ object StagingTables {
     * survive-a-restart contract as [[initSmallIfAbsent]]. */
   def initPartitionedIfAbsent(df: DataFrame, table: String, partCol: String): Unit = {
     validId(table)
-    if (!df.sparkSession.catalog.tableExists(table)) {
-      dropWithLocation(df.sparkSession, table)
+    val spark = df.sparkSession
+    if (!spark.catalog.tableExists(table)) {
+      dropWithLocation(spark, table)
       df.write.mode(SaveMode.Overwrite).partitionBy(partCol)
         .format("parquet").saveAsTable(table)
+    } else if (!spark.table(table).columns.contains(partCol)) {
+      // A table written by a pre-partitioned layout (e.g. the old
+      // Append-mode compactor): MIGRATE its rows into the sentinel
+      // partCol = -1 partition instead of letting the first
+      // positional insert die on a column-count mismatch — surviving
+      // a restart is the table form's whole contract, and silently
+      // recreating empty would erase the survived data. Rows are
+      // staged to a temp dir first (the recreate drops the files the
+      // migrating frame would otherwise still be scanning).
+      System.err.println(s"[staging] migrating table '$table' to the " +
+        s"'$partCol'-partitioned layout (existing rows -> $partCol=-1)")
+      import org.apache.spark.sql.functions.lit
+      val pType = df.schema(partCol).dataType
+      val tmp = java.nio.file.Files.createTempDirectory(s"migrate_$table").toFile
+      try {
+        spark.table(table).write.mode(SaveMode.Overwrite).parquet(tmp.getPath)
+        dropWithLocation(spark, table)
+        df.write.mode(SaveMode.Overwrite).partitionBy(partCol)
+          .format("parquet").saveAsTable(table)
+        spark.read.parquet(tmp.getPath)
+          .withColumn(partCol, lit(-1).cast(pType))
+          .write.insertInto(table)
+      } finally deleteRecursively(tmp)
     }
   }
 
@@ -77,6 +101,20 @@ object StagingTables {
   private def validId(table: String): Unit =
     require(table.matches("[A-Za-z0-9_]+(\\.[A-Za-z0-9_]+)?"),
       s"table identifier must be [A-Za-z0-9_]+ with at most one dot: '$table'")
+
+  /** Recursive local-file delete, null-safe (listFiles may return
+    * null; dirs may hold _temporary subtrees from a killed run), loud
+    * on failure. The ONE copy — Verify's stale-dump sweep, Bench's
+    * substrate-tier reset and [[dropWithLocation]] all share it, so
+    * any future hardening (symlink guard, path restriction) lands
+    * once. */
+  private[graft] def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory)
+      Option(f.listFiles()).getOrElse(Array.empty[java.io.File])
+        .foreach(deleteRecursively)
+    if (!f.delete() && f.exists())
+      System.err.println(s"[staging] WARNING: could not delete $f")
+  }
 
   /** Drop `table` AND its orphaned warehouse directory — a previous
     * JVM's in-memory catalog forgets the table but leaves the files,
@@ -93,11 +131,7 @@ object StagingTables {
         case Array(db, t) => s"$db.db/$t"
         case _            => table.toLowerCase(java.util.Locale.ROOT)
       }
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
-        f.delete(); ()
-      }
-      rm(new java.io.File(wh, rel))
+      deleteRecursively(new java.io.File(wh, rel))
     }
   }
 

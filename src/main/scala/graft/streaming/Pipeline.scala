@@ -1248,8 +1248,18 @@ object Pipeline {
 
   /** Key of the rank-0 heartbeat row [[topkPublisherTable]] publishes
     * alongside every board (and [[topkServeTable]]'s cold-start init
-    * writes at version 0). Never served: [[boardSnapshot]] strips it. */
+    * writes at version 0). Never served: [[boardSnapshot]] strips it
+    * on the serve leg, [[topkBoard]] strips it for every OTHER
+    * application reading the published table. */
   private[graft] val BoardVersionKey = "__graft_board_version__"
+
+  /** Reader view of a published top-k table: the board rows without
+    * the writer's rank-0 heartbeat (the freshnessDayHistory
+    * convention — cross-driver publication is the table form's whole
+    * point, so external readers get the stripped view as API instead
+    * of each rediscovering the lineage row). */
+  def topkBoard(spark: SparkSession, table: String): DataFrame =
+    spark.table(table).filter(col("rank") >= 1L)
 
   /** Shared publisher fold: latest board per shard (≤ shards entries
     * of k pairs — driver-sized by construction, the codebook-literal

@@ -55,6 +55,35 @@ class PersistedTierSpec extends SparkSpec {
     assert(builds === 2 && fourth === third)
   }
 
+  test("two sessions racing a cold substrate build it once (writer exclusion)") {
+    val root = java.nio.file.Files.createTempDirectory("graft_persist_").toString
+    val srcDir = s"$root/src.parquet"
+    Seq((1L, "x"), (2L, "y")).toDF("doc_id", "text").write.parquet(srcDir)
+    val builds = new java.util.concurrent.atomic.AtomicInteger(0)
+    def substrate(s: SparkSession): DataFrame =
+      graft.ops.PlanCache.persisted(s"$root/tier", "race",
+          graft.ops.PlanCache.sourceFingerprint(Seq(srcDir)), s, "doc_id", 1) {
+        builds.incrementAndGet()
+        Thread.sleep(500) // widen the race window
+        s.read.parquet(srcDir)
+      }
+    import java.util.concurrent.Executors
+    val pool = Executors.newFixedThreadPool(2)
+    try {
+      val futs = Seq(spark.newSession(), spark.newSession()).map { s =>
+        pool.submit(new java.util.concurrent.Callable[Seq[String]] {
+          def call(): Seq[String] =
+            substrate(s).collect().map(_.toString).sorted.toSeq
+        })
+      }
+      val results = futs.map(_.get())
+      assert(results(0) === results(1) && results(0).size === 2)
+      assert(builds.get() === 1,
+        "the second racer must block on the build lock, re-check the sidecar " +
+          "and REUSE — a double build overwrites files mid-scan")
+    } finally pool.shutdown()
+  }
+
   test("a missing sidecar is stale, never trusted") {
     val root = java.nio.file.Files.createTempDirectory("graft_persist_").toString
     val srcDir = s"$root/src.parquet"

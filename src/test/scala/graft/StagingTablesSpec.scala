@@ -29,6 +29,35 @@ class StagingTablesSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("initPartitionedIfAbsent migrates a pre-partitioned-layout table, preserving rows") {
+    // a table written by the OLD append-mode compactor: 4 columns, no
+    // batch_id partition — a restart under the new layout must not
+    // die on the positional insert, and must not erase survived rows
+    StagingTables.writeSmall(
+      Seq(("view", 9L, 3L, 900L), ("click", 10L, 1L, 1000L))
+        .toDF("event_type", "day", "n_day", "last_us"), "stg_migrate")
+    val withPart = Seq.empty[(String, Long, Long, Long)]
+      .toDF("event_type", "day", "n_day", "last_us")
+      .withColumn("batch_id", lit(0L))
+    StagingTables.initPartitionedIfAbsent(withPart, "stg_migrate", "batch_id")
+    val rows = spark.table("stg_migrate")
+      .as[(String, Long, Long, Long, Long)].collect().toSet
+    assert(rows === Set(("view", 9L, 3L, 900L, -1L), ("click", 10L, 1L, 1000L, -1L)),
+      s"migration must land survived rows in the batch_id=-1 sentinel partition: $rows")
+    // and the new layout's positional insert now works
+    graft.streaming.Pipeline.compactBatch(
+      Seq(("purchase", 11L, 2L, 1100L)).toDF("event_type", "day", "n_day", "last_us"),
+      "stg_migrate", 7L)
+    val after = graft.streaming.Pipeline
+      .freshnessDayHistory(spark, "stg_migrate")
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(after === Set(("view", 9L, 3L, 900L), ("click", 10L, 1L, 1000L),
+      ("purchase", 11L, 2L, 1100L)))
+    // idempotent: a second init over the migrated table is a no-op
+    StagingTables.initPartitionedIfAbsent(withPart, "stg_migrate", "batch_id")
+    assert(spark.table("stg_migrate").count() === 3L)
+  }
+
   test("aggregation on the bucket key also avoids the shuffle") {
     // self-contained: writes its own table so the test runs alone
     val events = (1L to 500L).map(i => (i, i % 50)).toDF("event_id", "user_id")

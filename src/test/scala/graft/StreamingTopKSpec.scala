@@ -165,13 +165,17 @@ class StreamingTopKSpec extends SparkSpec {
       } finally { serve.stop(); pub.stop() }
       // the publication SURVIVES the streams (and would survive the
       // driver: it is a managed parquet table, not session state);
-      // every publication carries the rank-0 heartbeat row
-      val after = spark.table("topk_serve_table")
+      // every publication carries the rank-0 heartbeat row, and the
+      // PUBLIC reader view (topkBoard) strips it for external apps
+      val raw = spark.table("topk_serve_table").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+      assert(raw.exists(_._3 === 0L),
+        s"publications must carry the rank-0 heartbeat row: $raw")
+      val after = graft.streaming.Pipeline.topkBoard(spark, "topk_serve_table")
         .orderBy("rank").collect()
         .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
-      assert(after.exists(_._3 === 0L),
-        s"publications must carry the rank-0 heartbeat row: $after")
-      assert(after.filter(_._3 >= 1L) === Seq(("c", 10L, 1L), ("a", 5L, 2L)))
+      assert(after === Seq(("c", 10L, 1L), ("a", 5L, 2L)),
+        "the public board view must serve exactly the board rows")
     }
   }
 
