@@ -135,5 +135,14 @@ object GraftExtensions {
       "minhash_sketch", minhashSketchBuilder, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "kmv_sketch", kmvSketchBuilder, "built-in")
+    // the Aggregator-based sketch registers through the udaf path
+    // (monomorphic, so the capacity is baked into the NAME — there is
+    // no plan-time-literal hook on this API the way the imperative
+    // aggregates have); same engine path as the DSL's .toColumn form
+    spark.udf.register("misra_gries_1024",
+      org.apache.spark.sql.functions.udaf(
+        new graft.functions.MisraGries.MGAgg(1024),
+        org.apache.spark.sql.Encoders.STRING))
+    ()
   }
 }

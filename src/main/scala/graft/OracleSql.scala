@@ -450,6 +450,19 @@ object OracleSql {
   SELECT * FROM pplkept
   WHERE NOT (${dh("lang || '|' || CAST(doc_id AS VARCHAR)")} % 100 < 20))"""
 
+  /** Sketch-free GROUP BY + HAVING replay of the exact heavy hitters
+    * — shared by t_heavy_hitters (DSL two-phase Misra–Gries) and
+    * q_sql_heavy (the registered-aggregate one-statement twin): the
+    * integer threshold makes both forms reduce to this exact set no
+    * matter which valid candidate superset the sketch retained. */
+  private val HeavyHittersSql = s"""$TOKS, occ AS (
+  SELECT unnest(${shinglesN(2)}) AS s FROM toks
+), n AS (SELECT count(*) AS n FROM occ)
+SELECT s AS gram, CAST(count(*) AS BIGINT) AS cnt
+FROM occ CROSS JOIN n
+GROUP BY s, n.n
+HAVING count(*) * 1025 > n.n"""
+
   /** row_number replay of the KMV daily-distinct estimator — the
     * deterministic value-set form (k smallest distinct hashes per
     * day), shared by a_daily_distinct_kmv (DSL aggregate) and
@@ -1908,13 +1921,11 @@ GROUP BY xl.lang, cut.cutoff""",
     // exact heavy hitters: the oracle is the sketch-free GROUP BY +
     // integer-arithmetic HAVING — phase 2 of the engine's two-phase
     // Misra–Gries form must erase every surplus candidate to match
-    "t_heavy_hitters" -> s"""$TOKS, occ AS (
-  SELECT unnest(${shinglesN(2)}) AS s FROM toks
-), n AS (SELECT count(*) AS n FROM occ)
-SELECT s AS gram, CAST(count(*) AS BIGINT) AS cnt
-FROM occ CROSS JOIN n
-GROUP BY s, n.n
-HAVING count(*) * 1025 > n.n""",
+    "t_heavy_hitters" -> HeavyHittersSql,
+    // the spark.sql twin (registered misra_gries_1024 aggregate, one
+    // statement, no driver collect) reduces to the identical exact
+    // set — the mergeable-summaries guarantee plus the integer HAVING
+    "q_sql_heavy" -> HeavyHittersSql,
 
     // BM25 retrieval: the query is DERIVED (df-rank window 11..13), so
     // the oracle rebuilds the identical query; constants are CAST to

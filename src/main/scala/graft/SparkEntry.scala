@@ -6725,6 +6725,36 @@ object SparkEntry {
       FROM sk""")
   }
 
+  /** The two-phase exact heavy hitters driven from `spark.sql` — the
+    * third registered sketch (`misra_gries_1024`, the
+    * [[graft.functions.MisraGries.MGAgg]] Aggregator through the udaf
+    * path) and, unlike the DSL form, ONE statement with NO driver
+    * collect: phase 1's candidate summary flows to phase 2 as an
+    * exploded subquery the exact recount joins (AQE broadcasts the
+    * ≤ m-row candidate side), and the integer HAVING
+    * `cnt·(m+1) > N` makes the output independent of WHICH valid
+    * superset the sketch retained — the mergeable-summaries guarantee
+    * is precisely that any run keeps every true heavy hitter, so both
+    * engines and both entry points agree exactly. Row-pinned to
+    * t_heavy_hitters; shares its sketch-free GROUP BY + HAVING
+    * oracle. The gram view is the shared [[graft.ext.TextOps
+    * .bigramOccurrences]] substrate (bigram_index prepare line). */
+  private def qSqlHeavy(s: SparkSession, dir: String): DataFrame = {
+    GraftExtensions.registerAll(s)
+    TextOps.bigramOccurrences(T(s, dir, "documents")).select(col("s"))
+      .createOrReplaceTempView("graft_sql_grams")
+    s.sql("""
+      WITH mg AS (
+        SELECT misra_gries_1024(s) AS r FROM graft_sql_grams
+      ), cand AS (
+        SELECT explode(r.candidates) AS s, r.n AS n FROM mg
+      )
+      SELECT o.s AS gram, count(*) AS cnt
+      FROM graft_sql_grams o JOIN cand c ON o.s = c.s
+      GROUP BY o.s, c.n
+      HAVING count(*) * 1025 > c.n""")
+  }
+
   // =====================================================================
   // Registry
   // =====================================================================
@@ -6736,6 +6766,7 @@ object SparkEntry {
     "q_sql_asof" -> (qSqlAsof _),
     "q_sql_lsh" -> (qSqlLsh _),
     "q_sql_kmv" -> (qSqlKmv _),
+    "q_sql_heavy" -> (qSqlHeavy _),
     "q_branch_even" -> (qBranchEven _),
     "q_branch_odd" -> (qBranchOdd _),
     "q_derive_context" -> (qDeriveContext _),

@@ -68,6 +68,16 @@ class GraftExtensionsSpec extends SparkSpec {
       "parser-path KMV estimate diverged from the DSL aggregate")
   }
 
+  test("the SQL heavy hitters replay the DSL two-phase rows exactly") {
+    val dir = "/root/testdata/sf0.001"
+    val sql = SparkEntry.queries("q_sql_heavy")(spark, dir)
+      .as[(String, Long)].collect().sorted.toSeq
+    val dsl = SparkEntry.queries("t_heavy_hitters")(spark, dir)
+      .as[(String, Long)].collect().sorted.toSeq
+    assert(sql.nonEmpty && sql === dsl,
+      "parser-path heavy hitters diverged from the DSL two-phase form")
+  }
+
   test("minhash_sketch is callable from SQL with a literal width") {
     GraftExtensions.registerAll(spark)
     val got = spark.sql(
