@@ -37,4 +37,11 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-)
+) ++
+  // opt-in profiling aids for perf investigation (OPTIMIZATION_r14.md):
+  // SPARK_GRAFT_EVENTLOG=<dir> records the Spark event log (per-stage
+  // task metrics incl. GC time); SPARK_GRAFT_GCLOG=<file> records JVM
+  // GC pauses. Both land OFF the stdout contract line.
+  sys.env.get("SPARK_GRAFT_EVENTLOG").map(d => Seq(
+    "-Dspark.eventLog.enabled=true", s"-Dspark.eventLog.dir=$d")).getOrElse(Seq()) ++
+  sys.env.get("SPARK_GRAFT_GCLOG").map(f => Seq(s"-Xlog:gc,safepoint:file=$f")).getOrElse(Seq())

@@ -47,7 +47,10 @@ object Bench {
       val f = new String(java.nio.file.Files.readAllBytes(
           java.nio.file.Paths.get("/proc/stat")), "UTF-8")
         .linesIterator.next().trim.split("\\s+").drop(1).map(_.toLong)
-      (f.sum, if (f.length > 7) f(7) else 0L)
+      // sum only through steal (first 8 fields): guest/guest_nice are
+      // already accounted inside user/nice, and double-counting them
+      // understates steal_pct on hosts running nested guests (ADVICE r13)
+      (f.take(8).sum, if (f.length > 7) f(7) else 0L)
     } catch { case _: Throwable => (-1L, 0L) }
 
   /** Host-steal percentage between two [[cpuStat]] samples; -1 when
@@ -183,6 +186,16 @@ object Bench {
       // let the CPU-bound dedup builds take one explicit spread shuffle
       .config("spark.graft.spreadSmallInputs", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      // Spark 4's per-session artifact isolation attaches a spark://
+      // class-fetch URI to every SQLExecution-threadpool job (broadcast
+      // builds, subqueries) even when NO artifact was ever added; the
+      // executor then resolves every codegen class-lookup MISS — janino
+      // probes dozens per generated class — through a netty file-server
+      // round trip. One driver, one session, no artifacts: disable it.
+      // Measured (OPTIMIZATION_r14.md): thread dumps of a degraded run
+      // showed 31/32 task threads parked on the codegen KeyLock behind
+      // one thread inside ExecutorClassLoader→NettyRpcEnv reads.
+      .config("spark.sql.artifact.isolation.enabled", "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -24,6 +24,10 @@ object BenchSubset {
       .config("spark.sql.files.openCostInBytes", "1m")
       .config("spark.graft.spreadSmallInputs", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      // default matches Bench (see the rationale there); the env knob
+      // exists so the isolation cost stays A/B-measurable
+      .config("spark.sql.artifact.isolation.enabled",
+        sys.env.getOrElse("SPARK_GRAFT_ARTIFACT_ISOLATION", "false"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -41,7 +45,8 @@ object BenchSubset {
       names.foreach { n =>
         val sec = timed(runNoop(SparkEntry.queries(n)(spark, sfDir)))
         tot += sec
-        println(f"[subset rep$r] $n%-24s ${sec}%8.3f s")
+        val art = org.apache.spark.sql.graftbridge.Bridge.sessionArtifactAdded(spark)
+        println(f"[subset rep$r] $n%-24s ${sec}%8.3f s artifactAdded=$art")
       }
       println(f"[subset rep$r] TOTAL${""}%-20s ${tot}%8.3f s")
     }

@@ -18,6 +18,9 @@ object Explain {
       .config("spark.sql.files.openCostInBytes", "1m")
       .config("spark.graft.spreadSmallInputs", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      // see Bench.scala: single-session driver, no artifacts — keep the
+      // spark:// session classloader off the codegen path
+      .config("spark.sql.artifact.isolation.enabled", "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -121,28 +121,35 @@ object GraftExtensions {
       new ExpressionInfo(classOf[graft.functions.MinHashSketch].getName, "minhash_sketch"),
       (exprs: Seq[Expression]) => minhashSketchBuilder(exprs))
 
-  /** Register on an already-built session (temp-function scope). */
+  /** Register on an already-built session (temp-function scope).
+    * IDEMPOTENT: every q_sql_* builder calls this, and an
+    * unconditional createOrReplaceTempFunction spammed seven
+    * "function X replaced a previously registered function" WARN
+    * lines into the bench tail PER RUN — the driver keeps only a
+    * ~2000-char stdout tail that has head-truncated the contract line
+    * before (rounds 2-3, parsed:null). Skip when already present. */
   def registerAll(spark: SparkSession): Unit = {
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "be_int", beIntBuilder, "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "vec_dot", vecDotBuilder, "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "vec_l2sq", vecL2SqBuilder, "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "pq_encode", pqEncodeBuilder, "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "minhash_sketch", minhashSketchBuilder, "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "kmv_sketch", kmvSketchBuilder, "built-in")
+    val reg = spark.sessionState.functionRegistry
+    Seq(
+      "be_int" -> (beIntBuilder _),
+      "vec_dot" -> (vecDotBuilder _),
+      "vec_l2sq" -> (vecL2SqBuilder _),
+      "pq_encode" -> (pqEncodeBuilder _),
+      "minhash_sketch" -> (minhashSketchBuilder _),
+      "kmv_sketch" -> (kmvSketchBuilder _)
+    ).foreach { case (name, builder) =>
+      if (!reg.functionExists(FunctionIdentifier(name)))
+        reg.createOrReplaceTempFunction(name, builder, "built-in")
+    }
     // the Aggregator-based sketch registers through the udaf path
     // (monomorphic, so the capacity is baked into the NAME — there is
     // no plan-time-literal hook on this API the way the imperative
     // aggregates have); same engine path as the DSL's .toColumn form
-    spark.udf.register("misra_gries_1024",
-      org.apache.spark.sql.functions.udaf(
-        new graft.functions.MisraGries.MGAgg(1024),
-        org.apache.spark.sql.Encoders.STRING))
+    if (!reg.functionExists(FunctionIdentifier("misra_gries_1024")))
+      spark.udf.register("misra_gries_1024",
+        org.apache.spark.sql.functions.udaf(
+          new graft.functions.MisraGries.MGAgg(1024),
+          org.apache.spark.sql.Encoders.STRING))
     ()
   }
 }

@@ -20,17 +20,20 @@ object Codecs {
 
   /** 56-bit deterministic hash reproducible in ANSI SQL by the DuckDB
     * oracle:
-    *   spark : conv(substr(md5(s),1,14),16,10)  cast to bigint
+    *   spark : md5 digest's leading 7 bytes as a long
+    *           ([[graft.functions.Md5Prefix56]] — bit-for-bit the old
+    *           conv(substr(md5(s),1,14),16,10) chain without its three
+    *           per-row string round-trips, spec-pinned)
     *   duckdb: ('0x' || substr(md5(s),1,14))::BIGINT
     * Used wherever the oracle must reproduce engine-side hashing
     * (minhash, simhash, LSH bands, fingerprints, exact-dedup keys).
     *
     * Scale note: at 100 TB the same call sites can swap in
     * [[scaleHash]] (xxhash64 — one codegen'd instruction stream, no md5
-    * string round-trip); md5-based form is kept as default so
-    * correctness stays externally checkable. */
+    * at all); md5-based form is kept as default so correctness stays
+    * externally checkable. */
   def portableHash(c: Column): Column =
-    conv(substring(md5(c.cast("string").cast("binary")), 1, 14), 16, 10).cast("long")
+    graft.functions.Md5Prefix56.md5Prefix56(c.cast("string").cast("binary"))
 
   /** Production-scale variant of [[portableHash]]: 64-bit xxhash, far
     * cheaper per row, NOT reproducible by the SQL oracle. */

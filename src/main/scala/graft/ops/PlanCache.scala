@@ -112,7 +112,11 @@ object PlanCache {
       s"substrate tag must be [A-Za-z0-9_-]+ (it names a directory): '$tag'")
     require(buckets >= 1, s"buckets must be >= 1, got $buckets")
     val fp = digest(fingerprint)
-    entry("pq:" + tag, fp.hashCode, spark) {
+    // the FULL digest rides in the entry tag — keying on fp.hashCode
+    // would truncate 96 bits to 32 and let two fingerprints of one tag
+    // silently share a memoized frame (the collision the digest width
+    // was chosen to exclude; ADVICE r13)
+    entry("pq:" + tag + ":" + fp, 0, spark) {
       val dataDir = new java.io.File(dirRoot, tag)
       val metaFile = new java.io.File(dirRoot, tag + ".fingerprint")
       def stored: Option[String] =

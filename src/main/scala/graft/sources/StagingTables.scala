@@ -84,6 +84,11 @@ object StagingTables {
       import org.apache.spark.sql.functions.lit
       val pType = df.schema(partCol).dataType
       val tmp = java.nio.file.Files.createTempDirectory(s"migrate_$table").toFile
+      // tmp is deleted ONLY on success: after dropWithLocation the
+      // staging dir holds the ONLY copy of the survived rows, so a
+      // failure in the recreate/insert must leave it recoverable (and
+      // say where it is) instead of a finally-delete erasing the very
+      // rows whose survival is this method's contract.
       try {
         spark.table(table).write.mode(SaveMode.Overwrite).parquet(tmp.getPath)
         dropWithLocation(spark, table)
@@ -92,7 +97,13 @@ object StagingTables {
         spark.read.parquet(tmp.getPath)
           .withColumn(partCol, lit(-1).cast(pType))
           .write.insertInto(table)
-      } finally deleteRecursively(tmp)
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"[staging] migration of '$table' FAILED after " +
+            s"staging its rows — recover them from ${tmp.getPath} (${e.getMessage})")
+          throw e
+      }
+      deleteRecursively(tmp)
     }
   }
 
