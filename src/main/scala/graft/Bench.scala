@@ -59,6 +59,48 @@ object Bench {
     if (start._1 < 0 || end._1 < 0 || end._1 <= start._1) -1.0
     else math.rint((end._2 - start._2) * 10000.0 / (end._1 - start._1)) / 100.0
 
+  /** Cumulative run-queue wait of the WHOLE process (ns): the sum of
+    * /proc/self/task/<tid>/schedstat field 2 over every live thread —
+    * time threads sat RUNNABLE but not running. (/proc/self/schedstat
+    * alone is only the MAIN thread, which sleeps through every query —
+    * measured all-zero in run 5.) Threads that die between samples
+    * make the delta slightly under-report; for attribution that bias
+    * is safe (a reported runq burst is real). Bracketing a query with
+    * two of these attributes a blip to CPU contention (host steal
+    * bursts, sibling load) rather than the query's own work:
+    * wall ≈ cpu + runq + io/idle. -1 when unreadable (non-Linux). */
+  private[graft] def runqNs(): Long =
+    try {
+      val dir = new java.io.File("/proc/self/task")
+      val tids = dir.listFiles()
+      if (tids == null) -1L
+      else {
+        var sum = 0L
+        var i = 0
+        while (i < tids.length) {
+          try {
+            val s = new String(java.nio.file.Files.readAllBytes(
+              new java.io.File(tids(i), "schedstat").toPath), "UTF-8")
+            sum += s.trim.split("\\s+")(1).toLong
+          } catch { case _: Throwable => () } // raced a dying thread
+          i += 1
+        }
+        sum
+      }
+    } catch { case _: Throwable => -1L }
+
+  /** (total, iowait) jiffies from /proc/stat — the disk-stall
+    * companion of [[cpuStat]]'s steal: a blip whose window carries
+    * high iowait is storage latency (shuffle/persist spill), not
+    * compute. */
+  private[graft] def ioStat(): (Long, Long) =
+    try {
+      val f = new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get("/proc/stat")), "UTF-8")
+        .linesIterator.next().trim.split("\\s+").drop(1).map(_.toLong)
+      (f.take(8).sum, if (f.length > 4) f(4) else 0L)
+    } catch { case _: Throwable => (-1L, 0L) }
+
   /** Fixed single-thread CPU probe: 2²⁶ xorshift steps, returning
     * milliseconds. The r13 closing runs measured the SAME code at
     * 301 → 426 s with load1_start < 1 throughout and host steal
@@ -210,35 +252,148 @@ object Bench {
       df.write.format("noop").mode("overwrite").save()
 
     // Warm the JVM/JIT and parquet footers once so the first timed query
-    // isn't charged for session startup.
-    spark.range(1000000L).selectExpr("sum(id)").collect()
+    // isn't charged for session startup. The synthetic plans exercise
+    // the machinery every registry family goes through — hash/sort
+    // aggregate, sort-merge + broadcast join, window, explode, noop
+    // write — over spark.range data, so Catalyst/codegen/shuffle
+    // framework classes reach the compiler BEFORE the timed phase.
+    // Nothing here touches sfDir rows or any PlanCache substrate: the
+    // warmup can never pre-compute timed work (r14; the run3 record
+    // shows what it repairs — with prepare overlapped the session hits
+    // the timed queries ~150 s earlier, and the first rows absorbed
+    // the still-cold framework at up to 9x band).
+    {
+      import org.apache.spark.sql.functions.{col => c}
+      val a = spark.range(2000000L).select(c("id"),
+        (c("id") % 1000).as("k"), (c("id") % 7).as("v"))
+      a.groupBy("k").agg(org.apache.spark.sql.functions.sum("v").as("sv"),
+          org.apache.spark.sql.functions.countDistinct("v").as("dv"))
+        .join(a.select(c("k"), c("id").as("id2")), "k")
+        .write.format("noop").mode("overwrite").save()
+      a.select(c("k"), c("v"), org.apache.spark.sql.functions.row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy("k").orderBy("id"))
+            .as("rn"))
+        .filter(c("rn") <= 3)
+        .write.format("noop").mode("overwrite").save()
+      a.select(org.apache.spark.sql.functions.explode(
+          org.apache.spark.sql.functions.sequence(
+            org.apache.spark.sql.functions.lit(1), (c("v") + 1).cast("int"))).as("e"))
+        .agg(org.apache.spark.sql.functions.sum("e")).collect()
+      a.orderBy(c("v"), c("id")).limit(5).collect()
+    }
     Seq("lineitem", "orders", "documents", "embeddings").foreach { t =>
       try spark.read.parquet(s"$sfDir/$t.parquet").count()
       catch { case _: Throwable => () }
     }
 
-    // a failing staging build must surface as its own -1, not crash
-    // the run before the JSON line is emitted
-    val prepareSteps = SparkEntry.prepareSteps.map { case (name, step) =>
-      var ok = true
-      val sec = timed {
-        try step(spark, sfDir)
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] prepare $name FAILED: ${e.getMessage}"); ok = false
-        }
+    // Overlap the independent substrate builds (guide §2.6): run
+    // serially, each build leaves all but ~1 core idle during its
+    // driver-side planning/codegen stretches and its small serial
+    // stages — thread dumps of the r14 degraded runs showed exactly
+    // that shape (one RUNNABLE thread in Catalyst frames, 32 executor
+    // threads parked on the idle task queue). A small FIFO pool lets
+    // one step's executor tasks back-fill another step's planning
+    // gaps. Builds stay exactly-once: PlanCache entries are
+    // lazy-holder synchronized, so a step that needs a sibling's
+    // substrate blocks on the ONE build instead of duplicating it.
+    // Pool size is scale-adaptive (cores/4, capped at 8 — the guide's
+    // "2-3 in flight is plenty" scaled for a 32-core local master),
+    // overridable via SPARK_GRAFT_PREPARE_PAR (=1 restores the serial
+    // phase for A/B).
+    //
+    // Timing semantics (recorded in OPTIMIZATION_r14.md): "prepare" on
+    // the contract line is now the PHASE WALL CLOCK — the number a
+    // driver session actually waits — while prepare_steps in
+    // bench_details.json carries each step's own thread duration
+    // (under overlap these include lock waits on shared substrates and
+    // sum to MORE than the wall clock; the serial per-step band lives
+    // in BASELINE.md).
+    //
+    // A failing staging build must surface as its own -1, not crash
+    // the run before the JSON line is emitted.
+    val prepPar = sys.env.get("SPARK_GRAFT_PREPARE_PAR")
+      .flatMap(v => scala.util.Try(v.toInt).toOption)
+      .getOrElse {
+        val c = scala.util.Try(cpus.toInt).getOrElse(4)
+        math.max(1, math.min(8, c / 4))
       }
-      name -> (if (ok) sec else -1.0)
-    }
-    val prepareSec = prepareSteps.map(_._2).filter(_ >= 0).sum
+    val prepT0 = System.nanoTime()
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(prepPar)
+    val prepareSteps = try {
+      SparkEntry.prepareSteps.map { case (name, step) =>
+        name -> pool.submit(new java.util.concurrent.Callable[Double] {
+          override def call(): Double = {
+            // thread-local label so the overlapped jobs stay readable
+            // in event logs / the UI (guide §1.5)
+            spark.sparkContext.setJobDescription(s"prepare: $name")
+            var ok = true
+            val sec = timed {
+              try step(spark, sfDir)
+              catch { case e: Throwable =>
+                System.err.println(s"[bench] prepare $name FAILED: ${e.getMessage}")
+                ok = false
+              }
+            }
+            if (ok) sec else -1.0
+          }
+        })
+      }.map { case (name, fut) => name -> fut.get() }
+    } finally pool.shutdown()
+    val prepareSec = (System.nanoTime() - prepT0) / 1e9
 
+    // JIT-settle gate (untimed, bounded — the quiesce gate's JVM-side
+    // twin): the overlapped prepare hands the compiler a deep backlog
+    // of hot framework methods, and a timed query that starts while C2
+    // is still churning runs cold framework code AND competes with the
+    // compiler threads — the r14 run3 record measured the first three
+    // rows at 6-9x band from exactly this. Poll the JVM's cumulative
+    // compilation time and proceed once it grows < 100 ms over a 1 s
+    // window (or after 60 s); the wait does no query work and computes
+    // nothing any timed row reuses. Recorded in bench_details.json as
+    // jit_settle_wait.
+    val jitSettleWait: Double = {
+      val cb = java.lang.management.ManagementFactory.getCompilationMXBean
+      if (cb == null || !cb.isCompilationTimeMonitoringSupported) 0.0
+      else {
+        val t0 = System.nanoTime()
+        var last = cb.getTotalCompilationTime
+        var settled = false
+        while (!settled && (System.nanoTime() - t0) / 1e9 < 60.0) {
+          Thread.sleep(1000)
+          val now = cb.getTotalCompilationTime
+          settled = now - last < 100
+          last = now
+        }
+        (System.nanoTime() - t0) / 1e9
+      }
+    }
+
+    // Per-query environment attribution (bench_details only): the r14
+    // record shows episodic 10-60x single-row blips that ROAM between
+    // same-code runs (run3: a_bootstrap_ci 41 s; run4: g_bfs 27.6 s —
+    // each on-band in the other run) while GC logs show <1 s maxima.
+    // Bracketing every row with /proc/stat steal and /proc/self/
+    // schedstat run-queue wait turns "probably the box" into data: a
+    // blip whose window carries high steal/runq is host contention,
+    // not a regression.
+    val queryRunq = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    val querySteal = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    val queryIo = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       var ok = true
+      val rq0 = runqNs(); val cs0 = cpuStat(); val io0 = ioStat()
       val sec = timed {
         try runNoop(fn(spark, sfDir))
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); ok = false
         }
       }
+      val rq1 = runqNs(); val cs1 = cpuStat(); val io1 = ioStat()
+      if (rq0 >= 0 && rq1 >= rq0) queryRunq(name) = (rq1 - rq0) / 1e9
+      val st = stealPct(cs0, cs1)
+      if (st >= 0) querySteal(name) = st
+      val io = stealPct(io0, io1) // same delta/denominator arithmetic
+      if (io >= 0) queryIo(name) = io
       name -> (if (ok) sec else -1.0)
     }.toMap
 
@@ -443,7 +598,7 @@ object Bench {
     val load1End = load1()
     val steal = stealPct(cpuStart, cpuStat())
     val spinEndMs = spinProbeMs()
-    val detail = s"""{"metric":"total","value":${r3s(total)},"unit":"sec","prepare":${r3s(prepareSec)},"prepare_steps":${jmap(prepareSteps, r3s)},"queries":${jmap(results.toSeq.sortBy(_._1), r3s)},"extras":${jmap(extraResults, r3s)},"recall_at_3":${jmap(annRecall, r3s)},"failed":$nFailed,"extras_failed":$nExtrasFailed,"quiesce_wait":${r3s(quiesceWait)},"steal_pct":${r3s(steal)},"spin_ms":${r3s(spinMs)},"spin_ms_end":${r3s(spinEndMs)},"load1_start":${r3s(load1Start)},"load1_end":${r3s(load1End)},"sf":"$sfDir"}"""
+    val detail = s"""{"metric":"total","value":${r3s(total)},"unit":"sec","prepare":${r3s(prepareSec)},"prepare_par":$prepPar,"jit_settle_wait":${r3s(jitSettleWait)},"prepare_steps":${jmap(prepareSteps, r3s)},"queries":${jmap(results.toSeq.sortBy(_._1), r3s)},"query_runq_sec":${jmap(queryRunq, r3s)},"query_steal_pct":${jmap(querySteal, r3s)},"query_iowait_pct":${jmap(queryIo, r3s)},"extras":${jmap(extraResults, r3s)},"recall_at_3":${jmap(annRecall, r3s)},"failed":$nFailed,"extras_failed":$nExtrasFailed,"quiesce_wait":${r3s(quiesceWait)},"steal_pct":${r3s(steal)},"spin_ms":${r3s(spinMs)},"spin_ms_end":${r3s(spinEndMs)},"load1_start":${r3s(load1Start)},"load1_end":${r3s(load1End)},"sf":"$sfDir"}"""
     try java.nio.file.Files.write(
       java.nio.file.Paths.get("bench_details.json"),
       (detail + "\n").getBytes("UTF-8"))

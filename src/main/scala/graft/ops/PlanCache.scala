@@ -17,7 +17,23 @@ import org.apache.spark.storage.StorageLevel
   * 100 TB the same call site writes a bucketed intermediate instead of
   * MEMORY_AND_DISK; the query shape above it is unchanged. */
 object PlanCache {
-  private val cache = TrieMap.empty[(String, Int, String), DataFrame]
+  /** Exactly-once holder: concurrent prepare threads that race the same
+    * substrate must BLOCK on one build, not run it twice — a duplicated
+    * `localCheckpoint` build runs the whole job again and persists a
+    * second copy whose blocks nothing ever reads (TrieMap's
+    * getOrElseUpdate only dedups the map VALUE, not the evaluation).
+    * `lazy val` gives per-instance synchronized once-evaluation; the
+    * TrieMap keeps exactly one holder per key, so the loser of a
+    * holder-insert race forces the winner's build instead of its own. */
+  private final class Once(build: () => DataFrame) {
+    @volatile private var built: Option[DataFrame] = None
+    lazy val df: DataFrame = { val d = build(); built = Some(d); d }
+    /** The frame iff the build has completed — NEVER forces a pending
+      * build (forcing would block the caller on a foreign build, and a
+      * FAILED lazy init would re-run on the next force). */
+    def settled: Option[DataFrame] = built
+  }
+  private val cache = TrieMap.empty[(String, Int, String), Once]
   // one eviction listener per SparkContext, so entries are dropped the
   // moment the context ends — not merely on the next access
   private val hooked = TrieMap.empty[String, Boolean]
@@ -168,7 +184,10 @@ object PlanCache {
 
   private def entry(tag: String, key: Int, spark: org.apache.spark.sql.SparkSession)(
       materialize: => DataFrame): DataFrame = {
-    cache.filterInPlace((_, df) => !df.sparkSession.sparkContext.isStopped)
+    // sweep only SETTLED holders: forcing an in-flight one here would
+    // block the sweep (and every caller) on a foreign build
+    cache.filterInPlace((_, o) =>
+      !o.settled.exists(_.sparkSession.sparkContext.isStopped))
     val appId = spark.sparkContext.applicationId
     hooked.getOrElseUpdate(appId, {
       spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
@@ -180,13 +199,23 @@ object PlanCache {
       })
       true
     })
-    cache.getOrElseUpdate(
-      (appId + "/" + System.identityHashCode(spark), key, tag), materialize)
+    val k = (appId + "/" + System.identityHashCode(spark), key, tag)
+    val holder = cache.getOrElseUpdate(k, new Once(() => materialize))
+    try holder.df
+    catch { case e: Throwable =>
+      // evict the failed holder so the NEXT caller installs a fresh
+      // build instead of replaying this one's captured thunk — the
+      // pre-concurrency behavior (a failed getOrElseUpdate inserted
+      // nothing); remove(k, holder) so a concurrent successful
+      // replacement is never evicted by a stale failure
+      cache.remove(k, holder)
+      throw e
+    }
   }
 
   def clear(): Unit = {
-    cache.values.foreach { df =>
-      try df.unpersist() catch { case _: Throwable => () }
+    cache.values.foreach { o =>
+      o.settled.foreach(df => try df.unpersist() catch { case _: Throwable => () })
     }
     cache.clear()
   }
