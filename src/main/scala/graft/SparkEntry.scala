@@ -1595,6 +1595,12 @@ object SparkEntry {
       .groupBy("bin")
       .agg(sum(when(col("ret"), 1L).otherwise(0L)).as("n_returned"),
         sum(when(col("ret"), 0L).otherwise(1L)).as("n_kept"))
+    // binned is referenced twice (WoE projection + tot), but a
+    // localCheckpoint here measured a WASH (r14 interleaved reps:
+    // 1.06-1.43 both ways at sf0.1) — the duplicated subtree plans as
+    // the SAME exchange twice and ReuseExchange already dedupes it,
+    // unlike aBasketRules' four differently-shaped references. Left
+    // uncheckpointed: no win, and the extra barrier costs a job.
     val tot = binned.agg(sum("n_returned").as("tr"), sum("n_kept").as("tk"))
     binned.crossJoin(broadcast(tot))
       .select(col("bin"), col("n_returned"), col("n_kept"),
@@ -3539,10 +3545,19 @@ object SparkEntry {
     * item-support frame joins onto the post-gate pair frame, which AQE
     * broadcasts; the 1-row basket count rides a broadcast cross join.
     * At 100 TB the shape holds: the only quadratic term is per-basket,
-    * and the support gate prunes before any wide join. */
+    * and the support gate prunes before any wide join.
+    *
+    * The distinct item frame is referenced FOUR times (basket count,
+    * item support, both self-join sides) — Catalyst does no
+    * cross-subtree common-plan elimination, so uncheckpointed it
+    * scans+dedups lineitem four times per run; the localCheckpoint
+    * runs that once (the commonNeighborPairs precedent, r14 —
+    * settled reps 2.52-2.71 → 1.81-1.88 s at sf0.1/local[32],
+    * plans/r14/a_basket_rules_*). */
   private def aBasketRules(s: SparkSession, dir: String): DataFrame = {
     val items = T(s, dir, "lineitem")
       .select(col("l_orderkey"), col("l_partkey")).distinct()
+      .localCheckpoint()
     val nOrders = items.agg(countDistinct(col("l_orderkey")).as("n_orders"))
     val supp = items.groupBy(col("l_partkey")).agg(count(lit(1)).as("supp"))
     val pairs = items.select(col("l_orderkey"), col("l_partkey").as("pa"))
@@ -5654,6 +5669,12 @@ object SparkEntry {
         Codecs.portableHash(col("norm")).as("h"),
         length(col("norm")).cast("long").as("ln"),
         size(Codecs.tokens(col("text"))).cast("long").as("n_tok"))
+      // referenced twice (keeper agg + join probe): uncheckpointed,
+      // the regexp normalize + md5 + tokenize pass runs twice per
+      // query (r14, the aBasketRules discipline — interleaved settled
+      // reps 0.73-0.88 → 0.55-0.65 s at sf0.1; the two references
+      // plan DIFFERENT exchanges, so ReuseExchange cannot help here)
+      .localCheckpoint()
     val keeper = docs.groupBy("h", "ln").agg(min("doc_id").as("keeper"))
     docs.join(keeper, Seq("h", "ln"))
       .withColumn("is_dup", (col("doc_id") =!= col("keeper")).cast("long"))
