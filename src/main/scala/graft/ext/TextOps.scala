@@ -19,22 +19,25 @@ object TextOps {
     "de" -> Seq("der", "die", "und", "das", "ist", "nicht"),
     "fr" -> Seq("le", "les", "et", "des", "un", "une", "est"))
 
-  private def hits(toks: Column, words: Seq[String]): Column =
-    size(filter(toks, t => t.isin(words.map(_.asInstanceOf[Any]): _*)))
-
   /** n-gram/stopword language ID + CJK codepoint detection. Fixed
-    * precedence (zh > en > es > de > fr) makes ties deterministic. */
-  def langId(text: Column): Column = {
-    val toks = tokens(text)
-    val en = hits(toks, stop("en")); val es = hits(toks, stop("es"))
-    val de = hits(toks, stop("de")); val fr = hits(toks, stop("fr"))
-    val zh = regexp_count(text, lit("[\\u4e00-\\u9fff]"))
-    when(zh > 0, "zh")
-      .when(en >= es && en >= de && en >= fr, "en")
-      .when(es >= de && es >= fr, "es")
-      .when(de >= fr, "de")
-      .otherwise("fr")
-  }
+    * precedence (zh > en > es > de > fr) makes ties deterministic.
+    *
+    * Routed through the native [[graft.functions.LangPick]] since r15:
+    * the composed when-chain referenced `tokens(text)` TWELVE times per
+    * row (each hits() comparison copies the whole trim/lower/split/
+    * filter subtree, and the interpreted HOF chain sits outside
+    * common-subexpression elimination — the r15 t_lang_id before-plan
+    * carries 12 `split(lower(trim(...)))` occurrences), then scanned
+    * the token array once per list with ~7 string comparisons per
+    * token. The native pick tokenizes ONCE and counts all four lists
+    * in one hash-lookup pass; LangPickSpec pins row equality against
+    * the composed chain, and the DuckDB oracle still replays the
+    * composed SQL form. */
+  def langId(text: Column): Column =
+    graft.functions.LangPick.langPick(
+      tokens(text),
+      regexp_count(text, lit("[\\u4e00-\\u9fff]")),
+      Seq("en", "es", "de", "fr").map(l => l -> stop(l)))
 
   /** Whitespace token count. */
   def tokenCount(text: Column): Column = size(tokens(text))
@@ -46,17 +49,22 @@ object TextOps {
 
   /** Heuristic quality score in [0,1]: length saturation + stopword
     * density + punctuation sparsity. Deterministic double math,
-    * rounded at the call site for the oracle. */
-  def qualityScore(text: Column): Column = {
-    val toks = tokens(text)
-    val nTok = size(toks).cast("double")
-    val stopHits = hits(toks, stop("en")).cast("double")
-    val punct = regexp_count(text, lit("[.,!?;:]")).cast("double")
-    val chars = length(text).cast("double")
-    least(nTok / 50.0, lit(1.0)) * 0.5 +
-      when(nTok > 0, stopHits / nTok).otherwise(0.0) * 0.3 +
-      (lit(1.0) - least(when(chars > 0, punct / chars).otherwise(0.0), lit(1.0))) * 0.2
-  }
+    * rounded at the call site for the oracle.
+    *
+    * Routed through the native [[graft.functions.QualityScore]] since
+    * r15: the composed form evaluated `tokens(text)` twice per row
+    * (size + the stopword filter — subtree-per-reference, no CSE
+    * through the HOF chain) plus an interpreted filter+isin pass. The
+    * native kernel replicates the IEEE double chain operation-for-
+    * operation including the null funnels (QualityScoreSpec pins
+    * BIT-equality — one consumer rounds score×10000 to an integer);
+    * the oracle still replays the composed SQL form. */
+  def qualityScore(text: Column): Column =
+    graft.functions.QualityScore.qualityScore(
+      tokens(text),
+      regexp_count(text, lit("[.,!?;:]")),
+      length(text),
+      stop("en"))
 
   /** PII scrubbing patterns — RE2-compatible so the same pattern text
     * runs in Spark (Java regex) and the DuckDB oracle unchanged. */

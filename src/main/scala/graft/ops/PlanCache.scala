@@ -201,8 +201,20 @@ object PlanCache {
     })
     val k = (appId + "/" + System.identityHashCode(spark), key, tag)
     val holder = cache.getOrElseUpdate(k, new Once(() => materialize))
-    try holder.df
-    catch { case e: Throwable =>
+    try {
+      val df = holder.df
+      // Failure-race repair (ADVICE r14): if a SIBLING's build failed
+      // while this thread was blocked on the same holder, the sibling
+      // evicted it — and this thread's lazy-val retry then SUCCEEDED
+      // inside the now-evicted holder. Re-install so the successful
+      // frame stays reachable (clear() can unpersist it, future
+      // callers reuse instead of rebuilding). If a THIRD caller
+      // already installed a fresh holder in the gap, keep the map's
+      // one (exactly-once for future callers; this thread's own frame
+      // stays correct for its own caller).
+      cache.putIfAbsent(k, holder)
+      df
+    } catch { case e: Throwable =>
       // evict the failed holder so the NEXT caller installs a fresh
       // build instead of replaying this one's captured thunk — the
       // pre-concurrency behavior (a failed getOrElseUpdate inserted

@@ -41,7 +41,16 @@ object Probe10x {
 
   private def scaled(s: SparkSession, base: String, out: String, k: Int): Unit = {
     val dir = new java.io.File(out)
-    if (new java.io.File(dir, "_built").exists()) return
+    // the marker embeds (base, k): a rerun against a DIFFERENT base dir
+    // or scale must rebuild, not silently reuse a substrate derived
+    // from the old corpus (ADVICE r14 — the PlanCache.persisted
+    // fingerprint discipline)
+    val marker = new java.io.File(dir, "_built")
+    val want = s"$base|$k"
+    val have =
+      try new String(java.nio.file.Files.readAllBytes(marker.toPath), "UTF-8").trim
+      catch { case _: Throwable => "" }
+    if (have == want) return
     dir.mkdirs()
     def copies(df: DataFrame, f: (DataFrame, Long) => DataFrame): DataFrame =
       (0 until k).map(i => f(df, i.toLong * Off)).reduce(_ unionAll _)
@@ -67,8 +76,7 @@ object Probe10x {
     // caveat (ball size scales, seed count must not)
     s.read.parquet(s"$base/supplier.parquet")
       .write.mode(SaveMode.Overwrite).parquet(s"$out/supplier.parquet")
-    java.nio.file.Files.write(new java.io.File(dir, "_built").toPath,
-      "ok".getBytes("UTF-8"))
+    java.nio.file.Files.write(marker.toPath, want.getBytes("UTF-8"))
     ()
   }
 

@@ -822,10 +822,35 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
-  test("payload entropy is a join-free explode + partial-agg chain") {
+  test("payload entropy is a join-free row-local pass (native stats, no explode)") {
     val p = plan("m_payload_entropy")
     assert(!p.contains("Join") && !p.contains("Window"),
-      s"entropy must be generate → agg → agg, nothing else:\n$p")
+      s"entropy must stay join/window-free:\n$p")
+    // r15: the per-character explode + two aggregations fused into the
+    // native charentropystats kernel — the plan must carry NO shuffle
+    // and evaluate the kernel ONCE (multi-referenced via a projected
+    // struct column, which CollapseProject must not inline back)
+    assert(!p.contains("Exchange"), s"entropy must be shuffle-free:\n$p")
+    assert("charentropystats".r.findAllIn(p.toLowerCase).size == 1,
+      s"the native kernel must be evaluated exactly once:\n$p")
+  }
+
+  test("language id tokenizes once through the native pick") {
+    // r15: the composed when-chain carried TWELVE copies of the
+    // trim/lower/split/filter subtree per row (subtree-per-reference,
+    // no CSE through HOF lambdas); the native langpick takes the one
+    // projected token array
+    val p = plan("t_lang_id")
+    assert(p.toLowerCase.contains("langpick"), s"native pick not planned:\n$p")
+    assert("split\\(lower".r.findAllIn(p).size == 1,
+      s"text must be tokenized exactly once:\n$p")
+  }
+
+  test("quality score tokenizes once through the native kernel") {
+    val p = plan("t_quality")
+    assert(p.toLowerCase.contains("qualityscore"), s"native kernel not planned:\n$p")
+    assert("split\\(lower".r.findAllIn(p).size == 1,
+      s"text must be tokenized exactly once:\n$p")
   }
 
   test("norm audit is a join-free fold + partial-agg chain") {

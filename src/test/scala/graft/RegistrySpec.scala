@@ -33,28 +33,43 @@ class RegistrySpec extends SparkSpec {
     // repr() and passed). Schema analysis only; nothing executes.
     import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
     val dir = "/root/testdata/sf0.001"
-    val bad = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
-      fn(spark, dir).schema.fields.collect {
-        case f if f.dataType.isInstanceOf[ArrayType] ||
-          f.dataType.isInstanceOf[MapType] ||
-          f.dataType.isInstanceOf[StructType] =>
-          s"$name.${f.name}: ${f.dataType.simpleString}"
-      }
-    }
+    // construction fans out on a small pool: several builders run eager
+    // substrate jobs (sketch collects, codebook literals, union-find),
+    // and one thread walking all 319 took ~65 s of the suite —
+    // PlanCache's exactly-once holder makes concurrent construction
+    // safe (PlanCacheConcurrencySpec pins it)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    val bad = try {
+      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+        pool.submit(new java.util.concurrent.Callable[Seq[String]] {
+          override def call(): Seq[String] =
+            fn(spark, dir).schema.fields.collect {
+              case f if f.dataType.isInstanceOf[ArrayType] ||
+                f.dataType.isInstanceOf[MapType] ||
+                f.dataType.isInstanceOf[StructType] =>
+                s"$name.${f.name}: ${f.dataType.simpleString}"
+            }.toSeq
+        })
+      }.flatMap(_.get())
+    } finally pool.shutdown()
     assert(bad.isEmpty,
       s"driver-unsortable output columns (pandas sort_values crashes on these): $bad")
   }
 
   test("bench stdout contract line is registry-size-independent and far under the tail capture") {
     // Rounds 2, 3 and 6 all lost the official bench record to stdout
-    // truncation (~2000-char driver tail). The line now carries nine
-    // fixed fields and no per-query map; pin it at worst-case field
-    // widths so registry growth can never regress it.
+    // truncation (~2000-char driver tail). The line carries a FIXED
+    // field set and no per-query map; pin it at worst-case field
+    // widths so registry growth can never regress it. (r15 added two
+    // short fields: prepare_par — the wall-clock-semantics marker for
+    // the overlapped prepare — and jit_settle_wait, the one untimed
+    // window between prepare and the timed rows; ADVICE r14.)
     val line = Bench.contractLine(86399.999, 9999.999, 114, 14, "/root/testdata/sf0.123",
-      512.25, 512.25, 599.99, 99.99, 9999.99)
+      512.25, 512.25, 599.99, 99.99, 9999.99, 8, 60.0)
     assert(line.length < 1500, s"contract line ${line.length} chars: $line")
-    assert(line.length < 340, s"contract line should be ~170 chars, got ${line.length}: $line")
+    assert(line.length < 400, s"contract line should be ~210 chars, got ${line.length}: $line")
     assert(line.startsWith("""{"metric":"total","value":"""))
+    assert(line.contains(""""prepare_par":8,"jit_settle_wait":60"""))
     assert(line.contains(""""quiesce_wait":599.99,"steal_pct":99.99,"spin_ms":9999.99,"load1_start":512.25"""))
     assert(line.endsWith(""""sf":0.123}"""))
     // an unmatched dir must emit quoted, keeping the line valid JSON

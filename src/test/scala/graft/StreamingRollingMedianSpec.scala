@@ -43,9 +43,11 @@ class StreamingRollingMedianSpec extends SparkSpec {
       val q = out.writeStream.format("memory").queryName("rollmed_stream")
         .outputMode("append").start()
       try {
-        // slices of 7 put several micro-batch seams inside each
-        // series' 15-row frame
-        rows.grouped(7).foreach { slice =>
+        // slices of 35 (~7 days of the 5 interleaved series) still put
+        // ~2 micro-batch seams inside each series' 15-row frame; the
+        // old 7-row slices ran ~100 micro-batches (~60 s of the suite)
+        // for the same cross-batch property (r15)
+        rows.grouped(35).foreach { slice =>
           input.addData(slice); q.processAllAvailable()
         }
         val got = spark.table("rollmed_stream")

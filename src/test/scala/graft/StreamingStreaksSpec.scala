@@ -25,8 +25,8 @@ class StreamingStreaksSpec extends SparkSpec {
     }
   }
 
-  private def replay(rows: Seq[(Long, Long)],
-      name: String): Set[(Long, Long, Long, Long)] = {
+  private def replay(rows: Seq[(Long, Long)], name: String,
+      per: Int = 3): Set[(Long, Long, Long, Long)] = {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, Long)]
     val q = StreamingStreaks.closedStreaks(
@@ -34,7 +34,7 @@ class StreamingStreaksSpec extends SparkSpec {
       .writeStream.format("memory").queryName(name)
       .outputMode("append").start()
     try {
-      rows.grouped(3).foreach { slice =>
+      rows.grouped(per).foreach { slice =>
         input.addData(slice); q.processAllAvailable()
       }
       spark.table(name).as[(Long, Long, Long, Long)].collect().toSet
@@ -69,8 +69,12 @@ class StreamingStreaksSpec extends SparkSpec {
           "left_anti")
         .select("user_id", "start_day", "end_day", "len")
         .as[(Long, Long, Long, Long)].collect().toSet
+      // 30-row slices: rows arrive sorted by (day, user), so every
+      // user's streaks still cross many micro-batch seams; the old
+      // 3-row slices ran ~300 micro-batches (~60 s of the suite) for
+      // the same cross-batch property (r15)
       val obs = days.as[(Long, Long)].collect().sortBy(r => (r._2, r._1)).toSeq
-      assert(replay(obs, "streaks_sf") === closed)
+      assert(replay(obs, "streaks_sf", per = 30) === closed)
       assert(closed.nonEmpty, "the pin must exercise closed streaks")
     }
   }
