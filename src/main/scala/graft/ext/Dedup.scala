@@ -403,10 +403,35 @@ object Dedup {
     * per segment therefore finds every qualifying pair, and the exact
     * bit_count filter removes the false candidates. Join fan-out is
     * per (segment, value) bucket, never corpus-quadratic. */
-  def simhashPairs(fps: DataFrame, maxHamming: Int, bits: Int = 32): DataFrame = {
+  def simhashPairs(fps: DataFrame, maxHamming: Int, bits: Int = 32): DataFrame =
+    simhashPairs(fps, maxHamming, bits, bits)
+
+  /** [[simhashPairs]] with the pigeonhole segments drawn from only the
+    * LOWEST `bandBits` bits of the fingerprint. Sound ONLY when the
+    * caller guarantees bits bandBits..bits-1 are STRUCTURALLY EQUAL
+    * across all rows (e.g. always zero because the underlying gram
+    * hash is narrower than the simhash word): every differing bit of
+    * any pair then lies inside the banded range, so the ≤ maxHamming
+    * differing bits still leave one of the maxHamming+1 segments
+    * exactly equal — full recall, unchanged results (the exact
+    * bit_count filter runs over the FULL fingerprint either way).
+    *
+    * Why it exists (r15): m_media_neardup's 64-bit simhash is built
+    * over 56-bit window hashes, so bits 56-63 are zero for EVERY
+    * asset — banding all 64 bits made segment 9 a single degenerate
+    * (seg, segval=0) bucket holding the whole corpus: an N²/2
+    * all-pairs join hiding inside the "banded" plan (measured at
+    * sf0.1: 12.5 M of the 21 M candidate pairs, every one in ONE join
+    * key = one straggler task — the guide §2.5 un-splittable hot key).
+    * Banding the 56 real bits drops that segment's candidates to the
+    * same per-bucket bound as the others. */
+  def simhashPairs(fps: DataFrame, maxHamming: Int, bits: Int,
+      bandBits: Int): DataFrame = {
     val nSeg = maxHamming + 1
-    require(nSeg <= bits, s"need at least one bit per segment ($nSeg segments, $bits bits)")
-    val bounds = (0 to nSeg).map(i => i * bits / nSeg)
+    require(bandBits <= bits, s"bandBits $bandBits must be <= bits $bits")
+    require(nSeg <= bandBits,
+      s"need at least one bit per segment ($nSeg segments, $bandBits banded bits)")
+    val bounds = (0 to nSeg).map(i => i * bandBits / nSeg)
     val segs = (0 until nSeg).map { s =>
       val lo = bounds(s); val w = bounds(s + 1) - lo
       val mask = if (w >= 64) -1L else (1L << w) - 1

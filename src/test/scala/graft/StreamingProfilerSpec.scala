@@ -114,7 +114,12 @@ class StreamingProfilerSpec extends SparkSpec {
       // with a 1s trigger and observes it from outside via
       // recentProgress + the sink table — exactly how a production
       // monitor is consumed.
-      val cadenceMs = 15000L
+      // 30 s cadence: the fold-before-cadence poll below gets the first
+      // 20 s — query START alone can take several seconds when the
+      // suite shares the box with the three sibling test JVMs (the 15 s
+      // dial measured inputRows=0 at its 10 s deadline under that
+      // contention, r15). The contract under test is unchanged.
+      val cadenceMs = 30000L
       val rows = eventRows
       implicit val sqlCtx = spark.sqlContext
       val input = MemoryStream[(Long, java.sql.Timestamp, Long, String, Double, String)]
@@ -138,7 +143,7 @@ class StreamingProfilerSpec extends SparkSpec {
         val t0 = System.currentTimeMillis()
         input.addData(rows.take(17))
         input.addData(rows.drop(17))
-        pollUntil(t0 + cadenceMs - 5000L) { inputRowsSoFar >= 48L }
+        pollUntil(t0 + cadenceMs - 10000L) { inputRowsSoFar >= 48L }
         assert(inputRowsSoFar >= 48L, "input must fold within the cadence")
         assert(spark.table("prof_timed").count() === 0,
           "within the cadence window the monitor must stay silent")
