@@ -2563,7 +2563,15 @@ object SparkEntry {
     })
 
   private def mMediaNearDup(s: SparkSession, dir: String): DataFrame =
-    Dedup.simhashPairs(mediaFps(s, dir), 8, bits = 64)
+    // bandBits = 56: the fingerprint's voters are 56-bit window hashes
+    // ([[graft.functions.ByteWindowHash]] reads 7 digest bytes) and the
+    // simhashOfHashes vote rule (ones*2 > n) leaves bits 56-63 zero for
+    // EVERY row, so banding them made one segment a single degenerate
+    // (seg, 0) bucket = an N²/2 all-pairs join key (guide §2.5 hot key).
+    // Banding only the 56 live bits keeps guaranteed recall (all
+    // differing bits lie inside the band) and the exact bit_count
+    // filter is unchanged — identical pairs out.
+    Dedup.simhashPairs(mediaFps(s, dir), 8, bits = 64, bandBits = 56)
 
   /** Media near-dup component labels, PlanCache-materialized so the
     * union-find (an eager pair collect inside

@@ -82,6 +82,29 @@ class WideningPinsSpec extends SparkSpec {
     assert(fps.agg(min("simhash")).head().getLong(0) >= 0L, "63 bits stay sign-safe")
   }
 
+  test("media banded-56 pairs equal the exhaustive join, high bits structurally zero") {
+    // m_media_neardup bands only the low 56 bits (r15): its voters are
+    // 56-bit window hashes, so simhash bits 56-63 are zero for EVERY
+    // row — pinned here, because the banded form's recall guarantee
+    // depends on it. Then banded-56 must equal exhaustive at radius 8.
+    val fps = SparkEntry.T(spark, dir, "documents")
+      .select(col("doc_id"),
+        explode(graft.functions.ByteWindowHash.byteWindowHash(
+          col("text").cast("binary"), 4)).as("h"))
+    val sim = Dedup.simhashOfHashes(fps, 64)
+    assert(sim.agg(max("simhash")).head().getLong(0) < (1L << 56),
+      "bits 56-63 must be structurally zero for the 56-bit banding")
+    assert(sim.agg(min("simhash")).head().getLong(0) >= 0L)
+    val banded = Dedup.simhashPairs(sim, 8, bits = 64, bandBits = 56)
+      .select("doc_a", "doc_b", "hamming").as[(Long, Long, Int)]
+      .collect().toSet
+    val exhaustive = Dedup.simhashPairsExhaustive(sim, 8)
+      .select("doc_a", "doc_b", "hamming").as[(Long, Long, Int)]
+      .collect().toSet
+    assert(banded === exhaustive)
+    assert(exhaustive.nonEmpty, "sf0.001 carries genuine near-dup media pairs")
+  }
+
   test("repetition apply removes planted repeated spans, first occurrence wins") {
     // the registry row removes 0 tokens on the clean corpus (no
     // intra-doc 5-gram repeats), so the routing is pinned here
