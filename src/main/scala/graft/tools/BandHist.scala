@@ -61,6 +61,44 @@ object BandHist {
     }
     hist(64)
     hist(56)
+
+    // ---- generic candidate audit over every other pair-candidate
+    // generator in the registry (r15): per join-key candidate pairs
+    // c·(c−1)/2, the §2.5 hot-key detector. A degenerate key reads as
+    // max_bucket ≈ corpus size (the m_media_neardup pathology above);
+    // a healthy band reads as max_bucket ≪ N.
+    import org.apache.spark.sql.DataFrame
+    def audit(name: String, keyed: DataFrame): Unit = {
+      val r = keyed.groupBy("k").agg(count(lit(1)).as("c"))
+        .agg(sum(expr("c * (c - 1) / 2")).cast("long").as("cand"),
+          max("c").as("maxb"), count(lit(1)).as("nb"))
+        .head()
+      println(f"[audit] $name%-22s cand_pairs=${r.getLong(0)}%,15d " +
+        f"max_bucket=${r.getLong(1)}%,8d n_buckets=${r.getLong(2)}%,10d")
+    }
+    def bandKeys(fps: DataFrame, maxHamming: Int, bits: Int): DataFrame = {
+      val nSeg = maxHamming + 1
+      val bounds = (0 to nSeg).map(i => i * bits / nSeg)
+      val segs = (0 until nSeg).map { s =>
+        val lo = bounds(s); val w = bounds(s + 1) - lo
+        val mask = if (w >= 64) -1L else (1L << w) - 1
+        struct(lit(s).as("seg"),
+          shiftright(col("simhash"), lo).bitwiseAND(lit(mask)).as("segval"))
+      }
+      fps.select(explode(array(segs: _*)).as("b"))
+        .select(concat(col("b.seg"), lit(":"), col("b.segval")).as("k"))
+    }
+    val docs = graft.SparkEntry.T(spark, sfDir, "documents")
+    audit("d_simhash_pairs(32,r3)",
+      bandKeys(graft.ext.Dedup.simhash(docs, 32), 3, 32))
+    audit("m_ahash_dedup(60,r6)",
+      bandKeys(graft.ext.Multimodal.ahashFingerprints(docs), 6, 60))
+    audit("m_dct_neardup(63,r6)",
+      bandKeys(graft.ext.Multimodal.dctFingerprints(docs), 6, 63))
+    audit("d_winnow_pairs(fp)",
+      graft.ext.TextOps.winnow(docs, 3, 4)
+        .select(col("doc_id"), col("fp")).distinct()
+        .select(col("fp").as("k")))
     spark.stop()
   }
 }
